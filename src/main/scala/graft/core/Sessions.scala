@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's scale-oriented defaults.
+  *
+  * Local runs use `local[n]`; on a real cluster the same confs apply —
+  * AQE handles runtime partition coalescing and skew-join splitting so
+  * the static `shuffle.partitions` value is only an upper bound for the
+  * small-SF test runs (the driver mandates 32, not the 200 default).
+  */
+object Sessions {
+
+  /** Confs applied to any session the engine builds. Safe on a cluster:
+    * AQE re-plans at runtime, so these are floors/ceilings, not guesses.
+    */
+  val engineConfs: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Lenient casts (pandas errors='coerce' parity — SURVEY §2.8 F2/F3);
+    // the engine still prefers explicit try_* functions everywhere.
+    "spark.sql.ansi.enabled" -> "false",
+    // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+    // type for; read as nanos-long and let Tables.events normalize.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // Parquet vectorized reads + pushdown are defaults, pinned for clarity.
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.parquet.aggregatePushdown" -> "true"
+  )
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName("graft")
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+    engineConfs.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+}

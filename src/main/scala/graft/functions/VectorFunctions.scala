@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `ArrayType(FloatType)` columns, built from
+  * codegen'd higher-order functions (`transform`/`zip_with`/`aggregate`)
+  * — no UDFs, no serialization breaks, scans stay columnar.
+  *
+  * All arithmetic is widened to double at the leaves so results are
+  * bit-stable across engines (the DuckDB oracle mirrors the same
+  * index-order double accumulation).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Σ aᵢ·bᵢ in index order, double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), _ * _), lit(0.0), _ + _)
+
+  /** Σ aᵢ² (squared L2 norm). */
+  def normSq(a: Column): Column =
+    aggregate(d(a), lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; null when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(normSq(a)) * sqrt(normSq(b))
+    when(denom > 0, dot(a, b) / denom)
+  }
+}

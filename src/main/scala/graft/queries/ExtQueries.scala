@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Extension query surface: the LLM-data-pipeline operators (builder
+  * brief) — text analysis, fingerprint dedup, embedding similarity —
+  * each oracle-checked against DuckDB where SQL can express it.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ── token counting (whitespace + BPE-ish subword proxy).
+    "q17_token_stats" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.subwordCount(col("text")).as("n_subwords"),
+        round(T.avgTokenLen(col("text")), 6).as("avg_token_len"))
+    },
+
+    // ── quality scoring (length/punct/stopword ratios).
+    "q18_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(T.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(T.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        T.qualityScore(col("text")).as("quality"))
+    },
+
+    // ── language ID (marker-word voting + CJK codepoint check).
+    "q19_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        T.langId(col("text")).as("lang_pred"))
+    },
+
+    // ── exact dedup via content fingerprint: canonical doc per fingerprint
+    // group (min doc_id), group size. Hash-groupBy — one shuffle on the
+    // 128-bit key; at 100 TB this is the standard exact-dedup pass.
+    "q20_dedup_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), T.fingerprintMd5(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_dupes"))
+    },
+
+    // ── brute-force cosine top-k: 10 query vectors × all candidates,
+    // exact top-5 by cosine. The baseline for ANN; the scale path is
+    // graft.ext.SimilaritySearch (LSH-bucketed).
+    "q21_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          round(V.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("cand_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rank"))
+    },
+
+    // ── embedding norms + per-label aggregate (Σ in index order, double).
+    "q22_embedding_norms" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), V.norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("nrm")), 6).as("avg_norm"))
+    },
+
+    // ── multimodal plumbing: opaque binary payload column + typed
+    // metadata. Payload here is the utf-8 text bytes standing in for an
+    // image/audio blob; decode itself is stubbed in graft.ext.Multimodal.
+    "q23_multimodal_meta" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          col("source"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("payload_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          col("source"))
+    }
+  )
+
+  private val tokRe = "\\S+"
+
+  val oracle: Map[String, String] = Map(
+    "q17_token_stats" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$tokRe')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |        / nullif(len(regexp_extract_all(text, '$tokRe')), 0), 6) AS avg_token_len
+         |FROM documents""".stripMargin,
+
+    "q18_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) AS punct,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         |    len(regexp_extract_all(lower(text),
+         |      '\\b(the|a|an|and|or|of|in|to|is|it|that|was|for|on|with)\\b')) AS stophits,
+         |    len(regexp_extract_all(text, '$tokRe')) AS toks,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(CASE WHEN nonspace > 0 THEN CAST(punct AS DOUBLE)/nonspace ELSE 0.0 END, 6) AS punct_ratio,
+         |  round(CASE WHEN toks > 0 THEN CAST(stophits AS DOUBLE)/toks ELSE 0.0 END, 6) AS stopword_ratio,
+         |  round(
+         |    least(CAST(n_chars AS DOUBLE)/500.0, 1.0) * 0.4
+         |    + least((CASE WHEN toks > 0 THEN CAST(stophits AS DOUBLE)/toks ELSE 0.0 END) * 5.0, 1.0) * 0.4
+         |    + greatest(0.0, 1.0 - (CASE WHEN nonspace > 0 THEN CAST(punct AS DOUBLE)/nonspace ELSE 0.0 END) * 4.0) * 0.2,
+         |  6) AS quality
+         |FROM t""".stripMargin,
+
+    "q19_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une|est|que|pour|dans)\b')) AS s_fr,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|sich|auf)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|en|un|una|por|como)\b')) AS s_es,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_zh > 0 THEN 'zh'
+        |       WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+        |       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+        |       WHEN s_de >= s_es THEN 'de'
+        |       ELSE 'es' END AS lang_pred
+        |FROM t""".stripMargin,
+
+    "q20_dedup_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS canonical_doc_id, COUNT(*) AS n_dupes
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_cosine_topk" ->
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(e*e)) AS nrm FROM flat GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.e*b.e) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(dp / (qn.nrm * cn.nrm), 6) AS cos_sim
+        |  FROM pairs
+        |  JOIN norms qn ON qn.vec_id = query_id
+        |  JOIN norms cn ON cn.vec_id = cand_id)
+        |SELECT query_id, cand_id, cos_sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "q22_embedding_norms" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, any_value(label) AS label, sqrt(SUM(e*e)) AS nrm
+        |  FROM flat GROUP BY vec_id)
+        |SELECT label, COUNT(*) AS n_vecs, round(AVG(nrm), 6) AS avg_norm
+        |FROM norms GROUP BY label""".stripMargin,
+
+    "q23_multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes,
+        |  md5(text) AS payload_md5, source
+        |FROM documents""".stripMargin
+  )
+}
