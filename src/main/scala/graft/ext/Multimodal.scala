@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * / frame-sample run as typed `mapPartitions` stages (the Scala
+  * analogue of Pandas-UDF batch processing — per-partition iteration, so
+  * a real decoder would amortize codec/model init per partition, not per
+  * row).
+  *
+  * The decode step itself is STUBBED (builder brief: no image/audio
+  * libraries ship in this environment): [[FakeDecoder]] derives a
+  * deterministic feature vector from the payload bytes. The Spark-side
+  * contract — schema, batch shape, partitioning, null/empty handling —
+  * is real and tested; swapping in a true decoder touches only
+  * [[FakeDecoder.decode]].
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(
+      media_id: Long,
+      payload: Array[Byte],
+      format: String,
+      source: String)
+
+  /** Extracted features: fixed-dim vector + payload stats. */
+  case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      features: Array[Float])
+
+  implicit private val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+  implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** STUB decoder — deterministic fake standing in for a real
+    * image/audio codec. A production decoder would replace `decode`
+    * with (e.g.) JPEG decode + patch embedding; everything around it
+    * stays identical.
+    */
+  object FakeDecoder {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      // Deterministic "features": per-slot byte-windowed FNV-1a hashes
+      // scaled into [-1, 1]. Stable across JVMs and partitionings.
+      val out = new Array[Float](dim)
+      var slot = 0
+      while (slot < dim) {
+        var h = 2166136261L ^ slot
+        var i = slot
+        while (i < payload.length) {
+          h = (h ^ (payload(i) & 0xff)) * 16777619L
+          i += dim
+        }
+        out(slot) = ((h & 0xffffff).toFloat / 0x7fffff) - 1.0f
+        slot += 1
+      }
+      out
+    }
+  }
+
+  /** Wrap a text corpus as media rows — utf-8 bytes stand in for real
+    * blobs in the fixtures; a real pipeline reads
+    * `spark.read.format("binaryFile")` into the same shape.
+    */
+  def toMedia(docs: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "text", sourceCol: String = "source"): Dataset[MediaRow] =
+    docs.select(
+        col(idCol).cast("long").as("media_id"),
+        col(payloadCol).cast("binary").as("payload"),
+        lit("text/plain").as("format"),
+        col(sourceCol).as("source"))
+      .as[MediaRow]
+
+  /** Batch feature extraction: per-partition decode (codec init once per
+    * partition — the batch shape a real decoder needs).
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] =
+    media.mapPartitions { rows =>
+      // real impl: val codec = HeavyCodec.open()  — once per partition
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.payload.length.toLong,
+          FakeDecoder.decode(r.payload, dim))
+      }
+    }
+
+  /** Frame sampling: slice the payload into n equal "frames" (stands in
+    * for video frame extraction; slicing math is the real contract).
+    */
+  def frameSample(media: Dataset[MediaRow], nFrames: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.payload.length
+      if (len == 0) Iterator.empty
+      else {
+        val step = math.max(1, len / nFrames)
+        (0 until math.min(nFrames, len)).iterator.map { f =>
+          val start = f * step
+          val end = math.min(len, start + step)
+          (r.media_id, f, java.util.Arrays.copyOfRange(r.payload, start, end))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame_payload")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprinting: a 64-bit signature whose
+  * Hamming distance approximates feature-set divergence.
+  *
+  * Bit i of the signature is the sign of Σ over shingles of
+  * (xxhash64(shingle, i) > 0 ? +1 : -1) — 64 independent random
+  * projections of the shingle set. Signature computation is fully
+  * per-row (no shuffle, stays in the scan stage); pair generation
+  * blocks on the 8 byte-chunks of the signature, which by pigeonhole
+  * guarantees recall for pairs within Hamming distance 7 and
+  * probabilistically catches larger distances.
+  */
+object SimHash {
+
+  private val powers: Column = array((0 until 64).map(i => lit(1L << i)): _*)
+
+  private def bitVotes(s: Column): Column =
+    transform(sequence(lit(0), lit(63)),
+      i => when(xxhash64(s, i) > 0, lit(1L)).otherwise(lit(-1L)))
+
+  /** 64-bit SimHash of a shingle-array column, packed into a long. */
+  def simhash64(shingles: Column): Column = {
+    val votes = aggregate(
+      shingles,
+      array_repeat(lit(0L), 64),
+      (acc, s) => zip_with(acc, bitVotes(s), (a, v) => a + v))
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L),
+      (r, x) => r.bitwiseOR(x))
+  }
+
+  /** The 8 × 8-bit chunk keys of a signature (chunk index unrolled in
+    * Scala so `shiftright`'s static shift applies).
+    */
+  def chunkKeys(sig: Column): Column =
+    array((0 until 8).map { j =>
+      struct(lit(j).as("chunk"),
+        shiftright(sig, 8 * j).bitwiseAND(lit(255L)).as("ck"))
+    }: _*)
+
+  /** Per-doc signature frame: (id, simhash). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      simhash64(Shingling.wordNGrams(col(textCol), n)).as("simhash"))
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist. Blocking join
+    * shuffles on (chunk, chunk-value) — 256 values per chunk keeps
+    * buckets dense; for corpora ≫ 10⁹ docs widen to 16-bit chunks.
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def nearPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      n: Int = 2): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, n)
+    val chunked = sigs
+      .select(col("id"), col("simhash"), explode(chunkKeys(col("simhash"))).as("c"))
+      .select(col("id"), col("simhash"),
+        col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

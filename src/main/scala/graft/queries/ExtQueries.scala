@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ext.{MinHashDedup, Multimodal, NGramJaccard, SimHash, SimilaritySearch}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
 /** Extension query surface: the LLM-data-pipeline operators (builder
@@ -90,6 +91,45 @@ object ExtQueries {
           length(col("payload")).as("payload_bytes"),
           md5(col("payload")).as("payload_md5"),
           col("source"))
+    },
+
+    // ── exact bigram-Jaccard near-dup pairs via inverted-index blocking
+    // (oracle-checked; finds the corpus's planted near-duplicates).
+    "q24_ngram_jaccard_dups" -> { (s, dir) =>
+      NGramJaccard.allPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.5)
+    },
+
+    // ── MinHash+LSH near-dups (shingle→minhash→band→bucket-join→verify).
+    // Same answer set as q24 w.h.p.; rows-only check (xxhash64 has no
+    // DuckDB twin) — the spec asserts equality with the exact pipeline.
+    "q25_minhash_dups" -> { (s, dir) =>
+      MinHashDedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.5, n = 2)
+    },
+
+    // ── SimHash fingerprints + Hamming-blocked near-pairs (rows-only).
+    "q26_simhash_pairs" -> { (s, dir) =>
+      SimHash.nearPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 12, n = 2)
+    },
+
+    // ── LSH-bucketed approximate nearest neighbors (the ANN scale path;
+    // rows-only — recall vs q21's exact top-k is asserted in the spec).
+    "q27_ann_lsh_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilaritySearch.lshTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+    },
+
+    // ── multimodal decode plumbing: typed mapPartitions feature
+    // extraction over binary payloads (stubbed deterministic decoder).
+    "q28_media_features" -> { (s, dir) =>
+      val feats = Multimodal.extractFeatures(
+        Multimodal.toMedia(Tables.documents(s, dir)), dim = 8)
+      feats.toDF().select(col("media_id"), col("n_bytes"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 8), 6).as("f7"))
     }
   )
 
@@ -182,6 +222,31 @@ object ExtQueries {
     "q23_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes,
         |  md5(text) AS payload_md5, source
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Exact bigram Jaccard in SQL: tokens with positions via
+    // generate_subscripts/unnest, bigrams by positional self-join,
+    // distinct-shingle inverted-index join — the same plan the Spark
+    // operator declares.
+    "q24_ngram_jaccard_dups" ->
+      """WITH tok AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+        |        FROM documents)),
+        |big AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS sh
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM big GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+        |  FROM big a JOIN big b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5""".stripMargin
   )
 }
