@@ -21,12 +21,14 @@ object DateCodecs {
 
   /** yyyymmdd long → DateType. Null-safe: null stays null. */
   def fromYyyymmdd(c: Column): Column =
-    to_date(c.cast("string"), "yyyyMMdd")
+    try_to_date(c.cast("string"), "yyyyMMdd")
 
   /** Lenient parse of the reference's raw CSV timestamp format
     * `yyyy-MM-dd HH:mm` to DateType; unparsable → null (pandas
     * `errors='coerce'` parity, `initial_price_paid_data.py:123`).
+    * `try_to_date` (not `to_date`) so the behavior is coerce-to-null
+    * regardless of the session's ANSI setting.
     */
   def lenientDate(c: Column, fmt: String = "yyyy-MM-dd HH:mm"): Column =
-    to_date(c, fmt)
+    try_to_date(c, fmt)
 }

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.VectorFunctions
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine on hand-computed vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0.6f, 0.8f, 0f))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine($"a", $"b").as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(c - 0.6) < 1e-6)
+    val n = df.select(VectorFunctions.norm($"b").as("n")).collect().head.getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-6)
+  }
+
+  test("bruteForceTopK: identical vector ranks first") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.001f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = SimilaritySearch.bruteForceTopK(emb, emb.filter($"vec_id" === 1), k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("cand_id")).toSeq == Seq(2L, 3L))
+  }
+
+  test("lshTopK recall vs brute force on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(emb, queries, k = 5, dim = 64,
+        tables = 16, bits = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random data, no cluster structure: sign-LSH still concentrates —
+    // demand clearly-above-chance recall (chance ≈ k/N = 10%)
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("tokenCount: empty and all-space are 0; runs counted") {
+    assert(one[Int](TextFunctions.tokenCount($"t"), "") == 0)
+    assert(one[Int](TextFunctions.tokenCount($"t"), "   ") == 0)
+    assert(one[Int](TextFunctions.tokenCount($"t"), " a  bb\tccc\n") == 3)
+  }
+
+  test("subwordCount splits letter/digit/punct runs") {
+    assert(one[Int](TextFunctions.subwordCount($"t"), "ab12 cd!") == 4)
+  }
+
+  test("langId: marker voting + CJK detection + und") {
+    assert(one[String](TextFunctions.langId($"t"),
+      "the cat sat on the mat and it was good") == "en")
+    assert(one[String](TextFunctions.langId($"t"),
+      "le chat est dans la maison pour dormir") == "fr")
+    assert(one[String](TextFunctions.langId($"t"), "你好世界") == "zh")
+    assert(one[String](TextFunctions.langId($"t"), "xyzzy plugh") == "und")
+  }
+
+  test("fingerprint invariant to case and whitespace jitter") {
+    val df = Seq("Hello  World", "hello world", "HELLO\tWORLD ").toDF("t")
+      .select(TextFunctions.fingerprintMd5($"t").as("fp"),
+        TextFunctions.fingerprint64($"t").as("fp64"))
+    assert(df.select("fp").distinct().count() == 1)
+    assert(df.select("fp64").distinct().count() == 1)
+  }
+
+  test("qualityScore in [0,1]; prose beats punctuation soup") {
+    val q = (s: String) => one[Double](TextFunctions.qualityScore($"t"), s)
+    val prose = q("the quick brown fox jumps over the lazy dog and it was good for all of them")
+    val soup = q("!!! ??? ,,, ;;; ... ((( )))")
+    assert(prose > soup)
+    assert(prose >= 0.0 && prose <= 1.0 && soup >= 0.0 && soup <= 1.0)
+  }
+}
