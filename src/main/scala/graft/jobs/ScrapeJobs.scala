@@ -1,0 +1,96 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Schemas
+import graft.operators.{ScrapeParse, Upsert, WorkQueue}
+import graft.orchestration.TaskGraph.Task
+import graft.sources.ParquetTable
+
+/** The two scrape DAGs (SURVEY §3.3, §2.10) over pre-landed payload
+  * fixtures: HTTP fetch (politeness sleeps, UA rotation, pagination
+  * caps — T5/O3) is connector territory; the engine consumes a
+  * `(key, payload)` frame and owns everything declarative after it.
+  */
+object ScrapeJobs {
+
+  /** `pull_new_sales_list`: pick a work batch of areas (stale-or-never
+    * watermark, deterministic scatter), extract property ids from landed
+    * HTML pages for those areas, merge into sales_properties
+    * (insert-or-update, latest updated_date wins), then advance the
+    * areas' watermark — even for areas yielding zero rows
+    * (`pull_new_sales_list.py:267-271` does the same to avoid retry
+    * storms).
+    *
+    * @param pagesPath parquet of (outcode string, html string)
+    * @param today     yyyymmdd logical date (determinism: F12 is a job
+    *                  parameter, not `datetime.now()`)
+    */
+  def pullNewSales(
+      pagesPath: String,
+      areasRoot: String,
+      salesRoot: String,
+      today: Long,
+      batchAreas: Int = 5): Seq[Task] = Seq(
+    Task("ensure_tables", Nil, run = ctx => {
+      new ParquetTable(ctx.spark, areasRoot).ensureExists(Schemas.rightmoveAreas)
+      new ParquetTable(ctx.spark, salesRoot).ensureExists(Schemas.salesProperties)
+    }),
+    Task("process_sales_batch", Seq("ensure_tables"), run = ctx => {
+      val spark = ctx.spark
+      val areas = new ParquetTable(spark, areasRoot)
+      val sales = new ParquetTable(spark, salesRoot)
+      val batch = WorkQueue.hashScatterBatch(
+        areas.read(),
+        WorkQueue.staleOrNever("last_updated_sale", today - 1),
+        "outcode", batchAreas)
+      val pages = spark.read.parquet(pagesPath)
+        .join(batch.select("outcode"), Seq("outcode")) // only batch areas
+      val scraped = ScrapeParse.propertyIds(pages, "outcode", "html")
+        .select(col("property_id"), lit(false).as("is_processed"),
+          lit(today).as("created_date"), lit(today).as("updated_date"))
+      val merged = Upsert.mergeByKey(
+        sales.read(), scraped, Seq("property_id"),
+        // updates (later updated_date) win; target row keeps created_date
+        // via precedence on updated_date then is_processed stability
+        Seq(col("updated_date").desc, col("created_date").asc))
+      sales.overwriteAtomic(merged)
+      // advance watermark for every area in the batch (zero-result too)
+      val advanced = Upsert.updateByNormalizedKey(
+        areas.read(),
+        batch.select(col("outcode"), lit(today).as("last_updated_sale")),
+        "outcode", Seq("last_updated_sale"))
+      areas.overwriteAtomic(advanced)
+    })
+  )
+
+  /** `rightmove_outcodes`: enrich areas missing area_id (null/0) from
+    * landed typeahead JSON payloads — first OUTCODE match per outcode,
+    * lenient id cast, case-insensitive keyed update.
+    *
+    * @param payloadsPath parquet of (outcode string, payload json string)
+    */
+  def outcodeEnrich(
+      payloadsPath: String,
+      areasRoot: String,
+      batchSize: Int = 50): Seq[Task] = Seq(
+    Task("ensure_table", Nil, run = ctx =>
+      new ParquetTable(ctx.spark, areasRoot).ensureExists(Schemas.rightmoveAreas)),
+    Task("enrich_outcodes", Seq("ensure_table"), run = ctx => {
+      val spark = ctx.spark
+      val areas = new ParquetTable(spark, areasRoot)
+      val batch = WorkQueue.hashScatterBatch(
+        areas.read(), WorkQueue.nullOrZero("area_id"), "outcode", batchSize)
+      // case-normalized key join, matching the reference's
+      // lower(outcode)=lower(%s) semantics (rightmove_outcodes.py:63)
+      val payloads = spark.read.parquet(payloadsPath)
+        .join(batch.select(lower(trim(col("outcode"))).as("__bk")),
+          lower(trim(col("outcode"))) === col("__bk"))
+        .drop("__bk")
+      val matches = ScrapeParse.firstOutcodeMatch(payloads, "outcode", "payload")
+      val updated = Upsert.updateByNormalizedKey(
+        areas.read(), matches, "outcode", Seq("area_id", "display_name"))
+      areas.overwriteAtomic(updated)
+    })
+  )
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Schemas
+import graft.functions.JsonExtract
+
+/** Scrape-payload parsing operators (SURVEY §2.1 S5/S6, §2.8 F6-F11):
+  * the reference's BeautifulSoup/regex/JSON plumbing re-expressed as
+  * declarative column pipelines over pre-fetched page text. Fetching
+  * itself is a connector concern (rate limits, UA rotation — T5); the
+  * engine operates on landed `(key, payload)` frames.
+  */
+object ScrapeParse {
+
+  /** F6: distinct property ids from `/properties/<digits>` hrefs in raw
+    * HTML (`pull_new_sales_list.py:132-134`). Input: (keyCol, htmlCol).
+    * Output: keyCol, property_id — exploded + deduped per key.
+    */
+  def propertyIds(pages: DataFrame, keyCol: String, htmlCol: String): DataFrame =
+    pages
+      .select(col(keyCol),
+        explode(regexp_extract_all(col(htmlCol), lit("/properties/(\\d+)"), lit(1)))
+          .as("property_id"))
+      .dropDuplicates(keyCol, "property_id")
+
+  /** F8+F9: the `window.jsonModel` blob and its pagination.next field
+    * (`pull_new_sales_list.py:139-157`).
+    */
+  def jsonModel(pages: DataFrame, htmlCol: String,
+      marker: String = "window.jsonModel"): DataFrame =
+    pages
+      .withColumn("json_model", JsonExtract.balancedJson(col(htmlCol), marker))
+      .withColumn("pagination_next",
+        get_json_object(col("json_model"), "$.pagination.next"))
+
+  /** F10/F11 + P7: typeahead payload → first OUTCODE match per key
+    * (`rightmove_outcodes.py:103-120`): parse `matches`, keep
+    * type=OUTCODE, first by array position, lenient id cast.
+    */
+  def firstOutcodeMatch(payloads: DataFrame, keyCol: String, jsonCol: String): DataFrame = {
+    val parsed = payloads
+      .select(col(keyCol),
+        posexplode_outer(
+          from_json(col(jsonCol), Schemas.typeaheadPayload).getField("matches"))
+          .as(Seq("pos", "m")))
+      .filter(col("m.type") === "OUTCODE")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("pos"))
+    parsed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol),
+        expr("try_cast(m.id AS long)").as("area_id"),
+        col("m.displayName").as("display_name"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Path-based parquet "table" with the reference's sink semantics
+  * (SURVEY §2.1 S7-S10): existence-checked create, append, and an
+  * atomic overwrite for merge results.
+  *
+  * Offline there is no transactional table format, so merge = write the
+  * post-merge state to a staging dir, then swap directories with two
+  * renames (SURVEY §7 "hard parts" #1). The swap window is the
+  * non-transactional residue — on a real deployment this class is the
+  * seam where Delta/Iceberg MERGE plugs in; every caller goes through
+  * [[overwriteAtomic]] so nothing else changes.
+  *
+  * Layout policy at scale: callers pass `sortCols` so the written files
+  * carry min/max-prunable layout on the reference's indexed columns
+  * (the postcode secondary index of `initial_price_paid_data.py:86`
+  * becomes sortWithinPartitions + parquet row-group stats).
+  */
+final class ParquetTable(spark: SparkSession, root: String) {
+
+  private def dir: Path = Paths.get(root)
+
+  def exists: Boolean = Files.exists(dir.resolve("_SUCCESS")) ||
+    (Files.isDirectory(dir) && Files.list(dir).findFirst().isPresent)
+
+  /** S7: existence-checked create (CREATE TABLE IF NOT EXISTS). */
+  def ensureExists(schema: StructType): Unit = if (!exists) {
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode(SaveMode.Overwrite).parquet(root)
+  }
+
+  def read(): DataFrame = spark.read.parquet(root)
+
+  /** S8: plain append (micro-batch inserts). */
+  def append(df: DataFrame, sortCols: Seq[String] = Nil): Unit =
+    sorted(df, sortCols).write.mode(SaveMode.Append).parquet(root)
+
+  /** Atomic-ish overwrite: stage → double rename. Readers between the
+    * two renames would miss the table; acceptable in batch-job context
+    * (single writer, no concurrent readers during a DAG run).
+    */
+  def overwriteAtomic(df: DataFrame, sortCols: Seq[String] = Nil): Unit = {
+    val staging = Paths.get(root + ".staging")
+    val old = Paths.get(root + ".old")
+    deleteRecursive(staging)
+    sorted(df, sortCols).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    deleteRecursive(old)
+    if (Files.exists(dir)) Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(old)
+  }
+
+  private def sorted(df: DataFrame, sortCols: Seq[String]): DataFrame =
+    if (sortCols.isEmpty) df
+    else df.sortWithinPartitions(sortCols.map(df.col): _*)
+
+  private def deleteRecursive(p: Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.orchestration.TaskGraph
+import graft.sources.ParquetTable
+
+/** End-to-end pipeline parity (SURVEY §5.4): dirty CSV → full DAG →
+  * target table assertions; replay ⇒ identical state.
+  */
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  /** FIXTURES §B1 dirty CSV: good row, bad date, bad price, null
+    * postcode, non-OX, duplicate id.
+    */
+  private def writeCsv(dir: String): String = {
+    val rows = Seq(
+      """"{AAA-1}","250000","2017-03-10 00:00","OX4 1AB","T","N","F","12","","COWLEY ROAD","","OXFORD","OXFORD","OXFORDSHIRE","A","A"""",
+      """"{BAD-DATE}","100","not a date","OX1 1AA","T","N","F","1","","X","","OXFORD","OXFORD","OXFORDSHIRE","A","A"""",
+      """"{BAD-PRICE}","?","2017-03-10 00:00","OX1 1AA","T","N","F","1","","X","","OXFORD","OXFORD","OXFORDSHIRE","A","A"""",
+      """"{NO-PC}","100","2017-03-10 00:00",,"T","N","F","1","","X","","OXFORD","OXFORD","OXFORDSHIRE","A","A"""",
+      """"{NOT-OX}","100","2017-03-10 00:00","SW1A 1AA","T","N","F","1","","X","","LONDON","LONDON","LONDON","A","A"""",
+      """"{AAA-1}","999999","2017-03-10 00:00","OX4 1AB","T","N","F","12","","COWLEY ROAD","","OXFORD","OXFORD","OXFORDSHIRE","A","A"""")
+    val p = java.nio.file.Paths.get(dir, "pp.csv")
+    Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("initial ingest: dirty rows dropped, dup id collapsed, replay idempotent") {
+    val work = tmp("ppjob")
+    val csv = writeCsv(work)
+    val tableRoot = s"$work/price_paid"
+    var notified = false
+    val r = TaskGraph.run(
+      PricePaidJobs.initial(csv, tableRoot, _ => notified = true), spark)
+    assert(r.succeeded && notified)
+    val out = new ParquetTable(spark, tableRoot).read()
+    val rows = out.collect()
+    assert(rows.length == 1) // only the clean OX row, dup collapsed
+    val r0 = rows.head
+    assert(r0.getAs[String]("transaction_unique_identifier") == "AAA-1")
+    assert(r0.getAs[Long]("date_of_transfer") == 20170310L)
+    // replay: same end state (idempotent insert-ignore)
+    val r2 = TaskGraph.run(
+      PricePaidJobs.initial(csv, tableRoot, _ => ()), spark)
+    assert(r2.succeeded)
+    assert(new ParquetTable(spark, tableRoot).read().count() == 1)
+  }
+
+  test("monthly ingest stages, loads, cleans up") {
+    val work = tmp("ppmonthly")
+    val csv = writeCsv(work)
+    val tableRoot = s"$work/price_paid"
+    val r = TaskGraph.run(PricePaidJobs.monthly(csv, tableRoot), spark)
+    assert(r.succeeded, r.states)
+    assert(new ParquetTable(spark, tableRoot).read().count() == 1)
+  }
+
+  test("pullNewSales: work batch, merge, watermark advanced even for empty areas") {
+    val work = tmp("sales")
+    val areasRoot = s"$work/areas"
+    val salesRoot = s"$work/sales"
+    val pagesPath = s"$work/pages"
+    // two stale areas (null watermark), one fresh (today)
+    Seq(
+      ("OX1", Some(11L), "Oxford", None: Option[Long]),
+      ("OX2", Some(22L), "Oxford2", None: Option[Long]),
+      ("OX3", Some(33L), "Oxford3", Some(20240610L)))
+      .toDF("outcode", "area_id", "display_name", "last_updated_sale")
+      .write.parquet(areasRoot)
+    Seq(
+      ("OX1", """<a href="/properties/123#x">a</a><a href="/properties/456">b</a><a href="/properties/123">dup</a>"""),
+      ("OX2", """no links here"""))
+      .toDF("outcode", "html").write.parquet(pagesPath)
+
+    val r = TaskGraph.run(
+      ScrapeJobs.pullNewSales(pagesPath, areasRoot, salesRoot,
+        today = 20240610L, batchAreas = 5), spark)
+    assert(r.succeeded, r.states)
+    val sales = new ParquetTable(spark, salesRoot).read()
+    assert(sales.select("property_id").as[String].collect().toSet == Set("123", "456"))
+    val wm = new ParquetTable(spark, areasRoot).read()
+      .select("outcode", "last_updated_sale").as[(String, Option[Long])]
+      .collect().toMap
+    assert(wm("OX1").contains(20240610L))
+    assert(wm("OX2").contains(20240610L)) // empty area still advanced (T3)
+    assert(wm("OX3").contains(20240610L)) // already-fresh untouched value equal
+
+    // second run same day: batch now empty (no stale areas) — state stable
+    val r2 = TaskGraph.run(
+      ScrapeJobs.pullNewSales(pagesPath, areasRoot, salesRoot,
+        today = 20240610L), spark)
+    assert(r2.succeeded)
+    assert(new ParquetTable(spark, salesRoot).read().count() == 2)
+  }
+
+  test("outcodeEnrich: first OUTCODE match, lenient cast, case-insensitive update") {
+    val work = tmp("outcodes")
+    val areasRoot = s"$work/areas"
+    val payloadsPath = s"$work/payloads"
+    Seq(
+      ("OX1", None: Option[Long], null: String, None: Option[Long]),
+      ("OX2", Some(0L), null: String, None: Option[Long]),
+      ("OX9", Some(77L), "done", None: Option[Long]))
+      .toDF("outcode", "area_id", "display_name", "last_updated_sale")
+      .write.parquet(areasRoot)
+    Seq(
+      ("ox1", """{"matches":[{"type":"STREET","id":"9"},{"type":"OUTCODE","id":"123","displayName":"OX1 Central"},{"type":"OUTCODE","id":"999","displayName":"later"}]}"""),
+      ("OX2", """{"matches":[{"type":"OUTCODE","id":"not-a-number","displayName":"Broken"}]}"""))
+      .toDF("outcode", "payload").write.parquet(payloadsPath)
+
+    val r = TaskGraph.run(
+      ScrapeJobs.outcodeEnrich(payloadsPath, areasRoot), spark)
+    assert(r.succeeded, r.states)
+    val m = new ParquetTable(spark, areasRoot).read()
+      .select("outcode", "area_id", "display_name")
+      .collect().map(x => x.getString(0) ->
+        (Option(x.get(1)), x.getString(2))).toMap
+    assert(m("OX1") == ((Some(123L), "OX1 Central"))) // first OUTCODE wins, key case-insensitive
+    assert(m("OX2") == ((None, "Broken")))            // lenient cast → null id
+    assert(m("OX9") == ((Some(77L), "done")))         // untouched
+  }
+}
