@@ -1,37 +1,46 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.core.Partitioning
 
 /** MinHash + LSH near-duplicate detection (builder brief: the standard
   * shingle → minhash → band → bucket-join pipeline used for web-scale
   * training-data dedup).
   *
-  * Scale design (100 TB): signatures are computed per-row inside the scan
-  * stage (no shuffle); the only shuffles are (a) the band-bucket self-join,
-  * partitioned on (band, bucket-hash) — uniform unless the corpus contains
-  * huge exact-duplicate clusters, in which case those buckets are
-  * *genuinely* quadratic and should be pre-collapsed by exact dedup
-  * (fingerprint groupBy) first — and (b) the verification join back to
-  * shingle sets, partitioned on doc id.
+  * Signature scheme: each shingle string is hashed ONCE (xxhash64); the
+  * k signature components re-hash that fixed-width value with k seeds.
+  * String bytes are scanned once per shingle instead of k times — the
+  * dominant cost at corpus scale — and the hash array is materialized
+  * as a column so all k families share it.
   *
-  * Parameter guidance: with k hashes in b bands of r = k/b rows, the
-  * probability a pair with Jaccard j becomes a candidate is
-  * 1-(1-j^r)^b — pick (b, r) so the S-curve knee sits at the dedup
-  * threshold. Defaults (k=64, b=32, r=2) knee near j≈0.2 with
-  * P(candidate | j=0.5) ≈ 0.9999.
+  * Scale design (100 TB): signatures are computed per-row inside the
+  * scan stage (no shuffle); the only shuffles are (a) the band-bucket
+  * self-join, partitioned on (band, bucket-hash) — uniform unless the
+  * corpus contains huge exact-duplicate clusters, which should be
+  * pre-collapsed by exact fingerprint dedup first — and (b) the
+  * verification join back to shingle sets, partitioned on doc id.
+  *
+  * Parameter guidance: with k hashes in b bands of r = k/b rows, a pair
+  * with Jaccard j becomes a candidate with probability 1-(1-j^r)^b —
+  * pick (b, r) so the S-curve knee sits at the dedup threshold.
+  * Defaults (k=64, b=32, r=2): P(candidate | j=0.5) ≈ 0.9999.
   */
 object MinHashDedup {
 
-  /** k-permutation MinHash signature of a shingle-array column: the i-th
-    * component is min over shingles of xxhash64(shingle, i) — i acts as
-    * the seed of the i-th hash family member.
+  /** k-component MinHash signature from a pre-hashed shingle column
+    * (array<long>): component i = min over shingle hashes h of
+    * xxhash64(h, i) — re-hashing the fixed-width hash value, not the
+    * string, so each of the k families costs O(1) per shingle while
+    * staying genuinely independent. (An affine h·aᵢ+bᵢ family without a
+    * wide modulus is order-correlated across i — every component picks
+    * the same min shingle and LSH recall collapses; measured exactly
+    * that before switching to re-hashing.)
     */
-  def signature(shingles: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+  def signatureFromHashes(hashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hashes, h => xxhash64(h, i))))
 
   /** Banded LSH keys: array of (band index, hash of that signature slice). */
   def bandKeys(sig: Column, numBands: Int, k: Int): Column = {
@@ -42,6 +51,15 @@ object MinHashDedup {
       j => struct(j.as("band"), xxhash64(slice(sig, j * r + 1, lit(r))).as("bh")))
   }
 
+  /** (id, shingles, per-shingle hashes) projection — the shared head of
+    * both the candidate and verification sides, parallelized before the
+    * compute-heavy expressions.
+    */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Partitioning.forCompute(docs)
+      .select(col(idCol).as("id"), Shingling.wordNGrams(col(textCol), n).as("sh"))
+      .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
+
   /** Candidate near-duplicate pairs via banded LSH over word n-gram
     * shingles. Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
     */
@@ -51,16 +69,15 @@ object MinHashDedup {
       textCol: String,
       n: Int = 3,
       k: Int = 64,
-      numBands: Int = 32): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      Shingling.wordNGrams(col(textCol), n).as("sh"))
+      numBands: Int = 32): DataFrame =
+    candidatesFrom(shingled(docs, idCol, textCol, n), k, numBands)
+
+  private def candidatesFrom(sh: DataFrame, k: Int, numBands: Int): DataFrame = {
     val banded = sh
-      .select(col("id"), explode(bandKeys(signature(col("sh"), k), numBands, k)).as("b"))
+      .select(col("id"),
+        explode(bandKeys(signatureFromHashes(col("hashes"), k), numBands, k)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
@@ -78,22 +95,21 @@ object MinHashDedup {
       n: Int = 3,
       k: Int = 64,
       numBands: Int = 32): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      Shingling.wordNGrams(col(textCol), n).as("sh"))
-    val pairs = candidatePairs(docs, idCol, textCol, n, k, numBands)
+    val sh = shingled(docs, idCol, textCol, n).cache()
+    val pairs = candidatesFrom(sh, k, numBands)
+    val sets = sh.select(col("id"), col("sh"))
     pairs
-      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sets.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(Shingling.jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Dedup: keep one canonical doc (min id) per connected near-dup pair
-    * group, single-link over one hop (full transitive closure needs an
-    * iterative connected-components pass — deliberately out of scope for
-    * a single query; one hop removes the dominant mass of near-dups).
+  /** Dedup: keep one canonical doc (min id) per near-dup pair, one hop
+    * (full transitive closure needs an iterative connected-components
+    * pass — out of scope for a single query; one hop removes the
+    * dominant mass of near-dups).
     */
   def dropNearDuplicates(
       docs: DataFrame,

@@ -18,16 +18,18 @@ object SimHash {
 
   private val powers: Column = array((0 until 64).map(i => lit(1L << i)): _*)
 
-  private def bitVotes(s: Column): Column =
-    transform(sequence(lit(0), lit(63)),
-      i => when(xxhash64(s, i) > 0, lit(1L)).otherwise(lit(-1L)))
-
-  /** 64-bit SimHash of a shingle-array column, packed into a long. */
+  /** 64-bit SimHash of a shingle-array column, packed into a long.
+    * Classic scheme: each shingle is hashed ONCE; bit i of that hash
+    * votes ±1 on signature bit i (the hash array is materialized first
+    * so the 64 bit-tests share one string hash per shingle).
+    */
   def simhash64(shingles: Column): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
     val votes = aggregate(
-      shingles,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, s) => zip_with(acc, bitVotes(s), (a, v) => a + v))
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, lit(1L)).otherwise(lit(-1L))))
     aggregate(
       zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
       lit(0L),
@@ -45,7 +47,7 @@ object SimHash {
 
   /** Per-doc signature frame: (id, simhash). */
   def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
-    docs.select(
+    graft.core.Partitioning.forCompute(docs).select(
       col(idCol).as("id"),
       simhash64(Shingling.wordNGrams(col(textCol), n)).as("simhash"))
 

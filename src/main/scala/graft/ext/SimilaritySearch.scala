@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Partitioning
 import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -60,7 +61,8 @@ object SimilaritySearch {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val c = Partitioning.forCompute(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")))
     val scored = broadcast(q)
       .join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -83,7 +85,8 @@ object SimilaritySearch {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     def index(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+      Partitioning.forCompute(df)
+        .select(col(idCol).as(id), col(vecCol).as(vec),
           explode(bucketKeys(col(vecCol), tables, bits, dim)).as("bk"))
         .select(col(id), col(vec), col("bk.t").as("t"), col("bk.bkt").as("bkt"))
     val qi = index(queries, "query_id", "qv")

