@@ -56,8 +56,7 @@ object MinHashDedup {
     * compute-heavy expressions.
     */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    Partitioning.forCompute(docs)
-      .select(col(idCol).as("id"), Shingling.wordNGrams(col(textCol), n).as("sh"))
+    Shingling.shingleFrame(docs, idCol, textCol, n)
       .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
 
   /** Candidate near-duplicate pairs via banded LSH over word n-gram
@@ -73,10 +72,13 @@ object MinHashDedup {
     candidatesFrom(shingled(docs, idCol, textCol, n), k, numBands)
 
   private def candidatesFrom(sh: DataFrame, k: Int, numBands: Int): DataFrame = {
+    // cached: the self-join would otherwise recompute signatures once
+    // per side
     val banded = sh
       .select(col("id"),
         explode(bandKeys(signatureFromHashes(col("hashes"), k), numBands, k)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .cache()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))

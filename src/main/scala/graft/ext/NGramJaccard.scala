@@ -42,8 +42,10 @@ object NGramJaccard {
       threshold: Double,
       maxDf: Long = 0L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
-    val sh0 = Partitioning.forCompute(docs)
-      .select(col(idCol).as("id"), Shingling.wordNGrams(col(textCol), n).as("sh"))
+    // cached: the shingled frame feeds both the inverted index and the
+    // verification side — without caching, shingling (the dominant
+    // per-row cost) runs twice
+    val sh0 = Shingling.shingleFrame(docs, idCol, textCol, n).cache()
     val tok0 = sh0.select(col("id"), explode(col("sh")).as("s"))
     val tok =
       if (maxDf > 0) {

@@ -47,9 +47,8 @@ object SimHash {
 
   /** Per-doc signature frame: (id, simhash). */
   def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
-    graft.core.Partitioning.forCompute(docs).select(
-      col(idCol).as("id"),
-      simhash64(Shingling.wordNGrams(col(textCol), n)).as("simhash"))
+    Shingling.shingleFrame(docs, idCol, textCol, n)
+      .select(col("id"), simhash64(col("sh")).as("simhash"))
 
   /** Near-dup pairs with Hamming distance ≤ maxDist. Blocking join
     * shuffles on (chunk, chunk-value) — 256 values per chunk keeps
@@ -63,20 +62,23 @@ object SimHash {
       maxDist: Int,
       n: Int = 2): DataFrame = {
     val sigs = signatures(docs, idCol, textCol, n)
+    // cached: the self-join would otherwise recompute the whole
+    // signature pipeline once per side
     val chunked = sigs
       .select(col("id"), col("simhash"), explode(chunkKeys(col("simhash"))).as("c"))
       .select(col("id"), col("simhash"),
         col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+      .cache()
     val a = chunked.as("a")
     val b = chunked.as("b")
+    // Hamming predicate lives IN the join so false chunk-collisions are
+    // discarded at probe time, before the (much smaller) distinct.
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          expr("bit_count(a.simhash ^ b.simhash)") <= maxDist)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }
