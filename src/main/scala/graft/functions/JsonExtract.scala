@@ -54,7 +54,15 @@ object JsonExtract {
   val extractBalancedJsonUdf: UserDefinedFunction =
     udf((text: String, marker: String) => extractBalancedJson(text, marker))
 
-  /** Column form: `balancedJson($"script_text", "window.jsonModel")`. */
-  def balancedJson(c: Column, marker: String): Column =
-    extractBalancedJsonUdf(c, lit(marker))
+  /** Column form: `balancedJson($"script_text", "window.jsonModel")` —
+    * backed by the native codegen expression
+    * ([[graft.plans.ExtractBalancedJsonExpr]]); the UDF form above is
+    * kept for API parity/tests.
+    */
+  def balancedJson(c: Column, marker: String): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.plans.ExtractBalancedJsonExpr(
+      bridge.expression(c),
+      bridge.expression(lit(marker))))
+  }
 }

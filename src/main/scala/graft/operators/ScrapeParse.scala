@@ -26,6 +26,12 @@ object ScrapeParse {
           .as("property_id"))
       .dropDuplicates(keyCol, "property_id")
 
+  /** F7: URL normalization — prefix relative hrefs with the host
+    * (`pull_new_sales_list.py:131`).
+    */
+  def normalizeUrl(href: org.apache.spark.sql.Column, host: String): org.apache.spark.sql.Column =
+    when(href.startsWith("http"), href).otherwise(concat(lit(host), href))
+
   /** F8+F9: the `window.jsonModel` blob and its pagination.next field
     * (`pull_new_sales_list.py:139-157`).
     */

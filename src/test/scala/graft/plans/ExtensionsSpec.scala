@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.SparkSpec
+
+/** Native F8 expression + SparkSessionExtensions registration.
+  *
+  * (The shared test session already exists, and `getOrCreate` ignores
+  * `withExtensions` on an existing session — so the extension's
+  * registration is unit-tested via a fresh SparkSessionExtensions
+  * instance, and the expression's SQL surface via direct registry
+  * injection into the shared session, which is exactly what the
+  * extension performs at build time.)
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  private def registerIntoSession(): Unit = {
+    // mirror of GraftExtensions.apply against the live session registry
+    val ext = new GraftExtensions
+    val holder = new SparkSessionExtensions
+    ext(holder)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_extract_json",
+      (args: Seq[Expression]) => ExtractBalancedJsonExpr(args.head, args(1)),
+      "scala_udf")
+  }
+
+  test("extension wiring builds the native expression") {
+    val ext = new GraftExtensions
+    ext(new SparkSessionExtensions) // must not throw; registration accepted
+    val e = ExtractBalancedJsonExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("m = {\"a\":1}"),
+      org.apache.spark.sql.catalyst.expressions.Literal("m ="))
+    assert(e.eval(null).toString == """{"a":1}""")
+  }
+
+  test("graft_extract_json in SQL; handles tricky braces and missing marker") {
+    import spark.implicits._
+    registerIntoSession()
+    Seq(
+      ("""<script>window.jsonModel = {"a":{"b":"}"},"n":1};</script>""", 1),
+      ("""no marker""", 2)).toDF("html", "id").createOrReplaceTempView("pages")
+    val out = spark.sql(
+      """SELECT id, graft_extract_json(html, 'window.jsonModel') AS j
+        |FROM pages ORDER BY id""".stripMargin).collect()
+    assert(out(0).getString(1) == """{"a":{"b":"}"},"n":1}""")
+    assert(out(1).isNullAt(1))
+  }
+
+  test("column API uses the native expression (no UDF in plan)") {
+    import spark.implicits._
+    import graft.functions.JsonExtract
+    // literal input folds away (proving it's a first-class catalyst
+    // expression); a parquet-backed source keeps it in the plan
+    val work = java.nio.file.Files.createTempDirectory("nexpr").toString
+    Seq("""m = {"k":[1,2,{"x":"{"}]} t""").toDF("s").write.parquet(s"$work/in")
+    val df = spark.read.parquet(s"$work/in")
+      .select(JsonExtract.balancedJson(
+        org.apache.spark.sql.functions.col("s"), "m =").as("j"))
+    assert(df.collect().head.getString(0) == """{"k":[1,2,{"x":"{"}]}""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"))
+    assert(plan.contains("graft_extract_json"))
+    assert(plan.contains("*(1) Project")) // the * marks WholeStageCodegen
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Metrics, ScrapeParse}
+import graft.orchestration.JobRegistry
+
+/** Small parity pieces: S14 format convert, F7 URL normalization,
+  * W8 registry, A3 observe metrics.
+  */
+class MiscSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonToCsv round-trips rows (S14)") {
+    val work = Files.createTempDirectory("fmt").toString
+    Seq("""{"a":1,"b":"x"}""", """{"a":2,"b":"y"}""").toDF("value")
+      .coalesce(1).write.text(s"$work/in")
+    FormatConvert.jsonToCsv(spark, s"$work/in", s"$work/out")
+    val back = spark.read.option("header", "true").csv(s"$work/out")
+    assert(back.select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet == Set(("1", "x"), ("2", "y")))
+  }
+
+  test("normalizeUrl prefixes relative hrefs only (F7)") {
+    val out = Seq("/properties/1", "https://x.com/p/2").toDF("href")
+      .select(ScrapeParse.normalizeUrl($"href", "https://host").as("u"))
+      .as[String].collect().toSet
+    assert(out == Set("https://host/properties/1", "https://x.com/p/2"))
+  }
+
+  test("registry resolves builtin DAGs by dag_id (W8)") {
+    JobRegistry.registerBuiltins()
+    assert(JobRegistry.names.contains("monthly_price_paid_data"))
+    val tasks = JobRegistry.get("monthly_price_paid_data").get(
+      Map("csv_path" -> "/tmp/x.csv", "table_root" -> "/tmp/t"))
+    assert(tasks.map(_.id).contains("load_csv_to_table"))
+  }
+
+  test("observe metrics surface counts (A3)") {
+    val df = Metrics.observeRows(
+      Seq((1L, "a"), (2L, null)).toDF("id", "k"), "clean_in", "k")
+    df.collect()
+    val m = df.queryExecution.observedMetrics("clean_in")
+    assert(m.getAs[Long]("n_rows") == 2L && m.getAs[Long]("n_null_keys") == 1L)
+  }
+}
