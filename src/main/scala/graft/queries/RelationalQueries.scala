@@ -180,6 +180,59 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n_events"), col("sum_value"))
+    },
+
+    // ── Q29: rollup grouping sets (§2.4 "free in Spark" — substantiated).
+    "q29_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ── Q30: distinct aggregation (expand + two-phase agg under the hood).
+    "q30_distinct_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ── Q31: window frame spec (§2.5): moving 3-row sum per user over
+    // event time (ns-precision ordering via the raw long).
+    "q31_moving_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir).select(
+        col("event_id"),
+        col("user_id"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          .as("moving_sum"),
+        count(lit(1)).over(w).as("n_in_frame"))
+    },
+
+    // ── Q32: sessionization (gaps-and-islands): sessions split on >30 min
+    // inactivity per user — lag + running sum of boundaries, then
+    // per-session aggregates. Integer ns arithmetic end-to-end (exact).
+    "q32_sessionize" -> { (s, dir) =>
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000L
+      Tables.events(s, dir)
+        // µs resolution on both sides: DuckDB 1.0's epoch_ns truncates
+        // TIMESTAMP_NS to µs, so the oracle can't see full ns
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byTime))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          dsum(col("value")).as("session_value"))
     }
   )
 
@@ -280,6 +333,41 @@ object RelationalQueries {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q29_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q30_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q31_moving_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS moving_sum,
+        |  COUNT(*) OVER w AS n_in_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q32_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN prev_us IS NULL
+        |      OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM t)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS session_start_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY 1, 2""".stripMargin
   )
 }
