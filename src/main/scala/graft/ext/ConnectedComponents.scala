@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative connected components over a near-duplicate pair graph —
+  * the closure pass that turns pairwise matches into dedup groups
+  * (one-hop dropping misses chains: a~b, b~c ⇒ {a,b,c} is one group
+  * even when a≁c directly).
+  *
+  * Algorithm: hash-min label propagation. Every vertex starts labeled
+  * with itself; each round, a vertex adopts the minimum label among
+  * itself and its neighbors; stop when no label changes. Rounds are
+  * O(graph diameter) — near-dup graphs are overwhelmingly small star
+  * clusters, so 3-5 rounds suffice in practice (maxIter caps it).
+  *
+  * Scale notes: each round is one shuffle (groupBy vertex). Frames are
+  * localCheckpoint()ed per round to cut the growing lineage — without
+  * it, round k replans the whole k-deep DAG. For graphs with billions
+  * of edges use the large-star/small-star variant; this direct
+  * propagation is right for dedup-shaped (sparse, shallow) graphs.
+  */
+object ConnectedComponents {
+
+  /** @param pairs two-column frame of undirected edges (src, dst)
+    * @return (vertex, component) — component = min vertex id reachable
+    */
+  def run(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    val undirected = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+
+    var labels = undirected.select(col("a").as("vertex")).distinct()
+      .withColumn("component", col("vertex"))
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // neighbor labels: for each edge a->b, b's current label
+      val neighborLabels = undirected
+        .join(labels.withColumnRenamed("vertex", "b"), "b")
+        .select(col("a").as("vertex"), col("component"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy("vertex")
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"),
+          "vertex")
+        .filter(col("component") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+    }
+    labels
+  }
+
+  /** Full-closure dedup: keep the canonical (min-id) doc per component;
+    * non-canonical members of any component are dropped.
+    */
+  def dropByComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    val comp = run(pairs, srcCol, dstCol)
+    val losers = comp.filter(col("vertex") =!= col("component"))
+      .select(col("vertex").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+}

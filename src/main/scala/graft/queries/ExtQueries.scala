@@ -134,6 +134,24 @@ object ExtQueries {
       feats.toDF().select(col("media_id"), col("n_bytes"),
         round(element_at(col("features"), 1), 6).as("f0"),
         round(element_at(col("features"), 8), 6).as("f7"))
+    },
+
+    // ── per-label embedding centroids via the typed Aggregator (partial
+    // aggregation, O(dim) state/group) — exploded to scalars for the
+    // oracle compare.
+    "q33_centroids" -> { (s, dir) =>
+      graft.ext.Centroids.perGroup(
+          Tables.embeddings(s, dir), "label", "embedding", 64)
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"), round(col("v"), 6).as("centroid_val"))
+    },
+
+    // ── transitive dedup closure: connected components over the exact
+    // near-dup pair graph (hash-min propagation; oracle = recursive CTE).
+    "q34_dedup_closure" -> { (s, dir) =>
+      val pairs = NGramJaccard.allPairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      graft.ext.ConnectedComponents.run(pairs, "doc_a", "doc_b")
     }
   )
 
@@ -254,6 +272,47 @@ object ExtQueries {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5""".stripMargin
+        |WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5""".stripMargin,
+
+    "q33_centroids" ->
+      """WITH flat AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings)
+        |SELECT label, dim, round(AVG(e), 6) AS centroid_val
+        |FROM flat GROUP BY 1, 2""".stripMargin,
+
+    // Transitive closure of the q24 pair graph: recursive reachability,
+    // component = min reachable vertex (matches hash-min propagation).
+    "q34_dedup_closure" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+') AS l
+        |        FROM documents)),
+        |big AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM big GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+        |  FROM big a JOIN big b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS vertex, least(src, MIN(dst)) AS component
+        |FROM reach GROUP BY src""".stripMargin
   )
 }

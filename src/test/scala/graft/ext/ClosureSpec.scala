@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class ClosureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain collapses to one component") {
+    // a~b, b~c, plus isolated pair d~e
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comp = ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+  }
+
+  test("dropByComponents keeps only canonical docs across chains") {
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = ConnectedComponents.dropByComponents(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
+  test("centroid aggregator matches hand computation and explode-based mean") {
+    val df = Seq(
+      (0, Array(1f, 3f)), (0, Array(3f, 5f)), (1, Array(10f, 20f))
+    ).toDF("label", "embedding")
+    val got = Centroids.perGroup(df, "label", "embedding", 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0) == Seq(2.0, 4.0))
+    assert(got(1) == Seq(10.0, 20.0))
+  }
+
+  test("centroid aggregator on sf0.001 equals posexplode mean") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val viaAgg = Centroids.perGroup(emb, "label", "embedding", 64)
+      .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")))
+    val viaExplode = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("label", "dim").agg(avg(col("e").cast("double")).as("v2"))
+    val joined = viaAgg.join(viaExplode, Seq("label", "dim"))
+      .withColumn("diff", abs(col("v") - col("v2")))
+    assert(joined.agg(max("diff")).collect().head.getDouble(0) < 1e-9)
+  }
+}
