@@ -27,10 +27,15 @@ object ConnectedComponents {
     */
   def run(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 10): DataFrame = {
+    // materialized once: the union references `edges` twice and every
+    // round probes it — an expensive upstream plan (e.g. a similarity
+    // join) must not re-run per reference
     val edges = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint()
     val undirected = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint()
 
     var labels = undirected.select(col("a").as("vertex")).distinct()
       .withColumn("component", col("vertex"))
