@@ -100,6 +100,81 @@ object SimilaritySearch {
     rank(scored, k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path: partition the corpus into cells around centroids
+    * (mini k-means, deterministic hash-seeded init), search only the
+    * `nProbe` cells nearest each query.
+    *
+    * All plan-level: centroids are a broadcast-size list (nCells ≪
+    * corpus), assignment is a broadcast join + argmin, training runs
+    * `iters` Lloyd rounds over the corpus (each one scan + tiny agg).
+    * Recall/cost dial: nProbe/nCells ≈ fraction of corpus scanned.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = Partitioning.forCompute(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))).cache()
+
+    // deterministic init: cells seeded by hash-scattered corpus vectors
+    var centroids: Array[(Int, Seq[Double])] = c
+      .select(col("cand_id"), transform(col("cv"), _.cast("double")).as("v"))
+      .orderBy(md5(col("cand_id").cast("string"))).limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    def centroidLit(cents: Array[(Int, Seq[Double])]) =
+      array(cents.map { case (i, v) =>
+        struct(lit(i).as("cell"), array(v.map(lit): _*).as("cv0"))
+      }: _*)
+
+    def nearestCells(vec: Column, cents: Array[(Int, Seq[Double])], take: Int): Column = {
+      val scored = transform(centroidLit(cents), cent =>
+        struct(
+          aggregate(zip_with(vec, cent.getField("cv0"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), _ + _).as("d2"),
+          cent.getField("cell").as("cell")))
+      slice(array_sort(scored), 1, take)
+    }
+
+    // Lloyd rounds: assign to nearest cell, recompute cell means
+    for (_ <- 1 to iters) {
+      val assigned = c.select(col("cv"),
+        element_at(nearestCells(col("cv"), centroids, 1), 1)
+          .getField("cell").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("d"), col("m"))))
+          .as("dm"))
+        .select(col("cell"), transform(col("dm"), _.getField("m")).as("v"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      if (means.nonEmpty) centroids = means
+    }
+
+    val indexed = c.select(col("cand_id"), col("cv"),
+      element_at(nearestCells(col("cv"), centroids, 1), 1)
+        .getField("cell").as("cell"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(nearestCells(col("qv"), centroids, nProbe),
+          _.getField("cell"))).as("cell"))
+    val scored = broadcast(probed).join(indexed, Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+    rank(scored, k)
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))

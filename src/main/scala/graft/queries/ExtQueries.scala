@@ -136,6 +136,15 @@ object ExtQueries {
         round(element_at(col("features"), 8), 6).as("f7"))
     },
 
+    // ── IVF-cell approximate nearest neighbors (the second ANN scale
+    // path: k-means cells + nProbe search; rows-only, recall asserted
+    // vs brute force in the spec).
+    "q35_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilaritySearch.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+    },
+
     // ── per-label embedding centroids via the typed Aggregator (partial
     // aggregation, O(dim) state/group) — exploded to scalars for the
     // oracle compare.

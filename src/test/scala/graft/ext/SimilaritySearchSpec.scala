@@ -42,4 +42,20 @@ class SimilaritySearchSpec extends SparkSpec {
     // demand clearly-above-chance recall (chance ≈ k/N = 10%)
     assert(recall >= 0.3, s"LSH recall $recall too low")
   }
+
+  test("ivfTopK recall vs brute force on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.ivfTopK(emb, queries, k = 5, dim = 64,
+        nCells = 8, nProbe = 4)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // nProbe/nCells = half the corpus scanned ⇒ expected recall ≈ 0.5
+    // on clusterless data; demand clearly above the k/N ≈ 10% chance
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
 }
