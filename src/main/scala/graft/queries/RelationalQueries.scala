@@ -212,6 +212,18 @@ object RelationalQueries {
         count(lit(1)).over(w).as("n_in_frame"))
     },
 
+    // ── Q36: exact quantiles per group (percentile = linear
+    // interpolation on sorted values; same definition as DuckDB's
+    // quantile_cont).
+    "q36_quantiles" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"))
+    },
+
     // ── Q32: sessionization (gaps-and-islands): sessions split on >30 min
     // inactivity per user — lag + running sum of boundaries, then
     // per-session aggregates. Integer ns arithmetic end-to-end (exact).
@@ -352,6 +364,13 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q36_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q32_sessionize" ->
       """WITH t AS (
