@@ -47,6 +47,31 @@ object Clean {
       .na.drop(pricePaidKeyCols)
   }
 
+  /** T4 improvement over the reference (which silently drops dirty
+    * rows): split the cleaned frame into (clean, rejects) so bad
+    * records route to a quarantine sink with a reason column instead of
+    * vanishing. One pass each; both share the coerced projection.
+    */
+  def pricePaidWithRejects(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsedDate = DateCodecs.lenientDate(col("date_of_transfer"))
+    val coerced = raw
+      .withColumn("transaction_unique_identifier",
+        regexp_replace(col("transaction_unique_identifier"), "[{}]", ""))
+      .withColumn("transfer_date", parsedDate)
+      .withColumn("date_of_transfer", DateCodecs.yyyymmdd(parsedDate))
+      .withColumn("price", expr("try_cast(price AS double)"))
+    val reason = when(col("transaction_unique_identifier").isNull, "null_key")
+      .when(col("date_of_transfer").isNull, "bad_date")
+      .when(col("price").isNull, "bad_price")
+      .when(col("postcode").isNull, "null_postcode")
+    val tagged = coerced.withColumn("__reject_reason", reason)
+    val clean = tagged.filter(col("__reject_reason").isNull)
+      .drop("__reject_reason")
+    val rejects = tagged.filter(col("__reject_reason").isNotNull)
+      .withColumnRenamed("__reject_reason", "reject_reason")
+    (clean, rejects)
+  }
+
   /** P4: `postcode.str.startswith("OX")` (`initial_price_paid_data.py:130`).
     * Spark's `startsWith` is already null-safe-false (pandas needed
     * `na=False` for that, `monthly_price_paid_data.py:129`).
