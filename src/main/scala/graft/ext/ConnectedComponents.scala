@@ -30,15 +30,25 @@ object ConnectedComponents {
     // materialized once: the union references `edges` twice and every
     // round probes it — an expensive upstream plan (e.g. a similarity
     // join) must not re-run per reference
-    val edges = pairs
+    val edges0 = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .localCheckpoint()
+    // size the iteration width to the graph, not the session default:
+    // dedup graphs are usually tiny relative to the corpus, and paying
+    // 32 shuffle tasks per round for a few hundred edges makes each
+    // round scheduling-bound. ~500k edges per partition, capped at the
+    // session parallelism.
+    val spark = pairs.sparkSession
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (edges0.count() / 500000L).toInt + 1))
+    val edges = edges0.repartition(parts)
     val undirected = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b"))).distinct()
       .localCheckpoint()
 
     var labels = undirected.select(col("a").as("vertex")).distinct()
       .withColumn("component", col("vertex"))
+      .repartition(parts, col("vertex"))
       .localCheckpoint()
 
     var converged = false

