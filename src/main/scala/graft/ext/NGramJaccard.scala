@@ -42,10 +42,16 @@ object NGramJaccard {
       threshold: Double,
       maxDf: Long = 0L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
-    // cached: the shingled frame feeds both the inverted index and the
-    // verification side — without caching, shingling (the dominant
-    // per-row cost) runs twice
-    val sh0 = Shingling.shingleFrame(docs, idCol, textCol, n).cache()
+    // Everything downstream runs in the hashed-shingle domain
+    // (xxhash64 longs, not strings): the prefix theorem only needs SOME
+    // global total order — (df, hash) qualifies — set sizes are
+    // collision-free in practice (P ≈ |sh|²·2⁻⁶⁴), and long keys make
+    // the joins, the group-bys and the verification-array shuffle
+    // several times cheaper than strings.
+    // cached: the frame feeds both the inverted index and verification.
+    val sh0 = Shingling.shingleFrame(docs, idCol, textCol, n)
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
+      .cache()
     val tok0 = sh0.select(col("id"), explode(col("sh")).as("s"))
     val tok =
       if (maxDf > 0) {
@@ -69,7 +75,7 @@ object NGramJaccard {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
-    // exact verification against full shingle sets
+    // exact verification against full (hashed) shingle sets
     val sets = if (maxDf > 0) {
       tok.groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
     } else sh0
