@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.Schemas
+import graft.functions.DateCodecs
+import graft.operators.{Clean, Upsert}
+
+/** Property-based invariants (SURVEY §5.2): load idempotency, dedup key
+  * uniqueness, clean row-count monotonicity, yyyymmdd round-trip.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Deterministic sampling in place of the scalatestplus bridge (not in
+    * the offline dependency cache): n draws from seeded generators.
+    */
+  private def forAll[T](g: Gen[T], n: Int = 8)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(42L + i)).get)
+    }
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val dateGen: Gen[java.sql.Date] =
+    Gen.choose(0L, 20000L).map(d => java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(d)))
+
+  test("yyyymmdd round-trips for any date 1970-2024") {
+    forAll(Gen.listOfN(50, dateGen)) { dates =>
+      whenever(dates.nonEmpty) {
+        val df = dates.toDF("d")
+        val back = df.select(
+            DateCodecs.fromYyyymmdd(DateCodecs.yyyymmdd(col("d"))).as("r"),
+            col("d"))
+          .filter(col("r") =!= col("d"))
+        assert(back.count() == 0)
+      }
+    }
+  }
+
+  private val rowGen: Gen[(String, String, String, String)] = for {
+    tui <- Gen.oneOf(Gen.uuid.map(u => s"{$u}"), Gen.const(null: String))
+    price <- Gen.oneOf(Gen.choose(1, 10000000).map(_.toString), Gen.const("xx"),
+      Gen.const(null: String))
+    date <- Gen.oneOf(Gen.const("2017-03-10 00:00"), Gen.const("not a date"),
+      Gen.const(null: String))
+    pc <- Gen.oneOf("OX1 1AA", "SW1A 1AA", null)
+  } yield (tui, price, date, pc)
+
+  private def raw(rows: Seq[(String, String, String, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (t, p, d, pc) =>
+        Row(t, p, d, pc, "T", "N", "F", "1", "", "X", "", "OXFORD",
+          "OXFORD", "OXFORDSHIRE", "A", "A")
+      }), Schemas.pricePaidCsv)
+
+  test("clean never grows the frame; survivors have non-null keys") {
+    forAll(Gen.listOfN(30, rowGen)) { rows =>
+      whenever(rows.nonEmpty) {
+        val cleaned = Clean.pricePaid(raw(rows))
+        assert(cleaned.count() <= rows.length)
+        assert(cleaned.filter(
+          Clean.pricePaidKeyCols.map(col(_).isNull).reduce(_ || _)).count() == 0)
+      }
+    }
+  }
+
+  test("insertIgnore is idempotent and keeps keys unique") {
+    forAll(Gen.zip(Gen.listOfN(20, Gen.choose(1, 8)),
+        Gen.listOfN(20, Gen.choose(1, 8)))) { case (t, u) =>
+        val target = t.distinct.map(k => (s"k$k", s"t$k")).toDF("key", "v")
+        val updates = u.map(k => (s"k$k", s"u$k")).toDF("key", "v")
+        val once = Upsert.insertIgnore(target, updates, Seq("key"))
+        val twice = Upsert.insertIgnore(once, updates, Seq("key"))
+        assert(once.groupBy("key").count().filter(col("count") > 1).count() == 0)
+        assert(twice.count() == once.count())
+        // original target values always win
+        val kept = once.as[(String, String)].collect().toMap
+        t.distinct.foreach(k => assert(kept(s"k$k") == s"t$k"))
+    }
+  }
+
+  test("mergeByKey yields exactly one row per key, the max-precedence one") {
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(1, 6), Gen.choose(0L, 100L)))) {
+      pairs =>
+        whenever(pairs.nonEmpty) {
+          val target = pairs.map { case (k, v) => (s"k$k", v) }.toDF("key", "ver")
+          val updates = pairs.map { case (k, v) => (s"k$k", v + 1) }.toDF("key", "ver")
+          val merged = Upsert.mergeByKey(target, updates, Seq("key"),
+            Seq(col("ver").desc))
+          assert(merged.groupBy("key").count().filter(col("count") > 1).count() == 0)
+          val expect = pairs.groupBy(p => s"k${p._1}")
+            .map { case (k, vs) => k -> (vs.map(_._2).max + 1) }
+          assert(merged.as[(String, Long)].collect().toMap == expect)
+        }
+    }
+  }
+}
