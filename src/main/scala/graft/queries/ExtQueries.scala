@@ -136,6 +136,16 @@ object ExtQueries {
         round(element_at(col("features"), 8), 6).as("f7"))
     },
 
+    // ── HLL++ sketch distinct counts (the built-in sketch surface;
+    // rows-only — approximation has no deterministic SQL twin; the spec
+    // bounds the error against exact counts).
+    "q38_approx_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"))
+    },
+
     // ── IVF-cell approximate nearest neighbors (the second ANN scale
     // path: k-means cells + nProbe search; rows-only, recall asserted
     // vs brute force in the spec).

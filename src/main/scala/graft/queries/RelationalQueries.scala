@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.DateCodecs
-import graft.operators.{Clean, Upsert, WorkQueue}
+import graft.operators.{AsOfJoin, Clean, Upsert, WorkQueue}
 
 /** Relational query surface: one oracle-checked query per operator family
   * in SURVEY §2 (scan/filter/project, cleaning scalars, anti-join upsert,
@@ -212,6 +212,22 @@ object RelationalQueries {
         count(lit(1)).over(w).as("n_in_frame"))
     },
 
+    // ── Q37: as-of join (custom operator — Spark has no native as-of):
+    // for each click, the user's latest purchase at or before it.
+    "q37_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      AsOfJoin.backward(clicks, purchases,
+          key = Seq("user_id"),
+          leftTime = col("ts_ns"), rightTime = col("ts_ns"),
+          rightCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"), col("asof_value"))
+    },
+
     // ── Q36: exact quantiles per group (percentile = linear
     // interpolation on sorted values; same definition as DuckDB's
     // quantile_cont).
@@ -364,6 +380,13 @@ object RelationalQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q37_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  p.event_id AS asof_event_id, p.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "q36_quantiles" ->
       """SELECT l_returnflag,

@@ -35,6 +35,19 @@ class ClosureSpec extends SparkSpec {
     assert(got(1) == Seq(10.0, 20.0))
   }
 
+  test("approx_count_distinct within declared rsd of exact") {
+    val li = Tables.lineitem(spark, sf001)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.SparkEntry.queries("q38_approx_distinct")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("centroid aggregator on sf0.001 equals posexplode mean") {
     val emb = Tables.embeddings(spark, sf0001)
     val viaAgg = Centroids.perGroup(emb, "label", "embedding", 64)
