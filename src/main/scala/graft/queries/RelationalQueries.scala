@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.DateCodecs
-import graft.operators.{AsOfJoin, Clean, Upsert, WorkQueue}
+import graft.operators.{AsOfJoin, Clean, RangeJoin, Upsert, WorkQueue}
 
 /** Relational query surface: one oracle-checked query per operator family
   * in SURVEY §2 (scan/filter/project, cleaning scalars, anti-join upsert,
@@ -228,6 +228,20 @@ object RelationalQueries {
           col("asof_event_id"), col("asof_value"))
     },
 
+    // ── Q39: range join (point-in-interval) via bin bucketing — events
+    // values bucketed into fixed bands; equi-join on bins replaces the
+    // BroadcastNestedLoopJoin a raw BETWEEN join would plan.
+    "q39_range_join" -> { (s, dir) =>
+      val bands = s.range(0, 20).select(
+        col("id").as("band_id"),
+        (col("id") * 5.0).as("lo"),
+        (col("id") * 5.0 + 5.0).as("hi"))
+      RangeJoin.pointInInterval(
+          Tables.events(s, dir).select(col("event_id"), col("value")),
+          bands, "value", "lo", "hi", binWidth = 5.0)
+        .select(col("event_id"), col("band_id"))
+    },
+
     // ── Q36: exact quantiles per group (percentile = linear
     // interpolation on sorted values; same definition as DuckDB's
     // quantile_cont).
@@ -387,6 +401,13 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q39_range_join" ->
+      """SELECT e.event_id, b.band_id
+        |FROM events e
+        |JOIN (SELECT i AS band_id, i * 5.0 AS lo, i * 5.0 + 5.0 AS hi
+        |      FROM generate_series(0, 19) t(i)) b
+        |  ON e.value >= b.lo AND e.value < b.hi""".stripMargin,
 
     "q36_quantiles" ->
       """SELECT l_returnflag,
