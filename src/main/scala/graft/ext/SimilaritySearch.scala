@@ -100,6 +100,26 @@ object SimilaritySearch {
     rank(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
+    * threshold, a < b — exact via blocked self-join. At corpus scale,
+    * block first (LSH buckets / IVF cells) and verify inside blocks;
+    * exact mode is right whenever |corpus|² pair evaluation fits the
+    * cluster (it is embarrassingly parallel — shuffle is one broadcast).
+    */
+  def cosineNearDuplicates(
+      corpus: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = Partitioning.forCompute(
+      corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb")))
+    broadcast(a).join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN
     * scale path: partition the corpus into cells around centroids
     * (mini k-means, deterministic hash-seeded init), search only the

@@ -136,6 +136,13 @@ object ExtQueries {
         round(element_at(col("features"), 8), 6).as("f7"))
     },
 
+    // ── embedding-cosine near-dup pairs (exact; oracle via unnest
+    // double math in DuckDB).
+    "q40_embedding_neardup" -> { (s, dir) =>
+      SimilaritySearch.cosineNearDuplicates(
+        Tables.embeddings(s, dir), threshold = 0.4)
+    },
+
     // ── HLL++ sketch distinct counts (the built-in sketch surface;
     // rows-only — approximation has no deterministic SQL twin; the spec
     // bounds the error against exact counts).
@@ -292,6 +299,22 @@ object ExtQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5""".stripMargin,
+
+    "q40_embedding_neardup" ->
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(SUM(e*e)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.e*b.e) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, round(dp / (na.nrm * nb.nrm), 6) AS cos_sim
+        |FROM dots
+        |JOIN norms na ON na.vec_id = vec_a
+        |JOIN norms nb ON nb.vec_id = vec_b
+        |WHERE dp / (na.nrm * nb.nrm) >= 0.4""".stripMargin,
 
     "q33_centroids" ->
       """WITH flat AS (
