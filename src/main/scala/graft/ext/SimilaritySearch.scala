@@ -32,23 +32,40 @@ object SimilaritySearch {
     h.toDouble / Int.MaxValue // ~uniform in [-1, 1]
   }
 
-  /** LSH bucket id of a vector in table t: m sign bits packed to a long. */
-  private def bucket(vec: Column, t: Int, m: Int, dim: Int): Column = {
+  /** LSH bucket id of a PRE-WIDENED (array<double>) vector column in
+    * table t: m sign bits packed to a long. Plane dots run through the
+    * native codegen dot product.
+    */
+  private def bucket(vecD: Column, t: Int, m: Int, dim: Int): Column = {
     val bits = (0 until m).map { p =>
       val plane = array((0 until dim).map(d => lit(planeWeight(t, p, d))): _*)
-      val dp = aggregate(
-        zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+      val dp = VectorFunctions.dotDouble(vecD, plane)
       when(dp > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** (table, bucket) keys for all L tables, as an array for explode. */
-  def bucketKeys(vec: Column, tables: Int, bits: Int, dim: Int): Column =
+  /** (table, bucket) keys for all L tables, as an array for explode.
+    * `vecD` must be a materialized array<double> column reference.
+    */
+  def bucketKeys(vecD: Column, tables: Int, bits: Int, dim: Int): Column =
     array((0 until tables).map { t =>
-      struct(lit(t).as("t"), bucket(vec, t, bits, dim).as("bkt"))
+      struct(lit(t).as("t"), bucket(vecD, t, bits, dim).as("bkt"))
     }: _*)
+
+  /** (id, unit-normalized vector) projection: norms computed once per
+    * row, so pairwise cosine degrades to a plain dot product (3× less
+    * per-pair arithmetic than cosine()'s two norms + dot).
+    */
+  private def normalized(df: DataFrame, id: String, out: String,
+      idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(id),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .select(col(id),
+        when(col("__n") > 0, transform(col("__v"), x => x / col("__n")))
+          .as(out))
 
   /** Exact cosine top-k: each row of `queries` against all of `corpus`
     * (self-matches by id excluded). Output:
@@ -60,13 +77,13 @@ object SimilaritySearch {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = normalized(queries, "query_id", "qn", idCol, vecCol)
     val c = Partitioning.forCompute(
-      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")))
+      normalized(corpus, "cand_id", "cn", idCol, vecCol))
     val scored = broadcast(q)
       .join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(VectorFunctions.dotDouble(col("qn"), col("cn")), 6).as("cos_sim"))
     rank(scored, k)
   }
 
@@ -84,19 +101,19 @@ object SimilaritySearch {
       bits: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    def index(df: DataFrame, id: String, vec: String): DataFrame =
-      Partitioning.forCompute(df)
-        .select(col(idCol).as(id), col(vecCol).as(vec),
-          explode(bucketKeys(col(vecCol), tables, bits, dim)).as("bk"))
-        .select(col(id), col(vec), col("bk.t").as("t"), col("bk.bkt").as("bkt"))
-    val qi = index(queries, "query_id", "qv")
-    val ci = index(corpus, "cand_id", "cv")
+    def index(df: DataFrame, id: String): DataFrame =
+      Partitioning.forCompute(normalized(df, id, "vn", idCol, vecCol))
+        .select(col(id), col("vn"),
+          explode(bucketKeys(col("vn"), tables, bits, dim)).as("bk"))
+        .select(col(id), col("vn"), col("bk.t").as("t"), col("bk.bkt").as("bkt"))
+    val qi = index(queries, "query_id").withColumnRenamed("vn", "qn")
+    val ci = index(corpus, "cand_id").withColumnRenamed("vn", "cn")
     val cands = qi.join(ci,
         Seq("t", "bkt")).where(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("cand_id"), col("qn"), col("cn"))
       .dropDuplicates("query_id", "cand_id")
     val scored = cands.select(col("query_id"), col("cand_id"),
-      round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      round(VectorFunctions.dotDouble(col("qn"), col("cn")), 6).as("cos_sim"))
     rank(scored, k)
   }
 
@@ -111,12 +128,12 @@ object SimilaritySearch {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val a = normalized(corpus, "vec_a", "na", idCol, vecCol)
     val b = Partitioning.forCompute(
-      corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb")))
+      normalized(corpus, "vec_b", "nb", idCol, vecCol))
     broadcast(a).join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(VectorFunctions.dotDouble(col("na"), col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -141,37 +158,37 @@ object SimilaritySearch {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = Partitioning.forCompute(
-      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))).cache()
+        corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")))
+      .withColumn("vd", transform(col("cv"), _.cast("double")))
+      .cache()
 
     // deterministic init: cells seeded by hash-scattered corpus vectors
     var centroids: Array[(Int, Seq[Double])] = c
-      .select(col("cand_id"), transform(col("cv"), _.cast("double")).as("v"))
+      .select(col("cand_id"), col("vd"))
       .orderBy(md5(col("cand_id").cast("string"))).limit(nCells)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
 
-    def centroidLit(cents: Array[(Int, Seq[Double])]) =
-      array(cents.map { case (i, v) =>
-        struct(lit(i).as("cell"), array(v.map(lit): _*).as("cv0"))
-      }: _*)
-
-    def nearestCells(vec: Column, cents: Array[(Int, Seq[Double])], take: Int): Column = {
-      val scored = transform(centroidLit(cents), cent =>
+    // nearest cells by adjusted distance ‖c‖² − 2·v·c (same argmin as
+    // true L2; the v·c term runs through the native dot product)
+    def nearestCells(vecD: Column, cents: Array[(Int, Seq[Double])], take: Int): Column = {
+      val scored = array(cents.map { case (i, v) =>
+        val c2 = v.map(x => x * x).sum
         struct(
-          aggregate(zip_with(vec, cent.getField("cv0"),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), _ + _).as("d2"),
-          cent.getField("cell").as("cell")))
+          (lit(c2) - lit(2.0) * VectorFunctions.dotDouble(
+            vecD, array(v.map(lit): _*))).as("d2"),
+          lit(i).as("cell"))
+      }: _*)
       slice(array_sort(scored), 1, take)
     }
 
     // Lloyd rounds: assign to nearest cell, recompute cell means
     for (_ <- 1 to iters) {
-      val assigned = c.select(col("cv"),
-        element_at(nearestCells(col("cv"), centroids, 1), 1)
+      val assigned = c.select(col("vd"),
+        element_at(nearestCells(col("vd"), centroids, 1), 1)
           .getField("cell").as("cell"))
       val means = assigned
-        .select(col("cell"), posexplode(col("cv")).as(Seq("d", "x")))
+        .select(col("cell"), posexplode(col("vd")).as(Seq("d", "x")))
         .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("d"), col("m"))))
           .as("dm"))
@@ -180,18 +197,22 @@ object SimilaritySearch {
       if (means.nonEmpty) centroids = means
     }
 
-    val indexed = c.select(col("cand_id"), col("cv"),
-      element_at(nearestCells(col("cv"), centroids, 1), 1)
+    val indexed = c.select(col("cand_id"), col("vd"),
+      element_at(nearestCells(col("vd"), centroids, 1), 1)
         .getField("cell").as("cell"))
     val probed = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"),
-        explode(transform(nearestCells(col("qv"), centroids, nProbe),
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("qd"))
+      .select(col("query_id"), col("qd"),
+        explode(transform(nearestCells(col("qd"), centroids, nProbe),
           _.getField("cell"))).as("cell"))
     val scored = broadcast(probed).join(indexed, Seq("cell"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(VectorFunctions.dotDouble(col("qd"), col("vd")) /
+          (sqrt(VectorFunctions.dotDouble(col("qd"), col("qd"))) *
+           sqrt(VectorFunctions.dotDouble(col("vd"), col("vd")))), 6)
+          .as("cos_sim"))
     rank(scored, k)
   }
 

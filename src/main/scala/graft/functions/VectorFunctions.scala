@@ -19,6 +19,17 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), _ * _), lit(0.0), _ + _)
 
+  /** dot for ALREADY-double arrays via the native codegen expression
+    * ([[graft.plans.DotProductExpr]]) — a tight primitive loop, no
+    * zipped-array allocation, no boxed lambda evaluation. Use on
+    * pre-normalized/pre-widened columns in pairwise hot paths.
+    */
+  def dotDouble(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.plans.DotProductExpr(
+      bridge.expression(a), bridge.expression(b)))
+  }
+
   /** Σ aᵢ² (squared L2 norm). */
   def normSq(a: Column): Column =
     aggregate(d(a), lit(0.0), (acc, x) => acc + x * x)
