@@ -51,6 +51,14 @@ object ConnectedComponents {
       .repartition(parts, col("vertex"))
       .localCheckpoint()
 
+    // Convergence check: labels are monotone non-increasing under
+    // hash-min propagation, so the label sum strictly decreases until
+    // the fixpoint — one tiny aggregate per round instead of an
+    // anti-comparison join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect().head.getLong(0)
+
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -59,16 +67,13 @@ object ConnectedComponents {
       val neighborLabels = undirected
         .join(labels.withColumnRenamed("vertex", "b"), "b")
         .select(col("a").as("vertex"), col("component"))
-      val next = labels.unionByName(neighborLabels)
+      labels = labels.unionByName(neighborLabels)
         .groupBy("vertex")
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-          "vertex")
-        .filter(col("component") =!= col("old"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
     }
     labels
   }
