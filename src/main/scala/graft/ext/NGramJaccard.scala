@@ -68,10 +68,18 @@ object NGramJaccard {
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val prefix = ranked.join(sizes, "id")
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("s"))
+      .select(col("id"), col("s"), col("rn"), col("sz"))
 
+    // PPJoin positional filter: a shared prefix token at positions
+    // (rnA, rnB) bounds the possible overlap by
+    // min(szA-rnA, szB-rnB) + 1; pairs whose bound cannot reach the
+    // Jaccard-implied minimum overlap α = ⌈t/(1+t)·(szA+szB)⌉ are
+    // provably below threshold and die before the verification join.
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .filter(
+        least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1 >=
+          ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz"))))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
