@@ -47,6 +47,15 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: join a stream against a (slowly-changing)
+    * dimension frame. Spark re-plans the static side per micro-batch, so
+    * dimension updates between batches are picked up automatically; with
+    * a broadcastable dimension each micro-batch pays zero shuffle.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key, "left")
+
   /** Input/state/output records for stateful sessionization. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)

@@ -54,6 +54,23 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static enrichment joins dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = EventStreams.enrichStream(
+      mem.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((1L, 5.0), (3L, 7.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(rows(1L).contains("gold"))
+    assert(rows(3L).isEmpty) // left join keeps unmatched stream rows
+    q.stop()
+  }
+
   test("streaming CSV ingest: micro-batches upsert, replay-safe, tail batch included") {
     val work = Files.createTempDirectory("ingest").toString
     val csvDir = s"$work/in"; Files.createDirectories(java.nio.file.Paths.get(csvDir))
