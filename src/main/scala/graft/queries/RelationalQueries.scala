@@ -423,10 +423,11 @@ object RelationalQueries {
         |      ORDER BY ts, event_id) AS prev_us
         |  FROM events),
         |s AS (
-        |  SELECT *, SUM(CASE WHEN prev_us IS NULL
+        |  SELECT *, CAST(SUM(CASE WHEN prev_us IS NULL
         |      OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_idx
         |  FROM t)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  MIN(ts_us) AS session_start_us,

@@ -48,6 +48,18 @@ for name in sorted(oracle):
         exp = con.execute(sql)
         ecols = [d[0] for d in exp.description]
         erows = exp.fetchall()
+        # The driver fetches via arrow/pandas, where DuckDB HUGEINT
+        # (e.g. an un-cast SUM over integers) becomes decimal128/float64
+        # and hash-mismatches Spark's int64. fetchall() hides that, so
+        # check the arrow schema explicitly.
+        atypes = {f.name: str(f.type)
+                  for f in con.execute(sql).fetch_arrow_table().schema}
+        bad = {k: v for k, v in atypes.items() if v.startswith("decimal")}
+        if bad:
+            print(f"FAIL {name}: oracle emits non-native arrow types "
+                  f"(cast to BIGINT/DOUBLE in the SQL): {bad}")
+            fail += 1
+            continue
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         fail += 1
