@@ -13,9 +13,20 @@ object Partitioning {
 
   /** At least the session default parallelism before heavy compute;
     * no-op (no shuffle) when the input is already parallel enough.
+    *
+    * Parallelism is estimated statically — leaf file count and the
+    * optimizer's size estimate divided by `files.maxPartitionBytes` —
+    * NOT by materializing `df.rdd` (which would force a physical plan
+    * outside AQE at the head of every compute pipeline).
     */
   def forCompute(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = math.max(df.inputFiles.length.toLong,
+      (bytes / maxSplit).toLong + 1)
+    if (estSplits < target) df.repartition(target) else df
   }
 }

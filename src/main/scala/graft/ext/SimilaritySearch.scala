@@ -118,21 +118,51 @@ object SimilaritySearch {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥
-    * threshold, a < b — exact via blocked self-join. At corpus scale,
-    * block first (LSH buckets / IVF cells) and verify inside blocks;
-    * exact mode is right whenever |corpus|² pair evaluation fits the
-    * cluster (it is embarrassingly parallel — shuffle is one broadcast).
+    * threshold, a < b — EXACT via a block (triangle) self-join, the
+    * 1-Bucket-Theta pattern: each vector hashes to one of `blocks`
+    * blocks; block pair (i ≤ j) is covered exactly once by replicating
+    * a block-g row to keys (g, j≥g) on the left and (i≤g, g) on the
+    * right. The join is a plain shuffle equi-join on (i, j) — no
+    * broadcast of the corpus, no BroadcastNestedLoopJoin — and each
+    * task holds ~2·n/blocks rows, so per-task memory is bounded by the
+    * block-size dial regardless of corpus size. O(n²) pair evaluation
+    * is inherent to the exact answer; pick `blocks` ≈ n /
+    * sqrt(pairs-per-task-budget) so tasks stay uniform.
+    *
+    * Why not LSH-blocked candidates + exact verify: sign-random-
+    * projection recall at low cosine thresholds is pathological — at
+    * τ = 0.4 (θ/π ≈ 0.37) reaching 99.9% per-pair recall needs ~40
+    * tables of 4 bits, whose candidate volume (~2.5·n²) EXCEEDS brute
+    * force. LSH blocking only wins at high thresholds (the [[lshTopK]]
+    * / SimHash siblings cover that regime); the exact operator must
+    * not gamble recall.
     */
   def cosineNearDuplicates(
       corpus: DataFrame,
       threshold: Double,
+      blocks: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = normalized(corpus, "vec_a", "na", idCol, vecCol)
-    val b = Partitioning.forCompute(
-      normalized(corpus, "vec_b", "nb", idCol, vecCol))
-    broadcast(a).join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+    // cached: self-joined below — without it the normalize+hash head
+    // would re-run once per side.
+    val norm = Partitioning.forCompute(
+        normalized(corpus, "id", "nv", idCol, vecCol))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .cache()
+    val left = norm.select(
+      col("id").as("id_a"), col("nv").as("na"), col("blk").as("ba"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val right = norm.select(
+      col("id").as("id_b"), col("nv").as("nb"), col("blk").as("bb"),
+      explode(sequence(lit(0), col("blk"))).as("bi"))
+    left.join(right,
+        col("ba") === col("bi") && col("bj") === col("bb") &&
+          // same-block keys carry both orientations of a pair; cross-
+          // block keys carry exactly one (see triangle replication above)
+          (col("ba") =!= col("bb") || col("id_a") < col("id_b")))
+      .select(
+        least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"),
         round(VectorFunctions.dotDouble(col("na"), col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

@@ -53,21 +53,14 @@ object ExtQueries {
     },
 
     // ── brute-force cosine top-k: 10 query vectors × all candidates,
-    // exact top-5 by cosine. The baseline for ANN; the scale path is
-    // graft.ext.SimilaritySearch (LSH-bucketed).
+    // exact top-5 by cosine, via SimilaritySearch.bruteForceTopK (norms
+    // computed once per row, codegen'd dot product — not per-pair HOF
+    // cosine). The baseline for ANN; the scale paths are q27 (LSH) and
+    // q35 (IVF).
     "q21_cosine_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
-      val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"),
-          round(V.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("cand_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rank"))
+      SimilaritySearch.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 5)
     },
 
     // ── embedding norms + per-label aggregate (Σ in index order, double).

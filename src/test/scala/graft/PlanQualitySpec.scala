@@ -39,4 +39,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftAnti"))
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate"))
   }
+
+  test("no query plans a CartesianProduct or an unintended BroadcastNestedLoopJoin") {
+    // q21 is the deliberate brute-force ANN baseline: a ≤10-row query
+    // frame broadcast against the corpus. Work is |Q|·|C| under any
+    // plan for an intentional cross product, and a tiny-broadcast BNLJ
+    // streams the corpus exactly once — the right plan there, and only
+    // there.
+    val intentionalBnlj = Set("q21_cosine_topk")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!intentionalBnlj(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("q40: exact near-dup pairs run as a shuffle equi-join, not a corpus broadcast") {
+    val p = plan("q40_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q40 regressed to BNLJ:\n$p")
+    assert(p.contains("Join") && (p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
+      s"q40 lost its equi-join:\n$p")
+  }
 }
