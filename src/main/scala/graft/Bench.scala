@@ -40,19 +40,33 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may cache intermediates (e.g. shingle frames); drop them
-      // so queries don't contend for storage memory across the run
-      spark.catalog.clearCache()
-      name -> dt
-    }
+    // Two measured passes, min per query: this VM is co-tenant — a
+    // single pass can read 2-3× slow purely from neighbor load (the
+    // round-2 bench was invalidated exactly that way). The min of two
+    // passes is the contention-free estimate; loadavg is recorded so
+    // the driver can discount runs taken under external load.
+    def measure(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may cache intermediates (e.g. shingle frames); drop them
+        // so queries don't contend for storage memory across the run
+        spark.catalog.clearCache()
+        name -> dt
+      }
+    val results = (measure() ++ measure())
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      .toSeq.sortBy(_._1)
+    val loadavg = try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+      finally src.close()
+    } catch { case _: Throwable => "" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg"}""")
     spark.stop()
   }
 }

@@ -275,6 +275,43 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts_us")).as("session_start_us"),
           dsum(col("value")).as("session_value"))
+    },
+
+    // ── Q41: cube grouping sets (§2.4 — the rollup sibling, all 2ᵏ
+    // grouping combinations in one pass via Expand).
+    "q41_cube" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // ── Q42: set intersection (§2.7 — the except sibling, q10's shape).
+    "q42_intersect" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      val b = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      o.intersect(b)
+    },
+
+    // ── Q43: time-bounded event join — the batch twin of the
+    // stream-stream interval join (EventStreams.joinStreams): each click
+    // paired with the same user's purchases within the following hour.
+    // µs integer time math on both sides (DuckDB truncates TIMESTAMP_NS
+    // to µs through epoch_us exactly like Tables.events does for Spark).
+    "q43_interval_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      graft.streaming.EventStreams.intervalJoin(
+          clicks, "c_ts", purchases, "p_ts",
+          col("user_id") === col("p_user"), "1 hour")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
     }
   )
 
@@ -415,6 +452,25 @@ object RelationalQueries {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q41_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q42_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS o_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q43_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events c
+        |JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000""".stripMargin,
 
     "q32_sessionize" ->
       """WITH t AS (

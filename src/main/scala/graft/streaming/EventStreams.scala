@@ -56,6 +56,36 @@ object EventStreams {
       key: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key, "left")
 
+  /** Time-bounded join body, shared batch/stream (SURVEY §2.9): left
+    * rows matched to right rows satisfying `joinKey` with right's event
+    * time in [left's, left's + within]. A plain DataFrame transformation
+    * — the batch twin is oracle-checked as q43_interval_join; the
+    * streaming variant is [[joinStreams]]. The equi part of `joinKey`
+    * keeps the batch plan a shuffle hash/sort-merge join (never a
+    * nested-loop product).
+    */
+  def intervalJoin(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      joinKey: org.apache.spark.sql.Column, within: String): DataFrame =
+    left.join(right, joinKey &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+
+  /** Stream-stream interval join: watermarks on BOTH sides plus the
+    * two-sided time condition let Structured Streaming evict join state
+    * older than watermark + interval — bounded state at any volume
+    * (without them an inner stream-stream join buffers both streams
+    * forever).
+    */
+  def joinStreams(left: DataFrame, right: DataFrame,
+      joinKey: org.apache.spark.sql.Column,
+      leftTs: String, rightTs: String, within: String,
+      leftWatermark: String, rightWatermark: String): DataFrame =
+    intervalJoin(
+      left.withWatermark(leftTs, leftWatermark), leftTs,
+      right.withWatermark(rightTs, rightWatermark), rightTs,
+      joinKey, within)
+
   /** Input/state/output records for stateful sessionization. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)

@@ -71,6 +71,41 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join: watermarked, matches its batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val cdf = clicks.toDF().toDF("c_ts", "user_id", "click_id")
+    val pdf = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+    val q = EventStreams.joinStreams(cdf, pdf,
+        col("user_id") === col("p_user"), "c_ts", "p_ts", "30 minutes",
+        "1 hour", "1 hour")
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val clickRows = Seq((t(0), 1L, 100L), (t(5), 2L, 101L))
+    val purchaseRows = Seq(
+      (t(10), 1L, 200L), // match: user 1, +10 min
+      (t(40), 1L, 201L), // no: outside 30-min bound
+      (t(12), 3L, 202L), // no: key mismatch
+      (t(4), 2L, 203L))  // no: before the click
+    clicks.addData(clickRows: _*)
+    purchases.addData(purchaseRows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+    assert(streamed == Set((100L, 200L)))
+    q.stop()
+    // batch twin over the identical rows through the shared body
+    val batch = EventStreams.intervalJoin(
+        clickRows.toDF("c_ts", "user_id", "click_id"), "c_ts",
+        purchaseRows.toDF("p_ts", "p_user", "purchase_id"), "p_ts",
+        col("user_id") === col("p_user"), "30 minutes")
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch == streamed)
+  }
+
   test("streaming CSV ingest: micro-batches upsert, replay-safe, tail batch included") {
     val work = Files.createTempDirectory("ingest").toString
     val csvDir = s"$work/in"; Files.createDirectories(java.nio.file.Paths.get(csvDir))
