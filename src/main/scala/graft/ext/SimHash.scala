@@ -36,23 +36,41 @@ object SimHash {
       (r, x) => r.bitwiseOR(x))
   }
 
-  /** The 8 × 8-bit chunk keys of a signature (chunk index unrolled in
-    * Scala so `shiftright`'s static shift applies).
+  /** The `nChunks` contiguous chunk keys of a 64-bit signature (chunk
+    * index unrolled in Scala so `shiftright`'s static shift applies;
+    * widths differ by at most one bit when nChunks ∤ 64). By pigeonhole,
+    * two signatures within Hamming distance nChunks−1 share at least
+    * one chunk — blocking on chunks is EXACT for that distance.
     */
-  def chunkKeys(sig: Column): Column =
-    array((0 until 8).map { j =>
-      struct(lit(j).as("chunk"),
-        shiftright(sig, 8 * j).bitwiseAND(lit(255L)).as("ck"))
-    }: _*)
+  def chunkKeys(sig: Column, nChunks: Int = 8): Column = {
+    require(nChunks >= 1 && nChunks <= 64)
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    var off = 0
+    val parts = (0 until nChunks).map { j =>
+      val w = if (j < rem) base + 1 else base
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      val k = struct(lit(j).as("chunk"),
+        shiftright(sig, off).bitwiseAND(lit(mask)).as("ck"))
+      off += w
+      k
+    }
+    array(parts: _*)
+  }
 
   /** Per-doc signature frame: (id, simhash). */
   def signatures(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
     Shingling.shingleFrame(docs, idCol, textCol, n)
       .select(col("id"), simhash64(col("sh")).as("simhash"))
 
-  /** Near-dup pairs with Hamming distance ≤ maxDist. Blocking join
-    * shuffles on (chunk, chunk-value) — 256 values per chunk keeps
-    * buckets dense; for corpora ≫ 10⁹ docs widen to 16-bit chunks.
+  /** Near-dup pairs with Hamming distance ≤ maxDist — EXACT: blocking
+    * uses maxDist+1 chunks, so by pigeonhole every qualifying pair
+    * shares a chunk (driver-checked against exhaustive all-pairs as
+    * q44). Cost dial: chunk width is 64/(maxDist+1) bits, so bucket
+    * density grows as corpus/2^width — small maxDist (≤7) keeps chunks
+    * ≥8 bits and buckets sparse at any scale; large maxDist on a 64-bit
+    * signature is inherently closer to all-pairs (widen the signature
+    * to 128 bits before widening maxDist past ~15 at ≫10⁹ docs).
     * Output: (doc_a, doc_b, hamming).
     */
   def nearPairs(
@@ -65,7 +83,8 @@ object SimHash {
     // cached: the self-join would otherwise recompute the whole
     // signature pipeline once per side
     val chunked = sigs
-      .select(col("id"), col("simhash"), explode(chunkKeys(col("simhash"))).as("c"))
+      .select(col("id"), col("simhash"),
+        explode(chunkKeys(col("simhash"), maxDist + 1)).as("c"))
       .select(col("id"), col("simhash"),
         col("c.chunk").as("chunk"), col("c.ck").as("ck"))
       .cache()

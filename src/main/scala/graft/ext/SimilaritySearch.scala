@@ -142,30 +142,15 @@ object SimilaritySearch {
       threshold: Double,
       blocks: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    // cached: self-joined below — without it the normalize+hash head
-    // would re-run once per side.
-    val norm = Partitioning.forCompute(
-        normalized(corpus, "id", "nv", idCol, vecCol))
-      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
-      .cache()
-    val left = norm.select(
-      col("id").as("id_a"), col("nv").as("na"), col("blk").as("ba"),
-      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
-    val right = norm.select(
-      col("id").as("id_b"), col("nv").as("nb"), col("blk").as("bb"),
-      explode(sequence(lit(0), col("blk"))).as("bi"))
-    left.join(right,
-        col("ba") === col("bi") && col("bj") === col("bb") &&
-          // same-block keys carry both orientations of a pair; cross-
-          // block keys carry exactly one (see triangle replication above)
-          (col("ba") =!= col("bb") || col("id_a") < col("id_b")))
+      vecCol: String = "embedding"): DataFrame =
+    graft.operators.BlockJoin.allPairs(
+        Partitioning.forCompute(normalized(corpus, "id", "nv", idCol, vecCol)),
+        "id", blocks)
       .select(
         least(col("id_a"), col("id_b")).as("vec_a"),
         greatest(col("id_a"), col("id_b")).as("vec_b"),
-        round(VectorFunctions.dotDouble(col("na"), col("nb")), 6).as("cos_sim"))
+        round(VectorFunctions.dotDouble(col("nv_a"), col("nv_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-  }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN
     * scale path: partition the corpus into cells around centroids

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** All-pairs self-join as a shuffle equi-join — the 1-Bucket-Theta
+  * triangle pattern (Okcan & Riedewald, SIGMOD'11). Exact O(n²) pair
+  * enumeration is sometimes the required semantics (exact near-dup
+  * scans, exhaustive verification); what must NOT happen at scale is
+  * planning it as a full-corpus BroadcastNestedLoopJoin. Here each row
+  * hashes to one of `blocks` blocks and block pair (i ≤ j) is covered
+  * exactly once: a block-g row replicates to keys (g, j≥g) on the left
+  * and (i≤g, g) on the right, and the join runs on the (i, j) key —
+  * per-task memory is bounded by ~2·n/blocks rows regardless of corpus
+  * size, and the O(n²) compute spreads uniformly over blocks·(blocks+1)/2
+  * tasks. Pick blocks ≈ n / sqrt(pairs-per-task-budget).
+  */
+object BlockJoin {
+
+  /** Every unordered pair of distinct-id rows, exactly once (orientation
+    * arbitrary for cross-block pairs — canonicalize downstream with
+    * least/greatest). Each input column c emits twice as c_a / c_b.
+    */
+  def allPairs(df: DataFrame, idCol: String, blocks: Int = 8): DataFrame = {
+    require(blocks > 0)
+    // cached: both join sides derive from it — without the cache the
+    // upstream plan (often hashing/normalization-heavy) runs twice.
+    val base = df
+      .withColumn("__blk", pmod(xxhash64(col(idCol)), lit(blocks)).cast("int"))
+      .cache()
+    val left = base.select(
+      df.columns.map(c => col(c).as(s"${c}_a")).toSeq ++ Seq(
+        col("__blk").as("__ba"),
+        explode(sequence(col("__blk"), lit(blocks - 1))).as("__bj")): _*)
+    val right = base.select(
+      df.columns.map(c => col(c).as(s"${c}_b")).toSeq ++ Seq(
+        col("__blk").as("__bb"),
+        explode(sequence(lit(0), col("__blk"))).as("__bi")): _*)
+    left.join(right,
+        col("__ba") === col("__bi") && col("__bj") === col("__bb") &&
+          // same-block keys carry both orientations of a pair; cross-
+          // block keys carry exactly one (triangle replication above)
+          (col("__ba") =!= col("__bb") ||
+            col(s"${idCol}_a") < col(s"${idCol}_b")))
+      .drop("__ba", "__bj", "__bb", "__bi")
+  }
+}

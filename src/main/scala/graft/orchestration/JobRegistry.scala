@@ -22,12 +22,20 @@ object JobRegistry {
 
   def names: Seq[String] = jobs.keys.toSeq.sorted
 
+  /** Optional `webhook_url` param → concrete notify sink (S12); absent
+    * → no-op, matching jobs' defaults.
+    */
+  private def notifyOf(p: Map[String, String]): String => Unit =
+    p.get("webhook_url").map(WebhookNotify.notifier).getOrElse(_ => ())
+
   /** The four reference DAGs, pre-registered under their Airflow dag_ids. */
   def registerBuiltins(): Unit = {
     register("initial_price_paid_data", p =>
-      graft.jobs.PricePaidJobs.initial(p("csv_path"), p("table_root")))
+      graft.jobs.PricePaidJobs.initial(p("csv_path"), p("table_root"),
+        notifyOf(p)))
     register("monthly_price_paid_data", p =>
-      graft.jobs.PricePaidJobs.monthly(p("csv_path"), p("table_root")))
+      graft.jobs.PricePaidJobs.monthly(p("csv_path"), p("table_root"),
+        notifyOf(p)))
     register("pull_new_sales_list", p =>
       graft.jobs.ScrapeJobs.pullNewSales(p("pages_path"), p("areas_root"),
         p("sales_root"), p("today").toLong))

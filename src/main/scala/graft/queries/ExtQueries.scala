@@ -171,12 +171,65 @@ object ExtQueries {
       val pairs = NGramJaccard.allPairs(Tables.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.5)
       graft.ext.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+    },
+
+    // ── SimHash soundness+recall invariant, driver-checked: the
+    // chunk-blocked near-pair set must equal exhaustive all-pairs
+    // Hamming ≤ maxDist (brute force via the exact triangle block join).
+    // Blocked ⊆ brute is guaranteed (the Hamming predicate evaluates in
+    // the join); brute ⊆ blocked is what chunk blocking promises. The
+    // symmetric difference must be EMPTY — oracled as a zero-row result.
+    "q44_simhash_exhaustive" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val blocked = SimHash.nearPairs(docs, "doc_id", "text", maxDist = 12, n = 3)
+      val sigs = SimHash.signatures(docs, "doc_id", "text", n = 3)
+      val brute = graft.operators.BlockJoin.allPairs(sigs, "id")
+        .select(
+          least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"),
+          expr("bit_count(simhash_a ^ simhash_b)").cast("int").as("hamming"))
+        .filter(col("hamming") <= 12)
+      blocked.exceptAll(brute).unionAll(brute.exceptAll(blocked))
+    },
+
+    // ── ANN optimality invariant, driver-checked: an approximate top-k
+    // result can never BEAT the exact top-k at the same rank (LSH/IVF
+    // re-rank candidates by exact cosine, so any such row is a scoring
+    // or ranking bug). Must be EMPTY.
+    "q45_ann_upper_bound" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("rank"), col("cos_sim").as("exact_cos"))
+      val approx = SimilaritySearch.lshTopK(emb, q, k = 5, dim = 64)
+        .withColumn("method", lit("lsh"))
+        .unionByName(SimilaritySearch.ivfTopK(emb, q, k = 5, dim = 64)
+          .withColumn("method", lit("ivf")))
+      approx.join(exact, Seq("query_id", "rank"))
+        .filter(col("cos_sim") > col("exact_cos") + lit(1e-9))
+        .select(col("method"), col("query_id"), col("cand_id"), col("rank"))
+    },
+
+    // ── sketch error bound, driver-checked: HLL++ (rsd 0.02) distinct
+    // counts vs exact distinct counts, asserted within 5% per group —
+    // the oracle states the bound holds (all-true frame).
+    "q46_approx_distinct_bound" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+          countDistinct(col("l_partkey")).as("ep"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("asu"),
+          countDistinct(col("l_suppkey")).as("es"))
+        .select(col("l_returnflag"),
+          (abs(col("ap") - col("ep")) <= col("ep") * 0.05).as("parts_within_5pct"),
+          (abs(col("asu") - col("es")) <= col("es") * 0.05).as("supps_within_5pct"))
     }
   )
 
   private val tokRe = "\\S+"
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q17_token_stats" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '$tokRe')) AS n_tokens,
@@ -269,7 +322,11 @@ object ExtQueries {
     // generate_subscripts/unnest, trigrams by positional self-joins,
     // distinct-shingle inverted-index join — semantically the plan the
     // Spark operator declares (its prefix filter only prunes candidates,
-    // never changes the result).
+    // never changes the result). Shared by q24 (exact AllPairs) and q25
+    // (MinHash LSH): at the configured banding (k=64, b=32, r=2) the
+    // LSH candidate set covers every pair at the 0.5 threshold and the
+    // verify step is exact Jaccard, so q25's output is the same frame —
+    // now driver-checked, not just spec-asserted.
     "q24_ngram_jaccard_dups" ->
       """WITH tok AS (
         |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS w
@@ -292,6 +349,20 @@ object ExtQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5""".stripMargin,
+
+    "q44_simhash_exhaustive" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+        |  CAST(NULL AS INTEGER) AS hamming
+        |WHERE 1 = 0""".stripMargin,
+
+    "q45_ann_upper_bound" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS BIGINT) AS query_id,
+        |  CAST(NULL AS BIGINT) AS cand_id, CAST(NULL AS INTEGER) AS rank
+        |WHERE 1 = 0""".stripMargin,
+
+    "q46_approx_distinct_bound" ->
+      """SELECT l_returnflag, true AS parts_within_5pct, true AS supps_within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q40_embedding_neardup" ->
       """WITH flat AS (
@@ -350,4 +421,13 @@ object ExtQueries {
         |SELECT src AS vertex, least(src, MIN(dst)) AS component
         |FROM reach GROUP BY src""".stripMargin
   )
+
+  /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
+    * Jaccard SQL as q24: banded LSH at (k=64, b=32, r=2) + exact-Jaccard
+    * verify must reproduce the exact all-pairs result at the 0.5
+    * threshold (P[candidate | j=0.5] ≈ 0.9999 per pair; deterministic
+    * hashing makes the outcome stable, and the driver now checks it).
+    */
+  val oracle: Map[String, String] =
+    oracleBase + ("q25_minhash_dups" -> oracleBase("q24_ngram_jaccard_dups"))
 }

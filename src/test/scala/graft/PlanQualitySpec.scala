@@ -46,7 +46,9 @@ class PlanQualitySpec extends SparkSpec {
     // plan for an intentional cross product, and a tiny-broadcast BNLJ
     // streams the corpus exactly once — the right plan there, and only
     // there.
-    val intentionalBnlj = Set("q21_cosine_topk")
+    // q45 embeds the same brute-force baseline as the reference side of
+    // its ANN-optimality invariant, so it carries the same tiny-side BNLJ.
+    val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
