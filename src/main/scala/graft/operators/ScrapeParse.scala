@@ -42,6 +42,51 @@ object ScrapeParse {
       .withColumn("pagination_next",
         get_json_object(col("json_model"), "$.pagination.next"))
 
+  /** O3: pagination-chain traversal over landed pages
+    * (`pull_new_sales_list.py:152-157, 200-206`): starting from
+    * `startUrl`, follow each page's `pagination.next` link until the
+    * chain ends, a page is missing, a cycle repeats, or `maxPages` is
+    * hit (the reference's hard cap, 200). Output: (page_idx, url,
+    * json_model) in chain order.
+    *
+    * Chain-walking is inherently sequential, so this is a driver-side
+    * loop of at most `maxPages` lookups — each one a pushed-down
+    * key-equality filter on the landed frame (cheap at any corpus
+    * size), exactly the reference's fetch loop with the network hop
+    * replaced by a keyed scan. Caching the (url → next) projection
+    * keeps repeated lookups off the raw HTML.
+    */
+  def paginationChain(
+      pages: DataFrame,
+      urlCol: String,
+      htmlCol: String,
+      startUrl: String,
+      maxPages: Int = 200): DataFrame = {
+    import pages.sparkSession.implicits._
+    val modeled = jsonModel(pages.select(col(urlCol).as("url"), col(htmlCol)), htmlCol)
+      .select(col("url"), col("json_model"), col("pagination_next"))
+      .cache()
+    val visited = scala.collection.mutable.LinkedHashMap[String, String]()
+    var current = Option(startUrl)
+    while (current.isDefined && !visited.contains(current.get)
+        && visited.size < maxPages) {
+      val url = current.get
+      modeled.filter(col("url") === url)
+        .select(col("json_model"), col("pagination_next"))
+        .limit(1).collect().headOption match {
+        case Some(row) =>
+          visited.put(url, row.getString(0))
+          current = Option(row.getString(1)).filter(_.nonEmpty)
+        case None =>
+          current = None // dangling next: stop at the last landed page
+      }
+    }
+    modeled.unpersist()
+    visited.toSeq.zipWithIndex
+      .map { case ((url, model), i) => (i, url, model) }
+      .toDF("page_idx", "url", "json_model")
+  }
+
   /** F10/F11 + P7: typeahead payload → first OUTCODE match per key
     * (`rightmove_outcodes.py:103-120`): parse `matches`, keep
     * type=OUTCODE, first by array position, lenient id cast.

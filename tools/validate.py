@@ -45,15 +45,15 @@ fail = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
-        exp = con.execute(sql)
-        ecols = [d[0] for d in exp.description]
-        erows = exp.fetchall()
-        # The driver fetches via arrow/pandas, where DuckDB HUGEINT
-        # (e.g. an un-cast SUM over integers) becomes decimal128/float64
-        # and hash-mismatches Spark's int64. fetchall() hides that, so
+        # Single execution: arrow table supplies both the row values and
+        # the schema lint. The driver fetches via arrow/pandas, where
+        # DuckDB HUGEINT (e.g. an un-cast SUM over integers) becomes
+        # decimal128/float64 and hash-mismatches Spark's int64 — so
         # check the arrow schema explicitly.
-        atypes = {f.name: str(f.type)
-                  for f in con.execute(sql).fetch_arrow_table().schema}
+        etab = con.execute(sql).fetch_arrow_table()
+        ecols = etab.schema.names
+        erows = [tuple(d.values()) for d in etab.to_pylist()]
+        atypes = {f.name: str(f.type) for f in etab.schema}
         bad = {k: v for k, v in atypes.items() if v.startswith("decimal")}
         if bad:
             print(f"FAIL {name}: oracle emits non-native arrow types "
