@@ -66,25 +66,29 @@ object EventStreams {
     */
   def intervalJoin(left: DataFrame, leftTs: String,
       right: DataFrame, rightTs: String,
-      joinKey: org.apache.spark.sql.Column, within: String): DataFrame =
+      joinKey: org.apache.spark.sql.Column, within: String,
+      joinType: String = "inner"): DataFrame =
     left.join(right, joinKey &&
       col(rightTs) >= col(leftTs) &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"), joinType)
 
   /** Stream-stream interval join: watermarks on BOTH sides plus the
     * two-sided time condition let Structured Streaming evict join state
     * older than watermark + interval — bounded state at any volume
     * (without them an inner stream-stream join buffers both streams
-    * forever).
+    * forever). `joinType` "left_outer" emits unmatched left rows
+    * null-padded once the watermark passes their match horizon (the
+    * same eviction bound makes the outer result decidable).
     */
   def joinStreams(left: DataFrame, right: DataFrame,
       joinKey: org.apache.spark.sql.Column,
       leftTs: String, rightTs: String, within: String,
-      leftWatermark: String, rightWatermark: String): DataFrame =
+      leftWatermark: String, rightWatermark: String,
+      joinType: String = "inner"): DataFrame =
     intervalJoin(
       left.withWatermark(leftTs, leftWatermark), leftTs,
       right.withWatermark(rightTs, rightWatermark), rightTs,
-      joinKey, within)
+      joinKey, within, joinType)
 
   /** Input/state/output records for stateful sessionization. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -106,6 +106,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched lefts emit after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventStreams.joinStreams(
+        clicks.toDF().toDF("c_ts", "user_id", "click_id"),
+        purchases.toDF().toDF("p_ts", "p_user", "purchase_id"),
+        col("user_id") === col("p_user"), "c_ts", "p_ts", "30 minutes",
+        "1 hour", "1 hour", joinType = "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("ssouter")
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t = (m: Int) => new Timestamp(t0.getTime + m * 60000L)
+    clicks.addData((t(0), 1L, 100L), (t(5), 5L, 105L)) // 105 never matches
+    purchases.addData((t(10), 1L, 200L))
+    q.processAllAvailable()
+    // push both watermarks far past 105's match horizon
+    clicks.addData((t(300), 9L, 999L))
+    purchases.addData((t(300), 9L, 888L))
+    q.processAllAvailable()
+    val rows = spark.table("ssouter")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((100L, Some(200L))))
+    assert(rows.contains((105L, None)), s"unmatched left not emitted: $rows")
+    q.stop()
+  }
+
   test("streaming CSV ingest: micro-batches upsert, replay-safe, tail batch included") {
     val work = Files.createTempDirectory("ingest").toString
     val csvDir = s"$work/in"; Files.createDirectories(java.nio.file.Paths.get(csvDir))
