@@ -78,8 +78,14 @@ object SimHash {
       idCol: String,
       textCol: String,
       maxDist: Int,
-      n: Int = 2): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, n)
+      n: Int = 2): DataFrame =
+    nearPairsFromSignatures(signatures(docs, idCol, textCol, n), maxDist)
+
+  /** [[nearPairs]] over a precomputed (id, simhash) frame — callers that
+    * also need the signatures elsewhere (e.g. the q44 exhaustive check)
+    * compute them once.
+    */
+  def nearPairsFromSignatures(sigs: DataFrame, maxDist: Int): DataFrame = {
     // cached: the self-join would otherwise recompute the whole
     // signature pipeline once per side
     val chunked = sigs

@@ -181,8 +181,9 @@ object ExtQueries {
     // symmetric difference must be EMPTY — oracled as a zero-row result.
     "q44_simhash_exhaustive" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val blocked = SimHash.nearPairs(docs, "doc_id", "text", maxDist = 12, n = 3)
-      val sigs = SimHash.signatures(docs, "doc_id", "text", n = 3)
+      // one signature pass feeds both the blocked and the brute side
+      val sigs = SimHash.signatures(docs, "doc_id", "text", n = 3).cache()
+      val blocked = SimHash.nearPairsFromSignatures(sigs, maxDist = 12)
       val brute = graft.operators.BlockJoin.allPairs(sigs, "id")
         .select(
           least(col("id_a"), col("id_b")).as("doc_a"),
@@ -224,6 +225,22 @@ object ExtQueries {
         .select(col("l_returnflag"),
           (abs(col("ap") - col("ep")) <= col("ep") * 0.05).as("parts_within_5pct"),
           (abs(col("asu") - col("es")) <= col("es") * 0.05).as("supps_within_5pct"))
+    },
+
+    // ── quantile-sketch error bound, driver-checked: approx_percentile
+    // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
+    // exact interpolated p49 and p51 values — rank-space error mapped to
+    // a value-space bracket via monotonicity.
+    "q47_approx_quantile_bound" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(l_extendedprice, 0.49)").as("e49"),
+          expr("percentile(l_extendedprice, 0.51)").as("e51"))
+        .select(col("l_returnflag"),
+          (col("ap50") >= col("e49") && col("ap50") <= col("e51"))
+            .as("p50_within_1pct"))
     }
   )
 
@@ -362,6 +379,10 @@ object ExtQueries {
 
     "q46_approx_distinct_bound" ->
       """SELECT l_returnflag, true AS parts_within_5pct, true AS supps_within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q47_approx_quantile_bound" ->
+      """SELECT l_returnflag, true AS p50_within_1pct
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q40_embedding_neardup" ->
