@@ -101,4 +101,21 @@ class PropertiesSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("BlockJoin.allPairs covers every unordered pair exactly once, any block count") {
+    forAll(Gen.zip(Gen.choose(1, 40), Gen.choose(1, 12)), n = 6) {
+      case (n, blocks) =>
+        val ids = (1 to n).map(_.toLong)
+        val pairs = graft.operators.BlockJoin
+          .allPairs(ids.toDF("id"), "id", blocks)
+          .select(least(col("id_a"), col("id_b")),
+            greatest(col("id_a"), col("id_b")))
+          .as[(Long, Long)].collect().toSeq
+        val expect = (for {
+          a <- ids; b <- ids if a < b
+        } yield (a, b)).toSet
+        assert(pairs.size == expect.size, s"n=$n blocks=$blocks: duplicates or misses")
+        assert(pairs.toSet == expect, s"n=$n blocks=$blocks: wrong pair set")
+    }
+  }
 }
