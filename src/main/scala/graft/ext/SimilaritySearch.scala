@@ -26,7 +26,12 @@ import graft.functions.VectorFunctions
   */
 object SimilaritySearch {
 
-  /** Deterministic pseudo-random hyperplane weight for (table, plane, dim). */
+  /** Deterministic pseudo-random hyperplane weight for (table, plane,
+    * dim). The hash is pinned deliberately (deprecation suppressed):
+    * hyperplanes are a persisted-model contract — changing the function
+    * would silently re-bucket every stored signature.
+    */
+  @annotation.nowarn("cat=deprecation")
   private def planeWeight(t: Int, p: Int, d: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((t, p, d))
     h.toDouble / Int.MaxValue // ~uniform in [-1, 1]
@@ -187,7 +192,7 @@ object SimilaritySearch {
     // nearest cells by adjusted distance ‖c‖² − 2·v·c (same argmin as
     // true L2; the v·c term runs through the native dot product)
     def nearestCells(vecD: Column, cents: Array[(Int, Seq[Double])], take: Int): Column = {
-      val scored = array(cents.map { case (i, v) =>
+      val scored = array(cents.toIndexedSeq.map { case (i, v) =>
         val c2 = v.map(x => x * x).sum
         struct(
           (lit(c2) - lit(2.0) * VectorFunctions.dotDouble(
