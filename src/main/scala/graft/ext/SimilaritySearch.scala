@@ -60,17 +60,15 @@ object SimilaritySearch {
 
   /** (id, unit-normalized vector) projection: norms computed once per
     * row, so pairwise cosine degrades to a plain dot product (3× less
-    * per-pair arithmetic than cosine()'s two norms + dot).
+    * per-pair arithmetic than cosine()'s two norms + dot). Runs the
+    * native fused [[graft.plans.NormalizeExpr]] — same index-order
+    * double arithmetic as the HOF chain it replaced (oracle-identical),
+    * one primitive loop inside whole-stage codegen.
     */
   private def normalized(df: DataFrame, id: String, out: String,
       idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as(id),
-        transform(col(vecCol), _.cast("double")).as("__v"))
-      .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0),
-        (acc, x) => acc + x * x)))
-      .select(col(id),
-        when(col("__n") > 0, transform(col("__v"), x => x / col("__n")))
-          .as(out))
+      VectorFunctions.normalize(col(vecCol)).as(out))
 
   /** Exact cosine top-k: each row of `queries` against all of `corpus`
     * (self-matches by id excluded). Output:

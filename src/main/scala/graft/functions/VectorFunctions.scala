@@ -30,6 +30,17 @@ object VectorFunctions {
       bridge.expression(a), bridge.expression(b)))
   }
 
+  /** Unit-normalize (L2) via the native codegen expression
+    * ([[graft.plans.NormalizeExpr]]): array<float|double> →
+    * array<double>, null for null/zero-norm input. One fused primitive
+    * loop instead of the three-HOF cast→norm→scale chain — the head of
+    * every similarity pipeline.
+    */
+  def normalize(a: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.plans.NormalizeExpr(bridge.expression(a)))
+  }
+
   /** Σ aᵢ² (squared L2 norm). */
   def normSq(a: Column): Column =
     aggregate(d(a), lit(0.0), (acc, x) => acc + x * x)
