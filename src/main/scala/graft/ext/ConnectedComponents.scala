@@ -55,8 +55,11 @@ object ConnectedComponents {
     // hash-min propagation, so the label sum strictly decreases until
     // the fixpoint — one tiny aggregate per round instead of an
     // anti-comparison join.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).collect().head.getLong(0)
+    // decimal accumulation: exact and overflow-free for any graph size
+    // (a long sum can overflow under ANSI on billions of large ids)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect().head.getDecimal(0)
 
     var prevSum = labelSum(labels)
     var converged = false
@@ -76,6 +79,78 @@ object ConnectedComponents {
       prevSum = s
     }
     labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the variant for graphs where hash-min struggles: long chains
+    * (diameter-many rounds) and extreme-degree hubs (the hub's full
+    * neighbor list re-shuffles every round). Star operations contract
+    * paths toward per-neighborhood minima, converging in O(log² n)
+    * rounds regardless of diameter, one groupBy-shuffle per star pass.
+    *
+    *  - large-star: every neighbor v > u links to min(N(u) ∪ {u})
+    *  - small-star: every neighbor v ≤ u (≠ min) links to min(N(u) ∪ {u})
+    *
+    * Fixpoint: the edge multiset is stable under small-star — checked
+    * with a count + order-insensitive hash-sum (two scalar aggregates,
+    * no driver-side data). Output matches [[run]]: (vertex, component =
+    * min reachable id); the spec asserts equality on randomized graphs.
+    */
+  def runTwoPhase(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      canon(und.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = canon(e) // key on the larger endpoint
+      val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val linked = oriented.join(m, "u")
+      canon(
+        linked.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(linked.select(col("u"), col("m").as("v"))))
+    }
+
+    // stable signature of the canonical (distinct) edge set: XOR of
+    // per-edge hashes — order-insensitive and overflow-free under ANSI
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = canon(pairs
+        .select(col(srcCol).cast("long").as("u"),
+          col(dstCol).cast("long").as("v")))
+      .localCheckpoint()
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val s = signature(edges)
+      converged = s == sig
+      sig = s
+    }
+    // stars: non-roots point at their component root; roots appear only
+    // as targets, so they self-map through the v side
+    edges.select(col("u").as("vertex"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("vertex"), col("v").as("component")))
+      .groupBy("vertex").agg(min(col("component")).as("component"))
   }
 
   /** Full-closure dedup: keep the canonical (min-id) doc per component;
