@@ -45,20 +45,28 @@ object Bench {
     // round-2 bench was invalidated exactly that way). The min of two
     // passes is the contention-free estimate; loadavg is recorded so
     // the driver can discount runs taken under external load.
-    def measure(): Seq[(String, Double)] =
+    // (name, seconds, succeeded): a throwing query must not masquerade
+    // as a fast success — its elapsed-until-failure time would read as
+    // a green sub-second entry in the JSON while the real signal sits
+    // only on stderr.
+    def measure(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators may cache intermediates (e.g. shingle frames); drop them
         // so queries don't contend for storage memory across the run
         spark.catalog.clearCache()
-        name -> dt
+        (name, dt, ok)
       }
-    val results = (measure() ++ measure())
+    val both = measure() ++ measure()
+    val failed = both.filter(!_._3).map(_._1).distinct.sorted
+    val results = both.filter(_._3)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
       .toSeq.sortBy(_._1)
     val loadavg = try {
@@ -66,10 +74,44 @@ object Bench {
       try src.mkString.trim.split("\\s+").take(3).mkString(" ")
       finally src.close()
     } catch { case _: Throwable => "" }
+
+    // Per-query regression gate vs the previous round's bench JSON
+    // (r2's q25 ran 44 s vs 4.8 s in r1 and the suite total hid it).
+    // Any query >1.5× its prior min-of-2, or a suite total >100 s,
+    // lands in the output explicitly so the driver/judge can't read a
+    // regressed run as green. Baseline file: SPARK_GRAFT_BENCH_BASELINE
+    // or the newest BENCH_r*.json in the working directory.
+    val baselineFile = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .map(new java.io.File(_))
+      .orElse {
+        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        if (rs.isEmpty) None else Some(rs.maxBy(_.getName))
+      }
+      .filter(_.isFile)
+    val baseline: Map[String, Double] = baselineFile.map { f =>
+      try {
+        val src = scala.io.Source.fromFile(f)
+        val txt = try src.mkString finally src.close()
+        "\"(q[^\"]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    val regressions = results.flatMap { case (name, sec) =>
+      baseline.get(name).collect {
+        case prev if prev > 0.5 && sec > prev * 1.5 => // ignore sub-noise-floor prevs
+          name -> BigDecimal(sec / prev).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regJson = regressions.map { case (k, r) => s"\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val gate = if (failed.isEmpty && total <= 100.0) "pass" else "fail"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","failed":$failedJson,"regressions_vs_prior":$regJson,"baseline_file":"${baselineFile.map(_.getName).getOrElse("")}","suite_gate":"$gate"}""")
     spark.stop()
   }
 }

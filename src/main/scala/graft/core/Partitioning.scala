@@ -24,9 +24,12 @@ object Partitioning {
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = math.max(1L,
       spark.sessionState.conf.filesMaxPartitionBytes)
+    // stats.sizeInBytes is a BigInt and join/product estimates can
+    // exceed Long.MaxValue — clamp before narrowing, or the low-64-bit
+    // truncation can wrap negative and mis-estimate the split count.
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val estSplits = math.max(df.inputFiles.length.toLong,
-      (bytes / maxSplit).toLong + 1)
+      (bytes / maxSplit).min(BigInt(Long.MaxValue) - 1).toLong + 1)
     if (estSplits < target) df.repartition(target) else df
   }
 }

@@ -75,6 +75,17 @@ object NGramJaccard {
     // min(szA-rnA, szB-rnB) + 1; pairs whose bound cannot reach the
     // Jaccard-implied minimum overlap α = ⌈t/(1+t)·(szA+szB)⌉ are
     // provably below threshold and die before the verification join.
+    //
+    // The classical AllPairs length filter (min(szA,szB) ≥ ⌈t·max⌉) is
+    // subsumed: min ≥ t·max ⟺ (1+t)·min ≥ t·(min+max) ⟺
+    // min ≥ t/(1+t)·(szA+szB), which is exactly this predicate at
+    // rn=1, and the predicate is strictly stronger for rn>1 (szX-rnX+1
+    // ≤ szX). Adding the length filter as a second conjunct would be
+    // pure redundant compute. Profiled at sf0.1 under loadavg<1
+    // (tools/ProfileQ24): candidates 124 839, end-to-end 4.4-5.0 s —
+    // the 37.6 s in BENCH_r03 was loadavg-13 co-tenant contention, not
+    // plan cost (stage split: shingle 0.3, prefix 1.1, candidate 0.7,
+    // verify 0.8 warm).
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .filter(

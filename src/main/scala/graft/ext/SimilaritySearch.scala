@@ -224,7 +224,22 @@ object SimilaritySearch {
       .select(col("query_id"), col("qd"),
         explode(transform(nearestCells(col("qd"), centroids, nProbe),
           _.getField("cell"))).as("cell"))
-    val scored = broadcast(probed).join(indexed, Seq("cell"))
+    // Probe-side broadcast guard: the hint is only correct while
+    // queries×nProbe stays executor-memory-small ("probe a corpus with
+    // a handful of queries"). A bulk probe (say 10⁹ queries) must
+    // shuffle on cell instead — estimate the exploded probe size from
+    // the query frame's optimizer stats × nProbe and fall back to a
+    // shuffle join past the session broadcast threshold. (The shuffle
+    // path's parallelism is bounded by nCells; size nCells ≥ cluster
+    // cores for bulk probes, and AQE skew-join splits hot cells.)
+    val bcLimit = BigInt(
+      corpus.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    val probeEst =
+      queries.queryExecution.optimizedPlan.stats.sizeInBytes * nProbe
+    val probeJoin =
+      if (bcLimit > 0 && probeEst <= bcLimit) broadcast(probed).join(indexed, Seq("cell"))
+      else probed.join(indexed, Seq("cell"))
+    val scored = probeJoin
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(VectorFunctions.dotDouble(col("qd"), col("vd")) /

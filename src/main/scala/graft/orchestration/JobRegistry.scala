@@ -14,11 +14,37 @@ object JobRegistry {
 
   type JobFactory = Map[String, String] => Seq[Task]
 
-  private val jobs = TrieMap[String, JobFactory]()
+  /** Registered job + its scheduler metadata (W5/T6): the Airflow DAG
+    * kwargs re-expressed declaratively. `schedule=None` → manual-only.
+    */
+  final case class JobSpec(
+      name: String,
+      factory: JobFactory,
+      schedule: Option[CronSchedule] = None,
+      catchup: Boolean = false,
+      startDate: java.time.LocalDateTime = java.time.LocalDateTime.MIN,
+      tags: Set[String] = Set.empty) {
 
-  def register(name: String, factory: JobFactory): Unit = jobs.put(name, factory)
+    /** Logical runs due at `now` given the last launched run — the
+      * executable form of the Airflow catchup contract (see
+      * [[CronSchedule.dueRuns]]); manual-only jobs are never due.
+      */
+    def dueRuns(
+        now: java.time.LocalDateTime,
+        lastRun: Option[java.time.LocalDateTime]): Seq[java.time.LocalDateTime] =
+      schedule.map(_.dueRuns(now, lastRun, startDate, catchup)).getOrElse(Nil)
+  }
 
-  def get(name: String): Option[JobFactory] = jobs.get(name)
+  private val jobs = TrieMap[String, JobSpec]()
+
+  def register(name: String, factory: JobFactory): Unit =
+    jobs.put(name, JobSpec(name, factory))
+
+  def register(spec: JobSpec): Unit = jobs.put(spec.name, spec)
+
+  def get(name: String): Option[JobFactory] = jobs.get(name).map(_.factory)
+
+  def spec(name: String): Option[JobSpec] = jobs.get(name)
 
   def names: Seq[String] = jobs.keys.toSeq.sorted
 
@@ -28,18 +54,35 @@ object JobRegistry {
   private def notifyOf(p: Map[String, String]): String => Unit =
     p.get("webhook_url").map(WebhookNotify.notifier).getOrElse(_ => ())
 
-  /** The four reference DAGs, pre-registered under their Airflow dag_ids. */
+  /** The four reference DAGs, pre-registered under their Airflow dag_ids
+    * with their declared schedules (the schedule/start_date/catchup/tags
+    * kwargs of each reference DAG file; all four run catchup=False).
+    */
   def registerBuiltins(): Unit = {
-    register("initial_price_paid_data", p =>
-      graft.jobs.PricePaidJobs.initial(p("csv_path"), p("table_root"),
-        notifyOf(p)))
-    register("monthly_price_paid_data", p =>
-      graft.jobs.PricePaidJobs.monthly(p("csv_path"), p("table_root"),
-        notifyOf(p)))
-    register("pull_new_sales_list", p =>
-      graft.jobs.ScrapeJobs.pullNewSales(p("pages_path"), p("areas_root"),
-        p("sales_root"), p("today").toLong))
-    register("rightmove_outcodes", p =>
-      graft.jobs.ScrapeJobs.outcodeEnrich(p("payloads_path"), p("areas_root")))
+    import java.time.LocalDateTime
+    register(JobSpec("initial_price_paid_data",
+      p => graft.jobs.PricePaidJobs.initial(p("csv_path"), p("table_root"),
+        notifyOf(p)),
+      schedule = None, // manual-only backfill DAG
+      startDate = LocalDateTime.of(2025, 9, 28, 0, 0),
+      tags = Set("land_registry", "postgres")))
+    register(JobSpec("monthly_price_paid_data",
+      p => graft.jobs.PricePaidJobs.monthly(p("csv_path"), p("table_root"),
+        notifyOf(p)),
+      schedule = Some(CronSchedule.parse("0 2 25 * *")),
+      startDate = LocalDateTime.of(2025, 9, 25, 0, 0),
+      tags = Set("land_registry", "postgres")))
+    register(JobSpec("pull_new_sales_list",
+      p => graft.jobs.ScrapeJobs.pullNewSales(p("pages_path"), p("areas_root"),
+        p("sales_root"), p("today").toLong),
+      schedule = Some(CronSchedule.parse("0 2 * * *")),
+      startDate = LocalDateTime.of(2025, 9, 28, 0, 0),
+      tags = Set("rightmove", "sales")))
+    register(JobSpec("rightmove_outcodes",
+      p => graft.jobs.ScrapeJobs.outcodeEnrich(p("payloads_path"),
+        p("areas_root")),
+      schedule = Some(CronSchedule.parse("0 2 * * 0")),
+      startDate = LocalDateTime.of(2025, 9, 28, 0, 0),
+      tags = Set("rightmove", "outcodes")))
   }
 }

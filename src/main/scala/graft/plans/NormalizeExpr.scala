@@ -7,10 +7,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native unit-normalization of a vector column: array<float|double> →
-  * array<double> scaled to L2 norm 1; null when the input is null OR
-  * the norm is zero (a zero vector has no direction — matches the HOF
-  * form `when(norm > 0, transform(v, _ / norm))`, whose missing
-  * `otherwise` yields null).
+  * array<double> scaled to L2 norm 1; null when the input is null, the
+  * norm is zero (a zero vector has no direction), OR any element is
+  * null — all matching the HOF form `when(norm > 0, transform(v, _ /
+  * norm))`: a null element nulls the aggregate-sum norm, the null
+  * comparison falls through the missing `otherwise`, and the result is
+  * null. Both eval paths implement the element-null rule identically
+  * (interpreted GenericArrayData would NPE, codegen UnsafeArrayData
+  * would silently read 0.0 — either divergence would break the
+  * bit-identical-to-HOF contract NormalizeExprSpec pins).
   *
   * Fuses the three-step HOF head (cast-to-double transform, norm
   * aggregate, scale transform) of every similarity pipeline into one
@@ -41,12 +46,16 @@ case class NormalizeExpr(child: Expression) extends UnaryExpression {
     val n = x.numElements()
     var ss = 0.0
     var i = 0
-    while (i < n) {
-      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
-      ss += v * v
+    var hasNull = false
+    while (i < n && !hasNull) {
+      if (x.isNullAt(i)) hasNull = true
+      else {
+        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        ss += v * v
+      }
       i += 1
     }
-    if (ss <= 0.0) null
+    if (hasNull || ss <= 0.0) null
     else {
       val norm = math.sqrt(ss)
       val out = new Array[Double](n)
@@ -67,16 +76,20 @@ case class NormalizeExpr(child: Expression) extends UnaryExpression {
       val ss = ctx.freshName("ss")
       val nrm = ctx.freshName("nrm")
       val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      val hasNull = ctx.freshName("hasNull")
       val get = (idx: String) =>
         if (isFloat) s"(double) $a.getFloat($idx)" else s"$a.getDouble($idx)"
       s"""
          |int $n = $a.numElements();
          |double $ss = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = ${get(i)};
-         |  $ss += v * v;
+         |  if ($a.isNullAt($i)) { $hasNull = true; break; }
+         |  double $v = ${get(i)};
+         |  $ss += $v * $v;
          |}
-         |if ($ss <= 0.0) {
+         |if ($hasNull || $ss <= 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $nrm = java.lang.Math.sqrt($ss);

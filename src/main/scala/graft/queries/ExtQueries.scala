@@ -448,6 +448,16 @@ object ExtQueries {
     * verify must reproduce the exact all-pairs result at the 0.5
     * threshold (P[candidate | j=0.5] ≈ 0.9999 per pair; deterministic
     * hashing makes the outcome stable, and the driver now checks it).
+    *
+    * PINNED DEPENDENCY: this equality holds for the CURRENT shingling
+    * (trigrams, xxhash64 seed 42 family in MinHashDedup), band shape
+    * (b=32, r=2), and driver test data. Any change to those can flip
+    * this gate red WITHOUT a real recall regression — per-pair capture
+    * at exactly j=0.5 is probabilistic in the hash choice, not certain.
+    * If this goes red after touching seeds/shingling/data: diff q24 vs
+    * q25 output (symmetric difference) first; a handful of j≈0.5 pairs
+    * missing from q25 is an LSH near-threshold miss (re-tune bands or
+    * re-pin), whereas extra/wrong pairs or large gaps mean a real bug.
     */
   val oracle: Map[String, String] =
     oracleBase + ("q25_minhash_dups" -> oracleBase("q24_ngram_jaccard_dups"))

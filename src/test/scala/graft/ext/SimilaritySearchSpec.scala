@@ -58,4 +58,26 @@ class SimilaritySearchSpec extends SparkSpec {
     // on clusterless data; demand clearly above the k/N ≈ 10% chance
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
+
+  test("ivfTopK bulk-probe path: shuffle join past broadcast threshold, same answer") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 5)
+    val broadcastPlan = SimilaritySearch.ivfTopK(emb, queries, k = 5, dim = 64,
+      nCells = 8, nProbe = 4)
+    val expected = broadcastPlan.collect().map(_.toSeq).toSet
+    // Drop the session broadcast threshold so the probe-size guard must
+    // route the very same query set through the shuffle-join path —
+    // results must be identical (the guard changes strategy, not
+    // semantics).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val bulk = SimilaritySearch.ivfTopK(emb, queries, k = 5, dim = 64,
+        nCells = 8, nProbe = 4)
+      val plan = bulk.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"expected shuffle join under tiny broadcast threshold:\n$plan")
+      assert(bulk.collect().map(_.toSeq).toSet == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

@@ -46,6 +46,29 @@ class NormalizeExprSpec extends SparkSpec {
     assert(got(3L).isEmpty)
   }
 
+  test("null element → null result, identically in codegen and interpreted eval") {
+    // HOF semantics: a null element nulls the aggregate norm, so the
+    // whole result is null. Codegen path (DataFrame over nullable
+    // array<double>):
+    val df = Seq(
+      (1L, Array[java.lang.Double](3.0, null, 4.0)),
+      (2L, Array[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "v")
+    val got = df.select(col("id"), VectorFunctions.normalize(col("v")).as("n"),
+        hofNormalized(col("v")).as("h"))
+      .as[(Long, Option[Seq[Double]], Option[Seq[Double]])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L)._1.isEmpty && got(1L)._2.isEmpty) // native == HOF == null
+    assert(got(2L)._1.contains(Seq(0.6, 0.8)))
+    // interpreted path (GenericArrayData literal — previously NPE'd):
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit = Literal.create(new GenericArrayData(Array[Any](3.0, null, 4.0)),
+      ArrayType(DoubleType, containsNull = true))
+    assert(NormalizeExpr(lit).eval(null) == null)
+  }
+
   test("interpreted eval matches codegen path") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
