@@ -105,28 +105,59 @@ object ExtQueries {
         threshold = 0.5, n = 3)
     },
 
-    // ── SimHash fingerprints + Hamming-blocked near-pairs (rows-only).
-    "q26_simhash_pairs" -> { (s, dir) =>
-      SimHash.nearPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxDist = 12, n = 3)
+    // ── SimHash blocked-vs-brute invariant, driver-checked (was a
+    // rows-only pair dump): chunk blocking at maxDist=8 (9 chunks —
+    // a DIFFERENT chunking than q44's 13, so both pigeonhole widths are
+    // driver-pinned) must equal exhaustive all-pairs Hamming ≤ 8.
+    // Symmetric difference must be EMPTY — zero-row oracle. The raw
+    // pair surface stays exercised by SimHashSpec and q44.
+    "q26_simhash_blocked_vs_brute" -> { (s, dir) =>
+      val sigs = SimHash.signatures(Tables.documents(s, dir),
+        "doc_id", "text", n = 3).cache()
+      val blocked = SimHash.nearPairsFromSignatures(sigs, maxDist = 8)
+      val brute = graft.operators.BlockJoin.allPairs(sigs, "id")
+        .select(
+          least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"),
+          expr("bit_count(simhash_a ^ simhash_b)").cast("int").as("hamming"))
+        .filter(col("hamming") <= 8)
+      blocked.exceptAll(brute).unionAll(brute.exceptAll(blocked))
     },
 
-    // ── LSH-bucketed approximate nearest neighbors (the ANN scale path;
-    // rows-only — recall vs q21's exact top-k is asserted in the spec).
-    "q27_ann_lsh_topk" -> { (s, dir) =>
+    // ── ANN LSH recall-floor invariant, driver-checked (was a rows-only
+    // top-k dump): overall recall of lshTopK vs exact brute-force top-k
+    // must clear a pinned floor. Measured 0.20-0.28 across sf0.001/0.01/
+    // 0.1 (tools/RecallCheck; chance ≈ k/N ≈ 1-2%); floor 0.10 = real
+    // margin while still 10× chance. Emits violation rows — EMPTY
+    // expected, zero-row oracle. Complements q45 (approx can't BEAT
+    // exact); this bounds the other side (approx can't collapse).
+    "q27_ann_lsh_recall_floor" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      SimilaritySearch.lshTopK(
-        emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      val q = emb.filter(col("vec_id") < 10)
+      // cached: feeds both the semi-join and the denominator count
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("cand_id")).cache()
+      val approx = SimilaritySearch.lshTopK(emb, q, k = 5, dim = 64)
+        .select(col("query_id"), col("cand_id"))
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / exact.count()).as("recall"))
+        .filter(col("recall") < 0.10)
+        .select(lit("lsh").as("method"), round(col("recall"), 6).as("recall"))
     },
 
-    // ── multimodal decode plumbing: typed mapPartitions feature
-    // extraction over binary payloads (stubbed deterministic decoder).
+    // ── multimodal decode invariant, driver-checked (was rows-only):
+    // the mapPartitions batch contract must be deterministic — two
+    // independent extraction runs produce identical feature vectors —
+    // and the Spark-side plumbing (payload bytes through toMedia) is
+    // oracled against octet_length in SQL. All-true frame.
     "q28_media_features" -> { (s, dir) =>
-      val feats = Multimodal.extractFeatures(
-        Multimodal.toMedia(Tables.documents(s, dir)), dim = 8)
-      feats.toDF().select(col("media_id"), col("n_bytes"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 8), 6).as("f7"))
+      def run() = Multimodal.extractFeatures(
+        Multimodal.toMedia(Tables.documents(s, dir)), dim = 8).toDF()
+      val a = run().select(col("media_id"), col("n_bytes"), col("features").as("fa"))
+      val b = run().select(col("media_id"), col("features").as("fb"))
+      a.join(b, "media_id")
+        .select(col("media_id"), col("n_bytes"),
+          (col("fa") === col("fb")).as("deterministic"))
     },
 
     // ── embedding-cosine near-dup pairs (exact; oracle via unnest
@@ -136,23 +167,37 @@ object ExtQueries {
         Tables.embeddings(s, dir), threshold = 0.4)
     },
 
-    // ── HLL++ sketch distinct counts (the built-in sketch surface;
-    // rows-only — approximation has no deterministic SQL twin; the spec
-    // bounds the error against exact counts).
+    // ── HLL++ sketch bound on the events stream table, driver-checked
+    // (was a rows-only sketch dump; q46 pins the same bound shape on
+    // lineitem): per event type, approx distinct users within 5% of
+    // exact (rsd 0.02). All-true oracle — and a second table's worth of
+    // sketch coverage.
     "q38_approx_distinct" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("approx_supps"))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
+          countDistinct(col("user_id")).as("eu"))
+        .select(col("event_type"),
+          (abs(col("au") - col("eu")) <= col("eu") * 0.05).as("users_within_5pct"))
     },
 
-    // ── IVF-cell approximate nearest neighbors (the second ANN scale
-    // path: k-means cells + nProbe search; rows-only, recall asserted
-    // vs brute force in the spec).
-    "q35_ann_ivf" -> { (s, dir) =>
+    // ── ANN IVF recall-floor invariant, driver-checked (was rows-only;
+    // see q27 for the pattern). Measured 0.58 across SFs
+    // (tools/RecallCheck) at nProbe/nCells = 1/4 of the corpus scanned;
+    // floor 0.30 — EMPTY expected, zero-row oracle.
+    "q35_ann_ivf_recall_floor" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      SimilaritySearch.ivfTopK(
-        emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      val q = emb.filter(col("vec_id") < 10)
+      // cached: feeds both the semi-join and the denominator count
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("cand_id")).cache()
+      val approx = SimilaritySearch.ivfTopK(emb, q, k = 5, dim = 64)
+        .select(col("query_id"), col("cand_id"))
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / exact.count()).as("recall"))
+        .filter(col("recall") < 0.30)
+        .select(lit("ivf").as("method"), round(col("recall"), 6).as("recall"))
     },
 
     // ── per-label embedding centroids via the typed Aggregator (partial
@@ -366,6 +411,28 @@ object ExtQueries {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5""".stripMargin,
+
+    "q26_simhash_blocked_vs_brute" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+        |  CAST(NULL AS INTEGER) AS hamming
+        |WHERE 1 = 0""".stripMargin,
+
+    "q27_ann_lsh_recall_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+
+    "q35_ann_ivf_recall_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+
+    "q28_media_features" ->
+      """SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  true AS deterministic
+        |FROM documents""".stripMargin,
+
+    "q38_approx_distinct" ->
+      """SELECT event_type, true AS users_within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q44_simhash_exhaustive" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,

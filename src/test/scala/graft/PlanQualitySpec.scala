@@ -46,9 +46,12 @@ class PlanQualitySpec extends SparkSpec {
     // plan for an intentional cross product, and a tiny-broadcast BNLJ
     // streams the corpus exactly once — the right plan there, and only
     // there.
-    // q45 embeds the same brute-force baseline as the reference side of
-    // its ANN-optimality invariant, so it carries the same tiny-side BNLJ.
-    val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound")
+    // q45/q27/q35 embed the same brute-force baseline as the reference
+    // side of their ANN invariants (optimality bound, recall floors),
+    // so they carry the same tiny-side BNLJ — the approx side under
+    // test stays bucketed equi-joins.
+    val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound",
+      "q27_ann_lsh_recall_floor", "q35_ann_ivf_recall_floor")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

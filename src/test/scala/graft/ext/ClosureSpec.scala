@@ -36,16 +36,20 @@ class ClosureSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within declared rsd of exact") {
+    // raw sketch error on lineitem (q46 pins the same bound driver-side)
     val li = Tables.lineitem(spark, sf001)
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("e"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = graft.SparkEntry.queries("q38_approx_distinct")(spark, sf001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("e"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    both.foreach { case (k, e, a) =>
       assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx $a vs exact $e")
     }
+    // and the q38 invariant form (events table) is all-true
+    val q38 = graft.SparkEntry.queries("q38_approx_distinct")(spark, sf001)
+      .collect()
+    assert(q38.nonEmpty && q38.forall(_.getBoolean(1)),
+      s"q38 bound violated: ${q38.mkString(",")}")
   }
 
   test("centroid aggregator on sf0.001 equals posexplode mean") {
