@@ -26,19 +26,55 @@ object ConnectedComponents {
     * @return (vertex, component) — component = min vertex id reachable
     */
   def run(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 10): DataFrame = {
-    // materialized once: the union references `edges` twice and every
-    // round probes it — an expensive upstream plan (e.g. a similarity
-    // join) must not re-run per reference
-    val edges0 = pairs
+      maxIter: Int = 10): DataFrame =
+    hashMin(canonEdges(pairs, srcCol, dstCol), maxIter)._1
+
+  /** Auto-dispatch between [[run]] (hash-min, O(diameter) rounds — the
+    * dedup-graph fast path) and [[runTwoPhase]] (O(log² n) rounds — the
+    * billion-edge / long-chain path). Strategy: huge edge sets go
+    * straight to two-phase (hash-min's per-round full-edge shuffle is
+    * the wrong cost shape there); otherwise try hash-min for
+    * `hashMinRounds` rounds and fall over to two-phase if the label
+    * fixpoint hasn't landed — the round-progress signal IS the diameter
+    * probe, no separate estimation pass.
+    */
+  def auto(pairs: DataFrame, srcCol: String, dstCol: String,
+      hashMinRounds: Int = 5, twoPhaseEdges: Long = 50000000L): DataFrame =
+    autoWithStrategy(pairs, srcCol, dstCol, hashMinRounds, twoPhaseEdges)._2
+
+  /** [[auto]] plus which algorithm produced the answer ("hash-min" |
+    * "two-phase") — exposed for tests and plan audits.
+    */
+  private[ext] def autoWithStrategy(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      hashMinRounds: Int, twoPhaseEdges: Long): (String, DataFrame) = {
+    val edges0 = canonEdges(pairs, srcCol, dstCol)
+    if (edges0.count() > twoPhaseEdges)
+      ("two-phase", runTwoPhase(edges0, "a", "b"))
+    else {
+      val (labels, converged) = hashMin(edges0, hashMinRounds)
+      if (converged) ("hash-min", labels)
+      else ("two-phase", runTwoPhase(edges0, "a", "b"))
+    }
+  }
+
+  /** Edge frame in canonical (a, b) long columns, materialized once:
+    * unions/iterations reference it many times — an expensive upstream
+    * plan (e.g. a similarity join) must not re-run per reference.
+    */
+  private def canonEdges(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .localCheckpoint()
+
+  /** Hash-min propagation loop; returns (labels, converged). */
+  private def hashMin(edges0: DataFrame, maxIter: Int): (DataFrame, Boolean) = {
     // size the iteration width to the graph, not the session default:
     // dedup graphs are usually tiny relative to the corpus, and paying
     // 32 shuffle tasks per round for a few hundred edges makes each
     // round scheduling-bound. ~500k edges per partition, capped at the
     // session parallelism.
-    val spark = pairs.sparkSession
+    val spark = edges0.sparkSession
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (edges0.count() / 500000L).toInt + 1))
     val edges = edges0.repartition(parts)
@@ -78,7 +114,7 @@ object ConnectedComponents {
       converged = s == prevSum
       prevSum = s
     }
-    labels
+    (labels, converged)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et
@@ -158,7 +194,7 @@ object ConnectedComponents {
     */
   def dropByComponents(docs: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
-    val comp = run(pairs, srcCol, dstCol)
+    val comp = auto(pairs, srcCol, dstCol)
     val losers = comp.filter(col("vertex") =!= col("component"))
       .select(col("vertex").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")

@@ -64,6 +64,52 @@ object ScrapeJobs {
     })
   )
 
+  /** Work-queue consumer for the `is_processed` flag the reference
+    * declares on sales_properties (`pull_new_sales_list.py:77`) —
+    * downstream jobs pick unprocessed work and flip the flag exactly
+    * once. The engine side of that loop: select an `is_processed =
+    * false` batch (deterministic scatter, same as every work queue
+    * here), hand the batch to the downstream sink (append — S8), then
+    * mark the batch processed and advance its updated_date. Replay
+    * safety falls out of the flag itself: a re-run selects only
+    * still-unprocessed rows, so already-consumed work is never
+    * re-emitted or re-stamped.
+    *
+    * @param salesRoot     sales_properties table root
+    * @param processedPath append sink receiving each consumed batch
+    * @param today         yyyymmdd logical date
+    */
+  def processSales(
+      salesRoot: String,
+      processedPath: String,
+      today: Long,
+      batchSize: Int = 100): Seq[Task] = Seq(
+    Task("ensure_tables", Nil, run = ctx => {
+      new ParquetTable(ctx.spark, salesRoot).ensureExists(Schemas.salesProperties)
+      new ParquetTable(ctx.spark, processedPath)
+        .ensureExists(Schemas.salesProperties)
+    }),
+    Task("consume_and_mark", Seq("ensure_tables"), run = ctx => {
+      val spark = ctx.spark
+      val sales = new ParquetTable(spark, salesRoot)
+      val out = new ParquetTable(spark, processedPath)
+      val batch = WorkQueue.hashScatterBatch(
+        sales.read(),
+        col("is_processed").isNull || !col("is_processed"),
+        "property_id", batchSize)
+        .localCheckpoint() // pin the batch: the marking overwrite below
+                           // must not re-plan the selection over the
+                           // already-mutated table
+      out.append(batch)
+      val marked = Upsert.updateByNormalizedKey(
+        sales.read(),
+        batch.select(col("property_id"),
+          lit(true).as("is_processed"), lit(today).as("updated_date")),
+        "property_id", Seq("is_processed", "updated_date"))
+      sales.overwriteAtomic(marked)
+    })
+  )
+
   /** `rightmove_outcodes`: enrich areas missing area_id (null/0) from
     * landed typeahead JSON payloads — first OUTCODE match per outcode,
     * lenient id cast, case-insensitive keyed update.

@@ -84,5 +84,14 @@ object JobRegistry {
       schedule = Some(CronSchedule.parse("0 2 * * 0")),
       startDate = LocalDateTime.of(2025, 9, 28, 0, 0),
       tags = Set("rightmove", "outcodes")))
+    // engine extension, not a reference DAG: the downstream consumer
+    // that drains the is_processed work queue pull_new_sales_list
+    // feeds (scheduled after the 02:00 producer)
+    register(JobSpec("process_sales_list",
+      p => graft.jobs.ScrapeJobs.processSales(p("sales_root"),
+        p("processed_path"), p("today").toLong),
+      schedule = Some(CronSchedule.parse("0 3 * * *")),
+      startDate = LocalDateTime.of(2025, 9, 28, 0, 0),
+      tags = Set("rightmove", "sales", "consumer")))
   }
 }

@@ -211,11 +211,14 @@ object ExtQueries {
     },
 
     // ── transitive dedup closure: connected components over the exact
-    // near-dup pair graph (hash-min propagation; oracle = recursive CTE).
+    // near-dup pair graph (oracle = recursive CTE). Routed through the
+    // auto-dispatcher: hash-min for shallow dedup graphs, falling over
+    // to two-phase star contraction on huge edge sets or slow
+    // convergence (long chains).
     "q34_dedup_closure" -> { (s, dir) =>
       val pairs = NGramJaccard.allPairs(Tables.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.5)
-      graft.ext.ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      graft.ext.ConnectedComponents.auto(pairs, "doc_a", "doc_b")
     },
 
     // ── SimHash soundness+recall invariant, driver-checked: the

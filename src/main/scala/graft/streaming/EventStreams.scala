@@ -158,22 +158,37 @@ object EventStreams {
     * (`initial_price_paid_data.py:149-174`) does not exist here — the
     * final partial batch is just another micro-batch.
     */
+  /** @param maxFilesPerBatch bound each micro-batch to N source files —
+    *   the backfill dial that keeps a terabyte-scale staged download
+    *   from landing as one giant batch (commit granularity = retry
+    *   granularity after a crash)
+    * @param beforeCommit called with (batch, batchId) before the upsert
+    *   — the fault-injection / metrics seam; a throw here aborts the
+    *   micro-batch BEFORE any table write, which is exactly the crash
+    *   window checkpoint recovery must handle (see EventStreamsSpec's
+    *   kill-and-resume test)
+    */
   def ingestPricePaidStream(
       spark: SparkSession,
       csvDir: String,
       schema: StructType,
       table: ParquetTable,
       checkpointDir: String,
-      oxOnly: Boolean = true): StreamingQuery = {
-    val raw = spark.readStream
+      oxOnly: Boolean = true,
+      maxFilesPerBatch: Option[Int] = None,
+      beforeCommit: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val raw0 = spark.readStream
       .schema(schema)
       .option("header", "false")
+    val raw = maxFilesPerBatch
+      .fold(raw0)(n => raw0.option("maxFilesPerTrigger", n))
       .csv(csvDir)
     raw.writeStream
       .queryName("price_paid_ingest")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        beforeCommit(batch, batchId)
         val cleaned0 = Clean.pricePaid(batch)
         val cleaned = if (oxOnly) Clean.oxfordOnly(cleaned0) else cleaned0
         val aligned = cleaned.select(

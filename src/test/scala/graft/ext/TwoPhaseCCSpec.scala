@@ -53,4 +53,31 @@ class TwoPhaseCCSpec extends SparkSpec {
     assert(comp.size == 30)
     assert(comp.values.toSet == Set(1L))
   }
+
+  test("auto dispatcher: star graph stays on hash-min, long chain falls over to two-phase") {
+    // shallow dedup-shaped graph: hash-min converges within the probe
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("a", "b")
+    val (sStrat, sComp) = ConnectedComponents.autoWithStrategy(
+      star, "a", "b", hashMinRounds = 5, twoPhaseEdges = 50000000L)
+    assert(sStrat == "hash-min")
+    assert(sComp.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // 64-vertex chain: min label travels one hop per hash-min round, so
+    // 3 rounds provably cannot converge → dispatcher must pick two-phase
+    val chainEdges = (1L to 64L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val chain = chainEdges.toDF("a", "b")
+    val (cStrat, cComp) = ConnectedComponents.autoWithStrategy(
+      chain, "a", "b", hashMinRounds = 3, twoPhaseEdges = 50000000L)
+    assert(cStrat == "two-phase")
+    assert(cComp.as[(Long, Long)].collect().toMap == truth(chainEdges))
+
+    // tiny edge threshold forces the direct two-phase route (the
+    // billion-edge path) without running hash-min at all
+    val (tStrat, tComp) = ConnectedComponents.autoWithStrategy(
+      star, "a", "b", hashMinRounds = 5, twoPhaseEdges = 2L)
+    assert(tStrat == "two-phase")
+    assert(tComp.as[(Long, Long)].collect().toMap ==
+      sComp.as[(Long, Long)].collect().toMap)
+  }
 }

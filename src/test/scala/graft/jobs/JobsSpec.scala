@@ -127,4 +127,47 @@ class JobsSpec extends SparkSpec {
     assert(m("OX2") == ((None, "Broken")))            // lenient cast → null id
     assert(m("OX9") == ((Some(77L), "done")))         // untouched
   }
+
+  test("processSales: consumes unprocessed batches, flag flips exactly once under replay") {
+    val work = tmp("consume")
+    val salesRoot = s"$work/sales"
+    val outPath = s"$work/processed"
+    Seq(
+      ("P1", false, 20250101L, 20250101L),
+      ("P2", false, 20250101L, 20250101L),
+      ("P3", true, 20250101L, 20250102L)) // already processed: untouchable
+      .toDF("property_id", "is_processed", "created_date", "updated_date")
+      .write.parquet(salesRoot)
+
+    // batch of 1: drains one unprocessed row per run
+    val r1 = TaskGraph.run(
+      ScrapeJobs.processSales(salesRoot, outPath, today = 20250110L,
+        batchSize = 1), spark)
+    assert(r1.succeeded, r1.states)
+    val after1 = new ParquetTable(spark, salesRoot).read()
+      .select("property_id", "is_processed", "updated_date")
+      .collect().map(x => x.getString(0) -> ((x.getBoolean(1), x.getLong(2)))).toMap
+    assert(after1.count(_._2._1) == 2)             // one new flip
+    assert(after1("P3") == ((true, 20250102L)))    // prior work not re-stamped
+
+    // second run drains the other; third run finds nothing eligible
+    val r2 = TaskGraph.run(
+      ScrapeJobs.processSales(salesRoot, outPath, today = 20250111L,
+        batchSize = 1), spark)
+    val r3 = TaskGraph.run(
+      ScrapeJobs.processSales(salesRoot, outPath, today = 20250112L,
+        batchSize = 1), spark)
+    assert(r2.succeeded && r3.succeeded)
+    val after3 = new ParquetTable(spark, salesRoot).read()
+      .select("property_id", "is_processed", "updated_date")
+      .collect().map(x => x.getString(0) -> ((x.getBoolean(1), x.getLong(2)))).toMap
+    assert(after3.values.forall(_._1))
+    // each of P1/P2 was stamped by exactly one run and never again
+    assert(Set(after3("P1")._2, after3("P2")._2) == Set(20250110L, 20250111L))
+    assert(after3("P3") == ((true, 20250102L)))
+    // the handoff sink saw each property exactly once (no re-emission)
+    val emitted = new ParquetTable(spark, outPath).read()
+      .select("property_id").collect().map(_.getString(0)).sorted
+    assert(emitted.toSeq == Seq("P1", "P2"))
+  }
 }

@@ -158,4 +158,55 @@ class EventStreamsSpec extends SparkSpec {
     assert(table.read().select("transaction_unique_identifier")
       .as[String].collect().toSet == Set("A", "C"))
   }
+
+  test("streaming ingest survives a mid-run crash: resume from checkpoint equals single-run state (T2)") {
+    def csvRow(id: String, pc: String) =
+      s""""{$id}","100","2017-03-10 00:00","$pc","T","N","F","1","","X","","OXFORD","OXFORD","OXFORDSHIRE","A","A""""
+    def seedInput(dir: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      // 3 files → 3 micro-batches at maxFilesPerBatch=1; D duplicated
+      // across files so the post-crash retry also re-tests insert-ignore
+      Files.write(java.nio.file.Paths.get(dir, "a.csv"),
+        Seq(csvRow("A", "OX1 1AA"), csvRow("D", "OX4 4DD")).mkString("\n").getBytes)
+      Files.write(java.nio.file.Paths.get(dir, "b.csv"),
+        Seq(csvRow("B", "OX2 2BB"), csvRow("D", "OX4 4DD")).mkString("\n").getBytes)
+      Files.write(java.nio.file.Paths.get(dir, "c.csv"),
+        Seq(csvRow("C", "OX3 3CC")).mkString("\n").getBytes)
+    }
+    def ids(t: ParquetTable) = t.read()
+      .select("transaction_unique_identifier").as[String].collect().toSeq.sorted
+
+    val work = Files.createTempDirectory("crash").toString
+
+    // reference: uninterrupted single run over the same input
+    val refDir = s"$work/ref-in"; seedInput(refDir)
+    val refTable = new ParquetTable(spark, s"$work/ref-table")
+    refTable.ensureExists(Schemas.pricePaid)
+    EventStreams.ingestPricePaidStream(spark, refDir, Schemas.pricePaidCsv,
+      refTable, s"$work/ref-ckpt", maxFilesPerBatch = Some(1)).awaitTermination()
+
+    // crashing run: die at the head of the second micro-batch, after
+    // batch 0 has committed to the table and the checkpoint
+    val inDir = s"$work/in"; seedInput(inDir)
+    val table = new ParquetTable(spark, s"$work/table")
+    table.ensureExists(Schemas.pricePaid)
+    val crashing = EventStreams.ingestPricePaidStream(spark, inDir,
+      Schemas.pricePaidCsv, table, s"$work/ckpt", maxFilesPerBatch = Some(1),
+      beforeCommit = (_, batchId) =>
+        if (batchId >= 1) throw new RuntimeException("injected crash"))
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashing.awaitTermination()
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    val midIds = ids(table)
+    assert(midIds.nonEmpty && midIds.size < ids(refTable).size,
+      s"crash landed too early/late: $midIds") // partial state on disk
+
+    // resume from the same checkpoint, no injection: remaining batches
+    // replay; final state must equal the uninterrupted run exactly
+    EventStreams.ingestPricePaidStream(spark, inDir, Schemas.pricePaidCsv,
+      table, s"$work/ckpt", maxFilesPerBatch = Some(1)).awaitTermination()
+    assert(ids(table) == ids(refTable))
+    assert(ids(table) == Seq("A", "B", "C", "D")) // D exactly once
+  }
 }
