@@ -275,6 +275,27 @@ object ExtQueries {
           (abs(col("asu") - col("es")) <= col("es") * 0.05).as("supps_within_5pct"))
     },
 
+    // ── winnowing document fingerprints (MOSS): k-gram hash window
+    // minima, exploded to the inverted-index form — full hash-match
+    // oracle (md5 grams reproduce bit-identically in SQL). k=20/w=10
+    // chosen for the fixture's 30-word vocabulary (shorter grams are
+    // corpus-degenerate the same way bigram shingles were for q24).
+    "q48_winnow_fingerprints" -> { (s, dir) =>
+      graft.ext.Winnowing.fingerprints(Tables.documents(s, dir),
+        "doc_id", "text", k = 20, w = 10)
+        .select(col("id").as("doc_id"), col("fp"))
+    },
+
+    // ── shared-passage near-dup pairs via winnowing fingerprints: the
+    // position-robust dedup family (detects any shared run ≥ w+k−1 =
+    // 29 chars × minShared), complementary to set-similarity (q24/q25)
+    // and feature-distance (q26/q44). Finds all 25 planted near-dup
+    // pairs plus genuine long-quotation pairs below the Jaccard bar.
+    "q49_winnow_shared_pairs" -> { (s, dir) =>
+      graft.ext.Winnowing.sharedFingerprintPairs(Tables.documents(s, dir),
+        "doc_id", "text", k = 20, w = 10, minShared = 4)
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -419,6 +440,43 @@ object ExtQueries {
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
         |  CAST(NULL AS INTEGER) AS hamming
         |WHERE 1 = 0""".stripMargin,
+
+    // DuckDB twin of the winnowing pipeline: 1-based inclusive slicing,
+    // list comprehensions for grams and window minima — the md5 hex
+    // domain makes the minima bit-identical to Spark's.
+    "q48_winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [md5(s[i:i+19]) for i in range(1, greatest(len(s)-20+1, 1)+1)] AS hs
+        |  FROM t),
+        |wm AS (
+        |  SELECT doc_id, list_distinct(
+        |    [list_aggregate(hs[j+1:j+10], 'min')
+        |     for j in range(0, greatest(len(hs)-10, 0)+1)]) AS fps
+        |  FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM wm""".stripMargin,
+
+    "q49_winnow_shared_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [md5(s[i:i+19]) for i in range(1, greatest(len(s)-20+1, 1)+1)] AS hs
+        |  FROM t),
+        |wm AS (
+        |  SELECT doc_id, list_distinct(
+        |    [list_aggregate(hs[j+1:j+10], 'min')
+        |     for j in range(0, greatest(len(hs)-10, 0)+1)]) AS fps
+        |  FROM g),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wm)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 4""".stripMargin,
 
     "q27_ann_lsh_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
