@@ -113,6 +113,74 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Persistable dedup index: one row per doc with its hashed shingle
+    * set and banded LSH keys — the structure a 100 TB corpus keeps as a
+    * parquet/Delta table so each new batch deduplicates against the
+    * corpus WITHOUT recomputing anything over old documents. Schema:
+    * (id, hashes array<long>, bands array<struct<band int, bh long>>).
+    *
+    * Verification carries the hashed shingle domain (collision-free in
+    * practice, P ≈ |sh|²·2⁻⁶⁴ — same basis as NGramJaccard), so the
+    * index is ~8 bytes per shingle instead of the string payload.
+    */
+  def indexFrame(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 64,
+      numBands: Int = 32): DataFrame =
+    shingled(docs, idCol, textCol, n)
+      .select(col("id"), col("hashes"),
+        signatureFromHashes(col("hashes"), k).as("sig"))
+      // sig materialized above: bandKeys references it once per band
+      .select(col("id"), col("hashes"),
+        bandKeys(col("sig"), numBands, k).as("bands"))
+
+  /** Incremental near-dup detection: pairs (a, b) with exact hashed-
+    * shingle Jaccard ≥ threshold where AT LEAST ONE side is from
+    * `newDocs` — both new×corpus and new×new — against a pre-built
+    * [[indexFrame]] of the existing corpus. Old×old pairs are never
+    * re-examined: the candidate join probes only new-batch band keys,
+    * so per-batch cost is O(|batch| + collisions), not O(|corpus|).
+    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * The production loop is: pairs = incrementalNearDuplicates(batch,
+    * index); act on pairs; index = index ∪ indexFrame(batch).
+    */
+  def incrementalNearDuplicates(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3,
+      k: Int = 64,
+      numBands: Int = 32): DataFrame = {
+    // cached: each feeds band explosion AND verification; the caches
+    // are also the plan barrier the explode needs (trap: an inferred
+    // size()>0 generate filter would otherwise re-run the signature
+    // pipeline per row — see Winnowing.fingerprints)
+    val newIdx = indexFrame(newDocs, idCol, textCol, n, k, numBands).cache()
+    val all = index.unionByName(newIdx).cache()
+    def banded(df: DataFrame) = df
+      .select(col("id"), explode(col("bands")).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = banded(newIdx).as("a").join(banded(all).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+    val sets = all.select(col("id"), col("hashes"))
+    cand
+      .join(sets.select(col("id").as("doc_a"), col("hashes").as("sh_a")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("hashes").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(Shingling.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Dedup: keep one canonical doc (min id) per near-dup pair, one hop
     * (full transitive closure needs an iterative connected-components
     * pass — out of scope for a single query; one hop removes the

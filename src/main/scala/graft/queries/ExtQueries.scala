@@ -296,6 +296,20 @@ object ExtQueries {
         "doc_id", "text", k = 20, w = 10, minShared = 4)
     },
 
+    // ── incremental dedup: one batch (doc_id ≡ 0 mod 10) deduped
+    // against a pre-built LSH index of the rest of the corpus — the
+    // daily-batch-vs-100TB-corpus shape; only pairs touching the batch
+    // are examined. Oracled against the exact-Jaccard SQL restricted to
+    // batch-touching pairs (same pinned-banding capture basis as q25).
+    "q50_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+      val oldIndex = MinHashDedup.indexFrame(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      MinHashDedup.incrementalNearDuplicates(
+        newBatch, oldIndex, "doc_id", "text", threshold = 0.5)
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -588,5 +602,12 @@ object ExtQueries {
     * re-pin), whereas extra/wrong pairs or large gaps mean a real bug.
     */
   val oracle: Map[String, String] =
-    oracleBase + ("q25_minhash_dups" -> oracleBase("q24_ngram_jaccard_dups"))
+    oracleBase +
+      ("q25_minhash_dups" -> oracleBase("q24_ngram_jaccard_dups")) +
+      // q50 = the exact pair set restricted to pairs touching the
+      // simulated new batch (doc_id ≡ 0 mod 10); same capture pinning
+      // as q25 (see that Scaladoc for the triage protocol if red).
+      ("q50_incremental_dedup" ->
+        s"""SELECT * FROM (${oracleBase("q24_ngram_jaccard_dups")})
+           |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin)
 }

@@ -60,4 +60,21 @@ class DedupSpec extends SparkSpec {
       threshold = 0.4, n = 2).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L)) // 2 and 4 dropped as dups of 1
   }
+
+  test("incremental dedup == full pipeline restricted to batch-touching pairs (sf0.001)") {
+    val corpus = graft.core.Tables.documents(spark, sf0001)
+    val isNew = org.apache.spark.sql.functions.col("doc_id") % 10 === 0
+    val full = MinHashDedup.nearDuplicates(corpus, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    val inc = MinHashDedup.incrementalNearDuplicates(
+        corpus.filter(isNew),
+        MinHashDedup.indexFrame(corpus.filter(!isNew), "doc_id", "text"),
+        "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(inc == expected,
+      s"missing=${expected -- inc} extra=${inc -- expected}")
+    assert(expected.nonEmpty, "fixture should contain batch-touching near-dups")
+  }
 }
