@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset construction for training-data pipelines:
+  * hash-based sampling, split assignment, and token-budget mixtures.
+  *
+  * Everything here derives randomness from `md5(key ‖ salt)` instead of
+  * an RNG: the decision for a given row is a pure function of its key,
+  * so results are (a) reproducible across runs, cluster topologies and
+  * engines (md5 arithmetic ports to any SQL dialect — the DuckDB
+  * oracles reproduce these queries bit-for-bit), (b) stable under
+  * re-partitioning and retries (a row never flips in or out of the
+  * sample when a task is re-executed — `rand()` cannot promise that),
+  * and (c) consistent across tables: sampling two tables by the same
+  * join key keeps referential integrity, the property `TABLESAMPLE`
+  * lacks.
+  *
+  * The uniform variate is the first 15 hex digits of the md5 as a
+  * 60-bit integer over 16¹⁵ — enough resolution that per-mille
+  * fractions are exact to ~10⁻¹⁸.
+  */
+object Sampling {
+
+  private val Denom = 1152921504606846976.0 // 16^15 = 2^60, exact double
+
+  /** Deterministic uniform in [0, 1) from a key column (+ salt).
+    * Different salts give independent draws from the same key — use a
+    * distinct salt per decision (sample vs split vs mixture order) so
+    * decisions don't correlate.
+    */
+  def hashUniform(key: Column, salt: String = ""): Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("double") / lit(Denom))
+
+  /** Keep each row with probability `fraction`, deterministically by
+    * key. Scale: a pure per-row filter — pushes into the scan stage,
+    * no shuffle, no RNG state.
+    */
+  def sample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    df.filter(hashUniform(col(keyCol), salt) < fraction)
+  }
+
+  /** Per-stratum sampling fractions (the mixture knob: "3% of web, 30%
+    * of books, all of wiki"). Strata absent from the map get
+    * `defaultFraction` (0 = dropped).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(defaultFraction)) {
+      case (acc, (s, f)) => when(col(stratumCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(keyCol), salt) < frac)
+  }
+
+  /** Disjoint split assignment (train/val/test) by cumulative ranges of
+    * the hash variate: `splits` are (label, weight) with weights summing
+    * to ≤ 1; rows falling past the last range get null (dropped by a
+    * downstream filter if undesired). A row's split never changes when
+    * other rows are added — the property random shuffles lack.
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split weights must sum to <= 1")
+    val u = hashUniform(col(keyCol), salt)
+    val (expr0, _) = splits.foldLeft((lit(null).cast("string"), 0.0)) {
+      case ((acc, lo), (label, wt)) =>
+        (when(u >= lo && u < lo + wt, lit(label)).otherwise(acc), lo + wt)
+    }
+    df.withColumn("split", expr0)
+  }
+
+  /** Token-budget mixture: per stratum, keep documents in deterministic
+    * hash order until the cumulative token count reaches the stratum's
+    * budget (docs whose cumulative sum is ≤ budget survive) — "build a
+    * 1T-token mix: 600B web, 300B code, 100B books" as one declarative
+    * pass. Strata absent from `budgets` are dropped.
+    *
+    * Scale notes: the running sum is a window per stratum — one shuffle
+    * on the stratum key, and each stratum's cumsum is a single ordered
+    * task. With few huge strata (the usual mixture shape: tens of
+    * sources × TBs), first cut each stratum to ~budget with
+    * [[stratifiedSample]] at fraction ≈ budget/stratum_tokens (a
+    * shuffle-free 99% volume reduction), then run the exact budget trim
+    * on the residue.
+    */
+  def tokenBudgetMixture(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashUniform(col(keyCol), salt), col(keyCol))
+    df.withColumn("__cum", sum(tokens).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+}

@@ -310,6 +310,38 @@ object ExtQueries {
         newBatch, oldIndex, "doc_id", "text", threshold = 0.5)
     },
 
+    // ── deterministic stratified sampling: per-source keep fractions
+    // from md5-hash variates — reproducible across runs/engines (oracle
+    // recomputes the same md5 arithmetic). Binary-exact fractions so
+    // double boundaries match the SQL bit-for-bit.
+    "q51_stratified_sample" -> { (s, dir) =>
+      graft.ext.Sampling.stratifiedSample(Tables.documents(s, dir),
+          "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultFraction = 0.125, salt = "s1")
+        .select(col("doc_id"), col("source"))
+    },
+
+    // ── token-budget mixture: per-source document selection in
+    // deterministic hash order until the token budget fills — the
+    // "600B web + 300B code" mixture pass, declaratively.
+    "q52_token_budget_mixture" -> { (s, dir) =>
+      graft.ext.Sampling.tokenBudgetMixture(Tables.documents(s, dir),
+          "source", "doc_id", T.tokenCount(col("text")),
+          Map("src0" -> 800L, "src1" -> 600L, "src2" -> 400L), salt = "mix")
+        .select(col("doc_id"), col("source"),
+          T.tokenCount(col("text")).as("n_tokens"))
+    },
+
+    // ── train/val/test split assignment by hash ranges: a row's split
+    // never changes when the corpus grows (random shuffles can't
+    // promise that). Binary-exact weights.
+    "q53_split_assign" -> { (s, dir) =>
+      graft.ext.Sampling.assignSplit(Tables.documents(s, dir), "doc_id",
+          Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)), salt = "split")
+        .select(col("doc_id"), col("split"))
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -508,6 +540,46 @@ object ExtQueries {
     "q38_approx_distinct" ->
       """SELECT event_type, true AS users_within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Deterministic-sampling twins: the same md5→60-bit→[0,1) variate
+    // (CAST('0x'||hex AS BIGINT) ≡ Spark's conv(hex,16,10)), so the
+    // selected row sets match exactly, not statistically.
+    "q51_stratified_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, source FROM u
+        |WHERE u < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                      WHEN 'src2' THEN 0.25 ELSE 0.125 END""".stripMargin,
+
+    "q52_token_budget_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
+        |                         WHEN 'src2' THEN 400 ELSE NULL END""".stripMargin,
+
+    "q53_split_assign" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN u >= 0.875 THEN 'test'
+        |       WHEN u >= 0.75 THEN 'val'
+        |       WHEN u >= 0.0 THEN 'train' END AS split
+        |FROM u""".stripMargin,
 
     "q44_simhash_exhaustive" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashUniform is deterministic, in [0,1), and salt-decorrelated") {
+    val df = (1L to 2000L).toDF("id")
+    val u = df.select(Sampling.hashUniform($"id", "a").as("u"))
+      .as[Double].collect()
+    assert(u.forall(x => x >= 0.0 && x < 1.0))
+    val u2 = df.select(Sampling.hashUniform($"id", "a").as("u"))
+      .as[Double].collect()
+    assert(u.toSeq == u2.toSeq) // bit-identical across evaluations
+    // roughly uniform: each decile within a loose band
+    val deciles = u.groupBy(x => (x * 10).toInt).view.mapValues(_.length)
+    assert(deciles.values.forall(n => n > 120 && n < 280), deciles.toMap)
+    // different salt → different draw (decorrelated selections)
+    val ub = df.select(Sampling.hashUniform($"id", "b").as("u"))
+      .as[Double].collect()
+    val sameHalf = u.zip(ub).count { case (x, y) => (x < 0.5) == (y < 0.5) }
+    assert(math.abs(sameHalf - 1000) < 150, s"salts correlated: $sameHalf/2000")
+  }
+
+  test("sample decisions are stable under corpus growth (no reshuffle flips)") {
+    val small = (1L to 500L).toDF("id")
+    val big = (1L to 5000L).toDF("id")
+    val inSmall = Sampling.sample(small, "id", 0.25, "g").as[Long].collect().toSet
+    val inBig = Sampling.sample(big, "id", 0.25, "g").as[Long].collect().toSet
+    assert(inBig.filter(_ <= 500L) == inSmall) // membership is per-key, not per-run
+    val splitSmall = Sampling.assignSplit(small, "id",
+      Seq(("train", 0.75), ("val", 0.25)), "sp")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val splitBig = Sampling.assignSplit(big, "id",
+      Seq(("train", 0.75), ("val", 0.25)), "sp")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(splitSmall.forall { case (k, v) => splitBig(k) == v })
+  }
+
+  test("sampling by join key preserves referential integrity across tables") {
+    val orders = Tables.orders(spark, sf0001).select($"o_custkey".as("k")).distinct()
+    val customer = Tables.customer(spark, sf0001).select($"c_custkey".as("k"))
+    val oKeys = Sampling.sample(orders, "k", 0.3, "ri").as[Long].collect().toSet
+    val cKeys = Sampling.sample(customer, "k", 0.3, "ri").as[Long].collect().toSet
+    // every sampled order's customer is in the sampled customer set
+    assert(oKeys.subsetOf(cKeys) || oKeys.forall(cKeys.contains))
+  }
+
+  test("stratifiedSample hits per-stratum fractions; absent strata dropped at default 0") {
+    val df = Tables.documents(spark, sf001)
+    val out = Sampling.stratifiedSample(df, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.0)
+    val bySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.keySet == Set("src0")) // src1 at 0, others defaulted to 0
+    assert(bySrc("src0") == df.filter($"source" === "src0").count())
+  }
+
+  test("tokenBudgetMixture: budgets respected, deterministic, monotone in budget") {
+    val df = Tables.documents(spark, sf001)
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    def totalTokens(budget: Long) = Sampling.tokenBudgetMixture(
+        df, "source", "doc_id", toks, Map("src0" -> budget, "src1" -> budget))
+      .groupBy("source").agg(sum(toks).as("t"))
+      .as[(String, Long)].collect().toMap
+    val t500 = totalTokens(500L)
+    assert(t500.keySet == Set("src0", "src1"))
+    assert(t500.values.forall(_ <= 500L))
+    val t900 = totalTokens(900L)
+    assert(t900.values.forall(_ <= 900L))
+    assert(t900("src0") >= t500("src0") && t900("src1") >= t500("src1"))
+    // larger budget strictly extends the same prefix (no re-ordering)
+    val d500 = Sampling.tokenBudgetMixture(df, "source", "doc_id", toks,
+      Map("src0" -> 500L)).select("doc_id").as[Long].collect().toSet
+    val d900 = Sampling.tokenBudgetMixture(df, "source", "doc_id", toks,
+      Map("src0" -> 900L)).select("doc_id").as[Long].collect().toSet
+    assert(d500.subsetOf(d900))
+  }
+}
