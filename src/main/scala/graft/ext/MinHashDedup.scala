@@ -114,10 +114,19 @@ object MinHashDedup {
   }
 
   /** Persistable dedup index: one row per doc with its hashed shingle
-    * set and banded LSH keys — the structure a 100 TB corpus keeps as a
-    * parquet/Delta table so each new batch deduplicates against the
+    * set and MinHash signature — the structure a 100 TB corpus keeps as
+    * a parquet/Delta table so each new batch deduplicates against the
     * corpus WITHOUT recomputing anything over old documents. Schema:
-    * (id, hashes array<long>, bands array<struct<band int, bh long>>).
+    * (id, hashes array<long>, sig array<long>).
+    *
+    * The SIGNATURE is stored, not the band keys: banding is a cheap
+    * slice-hash over a materialized sig column at probe time, so the
+    * index can be re-banded (tighter/looser S-curve) without
+    * re-shingling — and storing sig keeps it multi-referenced in this
+    * plan, which blocks the CollapseProject inlining that would
+    * otherwise recompute the 64-min signature once per band inside a
+    * single-reference lambda (measured 32× recompute, the
+    * candidatesFrom trap in a new disguise).
     *
     * Verification carries the hashed shingle domain (collision-free in
     * practice, P ≈ |sh|²·2⁻⁶⁴ — same basis as NGramJaccard), so the
@@ -128,14 +137,10 @@ object MinHashDedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      k: Int = 64,
-      numBands: Int = 32): DataFrame =
+      k: Int = 64): DataFrame =
     shingled(docs, idCol, textCol, n)
       .select(col("id"), col("hashes"),
         signatureFromHashes(col("hashes"), k).as("sig"))
-      // sig materialized above: bandKeys references it once per band
-      .select(col("id"), col("hashes"),
-        bandKeys(col("sig"), numBands, k).as("bands"))
 
   /** Incremental near-dup detection: pairs (a, b) with exact hashed-
     * shingle Jaccard ≥ threshold where AT LEAST ONE side is from
@@ -161,10 +166,11 @@ object MinHashDedup {
     // are also the plan barrier the explode needs (trap: an inferred
     // size()>0 generate filter would otherwise re-run the signature
     // pipeline per row — see Winnowing.fingerprints)
-    val newIdx = indexFrame(newDocs, idCol, textCol, n, k, numBands).cache()
+    val newIdx = indexFrame(newDocs, idCol, textCol, n, k).cache()
     val all = index.unionByName(newIdx).cache()
+    // band keys computed at probe time over the cached sig attribute
     def banded(df: DataFrame) = df
-      .select(col("id"), explode(col("bands")).as("b"))
+      .select(col("id"), explode(bandKeys(col("sig"), numBands, k)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val cand = banded(newIdx).as("a").join(banded(all).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
