@@ -67,6 +67,14 @@ object Schemas {
     * surrogate key is dropped — the natural key `property_id` suffices
     * (SURVEY §1.2).
     */
+  /** MinHash dedup index table (`ext.MinHashDedup.indexFrame` output):
+    * hashed shingle set + signature per document.
+    */
+  val minhashIndex: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("hashes", ArrayType(LongType, containsNull = false)),
+    StructField("sig", ArrayType(LongType, containsNull = false))))
+
   val salesProperties: StructType = StructType(Seq(
     StructField("property_id", StringType, nullable = false),
     StructField("is_processed", BooleanType),

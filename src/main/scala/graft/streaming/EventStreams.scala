@@ -200,4 +200,69 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Streaming near-duplicate-filtered document ingest — the
+    * training-data production loop: documents arrive as files; each
+    * micro-batch is deduplicated against the PERSISTENT MinHash index
+    * (batch×corpus and batch×batch, via
+    * [[graft.ext.MinHashDedup.incrementalNearDuplicates]]) and only
+    * novel documents land in the corpus table, with their signatures
+    * appended to the index. Old×old pairs are never re-examined, so
+    * per-batch cost stays O(batch + collisions) no matter how large the
+    * corpus grows.
+    *
+    * Idempotent replay (T2): both corpus and index writes go through
+    * insert-ignore on the doc id + atomic overwrite, so a micro-batch
+    * re-delivered after a crash re-lands the same rows as no-ops —
+    * checkpoint + idempotent sink = exactly-once corpus state.
+    *
+    * Dedup rule: within the union of corpus and batch, the SMALLEST doc
+    * id of each near-dup pair survives (pairs emit doc_a < doc_b, so
+    * doc_b is always the loser) — corpus docs, having arrived earlier
+    * with smaller ids in the usual monotonic-id setup, win over
+    * re-crawls by construction.
+    *
+    * @param srcDir   arrival dir of parquet files with (idCol, textCol)
+    * @param corpus   table of surviving documents (full input schema)
+    * @param index    MinHash index table: (id, hashes, sig)
+    */
+  def nearDupFilteredIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      corpus: ParquetTable,
+      index: ParquetTable,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.5,
+      n: Int = 3,
+      maxFilesPerBatch: Option[Int] = None): StreamingQuery = {
+    val raw0 = spark.readStream.schema(schema)
+    val raw = maxFilesPerBatch
+      .fold(raw0)(nf => raw0.option("maxFilesPerTrigger", nf))
+      .parquet(srcDir)
+    raw.writeStream
+      .queryName("neardup_filtered_ingest")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = index.read()
+        val pairs = graft.ext.MinHashDedup.incrementalNearDuplicates(
+          batch, idx, idCol, textCol, threshold, n)
+        val losers = pairs.select(col("doc_b").as(idCol)).distinct()
+        val kept = batch.join(losers, Seq(idCol), "left_anti")
+          // batch docs already in the corpus (exact re-delivery) are
+          // dropped by insert-ignore below; near-dups by the pair join
+        val mergedCorpus = Upsert.insertIgnore(
+          corpus.read(), kept, Seq(idCol))
+        corpus.overwriteAtomic(mergedCorpus)
+        val mergedIndex = Upsert.insertIgnore(
+          idx, graft.ext.MinHashDedup.indexFrame(kept, idCol, textCol, n),
+          Seq("id"))
+        index.overwriteAtomic(mergedIndex)
+        ()
+      }
+      .start()
+  }
 }

@@ -209,4 +209,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids(table) == ids(refTable))
     assert(ids(table) == Seq("A", "B", "C", "D")) // D exactly once
   }
+
+  test("nearDupFilteredIngest: cross-batch near-dups dropped via persistent index, replay-safe") {
+    val work = Files.createTempDirectory("nddingest").toString
+    val srcDir = s"$work/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val corpus = new ParquetTable(spark, s"$work/corpus")
+    val index = new ParquetTable(spark, s"$work/index")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    corpus.ensureExists(docSchema)
+    index.ensureExists(Schemas.minhashIndex)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$srcDir/$name")
+    def run(): Unit = EventStreams.nearDupFilteredIngest(spark, s"$srcDir/*",
+      docSchema, corpus, index, s"$work/ckpt").awaitTermination()
+    def corpusIds = corpus.read().select("doc_id").as[Long].collect().toSeq.sorted
+
+    // batch 1: 1 and 2 are near-dups of each other; 3 unrelated
+    land("f1", Seq(
+      1L -> base,
+      2L -> base.replace("kilo", "zulu"), // 1-word change: jaccard >> 0.5
+      3L -> "one two three four five six seven eight nine ten eleven twelve"))
+    run()
+    assert(corpusIds == Seq(1L, 3L), s"got $corpusIds") // 2 lost to 1
+    assert(index.read().count() == 2)
+
+    // batch 2: 4 near-dups corpus doc 1 (cross-batch!); 5 is novel
+    land("f2", Seq(
+      4L -> base.replace("alpha", "yankee"),
+      5L -> "red orange yellow green blue indigo violet black white gray pink brown"))
+    run()
+    assert(corpusIds == Seq(1L, 3L, 5L), s"got $corpusIds") // 4 caught by the INDEX
+    assert(index.read().count() == 3)
+
+    // re-delivery of batch-1 content under new file name: insert-ignore
+    // + pair-filter make it a no-op (replay safety at the content level)
+    land("f3", Seq(1L -> base, 3L -> "one two three four five six seven eight nine ten eleven twelve"))
+    run()
+    assert(corpusIds == Seq(1L, 3L, 5L))
+    assert(index.read().count() == 3)
+  }
 }
