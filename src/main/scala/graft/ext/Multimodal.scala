@@ -85,6 +85,37 @@ object Multimodal {
       }
     }
 
+  /** Resize: map each payload to a fixed target byte length — the
+    * stand-in for image resize / audio resample. The STUB "kernel" is
+    * stride sampling (pick every len/target-th byte) with zero-padding
+    * for short payloads; a real implementation replaces the kernel with
+    * bilinear/Lanczos over decoded pixels, and everything around it —
+    * per-partition batching (resize libraries also amortize init),
+    * typed output schema, empty-payload handling — stays identical.
+    * Output schema: (media_id, payload binary[targetBytes], format,
+    * source) — same shape as the input, composable with
+    * [[extractFeatures]] / [[frameSample]].
+    */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    require(targetBytes > 0)
+    media.mapPartitions { rows =>
+      // real impl: val kernel = ResizeKernel.init(targetBytes) — per partition
+      rows.map { r =>
+        val src = r.payload
+        val out = new Array[Byte](targetBytes)
+        if (src.nonEmpty) {
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = src(math.min(src.length - 1,
+              (i.toLong * src.length / targetBytes).toInt))
+            i += 1
+          }
+        }
+        r.copy(payload = out)
+      }
+    }
+  }
+
   /** Frame sampling: slice the payload into n equal "frames" (stands in
     * for video frame extraction; slicing math is the real contract).
     */

@@ -1,0 +1,89 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{ConnectedComponents, MinHashDedup, Sampling}
+import graft.functions.{TextFunctions => T}
+import graft.orchestration.TaskGraph.Task
+import graft.sources.ParquetTable
+
+/** The end-to-end training-corpus construction pipeline — the job a
+  * user of this library actually runs over raw crawled documents:
+  *
+  *   raw → language/quality/token filters → exact dedup →
+  *   transitive near-dup dedup → per-source token-budget mixture →
+  *   train/val/test split
+  *
+  * Every stage is one of the engine's oracle-checked operators composed
+  * under TaskGraph, each materializing its table so stages are
+  * independently inspectable, resumable and idempotent (pure
+  * re-derivations of their input tables; re-running a stage overwrites
+  * with identical content — all randomness is hash-deterministic).
+  *
+  * Scale shape: filters are scan-stage predicates; exact dedup is one
+  * hash-groupBy; near-dup is the LSH band join + CC closure; mixture is
+  * a per-stratum windowed cumsum; split is a per-row hash. Nothing
+  * driver-side, no collects beyond CC's scalar convergence probes.
+  */
+object CorpusJobs {
+
+  /** @param docsPath   raw documents parquet (doc_id, text, source, …)
+    * @param outRoot    directory for stage tables: cleaned/, deduped/,
+    *                   training_set/
+    * @param lang       keep documents whose predicted language matches
+    * @param minQuality quality-score floor in [0,1]
+    * @param minTokens  drop docs shorter than this many tokens
+    * @param budgets    per-source token budgets for the mixture; sources
+    *                   absent from the map are dropped
+    * @param splits     (label, weight) split ranges, weights ≤ 1
+    */
+  def buildTrainingSet(
+      docsPath: String,
+      outRoot: String,
+      lang: String = "en",
+      minQuality: Double = 0.25,
+      minTokens: Int = 10,
+      nearDupThreshold: Double = 0.5,
+      budgets: Map[String, Long],
+      splits: Seq[(String, Double)] = Seq(
+        ("train", 0.875), ("val", 0.0625), ("test", 0.0625)),
+      salt: String = "corpus-v1"): Seq[Task] = Seq(
+
+    Task("clean_filter", Nil, run = ctx => {
+      val docs = ctx.spark.read.parquet(docsPath)
+      val cleaned = docs.filter(
+        T.langId(col("text")) === lang &&
+          T.qualityScore(col("text")) >= minQuality &&
+          T.tokenCount(col("text")) >= minTokens)
+      new ParquetTable(ctx.spark, s"$outRoot/cleaned").overwriteAtomic(cleaned)
+    }),
+
+    Task("dedup", Seq("clean_filter"), run = ctx => {
+      val cleaned = new ParquetTable(ctx.spark, s"$outRoot/cleaned").read()
+      // exact first (cheap hash-groupBy shrinks the near-dup input and
+      // keeps LSH buckets free of megadup clusters), then transitive
+      // near-dup closure so chains collapse to one canonical doc
+      val exact = cleaned
+        .withColumn("__fp", T.fingerprintMd5(col("text")))
+        .withColumn("__keep",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .filter(col("__keep") === 1).drop("__fp", "__keep")
+      val pairs = MinHashDedup.nearDuplicates(
+        exact, "doc_id", "text", nearDupThreshold)
+      val deduped = ConnectedComponents.dropByComponents(
+        exact, "doc_id", pairs)
+      new ParquetTable(ctx.spark, s"$outRoot/deduped").overwriteAtomic(deduped)
+    }),
+
+    Task("mixture_and_split", Seq("dedup"), run = ctx => {
+      val deduped = new ParquetTable(ctx.spark, s"$outRoot/deduped").read()
+      val mixed = Sampling.tokenBudgetMixture(deduped, "source", "doc_id",
+        T.tokenCount(col("text")), budgets, salt = salt + "-mix")
+      val split = Sampling.assignSplit(mixed, "doc_id", splits,
+        salt = salt + "-split")
+      new ParquetTable(ctx.spark, s"$outRoot/training_set")
+        .overwriteAtomic(split)
+    })
+  )
+}

@@ -93,5 +93,15 @@ object JobRegistry {
       schedule = Some(CronSchedule.parse("0 3 * * *")),
       startDate = LocalDateTime.of(2025, 9, 28, 0, 0),
       tags = Set("rightmove", "sales", "consumer")))
+    // engine extension: the end-to-end training-corpus pipeline
+    // (budgets param shape: "src0:400,src1:300")
+    register(JobSpec("build_training_set",
+      p => graft.jobs.CorpusJobs.buildTrainingSet(
+        p("docs_path"), p("out_root"),
+        budgets = p("budgets").split(",").map { kv =>
+          val Array(s, b) = kv.split(":"); s -> b.toLong
+        }.toMap),
+      schedule = None, // run on demand / per crawl snapshot
+      tags = Set("corpus", "training")))
   }
 }

@@ -34,4 +34,28 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media, dim = 4).collect().head
     assert(f.n_bytes == 0 && f.features.length == 4)
   }
+
+  test("resize: fixed target length, endpoints preserved, composes with features") {
+    val media = Multimodal.toMedia(Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz", "src"), // shrink 26 → 8
+      (2L, "xy", "src"),                          // grow 2 → 8
+      (3L, "", "src")                             // empty → zero-pad
+    ).toDF("doc_id", "text", "source"))
+    val out = Multimodal.resize(media, targetBytes = 8).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    assert(out.values.forall(_.length == 8))
+    assert(out(1L)(0) == 'a'.toByte)              // first byte kept
+    assert(out(1L)(7) == "abcdefghijklmnopqrstuvwxyz"(26 * 7 / 8).toByte)
+    assert(out(2L).toSeq == "xxxxyyyy".getBytes.toSeq) // stride repeat
+    assert(out(3L).forall(_ == 0))                // zero-padded
+    // deterministic + composes: features of resized media are stable
+    val f1 = Multimodal.extractFeatures(
+      Multimodal.resize(media, 8), dim = 4).collect()
+      .map(r => r.media_id -> r.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(
+      Multimodal.resize(media, 8), dim = 4).collect()
+      .map(r => r.media_id -> r.features.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == 4))
+  }
 }

@@ -1,0 +1,57 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+import graft.orchestration.TaskGraph
+import graft.sources.ParquetTable
+
+class CorpusJobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("buildTrainingSet: filters, dedups, budgets and splits hold; fully deterministic") {
+    val work = Files.createTempDirectory("corpus").toString
+    val budgets = Map("src0" -> 400L, "src1" -> 300L, "src2" -> 250L)
+
+    def runAll(out: String): Unit = {
+      val r = TaskGraph.run(CorpusJobs.buildTrainingSet(
+        s"$sf001/documents.parquet", out, budgets = budgets), spark)
+      assert(r.succeeded, r.states)
+    }
+    runAll(s"$work/a")
+    val ts = new ParquetTable(spark, s"$work/a/training_set").read().cache()
+
+    // filters: language, quality, token floor
+    val checks = ts.select(
+      (T.langId($"text") === "en").as("lang_ok"),
+      (T.qualityScore($"text") >= 0.25).as("q_ok"),
+      (T.tokenCount($"text") >= 10).as("t_ok"))
+      .agg(min("lang_ok"), min("q_ok"), min("t_ok")).collect().head
+    assert(checks.getBoolean(0) && checks.getBoolean(1) && checks.getBoolean(2))
+
+    // dedup: no duplicate fingerprints survive
+    val fpDupes = ts.groupBy(T.fingerprintMd5($"text")).count()
+      .filter($"count" > 1).count()
+    assert(fpDupes == 0)
+
+    // mixture: only budgeted sources, budgets respected
+    val bySrc = ts.groupBy("source").agg(sum(T.tokenCount($"text")).as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.keySet.subsetOf(budgets.keySet))
+    bySrc.foreach { case (s, t) => assert(t <= budgets(s), s"$s over budget: $t") }
+
+    // split: every row labeled, labels from the declared set
+    val splits = ts.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(ts.filter($"split".isNull).count() == 0)
+    assert(ts.count() > 0)
+
+    // determinism: a second full run produces the identical table
+    runAll(s"$work/b")
+    val ts2 = new ParquetTable(spark, s"$work/b/training_set").read()
+    assert(ts.exceptAll(ts2).count() == 0 && ts2.exceptAll(ts).count() == 0)
+  }
+}
