@@ -155,6 +155,34 @@ object SimilaritySearch {
         round(VectorFunctions.dotDouble(col("nv_a"), col("nv_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
 
+  /** Incremental exact cosine near-dup: pairs at cosine ≥ threshold
+    * where at least one side is from `newVecs` — batch×corpus via the
+    * rectangular fragment-replicate block join plus batch×batch via the
+    * triangle join; corpus×corpus pairs are never enumerated, so the
+    * per-batch cost is |batch|·|corpus|/parallelism, not |corpus|².
+    * The embedding sibling of [[MinHashDedup.incrementalNearDuplicates]].
+    */
+  def incrementalCosineNearDuplicates(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      blocks: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // cached: feeds the cross join AND the batch-internal triangle join
+    val nn = normalized(newVecs, "id", "nv", idCol, vecCol).cache()
+    val nc = Partitioning.forCompute(
+      normalized(corpus, "id", "nv", idCol, vecCol))
+    val cross = graft.operators.BlockJoin.crossPairs(nn, nc, "id", blocks)
+    val within = graft.operators.BlockJoin.allPairs(nn, "id", blocks)
+    cross.unionByName(within)
+      .select(
+        least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"),
+        round(VectorFunctions.dotDouble(col("nv_a"), col("nv_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN
     * scale path: partition the corpus into cells around centroids
     * (mini k-means, deterministic hash-seeded init), search only the

@@ -109,4 +109,37 @@ object TextFunctions {
     * internal — not oracle-able, DuckDB lacks xxhash64).
     */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  // ── PII scrubbing (training-data hygiene) ──────────────────────────
+  // Patterns are deliberately restricted to the regex subset that
+  // behaves identically in Java regex (Spark) and RE2 (DuckDB): char
+  // classes, bounded repetition, alternation — no lookaround, no
+  // backreferences — so redaction is SQL-oracle-able bit-for-bit.
+
+  private val urlRe = "https?://[^\\s]+"
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9()\\. -]{7,}[0-9]"
+
+  /** Replace URLs, emails and phone-like digit runs with typed tokens.
+    * URL first (emails embed in URLs), then email, then phone. A pure
+    * per-row projection — scan-stage at any scale, idempotent
+    * (the tokens match none of the patterns).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** How many PII spans [[redactPii]] would replace — the audit metric
+    * per document.
+    */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(urlRe), lit(0))) +
+      size(regexp_extract_all(regexp_replace(text, urlRe, "<URL>"),
+        lit(emailRe), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(text, urlRe, "<URL>"), emailRe, "<EMAIL>"),
+        lit(phoneRe), lit(0)))
 }

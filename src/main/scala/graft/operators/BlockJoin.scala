@@ -44,4 +44,30 @@ object BlockJoin {
             col(s"${idCol}_a") < col(s"${idCol}_b")))
       .drop("__ba", "__bj", "__bb", "__bi")
   }
+
+  /** Every (left, right) pair across two frames (distinct ids) — the
+    * rectangular sibling of [[allPairs]] for incremental shapes: each
+    * left row replicates to all `blocks` keys, each right row carries
+    * its one hashed block key, and the join is a plain shuffle
+    * equi-join. Fragment-replicate without a broadcast: per-task memory
+    * ≈ |left| + |right|/blocks, so a small new batch against an
+    * arbitrarily large corpus needs no driver-side materialization and
+    * no BNLJ. Columns emit as c_a (left) / c_b (right).
+    */
+  def crossPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      blocks: Int = 8): DataFrame = {
+    require(blocks > 0)
+    val l = left.select(
+      left.columns.map(c => col(c).as(s"${c}_a")).toSeq :+
+        explode(sequence(lit(0), lit(blocks - 1))).as("__bj"): _*)
+    val r = right.select(
+      right.columns.map(c => col(c).as(s"${c}_b")).toSeq :+
+        pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("__bb"): _*)
+    l.join(r, col("__bj") === col("__bb") &&
+        col(s"${idCol}_a") =!= col(s"${idCol}_b"))
+      .drop("__bj", "__bb")
+  }
 }

@@ -342,6 +342,29 @@ object ExtQueries {
         .select(col("doc_id"), col("split"))
     },
 
+    // ── incremental embedding near-dup: new batch (vec_id ≡ 0 mod 10)
+    // against the corpus via the rectangular fragment-replicate block
+    // join + batch-internal triangle join — corpus×corpus never
+    // enumerated. Oracled as q40's exact SQL restricted to
+    // batch-touching pairs.
+    "q54_incremental_embedding_neardup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilaritySearch.incrementalCosineNearDuplicates(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        threshold = 0.4)
+    },
+
+    // ── PII scrubbing: URL/email/phone redaction + per-doc audit count
+    // (regex subset chosen to behave identically in Java regex and
+    // RE2, so the oracle matches the redacted TEXT bit-for-bit).
+    "q55_redact_pii" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        T.redactPii(col("text")).as("redacted"),
+        T.piiCount(col("text")).as("n_pii"))
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -581,6 +604,22 @@ object ExtQueries {
         |       WHEN u >= 0.0 THEN 'train' END AS split
         |FROM u""".stripMargin,
 
+    "q55_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\. -]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+'))
+        |  + len(regexp_extract_all(regexp_replace(text,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9()\. -]{7,}[0-9]')) AS n_pii
+        |FROM documents""".stripMargin,
+
     "q44_simhash_exhaustive" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
         |  CAST(NULL AS INTEGER) AS hamming
@@ -681,5 +720,11 @@ object ExtQueries {
       // as q25 (see that Scaladoc for the triage protocol if red).
       ("q50_incremental_dedup" ->
         s"""SELECT * FROM (${oracleBase("q24_ngram_jaccard_dups")})
-           |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin)
+           |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin) +
+      // q54 = q40's exact pair set restricted the same way (incremental
+      // embedding dedup is exact, so this is a value oracle, not a
+      // capture-pinned one).
+      ("q54_incremental_embedding_neardup" ->
+        s"""SELECT * FROM (${oracleBase("q40_embedding_neardup")})
+           |WHERE vec_a % 10 = 0 OR vec_b % 10 = 0""".stripMargin)
 }

@@ -118,4 +118,20 @@ class PropertiesSpec extends AnyFunSuite {
         assert(pairs.toSet == expect, s"n=$n blocks=$blocks: wrong pair set")
     }
   }
+
+  test("BlockJoin.crossPairs covers every left×right pair exactly once, any block count") {
+    forAll(Gen.zip(Gen.choose(1, 15), Gen.choose(1, 25), Gen.choose(1, 12)), n = 6) {
+      case (nl, nr, blocks) =>
+        val left = (1 to nl).map(_.toLong)
+        // overlap the id spaces so the distinct-id exclusion is exercised
+        val right = (nl / 2 + 1 to nl / 2 + nr).map(_.toLong)
+        val pairs = graft.operators.BlockJoin
+          .crossPairs(left.toDF("id"), right.toDF("id"), "id", blocks)
+          .select(col("id_a"), col("id_b"))
+          .as[(Long, Long)].collect().toSeq
+        val expect = (for { a <- left; b <- right if a != b } yield (a, b)).toSet
+        assert(pairs.size == expect.size, s"nl=$nl nr=$nr blocks=$blocks: dup/miss")
+        assert(pairs.toSet == expect, s"nl=$nl nr=$nr blocks=$blocks: wrong set")
+    }
+  }
 }

@@ -59,6 +59,18 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("incremental cosine near-dup == full pipeline restricted to batch-touching pairs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val isNew = $"vec_id" % 10 === 0
+    val full = SimilaritySearch.cosineNearDuplicates(emb, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    val inc = SimilaritySearch.incrementalCosineNearDuplicates(
+        emb.filter(isNew), emb.filter(!isNew), threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(inc == expected, s"missing=${expected -- inc} extra=${inc -- expected}")
+  }
+
   test("ivfTopK bulk-probe path: shuffle join past broadcast threshold, same answer") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter($"vec_id" < 5)

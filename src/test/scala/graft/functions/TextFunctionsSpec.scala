@@ -43,4 +43,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(prose > soup)
     assert(prose >= 0.0 && prose <= 1.0 && soup >= 0.0 && soup <= 1.0)
   }
+
+  test("redactPii: urls, emails, phones replaced; idempotent; count matches") {
+    def red(s: String): (String, Int) = {
+      val r = Seq(s).toDF("t").select(
+        TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiCount(col("t")).as("n"))
+        .collect().head
+      (r.getString(0), r.getInt(1))
+    }
+    assert(red("mail me at jo.doe+x@ex-ample.co.uk today") ==
+      (("mail me at <EMAIL> today", 1)))
+    assert(red("see https://ex.com/a?b=c#d and http://y.io") ==
+      (("see <URL> and <URL>", 2)))
+    assert(red("call +44 (0)20 7946 0958 now") == (("call <PHONE> now", 1)))
+    assert(red("a@b.com via https://a.b/c?mail=x@y.org tel 0123-456-7890") ==
+      (("<EMAIL> via <URL> tel <PHONE>", 3)))
+    assert(red("no pii here at all") == (("no pii here at all", 0)))
+    // idempotent: tokens match none of the patterns
+    val once = red("x@y.com and https://q.r and 01234567890")._1
+    assert(red(once)._1 == once)
+  }
 }
