@@ -93,8 +93,16 @@ object Bench {
       try {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
-        "\"(q[^\"]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // scope the per-query regex to the "queries" object ONLY — this
+        // round's own output also contains a "regressions_vs_prior" map
+        // of qNN→ratio entries, and an unscoped match would let those
+        // ratios override the real times (toMap last-wins), turning the
+        // gate into garbage on the first self-written baseline
+        "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1)).map { qtxt =>
+            "\"(q[^\"]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(qtxt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
       } catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
     val regressions = results.flatMap { case (name, sec) =>

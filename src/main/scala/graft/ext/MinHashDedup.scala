@@ -161,13 +161,35 @@ object MinHashDedup {
       threshold: Double,
       n: Int = 3,
       k: Int = 64,
-      numBands: Int = 32): DataFrame = {
+      numBands: Int = 32): DataFrame =
+    incrementalNearDuplicatesManaged(
+      newDocs, index, idCol, textCol, threshold, n, k, numBands)._1
+
+  /** [[incrementalNearDuplicates]] plus a release handle that
+    * unpersists the internal caches — long-running callers (the
+    * streaming ingest loop runs this once per micro-batch) MUST call it
+    * after consuming the pairs, or dead cached index unions accumulate
+    * in storage memory across batches.
+    */
+  def incrementalNearDuplicatesManaged(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3,
+      k: Int = 64,
+      numBands: Int = 32): (DataFrame, () => Unit) = {
     // cached: each feeds band explosion AND verification; the caches
     // are also the plan barrier the explode needs (trap: an inferred
     // size()>0 generate filter would otherwise re-run the signature
     // pipeline per row — see Winnowing.fingerprints)
     val newIdx = indexFrame(newDocs, idCol, textCol, n, k).cache()
-    val all = index.unionByName(newIdx).cache()
+    // one row per id even when a doc is both indexed and re-delivered
+    // in the batch (the replay case): duplicate id rows would fan out
+    // both the band join and the verification joins, emitting the same
+    // pair 2-4×
+    val all = index.unionByName(newIdx).dropDuplicates("id").cache()
     // band keys computed at probe time over the cached sig attribute
     def banded(df: DataFrame) = df
       .select(col("id"), explode(bandKeys(col("sig"), numBands, k)).as("b"))
@@ -179,12 +201,13 @@ object MinHashDedup {
         greatest(col("a.id"), col("b.id")).as("doc_b"))
       .distinct()
     val sets = all.select(col("id"), col("hashes"))
-    cand
+    val pairs = cand
       .join(sets.select(col("id").as("doc_a"), col("hashes").as("sh_a")), "doc_a")
       .join(sets.select(col("id").as("doc_b"), col("hashes").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(Shingling.jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (pairs, () => { newIdx.unpersist(); all.unpersist(); () })
   }
 
   /** Dedup: keep one canonical doc (min id) per near-dup pair, one hop

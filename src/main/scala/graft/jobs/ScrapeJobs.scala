@@ -69,11 +69,14 @@ object ScrapeJobs {
     * downstream jobs pick unprocessed work and flip the flag exactly
     * once. The engine side of that loop: select an `is_processed =
     * false` batch (deterministic scatter, same as every work queue
-    * here), hand the batch to the downstream sink (append — S8), then
-    * mark the batch processed and advance its updated_date. Replay
-    * safety falls out of the flag itself: a re-run selects only
-    * still-unprocessed rows, so already-consumed work is never
-    * re-emitted or re-stamped.
+    * here), hand the batch to the downstream sink, then mark the batch
+    * processed and advance its updated_date. Replay safety: a re-run
+    * selects only still-unprocessed rows (never re-stamped), and the
+    * handoff sink is insert-ignore on property_id rather than a blind
+    * append — so a crash between the emit and the mark re-emits the
+    * batch as a NO-OP on the retry instead of duplicating it
+    * (emit-then-mark plus idempotent sink = effectively-once; the
+    * reverse order would lose the batch on the same crash).
     *
     * @param salesRoot     sales_properties table root
     * @param processedPath append sink receiving each consumed batch
@@ -100,7 +103,8 @@ object ScrapeJobs {
         .localCheckpoint() // pin the batch: the marking overwrite below
                            // must not re-plan the selection over the
                            // already-mutated table
-      out.append(batch)
+      out.overwriteAtomic(Upsert.insertIgnore(out.read(), batch,
+        Seq("property_id")))
       val marked = Upsert.updateByNormalizedKey(
         sales.read(),
         batch.select(col("property_id"),

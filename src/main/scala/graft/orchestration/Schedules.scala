@@ -54,7 +54,16 @@ final case class CronSchedule(
       lastRun: Option[LocalDateTime],
       startDate: LocalDateTime,
       catchup: Boolean): Seq[LocalDateTime] = {
-    val after = lastRun.filter(_.isAfter(startDate)).getOrElse(startDate)
+    val after0 = lastRun.filter(_.isAfter(startDate)).getOrElse(startDate)
+    // Floor the day-by-day iteration: an unbounded start (e.g. the
+    // JobSpec default LocalDateTime.MIN) would otherwise walk the
+    // iterator from year -999999999 — an effective hang. Without
+    // catchup only the latest fire matters and every supported shape
+    // fires within 62 days; with catchup the backlog is capped at ten
+    // years (documented — a deeper backlog needs an explicit startDate).
+    val floorDays = if (catchup) 3653L else 62L
+    val floor = now.minusDays(floorDays)
+    val after = if (after0.isBefore(floor)) floor else after0
     val due = fireTimes(after, now)
     if (catchup) due else due.takeRight(1)
   }
@@ -88,6 +97,15 @@ object CronSchedule {
     // cron 0=Sunday..6=Saturday → java.time (Monday-based, 7=Sunday)
     val week = fixed(dow, "day-of-week", 0, 7)
       .map(v => DayOfWeek.of(if (v == 0 || v == 7) 7 else v))
-    CronSchedule(minute, hour, fixed(dom, "day-of-month", 1, 31), week)
+    val month = fixed(dom, "day-of-month", 1, 31)
+    // Vixie cron / Airflow give OR semantics when BOTH dom and dow are
+    // restricted; CronSchedule.matches would apply AND — a silent
+    // once-every-~7-months misfire instead of 25th-plus-Sundays. Reject
+    // the shape loudly (none of the supported DAG schedules use it).
+    require(month.isEmpty || week.isEmpty,
+      s"cron '$expr': restricting both day-of-month and day-of-week is " +
+        "unsupported (cron gives OR semantics there; this subset would " +
+        "silently apply AND)")
+    CronSchedule(minute, hour, month, week)
   }
 }

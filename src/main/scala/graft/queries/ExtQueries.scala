@@ -147,14 +147,23 @@ object ExtQueries {
 
     // ── multimodal decode invariant, driver-checked (was rows-only):
     // the mapPartitions batch contract must be deterministic — two
-    // independent extraction runs produce identical feature vectors —
-    // and the Spark-side plumbing (payload bytes through toMedia) is
-    // oracled against octet_length in SQL. All-true frame.
+    // extraction runs over DIFFERENT partitionings produce identical
+    // feature vectors — and the Spark-side plumbing (payload bytes
+    // through toMedia) is oracled against octet_length in SQL.
+    // All-true frame. The second run is deliberately repartitioned so
+    // its canonical plan differs from the first: with byte-identical
+    // plans, exchange/subplan reuse would evaluate the extraction ONCE
+    // and compare it with itself, making the invariant vacuous — the
+    // distinct partitioning both defeats reuse and strengthens the
+    // claim to partition-layout independence.
     "q28_media_features" -> { (s, dir) =>
-      def run() = Multimodal.extractFeatures(
-        Multimodal.toMedia(Tables.documents(s, dir)), dim = 8).toDF()
-      val a = run().select(col("media_id"), col("n_bytes"), col("features").as("fa"))
-      val b = run().select(col("media_id"), col("features").as("fb"))
+      def run(docs: org.apache.spark.sql.DataFrame) = Multimodal
+        .extractFeatures(Multimodal.toMedia(docs), dim = 8).toDF()
+      val docs = Tables.documents(s, dir)
+      val a = run(docs)
+        .select(col("media_id"), col("n_bytes"), col("features").as("fa"))
+      val b = run(docs.repartition(7, col("doc_id")))
+        .select(col("media_id"), col("features").as("fb"))
       a.join(b, "media_id")
         .select(col("media_id"), col("n_bytes"),
           (col("fa") === col("fb")).as("deterministic"))

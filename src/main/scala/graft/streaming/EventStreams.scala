@@ -216,11 +216,10 @@ object EventStreams {
     * re-delivered after a crash re-lands the same rows as no-ops —
     * checkpoint + idempotent sink = exactly-once corpus state.
     *
-    * Dedup rule: within the union of corpus and batch, the SMALLEST doc
-    * id of each near-dup pair survives (pairs emit doc_a < doc_b, so
-    * doc_b is always the loser) — corpus docs, having arrived earlier
-    * with smaller ids in the usual monotonic-id setup, win over
-    * re-crawls by construction.
+    * Dedup rule: a batch doc near-dupping an already-landed corpus doc
+    * ALWAYS loses, regardless of id order (the corpus is never
+    * retro-edited; ids are user-assigned and need not be monotonic);
+    * within a batch, the smallest id of a near-dup pair survives.
     *
     * @param srcDir   arrival dir of parquet files with (idCol, textCol)
     * @param corpus   table of surviving documents (full input schema)
@@ -248,9 +247,25 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val idx = index.read()
-        val pairs = graft.ext.MinHashDedup.incrementalNearDuplicates(
-          batch, idx, idCol, textCol, threshold, n)
-        val losers = pairs.select(col("doc_b").as(idCol)).distinct()
+        val (pairs, release) =
+          graft.ext.MinHashDedup.incrementalNearDuplicatesManaged(
+            batch, idx, idCol, textCol, threshold, n)
+        // corpus-partner pairs: the batch-side doc loses on EITHER side
+        // of the (doc_a < doc_b) orientation; batch-internal pairs:
+        // doc_b (the larger id) loses
+        val corpusIds = idx.select(col("id"))
+        val loseToCorpusA = pairs.join(
+            corpusIds.withColumnRenamed("id", "doc_a"), Seq("doc_a"), "left_semi")
+          .select(col("doc_b").as(idCol))
+        val loseToCorpusB = pairs.join(
+            corpusIds.withColumnRenamed("id", "doc_b"), Seq("doc_b"), "left_semi")
+          .select(col("doc_a").as(idCol))
+        val loseInBatch = pairs
+          .join(corpusIds.withColumnRenamed("id", "doc_a"), Seq("doc_a"), "left_anti")
+          .join(corpusIds.withColumnRenamed("id", "doc_b"), Seq("doc_b"), "left_anti")
+          .select(col("doc_b").as(idCol))
+        val losers = loseToCorpusA.unionByName(loseToCorpusB)
+          .unionByName(loseInBatch).distinct()
         val kept = batch.join(losers, Seq(idCol), "left_anti")
           // batch docs already in the corpus (exact re-delivery) are
           // dropped by insert-ignore below; near-dups by the pair join
@@ -261,6 +276,9 @@ object EventStreams {
           idx, graft.ext.MinHashDedup.indexFrame(kept, idCol, textCol, n),
           Seq("id"))
         index.overwriteAtomic(mergedIndex)
+        // unpersist the per-batch index caches or a long-running ingest
+        // accumulates dead cached unions in storage memory
+        release()
         ()
       }
       .start()

@@ -169,5 +169,21 @@ class JobsSpec extends SparkSpec {
     val emitted = new ParquetTable(spark, outPath).read()
       .select("property_id").collect().map(_.getString(0)).sorted
     assert(emitted.toSeq == Seq("P1", "P2"))
+
+    // crash-window replay: emit succeeded but the mark didn't (simulate
+    // by resetting the flag) — the retry re-emits into the idempotent
+    // sink as a no-op instead of duplicating
+    val sales = new ParquetTable(spark, salesRoot)
+    sales.overwriteAtomic(sales.read().withColumn("is_processed",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("property_id") === "P1",
+        false).otherwise(org.apache.spark.sql.functions.col("is_processed"))))
+    val r4 = TaskGraph.run(
+      ScrapeJobs.processSales(salesRoot, outPath, today = 20250113L,
+        batchSize = 1), spark)
+    assert(r4.succeeded)
+    val emitted2 = new ParquetTable(spark, outPath).read()
+      .select("property_id").collect().map(_.getString(0)).sorted
+    assert(emitted2.toSeq == Seq("P1", "P2"), s"duplicated: ${emitted2.toSeq}")
   }
 }

@@ -63,6 +63,21 @@ class SchedulesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CronSchedule.parse("*/5 * * * *"))
     intercept[IllegalArgumentException](CronSchedule.parse("0 2 25 1 *"))
     intercept[IllegalArgumentException](CronSchedule.parse("0 2 25 *"))
+    // both dom and dow restricted: cron gives OR semantics, this subset
+    // would silently AND — must reject, not misfire
+    intercept[IllegalArgumentException](CronSchedule.parse("0 2 25 * 0"))
+  }
+
+  test("unbounded startDate (LocalDateTime.MIN default) cannot hang dueRuns") {
+    val s = CronSchedule.parse("0 2 * * *")
+    val now = LocalDateTime.of(2026, 8, 12, 12, 0)
+    // catchup=false from the unbounded default: returns promptly with
+    // just the latest fire
+    val due = s.dueRuns(now, None, LocalDateTime.MIN, catchup = false)
+    assert(due == Seq(LocalDateTime.of(2026, 8, 12, 2, 0)))
+    // catchup=true: backlog capped (ten years of dailies), not 10^12 days
+    val backlog = s.dueRuns(now, None, LocalDateTime.MIN, catchup = true)
+    assert(backlog.size <= 3654 && backlog.last == due.head)
   }
 
   test("registered builtins carry the reference DAG metadata; manual DAG never due") {

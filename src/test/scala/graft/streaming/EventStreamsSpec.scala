@@ -254,5 +254,13 @@ class EventStreamsSpec extends SparkSpec {
     run()
     assert(corpusIds == Seq(1L, 3L, 5L))
     assert(index.read().count() == 3)
+
+    // a batch doc with a SMALLER id than its corpus near-dup partner
+    // must still lose — ids are user-assigned, not monotonic, and the
+    // landed corpus is never retro-edited
+    land("f4", Seq(0L -> base.replace("delta", "sierra")))
+    run()
+    assert(corpusIds == Seq(1L, 3L, 5L), s"smaller-id near-dup admitted: $corpusIds")
+    assert(index.read().count() == 3)
   }
 }
