@@ -374,6 +374,19 @@ object ExtQueries {
         T.piiCount(col("text")).as("n_pii"))
     },
 
+    // ── benchmark decontamination: corpus docs (doc_id ≢ 0 mod 17)
+    // sharing winnowing fingerprints with a simulated eval set
+    // (doc_id ≡ 0 mod 17) — the test-set-leakage hygiene pass; eval
+    // side broadcast, corpus never pairwise. Full SQL oracle (same
+    // md5 winnowing construction on both sides).
+    "q56_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ext.Contamination.flagged(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", k = 20, w = 10, minShared = 2)
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -536,6 +549,26 @@ object ExtQueries {
         |     for j in range(0, greatest(len(hs)-10, 0)+1)]) AS fps
         |  FROM g)
         |SELECT doc_id, unnest(fps) AS fp FROM wm""".stripMargin,
+
+    "q56_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [md5(s[i:i+19]) for i in range(1, greatest(len(s)-20+1, 1)+1)] AS hs
+        |  FROM t),
+        |wm AS (
+        |  SELECT doc_id, list_distinct(
+        |    [list_aggregate(hs[j+1:j+10], 'min')
+        |     for j in range(0, greatest(len(hs)-10, 0)+1)]) AS fps
+        |  FROM g),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wm)
+        |SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+        |FROM fp c JOIN fp e ON c.fp = e.fp
+        |WHERE c.doc_id % 17 <> 0 AND e.doc_id % 17 = 0
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin,
 
     "q49_winnow_shared_pairs" ->
       """WITH t AS (

@@ -69,6 +69,27 @@ class WinnowingSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("decontaminate drops corpus docs quoting eval passages, keeps clean ones") {
+    val evalQ = "what is the airspeed velocity of an unladen swallow in still air"
+    val evalSet = Seq(100L -> evalQ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes the eval question inside a longer page → contaminated
+      1L -> s"forum thread about coconuts and birds $evalQ someone asked yesterday",
+      // clean doc, disjoint content
+      2L -> "a completely unrelated discussion of parquet row group statistics",
+      // partially overlapping words but no long verbatim passage
+      3L -> "airspeed statistics of various swallow species differ in still weather"
+    ).toDF("doc_id", "text")
+    val flagged = Contamination.flagged(corpus, evalSet, "doc_id", "text",
+        k = 10, w = 4, minShared = 2)
+      .select("corpus_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((1L, 100L)), s"flagged=$flagged")
+    val kept = Contamination.decontaminate(corpus, evalSet, "doc_id", "text",
+        k = 10, w = 4, minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("maxDf drops corpus-boilerplate fingerprints from pairing") {
     // the same passage in ALL docs is boilerplate; with maxDf=2 it stops
     // linking documents
