@@ -69,4 +69,22 @@ class PlanQualitySpec extends SparkSpec {
       || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
       s"q40 lost its equi-join:\n$p")
   }
+
+  test("q54: incremental embedding dedup is equi-joins only (fragment-replicate, no BNLJ)") {
+    val p = plan("q54_incremental_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q54 regressed to a non-equi pair join:\n$p")
+  }
+
+  test("q56: decontamination broadcasts the eval side, scans the corpus once") {
+    val p = plan("q56_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q56 lost the eval-side broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q56 BNLJ:\n$p")
+  }
+
+  test("q55: PII redaction is a pure scan-stage projection (no shuffle at all)") {
+    val p = plan("q55_redact_pii")
+    assert(!p.contains("Exchange"), s"q55 gained a shuffle:\n$p")
+  }
 }
