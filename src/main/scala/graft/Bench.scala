@@ -89,20 +89,45 @@ object Bench {
         if (rs.isEmpty) None else Some(rs.maxBy(_.getName))
       }
       .filter(_.isFile)
+    // Baseline files come in three shapes: a raw bench line (top-level
+    // "queries"), the driver wrapper with a "parsed" copy, or the driver
+    // wrapper where parsing failed and the bench line only survives
+    // ESCAPED inside the "tail" log string (all three exist on disk —
+    // BENCH_r03.json is the third kind). Parse with Jackson so the tail
+    // is properly unescaped, and only then scope the per-query regex to
+    // the "queries" object (an unscoped match would also pick up this
+    // round's "regressions_vs_prior" ratio map, toMap last-wins).
     val baseline: Map[String, Double] = baselineFile.map { f =>
       try {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
-        // scope the per-query regex to the "queries" object ONLY — this
-        // round's own output also contains a "regressions_vs_prior" map
-        // of qNN→ratio entries, and an unscoped match would let those
-        // ratios override the real times (toMap last-wins), turning the
-        // gate into garbage on the first self-written baseline
-        "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
-          .map(_.group(1)).map { qtxt =>
-            "\"(q[^\"]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(qtxt)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }.getOrElse(Map.empty[String, Double])
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = try mapper.readTree(txt) catch { case _: Throwable => null }
+        def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] =
+          if (n == null || !n.path("queries").isObject) Map.empty
+          else {
+            val out = scala.collection.mutable.Map[String, Double]()
+            val it = n.path("queries").fields()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getValue.isNumber) out(e.getKey) = e.getValue.asDouble()
+            }
+            out.toMap
+          }
+        def fromText(hay: String): Map[String, Double] =
+          "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(hay)
+            .map(_.group(1)).map { qtxt =>
+              "\"(q[^\"]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(qtxt)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            }.getOrElse(Map.empty[String, Double])
+        val direct = fromNode(root)
+        lazy val parsed =
+          fromNode(if (root != null) root.path("parsed") else null)
+        lazy val tail =
+          fromText(if (root != null) root.path("tail").asText("") else "")
+        if (direct.nonEmpty) direct
+        else if (parsed.nonEmpty) parsed
+        else tail
       } catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
     val regressions = results.flatMap { case (name, sec) =>
@@ -119,7 +144,10 @@ object Bench {
     val regJson = regressions.map { case (k, r) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val gate = if (failed.isEmpty && total <= 100.0) "pass" else "fail"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","failed":$failedJson,"regressions_vs_prior":$regJson,"baseline_file":"${baselineFile.map(_.getName).getOrElse("")}","suite_gate":"$gate"}""")
+    // baseline_queries makes a vacuous gate VISIBLE: 0 means the
+    // baseline file existed but nothing was parsed from it, so an empty
+    // regressions map proves nothing
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","failed":$failedJson,"regressions_vs_prior":$regJson,"baseline_file":"${baselineFile.map(_.getName).getOrElse("")}","baseline_queries":${baseline.size},"suite_gate":"$gate"}""")
     spark.stop()
   }
 }

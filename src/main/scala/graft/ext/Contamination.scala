@@ -34,15 +34,35 @@ object Contamination {
       k: Int = 20,
       w: Int = 10,
       minShared: Int = 2,
-      hash: Column => Column = md5): DataFrame = {
-    val cf = Winnowing.fingerprints(corpus, idCol, textCol, k, w, hash)
-      .select(col("id").as("corpus_id"), col("fp"))
-    val ef = Winnowing.fingerprints(evalDocs, idCol, textCol, k, w, hash)
-      .select(col("id").as("eval_id"), col("fp"))
-    cf.join(broadcast(ef), "fp")
+      hash: Column => Column = md5): DataFrame =
+    flaggedManaged(corpus, evalDocs, idCol, textCol, k, w, minShared, hash)._1
+
+  /** [[flagged]] plus a release handle for the two internal fingerprint
+    * caches — a per-training-round decontamination loop must release
+    * after materializing or cached corpus-sized frames accumulate (the
+    * same lifetime contract as
+    * [[MinHashDedup.incrementalNearDuplicatesManaged]]).
+    */
+  def flaggedManaged(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      w: Int = 10,
+      minShared: Int = 2,
+      hash: Column => Column = md5): (DataFrame, () => Unit) = {
+    val (cf0, releaseC) =
+      Winnowing.fingerprintsManaged(corpus, idCol, textCol, k, w, hash)
+    val (ef0, releaseE) =
+      Winnowing.fingerprintsManaged(evalDocs, idCol, textCol, k, w, hash)
+    val cf = cf0.select(col("id").as("corpus_id"), col("fp"))
+    val ef = ef0.select(col("id").as("eval_id"), col("fp"))
+    val out = cf.join(broadcast(ef), "fp")
       .groupBy(col("corpus_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    (out, () => { releaseC(); releaseE(); () })
   }
 
   /** Corpus minus every flagged document (any eval overlap drops it). */

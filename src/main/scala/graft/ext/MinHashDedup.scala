@@ -188,8 +188,12 @@ object MinHashDedup {
     // one row per id even when a doc is both indexed and re-delivered
     // in the batch (the replay case): duplicate id rows would fan out
     // both the band join and the verification joins, emitting the same
-    // pair 2-4×
-    val all = index.unionByName(newIdx).dropDuplicates("id").cache()
+    // pair 2-4×. The INDEXED row wins deterministically (left_anti, not
+    // dropDuplicates — which keeps an arbitrary row): if a re-delivery
+    // mutated the text, dedup must be computed against the version that
+    // actually landed in the corpus.
+    val all = index.unionByName(
+      newIdx.join(index.select(col("id")), Seq("id"), "left_anti")).cache()
     // band keys computed at probe time over the cached sig attribute
     def banded(df: DataFrame) = df
       .select(col("id"), explode(bandKeys(col("sig"), numBands, k)).as("b"))

@@ -84,9 +84,24 @@ object Winnowing {
       k: Int,
       w: Int,
       hash: Column => Column = md5): DataFrame =
-    fingerprintFrame(docs, idCol, textCol, k, w, hash)
-      .cache()
-      .select(col("id"), explode(col("fps")).as("fp"))
+    fingerprintsManaged(docs, idCol, textCol, k, w, hash)._1
+
+  /** [[fingerprints]] plus a release handle for the internal cache —
+    * long-running callers (per-training-round decontamination, looped
+    * dedup) must release after consuming or cached fingerprint frames
+    * accumulate in storage memory across calls.
+    */
+  def fingerprintsManaged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      hash: Column => Column = md5): (DataFrame, () => Unit) = {
+    val frame = fingerprintFrame(docs, idCol, textCol, k, w, hash).cache()
+    (frame.select(col("id"), explode(col("fps")).as("fp")),
+      () => { frame.unpersist(); () })
+  }
 
   /** Pairs sharing ≥ minShared fingerprints — the shared-passage
     * near-dup detector. Output (doc_a, doc_b, n_shared), doc_a < doc_b.

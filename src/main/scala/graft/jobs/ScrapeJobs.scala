@@ -72,11 +72,14 @@ object ScrapeJobs {
     * here), hand the batch to the downstream sink, then mark the batch
     * processed and advance its updated_date. Replay safety: a re-run
     * selects only still-unprocessed rows (never re-stamped), and the
-    * handoff sink is insert-ignore on property_id rather than a blind
-    * append — so a crash between the emit and the mark re-emits the
-    * batch as a NO-OP on the retry instead of duplicating it
-    * (emit-then-mark plus idempotent sink = effectively-once; the
-    * reverse order would lose the batch on the same crash).
+    * handoff sink is insert-ignore on (property_id, updated_date) —
+    * the CONSUMPTION identity, not the property: a crash between emit
+    * and mark re-emits the same consumption as a no-op, while a
+    * legitimately re-scraped property (producer reset the flag with a
+    * new updated_date) is a new consumption and IS delivered again
+    * (keying on property_id alone would suppress it forever).
+    * Emit-then-mark plus idempotent sink = effectively-once; the
+    * reverse order would lose the batch on the same crash.
     *
     * @param salesRoot     sales_properties table root
     * @param processedPath append sink receiving each consumed batch
@@ -104,7 +107,7 @@ object ScrapeJobs {
                            // must not re-plan the selection over the
                            // already-mutated table
       out.overwriteAtomic(Upsert.insertIgnore(out.read(), batch,
-        Seq("property_id")))
+        Seq("property_id", "updated_date")))
       val marked = Upsert.updateByNormalizedKey(
         sales.read(),
         batch.select(col("property_id"),

@@ -58,11 +58,13 @@ final case class CronSchedule(
     // Floor the day-by-day iteration: an unbounded start (e.g. the
     // JobSpec default LocalDateTime.MIN) would otherwise walk the
     // iterator from year -999999999 — an effective hang. Without
-    // catchup only the latest fire matters and every supported shape
-    // fires within 62 days; with catchup the backlog is capped at ten
-    // years (documented — a deeper backlog needs an explicit startDate).
-    val floorDays = if (catchup) 3653L else 62L
-    val floor = now.minusDays(floorDays)
+    // catchup the floor is RESULT-PRESERVING: only the latest fire is
+    // returned and every supported shape fires within any 62-day window
+    // (worst gap: dom=31 across a 30-day month ≈ 61 days). With catchup
+    // the floor is a 200-year sanity bound — any realistic explicit
+    // startDate keeps its full backlog (bounded, fast iteration); only
+    // the absurd defaults get clamped.
+    val floor = if (catchup) now.minusYears(200) else now.minusDays(62)
     val after = if (after0.isBefore(floor)) floor else after0
     val due = fireTimes(after, now)
     if (catchup) due else due.takeRight(1)

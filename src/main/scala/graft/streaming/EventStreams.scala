@@ -247,9 +247,13 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val idx = index.read()
-        val (pairs, release) =
+        val (pairs0, release) =
           graft.ext.MinHashDedup.incrementalNearDuplicatesManaged(
             batch, idx, idCol, textCol, threshold, n)
+        // cached: the pair frame feeds three loser branches and the kept
+        // frame feeds two table writes — uncached, the LSH band join +
+        // verification would re-run up to ~6× per micro-batch
+        val pairs = pairs0.cache()
         // corpus-partner pairs: the batch-side doc loses on EITHER side
         // of the (doc_a < doc_b) orientation; batch-internal pairs:
         // doc_b (the larger id) loses
@@ -266,7 +270,7 @@ object EventStreams {
           .select(col("doc_b").as(idCol))
         val losers = loseToCorpusA.unionByName(loseToCorpusB)
           .unionByName(loseInBatch).distinct()
-        val kept = batch.join(losers, Seq(idCol), "left_anti")
+        val kept = batch.join(losers, Seq(idCol), "left_anti").cache()
           // batch docs already in the corpus (exact re-delivery) are
           // dropped by insert-ignore below; near-dups by the pair join
         val mergedCorpus = Upsert.insertIgnore(
@@ -276,8 +280,10 @@ object EventStreams {
           idx, graft.ext.MinHashDedup.indexFrame(kept, idCol, textCol, n),
           Seq("id"))
         index.overwriteAtomic(mergedIndex)
-        // unpersist the per-batch index caches or a long-running ingest
-        // accumulates dead cached unions in storage memory
+        // unpersist ALL per-batch caches or a long-running ingest
+        // accumulates dead cached frames in storage memory
+        kept.unpersist()
+        pairs.unpersist()
         release()
         ()
       }

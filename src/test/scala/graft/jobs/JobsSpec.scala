@@ -170,14 +170,16 @@ class JobsSpec extends SparkSpec {
       .select("property_id").collect().map(_.getString(0)).sorted
     assert(emitted.toSeq == Seq("P1", "P2"))
 
-    // crash-window replay: emit succeeded but the mark didn't (simulate
-    // by resetting the flag) — the retry re-emits into the idempotent
-    // sink as a no-op instead of duplicating
+    // crash-window replay: emit succeeded but the mark didn't — the
+    // sales row is exactly as before the mark (flag false, ORIGINAL
+    // updated_date). The retry re-emits the same consumption into the
+    // (property_id, updated_date)-keyed sink as a no-op.
+    import org.apache.spark.sql.functions.{col => c, when => w, lit => l}
     val sales = new ParquetTable(spark, salesRoot)
-    sales.overwriteAtomic(sales.read().withColumn("is_processed",
-      org.apache.spark.sql.functions.when(
-        org.apache.spark.sql.functions.col("property_id") === "P1",
-        false).otherwise(org.apache.spark.sql.functions.col("is_processed"))))
+    val p1IsP = c("property_id") === "P1"
+    sales.overwriteAtomic(sales.read()
+      .withColumn("is_processed", w(p1IsP, false).otherwise(c("is_processed")))
+      .withColumn("updated_date", w(p1IsP, l(20250101L)).otherwise(c("updated_date"))))
     val r4 = TaskGraph.run(
       ScrapeJobs.processSales(salesRoot, outPath, today = 20250113L,
         batchSize = 1), spark)
@@ -185,5 +187,21 @@ class JobsSpec extends SparkSpec {
     val emitted2 = new ParquetTable(spark, outPath).read()
       .select("property_id").collect().map(_.getString(0)).sorted
     assert(emitted2.toSeq == Seq("P1", "P2"), s"duplicated: ${emitted2.toSeq}")
+
+    // legitimate re-processing: the producer reset the flag WITH a new
+    // updated_date (a re-scrape) — a NEW consumption that must be
+    // delivered again, not suppressed by the idempotent sink
+    sales.overwriteAtomic(sales.read()
+      .withColumn("is_processed", w(p1IsP, false).otherwise(c("is_processed")))
+      .withColumn("updated_date", w(p1IsP, l(20250120L)).otherwise(c("updated_date"))))
+    val r5 = TaskGraph.run(
+      ScrapeJobs.processSales(salesRoot, outPath, today = 20250121L,
+        batchSize = 1), spark)
+    assert(r5.succeeded)
+    val emitted3 = new ParquetTable(spark, outPath).read()
+      .select("property_id", "updated_date")
+      .collect().map(x => (x.getString(0), x.getLong(1))).sorted
+    assert(emitted3.count(_._1 == "P1") == 2, // both consumptions delivered
+      s"re-scrape suppressed: ${emitted3.toSeq}")
   }
 }

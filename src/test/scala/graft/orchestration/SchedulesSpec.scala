@@ -75,9 +75,15 @@ class SchedulesSpec extends AnyFunSuite {
     // just the latest fire
     val due = s.dueRuns(now, None, LocalDateTime.MIN, catchup = false)
     assert(due == Seq(LocalDateTime.of(2026, 8, 12, 2, 0)))
-    // catchup=true: backlog capped (ten years of dailies), not 10^12 days
+    // catchup=true: backlog capped at the 200-year sanity floor, not
+    // 10^12 days — and a realistic explicit startDate keeps its FULL
+    // backlog (no silent truncation for valid inputs)
     val backlog = s.dueRuns(now, None, LocalDateTime.MIN, catchup = true)
-    assert(backlog.size <= 3654 && backlog.last == due.head)
+    assert(backlog.size <= 73100 && backlog.last == due.head)
+    val explicit = s.dueRuns(now, None,
+      LocalDateTime.of(2014, 1, 1, 0, 0), catchup = true)
+    assert(explicit.head == LocalDateTime.of(2014, 1, 1, 2, 0),
+      s"explicit old startDate truncated: ${explicit.head}")
   }
 
   test("registered builtins carry the reference DAG metadata; manual DAG never due") {
