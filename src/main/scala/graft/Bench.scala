@@ -127,7 +127,10 @@ object Bench {
           fromText(if (root != null) root.path("tail").asText("") else "")
         if (direct.nonEmpty) direct
         else if (parsed.nonEmpty) parsed
-        else tail
+        else if (tail.nonEmpty) tail
+        // not valid JSON as a whole (captured log, stray prefix text):
+        // fall back to scanning the raw text, as the pre-Jackson path did
+        else fromText(txt)
       } catch { case _: Throwable => Map.empty[String, Double] }
     }.getOrElse(Map.empty)
     val regressions = results.flatMap { case (name, sec) =>

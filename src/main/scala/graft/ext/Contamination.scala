@@ -65,7 +65,9 @@ object Contamination {
     (out, () => { releaseC(); releaseE(); () })
   }
 
-  /** Corpus minus every flagged document (any eval overlap drops it). */
+  /** Corpus minus every flagged document (any eval overlap drops it).
+    * One-shot callers only — loops must use [[decontaminateManaged]].
+    */
   def decontaminate(
       corpus: DataFrame,
       evalDocs: DataFrame,
@@ -74,9 +76,26 @@ object Contamination {
       k: Int = 20,
       w: Int = 10,
       minShared: Int = 2,
-      hash: Column => Column = md5): DataFrame = {
-    val bad = flagged(corpus, evalDocs, idCol, textCol, k, w, minShared, hash)
-      .select(col("corpus_id").as(idCol)).distinct()
-    corpus.join(bad, Seq(idCol), "left_anti")
+      hash: Column => Column = md5): DataFrame =
+    decontaminateManaged(
+      corpus, evalDocs, idCol, textCol, k, w, minShared, hash)._1
+
+  /** [[decontaminate]] plus the cache release handle — a per-training-
+    * round loop must call it after materializing the clean corpus (the
+    * result is lazy, so release cannot happen internally).
+    */
+  def decontaminateManaged(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      w: Int = 10,
+      minShared: Int = 2,
+      hash: Column => Column = md5): (DataFrame, () => Unit) = {
+    val (fl, release) =
+      flaggedManaged(corpus, evalDocs, idCol, textCol, k, w, minShared, hash)
+    val bad = fl.select(col("corpus_id").as(idCol)).distinct()
+    (corpus.join(bad, Seq(idCol), "left_anti"), release)
   }
 }

@@ -184,14 +184,16 @@ object MinHashDedup {
     // are also the plan barrier the explode needs (trap: an inferred
     // size()>0 generate filter would otherwise re-run the signature
     // pipeline per row — see Winnowing.fingerprints)
-    val newIdx = indexFrame(newDocs, idCol, textCol, n, k).cache()
-    // one row per id even when a doc is both indexed and re-delivered
-    // in the batch (the replay case): duplicate id rows would fan out
-    // both the band join and the verification joins, emitting the same
-    // pair 2-4×. The INDEXED row wins deterministically (left_anti, not
-    // dropDuplicates — which keeps an arbitrary row): if a re-delivery
-    // mutated the text, dedup must be computed against the version that
-    // actually landed in the corpus.
+    // one row per id, resolved in two steps so `all`/`sets` never fan
+    // out the verification joins (duplicate id rows would emit the same
+    // pair 2-4×): (1) WITHIN the batch, collapse repeated ids (same doc
+    // landing in two arrival files — no landed version exists yet, so
+    // any copy is acceptable); (2) ACROSS batch-vs-index, the INDEXED
+    // row wins deterministically (left_anti, not an arbitrary
+    // dropDuplicates pick): if a re-delivery mutated the text, dedup
+    // must be computed against the version that actually landed.
+    val newIdx = indexFrame(newDocs, idCol, textCol, n, k)
+      .dropDuplicates("id").cache()
     val all = index.unionByName(
       newIdx.join(index.select(col("id")), Seq("id"), "left_anti")).cache()
     // band keys computed at probe time over the cached sig attribute

@@ -81,6 +81,13 @@ object ScrapeJobs {
     * Emit-then-mark plus idempotent sink = effectively-once; the
     * reverse order would lose the batch on the same crash.
     *
+    * GRANULARITY LIMIT (inherent to the reference's yyyymmdd data
+    * model): a re-scrape landing on the SAME logical day as the
+    * previously emitted updated_date coalesces into that consumption —
+    * it is not re-delivered until the date advances. Sub-day consumers
+    * need a finer version column on sales_properties; with day-level
+    * logical dates there is nothing finer to key on.
+    *
     * @param salesRoot     sales_properties table root
     * @param processedPath append sink receiving each consumed batch
     * @param today         yyyymmdd logical date

@@ -28,11 +28,20 @@ object JobRegistry {
     /** Logical runs due at `now` given the last launched run — the
       * executable form of the Airflow catchup contract (see
       * [[CronSchedule.dueRuns]]); manual-only jobs are never due.
+      *
+      * Catchup requires an EXPLICIT startDate: with the unbounded
+      * default there is no defined beginning to catch up from, so the
+      * job degrades to latest-only instead of launching a multi-decade
+      * backlog storm against the outer scheduler.
       */
     def dueRuns(
         now: java.time.LocalDateTime,
-        lastRun: Option[java.time.LocalDateTime]): Seq[java.time.LocalDateTime] =
-      schedule.map(_.dueRuns(now, lastRun, startDate, catchup)).getOrElse(Nil)
+        lastRun: Option[java.time.LocalDateTime]): Seq[java.time.LocalDateTime] = {
+      val boundedCatchup =
+        catchup && startDate != java.time.LocalDateTime.MIN
+      schedule.map(_.dueRuns(now, lastRun, startDate, boundedCatchup))
+        .getOrElse(Nil)
+    }
   }
 
   private val jobs = TrieMap[String, JobSpec]()

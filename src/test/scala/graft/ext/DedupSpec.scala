@@ -61,6 +61,21 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L)) // 2 and 4 dropped as dups of 1
   }
 
+  test("incremental dedup tolerates duplicate ids within the batch (no pair fanout)") {
+    val corpus = graft.core.Tables.documents(spark, sf0001)
+    val isNew = org.apache.spark.sql.functions.col("doc_id") % 10 === 0
+    val batchOnce = corpus.filter(isNew)
+    val batchDup = batchOnce.unionByName(batchOnce) // same ids twice
+    val idx = MinHashDedup.indexFrame(corpus.filter(!isNew), "doc_id", "text")
+    def pairsOf(b: org.apache.spark.sql.DataFrame) =
+      MinHashDedup.incrementalNearDuplicates(b, idx, "doc_id", "text", 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val clean = pairsOf(batchOnce)
+    val dup = pairsOf(batchDup)
+    assert(dup.size == dup.distinct.size, s"fanned-out pairs: $dup")
+    assert(dup.toSet == clean.toSet)
+  }
+
   test("incremental dedup == full pipeline restricted to batch-touching pairs (sf0.001)") {
     val corpus = graft.core.Tables.documents(spark, sf0001)
     val isNew = org.apache.spark.sql.functions.col("doc_id") % 10 === 0

@@ -86,6 +86,15 @@ class SchedulesSpec extends AnyFunSuite {
       s"explicit old startDate truncated: ${explicit.head}")
   }
 
+  test("JobSpec catchup without an explicit startDate degrades to latest-only") {
+    val spec = JobRegistry.JobSpec("x", _ => Nil,
+      schedule = Some(CronSchedule.parse("0 2 * * *")), catchup = true)
+    // no startDate given: a multi-decade backlog storm is never the
+    // right reading of "catch up from an unspecified beginning"
+    val due = spec.dueRuns(LocalDateTime.of(2026, 8, 12, 12, 0), None)
+    assert(due == Seq(LocalDateTime.of(2026, 8, 12, 2, 0)))
+  }
+
   test("registered builtins carry the reference DAG metadata; manual DAG never due") {
     JobRegistry.registerBuiltins()
     val monthly = JobRegistry.spec("monthly_price_paid_data").get
