@@ -53,5 +53,18 @@ class CorpusJobsSpec extends SparkSpec {
     runAll(s"$work/b")
     val ts2 = new ParquetTable(spark, s"$work/b/training_set").read()
     assert(ts.exceptAll(ts2).count() == 0 && ts2.exceptAll(ts).count() == 0)
+
+    // the registry path (string params, budgets as "src:count,...")
+    // resolves and produces the same table
+    graft.orchestration.JobRegistry.registerBuiltins()
+    val viaRegistry = graft.orchestration.JobRegistry
+      .get("build_training_set").get(Map(
+        "docs_path" -> s"$sf001/documents.parquet",
+        "out_root" -> s"$work/c",
+        "budgets" -> "src0:400,src1:300,src2:250"))
+    val r = TaskGraph.run(viaRegistry, spark)
+    assert(r.succeeded, r.states)
+    val ts3 = new ParquetTable(spark, s"$work/c/training_set").read()
+    assert(ts.exceptAll(ts3).count() == 0 && ts3.exceptAll(ts).count() == 0)
   }
 }
