@@ -65,6 +65,35 @@ object Winnowing {
           j => array_min(slice(col("__hs"), j + 1, lit(w))))).as("fps"))
   }
 
+  /** Production 64-bit fingerprint frame: xxhash64 gram domain with the
+    * native O(len) monotonic-deque sliding minimum
+    * ([[graft.plans.SlidingMinExpr]], codegen) replacing the O(len·w)
+    * HOF window scan — the long-document scale path (at 10⁴-10⁵ grams
+    * per document the HOF form is window-bound, not hash-bound). Same
+    * winnowing semantics as `fingerprintFrame(hash = xxhash64)` —
+    * WinnowingSpec pins the two bit-identical — with long keys that
+    * shuffle ~5× smaller than md5 hex strings. The md5 [[fingerprintFrame]]
+    * remains the SQL-oracle/cross-system-parity variant.
+    */
+  def fingerprintFrame64(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    Partitioning.forCompute(docs)
+      .select(col(idCol).as("id"),
+        TextFunctions.normalized(col(textCol)).as("__t"))
+      .select(col("id"), transform(
+          sequence(lit(1), greatest(length(col("__t")) - (k - 1), lit(1))),
+          i => xxhash64(col("__t").substr(i, lit(k)))).as("__hs"))
+      .select(col("id"), array_distinct(bridge.column(
+          graft.plans.SlidingMinExpr(bridge.expression(col("__hs")), w)))
+        .as("fps"))
+  }
+
   /** Exploded inverted-index form: (id, fp), distinct per doc.
     *
     * The fps frame is cached before the explode as a PLAN BARRIER, not
