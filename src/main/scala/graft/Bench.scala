@@ -81,12 +81,26 @@ object Bench {
     // lands in the output explicitly so the driver/judge can't read a
     // regressed run as green. Baseline file: SPARK_GRAFT_BENCH_BASELINE
     // or the newest BENCH_r*.json in the working directory.
+    // Baseline pick is numeric (maxBy(name) would rank BENCH_r9 above
+    // BENCH_r10 once rounds hit double digits) and restricted to files
+    // committed at git HEAD: the end-of-round commit lands AFTER bench
+    // runs, so an uncommitted BENCH_r*.json in cwd is this round's own
+    // output and comparing against it makes the gate vacuously green.
     val baselineFile = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
       .map(new java.io.File(_))
       .orElse {
-        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        val all = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        if (rs.isEmpty) None else Some(rs.maxBy(_.getName))
+        val tracked: Set[String] = try {
+          import scala.sys.process._
+          Process(Seq("git", "ls-tree", "--name-only", "HEAD")).!!
+            .linesIterator.toSet
+        } catch { case _: Throwable => all.map(_.getName).toSet }
+        val committed = all.filter(f => tracked.contains(f.getName))
+        val cand = if (committed.nonEmpty) committed else all
+        def round(f: java.io.File): Int =
+          "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(-1)
+        if (cand.isEmpty) None else Some(cand.maxBy(round))
       }
       .filter(_.isFile)
     // Baseline files come in three shapes: a raw bench line (top-level

@@ -87,8 +87,10 @@ object Multimodal {
 
   /** Resize: map each payload to a fixed target byte length — the
     * stand-in for image resize / audio resample. The STUB "kernel" is
-    * stride sampling (pick every len/target-th byte) with zero-padding
-    * for short payloads; a real implementation replaces the kernel with
+    * stride sampling (pick every len/target-th byte); short non-empty
+    * payloads are stride-repeated (each source byte repeats to fill the
+    * target, e.g. "xy" → "xxxxyyyy" at target 8) and empty payloads
+    * zero-fill; a real implementation replaces the kernel with
     * bilinear/Lanczos over decoded pixels, and everything around it —
     * per-partition batching (resize libraries also amortize init),
     * typed output schema, empty-payload handling — stays identical.

@@ -168,19 +168,38 @@ object SimilaritySearch {
       threshold: Double,
       blocks: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    incrementalCosineNearDuplicatesManaged(
+      newVecs, corpus, threshold, blocks, idCol, vecCol)._1
+
+  /** [[incrementalCosineNearDuplicates]] plus a release handle for the
+    * internal batch cache — the lifetime contract mirrors
+    * [[graft.ext.MinHashDedup.incrementalNearDuplicatesManaged]]:
+    * per-batch looped callers (streaming ingest, round-based dedup)
+    * must release after consuming or dead cached frames accumulate in
+    * storage memory across batches.
+    */
+  def incrementalCosineNearDuplicatesManaged(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      blocks: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, () => Unit) = {
     // cached: feeds the cross join AND the batch-internal triangle join
     val nn = normalized(newVecs, "id", "nv", idCol, vecCol).cache()
     val nc = Partitioning.forCompute(
       normalized(corpus, "id", "nv", idCol, vecCol))
     val cross = graft.operators.BlockJoin.crossPairs(nn, nc, "id", blocks)
-    val within = graft.operators.BlockJoin.allPairs(nn, "id", blocks)
-    cross.unionByName(within)
+    val (within, releaseWithin) =
+      graft.operators.BlockJoin.allPairsManaged(nn, "id", blocks)
+    val pairs = cross.unionByName(within)
       .select(
         least(col("id_a"), col("id_b")).as("vec_a"),
         greatest(col("id_a"), col("id_b")).as("vec_b"),
         round(VectorFunctions.dotDouble(col("nv_a"), col("nv_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    (pairs, () => { releaseWithin(); nn.unpersist(); () })
   }
 
   /** IVF (inverted-file) approximate top-k — the other standard ANN

@@ -146,20 +146,41 @@ object Winnowing {
       w: Int,
       minShared: Int,
       maxDf: Long = 0L,
-      hash: Column => Column = md5): DataFrame = {
+      hash: Column => Column = md5): DataFrame =
+    sharedFingerprintPairsManaged(docs, idCol, textCol, k, w, minShared,
+      maxDf, hash)._1
+
+  /** [[sharedFingerprintPairs]] plus a release handle for the two
+    * internal caches (the fingerprint frame and the inverted index) —
+    * looped callers (per-round decontamination sweeps) must release
+    * after consuming or corpus-sized cached frames accumulate in
+    * storage memory across calls.
+    */
+  def sharedFingerprintPairsManaged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minShared: Int,
+      maxDf: Long = 0L,
+      hash: Column => Column = md5): (DataFrame, () => Unit) = {
     // cached: the inverted index feeds both join sides (self-join
     // recompute trap)
-    val fp0 = fingerprints(docs, idCol, textCol, k, w, hash).cache()
+    val (fpIdx, releaseFps) =
+      fingerprintsManaged(docs, idCol, textCol, k, w, hash)
+    val fp0 = fpIdx.cache()
     val fp =
       if (maxDf > 0) {
         val hot = fp0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select(col("fp"))
         fp0.join(broadcast(hot), Seq("fp"), "left_anti")
       } else fp0
-    fp.as("a").join(fp.as("b"),
+    val pairs = fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    (pairs, () => { fp0.unpersist(); releaseFps(); () })
   }
 }

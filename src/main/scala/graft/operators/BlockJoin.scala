@@ -21,7 +21,16 @@ object BlockJoin {
     * arbitrary for cross-block pairs — canonicalize downstream with
     * least/greatest). Each input column c emits twice as c_a / c_b.
     */
-  def allPairs(df: DataFrame, idCol: String, blocks: Int = 8): DataFrame = {
+  def allPairs(df: DataFrame, idCol: String, blocks: Int = 8): DataFrame =
+    allPairsManaged(df, idCol, blocks)._1
+
+  /** [[allPairs]] plus a release handle for the internal cache — looped
+    * callers (per-batch incremental dedup, round-based sweeps) must
+    * release after consuming or the block-keyed input stays pinned in
+    * storage memory across calls.
+    */
+  def allPairsManaged(df: DataFrame, idCol: String,
+      blocks: Int = 8): (DataFrame, () => Unit) = {
     require(blocks > 0)
     // cached: both join sides derive from it — without the cache the
     // upstream plan (often hashing/normalization-heavy) runs twice.
@@ -36,13 +45,14 @@ object BlockJoin {
       df.columns.map(c => col(c).as(s"${c}_b")).toSeq ++ Seq(
         col("__blk").as("__bb"),
         explode(sequence(lit(0), col("__blk"))).as("__bi")): _*)
-    left.join(right,
+    val pairs = left.join(right,
         col("__ba") === col("__bi") && col("__bj") === col("__bb") &&
           // same-block keys carry both orientations of a pair; cross-
           // block keys carry exactly one (triangle replication above)
           (col("__ba") =!= col("__bb") ||
             col(s"${idCol}_a") < col(s"${idCol}_b")))
       .drop("__ba", "__bj", "__bb", "__bi")
+    (pairs, () => { base.unpersist(); () })
   }
 
   /** Every (left, right) pair across two frames (distinct ids) — the

@@ -245,7 +245,22 @@ object EventStreams {
       .queryName("neardup_filtered_ingest")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // A source batch can carry duplicate ids with differing text
+        // (re-landed files, upstream retries). Pick ONE row per id
+        // deterministically — min by the remaining columns — BEFORE the
+        // pair computation and the corpus/index writes: otherwise the
+        // corpus row (chosen by insert-ignore's dropDuplicates) and the
+        // index signature (chosen by an independent dropDuplicates
+        // inside the dedup) are two arbitrary picks that can disagree,
+        // and the persisted signature would not describe the text that
+        // actually landed.
+        val others = batch0.columns.filterNot(_ == idCol).map(col)
+        val batch = batch0
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(idCol)).orderBy(others.toIndexedSeq: _*)))
+          .filter(col("__rn") === 1).drop("__rn")
         val idx = index.read()
         val (pairs0, release) =
           graft.ext.MinHashDedup.incrementalNearDuplicatesManaged(

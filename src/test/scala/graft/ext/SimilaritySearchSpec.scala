@@ -71,6 +71,20 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(inc == expected, s"missing=${expected -- inc} extra=${inc -- expected}")
   }
 
+  test("incrementalCosineNearDuplicatesManaged releases its internal cache") {
+    spark.catalog.clearCache()
+    val emb = Tables.embeddings(spark, sf0001)
+    val isNew = $"vec_id" % 10 === 0
+    val (pairs, release) = SimilaritySearch.incrementalCosineNearDuplicatesManaged(
+      emb.filter(isNew), emb.filter(!isNew), threshold = 0.4)
+    assert(pairs.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "cache should be live while the caller consumes the pairs")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release handle must unpersist the internal batch cache")
+  }
+
   test("ivfTopK bulk-probe path: shuffle join past broadcast threshold, same answer") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter($"vec_id" < 5)

@@ -90,6 +90,22 @@ class WinnowingSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("sharedFingerprintPairsManaged releases both internal caches") {
+    spark.catalog.clearCache()
+    val base = "the common long passage that both documents quote verbatim here"
+    val docs = Seq(
+      1L -> s"preamble alpha beta $base",
+      2L -> s"$base trailing omega").toDF("doc_id", "text")
+    val (pairs, release) = Winnowing.sharedFingerprintPairsManaged(
+      docs, "doc_id", "text", k, w, minShared = 1)
+    assert(pairs.count() == 1)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "caches should be live while the caller consumes the pairs")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release handle must unpersist the fingerprint frame AND the inverted index")
+  }
+
   test("maxDf drops corpus-boilerplate fingerprints from pairing") {
     // the same passage in ALL docs is boilerplate; with maxDf=2 it stops
     // linking documents

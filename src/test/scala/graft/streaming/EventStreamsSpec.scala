@@ -262,5 +262,28 @@ class EventStreamsSpec extends SparkSpec {
     run()
     assert(corpusIds == Seq(1L, 3L, 5L), s"smaller-id near-dup admitted: $corpusIds")
     assert(index.read().count() == 3)
+
+    // a batch carrying the SAME id twice with DIFFERENT text: one
+    // deterministic pick (min by the remaining columns) must feed the
+    // pair computation, the corpus write AND the index write — the
+    // persisted signature must describe the text that actually landed,
+    // not an independent arbitrary pick
+    land("f5", Seq(
+      6L -> "wolf bear lynx otter moose raven eagle heron crane stork finch wren",
+      6L -> "apple pear plum grape peach mango lemon lime fig date kiwi melon"))
+    run()
+    assert(corpusIds == Seq(1L, 3L, 5L, 6L), s"got $corpusIds")
+    val landed = corpus.read().filter(col("doc_id") === 6L)
+      .select("text").as[String].collect().toSeq
+    assert(landed.size == 1)
+    assert(landed.head.startsWith("apple"), // lexicographic min of the two
+      s"non-deterministic pick landed: ${landed.head}")
+    val expectedSig = graft.ext.MinHashDedup.indexFrame(
+        Seq(6L -> landed.head).toDF("doc_id", "text"), "doc_id", "text")
+      .select("sig").collect().head.getSeq[Long](0)
+    val storedSig = index.read().filter(col("id") === 6L)
+      .select("sig").collect().head.getSeq[Long](0)
+    assert(storedSig == expectedSig,
+      "index signature must be computed from the landed text")
   }
 }
