@@ -387,6 +387,15 @@ object ExtQueries {
         "doc_id", "text", k = 20, w = 10, minShared = 2)
     },
 
+    // ── Gopher/MassiveText repetition signals: fraction of tokens in
+    // the most frequent word bigram + fraction of repeated trigram
+    // instances, per document — the templated/looping-text filter.
+    // Two-level hash agg keyed on (doc, gram); map-side combine
+    // collapses exactly the repeats being measured.
+    "q57_repetition_stats" -> { (s, dir) =>
+      graft.ext.RepetitionStats.stats(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -735,7 +744,35 @@ object ExtQueries {
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS vertex, least(src, MIN(dst)) AS component
-        |FROM reach GROUP BY src""".stripMargin
+        |FROM reach GROUP BY src""".stripMargin,
+
+    "q57_repetition_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^ ]+') AS words
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS wd FROM w),
+        |bgc AS (
+        |  SELECT a.doc_id, a.wd || ' ' || b.wd AS g, COUNT(*) AS c
+        |  FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, max(c) AS topc FROM bgc GROUP BY 1),
+        |tgc AS (
+        |  SELECT a.doc_id, a.wd || ' ' || b.wd || ' ' || c.wd AS g, COUNT(*) AS c
+        |  FROM flat a
+        |  JOIN flat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  JOIN flat c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        |  GROUP BY 1, 2),
+        |tstat AS (SELECT doc_id, SUM(c) AS tot, COUNT(*) AS dist FROM tgc GROUP BY 1)
+        |SELECT w.doc_id, w.n_tokens,
+        |  round(CASE WHEN bstat.topc IS NOT NULL AND w.n_tokens > 0
+        |             THEN least(bstat.topc * 2.0 / w.n_tokens, 1.0)
+        |             ELSE 0.0 END, 6) AS top_bigram_frac,
+        |  round(coalesce(1.0 - CAST(tstat.dist AS DOUBLE) / tstat.tot, 0.0), 6) AS dup_trigram_frac
+        |FROM w
+        |LEFT JOIN bstat ON bstat.doc_id = w.doc_id
+        |LEFT JOIN tstat ON tstat.doc_id = w.doc_id""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
