@@ -396,6 +396,14 @@ object ExtQueries {
       graft.ext.RepetitionStats.stats(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // ── TF-IDF keyword extraction: top-3 most characteristic terms per
+    // doc under reciprocal-df weighting (IEEE-exact, see TfIdf scaladoc
+    // for why not ln). tf agg → df re-agg → term-dictionary equi-join +
+    // broadcast scalar N → per-doc window top-k.
+    "q58_tfidf_topk" -> { (s, dir) =>
+      graft.ext.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -772,7 +780,26 @@ object ExtQueries {
         |  round(coalesce(1.0 - CAST(tstat.dist AS DOUBLE) / tstat.tot, 0.0), 6) AS dup_trigram_frac
         |FROM w
         |LEFT JOIN bstat ON bstat.doc_id = w.doc_id
-        |LEFT JOIN tstat ON tstat.doc_id = w.doc_id""".stripMargin
+        |LEFT JOIN tstat ON tstat.doc_id = w.doc_id""".stripMargin,
+
+    "q58_tfidf_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^ ]+') AS words
+        |  FROM documents),
+        |flat AS (SELECT doc_id, unnest(words) AS term FROM w),
+        |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM flat GROUP BY 1, 2),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+        |    round(tfc.tf * (CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+        |  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 3""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
