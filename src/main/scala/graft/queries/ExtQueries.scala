@@ -404,6 +404,15 @@ object ExtQueries {
       graft.ext.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
     },
 
+    // ── corpus-trained bigram LM likelihood per doc (CCNet-style LM
+    // quality filtering, dependency-free): add-0.5 smoothing over the
+    // corpus vocabulary, mean transition probability as the score.
+    // Train + score in one distributed pass; the "model" (bigram stat
+    // table) never collects.
+    "q59_bigram_lm_score" -> { (s, dir) =>
+      graft.ext.NGramLM.scoreDocs(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -799,7 +808,36 @@ object ExtQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term) AS rank
         |  FROM scored)
-        |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 3""".stripMargin
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "q59_bigram_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^ ]+') AS words
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS wd FROM w),
+        |nb AS (
+        |  SELECT a.doc_id, a.wd AS w1, b.wd AS w2, COUNT(*) AS nb
+        |  FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, SUM(nb) AS c12 FROM nb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(nb) AS c1 FROM nb GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT wd) AS v FROM flat),
+        |scored AS (
+        |  SELECT nb.doc_id, nb.nb,
+        |    nb.nb * CAST(round((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v), 6)
+        |                 AS DECIMAL(18,6)) AS contrib
+        |  FROM nb
+        |  JOIN c12 ON nb.w1 = c12.w1 AND nb.w2 = c12.w2
+        |  JOIN c1 ON nb.w1 = c1.w1
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+        |    round(CAST(SUM(contrib) AS DOUBLE) / SUM(nb), 6) AS avg_prob
+        |  FROM scored GROUP BY 1)
+        |SELECT w.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_prob
+        |FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
