@@ -413,6 +413,34 @@ object ExtQueries {
       graft.ext.NGramLM.scoreDocs(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // ── SemDeDup invariant, driver-checked (zero-row oracle): k-means
+    // cluster-restricted near-dup pairs must be (a) a SUBSET of the
+    // exact triangle-join answer — clustering may lose boundary pairs,
+    // never fabricate one — and (b) within the recall floor. Floor 0.7
+    // is pinned from measurement (SemDedupProbe: recall 0.909/0.949/
+    // 0.858 at sf0.001/0.01/0.1 with nCells=16, nAssign=3, extra=0 at
+    // every dial); k-means is md5-seeded so per-SF recall is exactly
+    // reproducible, not statistical.
+    "q60_semdedup_invariant" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      // cached: each side feeds the anti-join AND a count
+      val sem = graft.ext.SemDedup.pairs(emb, threshold = 0.4,
+          nCells = 16, iters = 2, nAssign = 3)
+        .select(col("vec_a"), col("vec_b")).cache()
+      val brute = SimilaritySearch.cosineNearDuplicates(emb, threshold = 0.4)
+        .select(col("vec_a"), col("vec_b")).cache()
+      val bogus = sem.join(brute, Seq("vec_a", "vec_b"), "left_anti")
+        .select(lit("pair_not_in_exact").as("violation"),
+          col("vec_a"), col("vec_b"))
+      val lowRecall = sem.agg(count(lit(1)).as("ns"))
+        .crossJoin(brute.agg(count(lit(1)).as("nb")))
+        .filter(col("ns") < col("nb") * lit(0.7))
+        .select(lit("recall_below_floor").as("violation"),
+          lit(null).cast("long").as("vec_a"),
+          lit(null).cast("long").as("vec_b"))
+      bogus.unionByName(lowRecall)
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -691,6 +719,11 @@ object ExtQueries {
     "q44_simhash_exhaustive" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
         |  CAST(NULL AS INTEGER) AS hamming
+        |WHERE 1 = 0""".stripMargin,
+
+    "q60_semdedup_invariant" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS BIGINT) AS vec_a,
+        |  CAST(NULL AS BIGINT) AS vec_b
         |WHERE 1 = 0""".stripMargin,
 
     "q45_ann_upper_bound" ->
