@@ -97,10 +97,15 @@ object Bench {
             .linesIterator.toSet
         } catch { case _: Throwable => all.map(_.getName).toSet }
         val committed = all.filter(f => tracked.contains(f.getName))
-        val cand = if (committed.nonEmpty) committed else all
         def round(f: java.io.File): Int =
           "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(-1)
-        if (cand.isEmpty) None else Some(cand.maxBy(round))
+        // committed empty (fresh branch, round 1): NO baseline — falling
+        // back to uncommitted files would compare a rerun against its
+        // own output while reporting a plausible-looking baseline_file;
+        // baseline_queries=0 is the honest signal. (A git failure maps
+        // tracked to all names above, so this path means genuinely
+        // nothing committed.)
+        if (committed.isEmpty) None else Some(committed.maxBy(round))
       }
       .filter(_.isFile)
     // Baseline files come in three shapes: a raw bench line (top-level

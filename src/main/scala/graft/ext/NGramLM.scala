@@ -44,21 +44,27 @@ object NGramLM {
     require(alpha > 0.0)
     val words = col("words")
     val n1 = greatest(size(words) - 1, lit(0))
-    val base = Partitioning.forCompute(docs)
+    // cached as a PLAN BARRIER (trap #7) as well as for reuse: both
+    // explodes below would otherwise get an InferFiltersFromGenerate
+    // size(...) > 0 filter with the whole tokenize/zip_with chain
+    // substituted into it, re-running tokenization per row; the frame
+    // also feeds the vocab pass, the bigram pass, and the final doc list
+    val grams = Partitioning.forCompute(docs)
       .select(col(idCol).as("doc_id"),
         split(TextFunctions.normalized(col(textCol)), " ").as("words"))
+      .select(col("doc_id"), col("words"),
+        zip_with(slice(words, lit(1), n1), slice(words, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))).as("bis"))
+      .cache()
 
     // vocabulary size: distinct normalized tokens corpus-wide (split("")
     // yields [""] — not a token, filtered like TfIdf does)
-    val vocab = base.select(explode(words).as("w")).filter(col("w") =!= "")
+    val vocab = grams.select(explode(words).as("w")).filter(col("w") =!= "")
       .agg(countDistinct(col("w")).as("v"))
 
     // per-doc-per-bigram instance counts: the smallest frame that still
     // carries all information for both training re-aggs AND scoring
-    val nb = base
-      .select(col("doc_id"),
-        zip_with(slice(words, lit(1), n1), slice(words, lit(2), n1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))).as("bis"))
+    val nb = grams
       .select(col("doc_id"), explode(col("bis")).as("bi"))
       .select(col("doc_id"), col("bi.w1").as("w1"), col("bi.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
@@ -83,11 +89,11 @@ object NGramLM {
         round(sum(col("contrib")).cast("double") / sum(col("nb")), 6)
           .as("avg_prob"))
 
-    val out = base.select(col("doc_id"))
+    val out = grams.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_prob"))
-    (out, () => { nb.unpersist(); () })
+    (out, () => { nb.unpersist(); grams.unpersist(); () })
   }
 }

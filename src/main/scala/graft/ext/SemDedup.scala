@@ -57,9 +57,15 @@ object SemDedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): (DataFrame, () => Unit) = {
     require(nCells >= 1 && iters >= 0 && nAssign >= 1 && nAssign <= nCells)
+    // normalize() yields null for null/zero-norm embeddings (padding
+    // rows, failed upstream embedders); they carry no direction, pair
+    // with nothing under cosine, and would NPE the centroid seed — drop
+    // them here, matching the exact path's behavior (null cos_sim never
+    // passes the threshold filter)
     val nv = Partitioning.forCompute(
         corpus.select(col(idCol).as("id"),
           VectorFunctions.normalize(col(vecCol)).as("nv")))
+      .filter(col("nv").isNotNull)
       .cache()
 
     // deterministic seeding + Lloyd rounds on the UNIT vectors (spherical
@@ -73,7 +79,13 @@ object SemDedup {
         .select(element_at(nearestCells(col("nv"), centroids, 1), 1)
             .getField("cell").as("cell"),
           posexplode(col("nv")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
+        // DECIMAL accumulator: a double avg() depends on partial-agg
+        // merge order, so centroids could drift by ULPs between runs
+        // and flip boundary-cell assignments — the determinism claim
+        // (and q60's exactly-reproducible recall) needs an
+        // order-independent sum
+        .groupBy("cell", "d")
+        .agg(avg(col("x").cast("decimal(28,18)")).cast("double").as("m"))
         .groupBy("cell").agg(array_sort(collect_list(struct(col("d"), col("m"))))
           .as("dm"))
         .select(col("cell"), transform(col("dm"), _.getField("m")).as("v"))

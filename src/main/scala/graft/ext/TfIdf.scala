@@ -40,9 +40,15 @@ object TfIdf {
       k: Int): (DataFrame, () => Unit) = {
     require(k >= 1)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = Partitioning.forCompute(docs)
+    // cached as a PLAN BARRIER (trap #7): without it the explode's
+    // inferred size(...) > 0 generator filter re-runs the regex
+    // normalize+split chain per row at the scan, doubling tokenize cost
+    val tok = Partitioning.forCompute(docs)
       .select(col(idCol).as("doc_id"),
-        explode(split(TextFunctions.normalized(col(textCol)), " ")).as("term"))
+        split(TextFunctions.normalized(col(textCol)), " ").as("words"))
+      .cache()
+    val tf = tok
+      .select(col("doc_id"), explode(col("words")).as("term"))
       // Spark's split("") yields [""] where the oracle's regex token
       // extraction yields []; empty terms are not words on either side
       .filter(col("term") =!= "")
@@ -59,6 +65,6 @@ object TfIdf {
         Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("term"))))
       .filter(col("rank") <= k)
-    (out, () => { tf.unpersist(); () })
+    (out, () => { tf.unpersist(); tok.unpersist(); () })
   }
 }

@@ -255,7 +255,11 @@ object EventStreams {
         // inside the dedup) are two arbitrary picks that can disagree,
         // and the persisted signature would not describe the text that
         // actually landed.
-        val others = batch0.columns.filterNot(_ == idCol).map(col)
+        // nulls LAST: Spark's default asc ordering is nulls-first, which
+        // would let a corrupt null-text retry deterministically beat the
+        // real row for the same id
+        val others = batch0.columns.filterNot(_ == idCol)
+          .map(c => col(c).asc_nulls_last)
         val batch = batch0
           .withColumn("__rn", row_number().over(
             org.apache.spark.sql.expressions.Window

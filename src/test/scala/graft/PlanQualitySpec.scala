@@ -50,8 +50,14 @@ class PlanQualitySpec extends SparkSpec {
     // side of their ANN invariants (optimality bound, recall floors),
     // so they carry the same tiny-side BNLJ — the approx side under
     // test stays bucketed equi-joins.
+    // q58/q59/q60 cross-join a SINGLE-ROW aggregate (corpus doc count /
+    // vocabulary size / pair counts) into every row — a broadcast of one
+    // scalar row, the standard way to fan a global statistic into a
+    // distributed frame without collect(). The data joins around them
+    // stay keyed equi-joins (pinned by the dedicated plan tests below).
     val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound",
-      "q27_ann_lsh_recall_floor", "q35_ann_ivf_recall_floor")
+      "q27_ann_lsh_recall_floor", "q35_ann_ivf_recall_floor",
+      "q58_tfidf_topk", "q59_bigram_lm_score", "q60_semdedup_invariant")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -86,5 +92,27 @@ class PlanQualitySpec extends SparkSpec {
   test("q55: PII redaction is a pure scan-stage projection (no shuffle at all)") {
     val p = plan("q55_redact_pii")
     assert(!p.contains("Exchange"), s"q55 gained a shuffle:\n$p")
+  }
+
+  test("q57/q58/q59: text-statistics pipelines are hash aggs over gram keys") {
+    for (q <- Seq("q57_repetition_stats", "q58_tfidf_topk",
+        "q59_bigram_lm_score")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q lost hash aggregation:\n$p")
+      // partial aggregation must collapse repeats map-side before the
+      // shuffle — the whole scale story of these counters
+      assert(p.contains("partial_"), s"$q lost partial (map-side) agg:\n$p")
+    }
+    // q58's term-dictionary join carries keys (the only BNLJ is the
+    // single-row scalar fan-in, allowlisted above)
+    val p58 = plan("q58_tfidf_topk")
+    assert(p58.contains("SortMergeJoin") || p58.contains("ShuffledHashJoin")
+      || p58.contains("BroadcastHashJoin"), s"q58 lost its keyed join:\n$p58")
+  }
+
+  test("q60: the within-cell pair join is a keyed equi-join on cell id") {
+    val p = plan("q60_semdedup_invariant")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"q60 lost its equi-join:\n$p")
   }
 }

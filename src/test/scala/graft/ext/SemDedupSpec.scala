@@ -18,6 +18,19 @@ class SemDedupSpec extends SparkSpec {
       s"identical pair not found: ${pairs.toSeq}")
   }
 
+  test("zero-norm embeddings are dropped, not crashed on (even as seed candidates)") {
+    val base = (1L to 20L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.0 + d).toFloat))
+    }
+    val emb = (base ++ Seq((98L, Array.fill(8)(0f)), (99L, base.head._2)))
+      .toDF("vec_id", "embedding")
+    val pairs = SemDedup.pairs(emb, threshold = 0.999, nCells = 4, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 99L)) // real dup still found
+    assert(!pairs.exists(p => p._1 == 98L || p._2 == 98L),
+      "zero-norm vector has no direction and must pair with nothing")
+  }
+
   test("subset of exact answer + recall floor on sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = SimilaritySearch.cosineNearDuplicates(emb, 0.4)

@@ -270,7 +270,10 @@ class EventStreamsSpec extends SparkSpec {
     // not an independent arbitrary pick
     land("f5", Seq(
       6L -> "wolf bear lynx otter moose raven eagle heron crane stork finch wren",
-      6L -> "apple pear plum grape peach mango lemon lime fig date kiwi melon"))
+      6L -> "apple pear plum grape peach mango lemon lime fig date kiwi melon",
+      // corrupt null-text retry: nulls order LAST, so it must never
+      // beat a real row for the same id
+      6L -> (null: String)))
     run()
     assert(corpusIds == Seq(1L, 3L, 5L, 6L), s"got $corpusIds")
     val landed = corpus.read().filter(col("doc_id") === 6L)
