@@ -133,12 +133,22 @@ object Bench {
             }
             out.toMap
           }
-        def fromText(hay: String): Map[String, Double] =
-          "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(hay)
-            .map(_.group(1)).map { qtxt =>
-              "\"(q[^\"]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(qtxt)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            }.getOrElse(Map.empty[String, Double])
+        def fromText(hay: String): Map[String, Double] = {
+          val scoped = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+            .findFirstMatchIn(hay).map(_.group(1))
+          // Driver tails are TAIL-truncated log captures: the
+          // "queries":{ opener itself can be cut off (BENCH_r04.json
+          // is), which left the r5 gate vacuous at baseline_queries=0.
+          // Fallback: blank the regressions ratio map — the only other
+          // "qNN": number shape in a bench line — and scan the rest;
+          // a front-truncated first entry loses its "q prefix and is
+          // skipped by the regex, never misparsed.
+          val region = scoped.getOrElse(
+            "\"regressions_vs_prior\"\\s*:\\s*\\{[^}]*\\}".r
+              .replaceAllIn(hay, ""))
+          "\"(q[^\"]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(region)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
         val direct = fromNode(root)
         lazy val parsed =
           fromNode(if (root != null) root.path("parsed") else null)
