@@ -110,6 +110,36 @@ object TextFunctions {
     */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
+  // ── C4-style heuristic cleaning signals (Raffel et al. 2020 §2.2:
+  // the rules that produced C4 from CommonCrawl, adapted to this
+  // engine's Java∩RE2 regex subset). All pure per-row projections —
+  // scan-stage at any scale, composable into a keep-predicate filter.
+
+  /** Sentence-terminal punctuation count — C4 drops pages with too few
+    * sentences.
+    */
+  def sentenceCount(text: Column): Column = regexp_count(text, lit("[.!?]"))
+
+  /** C4 drops any page containing the placeholder text "lorem ipsum". */
+  def hasLoremIpsum(text: Column): Column = instr(lower(text), "lorem ipsum") > 0
+
+  /** C4 drops pages containing '{' (usually leaked code/JS). */
+  def hasCurlyBrace(text: Column): Column = instr(text, "{") > 0
+
+  /** C4 keeps only lines ending in terminal punctuation; applied here
+    * at document granularity (the fixtures are single-line docs).
+    */
+  def endsWithTerminalPunct(text: Column): Column =
+    substring(rtrim(text), -1, 1).isin(".", "!", "?", "\"")
+
+  /** The composite C4-flavored keep decision. Thresholds are the C4
+    * paper's in spirit (≥ 1 sentence, ≥ minTokens words, no lorem
+    * ipsum, no braces); tune per corpus.
+    */
+  def c4Keep(text: Column, minTokens: Int = 5): Column =
+    sentenceCount(text) >= 1 && !hasLoremIpsum(text) && !hasCurlyBrace(text) &&
+      tokenCount(text) >= minTokens
+
   // ── PII scrubbing (training-data hygiene) ──────────────────────────
   // Patterns are deliberately restricted to the regex subset that
   // behaves identically in Java regex (Spark) and RE2 (DuckDB): char

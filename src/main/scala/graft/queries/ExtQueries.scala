@@ -441,6 +441,28 @@ object ExtQueries {
       bogus.unionByName(lowRecall)
     },
 
+    // ── C4-style heuristic cleaning signals + composite keep decision:
+    // pure per-row projections, scan-stage at any scale (q55's shape).
+    "q61_c4_heuristics" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        T.sentenceCount(col("text")).as("n_sentences"),
+        T.hasLoremIpsum(col("text")).as("has_lorem"),
+        T.hasCurlyBrace(col("text")).as("has_brace"),
+        T.endsWithTerminalPunct(col("text")).as("ends_punct"),
+        T.c4Keep(col("text")).as("keep"))
+    },
+
+    // ── deterministic sequence packing: md5-shuffle order, bucket-
+    // sharded running token offsets, pack = ⌊start/seqLen⌋ — the
+    // concat-and-chunk step of training-sequence preparation.
+    "q62_sequence_pack" -> { (s, dir) =>
+      graft.ext.Packing.packSequences(Tables.documents(s, dir), "doc_id",
+          T.tokenCount(col("text")), seqLen = 256, nBuckets = 8, salt = "pack")
+        .select(col("doc_id"), col("bucket"), col("n_tokens"),
+          col("start_offset"), col("pack_idx"))
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -842,6 +864,38 @@ object ExtQueries {
         |    ORDER BY tfidf DESC, term) AS rank
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "q61_c4_heuristics" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+        |  strpos(lower(text), 'lorem ipsum') > 0 AS has_lorem,
+        |  strpos(text, '{') > 0 AS has_brace,
+        |  substring(rtrim(text), -1, 1) IN ('.', '!', '?', '"') AS ends_punct,
+        |  (len(regexp_extract_all(text, '[.!?]')) >= 1
+        |   AND strpos(lower(text), 'lorem ipsum') = 0
+        |   AND strpos(text, '{') = 0
+        |   AND len(regexp_extract_all(text, '\S+')) >= 5) AS keep
+        |FROM documents""".stripMargin,
+
+    "q62_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens, u,
+        |    CAST(floor(u * 8) AS BIGINT) AS bucket
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY u, doc_id) AS cum
+        |  FROM b)
+        |SELECT doc_id, bucket, n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+        |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_idx
+        |FROM c""".stripMargin,
 
     "q59_bigram_lm_score" ->
       """WITH w AS (

@@ -64,4 +64,27 @@ class TextFunctionsSpec extends SparkSpec {
     val once = red("x@y.com and https://q.r and 01234567890")._1
     assert(red(once)._1 == once)
   }
+
+  test("C4 heuristic signals: hand-checked keep decisions") {
+    def sig(s: String): (Int, Boolean, Boolean, Boolean, Boolean) = {
+      val r = Seq(s).toDF("t").select(
+        TextFunctions.sentenceCount(col("t")).as("ns"),
+        TextFunctions.hasLoremIpsum(col("t")).as("lo"),
+        TextFunctions.hasCurlyBrace(col("t")).as("br"),
+        TextFunctions.endsWithTerminalPunct(col("t")).as("tp"),
+        TextFunctions.c4Keep(col("t")).as("k")).collect().head
+      (r.getInt(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4))
+    }
+    assert(sig("A real sentence with enough words here.") ==
+      ((1, false, false, true, true)))
+    assert(sig("Lorem Ipsum dolor sit amet consectetur.") ==
+      ((1, true, false, true, false)))      // placeholder text
+    assert(sig("function f() { return 1; } extra words here.") ==
+      ((1, false, true, true, false)))      // leaked code
+    assert(sig("too short.") == ((1, false, false, true, false))) // < 5 tokens
+    assert(sig("no terminal punctuation but plenty of words in this line") ==
+      ((0, false, false, false, false)))
+    assert(sig("") == ((0, false, false, false, false))) // empty-safe
+  }
 }
