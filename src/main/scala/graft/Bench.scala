@@ -139,15 +139,26 @@ object Bench {
           // Driver tails are TAIL-truncated log captures: the
           // "queries":{ opener itself can be cut off (BENCH_r04.json
           // is), which left the r5 gate vacuous at baseline_queries=0.
-          // Fallback: blank the regressions ratio map — the only other
-          // "qNN": number shape in a bench line — and scan the rest;
-          // a front-truncated first entry loses its "q prefix and is
-          // skipped by the regex, never misparsed.
-          val region = scoped.getOrElse(
-            "\"regressions_vs_prior\"\\s*:\\s*\\{[^}]*\\}".r
-              .replaceAllIn(hay, ""))
-          "\"(q[^\"]+)\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(region)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // Fallback: scan only the text BEFORE the "sf" field — the
+          // queries map precedes it in the emitted line, while the
+          // regressions RATIO map (the only other "qNN":number shape)
+          // comes after, so ratios can never be misread as seconds.
+          // No "sf" marker either → nothing provably from the queries
+          // map → give up honestly (baseline_queries stays 0) rather
+          // than arm the gate with ambiguous numbers.
+          val region = scoped.orElse {
+            // marker tolerant of escaped wrappers, where it reads \"sf\":
+            "\\\\?\"sf\\\\?\"\\s*:".r.findFirstMatchIn(hay)
+              .map(m => hay.take(m.start))
+          }
+          // key charset excludes backslash: on a still-escaped wrapper
+          // (invalid JSON, raw-text path) entries look like \"q01\":1.5
+          // and [^"]+ would capture 'q01\' — a key that exists nowhere,
+          // silently disarming every baseline lookup
+          region.map { qtxt =>
+            "\"(q[^\"\\\\]+)\\\\?\":\\s*([0-9.Ee+-]+)".r.findAllMatchIn(qtxt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
         }
         val direct = fromNode(root)
         lazy val parsed =

@@ -36,6 +36,13 @@ object Packing {
       nBuckets: Int,
       salt: String = ""): DataFrame = {
     require(seqLen >= 1 && nBuckets >= 1)
+    // withColumn silently REPLACES existing columns — a frame already
+    // carrying one of the output names would be corrupted, not errored
+    val reserved = Seq("__u", "bucket", "n_tokens", "start_offset", "pack_idx")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"packSequences reserves output column(s) ${clash.mkString(", ")} — " +
+        "rename them on the input frame")
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("__u"), col(keyCol))
     docs

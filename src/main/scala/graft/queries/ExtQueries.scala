@@ -443,14 +443,29 @@ object ExtQueries {
 
     // ── C4-style heuristic cleaning signals + composite keep decision:
     // pure per-row projections, scan-stage at any scale (q55's shape).
+    // The fixture corpus is unpunctuated word salad, so signals over the
+    // RAW text would be constant-false and the oracle vacuous; the query
+    // decorates the text deterministically by doc_id (~100 docs per
+    // variant at sf0.01) so every dialect-sensitive construct —
+    // instr/strpos, negative-index substring, the IN list, the keep
+    // conjunction — is exercised in BOTH outcomes on both engines.
     "q61_c4_heuristics" -> { (s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        T.sentenceCount(col("text")).as("n_sentences"),
-        T.hasLoremIpsum(col("text")).as("has_lorem"),
-        T.hasCurlyBrace(col("text")).as("has_brace"),
-        T.endsWithTerminalPunct(col("text")).as("ends_punct"),
-        T.c4Keep(col("text")).as("keep"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" Lorem ipsum dolor sit.")))
+            .when(col("doc_id") % 5 === 1, concat(col("text"), lit(" { code }")))
+            .when(col("doc_id") % 5 === 2,
+              concat(col("text"), lit(" A final sentence.")))
+            .when(col("doc_id") % 5 === 3, concat(col("text"), lit("!")))
+            .otherwise(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          T.sentenceCount(col("t")).as("n_sentences"),
+          T.hasLoremIpsum(col("t")).as("has_lorem"),
+          T.hasCurlyBrace(col("t")).as("has_brace"),
+          T.endsWithTerminalPunct(col("t")).as("ends_punct"),
+          T.c4Keep(col("t")).as("keep"))
     },
 
     // ── deterministic sequence packing: md5-shuffle order, bucket-
@@ -866,16 +881,24 @@ object ExtQueries {
         |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "q61_c4_heuristics" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
-        |  strpos(lower(text), 'lorem ipsum') > 0 AS has_lorem,
-        |  strpos(text, '{') > 0 AS has_brace,
-        |  substring(rtrim(text), -1, 1) IN ('.', '!', '?', '"') AS ends_punct,
-        |  (len(regexp_extract_all(text, '[.!?]')) >= 1
-        |   AND strpos(lower(text), 'lorem ipsum') = 0
-        |   AND strpos(text, '{') = 0
-        |   AND len(regexp_extract_all(text, '\S+')) >= 5) AS keep
-        |FROM documents""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' Lorem ipsum dolor sit.'
+        |         WHEN doc_id % 5 = 1 THEN text || ' { code }'
+        |         WHEN doc_id % 5 = 2 THEN text || ' A final sentence.'
+        |         WHEN doc_id % 5 = 3 THEN text || '!'
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[.!?]')) AS n_sentences,
+        |  strpos(lower(t), 'lorem ipsum') > 0 AS has_lorem,
+        |  strpos(t, '{') > 0 AS has_brace,
+        |  substring(rtrim(t), -1, 1) IN ('.', '!', '?', '"') AS ends_punct,
+        |  (len(regexp_extract_all(t, '[.!?]')) >= 1
+        |   AND strpos(lower(t), 'lorem ipsum') = 0
+        |   AND strpos(t, '{') = 0
+        |   AND len(regexp_extract_all(t, '\S+')) >= 5) AS keep
+        |FROM d""".stripMargin,
 
     "q62_sequence_pack" ->
       """WITH t AS (

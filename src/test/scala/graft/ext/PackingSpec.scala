@@ -39,6 +39,15 @@ class PackingSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("reserved output column names on the input are an error, not silent corruption") {
+    val df = Seq((1L, "a b", 7)).toDF("doc_id", "text", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(df, "doc_id",
+        TextFunctions.tokenCount(col("text")), 16, 4)
+    }
+    assert(e.getMessage.contains("n_tokens"))
+  }
+
   test("adding documents never moves EARLIER documents in their bucket stream") {
     // hash-ordered streams are append-stable in prefix: a doc's offset
     // only changes if a NEW doc hashes ahead of it in the same bucket —
