@@ -478,6 +478,32 @@ object ExtQueries {
           col("start_offset"), col("pack_idx"))
     },
 
+    // ── heavy-hitter sketch invariant, driver-checked (zero-row
+    // oracle): single-pass Misra-Gries (DataFrame.stat.freqItems)
+    // GUARANTEES a superset of every term with frequency > support·N —
+    // false positives allowed, false negatives never. The violation
+    // query emits exact heavy hitters missing from the sketch: must be
+    // empty under any partitioning/merge order, which is why the
+    // invariant (not the raw sketch output) is the oracled surface.
+    // The sketch is the 100 TB path for corpus-boilerplate discovery
+    // (the maxDf stopword dials in NGramJaccard/Winnowing): one pass,
+    // mergeable state, ≤ 1/support items on the driver.
+    "q63_heavy_hitters_superset" -> { (s, dir) =>
+      val support = 0.02
+      // cached: feeds the exact counts AND the sketch pass
+      val tok = graft.core.Partitioning.forCompute(Tables.documents(s, dir))
+        .select(explode(split(T.normalized(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "").cache()
+      val total = tok.agg(count(lit(1)).as("n"))
+      val sketch = tok.stat.freqItems(Seq("term"), support)
+        .select(explode(col("term_freqItems")).as("term"))
+      tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") > col("n") * lit(support)) // exact heavy hitters
+        .join(sketch, Seq("term"), "left_anti")       // ...missing from sketch
+        .select(col("term"), col("cnt"))
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -761,6 +787,10 @@ object ExtQueries {
     "q60_semdedup_invariant" ->
       """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS BIGINT) AS vec_a,
         |  CAST(NULL AS BIGINT) AS vec_b
+        |WHERE 1 = 0""".stripMargin,
+
+    "q63_heavy_hitters_superset" ->
+      """SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS cnt
         |WHERE 1 = 0""".stripMargin,
 
     "q45_ann_upper_bound" ->

@@ -57,7 +57,8 @@ class PlanQualitySpec extends SparkSpec {
     // stay keyed equi-joins (pinned by the dedicated plan tests below).
     val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound",
       "q27_ann_lsh_recall_floor", "q35_ann_ivf_recall_floor",
-      "q58_tfidf_topk", "q59_bigram_lm_score", "q60_semdedup_invariant")
+      "q58_tfidf_topk", "q59_bigram_lm_score", "q60_semdedup_invariant",
+      "q63_heavy_hitters_superset")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

@@ -43,14 +43,17 @@ class NGramLMSpec extends SparkSpec {
     // parquet-backed input: a tiny in-memory Seq folds to a LocalRelation
     // whose cache never materializes an RDD (trap #8), making the
     // release assertion vacuous
+    // delta-based: sibling suites' localCheckpoint RDDs survive the
+    // clearCache above
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) = NGramLM.scoreDocsManaged(
       graft.core.Tables.documents(spark, sf0001), "doc_id", "text")
     // reference a right-side column: a bare count() lets the optimizer
     // eliminate the outer join (unique keys, no columns referenced) and
     // the cache would never materialize
     assert(out.filter($"avg_prob".isNotNull).count() > 0)
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
   }
 }

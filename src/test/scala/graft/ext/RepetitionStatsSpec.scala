@@ -36,12 +36,12 @@ class RepetitionStatsSpec extends SparkSpec {
   }
 
   test("statsManaged releases the internal gram cache") {
-    spark.catalog.clearCache()
+    // delta-based: sibling suites' localCheckpoint RDDs survive clearCache
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) = RepetitionStats.statsManaged(
       Seq(1L -> "a b a b").toDF("doc_id", "text"), "doc_id", "text")
     assert(out.count() == 1)
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
   }
 }

@@ -72,16 +72,21 @@ class SimilaritySearchSpec extends SparkSpec {
   }
 
   test("incrementalCosineNearDuplicatesManaged releases its internal cache") {
+    // clearCache drops same-suite leaked caches (CacheManager dedups an
+    // identical plan, so no NEW rdd id would appear for the managed
+    // call); the before-snapshot covers other suites' localCheckpoint
+    // RDDs, which survive clearCache — assert on the DELTA
     spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val emb = Tables.embeddings(spark, sf0001)
     val isNew = $"vec_id" % 10 === 0
     val (pairs, release) = SimilaritySearch.incrementalCosineNearDuplicatesManaged(
       emb.filter(isNew), emb.filter(!isNew), threshold = 0.4)
     assert(pairs.count() > 0)
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
       "cache should be live while the caller consumes the pairs")
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
       "release handle must unpersist the internal batch cache")
   }
 
