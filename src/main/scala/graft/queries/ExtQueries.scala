@@ -504,6 +504,17 @@ object ExtQueries {
         .select(col("term"), col("cnt"))
     },
 
+    // ── z-order (Morton) clustering values: the multi-dimensional
+    // data-layout key — bit-interleaved range buckets of (l_partkey,
+    // l_suppkey), pure integer arithmetic, oracled bit-for-bit. The
+    // layout itself (range partition + sort on zval) is exercised by
+    // ZOrderSpec's file-clustering proof.
+    "q64_zorder_values" -> { (s, dir) =>
+      graft.sources.ZOrder.withZValue(
+          Tables.lineitem(s, dir), Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zval"))
+    },
+
     // ── quantile-sketch error bound, driver-checked: approx_percentile
     // (KLL-style, rank error ≤ 1/accuracy = 1e-4) must land between the
     // exact interpolated p49 and p51 values — rank-space error mapped to
@@ -792,6 +803,25 @@ object ExtQueries {
     "q63_heavy_hitters_superset" ->
       """SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS cnt
         |WHERE 1 = 0""".stripMargin,
+
+    // Morton interleave: bit j of column i lands at position j·k+i —
+    // the 16 shift/mask terms are generated to match ZOrder.interleave
+    // exactly (k=2, bits=8; i=0 partkey, i=1 suppkey).
+    "q64_zorder_values" -> {
+      val terms = (0 until 8).flatMap(j => Seq(
+        s"(((bp >> $j) & 1) << ${2 * j})",
+        s"(((bs >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(floor((l_partkey - pmin) * 256.0 / (pmax - pmin + 1)) AS BIGINT) AS bp,
+         |    CAST(floor((l_suppkey - smin) * 256.0 / (smax - smin + 1)) AS BIGINT) AS bs
+         |  FROM lineitem CROSS JOIN mm)
+         |SELECT l_orderkey, l_linenumber, $terms AS zval FROM b""".stripMargin
+    },
 
     "q45_ann_upper_bound" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS BIGINT) AS query_id,
