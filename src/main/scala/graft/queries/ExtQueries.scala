@@ -490,17 +490,20 @@ object ExtQueries {
     // mergeable state, ≤ 1/support items on the driver.
     "q63_heavy_hitters_superset" -> { (s, dir) =>
       val support = 0.02
-      // cached: feeds the exact counts AND the sketch pass
       val tok = graft.core.Partitioning.forCompute(Tables.documents(s, dir))
         .select(explode(split(T.normalized(col("text")), " ")).as("term"))
-        .filter(col("term") =!= "").cache()
-      val total = tok.agg(count(lit(1)).as("n"))
+        .filter(col("term") =!= "")
+      // one eager, driver-bounded job at build time (same contract as
+      // q60's k-means collects): the sketch is ≤ 1/support items, so it
+      // comes back as a literal array — no cache to leak, no join
       val sketch = tok.stat.freqItems(Seq("term"), support)
-        .select(explode(col("term_freqItems")).as("term"))
-      tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
+        .collect().head.getSeq[String](0)
+      val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("n"))))
         .filter(col("cnt") > col("n") * lit(support)) // exact heavy hitters
-        .join(sketch, Seq("term"), "left_anti")       // ...missing from sketch
+        .filter(!array_contains(                      // ...missing from sketch
+          array(sketch.map(lit): _*), col("term")))
         .select(col("term"), col("cnt"))
     },
 

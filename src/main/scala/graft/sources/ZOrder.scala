@@ -52,6 +52,9 @@ object ZOrder {
       Seq(min(col(c)).cast("long").as(s"__min_$c"),
         max(col(c)).cast("long").as(s"__max_$c")))
     val mm = df.agg(aggs.head, aggs.tail: _*).collect().head
+    require(!mm.anyNull,
+      "ZOrder.withZValue: input has no rows (or an all-null cluster " +
+        "column) — min/max bucketing is undefined on an empty frame")
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       rangeBucket(col(c).cast("long"), mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
     }

@@ -36,11 +36,17 @@ class RepetitionStatsSpec extends SparkSpec {
   }
 
   test("statsManaged releases the internal gram cache") {
-    // delta-based: sibling suites' localCheckpoint RDDs survive clearCache
+    // parquet-backed input (trap #8: a tiny Seq folds to a LocalRelation
+    // whose cache never materializes, making release untestable); delta
+    // assertions because sibling suites' localCheckpoint RDDs survive
+    // clearCache
+    spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) = RepetitionStats.statsManaged(
-      Seq(1L -> "a b a b").toDF("doc_id", "text"), "doc_id", "text")
-    assert(out.count() == 1)
+      graft.core.Tables.documents(spark, sf0001), "doc_id", "text")
+    assert(out.count() > 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "gram cache should be live while the caller consumes the result")
     release()
     assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
   }

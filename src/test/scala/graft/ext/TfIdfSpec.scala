@@ -44,12 +44,18 @@ class TfIdfSpec extends SparkSpec {
     assert(rows.head._5 == 9.0)
   }
 
-  test("topTermsManaged releases the internal tf cache") {
-    // delta-based: sibling suites' localCheckpoint RDDs survive clearCache
+  test("topTermsManaged releases the internal caches") {
+    // parquet-backed input (a tiny Seq folds to a LocalRelation whose
+    // cache never materializes — trap #8 — making release untestable);
+    // delta assertions because sibling suites' localCheckpoint RDDs
+    // survive clearCache
+    spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) = TfIdf.topTermsManaged(
-      Seq(1L -> "a b a").toDF("doc_id", "text"), "doc_id", "text", k = 1)
-    assert(out.count() == 1)
+      graft.core.Tables.documents(spark, sf0001), "doc_id", "text", k = 1)
+    assert(out.count() > 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "caches should be live while the caller consumes the result")
     release()
     assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
   }

@@ -91,16 +91,18 @@ class WinnowingSpec extends SparkSpec {
   }
 
   test("sharedFingerprintPairsManaged releases both internal caches") {
-    // other suites' localCheckpoint RDDs share the session and are NOT
-    // removed by clearCache — assert on the DELTA, not emptiness
+    // parquet-backed input (trap #8: a tiny Seq folds to a LocalRelation
+    // whose cache never materializes, making release untestable); delta
+    // assertions because sibling suites' localCheckpoint RDDs survive
+    // clearCache
+    spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    val base = "the common long passage that both documents quote verbatim here"
-    val docs = Seq(
-      1L -> s"preamble alpha beta $base",
-      2L -> s"$base trailing omega").toDF("doc_id", "text")
     val (pairs, release) = Winnowing.sharedFingerprintPairsManaged(
-      docs, "doc_id", "text", k, w, minShared = 1)
-    assert(pairs.count() == 1)
+      graft.core.Tables.documents(spark, sf0001), "doc_id", "text",
+      k = 20, w = 10, minShared = 4)
+    assert(pairs.count() > 0) // the fixture's planted near-dups share passages
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "caches should be live while the caller consumes the pairs")
     release()
     assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
       "release handle must unpersist the fingerprint frame AND the inverted index")

@@ -36,17 +36,30 @@ class ZOrderSpec extends SparkSpec {
   test("z-layout clusters a 2-dimensional box into fewer files than round-robin") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-    val work = Files.createTempDirectory("zorder").toString
-    li.repartition(8).write.parquet(s"$work/naive")
-    ZOrder.layoutBy(li, Seq("l_partkey", "l_suppkey"), bits = 8, nFiles = 8)
-      .write.parquet(s"$work/zorder")
-    def filesTouched(path: String): Long = spark.read.parquet(path)
-      .filter($"l_partkey".between(10, 30) && $"l_suppkey".between(2, 4))
-      .select(input_file_name()).distinct().count()
-    val naive = filesTouched(s"$work/naive")
-    val z = filesTouched(s"$work/zorder")
-    assert(naive >= 7, s"round-robin should smear the box over ~all files, got $naive")
-    assert(z < naive,
-      s"z-order must cluster the box into fewer files: z=$z naive=$naive")
+    val work = Files.createTempDirectory("zorder")
+    try {
+      li.repartition(8).write.parquet(s"$work/naive")
+      ZOrder.layoutBy(li, Seq("l_partkey", "l_suppkey"), bits = 8, nFiles = 8)
+        .write.parquet(s"$work/zorder")
+      def filesTouched(path: String): Long = spark.read.parquet(path)
+        .filter($"l_partkey".between(10, 30) && $"l_suppkey".between(2, 4))
+        .select(input_file_name()).distinct().count()
+      val naive = filesTouched(s"$work/naive")
+      val z = filesTouched(s"$work/zorder")
+      assert(naive >= 7, s"round-robin should smear the box over ~all files, got $naive")
+      assert(z < naive,
+        s"z-order must cluster the box into fewer files: z=$z naive=$naive")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(work.toFile).deleteRecursively()
+    }
+  }
+
+  test("withZValue on an empty frame raises a clear error, not an NPE") {
+    val li = Tables.lineitem(spark, sf0001).filter($"l_partkey" < 0)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.withZValue(li, Seq("l_partkey", "l_suppkey"), bits = 8)
+    }
+    assert(e.getMessage.contains("no rows"))
   }
 }
