@@ -82,6 +82,39 @@ object Sampling {
     df.withColumn("split", expr0)
   }
 
+  /** Weighted Bernoulli sample targeting `expectedRows` rows: each row
+    * is kept with probability min(1, expectedRows · w / ΣW) — inclusion
+    * probability proportional to `weight` (Poisson/probability-
+    * proportional-to-size sampling), decided deterministically by the
+    * row's hash variate. The classic use: sample a corpus proportional
+    * to token count or quality score so the expected TOKEN volume, not
+    * document count, is controlled.
+    *
+    * Exactly reproducible across engines: the variate is the md5
+    * construction above and the threshold uses only IEEE +,·,/ — both
+    * sides of the oracle compute bit-identical doubles, so the sampled
+    * row SET (not just its size) is pinned.
+    *
+    * Scale shape: one tiny total-weight aggregate broadcast back, then
+    * a pure scan-stage filter — no shuffle of the data itself, and the
+    * decision survives re-partitioning and retries. Rows with
+    * non-positive weight are never selected.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weight: Column,
+      expectedRows: Long,
+      salt: String = ""): DataFrame = {
+    require(expectedRows >= 0, "expectedRows must be non-negative")
+    val total = df.agg(sum(weight).cast("double").as("__w_total"))
+    df.crossJoin(broadcast(total))
+      .filter(weight > 0 &&
+        hashUniform(col(keyCol), salt) * col("__w_total") <
+          lit(expectedRows.toDouble) * weight)
+      .drop("__w_total")
+  }
+
   /** Token-budget mixture: per stratum, keep documents in deterministic
     * hash order until the cumulative token count reaches the stratum's
     * budget (docs whose cumulative sum is ≤ budget survive) — "build a

@@ -532,6 +532,53 @@ object ExtQueries {
         .select(col("l_returnflag"),
           (col("ap50") >= col("e49") && col("ap50") <= col("e51"))
             .as("p50_within_1pct"))
+    },
+
+    // ── fixed-size token-window chunking with overlap (context-window
+    // preparation): 64-token windows every 48 tokens (16-token overlap).
+    // Pure scan-stage generator — tokenize, sequence of starts,
+    // posexplode + slice; no shuffle. Oracle pins the window algebra
+    // (starts, sizes, text reassembly) bit-for-bit.
+    "q65_chunk_overlap" -> { (s, dir) =>
+      graft.ext.Chunking.chunkDocs(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 64, overlap = 16)
+    },
+
+    // ── Bloom-membership no-false-negative invariant, driver-checked
+    // (zero-row oracle): the scan-stage might_contain probe GUARANTEES
+    // a superset of exact membership — every corpus doc whose
+    // fingerprint appears in the eval set (doc_id % 50 == 0, which is
+    // itself in the corpus, so matches always exist) must be flagged.
+    // Violations = exact matches the sketch missed: must be empty under
+    // any partitioning/merge order. False-positive excess is bounded by
+    // BloomMembershipSpec's measured-FPR test, not here.
+    "q66_bloom_no_false_negative" -> { (s, dir) =>
+      // cached: feeds the eval count, the sketch build, the exact
+      // join, and the probe (same multi-consumer contract as q60)
+      val fps = Tables.documents(s, dir)
+        .select(col("doc_id"), T.fingerprintMd5(col("text")).as("fp"))
+        .cache()
+      val evalSet = fps.filter(col("doc_id") % 50 === 0)
+      // eager, driver-bounded scalars/sketch (q63's build-time contract)
+      val nEval = evalSet.count()
+      val bloom = graft.ext.BloomMembership
+        .bloomBytes(evalSet, col("fp"), math.max(nEval, 1L)).get
+      val flagged = fps
+        .filter(graft.ext.BloomMembership.mightContain(bloom, col("fp")))
+      fps.join(evalSet.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        .join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("fp"))
+    },
+
+    // ── weighted (probability-proportional-to-size) sampling: keep each
+    // doc with probability min(1, 100·n_chars/Σn_chars), decided by the
+    // md5 variate — the "sample by token volume, not doc count" knob.
+    // Exact row-SET oracle: the variate and the IEEE ·,< threshold are
+    // bit-identical in DuckDB.
+    "q67_weighted_sample" -> { (s, dir) =>
+      graft.ext.Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), expectedRows = 100, salt = "wsamp")
     }
   )
 
@@ -765,6 +812,16 @@ object ExtQueries {
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
         |                         WHEN 'src2' THEN 400 ELSE NULL END""".stripMargin,
 
+    "q67_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'wsamp'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |w AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS tot FROM documents)
+        |SELECT doc_id, n_chars FROM t CROSS JOIN w
+        |WHERE n_chars > 0 AND u * tot < 100.0 * n_chars""".stripMargin,
+
     "q53_split_assign" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -805,6 +862,10 @@ object ExtQueries {
 
     "q63_heavy_hitters_superset" ->
       """SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS cnt
+        |WHERE 1 = 0""".stripMargin,
+
+    "q66_bloom_no_false_negative" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS fp
         |WHERE 1 = 0""".stripMargin,
 
     // Morton interleave: bit j of column i lands at position j·k+i —
@@ -982,6 +1043,21 @@ object ExtQueries {
         |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
         |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_idx
         |FROM c""".stripMargin,
+
+    // Window starts every stride=48 tokens; DuckDB list slicing is
+    // 1-based inclusive and clamps at the end exactly like Spark's
+    // slice(), so the final short window matches bit-for-bit.
+    "q65_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start_tok FROM t)
+        |SELECT doc_id,
+        |  CAST(start_tok // 48 AS INTEGER) AS chunk_idx,
+        |  CAST(start_tok AS INTEGER) AS start_tok,
+        |  len(toks[start_tok + 1 : start_tok + 64]) AS n_chunk_tokens,
+        |  array_to_string(toks[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+        |FROM s""".stripMargin,
 
     "q59_bigram_lm_score" ->
       """WITH w AS (

@@ -80,4 +80,33 @@ class SamplingSpec extends SparkSpec {
       Map("src0" -> 900L)).select("doc_id").as[Long].collect().toSet
     assert(d500.subsetOf(d900))
   }
+
+  test("weightedSample: inclusion proportional to weight, deterministic, partition-stable") {
+    // weights 1..1000, ΣW = 500500; expected 200 rows ⇒ p(w) = 200·w/ΣW
+    val df = (1L to 1000L).map(i => i -> i).toDF("id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, "id", col("w"), expectedRows = 200, salt = "t")
+        .select("id").as[Long].collect().toSet
+    val picked = run(df)
+    assert(run(df.repartition(13)) == picked)
+    // expected size: deterministic measurement, generous band
+    assert(picked.size > 120 && picked.size < 300, s"size ${picked.size}")
+    // heavier rows picked more often: top-decile rate ≥ 4× bottom-decile
+    val loRate = picked.count(_ <= 100).toDouble / 100
+    val hiRate = picked.count(_ > 900).toDouble / 100
+    assert(hiRate >= 4 * math.max(loRate, 0.01) || loRate == 0.0,
+      s"lo $loRate hi $hiRate")
+    // certainty region: p ≥ 1 ⇔ w ≥ ΣW/k = 2502.5 — none here; but zero
+    // and negative weights are never selected
+    val withZero = ((1L to 10L).map(i => i -> 0L) ++ Seq(11L -> -5L)).toDF("id", "w")
+    assert(Sampling.weightedSample(withZero, "id", col("w"), 5, "t").count() == 0)
+  }
+
+  test("weightedSample: rows past the certainty threshold are always kept") {
+    // one huge weight dominating ΣW: k·w/ΣW > 1 ⇒ always in the sample
+    val df = ((1L to 50L).map(i => i -> 1L) ++ Seq(99L -> 10000L)).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", col("w"), 3, "t")
+      .select("id").as[Long].collect().toSet
+    assert(picked.contains(99L))
+  }
 }
