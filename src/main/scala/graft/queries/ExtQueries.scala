@@ -579,6 +579,21 @@ object ExtQueries {
       graft.ext.Sampling.weightedSample(
         Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
         "doc_id", col("n_chars"), expectedRows = 100, salt = "wsamp")
+    },
+
+    // ── SCD Type 2 history build: per-user runs of event_type collapsed
+    // into [valid_from, valid_to) validity intervals. µs-precision
+    // longs, NOT ns: DuckDB's parquet reader truncates TIMESTAMP_NS to
+    // µs, so ns bounds can't be oracled — the event_id tiebreak makes
+    // ordering deterministic at either precision. One shuffle — the
+    // change/version windows, the run aggregate, and the interval-
+    // close lead all ride the same user_id hash partitioning.
+    "q68_scd2_intervals" -> { (s, dir) =>
+      graft.operators.ChangeCapture.scd2(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type")),
+        "user_id", Seq("ts_us", "event_id"), "event_type")
     }
   )
 
@@ -867,6 +882,28 @@ object ExtQueries {
     "q66_bloom_no_false_negative" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS fp
         |WHERE 1 = 0""".stripMargin,
+
+    "q68_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |v AS (
+        |  SELECT user_id, ts_us, event_type,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS attr_value,
+        |    min(ts_us) AS valid_from, COUNT(*) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, attr_value, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |  n_events,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+        |FROM g""".stripMargin,
 
     // Morton interleave: bit j of column i lands at position j·k+i —
     // the 16 shift/mask terms are generated to match ZOrder.interleave

@@ -55,10 +55,12 @@ class PlanQualitySpec extends SparkSpec {
     // scalar row, the standard way to fan a global statistic into a
     // distributed frame without collect(). The data joins around them
     // stay keyed equi-joins (pinned by the dedicated plan tests below).
+    // q67 fans the single-row total-weight aggregate into the scan the
+    // same way (broadcast of one scalar row, then a pure filter).
     val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound",
       "q27_ann_lsh_recall_floor", "q35_ann_ivf_recall_floor",
       "q58_tfidf_topk", "q59_bigram_lm_score", "q60_semdedup_invariant",
-      "q63_heavy_hitters_superset")
+      "q63_heavy_hitters_superset", "q67_weighted_sample")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -115,5 +117,17 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q60_semdedup_invariant")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), s"q60 lost its equi-join:\n$p")
+  }
+
+  test("q65: chunking is a pure scan-stage generator (no shuffle at all)") {
+    val p = plan("q65_chunk_overlap")
+    assert(!p.contains("Exchange"), s"q65 gained a shuffle:\n$p")
+    assert(p.contains("Generate"), s"q65 lost its generator:\n$p")
+  }
+
+  test("q68: SCD2 runs on ONE key shuffle — windows, run-agg, and interval close reuse it") {
+    val p = plan("q68_scd2_intervals")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"q68 should shuffle once, saw $exchanges:\n$p")
   }
 }
