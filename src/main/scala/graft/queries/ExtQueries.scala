@@ -594,6 +594,16 @@ object ExtQueries {
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"), col("event_type")),
         "user_id", Seq("ts_us", "event_id"), "event_type")
+    },
+
+    // ── character-diversity quality signals (charset anomaly family):
+    // alphabet size, top-char share, Simpson concentration — the
+    // entropy-family signal without transcendentals, so the oracle is
+    // bit-exact. Two-level (doc, char) hash agg; shuffle volume is
+    // docs × alphabet, not corpus characters.
+    "q70_char_diversity" -> { (s, dir) =>
+      graft.ext.CharStats.charStats(Tables.documents(s, dir),
+        "doc_id", "text")
     }
   )
 
@@ -882,6 +892,23 @@ object ExtQueries {
     "q66_bloom_no_false_negative" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS fp
         |WHERE 1 = 0""".stripMargin,
+
+    "q70_char_diversity" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+        |c AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM base, unnest(range(1, n_chars + 1)) AS u(i)
+        |  WHERE n_chars > 0),
+        |g AS (SELECT doc_id, ch, COUNT(*) AS c FROM c GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    MAX(c) AS maxc, SUM(c * c) AS ss, SUM(c) AS n
+        |  FROM g GROUP BY 1)
+        |SELECT b.doc_id, b.n_chars,
+        |  coalesce(a.n_distinct, 0) AS n_distinct_chars,
+        |  round(CAST(a.maxc AS DOUBLE) / a.n, 6) AS top_char_frac,
+        |  round(CAST(a.ss AS DOUBLE) / a.n / a.n, 6) AS simpson
+        |FROM base b LEFT JOIN a ON a.doc_id = b.doc_id""".stripMargin,
 
     "q68_scd2_intervals" ->
       """WITH e AS (

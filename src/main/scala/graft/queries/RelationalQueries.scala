@@ -312,6 +312,24 @@ object RelationalQueries {
           col("user_id") === col("p_user"), "1 hour")
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+    },
+
+    // ── Q69: pivot (§2.4 family): long→wide conditional aggregation.
+    // Explicit value list, so the plan is ONE pass — a single hash agg
+    // whose map-side partials already carry the five pivoted sums; no
+    // per-value scan, no distinct-values pre-query (implicit pivot
+    // would add a driver round-trip to discover values — at 100 TB the
+    // value list must be declared, and here it is).
+    "q69_pivot_priority" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderstatus"),
+          col("`1-URGENT`").as("urgent"), col("`2-HIGH`").as("high"),
+          col("`3-MEDIUM`").as("medium"),
+          col("`4-NOT SPECIFIED`").as("notspec"), col("`5-LOW`").as("low"))
     }
   )
 
@@ -471,6 +489,20 @@ object RelationalQueries {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000""".stripMargin,
+
+    "q69_pivot_priority" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS high,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS medium,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS notspec,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS low
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q32_sessionize" ->
       """WITH t AS (
