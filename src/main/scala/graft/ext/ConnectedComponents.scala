@@ -199,4 +199,32 @@ object ConnectedComponents {
       .select(col("vertex").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Full-closure dedup keeping the BEST member per component: the row
+    * with the highest `score` (ties → lowest id) survives — the rule a
+    * training pipeline actually wants when near-duplicates differ in
+    * quality (truncation, boilerplate wrap, OCR noise), vs
+    * [[dropByComponents]]' id-canonical pick. Docs untouched by any
+    * pair are their own singleton component and always survive.
+    *
+    * Scale shape: the closure itself (see [[auto]]) + one broadcast-
+    * size join of (vertex → component) onto the corpus + one window
+    * rank per component — the window shuffle is keyed by component id,
+    * whose cardinality is the number of dup CLUSTERS, with per-group
+    * size = cluster size (tiny); no new scale hazard beyond the
+    * closure.
+    */
+  def keepBestByComponents(docs: DataFrame, idCol: String,
+      score: org.apache.spark.sql.Column, pairs: DataFrame,
+      srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    val comp = auto(pairs, srcCol, dstCol)
+      .withColumnRenamed("vertex", idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__comp")).orderBy(score.desc, col(idCol))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("component", "__comp", "__rn")
+  }
 }

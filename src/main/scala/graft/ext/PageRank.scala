@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in PURE INTEGER ARITHMETIC — the
+  * link-authority score (Page et al. 1999) used by web-corpus
+  * pipelines to weight domains/pages when sampling training data.
+  *
+  * Ranks are fixed-point longs at scale 10¹² (`rank_e12`), and every
+  * operation is integer: contribution = `rank DIV outdeg`, damping =
+  * `(85·Σ) DIV 100`, base = `(15·10¹²) DIV (100·N)`. No floating
+  * point ⇒ no summation-order low bits, no decimal→double conversion
+  * ulps, no libm — the result is bit-identical on ANY engine,
+  * partitioning, or merge order (the reproducibility trick that makes
+  * an iterative distributed computation exactly oracle-able; same
+  * motivation as TfIdf's reciprocal-df and CharStats' Simpson).
+  * Truncating divisions leak ≤ outdeg·10⁻¹² mass per node per round —
+  * Σrank only ever drifts DOWN from 10¹², bounded by the spec.
+  *
+  * Dangling nodes (no out-edges) keep receiving the base term but
+  * contribute nothing — their mass evaporates rather than being
+  * redistributed (the common simplification; documented, and exactly
+  * mirrored in the oracle). Parallel edges act as weights (a u→v
+  * appearing k times contributes k·(rank DIV outdeg), with outdeg
+  * counting edge instances).
+  *
+  * Scale shape: per iteration, ONE shuffle keyed on src for the
+  * (edges ⋈ ranks ⋈ outdeg) contribution join and one agg shuffle on
+  * dst; outdeg is computed once and reused; ranks are
+  * `localCheckpoint`ed per round so lineage stays flat over any
+  * iteration count (the [[ConnectedComponents]] recipe). Driver state
+  * is one scalar (N).
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // 10^12 fixed-point
+
+  /** (node, rank_e12) after `iters` rounds over `edges(srcCol, dstCol)`.
+    * Node set = every id appearing as src or dst.
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    val n = nodes.count() // eager, one driver scalar
+    val base = (Scale / 100L) * (100L - dampingPct) / math.max(n, 1L)
+
+    var ranks = nodes
+      .withColumn("rank_e12", lit(Scale / math.max(n, 1L)))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_e12 DIV outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampingPct * coalesce(in_sum, 0)) DIV 100"))
+            .as("rank_e12"))
+        .localCheckpoint()
+    }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    ranks
+  }
+}

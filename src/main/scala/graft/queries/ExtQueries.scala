@@ -604,6 +604,23 @@ object ExtQueries {
     "q70_char_diversity" -> { (s, dir) =>
       graft.ext.CharStats.charStats(Tables.documents(s, dir),
         "doc_id", "text")
+    },
+
+    // ── fixed-iteration PageRank over the customer↔supplier interaction
+    // graph (orders⋈lineitem, both directions; node ids disambiguated
+    // by parity). PURE INTEGER fixed-point arithmetic — the oracle
+    // unrolls the same three rounds and matches bit-for-bit on any
+    // engine/partitioning (no FP summation order, no libm).
+    "q71_pagerank" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.PageRank.run(edges, "src", "dst", iters = 3)
     }
   )
 
@@ -892,6 +909,40 @@ object ExtQueries {
     "q66_bloom_no_false_negative" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS fp
         |WHERE 1 = 0""".stripMargin,
+
+    // Three unrolled integer-arithmetic rounds; `//` is BIGINT floor
+    // division, matching Spark's DIV on positive operands exactly.
+    "q71_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // o.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r0 ON r0.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r1 AS (SELECT nodes.node,
+        |        ((1000000000000 // 100) * 15) // n
+        |          + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // o.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r1 ON r1.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r2 AS (SELECT nodes.node,
+        |        ((1000000000000 // 100) * 15) // n
+        |          + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // o.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r2 ON r2.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r3 AS (SELECT nodes.node,
+        |        ((1000000000000 // 100) * 15) // n
+        |          + (85 * coalesce(c3.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r3""".stripMargin,
 
     "q70_char_diversity" ->
       """WITH base AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),

@@ -25,6 +25,23 @@ class ClosureSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("keepBestByComponents keeps the highest-score member; ties break to lowest id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),   // chain 1-2-3 → keep 2
+      (10L, 0.4), (11L, 0.4),            // tie → keep 10
+      (99L, 0.0)                         // untouched singleton survives
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = ConnectedComponents
+      .keepBestByComponents(docs, "doc_id", col("quality"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 99L))
+    // exactly one survivor per component, schema untouched
+    val out = ConnectedComponents
+      .keepBestByComponents(docs, "doc_id", col("quality"), pairs)
+    assert(out.columns.toSeq == Seq("doc_id", "quality"))
+  }
+
   test("centroid aggregator matches hand computation and explode-based mean") {
     val df = Seq(
       (0, Array(1f, 3f)), (0, Array(3f, 5f)), (1, Array(10f, 20f))
