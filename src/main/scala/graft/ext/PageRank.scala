@@ -38,13 +38,21 @@ object PageRank {
 
   /** (node, rank_e12) after `iters` rounds over `edges(srcCol, dstCol)`.
     * Node set = every id appearing as src or dst.
+    *
+    * `checkpointEvery` bounds lineage depth: rounds in between stay
+    * LAZY (one fused multi-round plan — cheaper than materializing
+    * every round), and every k-th round cuts the tree so planning time
+    * stays flat at high iteration counts. The cadence cannot change a
+    * single output bit — the arithmetic is integer — so it is purely a
+    * lineage/planning dial (spec-pinned).
     */
   def run(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iters: Int,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85,
+      checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
@@ -55,10 +63,10 @@ object PageRank {
     val n = nodes.count() // eager, one driver scalar
     val base = (Scale / 100L) * (100L - dampingPct) / math.max(n, 1L)
 
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     var ranks = nodes
       .withColumn("rank_e12", lit(Scale / math.max(n, 1L)))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
@@ -70,8 +78,10 @@ object PageRank {
           (lit(base) +
             expr(s"($dampingPct * coalesce(in_sum, 0)) DIV 100"))
             .as("rank_e12"))
-        .localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
+    // final materialization before dropping the caches it depends on
+    ranks = ranks.localCheckpoint()
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     ranks
   }

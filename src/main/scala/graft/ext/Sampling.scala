@@ -82,6 +82,33 @@ object Sampling {
     df.withColumn("split", expr0)
   }
 
+  /** EXACTLY-k-per-stratum sample: rank each stratum's rows by the
+    * hash variate (ties → key) and keep the first k — fixed-size
+    * per-group samples (eval slices, inspection sets, per-source
+    * probes) where Bernoulli's ±√k size jitter is unacceptable.
+    * Deterministic for a given corpus; unlike [[sample]], RANK-based
+    * membership can shift when rows are added to a stratum (a new row
+    * hashing into the top k displaces the old k-th) — growth-stable
+    * selection needs the Bernoulli variants.
+    *
+    * Scale: one shuffle on the stratum key; per-group state is a
+    * top-k heap's worth of rows at the window, skew bounded by the
+    * largest stratum.
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashUniform(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Weighted Bernoulli sample targeting `expectedRows` rows: each row
     * is kept with probability min(1, expectedRows · w / ΣW) — inclusion
     * probability proportional to `weight` (Poisson/probability-

@@ -19,6 +19,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** array<float> → array<double> (identity on already-double input). */
+  private def widen(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => e
+    case _ => org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_extract_json"),
@@ -28,6 +37,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "graft_extract_json(text, marker) takes exactly 2 arguments")
         ExtractBalancedJsonExpr(args.head, args(1))
+      }))
+    // the vector kernels, for spark.sql() users — same codegen
+    // expressions the Column API paths compile to. graft_dot widens
+    // float vectors the way VectorFunctions' Column path does (the
+    // kernel itself is doubles-only).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_dot(vec_a, vec_b) takes exactly 2 arguments")
+        DotProductExpr(widen(args.head), widen(args(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeExpr].getName, "graft_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_normalize(vec) takes exactly 1 argument")
+        NormalizeExpr(args.head)
       }))
   }
 }

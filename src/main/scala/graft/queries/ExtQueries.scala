@@ -621,6 +621,15 @@ object ExtQueries {
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.ext.PageRank.run(edges, "src", "dst", iters = 3)
+    },
+
+    // ── exactly-k-per-stratum sample: 20 docs per source in hash-rank
+    // order — fixed-size per-group slices where Bernoulli's size
+    // jitter won't do. Exact row-SET oracle (same variate + ordering).
+    "q72_sample_k_per_group" -> { (s, dir) =>
+      graft.ext.Sampling.sampleKPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 20, salt = "topk")
     }
   )
 
@@ -853,6 +862,18 @@ object ExtQueries {
         |SELECT doc_id, source, n_tokens FROM c
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
         |                         WHEN 'src2' THEN 400 ELSE NULL END""".stripMargin,
+
+    "q72_sample_k_per_group" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'topk'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+        |  FROM t)
+        |SELECT doc_id, source FROM r WHERE rn <= 20""".stripMargin,
 
     "q67_weighted_sample" ->
       """WITH t AS (

@@ -56,4 +56,17 @@ class PageRankSpec extends SparkSpec {
     val out = run(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L), 0)
     assert(out.values.toSet == Set(S / 3L))
   }
+
+  test("checkpoint cadence never changes a bit") {
+    val edges = for { a <- 1L to 25L; b <- Seq((a % 25) + 1, (a * 3 % 25) + 1) }
+      yield a -> b
+    val df = edges.toDF("src", "dst")
+    val every1 = PageRank.run(df, "src", "dst", 7, checkpointEvery = 1)
+      .as[(Long, Long)].collect().toMap
+    val every3 = PageRank.run(df, "src", "dst", 7, checkpointEvery = 3)
+      .as[(Long, Long)].collect().toMap
+    val never = PageRank.run(df, "src", "dst", 7, checkpointEvery = 100)
+      .as[(Long, Long)].collect().toMap
+    assert(every1 == every3 && every3 == never)
+  }
 }

@@ -102,6 +102,19 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedSample(withZero, "id", col("w"), 5, "t").count() == 0)
   }
 
+  test("sampleKPerGroup: exact size per stratum, deterministic, small strata kept whole") {
+    val df = ((1L to 100L).map(i => i -> "big") ++ (101L to 105L).map(i => i -> "tiny"))
+      .toDF("id", "grp")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleKPerGroup(d, "grp", "id", 10, salt = "t")
+        .select("id", "grp").as[(Long, String)].collect().toSet
+    val out = run(df)
+    assert(out.count(_._2 == "big") == 10)
+    assert(out.count(_._2 == "tiny") == 5) // stratum smaller than k → all rows
+    assert(run(df.repartition(9)) == out)
+    assert(Sampling.sampleKPerGroup(df, "grp", "id", 0, "t").count() == 0)
+  }
+
   test("weightedSample: rows past the certainty threshold are always kept") {
     // one huge weight dominating ΣW: k·w/ΣW > 1 ⇒ always in the sample
     val df = ((1L to 50L).map(i => i -> 1L) ++ Seq(99L -> 10000L)).toDF("id", "w")

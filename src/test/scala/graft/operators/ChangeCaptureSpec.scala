@@ -46,6 +46,51 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(out.map(_._6).sum == rows.size)
   }
 
+  test("scd2Merge == full rebuild for every time split (incl. mid-run, boundary, new keys)") {
+    // 3 keys with multi-run histories; key 3 appears only late (a key
+    // new to the dimension at merge time)
+    val events = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "B"), (1L, 50L, 5L, "A"),
+      (2L, 15L, 6L, "X"), (2L, 25L, 7L, "Y"), (2L, 45L, 8L, "Y"),
+      (3L, 35L, 9L, "Q"), (3L, 55L, 10L, "R"))
+    val full = run(events)
+    for (split <- Seq(12L, 20L, 28L, 34L, 42L, 50L)) {
+      val before = events.filter(_._2 <= split)
+      val after = events.filter(_._2 > split)
+      val existing = ChangeCapture.scd2(
+        before.toDF("k", "ts", "id", "attr"), "k", Seq("ts", "id"), "attr")
+      val merged = ChangeCapture.scd2Merge(existing,
+          after.toDF("k", "ts", "id", "attr"), "k", Seq("ts", "id"), "attr")
+        .select("k", "version", "attr_value", "valid_from", "valid_to",
+          "n_events", "is_current")
+        .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+        .collect().sortBy(r => (r._1, r._2))
+      assert(merged.toSeq == full.toSeq, s"split at $split diverges")
+    }
+  }
+
+  test("scd2Merge leaves untouched keys byte-identical and passes an empty batch through") {
+    val events = Seq((1L, 10L, 1L, "A"), (2L, 20L, 2L, "B"))
+    val existing = ChangeCapture.scd2(
+      events.toDF("k", "ts", "id", "attr"), "k", Seq("ts", "id"), "attr")
+    val merged = ChangeCapture.scd2Merge(existing,
+        Seq((2L, 30L, 3L, "C")).toDF("k", "ts", "id", "attr"),
+        "k", Seq("ts", "id"), "attr")
+      .select("k", "version", "attr_value", "valid_from", "valid_to",
+        "n_events", "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(merged.toSeq == Seq(
+      (1L, 1L, "A", 10L, None, 1L, true),
+      (2L, 1L, "B", 20L, Some(30L), 1L, false),
+      (2L, 2L, "C", 30L, None, 1L, true)))
+    val empty = ChangeCapture.scd2Merge(existing,
+      Seq.empty[(Long, Long, Long, String)].toDF("k", "ts", "id", "attr"),
+      "k", Seq("ts", "id"), "attr")
+    assert(empty.count() == 2)
+  }
+
   test("deterministic under duplicate timestamps (id tiebreak) and repartition") {
     val rows = Seq(
       (1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"), (1L, 20L, 3L, "A"))

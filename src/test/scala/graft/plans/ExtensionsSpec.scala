@@ -25,6 +25,18 @@ class ExtensionsSpec extends SparkSpec {
       "graft_extract_json",
       (args: Seq[Expression]) => ExtractBalancedJsonExpr(args.head, args(1)),
       "scala_udf")
+    def widen(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      (args: Seq[Expression]) => DotProductExpr(widen(args.head), widen(args(1))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize",
+      (args: Seq[Expression]) => NormalizeExpr(args.head),
+      "scala_udf")
   }
 
   test("extension wiring builds the native expression") {
@@ -64,5 +76,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("udf"))
     assert(plan.contains("graft_extract_json"))
     assert(plan.contains("*(1) Project")) // the * marks WholeStageCodegen
+  }
+
+  test("graft_dot / graft_normalize in SQL match the Column-API kernels") {
+    import spark.implicits._
+    registerIntoSession()
+    Seq((Array(3.0f, 4.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val row = spark.sql(
+      """SELECT graft_dot(a, b) AS d, graft_normalize(a) AS na
+        |FROM vecs""".stripMargin).collect().head
+    assert(math.abs(row.getDouble(0) - 11.0) < 1e-9)
+    val na = row.getSeq[Double](1) // NormalizeExpr widens to array<double>
+    assert(math.abs(na(0) - 0.6) < 1e-6 && math.abs(na(1) - 0.8) < 1e-6)
   }
 }
