@@ -630,6 +630,35 @@ object ExtQueries {
       graft.ext.Sampling.sampleKPerGroup(
         Tables.documents(s, dir).select(col("doc_id"), col("source")),
         "source", "doc_id", k = 20, salt = "topk")
+    },
+
+    // ── hopping (sliding) window aggregation, batch twin of the
+    // overlapping-window stream: 1-hour windows every 30 minutes —
+    // each event lands in exactly two windows. µs-integer window
+    // starts so the oracle is exact arithmetic.
+    "q73_hopping_window" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+
+    // ── equi-depth (decile) binning of l_extendedprice: exact
+    // cutpoints once (9 doubles to the driver), assignment as a pure
+    // scan-stage when-chain, then per-bucket mass check. The oracle
+    // recomputes the same quantile_cont cutpoints and boundary rule.
+    "q74_equidepth_bins" -> { (s, dir) =>
+      graft.ext.Binning.equiDepth(
+          Tables.lineitem(s, dir).select(col("l_extendedprice")),
+          "l_extendedprice", "bucket", nBins = 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
     }
   )
 
@@ -862,6 +891,34 @@ object ExtQueries {
         |SELECT doc_id, source, n_tokens FROM c
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
         |                         WHEN 'src2' THEN 400 ELSE NULL END""".stripMargin,
+
+    // Spark's window(ts, 1h, 30m) aligns slides to the epoch; every
+    // event is in exactly the two windows starting at floor30(ts) and
+    // floor30(ts) − 30 min.
+    "q73_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT (us // 1800000000) * 1800000000 - k * 1800000000 AS win_start_us,
+        |         event_type, value
+        |  FROM e, unnest([0, 1]) AS t(k))
+        |SELECT win_start_us, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // Same boundary rule as Binning.bucketFor: values equal to a
+    // cutpoint go UP (bucket = 1 + #cutpoints ≤ v).
+    "q74_equidepth_bins" ->
+      """WITH c AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_extendedprice,
+        |    1 + len(list_filter(cs, x -> x <= l_extendedprice)) AS bucket
+        |  FROM lineitem CROSS JOIN c)
+        |SELECT bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM b GROUP BY 1""".stripMargin,
 
     "q72_sample_k_per_group" ->
       """WITH t AS (

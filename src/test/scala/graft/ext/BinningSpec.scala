@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BinningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact cutpoints interpolate like percentile; quartiles of 1..100") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val cuts = Binning.cutpoints(df, "v", 4)
+    assert(cuts == Seq(25.75, 50.5, 75.25))
+  }
+
+  test("equi-depth buckets carry equal mass; boundary values go up") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val counts = Binning.equiDepth(df, "v", "bucket", 4)
+      .groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(counts == Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+    // a value exactly at a cutpoint lands in the upper bucket
+    val b = Seq(50.5).toDF("x")
+      .select(Binning.bucketFor(col("x"), Seq(25.75, 50.5, 75.25)).as("b"))
+      .as[Int].head()
+    assert(b == 3)
+  }
+
+  test("approx path stays within sketch tolerance of equal mass") {
+    val df = (1 to 10000).map(i => (i * 37 % 10007).toDouble).toDF("v")
+    val counts = Binning.equiDepth(df, "v", "bucket", 10, exact = false)
+      .groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet == (1 to 10).toSet)
+    counts.values.foreach(c => assert(c > 700 && c < 1300, s"bucket mass $c"))
+  }
+
+  test("nBins must be at least 2") {
+    intercept[IllegalArgumentException] {
+      Binning.cutpoints(Seq(1.0).toDF("v"), "v", 1)
+    }
+  }
+}
