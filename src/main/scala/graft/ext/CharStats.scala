@@ -12,13 +12,18 @@ import graft.core.Partitioning
   *  - `n_distinct_chars` — alphabet size actually used.
   *  - `top_char_frac`    — most frequent character's share; ≈1 ⇒ a
   *    one-character flood.
-  *  - `simpson`          — Simpson concentration Σ(c/n)², the
+  *  - `simpson_e6`       — Simpson concentration Σ(c/n)², the
   *    collision probability of two random character draws; the
-  *    entropy-family signal EXPRESSED WITHOUT TRANSCENDENTALS: Σc² is
-  *    exact integer arithmetic and the single double division is IEEE-
-  *    exact, so the oracle reproduces it bit-for-bit (same reasoning
-  *    as TfIdf's reciprocal-df weighting — ln/log2 differ across libm
-  *    implementations, ratios of exact integers never do).
+  *    entropy-family signal EXPRESSED WITHOUT TRANSCENDENTALS.
+  *
+  * Both ratio signals are FIXED-POINT ×10⁶ longs (the [[PageRank]]
+  * numerics): `round(double, 6)` is NOT portable — Spark rounds the
+  * exact binary expansion via BigDecimal while DuckDB rounds in
+  * floating point, and a value landing exactly on a .5·10⁻⁶ boundary
+  * (e.g. Σc²/n² = 598/6400 at sf0.1) splits them by one ulp of output.
+  *  Integer `DIV` has no rounding step at all. Safe for documents to
+  * ~3·10⁶ chars even in the pathological single-character case
+  * (n²·10⁶ < 2⁶³).
   *
   * Plan shape: character explode via `sequence` + `substr` (dialect-
   * portable, no empty-pattern split edge cases), then the two-level
@@ -45,7 +50,7 @@ object CharStats {
       .join(perChar, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct_chars"),
-        round(col("maxc").cast("double") / col("n"), 6).as("top_char_frac"),
-        round(col("ss").cast("double") / col("n") / col("n"), 6).as("simpson"))
+        expr("(maxc * 1000000) DIV n").as("top_char_frac_e6"),
+        expr("(ss * 1000000) DIV (n * n)").as("simpson_e6"))
   }
 }

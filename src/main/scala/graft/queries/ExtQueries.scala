@@ -598,9 +598,11 @@ object ExtQueries {
 
     // ── character-diversity quality signals (charset anomaly family):
     // alphabet size, top-char share, Simpson concentration — the
-    // entropy-family signal without transcendentals, so the oracle is
-    // bit-exact. Two-level (doc, char) hash agg; shuffle volume is
-    // docs × alphabet, not corpus characters.
+    // entropy-family signal without transcendentals, emitted as
+    // fixed-point ×10⁶ longs (round(double,6) is NOT cross-engine
+    // portable at exact .5 boundaries; integer DIV is). Two-level
+    // (doc, char) hash agg; shuffle volume is docs × alphabet, not
+    // corpus characters.
     "q70_char_diversity" -> { (s, dir) =>
       graft.ext.CharStats.charStats(Tables.documents(s, dir),
         "doc_id", "text")
@@ -637,13 +639,9 @@ object ExtQueries {
     // each event lands in exactly two windows. µs-integer window
     // starts so the oracle is exact arithmetic.
     "q73_hopping_window" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,4)")).cast("double")
-            .as("sum_value"))
-        .select(unix_micros(col("window.start")).as("win_start_us"),
+      graft.streaming.EventStreams
+        .hoppingAgg(Tables.events(s, dir), "1 hour", "30 minutes")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
           col("event_type"), col("n_events"), col("sum_value"))
     },
 
@@ -1035,8 +1033,8 @@ object ExtQueries {
         |  FROM g GROUP BY 1)
         |SELECT b.doc_id, b.n_chars,
         |  coalesce(a.n_distinct, 0) AS n_distinct_chars,
-        |  round(CAST(a.maxc AS DOUBLE) / a.n, 6) AS top_char_frac,
-        |  round(CAST(a.ss AS DOUBLE) / a.n / a.n, 6) AS simpson
+        |  CAST((a.maxc * 1000000) // a.n AS BIGINT) AS top_char_frac_e6,
+        |  CAST((a.ss * 1000000) // (a.n * a.n) AS BIGINT) AS simpson_e6
         |FROM base b LEFT JOIN a ON a.doc_id = b.doc_id""".stripMargin,
 
     "q68_scd2_intervals" ->

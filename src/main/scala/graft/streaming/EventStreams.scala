@@ -37,6 +37,26 @@ object EventStreams {
       watermark: String): DataFrame =
     windowedAgg(events.withWatermark("ts", watermark), windowLen)
 
+  /** Hopping (sliding) event-time aggregation, shared batch/stream:
+    * overlapping windows of `windowLen` starting every `slide` — each
+    * event lands in windowLen/slide windows (the q73 batch twin). Same
+    * bounded-state story as tumbling: watermark eviction per window,
+    * state volume ×(windowLen/slide).
+    */
+  def hoppingAgg(events: DataFrame, windowLen: String,
+      slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming hopping windows. */
+  def hoppingAggStream(events: DataFrame, windowLen: String, slide: String,
+      watermark: String): DataFrame =
+    hoppingAgg(events.withWatermark("ts", watermark), windowLen, slide)
+
   /** Streaming dedup with bounded state: duplicates arriving within the
     * watermark horizon are dropped; state beyond it is evicted (the
     * streaming analogue of the insert-ignore key check — at 100 TB/day

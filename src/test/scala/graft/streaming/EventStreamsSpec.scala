@@ -40,6 +40,36 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming hopping windows: each event lands in window/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams
+      .hoppingAggStream(events, "10 minutes", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("hopagg")
+      .outputMode("complete").start()
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData((t(1), "click", 1.0), (t(7), "click", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("hopagg")
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // 10:01 → windows [09:55,10:05) and [10:00,10:10);
+    // 10:07 → [10:00,10:10) and [10:05,10:15)
+    assert(rows == Set(
+      (Timestamp.valueOf("2024-01-01 09:55:00"), "click", 1L, 1.0),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1L, 2.0)))
+    // batch twin agrees on the same frame
+    val batch = EventStreams.hoppingAgg(
+      Seq((t(1), "click", 1.0), (t(7), "click", 2.0))
+        .toDF("ts", "event_type", "value"), "10 minutes", "5 minutes")
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(batch == rows)
+    q.stop()
+  }
+
   test("dedupStream drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
