@@ -47,7 +47,10 @@ object CorpusJobs {
       budgets: Map[String, Long],
       splits: Seq[(String, Double)] = Seq(
         ("train", 0.875), ("val", 0.0625), ("test", 0.0625)),
-      salt: String = "corpus-v1"): Seq[Task] = Seq(
+      salt: String = "corpus-v1",
+      // keep the highest-quality member of each near-dup cluster
+      // instead of the lowest id — the keep-the-best-copy rule
+      qualityCanonical: Boolean = false): Seq[Task] = Seq(
 
     Task("clean_filter", Nil, run = ctx => {
       val docs = ctx.spark.read.parquet(docsPath)
@@ -71,8 +74,11 @@ object CorpusJobs {
         .filter(col("__keep") === 1).drop("__fp", "__keep")
       val pairs = MinHashDedup.nearDuplicates(
         exact, "doc_id", "text", nearDupThreshold)
-      val deduped = ConnectedComponents.dropByComponents(
-        exact, "doc_id", pairs)
+      val deduped =
+        if (qualityCanonical)
+          ConnectedComponents.keepBestByComponents(
+            exact, "doc_id", T.qualityScore(col("text")), pairs)
+        else ConnectedComponents.dropByComponents(exact, "doc_id", pairs)
       new ParquetTable(ctx.spark, s"$outRoot/deduped").overwriteAtomic(deduped)
     }),
 

@@ -645,6 +645,15 @@ object ExtQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     },
 
+    // ── global gapless row numbering by a total order, done scale-
+    // right: range partition + per-partition counts + offset broadcast
+    // (NOT the single-task partition-less window). Exact oracle.
+    "q75_global_row_number" -> { (s, dir) =>
+      graft.ext.Ids.globalRowNumber(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("source", "doc_id"))
+    },
+
     // ── equi-depth (decile) binning of l_extendedprice: exact
     // cutpoints once (9 doubles to the driver), assignment as a pure
     // scan-stage when-chain, then per-bucket mass check. The oracle
@@ -902,6 +911,11 @@ object ExtQueries {
         |SELECT win_start_us, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q75_global_row_number" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY source, doc_id) AS row_num
+        |FROM documents""".stripMargin,
 
     // Same boundary rule as Binning.bucketFor: values equal to a
     // cutpoint go UP (bucket = 1 + #cutpoints ≤ v).

@@ -67,4 +67,31 @@ class CorpusJobsSpec extends SparkSpec {
     val ts3 = new ParquetTable(spark, s"$work/c/training_set").read()
     assert(ts.exceptAll(ts3).count() == 0 && ts3.exceptAll(ts).count() == 0)
   }
+
+  test("qualityCanonical keeps the best member of each near-dup cluster") {
+    val work = Files.createTempDirectory("corpusq").toString
+    // two near-dup English docs (≥10 tokens, well over trigram-Jaccard
+    // 0.5): the higher-id copy carries more stopword/length mass, so it
+    // outscores the lower id the min-id rule would keep
+    val base = "the cat sat on the mat and it was warm in the sun today"
+    val docs = Seq(
+      (1L, base, "src0"),
+      (2L, base + " and that is the end of it all for now", "src0"),
+      (50L, "the dog ran far away over the hills and it kept running for a while", "src0"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$work/docs")
+    def survivors(out: String, best: Boolean): Set[Long] = {
+      val r = TaskGraph.run(CorpusJobs.buildTrainingSet(
+        s"$work/docs", out, minQuality = 0.0, minTokens = 5,
+        budgets = Map("src0" -> 10000L), qualityCanonical = best), spark)
+      assert(r.succeeded, r.states)
+      new ParquetTable(spark, s"$out/training_set").read()
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val qualityPick = survivors(s"$work/q", best = true)
+    val minIdPick = survivors(s"$work/m", best = false)
+    assert(minIdPick.contains(1L) && !minIdPick.contains(2L))
+    assert(qualityPick.contains(2L) && !qualityPick.contains(1L))
+    assert(qualityPick.contains(50L) && minIdPick.contains(50L))
+  }
 }
