@@ -27,4 +27,15 @@ object FormatConvert {
     val df = (if (schema != null) reader.schema(schema) else reader).csv(inPath)
     df.write.mode(SaveMode.Overwrite).json(outPath)
   }
+
+  /** Columnar ↔ columnar: parquet → ORC (ORC is in-box in Spark; Avro
+    * needs the external spark-avro module, absent here). Schema rides
+    * along — no inference involved.
+    */
+  def parquetToOrc(spark: SparkSession, inPath: String, outPath: String): Unit =
+    spark.read.parquet(inPath).write.mode(SaveMode.Overwrite).orc(outPath)
+
+  /** ORC → parquet. */
+  def orcToParquet(spark: SparkSession, inPath: String, outPath: String): Unit =
+    spark.read.orc(inPath).write.mode(SaveMode.Overwrite).parquet(outPath)
 }

@@ -56,6 +56,23 @@ final class ParquetTable(spark: SparkSession, root: String) {
     deleteRecursive(old)
   }
 
+  /** Small-files compaction: rewrite the table into
+    * ⌈rows / targetRowsPerFile⌉ files via `coalesce` (a repartition-
+    * free narrow merge) behind the same staged atomic swap. The
+    * maintenance pass after many micro-batch appends — at 100 TB the
+    * small-files tax (per-file open/footer cost, driver listing,
+    * scheduler overhead) dominates reads of an un-compacted table long
+    * before data volume does.
+    */
+  def compact(targetRowsPerFile: Long, sortCols: Seq[String] = Nil): Unit = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val df = read()
+    val n = df.count()
+    val files =
+      math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    overwriteAtomic(df.coalesce(files), sortCols)
+  }
+
   private def sorted(df: DataFrame, sortCols: Seq[String]): DataFrame =
     if (sortCols.isEmpty) df
     else df.sortWithinPartitions(sortCols.map(df.col): _*)
