@@ -645,6 +645,30 @@ object ExtQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     },
 
+    // ── robust per-group outlier flagging (Tukey IQR fence): quartiles
+    // via percentile (≡ quantile_cont, q36-proven), fence arithmetic
+    // pure IEEE on identical doubles — no rounding step. Broadcast
+    // 3-row fence join onto the scan.
+    "q76_iqr_outliers" -> { (s, dir) =>
+      graft.ext.Outliers.iqrFlag(
+          Tables.lineitem(s, dir)
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          "l_extendedprice", Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("is_outlier"), 1)).as("n_outliers"))
+    },
+
+    // ── time-series gap filling: per-user daily buckets from first to
+    // last event, empty days as explicit zero rows. All-integer bucket
+    // math; per-key spine, no global calendar.
+    "q77_resample_gaps" -> { (s, dir) =>
+      graft.ext.Resample.fillGaps(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us")),
+        "user_id", "ts_us", bucketUs = 86400000000L)
+    },
+
     // ── global gapless row numbering by a total order, done scale-
     // right: range partition + per-partition counts + offset broadcast
     // (NOT the single-task partition-less window). Exact oracle.
@@ -916,6 +940,34 @@ object ExtQueries {
       """SELECT doc_id, source,
         |  row_number() OVER (ORDER BY source, doc_id) AS row_num
         |FROM documents""".stripMargin,
+
+    "q76_iqr_outliers" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE
+        |    l_extendedprice < q1 - 1.5 * (q3 - q1)
+        |    OR l_extendedprice > q3 + 1.5 * (q3 - q1)) AS n_outliers
+        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |GROUP BY 1""".stripMargin,
+
+    "q77_resample_gaps" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_start,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(bucket_start), max(bucket_start),
+        |      86400000000)) AS bucket_start
+        |  FROM c GROUP BY user_id)
+        |SELECT s.user_id, s.bucket_start, coalesce(c.n, 0) AS n_events
+        |FROM s LEFT JOIN c
+        |  ON c.user_id = s.user_id AND c.bucket_start = s.bucket_start""".stripMargin,
 
     // Same boundary rule as Binning.bucketFor: values equal to a
     // cutpoint go UP (bucket = 1 + #cutpoints ≤ v).
