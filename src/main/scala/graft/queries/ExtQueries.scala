@@ -645,6 +645,17 @@ object ExtQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     },
 
+    // ── entity-resolution linkage: p_brand blocking + banded edit-
+    // distance verify (unit costs — engine-portable integers). The
+    // record-linkage family for short strings, vs the shingle pipeline
+    // for documents.
+    "q78_entity_match" -> { (s, dir) =>
+      graft.ext.EntityResolution.blockedEditDistancePairs(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_name"),
+          col("p_brand")),
+        "p_partkey", "p_name", col("p_brand"), maxDist = 5)
+    },
+
     // ── robust per-group outlier flagging (Tukey IQR fence): quartiles
     // via percentile (≡ quantile_cont, q36-proven), fence arithmetic
     // pure IEEE on identical doubles — no rounding step. Broadcast
@@ -940,6 +951,13 @@ object ExtQueries {
       """SELECT doc_id, source,
         |  row_number() OVER (ORDER BY source, doc_id) AS row_num
         |FROM documents""".stripMargin,
+
+    "q78_entity_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5""".stripMargin,
 
     "q76_iqr_outliers" ->
       """WITH f AS (
