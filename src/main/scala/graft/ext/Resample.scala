@@ -21,6 +21,11 @@ object Resample {
   /** (keyCol, bucket_start, n_events) with one row per `bucketUs`-wide
     * bucket from each key's first to last event, zero-filled.
     * `tsUsCol` is µs-since-epoch (longs); `bucket_start` likewise.
+    *
+    * Timestamps must be NON-NEGATIVE (i.e. post-1970): Spark's `DIV`
+    * truncates toward zero while floor-division engines (DuckDB `//`)
+    * floor, so pre-epoch values would bucket differently by engine.
+    * Shift the column before calling if the domain needs it.
     */
   def fillGaps(
       df: DataFrame,

@@ -103,7 +103,12 @@ object ChangeCapture {
     // state; null __cur_v marks a key new to the dimension
     val joined = b.join(firstRun, Seq(keyCol))
       .join(exCur, Seq(keyCol), "left")
-    val continues = col("__first_attr") <=> col("__cur_attr")
+    // the isNotNull guard matters: for a key NEW to the dimension,
+    // __cur_attr is null and a null batch attr would make the bare
+    // null-safe compare TRUE — merging run 1 into a current row that
+    // does not exist (nulling valid_from/n_events)
+    val continues =
+      col("__cur_v").isNotNull && (col("__first_attr") <=> col("__cur_attr"))
     val adjusted = joined.select(
       col(keyCol),
       when(col("__cur_v").isNull, col("version"))

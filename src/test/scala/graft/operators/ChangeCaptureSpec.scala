@@ -53,7 +53,11 @@ class ChangeCaptureSpec extends SparkSpec {
       (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
       (1L, 40L, 4L, "B"), (1L, 50L, 5L, "A"),
       (2L, 15L, 6L, "X"), (2L, 25L, 7L, "Y"), (2L, 45L, 8L, "Y"),
-      (3L, 35L, 9L, "Q"), (3L, 55L, 10L, "R"))
+      (3L, 35L, 9L, "Q"), (3L, 55L, 10L, "R"),
+      // key 4 starts with a NULL attr and appears only late: a new key
+      // whose null first-run attr must NOT null-safe-match the absent
+      // current row (the `continues` isNotNull guard)
+      (4L, 38L, 11L, null), (4L, 58L, 12L, "S"))
     val full = run(events)
     for (split <- Seq(12L, 20L, 28L, 34L, 42L, 50L)) {
       val before = events.filter(_._2 <= split)
