@@ -25,6 +25,13 @@ class IdsSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(17)))
   }
 
+  test("empty input yields an empty numbered frame (offset map literal survives)") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "tie")
+    val out = Ids.globalRowNumber(empty, Seq("k", "tie"))
+    assert(out.count() == 0)
+    assert(out.columns.contains("row_num"))
+  }
+
   test("plan shape: range partitioning, never a single-partition exchange") {
     val df = (1L to 100L).map(i => (i % 13, i)).toDF("k", "tie")
     val out = Ids.globalRowNumber(df, Seq("k", "tie"))
