@@ -44,16 +44,32 @@ final class ParquetTable(spark: SparkSession, root: String) {
   /** Atomic-ish overwrite: stage → double rename. Readers between the
     * two renames would miss the table; acceptable in batch-job context
     * (single writer, no concurrent readers during a DAG run).
+    *
+    * `markers` (filename → content) are written INTO the staging dir
+    * before the swap, so they become visible exactly when the data
+    * does — the commit-metadata hook exactly-once consumers need (a
+    * batch id that travels atomically with the state it produced, see
+    * [[marker]]).
     */
-  def overwriteAtomic(df: DataFrame, sortCols: Seq[String] = Nil): Unit = {
+  def overwriteAtomic(df: DataFrame, sortCols: Seq[String] = Nil,
+      markers: Map[String, String] = Map.empty): Unit = {
     val staging = Paths.get(root + ".staging")
     val old = Paths.get(root + ".old")
     deleteRecursive(staging)
     sorted(df, sortCols).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    markers.foreach { case (name, content) =>
+      Files.writeString(staging.resolve(name), content)
+    }
     deleteRecursive(old)
     if (Files.exists(dir)) Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursive(old)
+  }
+
+  /** Content of marker file `name` in the committed table, if present. */
+  def marker(name: String): Option[String] = {
+    val p = dir.resolve(name)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
   }
 
   /** Small-files compaction: rewrite the table into

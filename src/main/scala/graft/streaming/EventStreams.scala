@@ -221,6 +221,63 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming CDC → SCD Type 2 dimension history: each micro-batch of
+    * change events folds into the persistent interval table via
+    * [[graft.operators.ChangeCapture.scd2Merge]] (O(batch) work, full
+    * history untouched past an anti-join) behind the atomic swap.
+    *
+    * Exactly-once across crash/replay: the foreachBatch batch id rides
+    * in a marker file INSIDE the swapped table directory
+    * ([[ParquetTable.overwriteAtomic]]'s `markers`), so the "did this
+    * batch commit?" check and the data it committed are one atomic
+    * rename — a re-delivered batch after a crash sees its own id
+    * already recorded and no-ops. (Spark ignores underscore-prefixed
+    * files in parquet dirs, so the marker is invisible to readers.)
+    *
+    * Batches must respect scd2Merge's append-only discipline: per key,
+    * event order must be monotone across batches (file-arrival sources
+    * with event-time-ordered drops, or a watermarked upstream).
+    *
+    * @param srcDir arrival dir of parquet files with
+    *   (keyCol, orderCols..., attrCol)
+    */
+  def scd2IngestStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      table: ParquetTable,
+      checkpointDir: String,
+      keyCol: String,
+      orderCols: Seq[String],
+      attrCol: String,
+      maxFilesPerBatch: Option[Int] = None): StreamingQuery = {
+    val raw0 = spark.readStream.schema(schema)
+    val raw = maxFilesPerBatch
+      .fold(raw0)(nf => raw0.option("maxFilesPerTrigger", nf))
+      .parquet(srcDir)
+    raw.writeStream
+      .queryName("scd2_ingest")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = table.marker("_graft_batch_id")
+          .map(_.trim.toLong).getOrElse(-1L)
+        if (batchId > applied && !batch.isEmpty) {
+          val merged =
+            if (table.exists)
+              graft.operators.ChangeCapture.scd2Merge(
+                table.read(), batch, keyCol, orderCols, attrCol)
+            else
+              graft.operators.ChangeCapture.scd2(
+                batch, keyCol, orderCols, attrCol)
+          table.overwriteAtomic(merged,
+            markers = Map("_graft_batch_id" -> batchId.toString))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming near-duplicate-filtered document ingest — the
     * training-data production loop: documents arrive as files; each
     * micro-batch is deduplicated against the PERSISTENT MinHash index

@@ -240,6 +240,54 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids(table) == Seq("A", "B", "C", "D")) // D exactly once
   }
 
+  test("scd2 streaming ingest: incremental folds equal the full rebuild; batch marker survives replay") {
+    val work = Files.createTempDirectory("scd2stream").toString
+    val srcDir = s"$work/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val table = new ParquetTable(spark, s"$work/dim")
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("attr",
+        org.apache.spark.sql.types.StringType)))
+    val all = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (2L, 15L, 3L, "X"),
+      (1L, 35L, 4L, "B"), (2L, 40L, 5L, "Y"), (3L, 45L, 6L, "Q"))
+    def land(name: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("k", "ts", "id", "attr").coalesce(1)
+        .write.mode("append").parquet(s"$srcDir/$name")
+    def run(ckpt: String = s"$work/ckpt"): Unit =
+      EventStreams.scd2IngestStream(spark, s"$srcDir/*", evSchema, table,
+        ckpt, "k", Seq("ts", "id"), "attr").awaitTermination()
+    def state() = table.read()
+      .select("k", "version", "attr_value", "valid_from", "valid_to",
+        "n_events", "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+    land("f1", all.filter(_._2 <= 30)); run()
+    land("f2", all.filter(_._2 > 30)); run()
+    val expected = graft.operators.ChangeCapture.scd2(
+      all.toDF("k", "ts", "id", "attr"), "k", Seq("ts", "id"), "attr")
+      .select("k", "version", "attr_value", "valid_from", "valid_to",
+        "n_events", "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(state() == expected)
+    assert(table.marker("_graft_batch_id").map(_.trim) == Some("1"))
+
+    // crash-replay simulation: a FRESH checkpoint re-delivers every file
+    // as batches 0..1 again; the committed marker (id 1) makes both
+    // no-ops — without it the re-fold would double-count n_events
+    run(ckpt = s"$work/ckpt2")
+    assert(state() == expected)
+    assert(table.marker("_graft_batch_id").map(_.trim) == Some("1"))
+  }
+
   test("nearDupFilteredIngest: cross-batch near-dups dropped via persistent index, replay-safe") {
     val work = Files.createTempDirectory("nddingest").toString
     val srcDir = s"$work/in"
