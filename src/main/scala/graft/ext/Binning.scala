@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Binning {
 
-  /** The nBins−1 interior quantile cutpoints of `valueCol`. Eager. */
+  /** The nBins−1 interior quantile cutpoints of `valueCol`. Eager.
+    * Rejects an empty / all-null column explicitly (percentile returns
+    * SQL NULL there, which would otherwise surface as an opaque NPE).
+    */
   def cutpoints(
       df: DataFrame,
       valueCol: String,
@@ -32,15 +35,22 @@ object Binning {
     val ps = (1 until nBins).map(i => i.toDouble / nBins)
     val fn = if (exact) "percentile" else "approx_percentile"
     val arr = s"array(${ps.mkString(", ")})"
-    df.agg(expr(s"$fn($valueCol, $arr)").as("cs"))
-      .head().getSeq[Double](0).toSeq
+    val cs = df.agg(expr(s"$fn($valueCol, $arr)").as("cs"))
+      .head().getSeq[Double](0)
+    require(cs != null,
+      s"cutpoints($valueCol): no non-null values to bin")
+    cs.toSeq
   }
 
-  /** Bucket-assignment column for the given cutpoints (1-based). */
-  def bucketFor(value: Column, cuts: Seq[Double]): Column =
-    cuts.zipWithIndex.foldRight(lit(cuts.length + 1): Column) {
+  /** Bucket-assignment column for the given cutpoints (1-based);
+    * null values map to null, never to a bucket.
+    */
+  def bucketFor(value: Column, cuts: Seq[Double]): Column = {
+    val assigned = cuts.zipWithIndex.foldRight(lit(cuts.length + 1): Column) {
       case ((c, i), acc) => when(value < c, lit(i + 1)).otherwise(acc)
     }
+    when(value.isNull, lit(null).cast("int")).otherwise(assigned)
+  }
 
   /** `df` plus `bucketCol` ∈ 1..nBins assigned by equi-depth cutpoints
     * of `valueCol`.

@@ -50,16 +50,21 @@ object BloomMembership {
     val agg = new BloomFilterAggregate(
       bridge.expression(xxhash64(key)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val row = df.agg(bridge.column(agg).as("bf")).head()
+    // null keys are excluded from the build: xxhash64(null) would fold
+    // to the constant seed, putting "null" in the set and making EVERY
+    // null-keyed probe a guaranteed hit — equi-join semantics (null
+    // matches nothing) are what the doc promises
+    val row = df.filter(key.isNotNull).agg(bridge.column(agg).as("bf")).head()
     Option(row.getAs[Array[Byte]](0))
   }
 
   /** Membership probe against a built sketch: true when `key` MAY be in
-    * the set (false ⇒ definitely absent). Pure codegen'd scalar — use it
-    * directly in `filter`/`when` at the scan.
+    * the set (false ⇒ definitely absent; null keys are definitely
+    * absent, matching equi-join semantics). Pure codegen'd scalar —
+    * use it directly in `filter`/`when` at the scan.
     */
   def mightContain(bloom: Array[Byte], key: Column): Column =
-    bridge.column(BloomFilterMightContain(
+    key.isNotNull && bridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType), bridge.expression(xxhash64(key))))
 
   /** Rows of `corpus` whose `key` may appear among `refKeys` (superset

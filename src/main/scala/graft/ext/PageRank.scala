@@ -55,6 +55,7 @@ object PageRank {
       checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -63,7 +64,6 @@ object PageRank {
     val n = nodes.count() // eager, one driver scalar
     val base = (Scale / 100L) * (100L - dampingPct) / math.max(n, 1L)
 
-    require(checkpointEvery > 0, "checkpointEvery must be positive")
     var ranks = nodes
       .withColumn("rank_e12", lit(Scale / math.max(n, 1L)))
     for (i <- 1 to iters) {

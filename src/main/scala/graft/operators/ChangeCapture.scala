@@ -44,8 +44,15 @@ object ChangeCapture {
     require(orderCols.nonEmpty, "orderCols must name a total order")
     val ord = orderCols.map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
-    val changed = when(!(lag(col(attrCol), 1).over(w) <=> col(attrCol)), 1)
-      .otherwise(0)
+    // the explicit first-row test matters: detecting the first row via
+    // `lag(attr) is null-safe-unequal to attr` breaks when the FIRST
+    // event's attr is itself null (null <=> null is true ⇒ changed=0 ⇒
+    // versions start at 0, violating the 1-based contract and losing
+    // such keys in scd2Merge's version=1 first-run lookup)
+    val isFirst = lag(lit(0), 1).over(w).isNull
+    val changed =
+      when(isFirst || !(lag(col(attrCol), 1).over(w) <=> col(attrCol)), 1)
+        .otherwise(0)
     val wNext = Window.partitionBy(col(keyCol)).orderBy(col("version"))
     df.withColumn("version", sum(changed).over(w))
       .groupBy(col(keyCol), col("version"))

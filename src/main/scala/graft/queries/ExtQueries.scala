@@ -1126,7 +1126,8 @@ object ExtQueries {
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
         |m AS (
         |  SELECT user_id, ts_us, event_id, event_type,
-        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) = 1
+        |           OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
         |              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
         |  FROM e),
         |v AS (

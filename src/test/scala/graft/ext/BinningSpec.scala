@@ -38,4 +38,18 @@ class BinningSpec extends SparkSpec {
       Binning.cutpoints(Seq(1.0).toDF("v"), "v", 1)
     }
   }
+
+  test("null values bin to null, not the top bucket; empty input rejected clearly") {
+    val withNull = (Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None))
+      .toDF("v")
+    val buckets = Binning.equiDepth(withNull, "v", "bucket", 2)
+      .select("v", "bucket").as[(Option[Double], Option[Int])]
+      .collect().toMap
+    assert(buckets(None).isEmpty)
+    assert(buckets(Some(4.0)).contains(2))
+    val err = intercept[IllegalArgumentException] {
+      Binning.cutpoints(Seq.empty[Double].toDF("v"), "v", 4)
+    }
+    assert(err.getMessage.contains("no non-null values"))
+  }
 }

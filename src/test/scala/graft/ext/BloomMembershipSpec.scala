@@ -50,6 +50,22 @@ class BloomMembershipSpec extends SparkSpec {
     assert(surviving == (1L to 600L).toSet -- probable)
   }
 
+  test("null keys: never in the set, never a match (equi-join semantics)") {
+    // a null among the reference keys must not poison the sketch...
+    val ref = (members :+ (null: String)).toDF("k")
+    val bloom = BloomMembership.bloomBytes(ref, col("k"), 500).get
+    // ...and a null-keyed corpus row must probe definitely-absent
+    val corpus = Seq(1L -> "key-1", 2L -> null, 3L -> "other-1").toDF("id", "k")
+    val probable = corpus.filter(BloomMembership.mightContain(bloom, col("k")))
+      .select("id").as[Long].collect().toSet
+    assert(probable.contains(1L) && !probable.contains(2L))
+    // decontaminate keeps null-keyed rows (they match nothing)
+    val surviving = BloomMembership
+      .decontaminate(corpus, col("k"), ref, col("k"), 500)
+      .select("id").as[Long].collect().toSet
+    assert(surviving.contains(2L) && !surviving.contains(1L))
+  }
+
   test("empty reference set: no probable matches, decontaminate is identity") {
     val corpus = Seq(1L -> "a", 2L -> "b").toDF("id", "k")
     val empty = Seq.empty[String].toDF("k")

@@ -24,6 +24,13 @@ class ChangeCaptureSpec extends SparkSpec {
       (1L, 4L, null, 50L, None, 2L, true)))
   }
 
+  test("a key whose FIRST event has a null attr still gets a 1-based version") {
+    val out = run(Seq((1L, 10L, 1L, null), (1L, 20L, 2L, "A")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, null, 10L, Some(20L), 1L, false),
+      (1L, 2L, "A", 20L, None, 1L, true)))
+  }
+
   test("intervals tile the timeline; exactly one current version per key") {
     val rows = for {
       k <- 1L to 20L
@@ -57,7 +64,13 @@ class ChangeCaptureSpec extends SparkSpec {
       // key 4 starts with a NULL attr and appears only late: a new key
       // whose null first-run attr must NOT null-safe-match the absent
       // current row (the `continues` isNotNull guard)
-      (4L, 38L, 11L, null), (4L, 58L, 12L, "S"))
+      (4L, 38L, 11L, null), (4L, 58L, 12L, "S"),
+      // key 5: the reviewer cases — a null run arriving as a batch's
+      // FIRST run against an existing non-null current ("A"@16 closed
+      // by null@44, reopened "B"@52), and a new key whose batch is
+      // ONLY a null run (key 6) — both need the 1-based-version fix
+      (5L, 16L, 13L, "A"), (5L, 44L, 14L, null), (5L, 52L, 15L, "B"),
+      (6L, 48L, 16L, null))
     val full = run(events)
     for (split <- Seq(12L, 20L, 28L, 34L, 42L, 50L)) {
       val before = events.filter(_._2 <= split)
