@@ -25,6 +25,32 @@ class ClosureSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("keepBestByComponents equals union-find + argmax on random graphs") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 20
+      val ids = (1L to n).toSeq
+      val scores = ids.map(i => i -> rng.nextInt(5).toDouble / 4).toMap
+      val edges = Seq.fill(n / 2)(
+        (ids(rng.nextInt(n.toInt)), ids(rng.nextInt(n.toInt))))
+        .filter(e => e._1 != e._2)
+      // reference: union-find components, then argmax score (tie: min id)
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val expected = ids.groupBy(find).values.map { members =>
+        members.minBy(i => (-scores(i), i))
+      }.toSet
+      val got = ConnectedComponents.keepBestByComponents(
+          ids.map(i => i -> scores(i)).toDF("doc_id", "quality"),
+          "doc_id", col("quality"),
+          edges.toDF("doc_a", "doc_b"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("keepBestByComponents keeps the highest-score member; ties break to lowest id") {
     val docs = Seq(
       (1L, 0.2), (2L, 0.9), (3L, 0.5),   // chain 1-2-3 → keep 2
