@@ -645,6 +645,21 @@ object ExtQueries {
           col("event_type"), col("n_events"), col("sum_value"))
     },
 
+    // ── quality-canonical near-dup dedup, fully oracled: the corpus
+    // minus every near-dup-cluster member that is NOT its cluster's
+    // best copy (highest qualityScore, ties to lowest id) — the
+    // keep-the-best-copy rule CorpusJobs' qualityCanonical mode uses.
+    // Ranking is by the ROUNDED quality — safe because q18 pins the
+    // per-doc rounded values equal across engines at all SFs.
+    "q79_canonical_by_quality" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pairs = NGramJaccard.allPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      graft.ext.ConnectedComponents.keepBestByComponents(
+          docs, "doc_id", T.qualityScore(col("text")), pairs)
+        .select(col("doc_id"))
+    },
+
     // ── entity-resolution linkage: p_brand blocking + banded edit-
     // distance verify (unit costs — engine-portable integers). The
     // record-linkage family for short strings, vs the shingle pipeline
@@ -1395,5 +1410,26 @@ object ExtQueries {
       // capture-pinned one).
       ("q54_incremental_embedding_neardup" ->
         s"""SELECT * FROM (${oracleBase("q40_embedding_neardup")})
-           |WHERE vec_a % 10 = 0 OR vec_b % 10 = 0""".stripMargin)
+           |WHERE vec_a % 10 = 0 OR vec_b % 10 = 0""".stripMargin) +
+      // q79 composes q34's component closure (its final SELECT becomes
+      // a CTE) with q18's rounded quality as the ranking key: survivors
+      // are each component's argmax-quality member (ties → lowest id),
+      // singletons always survive.
+      ("q79_canonical_by_quality" -> {
+        val ccAsCte = oracleBase("q34_dedup_closure").replace(
+          "SELECT src AS vertex, least(src, MIN(dst)) AS component\nFROM reach GROUP BY src",
+          ", comp0 AS (\n  SELECT src AS vertex, least(src, MIN(dst)) AS component\n  FROM reach GROUP BY src)")
+        s"""$ccAsCte,
+           |q AS (SELECT doc_id, quality FROM (${oracleBase("q18_quality_score")})),
+           |f AS (
+           |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, q.quality
+           |  FROM documents d
+           |  LEFT JOIN comp0 c ON c.vertex = d.doc_id
+           |  JOIN q ON q.doc_id = d.doc_id),
+           |r AS (
+           |  SELECT doc_id, row_number() OVER (
+           |    PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+           |  FROM f)
+           |SELECT doc_id FROM r WHERE rn = 1""".stripMargin
+      })
 }
