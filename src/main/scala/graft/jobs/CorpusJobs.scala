@@ -2,7 +2,7 @@ package graft.jobs
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{ConnectedComponents, MinHashDedup, Sampling}
+import graft.ext.{ConnectedComponents, Contamination, MinHashDedup, Sampling}
 import graft.functions.{TextFunctions => T}
 import graft.orchestration.TaskGraph.Task
 import graft.sources.ParquetTable
@@ -50,7 +50,14 @@ object CorpusJobs {
       salt: String = "corpus-v1",
       // keep the highest-quality member of each near-dup cluster
       // instead of the lowest id — the keep-the-best-copy rule
-      qualityCanonical: Boolean = false): Seq[Task] = Seq(
+      qualityCanonical: Boolean = false,
+      // benchmark-decontamination: drop corpus docs sharing winnowing
+      // fingerprints with this eval-set parquet (doc_id, text)
+      evalDocsPath: Option[String] = None): Seq[Task] = {
+    val mixtureInput =
+      if (evalDocsPath.isDefined) s"$outRoot/decontaminated"
+      else s"$outRoot/deduped"
+    Seq(
 
     Task("clean_filter", Nil, run = ctx => {
       val docs = ctx.spark.read.parquet(docsPath)
@@ -82,14 +89,29 @@ object CorpusJobs {
       new ParquetTable(ctx.spark, s"$outRoot/deduped").overwriteAtomic(deduped)
     }),
 
-    Task("mixture_and_split", Seq("dedup"), run = ctx => {
+    Task("mixture_and_split",
+      Seq(if (evalDocsPath.isDefined) "decontaminate" else "dedup"),
+      run = ctx => {
+        val input = new ParquetTable(ctx.spark, mixtureInput).read()
+        val mixed = Sampling.tokenBudgetMixture(input, "source", "doc_id",
+          T.tokenCount(col("text")), budgets, salt = salt + "-mix")
+        val split = Sampling.assignSplit(mixed, "doc_id", splits,
+          salt = salt + "-split")
+        new ParquetTable(ctx.spark, s"$outRoot/training_set")
+          .overwriteAtomic(split)
+      })
+  ) ++ evalDocsPath.map { evalPath =>
+    // winnowing-fingerprint containment vs the (broadcast-size) eval
+    // set — the q56-oracled operator, here as a pipeline stage
+    Task("decontaminate", Seq("dedup"), run = ctx => {
       val deduped = new ParquetTable(ctx.spark, s"$outRoot/deduped").read()
-      val mixed = Sampling.tokenBudgetMixture(deduped, "source", "doc_id",
-        T.tokenCount(col("text")), budgets, salt = salt + "-mix")
-      val split = Sampling.assignSplit(mixed, "doc_id", splits,
-        salt = salt + "-split")
-      new ParquetTable(ctx.spark, s"$outRoot/training_set")
-        .overwriteAtomic(split)
+      val evalDocs = ctx.spark.read.parquet(evalPath)
+        .select(col("doc_id"), col("text"))
+      val (clean, release) = Contamination.decontaminateManaged(
+        deduped, evalDocs, "doc_id", "text")
+      try new ParquetTable(ctx.spark, mixtureInput).overwriteAtomic(clean)
+      finally release()
     })
-  )
+  }.toSeq
+  }
 }

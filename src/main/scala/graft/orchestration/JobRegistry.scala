@@ -109,7 +109,8 @@ object JobRegistry {
         p("docs_path"), p("out_root"),
         budgets = p("budgets").split(",").map { kv =>
           val Array(s, b) = kv.split(":"); s -> b.toLong
-        }.toMap),
+        }.toMap,
+        evalDocsPath = p.get("eval_docs_path")),
       schedule = None, // run on demand / per crawl snapshot
       tags = Set("corpus", "training")))
   }

@@ -68,6 +68,42 @@ class CorpusJobsSpec extends SparkSpec {
     assert(ts.exceptAll(ts3).count() == 0 && ts3.exceptAll(ts).count() == 0)
   }
 
+  test("evalDocsPath chains decontamination: the quoting doc drops, others survive") {
+    val work = Files.createTempDirectory("corpusd").toString
+    val passage = ("the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away into the deep dark forest tonight")
+    val clean = "a completely unrelated document about trains and stations " +
+      "that keeps going with many ordinary english words in it for a while"
+    // doc 1 quotes the eval passage verbatim inside a longer page
+    val docs = Seq(
+      (1L, s"some page header text here $passage and some footer text", "src0"),
+      (2L, clean, "src0"))
+      .toDF("doc_id", "text", "source")
+    docs.write.parquet(s"$work/docs")
+    Seq((100L, passage)).toDF("doc_id", "text")
+      .write.parquet(s"$work/eval")
+    def build(out: String, eval: Option[String]): Set[Long] = {
+      val r = TaskGraph.run(CorpusJobs.buildTrainingSet(
+        s"$work/docs", out, minQuality = 0.0, minTokens = 5,
+        budgets = Map("src0" -> 10000L), evalDocsPath = eval), spark)
+      assert(r.succeeded, r.states)
+      new ParquetTable(spark, s"$out/training_set").read()
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(build(s"$work/no_eval", None) == Set(1L, 2L))
+    assert(build(s"$work/with_eval", Some(s"$work/eval")) == Set(2L))
+    // the registry path accepts the optional param
+    graft.orchestration.JobRegistry.registerBuiltins()
+    val viaRegistry = graft.orchestration.JobRegistry
+      .get("build_training_set").get(Map(
+        "docs_path" -> s"$work/docs", "out_root" -> s"$work/reg",
+        "budgets" -> "src0:10000", "eval_docs_path" -> s"$work/eval"))
+    val r = TaskGraph.run(viaRegistry, spark)
+    assert(r.succeeded, r.states)
+    assert(new ParquetTable(spark, s"$work/reg/training_set").read()
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("qualityCanonical keeps the best member of each near-dup cluster") {
     val work = Files.createTempDirectory("corpusq").toString
     // two near-dup English docs (≥10 tokens, well over trigram-Jaccard
