@@ -26,7 +26,12 @@ final class ParquetTable(spark: SparkSession, root: String) {
   private def dir: Path = Paths.get(root)
 
   def exists: Boolean = Files.exists(dir.resolve("_SUCCESS")) ||
-    (Files.isDirectory(dir) && Files.list(dir).findFirst().isPresent)
+    (Files.isDirectory(dir) && {
+      // NIO directory streams hold an fd until closed — streaming
+      // ingests call this per micro-batch, so leaks accumulate
+      val s = Files.list(dir)
+      try s.findFirst().isPresent finally s.close()
+    })
 
   /** S7: existence-checked create (CREATE TABLE IF NOT EXISTS). */
   def ensureExists(schema: StructType): Unit = if (!exists) {
@@ -94,7 +99,9 @@ final class ParquetTable(spark: SparkSession, root: String) {
     else df.sortWithinPartitions(sortCols.map(df.col): _*)
 
   private def deleteRecursive(p: Path): Unit = if (Files.exists(p)) {
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.delete(f))
+    finally s.close()
   }
 }
