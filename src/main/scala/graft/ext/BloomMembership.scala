@@ -28,8 +28,19 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Complements [[Contamination]]: winnowing containment catches shared
   * PASSAGES inside long documents; the Bloom path catches whole-document
-  * (fingerprint) membership at a fraction of the cost — one byte-array
-  * broadcast instead of a fingerprint inverted index.
+  * (fingerprint) membership at a fraction of the cost — one sketch
+  * shipped to the probe side instead of a fingerprint inverted index.
+  *
+  * Sketch shipping and the size bound: the probe embeds the serialized
+  * sketch as a plan LITERAL (the same shape Spark's own runtime-filter
+  * injection uses), so the bytes ride in every serialized task binary
+  * and in plan strings — NOT in a broadcast variable. That is the right
+  * trade at the intended scale (eval-set decontamination: 10⁶-10⁸ keys
+  * → 1.2-120 MB) but a hazard past it: 10⁹ items at 1% fpp is ~1.2 GB
+  * of bits, which would bloat every task and plan dump. Practical
+  * bound: keep `expectedItems` ≤ ~10⁸ (sketch ≤ ~120 MB); past that,
+  * fall back to the fingerprint equi-join ([[Contamination]]) whose
+  * reference side stays distributed.
   */
 object BloomMembership {
 

@@ -19,14 +19,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** array<float> → array<double> (identity on already-double input). */
-  private def widen(e: Expression): Expression = e.dataType match {
-    case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType, _) => e
-    case _ => org.apache.spark.sql.catalyst.expressions.Cast(e,
+  /** array<float> → array<double>. Unconditional Cast: the builder runs
+    * during ResolveFunctions, where arguments may still be UNRESOLVED
+    * (multi-iteration subquery/view resolution) and `e.dataType` would
+    * throw UnresolvedException on an otherwise-valid query. Identity
+    * casts cost nothing — the optimizer's SimplifyCasts removes them.
+    */
+  private def widen(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType))
-  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

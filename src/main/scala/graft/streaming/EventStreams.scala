@@ -234,6 +234,17 @@ object EventStreams {
     * already recorded and no-ops. (Spark ignores underscore-prefixed
     * files in parquet dirs, so the marker is invisible to readers.)
     *
+    * Batch ids are only monotone WITHIN one checkpoint lineage, so the
+    * marker also records the streaming query id (stable across restarts
+    * from the same checkpoint, fresh on a new one). The skip check
+    * applies only when the lineage matches; a marker from a DIFFERENT
+    * lineage means the checkpoint was reset or relocated while the
+    * table was retained — silently trusting the old batch id there
+    * would drop genuinely new data (new query restarts at batchId 0 ≤
+    * applied), so the stream FAILS FAST instead and demands an explicit
+    * rebuild. Operational rule: the table and its checkpoint are one
+    * unit — delete both together, never just the checkpoint.
+    *
     * Batches must respect scd2Merge's append-only discipline: per key,
     * event order must be monotone across batches (file-arrival sources
     * with event-time-ordered drops, or a watermarked upstream).
@@ -255,13 +266,27 @@ object EventStreams {
     val raw = maxFilesPerBatch
       .fold(raw0)(nf => raw0.option("maxFilesPerTrigger", nf))
       .parquet(srcDir)
-    raw.writeStream
+    // The closure needs the query's stable id (checkpoint identity) but
+    // the handle only exists once start() returns; batches run on the
+    // stream thread, so a future completed right after start() hands it
+    // over without racing batch 0.
+    val queryId = new java.util.concurrent.CompletableFuture[String]()
+    val query = raw.writeStream
       .queryName("scd2_ingest")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = queryId.get(30, java.util.concurrent.TimeUnit.SECONDS)
+        val lineage = table.marker("_graft_query_id").map(_.trim)
         val applied = table.marker("_graft_batch_id")
           .map(_.trim.toLong).getOrElse(-1L)
+        if (lineage.exists(_ != qid))
+          throw new IllegalStateException(
+            s"table at lineage ${lineage.get} but checkpoint " +
+            s"$checkpointDir belongs to query $qid: the checkpoint was " +
+            "reset/relocated while the table was retained. Batch ids " +
+            "are not comparable across checkpoints — refusing to guess. " +
+            "Rebuild explicitly: delete the table AND checkpoint together.")
         if (batchId > applied && !batch.isEmpty) {
           val merged =
             if (table.exists)
@@ -271,11 +296,15 @@ object EventStreams {
               graft.operators.ChangeCapture.scd2(
                 batch, keyCol, orderCols, attrCol)
           table.overwriteAtomic(merged,
-            markers = Map("_graft_batch_id" -> batchId.toString))
+            markers = Map(
+              "_graft_batch_id" -> batchId.toString,
+              "_graft_query_id" -> qid))
         }
         ()
       }
       .start()
+    queryId.complete(query.id.toString)
+    query
   }
 
   /** Streaming near-duplicate-filtered document ingest — the

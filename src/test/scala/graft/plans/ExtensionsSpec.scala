@@ -78,6 +78,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project")) // the * marks WholeStageCodegen
   }
 
+  test("production path: session built withExtensions runs the SQL surface") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // materialize the shared session (and its context) first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // new SparkSession over the SAME SparkContext — the only route that
+    // actually applies withExtensions, since getOrCreate ignores it on
+    // an existing session. Never .stop() it: the context is shared.
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne base)
+      import s2.implicits._
+      Seq((Array(3.0f, 4.0f), Array(1.0, 2.0)))
+        .toDF("a", "b").createOrReplaceTempView("pvecs")
+      // CTE + view indirection: function resolution can fire on multiple
+      // analyzer iterations here — the path where an eager dataType in
+      // the builder threw UnresolvedException on valid queries
+      val row = s2.sql(
+        """WITH v AS (SELECT a, b FROM pvecs)
+          |SELECT graft_dot(a, b) AS d,
+          |       graft_normalize(a) AS na,
+          |       graft_extract_json('m = {"x":1} t', 'm =') AS j
+          |FROM v""".stripMargin).collect().head
+      assert(math.abs(row.getDouble(0) - 11.0) < 1e-9)
+      val na = row.getSeq[Double](1)
+      assert(math.abs(na(0) - 0.6) < 1e-6 && math.abs(na(1) - 0.8) < 1e-6)
+      assert(row.getString(2) == """{"x":1}""")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("graft_dot / graft_normalize in SQL match the Column-API kernels") {
     import spark.implicits._
     registerIntoSession()

@@ -280,12 +280,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(state() == expected)
     assert(table.marker("_graft_batch_id").map(_.trim) == Some("1"))
 
-    // crash-replay simulation: a FRESH checkpoint re-delivers every file
-    // as batches 0..1 again; the committed marker (id 1) makes both
-    // no-ops — without it the re-fold would double-count n_events
-    run(ckpt = s"$work/ckpt2")
+    // same-checkpoint restart with no new files: batch ids are monotone
+    // within the lineage, nothing re-applies, state is untouched
+    run()
     assert(state() == expected)
     assert(table.marker("_graft_batch_id").map(_.trim) == Some("1"))
+
+    // checkpoint reset while the table is retained: batch ids from the
+    // new lineage are NOT comparable with the recorded one (a fresh
+    // query restarts at 0 ≤ applied and would silently drop any NEW
+    // data mixed into the re-delivery) — the stream must fail fast and
+    // leave the table exactly as committed
+    land("f3", Seq((3L, 50L, 7L, "R")))
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ckpt = s"$work/ckpt2")
+    }
+    assert(boom.getCause.getMessage.contains("refusing to guess"))
+    assert(state() == expected) // f3 not applied, nothing double-folded
+    assert(table.marker("_graft_batch_id").map(_.trim) == Some("1"))
+
+    // explicit rebuild (table and checkpoint deleted together) picks up
+    // f3: the documented recovery path
+    def deleteRec(p: String): Unit = {
+      val path = java.nio.file.Paths.get(p)
+      if (Files.exists(path)) {
+        val s = Files.walk(path)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        finally s.close()
+      }
+    }
+    deleteRec(s"$work/dim"); deleteRec(s"$work/ckpt2")
+    run(ckpt = s"$work/ckpt2")
+    val withF3 = graft.operators.ChangeCapture.scd2(
+      (all :+ (3L, 50L, 7L, "R")).toDF("k", "ts", "id", "attr"),
+      "k", Seq("ts", "id"), "attr")
+      .select("k", "version", "attr_value", "valid_from", "valid_to",
+        "n_events", "is_current")
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(state() == withF3)
   }
 
   test("nearDupFilteredIngest: cross-batch near-dups dropped via persistent index, replay-safe") {
