@@ -10,12 +10,19 @@ import org.apache.spark.sql.functions._
   * a real decoder would amortize codec/model init per partition, not per
   * row).
   *
-  * The decode step itself is STUBBED (builder brief: no image/audio
-  * libraries ship in this environment): [[FakeDecoder]] derives a
-  * deterministic feature vector from the payload bytes. The Spark-side
-  * contract — schema, batch shape, partitioning, null/empty handling —
-  * is real and tested; swapping in a true decoder touches only
-  * [[FakeDecoder.decode]].
+  * Two tiers of "decode":
+  *
+  *  - HEADER decode ([[imageMeta]]) is REAL: dependency-free PNG/JPEG
+  *    container parsing ([[graft.functions.ImageHeaders]] — IHDR with
+  *    CRC validation, SOF marker walk) recovers format and pixel
+  *    dimensions from the leading bytes. Oracle-checked end to end
+  *    (q06: parser∘encoder identity over both formats).
+  *  - PIXEL decode / feature extraction is STUBBED (builder brief: no
+  *    image/audio libraries ship in this environment): [[FakeDecoder]]
+  *    derives a deterministic feature vector from the payload bytes.
+  *    The Spark-side contract — schema, batch shape, partitioning,
+  *    null/empty handling — is real and tested; swapping in a true
+  *    decoder touches only [[FakeDecoder.decode]].
   */
 object Multimodal {
 
@@ -32,8 +39,20 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])
 
+  /** Header-decoded metadata: format/dims are None when the payload is
+    * not a parseable PNG/JPEG (text blobs, truncated headers, CRC
+    * mismatches).
+    */
+  case class MediaMeta(
+      media_id: Long,
+      n_bytes: Long,
+      format_detected: Option[String],
+      width: Option[Int],
+      height: Option[Int])
+
   implicit private val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+  implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
 
   /** STUB decoder — deterministic fake standing in for a real
     * image/audio codec. A production decoder would replace `decode`
@@ -82,6 +101,22 @@ object Multimodal {
       rows.map { r =>
         MediaFeatures(r.media_id, r.payload.length.toLong,
           FakeDecoder.decode(r.payload, dim))
+      }
+    }
+
+  /** Header-only metadata decode — the REAL byte-format leg of the
+    * multimodal surface: PNG IHDR (CRC-validated) and JPEG SOF marker
+    * walk via [[graft.functions.ImageHeaders]], per-partition like
+    * every other decode stage. O(header) per row regardless of payload
+    * size; unparseable payloads yield None columns rather than errors
+    * (dirty corpora are the normal case).
+    */
+  def imageMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = graft.functions.ImageHeaders.dims(r.payload)
+        MediaMeta(r.media_id, r.payload.length.toLong,
+          d.map(_.format), d.map(_.width), d.map(_.height))
       }
     }
 

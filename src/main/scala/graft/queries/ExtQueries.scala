@@ -17,6 +17,35 @@ object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ── image-header metadata decode: REAL container-format parsing
+    // (PNG IHDR with CRC validation, JPEG SOF marker walk), no native
+    // codec. Payloads are header-only fixtures built per doc_id with
+    // arithmetic dims, so the oracle pins parser∘encoder = identity
+    // over both formats: a byte-offset or endianness slip in EITHER
+    // direction breaks the hash. (Fills the q06 slot retired in round 1
+    // when the relational surface renumbered.)
+    "q06_image_headers" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 640 + 16).toInt
+          val h = (id % 480 + 16).toInt
+          val (payload, fmt) =
+            if (id % 2 == 0)
+              (graft.functions.ImageHeaders.pngHeaderBytes(w, h), "image/png")
+            else
+              (graft.functions.ImageHeaders.jpegHeaderBytes(w, h), "image/jpeg")
+          Multimodal.MediaRow(id, payload, fmt, source)
+        }
+      Multimodal.imageMeta(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("format_detected").as("fmt"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+    },
+
     // ── token counting (whitespace + BPE-ish subword proxy).
     "q17_token_stats" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -722,6 +751,15 @@ object ExtQueries {
   private val tokRe = "\\S+"
 
   private val oracleBase: Map[String, String] = Map(
+    // parser∘encoder identity: the oracle recomputes the dims the Spark
+    // side ENCODED into real PNG/JPEG header bytes and then PARSED back
+    "q06_image_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  doc_id % 640 + 16 AS width,
+        |  doc_id % 480 + 16 AS height
+        |FROM documents""".stripMargin,
+
     "q17_token_stats" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '$tokRe')) AS n_tokens,

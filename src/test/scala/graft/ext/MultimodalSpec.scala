@@ -35,6 +35,28 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes == 0 && f.features.length == 4)
   }
 
+  test("imageMeta: real header decode on mixed clean/dirty payloads") {
+    import graft.functions.ImageHeaders
+    val rows = Seq(
+      Multimodal.MediaRow(1L, ImageHeaders.pngHeaderBytes(640, 480),
+        "image/png", "src"),
+      Multimodal.MediaRow(2L, ImageHeaders.jpegHeaderBytes(320, 200),
+        "image/jpeg", "src"),
+      Multimodal.MediaRow(3L, "not an image at all".getBytes("UTF-8"),
+        "text/plain", "src"),
+      Multimodal.MediaRow(4L, ImageHeaders.pngHeaderBytes(9, 9).take(20),
+        "image/png", "src")) // truncated mid-header
+    val out = Multimodal.imageMeta(spark.createDataset(rows)).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L).format_detected == Some("png") &&
+      out(1L).width == Some(640) && out(1L).height == Some(480))
+    assert(out(2L).format_detected == Some("jpeg") &&
+      out(2L).width == Some(320) && out(2L).height == Some(200))
+    assert(out(3L).format_detected.isEmpty && out(3L).width.isEmpty)
+    assert(out(4L).format_detected.isEmpty) // dirty row → None, no throw
+    assert(out(4L).n_bytes == 20)
+  }
+
   test("resize: fixed target length, endpoints preserved, composes with features") {
     val media = Multimodal.toMedia(Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz", "src"), // shrink 26 → 8
