@@ -3,24 +3,21 @@ package graft.jobs
 import org.apache.spark.sql.functions._
 
 import graft.core.Schemas
-import graft.operators.{ScrapeParse, Upsert, WorkQueue}
+import graft.operators.{FetchConfig, Fetcher, ScrapeParse, Upsert, WorkQueue}
 import graft.orchestration.TaskGraph.Task
 import graft.sources.ParquetTable
 
-/** The two scrape DAGs (SURVEY §3.3, §2.10) over pre-landed payload
-  * fixtures: HTTP fetch (politeness sleeps, UA rotation, pagination
-  * caps — T5/O3) is connector territory; the engine consumes a
-  * `(key, payload)` frame and owns everything declarative after it.
+/** The two scrape DAGs (SURVEY §3.3, §2.10). The fetch stage runs
+  * through the [[graft.operators.Fetcher]] seam — politeness sleeps, UA
+  * rotation, timeouts, retry/continue-on-error (T5/O3) live behind the
+  * trait, so the offline fixture replay used here and a future live
+  * HTTP connector are interchangeable; the engine owns everything
+  * declarative after the `(key, payload)` frame.
   */
 object ScrapeJobs {
 
-  /** `pull_new_sales_list`: pick a work batch of areas (stale-or-never
-    * watermark, deterministic scatter), extract property ids from landed
-    * HTML pages for those areas, merge into sales_properties
-    * (insert-or-update, latest updated_date wins), then advance the
-    * areas' watermark — even for areas yielding zero rows
-    * (`pull_new_sales_list.py:267-271` does the same to avoid retry
-    * storms).
+  /** `pull_new_sales_list` over landed fixtures: the [[Fetcher]]-based
+    * job below with the offline replay implementation plugged in.
     *
     * @param pagesPath parquet of (outcode string, html string)
     * @param today     yyyymmdd logical date (determinism: F12 is a job
@@ -31,7 +28,37 @@ object ScrapeJobs {
       areasRoot: String,
       salesRoot: String,
       today: Long,
-      batchAreas: Int = 5): Seq[Task] = Seq(
+      batchAreas: Int = 5): Seq[Task] =
+    pullNewSalesVia(
+      spark => Fetcher.FixtureFetcher.fromParquet(
+        spark, pagesPath, "outcode", "html"),
+      areasRoot, salesRoot, today, batchAreas,
+      // fixture replay needs no politeness pauses
+      cfg = FetchConfig(pageSleepMs = 0, areaSleepMs = 0, retryDelayMs = 0))
+
+  /** `pull_new_sales_list` against any connector: pick a work batch of
+    * areas (stale-or-never watermark, deterministic scatter), fetch each
+    * area's page through `mkFetcher` (retry + continue-on-error: a key
+    * failing every attempt is skipped, the batch proceeds —
+    * `pull_new_sales_list.py:275-281`), extract property ids, merge into
+    * sales_properties (insert-or-update, latest updated_date wins), then
+    * advance the watermark for every area whose page LANDED — including
+    * zero-result pages (`:267-271`, avoids retry storms) but NOT failed
+    * fetches, which stay stale and are naturally retried next run.
+    *
+    * The fetch loop is driver-side and bounded by `batchAreas` (the
+    * reference's work-queue LIMIT): politeness serializes requests
+    * regardless of cluster size; distributed work starts at the landed
+    * frame.
+    */
+  def pullNewSalesVia(
+      mkFetcher: org.apache.spark.sql.SparkSession => Fetcher,
+      areasRoot: String,
+      salesRoot: String,
+      today: Long,
+      batchAreas: Int = 5,
+      cfg: FetchConfig = FetchConfig(),
+      sleeper: Long => Unit = Thread.sleep): Seq[Task] = Seq(
     Task("ensure_tables", Nil, run = ctx => {
       new ParquetTable(ctx.spark, areasRoot).ensureExists(Schemas.rightmoveAreas)
       new ParquetTable(ctx.spark, salesRoot).ensureExists(Schemas.salesProperties)
@@ -44,8 +71,13 @@ object ScrapeJobs {
         areas.read(),
         WorkQueue.staleOrNever("last_updated_sale", today - 1),
         "outcode", batchAreas)
-      val pages = spark.read.parquet(pagesPath)
-        .join(batch.select("outcode"), Seq("outcode")) // only batch areas
+      // bounded driver list: batchAreas keys (the reference's LIMIT)
+      val keys = batch.select("outcode").collect().map(_.getString(0)).toSeq
+      val fetched = Fetcher.fetchBatch(mkFetcher(spark), keys, cfg, sleeper)
+      fetched.failed.foreach { case (k, e) =>
+        System.err.println(s"[pull_new_sales] $k failed, continuing: $e")
+      }
+      val pages = Fetcher.toFrame(spark, fetched, "outcode", "html")
       val scraped = ScrapeParse.propertyIds(pages, "outcode", "html")
         .select(col("property_id"), lit(false).as("is_processed"),
           lit(today).as("created_date"), lit(today).as("updated_date"))
@@ -55,12 +87,18 @@ object ScrapeJobs {
         // via precedence on updated_date then is_processed stability
         Seq(col("updated_date").desc, col("created_date").asc))
       sales.overwriteAtomic(merged)
-      // advance watermark for every area in the batch (zero-result too)
-      val advanced = Upsert.updateByNormalizedKey(
-        areas.read(),
-        batch.select(col("outcode"), lit(today).as("last_updated_sale")),
-        "outcode", Seq("last_updated_sale"))
-      areas.overwriteAtomic(advanced)
+      // advance watermark for every LANDED area (zero-result too);
+      // failed fetches stay stale → picked up again next run
+      val landedKeys = fetched.landed.map(_._1)
+      if (landedKeys.nonEmpty) {
+        import spark.implicits._
+        val advanced = Upsert.updateByNormalizedKey(
+          areas.read(),
+          landedKeys.toDF("outcode")
+            .select(col("outcode"), lit(today).as("last_updated_sale")),
+          "outcode", Seq("last_updated_sale"))
+        areas.overwriteAtomic(advanced)
+      }
     })
   )
 
