@@ -38,4 +38,50 @@ object FormatConvert {
   /** ORC → parquet. */
   def orcToParquet(spark: SparkSession, inPath: String, outPath: String): Unit =
     spark.read.orc(inPath).write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** Whether the external spark-avro module is on the classpath. Avro
+    * is NOT in-box in Spark (unlike ORC/parquet/CSV/JSON): deployments
+    * add `org.apache.spark:spark-avro_2.13` explicitly. Detection
+    * mirrors DataSource.lookupDataSource's first step — a
+    * DataSourceRegister SERVICE registration under short name "avro".
+    * (Merely finding an avro class is not enough: Spark 4's spark-sql
+    * jar carries avro support classes for from_avro/to_avro, but the
+    * format lookup still requires the module's service entry.)
+    */
+  def avroAvailable: Boolean =
+    try {
+      val it = java.util.ServiceLoader.load(
+        classOf[org.apache.spark.sql.sources.DataSourceRegister],
+        getClass.getClassLoader).iterator()
+      var found = false
+      while (!found && it.hasNext) {
+        // a broken provider on the classpath must not mask the answer
+        found = try it.next().shortName() == "avro"
+        catch { case _: Throwable => false }
+      }
+      found
+    } catch { case _: Throwable => false }
+
+  private def requireAvro(): Unit =
+    if (!avroAvailable) throw new IllegalStateException(
+      "Avro support needs the external spark-avro module " +
+      "(org.apache.spark:spark-avro_2.13) on the classpath; it is not " +
+      "bundled with Spark. Check FormatConvert.avroAvailable before calling.")
+
+  /** Parquet → Avro. Fails with a clear message when spark-avro is
+    * absent (this sandbox: no egress, module not installed — the
+    * round-trip spec gates on [[avroAvailable]]).
+    */
+  def parquetToAvro(spark: SparkSession, inPath: String, outPath: String): Unit = {
+    requireAvro()
+    spark.read.parquet(inPath).write.mode(SaveMode.Overwrite)
+      .format("avro").save(outPath)
+  }
+
+  /** Avro → parquet. Same availability contract as [[parquetToAvro]]. */
+  def avroToParquet(spark: SparkSession, inPath: String, outPath: String): Unit = {
+    requireAvro()
+    spark.read.format("avro").load(inPath)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
 }

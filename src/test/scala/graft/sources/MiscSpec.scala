@@ -24,6 +24,25 @@ class MiscSpec extends SparkSpec {
       .toSet == Set(("1", "x"), ("2", "y")))
   }
 
+  test("avro: detect-or-skip — round-trip when spark-avro present, clear failure when absent") {
+    val work = Files.createTempDirectory("avro").toString
+    if (FormatConvert.avroAvailable) {
+      FormatConvert.parquetToAvro(spark, s"$sf0001/documents.parquet", s"$work/av")
+      FormatConvert.avroToParquet(spark, s"$work/av", s"$work/pq")
+      val src = spark.read.parquet(s"$sf0001/documents.parquet")
+      val back = spark.read.parquet(s"$work/pq")
+      assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+    } else {
+      // module absent (this sandbox): the API must fail fast with the
+      // actionable message, not a late DataSource lookup stack trace
+      val e = intercept[IllegalStateException] {
+        FormatConvert.parquetToAvro(spark, s"$sf0001/documents.parquet", s"$work/av")
+      }
+      assert(e.getMessage.contains("spark-avro"))
+      cancel("spark-avro not on classpath — round-trip skipped (detection verified)")
+    }
+  }
+
   test("parquet ↔ ORC conversion preserves rows and schema") {
     val work = Files.createTempDirectory("orc").toString
     val src = spark.read.parquet(s"$sf0001/documents.parquet")
