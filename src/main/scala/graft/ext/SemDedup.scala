@@ -111,17 +111,10 @@ object SemDedup {
   }
 
   /** Nearest `take` cells by adjusted L2 (‖c‖² − 2·v·c — same argmin,
-    * native dot product), smallest first. Same construction as IVF's.
+    * native dot product), smallest first. Shared value-literal kernel —
+    * see [[CentroidAssign]] for why centroids must not be expanded into
+    * generated source.
     */
   private def nearestCells(vecD: Column, cents: Array[(Int, Seq[Double])],
-      take: Int): Column = {
-    val scored = array(cents.toIndexedSeq.map { case (i, v) =>
-      val c2 = v.map(x => x * x).sum
-      struct(
-        (lit(c2) - lit(2.0) * VectorFunctions.dotDouble(
-          vecD, array(v.map(lit): _*))).as("d2"),
-        lit(i).as("cell"))
-    }: _*)
-    slice(array_sort(scored), 1, take)
-  }
+      take: Int): Column = CentroidAssign.nearestCells(vecD, cents, take)
 }

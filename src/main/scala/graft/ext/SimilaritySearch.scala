@@ -235,17 +235,11 @@ object SimilaritySearch {
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
 
     // nearest cells by adjusted distance ‖c‖² − 2·v·c (same argmin as
-    // true L2; the v·c term runs through the native dot product)
-    def nearestCells(vecD: Column, cents: Array[(Int, Seq[Double])], take: Int): Column = {
-      val scored = array(cents.toIndexedSeq.map { case (i, v) =>
-        val c2 = v.map(x => x * x).sum
-        struct(
-          (lit(c2) - lit(2.0) * VectorFunctions.dotDouble(
-            vecD, array(v.map(lit): _*))).as("d2"),
-          lit(i).as("cell"))
-      }: _*)
-      slice(array_sort(scored), 1, take)
-    }
+    // true L2; the v·c term runs through the native dot product).
+    // Value-literal kernel — see CentroidAssign for the codegen-cache
+    // rationale.
+    def nearestCells(vecD: Column, cents: Array[(Int, Seq[Double])], take: Int): Column =
+      CentroidAssign.nearestCells(vecD, cents, take)
 
     // Lloyd rounds: assign to nearest cell, recompute cell means
     for (_ <- 1 to iters) {
