@@ -50,9 +50,19 @@ object Multimodal {
       width: Option[Int],
       height: Option[Int])
 
+  /** Header-decoded audio metadata; None fields on non-WAV payloads. */
+  case class AudioMeta(
+      media_id: Long,
+      n_bytes: Long,
+      channels: Option[Int],
+      sample_rate: Option[Int],
+      bits_per_sample: Option[Int],
+      n_frames: Option[Long])
+
   implicit private val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
+  implicit private val audioEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
 
   /** STUB decoder — deterministic fake standing in for a real
     * image/audio codec. A production decoder would replace `decode`
@@ -117,6 +127,20 @@ object Multimodal {
         val d = graft.functions.ImageHeaders.dims(r.payload)
         MediaMeta(r.media_id, r.payload.length.toLong,
           d.map(_.format), d.map(_.width), d.map(_.height))
+      }
+    }
+
+  /** Audio sibling of [[imageMeta]]: WAV/RIFF header walk via
+    * [[graft.functions.AudioHeaders]] — channels, sample rate, bit
+    * depth, frame count from the container header, samples untouched.
+    */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = graft.functions.AudioHeaders.wavMeta(r.payload)
+        AudioMeta(r.media_id, r.payload.length.toLong,
+          m.map(_.channels), m.map(_.sampleRate),
+          m.map(_.bitsPerSample), m.map(_.nFrames))
       }
     }
 

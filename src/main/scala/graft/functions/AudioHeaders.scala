@@ -1,0 +1,97 @@
+package graft.functions
+
+/** Dependency-free WAV (RIFF) HEADER codec — the audio leg of the
+  * multimodal metadata surface, sibling of [[ImageHeaders]]: recover
+  * (channels, sample rate, bit depth, frame count) from the container
+  * header without decoding samples.
+  *
+  * Parse walk: "RIFF" magic + declared riff size + "WAVE" form type,
+  * then a chunk walk ("fmt " for the format block, "data" for the
+  * payload size) honoring the RIFF word-alignment rule (odd-sized
+  * chunks are padded to even offsets). Samples are never touched —
+  * O(header) regardless of payload size, and a header-only fixture
+  * (declared data size, truncated body) still parses, matching how a
+  * real pipeline reads metadata from a ranged prefix fetch.
+  */
+object AudioHeaders {
+
+  /** Parsed audio metadata. `nFrames` = data bytes / block align. */
+  final case class AudioMeta(
+      channels: Int,
+      sampleRate: Int,
+      bitsPerSample: Int,
+      nFrames: Long)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** WAV metadata from the RIFF header; None on anything malformed
+    * (wrong magic, no fmt chunk, zero block align, truncated walk).
+    */
+  def wavMeta(payload: Array[Byte]): Option[AudioMeta] = {
+    if (payload == null || payload.length < 36) return None
+    if (tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var dataBytes = -1L
+    while (i + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = tag(payload, i)
+      val size = le32(payload, i + 4)
+      if (size > Int.MaxValue - 9) return None // declared size can't be walked
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > payload.length) return None
+        val channels = le16(payload, i + 10)
+        val rate = le32(payload, i + 12).toInt
+        val blockAlign = le16(payload, i + 20)
+        val bits = le16(payload, i + 22)
+        if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0)
+          return None
+        fmt = Some((channels, rate, bits, blockAlign))
+      } else if (id == "data") {
+        dataBytes = size // declared size counts even when body is truncated
+      }
+      // chunk body + RIFF word-alignment pad
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    fmt.flatMap { case (channels, rate, bits, blockAlign) =>
+      if (dataBytes < 0) None
+      else Some(AudioMeta(channels, rate, bits, dataBytes / blockAlign))
+    }
+  }
+
+  /** Header-only PCM WAV fixture: RIFF/WAVE + fmt + data chunk header
+    * with the declared size and NO sample body — deterministic stand-in
+    * so parser∘encoder is oracle-checkable end to end.
+    */
+  def wavHeaderBytes(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nFrames: Long): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && nFrames >= 0)
+    require(bitsPerSample > 0 && bitsPerSample % 8 == 0)
+    val blockAlign = channels * bitsPerSample / 8
+    val dataBytes = nFrames * blockAlign
+    require(dataBytes <= Int.MaxValue - 36, "fixture data size must fit RIFF32")
+    val out = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+    out.putInt((36 + dataBytes).toInt) // riff size as if the body followed
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII"))
+    out.putInt(16) // PCM fmt block
+    out.putShort(1.toShort) // audio format: PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * blockAlign) // byte rate
+    out.putShort(blockAlign.toShort)
+    out.putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII"))
+    out.putInt(dataBytes.toInt)
+    out.array()
+  }
+}

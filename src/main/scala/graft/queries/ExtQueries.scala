@@ -46,6 +46,30 @@ object ExtQueries {
           col("height").cast("long").as("height"))
     },
 
+    // ── audio-header metadata decode, the q06 pattern for WAV/RIFF:
+    // header-only PCM fixtures with arithmetic (channels, rate, frames)
+    // per doc_id; the oracle pins parser∘encoder = identity — chunk
+    // walk, little-endian fields, blockAlign frame math all verified.
+    "q80_audio_headers" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val ch = (id % 2 + 1).toInt
+          val rate = (8000 + (id % 5) * 8000).toInt
+          val frames = id % 1000 + 1
+          Multimodal.MediaRow(id,
+            graft.functions.AudioHeaders.wavHeaderBytes(ch, rate, 16, frames),
+            "audio/wav", source)
+        }
+      Multimodal.audioMeta(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames").as("n_frames"))
+    },
+
     // ── token counting (whitespace + BPE-ish subword proxy).
     "q17_token_stats" -> { (s, dir) =>
       Tables.documents(s, dir).select(
@@ -758,6 +782,13 @@ object ExtQueries {
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
         |  doc_id % 640 + 16 AS width,
         |  doc_id % 480 + 16 AS height
+        |FROM documents""".stripMargin,
+
+    "q80_audio_headers" ->
+      """SELECT doc_id,
+        |  doc_id % 2 + 1 AS channels,
+        |  8000 + (doc_id % 5) * 8000 AS sample_rate,
+        |  doc_id % 1000 + 1 AS n_frames
         |FROM documents""".stripMargin,
 
     "q17_token_stats" ->

@@ -57,6 +57,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).n_bytes == 20)
   }
 
+  test("audioMeta: WAV header decode, None on non-audio payloads") {
+    import graft.functions.AudioHeaders
+    val rows = Seq(
+      Multimodal.MediaRow(1L, AudioHeaders.wavHeaderBytes(2, 44100, 16, 500L),
+        "audio/wav", "src"),
+      Multimodal.MediaRow(2L, "definitely not riff".getBytes("UTF-8"),
+        "text/plain", "src"))
+    val out = Multimodal.audioMeta(spark.createDataset(rows)).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L).channels == Some(2) && out(1L).sample_rate == Some(44100) &&
+      out(1L).bits_per_sample == Some(16) && out(1L).n_frames == Some(500L))
+    assert(out(2L).channels.isEmpty && out(2L).n_frames.isEmpty)
+  }
+
   test("resize: fixed target length, endpoints preserved, composes with features") {
     val media = Multimodal.toMedia(Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz", "src"), // shrink 26 → 8

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AudioHeaders._
+
+class AudioHeadersSpec extends AnyFunSuite {
+
+  test("wav: encoder round-trips through the parser across formats") {
+    for ((ch, rate, bits, frames) <- Seq(
+        (1, 8000, 8, 0L), (1, 16000, 16, 1L), (2, 44100, 16, 12345L),
+        (2, 48000, 32, 999L), (6, 96000, 24, 7L))) {
+      assert(wavMeta(wavHeaderBytes(ch, rate, bits, frames)) ==
+        Some(AudioMeta(ch, rate, bits, frames)), s"$ch/$rate/$bits/$frames")
+    }
+  }
+
+  test("header-only fixture parses even though the data body is absent") {
+    // declared data size counts; a ranged prefix fetch is the real shape
+    val b = wavHeaderBytes(2, 44100, 16, 1000L)
+    assert(b.length == 44) // nothing after the data chunk header
+    assert(wavMeta(b).map(_.nFrames) == Some(1000L))
+  }
+
+  test("chunk walk skips unknown chunks and honors odd-size padding") {
+    val base = wavHeaderBytes(1, 22050, 16, 10L)
+    // splice a 3-byte LIST chunk (odd size → 1 pad byte) before fmt
+    val pre = base.take(12)
+    val post = base.drop(12)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // size 3 + pad
+    assert(wavMeta(pre ++ junk ++ post) ==
+      Some(AudioMeta(1, 22050, 16, 10L)))
+  }
+
+  test("malformed inputs parse to None, never throw") {
+    val ok = wavHeaderBytes(2, 44100, 16, 5L)
+    assert(wavMeta(null).isEmpty)
+    assert(wavMeta(Array.empty[Byte]).isEmpty)
+    assert(wavMeta(ok.take(20)).isEmpty) // truncated mid-fmt
+    assert(wavMeta("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty) // bad form
+    val badMagic = ok.clone(); badMagic(0) = 'X'.toByte
+    assert(wavMeta(badMagic).isEmpty)
+    // fmt present but no data chunk at all
+    assert(wavMeta(ok.take(36)).isEmpty)
+    // zero channels must be rejected, not divide the frame math
+    val zeroCh = ok.clone(); zeroCh(22) = 0; zeroCh(23) = 0
+    assert(wavMeta(zeroCh).isEmpty)
+    // absurd declared chunk size can't send the walk spinning
+    val hugeChunk = ok.clone()
+    hugeChunk(16) = 0xff.toByte; hugeChunk(17) = 0xff.toByte
+    hugeChunk(18) = 0xff.toByte; hugeChunk(19) = 0x7f.toByte
+    assert(wavMeta(hugeChunk).isEmpty)
+  }
+}
