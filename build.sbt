@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // A full bench run JIT-compiles thousands of generated classes
+  // (codegen stages × 80 queries × warmup+2 passes); the JDK 17
+  // default 240 MB code cache fills mid-suite, silently disabling the
+  // compiler and leaving the tail queries interpreted (~2× slower).
+  // Size it for the suite and let flushing reclaim cold stages.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+) ++ sys.env.get("SPARK_JVM_EXTRA").toSeq.flatMap(_.split("\\s+"))
