@@ -16,6 +16,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    // loadavg BEFORE any work: the value recorded after the run mostly
+    // measures the bench's own 32 threads (r5's 8.52 was read as
+    // external load and invalidated a green artifact); only the start
+    // value says anything about neighbors.
+    def readLoadavg(): String = try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+      finally src.close()
+    } catch { case _: Throwable => "" }
+    val loadavgStart = readLoadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,11 +79,7 @@ object Bench {
     val results = both.filter(_._3)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
       .toSeq.sortBy(_._1)
-    val loadavg = try {
-      val src = scala.io.Source.fromFile("/proc/loadavg")
-      try src.mkString.trim.split("\\s+").take(3).mkString(" ")
-      finally src.close()
-    } catch { case _: Throwable => "" }
+    val loadavg = readLoadavg()
 
     // Per-query regression gate vs the previous round's bench JSON
     // (r2's q25 ran 44 s vs 4.8 s in r1 and the suite total hid it).
@@ -190,7 +196,7 @@ object Bench {
     // baseline_queries makes a vacuous gate VISIBLE: 0 means the
     // baseline file existed but nothing was parsed from it, so an empty
     // regressions map proves nothing
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg":"$loadavg","failed":$failedJson,"regressions_vs_prior":$regJson,"baseline_file":"${baselineFile.map(_.getName).getOrElse("")}","baseline_queries":${baseline.size},"suite_gate":"$gate"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadavgStart","loadavg":"$loadavg","failed":$failedJson,"regressions_vs_prior":$regJson,"baseline_file":"${baselineFile.map(_.getName).getOrElse("")}","baseline_queries":${baseline.size},"suite_gate":"$gate"}""")
     spark.stop()
   }
 }
