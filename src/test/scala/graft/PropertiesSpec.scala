@@ -119,6 +119,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("header parsers are total: arbitrary bytes and every prefix parse without throwing") {
+    import graft.functions.{AudioHeaders, ImageHeaders}
+    val junk = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt)
+        .map(_.toByte)))
+    forAll(junk, n = 300) { bs =>
+      val b = bs.toArray
+      ImageHeaders.dims(b); AudioHeaders.wavMeta(b); ()
+    }
+    // every truncation of a valid header must degrade to None, not throw
+    val png = ImageHeaders.pngHeaderBytes(640, 480)
+    val jpg = ImageHeaders.jpegHeaderBytes(640, 480)
+    val wav = AudioHeaders.wavHeaderBytes(2, 44100, 16, 77L)
+    for (src <- Seq(png, jpg, wav); i <- 0 to src.length) {
+      val p = java.util.Arrays.copyOf(src, i)
+      ImageHeaders.dims(p); AudioHeaders.wavMeta(p); ()
+    }
+  }
+
+  test("png: EVERY single-bit corruption across the signed region is rejected") {
+    import graft.functions.ImageHeaders
+    // signature(8) + length(4) + "IHDR"(4) + data(13) + crc(4) = bytes
+    // 0..32 — the whole prefix the parser reads is covered by either the
+    // magic/length/type checks or the mandated CRC, so no flip can
+    // silently misreport dimensions
+    val png = ImageHeaders.pngHeaderBytes(1234, 567)
+    for (i <- 0 until 33; bit <- Seq(0x01, 0x80)) {
+      val m = png.clone(); m(i) = (m(i) ^ bit).toByte
+      val r = ImageHeaders.pngDims(m)
+      assert(r.isEmpty, s"byte $i bit $bit parsed as $r")
+    }
+  }
+
   test("BlockJoin.crossPairs covers every left×right pair exactly once, any block count") {
     forAll(Gen.zip(Gen.choose(1, 15), Gen.choose(1, 25), Gen.choose(1, 12)), n = 6) {
       case (nl, nr, blocks) =>
