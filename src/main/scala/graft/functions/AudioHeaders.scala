@@ -44,7 +44,6 @@ object AudioHeaders {
     while (i + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
       val id = tag(payload, i)
       val size = le32(payload, i + 4)
-      if (size > Int.MaxValue - 9) return None // declared size can't be walked
       if (id == "fmt ") {
         if (size < 16 || i + 8 + 16 > payload.length) return None
         val channels = le16(payload, i + 10)
@@ -57,8 +56,13 @@ object AudioHeaders {
       } else if (id == "data") {
         dataBytes = size // declared size counts even when body is truncated
       }
-      // chunk body + RIFF word-alignment pad
-      i += 8 + size.toInt + (size.toInt & 1)
+      // chunk body + RIFF word-alignment pad. Walk the offset in Long:
+      // a declared size near 2^31 Int-overflows `i + 8 + size` into a
+      // negative offset and an out-of-bounds read (found by review);
+      // anything past the buffer just ends the walk — a truncated body
+      // after a complete header is the header-only fixture shape.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > payload.length) payload.length else next.toInt
     }
     fmt.flatMap { case (channels, rate, bits, blockAlign) =>
       if (dataBytes < 0) None

@@ -72,6 +72,11 @@ object ImageHeaders {
       if ((payload(i) & 0xff) != 0xff) return None // marker alignment lost
       var m = payload(i + 1) & 0xff
       while (m == 0xff && i + 2 < payload.length) { i += 1; m = payload(i + 1) & 0xff } // fill bytes
+      // fill bytes ran to the buffer edge without resolving a marker, or
+      // the skip left too little room for a length field: truncated, not
+      // parseable — the default arm below would otherwise read past the
+      // array (found by review: payload FF D8 FF FF FF FF)
+      if (m == 0xff || i + 3 >= payload.length) return None
       m match {
         case 0xd8 => i += 2 // stray SOI — no length field
         case 0xd9 | 0xda => return None // EOI / SOS before any SOF

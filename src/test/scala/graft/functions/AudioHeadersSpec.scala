@@ -51,5 +51,11 @@ class AudioHeadersSpec extends AnyFunSuite {
     hugeChunk(16) = 0xff.toByte; hugeChunk(17) = 0xff.toByte
     hugeChunk(18) = 0xff.toByte; hugeChunk(19) = 0x7f.toByte
     assert(wavMeta(hugeChunk).isEmpty)
+    // near-2^31 size whose walk offset Int-overflows to negative (review
+    // regression: previously a StringIndexOutOfBoundsException)
+    val overflow = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
+      Array[Byte](0xf5.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    assert(wavMeta(overflow).isEmpty)
   }
 }

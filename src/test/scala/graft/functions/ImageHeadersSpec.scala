@@ -42,6 +42,16 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(pngDims(badSig).isEmpty)
   }
 
+  test("jpeg: fill bytes running to the buffer edge parse to None (review regression)") {
+    // FF D8 followed by nothing but fill bytes: the fill skip reaches the
+    // edge with no marker resolved — previously read past the array
+    assert(jpegDims(Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff)
+      .map(_.toByte)).isEmpty)
+    // marker resolved right at the edge with no room for its length field
+    assert(jpegDims(Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xe0)
+      .map(_.toByte)).isEmpty)
+  }
+
   test("jpeg: SOS/EOI before any SOF means no dims (entropy data never scanned)") {
     // SOI + APP0 + SOS — a frame header never appears
     val app0 = jpegHeaderBytes(9, 9).slice(2, 20)
