@@ -30,8 +30,10 @@ object ScrapeJobs {
       today: Long,
       batchAreas: Int = 5): Seq[Task] =
     pullNewSalesVia(
-      spark => Fetcher.FixtureFetcher.fromParquet(
-        spark, pagesPath, "outcode", "html"),
+      // keys-filtered load: only the work batch's pages are collected,
+      // and the filter reaches the parquet scan
+      (spark, keys) => Fetcher.FixtureFetcher.fromParquet(
+        spark, pagesPath, "outcode", "html", Some(keys)),
       areasRoot, salesRoot, today, batchAreas,
       // fixture replay needs no politeness pauses
       cfg = FetchConfig(pageSleepMs = 0, areaSleepMs = 0, retryDelayMs = 0))
@@ -52,7 +54,7 @@ object ScrapeJobs {
     * frame.
     */
   def pullNewSalesVia(
-      mkFetcher: org.apache.spark.sql.SparkSession => Fetcher,
+      mkFetcher: (org.apache.spark.sql.SparkSession, Seq[String]) => Fetcher,
       areasRoot: String,
       salesRoot: String,
       today: Long,
@@ -73,7 +75,7 @@ object ScrapeJobs {
         "outcode", batchAreas)
       // bounded driver list: batchAreas keys (the reference's LIMIT)
       val keys = batch.select("outcode").collect().map(_.getString(0)).toSeq
-      val fetched = Fetcher.fetchBatch(mkFetcher(spark), keys, cfg, sleeper)
+      val fetched = Fetcher.fetchBatch(mkFetcher(spark, keys), keys, cfg, sleeper)
       fetched.failed.foreach { case (k, e) =>
         System.err.println(s"[pull_new_sales] $k failed, continuing: $e")
       }

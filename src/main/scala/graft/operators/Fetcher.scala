@@ -82,10 +82,14 @@ object Fetcher {
       var done = false
       var lastErr = ""
       while (remaining > 0 && !done) {
-        val ua = cfg.userAgents(attempt % math.max(1, cfg.userAgents.size))
+        // empty pool = caller manages headers itself — send none rather
+        // than indexing an empty Seq
+        val headers =
+          if (cfg.userAgents.isEmpty) Map.empty[String, String]
+          else Map("User-Agent" -> cfg.userAgents(attempt % cfg.userAgents.size))
         attempt += 1
         remaining -= 1
-        fetcher.fetch(key, Map("User-Agent" -> ua)) match {
+        fetcher.fetch(key, headers) match {
           case Right(payload) => landed += (key -> payload); done = true
           case Left(err) =>
             lastErr = err
@@ -97,12 +101,47 @@ object Fetcher {
     FetchResult(landed.result(), failed.result())
   }
 
+  /** Paginated fetch of ONE work key — the reference's page walk
+    * (`get_rightmove_properties`, pull_new_sales_list.py:161-199): fetch
+    * page 0, 1, … through `pageKey`, sleeping `cfg.pageSleepMs` between
+    * page requests (PAGE_SLEEP parity), stopping at the first failure or
+    * empty page, and ALWAYS at `maxPages` (the O3 pagination cap — a
+    * lying server cannot make the walk unbounded). Returns the landed
+    * pages in order plus the error that stopped the walk, if any.
+    */
+  def fetchPaged(
+      fetcher: Fetcher,
+      pageKey: Int => String,
+      maxPages: Int,
+      cfg: FetchConfig = FetchConfig(),
+      sleeper: Long => Unit = Thread.sleep): (Seq[String], Option[String]) = {
+    require(maxPages > 0, "maxPages must be positive")
+    val pages = Seq.newBuilder[String]
+    var page = 0
+    var stop: Option[String] = None
+    var exhausted = false
+    while (page < maxPages && stop.isEmpty && !exhausted) {
+      if (page > 0 && cfg.pageSleepMs > 0) sleeper(cfg.pageSleepMs)
+      val headers =
+        if (cfg.userAgents.isEmpty) Map.empty[String, String]
+        else Map("User-Agent" -> cfg.userAgents(page % cfg.userAgents.size))
+      fetcher.fetch(pageKey(page), headers) match {
+        case Right(p) if p.isEmpty => exhausted = true // past the last page
+        case Right(p) => pages += p; page += 1
+        case Left(err) => stop = Some(err)
+      }
+    }
+    (pages.result(), stop)
+  }
+
   /** Offline fixture replay — the sandbox implementation. Payloads come
     * from a landed `(key, payload)` parquet table; a key absent from
     * the fixtures is a zero-result page (Right("")), matching the
-    * engine's long-standing join semantics, NOT a fetch failure. Bounded
-    * by fixture size (loaded once, driver-side — fixtures are small by
-    * definition; a live connector never materializes anything).
+    * engine's long-standing join semantics, NOT a fetch failure. A key
+    * landed with SEVERAL page rows (the paginated-scrape shape) replays
+    * as one newline-joined payload in a deterministic order, so every
+    * page's extractable content survives — the old join fed each row
+    * separately and a Map would have silently kept one.
     */
   final class FixtureFetcher(pages: Map[String, String]) extends Fetcher {
     override def fetch(key: String,
@@ -111,12 +150,21 @@ object Fetcher {
   }
 
   object FixtureFetcher {
+    /** Load fixtures for `keys` only (the work batch — pages tables can
+      * be large; the filter reaches the parquet scan) — or everything
+      * when `keys` is None.
+      */
     def fromParquet(spark: SparkSession, path: String, keyCol: String,
-        payloadCol: String): FixtureFetcher = {
-      val rows = spark.read.parquet(path)
-        .select(keyCol, payloadCol).collect()
-      new FixtureFetcher(rows.map(r =>
-        r.getString(0) -> Option(r.getString(1)).getOrElse("")).toMap)
+        payloadCol: String,
+        keys: Option[Seq[String]] = None): FixtureFetcher = {
+      import org.apache.spark.sql.functions.col
+      val all = spark.read.parquet(path).select(keyCol, payloadCol)
+      val wanted = keys.fold(all)(ks => all.filter(col(keyCol).isin(ks: _*)))
+      val rows = wanted.collect()
+        .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+      new FixtureFetcher(rows.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sorted.mkString("\n")
+      })
     }
   }
 

@@ -64,6 +64,59 @@ class FetcherSpec extends SparkSpec {
     assert(f.fetch("OX9", Map("User-Agent" -> "x")) == Right(""))
   }
 
+  test("fetchPaged: page walk with PAGE_SLEEP pacing, stops at empty page and at the cap") {
+    val sleeps = mutable.Buffer[Long]()
+    val f = new Scripted(Map(
+      "k?page=0" -> Seq(Right("p0")), "k?page=1" -> Seq(Right("p1")),
+      "k?page=2" -> Seq(Right("")))) // empty = past the last page
+    val (pages, err) = Fetcher.fetchPaged(f, i => s"k?page=$i", maxPages = 10,
+      FetchConfig(pageSleepMs = 500), sleeper = sleeps += _)
+    assert(pages == Seq("p0", "p1") && err.isEmpty)
+    assert(sleeps == Seq(500L, 500L)) // between page requests only
+
+    // the cap binds even when the server keeps producing pages
+    val endless = new Fetcher {
+      def fetch(k: String, h: Map[String, String]) = Right("more")
+    }
+    val (capped, _) = Fetcher.fetchPaged(endless, i => s"p$i", maxPages = 3,
+      FetchConfig(pageSleepMs = 0), sleeper = _ => ())
+    assert(capped.size == 3)
+
+    // a failing page stops the walk and surfaces the error
+    val flaky = new Scripted(Map(
+      "q?page=0" -> Seq(Right("p0")), "q?page=1" -> Seq(Left("timeout"))))
+    val (partial, stop) = Fetcher.fetchPaged(flaky, i => s"q?page=$i",
+      maxPages = 10, FetchConfig(pageSleepMs = 0), sleeper = _ => ())
+    assert(partial == Seq("p0") && stop == Some("timeout"))
+  }
+
+  test("empty UA pool sends no User-Agent header instead of crashing") {
+    var seen: Map[String, String] = null
+    val f = new Fetcher {
+      def fetch(k: String, h: Map[String, String]) = { seen = h; Right("ok") }
+    }
+    val r = Fetcher.fetchBatch(f, Seq("A"), noSleep.copy(userAgents = Nil))
+    assert(r.landed == Seq("A" -> "ok"))
+    assert(seen.isEmpty)
+  }
+
+  test("multi-page fixture keys replay every page's content, deterministically") {
+    val work = Files.createTempDirectory("fixpages").toString
+    Seq(
+      ("OX1", """<a href="/properties/123">a</a>"""),
+      ("OX1", """<a href="/properties/789">c</a>"""), // second landed page
+      ("OX2", """<a href="/properties/456">b</a>"""))
+      .toDF("outcode", "html").write.parquet(s"$work/pages")
+    val f = Fetcher.FixtureFetcher.fromParquet(
+      spark, s"$work/pages", "outcode", "html", Some(Seq("OX1", "OX2")))
+    val Right(ox1) = f.fetch("OX1", Map.empty): @unchecked
+    assert(ox1.contains("123") && ox1.contains("789")) // no page dropped
+    // key filter: unrequested keys are not loaded
+    val filtered = Fetcher.FixtureFetcher.fromParquet(
+      spark, s"$work/pages", "outcode", "html", Some(Seq("OX2")))
+    assert(filtered.fetch("OX1", Map.empty) == Right("")) // absent → empty
+  }
+
   test("pullNewSalesVia: failed fetch leaves watermark stale for natural retry; batch continues") {
     val work = Files.createTempDirectory("fetchjob").toString
     val areasRoot = s"$work/areas"
@@ -110,7 +163,7 @@ class FetcherSpec extends SparkSpec {
 private object ScrapeJobsHarness {
   def job(f: Fetcher, areasRoot: String, salesRoot: String, today: Long) =
     graft.jobs.ScrapeJobs.pullNewSalesVia(
-      _ => f, areasRoot, salesRoot, today, batchAreas = 5,
+      (_, _) => f, areasRoot, salesRoot, today, batchAreas = 5,
       cfg = FetchConfig(pageSleepMs = 0, areaSleepMs = 0, retryDelayMs = 0),
       sleeper = _ => ())
 }
