@@ -280,13 +280,19 @@ object EventStreams {
         val lineage = table.marker("_graft_query_id").map(_.trim)
         val applied = table.marker("_graft_batch_id")
           .map(_.trim.toLong).getOrElse(-1L)
-        if (lineage.exists(_ != qid))
+        // a batch-id marker with no lineage marker (table written before
+        // lineage tracking, or a partially copied table) is just as
+        // uncomparable as a mismatched lineage — skipping on it would
+        // reintroduce the silent drop this guard exists for
+        if (applied >= 0 && !lineage.contains(qid))
           throw new IllegalStateException(
-            s"table at lineage ${lineage.get} but checkpoint " +
+            s"table has applied batch id $applied under lineage " +
+            s"${lineage.getOrElse("<none recorded>")} but checkpoint " +
             s"$checkpointDir belongs to query $qid: the checkpoint was " +
-            "reset/relocated while the table was retained. Batch ids " +
-            "are not comparable across checkpoints — refusing to guess. " +
-            "Rebuild explicitly: delete the table AND checkpoint together.")
+            "reset/relocated (or the table predates lineage tracking) " +
+            "while the table was retained. Batch ids are not comparable " +
+            "across checkpoints — refusing to guess. Rebuild explicitly: " +
+            "delete the table AND checkpoint together.")
         if (batchId > applied && !batch.isEmpty) {
           val merged =
             if (table.exists)

@@ -320,6 +320,17 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, Long, String, Long, Option[Long], Long, Boolean)]
       .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(state() == withF3)
+
+    // legacy table: a batch-id marker with NO lineage marker (written
+    // before lineage tracking) is just as uncomparable — must fail
+    // fast, not silently skip
+    Files.delete(java.nio.file.Paths.get(s"$work/dim", "_graft_query_id"))
+    val legacyBoom =
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(ckpt = s"$work/ckpt3")
+      }
+    assert(legacyBoom.getCause.getMessage.contains("<none recorded>"))
+    assert(state() == withF3) // untouched
   }
 
   test("nearDupFilteredIngest: cross-batch near-dups dropped via persistent index, replay-safe") {
