@@ -34,4 +34,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Size it for the suite and let flushing reclaim cold stages.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
-) ++ sys.env.get("SPARK_JVM_EXTRA").toSeq.flatMap(_.split("\\s+"))
+) ++ sys.env.get("SPARK_JVM_EXTRA").toSeq
+  .flatMap(_.split("\\s+")).filter(_.nonEmpty)

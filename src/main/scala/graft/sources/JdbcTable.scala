@@ -17,11 +17,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Overwrite is staged like ParquetTable's: write the post-merge state
   * to a staging TABLE, then DROP old + RENAME staging in ONE
-  * transaction — Derby (and Postgres) DDL is transactional, so readers
-  * see old-or-new, never half. On a production Postgres the same seam
-  * is where a server-side `INSERT ... ON CONFLICT` / MERGE plugs in;
-  * every caller goes through [[overwriteAtomic]] so nothing else
-  * changes.
+  * transaction — Derby DDL is transactional, so readers see old-or-new,
+  * never half. The swap STATEMENTS are Derby dialect: a Postgres target
+  * needs `DROP TABLE IF EXISTS` + `ALTER TABLE … RENAME TO` (plain
+  * `RENAME TABLE` is not Postgres syntax, and a failed statement inside
+  * an open Postgres transaction aborts it — 25P02 — so the
+  * ignore-the-DROP pattern below is Derby-only too), lower-cased
+  * unquoted identifiers, and ideally a server-side `INSERT … ON
+  * CONFLICT`/MERGE instead of the read-merge-swap. Every caller goes
+  * through [[overwriteAtomic]], so that swap body is the single place a
+  * dialect port touches.
   *
   * @param writeOptions extra writer options — pass
   *   `createTableColumnTypes` to pin VARCHAR widths (Spark's Derby/
@@ -40,9 +45,12 @@ final class JdbcTable(
   def exists: Boolean = {
     val conn = DriverManager.getConnection(url, props)
     try {
-      val rs = conn.getMetaData.getTables(
-        null, null, table.toUpperCase, Array("TABLE"))
-      try rs.next() finally rs.close()
+      // unquoted identifiers fold per-database (Derby: upper, Postgres:
+      // lower) — probe the folded forms rather than assuming one
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+        val rs = conn.getMetaData.getTables(null, null, t, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
     } finally conn.close()
   }
 
