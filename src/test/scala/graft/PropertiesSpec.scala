@@ -128,6 +128,22 @@ class PropertiesSpec extends AnyFunSuite {
       val b = bs.toArray
       ImageHeaders.dims(b); AudioHeaders.wavMeta(b); ()
     }
+    // raw junk almost never clears the magic checks, so it exercises
+    // only the first guard — both review-found crashes (JPEG fill-byte
+    // edge, WAV chunk-size overflow) lived PAST the magic. Fuzz the
+    // post-magic structure too: valid magic + junk tail.
+    val pngSig = ImageHeaders.pngHeaderBytes(1, 1).take(8)
+    val jpgSig = Array(0xff, 0xd8).map(_.toByte)
+    val wavSig = AudioHeaders.wavHeaderBytes(1, 8000, 8, 0L).take(12)
+    forAll(junk, n = 300) { bs =>
+      val tail = bs.toArray
+      ImageHeaders.pngDims(pngSig ++ tail)
+      ImageHeaders.jpegDims(jpgSig ++ tail)
+      // bias the jpeg tail toward marker bytes so the segment walk runs
+      ImageHeaders.jpegDims(jpgSig ++ tail.map(b => if (b % 3 == 0) 0xff.toByte else b))
+      AudioHeaders.wavMeta(wavSig ++ tail)
+      ()
+    }
     // every truncation of a valid header must degrade to None, not throw
     val png = ImageHeaders.pngHeaderBytes(640, 480)
     val jpg = ImageHeaders.jpegHeaderBytes(640, 480)
