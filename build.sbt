@@ -27,11 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // A full bench run JIT-compiles thousands of generated classes
-  // (codegen stages × 80 queries × warmup+2 passes); the JDK 17
-  // default 240 MB code cache fills mid-suite, silently disabling the
-  // compiler and leaving the tail queries interpreted (~2× slower).
-  // Size it for the suite and let flushing reclaim cold stages.
+  // Code-cache headroom for suite-length JVMs (80 queries × warmup+2
+  // passes of codegen classes). NOTE: an A/B at 240m vs 1g showed the
+  // CURRENT suite does NOT fill the default cache (240m run was the
+  // day's fastest — see BASELINE round 6); this is insurance against
+  // future growth, not a measured fix.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 ) ++ sys.env.get("SPARK_JVM_EXTRA").toSeq
