@@ -77,9 +77,55 @@ class JdbcSpec extends SparkSpec {
     jt.overwriteAtomic(Upsert.mergeByKey(
       jt.read(), batch, Seq("id"), Seq(col("updated").desc)))
     assert(jt.read().count() == 3)
-    // staging table must not linger after the swap
-    assert(!new JdbcTable(spark, url, "t_upsert_staging", props).exists)
+    // no staging table may linger after the swaps (names are run-unique
+    // now — list by pattern instead of probing one fixed name; Derby
+    // has no metadata escape, so over-match and filter exactly)
+    assert(tablesLike("%STG%").filter(_.contains("_STG_")).isEmpty)
     assert(jt.exists)
+  }
+
+  private def tablesLike(pattern: String): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, pattern, Array("TABLE"))
+      val out = Seq.newBuilder[String]
+      try { while (rs.next()) out += rs.getString("TABLE_NAME") }
+      finally rs.close()
+      out.result()
+    } finally conn.close()
+  }
+
+  test("exists() never wildcard-matches: t_x must not match tYx") {
+    // the raw probe pattern 'tzroun_' WOULD match table tzround (_ is
+    // any-one-char in getTables patterns, and Derby offers no escape) —
+    // exists() must reject it by exact-name comparison of the results
+    Seq((1L, "w")).toDF("id", "name").write.options(varcharNames)
+      .jdbc(url, "tzround", props)
+    assert(!new JdbcTable(spark, url, "tzroun_", props).exists)
+    assert(!new JdbcTable(spark, url, "t_round2", props).exists)
+    assert(new JdbcTable(spark, url, "tzround", props).exists)
+  }
+
+  test("swap dialect seam: Postgres body is IF-EXISTS + ALTER RENAME, never may-fail") {
+    import graft.sources.JdbcSwapDialect
+    val pg = JdbcSwapDialect.forUrl("jdbc:postgresql://db/prices")
+    assert(pg == JdbcSwapDialect.Postgres)
+    assert(pg.swapStatements("sales_stg_ab12", "sales") == Seq(
+      ("DROP TABLE IF EXISTS sales", false), // failed stmt would abort a PG txn (25P02)
+      ("ALTER TABLE sales_stg_ab12 RENAME TO sales", false)))
+    val derby = JdbcSwapDialect.forUrl(url)
+    assert(derby == JdbcSwapDialect.Derby)
+    assert(derby.swapStatements("s", "t").map(_._1) ==
+      Seq("DROP TABLE t", "RENAME TABLE s TO t"))
+    // only the Derby DROP may fail inside its txn
+    assert(derby.swapStatements("s", "t").map(_._2) == Seq(true, false))
+    intercept[IllegalArgumentException] {
+      JdbcSwapDialect.forUrl("jdbc:mysql://db/x")
+    }
+    // unquoted-identifier policy gate
+    intercept[IllegalArgumentException] {
+      new JdbcTable(spark, url, "bad-name;drop", props)
+    }
   }
 
   test("insert-ignore parity: existing keys never overwritten through JDBC") {
