@@ -79,6 +79,9 @@ object ImageHeaders {
       if (m == 0xff || i + 3 >= payload.length) return None
       m match {
         case 0xd8 => i += 2 // stray SOI — no length field
+        case 0x01 => i += 2 // TEM — standalone, no length field
+        case rst if rst >= 0xd0 && rst <= 0xd7 =>
+          i += 2 // RSTn — standalone; reading a "length" here would desync
         case 0xd9 | 0xda => return None // EOI / SOS before any SOF
         case sof if (sof >= 0xc0 && sof <= 0xcf) &&
             sof != 0xc4 && sof != 0xc8 && sof != 0xcc => // SOFn (not DHT/JPG/DAC)

@@ -70,6 +70,20 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(jpegDims(padded) == Some(Dims("jpeg", 320, 200)))
   }
 
+  test("jpeg: standalone TEM/RST markers are length-less, not desync points") {
+    // TEM (0x01) and RSTn (0xD0-0xD7) carry no length field; the walk
+    // must step over them (i += 2) rather than reading payload bytes as
+    // a bogus segment length (advisor finding, round 6)
+    val plain = jpegHeaderBytes(320, 200)
+    val sofAt = plain.indices.dropWhile(i =>
+      !((plain(i) & 0xff) == 0xff && (plain(i + 1) & 0xff) == 0xc0)).head
+    for (marker <- Seq(0x01, 0xd0, 0xd3, 0xd7)) {
+      val padded = plain.take(sofAt) ++
+        Array[Byte](0xff.toByte, marker.toByte) ++ plain.drop(sofAt)
+      assert(jpegDims(padded) == Some(Dims("jpeg", 320, 200)), f"marker $marker%02x")
+    }
+  }
+
   test("dims() sniffs format from magic, not from a hint") {
     assert(dims(pngHeaderBytes(12, 34)) == Some(Dims("png", 12, 34)))
     assert(dims(jpegHeaderBytes(56, 78)) == Some(Dims("jpeg", 56, 78)))
