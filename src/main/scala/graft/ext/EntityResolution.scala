@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution for SHORT strings (names, titles, addresses,
@@ -14,9 +15,13 @@ import org.apache.spark.sql.functions._
   * Because a single coarse key is a scale hazard (one hot block of
   * 80 k rows is 3.2 G verifies), candidate generation is ADAPTIVE:
   *
-  *   1. a cheap per-block size census (one small aggregate over the
-  *      blocking key — bounded by the number of distinct blocks, never
-  *      collected to the driver) splits blocks at `smallBlockLimit`;
+  *   1. a cheap per-block size census — a count window over the
+  *      blocking key, so the input is scanned ONCE and one shuffle
+  *      serves the whole dispatch (round 6 used a census join that
+  *      re-scanned the input and re-aggregated once per leg; the
+  *      windowed frame is persisted behind the Managed handle so both
+  *      legs read the same materialization) — splits blocks at
+  *      `smallBlockLimit`;
   *   2. small blocks take the plain same-block self-join (measured
   *      fastest when blocks are small — the length-bucket replication
   *      costs more than it prunes: 8.0 s → 9.1 s at sf0.1 on the part
@@ -34,8 +39,13 @@ import org.apache.spark.sql.functions._
   * the join geometry. Residual limit, stated honestly: a hot block
   * whose members all share one length bucket (80 k same-length SKUs)
   * is still O(block²) — that is inherent to the exact contract; the
-  * approximate escape hatch at that scale is MinHash/SimHash blocking
-  * ([[MinHashDedup]], [[SimHash]]) over the same strings.
+  * opt-in escape hatch at that scale is
+  * [[approxBlockedEditDistancePairs]] (character-shingle SimHash
+  * blocking inside each block: candidates bounded by signature-chunk
+  * bucket density, verify unchanged, so precision stays 1 and only
+  * recall is approximate — measured in the spec) or the document
+  * machinery ([[MinHashDedup]], [[SimHash]]) when the strings are long
+  * enough to shingle as token sets.
   *
   * The verify uses Spark's banded `levenshtein(l, r, threshold)` which
   * abandons a pair once the distance provably exceeds the bound —
@@ -53,6 +63,8 @@ object EntityResolution {
   /** Candidate pairs BEFORE the edit-distance verify — exposed so
     * specs can pin the join volume (the 100 TB cost driver) directly:
     * (id_a, id_b, __ta, __tb), each unordered pair at most once.
+    * Pins the internal cache for the life of the frame; looped callers
+    * use [[candidatePairsManaged]] and release.
     *
     * Exactness invariant: every same-block pair within `maxDist` is
     * present; pairs may appear that fail the verify (same bucket but
@@ -65,14 +77,31 @@ object EntityResolution {
       textCol: String,
       blockKey: Column,
       maxDist: Int,
-      smallBlockLimit: Int = DefaultSmallBlockLimit): DataFrame = {
+      smallBlockLimit: Int = DefaultSmallBlockLimit): DataFrame =
+    candidatePairsManaged(df, idCol, textCol, blockKey, maxDist,
+      smallBlockLimit)._1
+
+  /** [[candidatePairs]] plus a release handle for the internal cache —
+    * the censused input feeds both sides of both join legs, and without
+    * the cache each reference would re-scan the source and recompute
+    * the census (the round-6 plan paid that twice per leg).
+    */
+  def candidatePairsManaged(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: Column,
+      maxDist: Int,
+      smallBlockLimit: Int = DefaultSmallBlockLimit): (DataFrame, () => Unit) = {
     require(maxDist >= 0, "maxDist must be non-negative")
     val t = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
       blockKey.as("__blk"))
-    // block census: one row per distinct block — stays distributed;
-    // AQE broadcasts it when small, shuffle-joins when not
-    val census = t.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
-    val sized = t.join(census, Seq("__blk"))
+    // block census as a count window: ONE scan + one shuffle by __blk
+    // (vs aggregate + self-join = two scans); persisted so the four
+    // join-side references below all read this materialization
+    val sized = t
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+      .persist()
 
     val small = sized.filter(col("__bn") <= smallBlockLimit)
     val large = sized.filter(col("__bn") > smallBlockLimit)
@@ -102,7 +131,7 @@ object EntityResolution {
         .select(col("id_a"), col("id_b"), col("__ta"), col("__tb"))
     }
 
-    smallPairs.unionAll(largePairs)
+    (smallPairs.unionAll(largePairs), () => { sized.unpersist(); () })
   }
 
   /** (id_a, id_b, dist) for same-block pairs with edit distance ≤
@@ -122,4 +151,63 @@ object EntityResolution {
       .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
       .filter(col("dist") >= 0) // banded form returns -1 past the bound
       .select(col("id_a"), col("id_b"), col("dist"))
+
+  /** Distinct lowercase character n-grams of a string column — the
+    * shingle basis for [[approxBlockedEditDistancePairs]] (word grams
+    * are useless on 2-word names; a 1-char edit perturbs at most
+    * `gram` of the character shingles).
+    */
+  def charNGrams(text: Column, gram: Int): Column = {
+    val t = lower(text)
+    when(length(t) < gram, array(t)).otherwise(array_distinct(
+      transform(sequence(lit(1), length(t) - gram + 1),
+        i => t.substr(i, lit(gram)))))
+  }
+
+  /** OPT-IN approximate escape hatch for hot blocks the exact dispatch
+    * cannot split (all members in one length bucket — same-length SKUs):
+    * candidates come from character-shingle SimHash chunk blocking
+    * INSIDE each block ([[SimHash.chunkKeys]] pigeonhole: signatures
+    * within Hamming `simhashDist` always share a chunk), then the SAME
+    * banded levenshtein verify. Join cells are bounded by chunk-bucket
+    * density (64/(simhashDist+1)-bit keys), never by block population —
+    * O(block²) is structurally impossible.
+    *
+    * Contract vs [[blockedEditDistancePairs]]: output is a SUBSET
+    * (precision 1 — the verify is identical); recall is approximate
+    * (a pair within `maxDist` whose signatures drift past `simhashDist`
+    * AND share no chunk is missed) and measured in
+    * EntityResolutionSpec against brute force on planted hot blocks.
+    */
+  def approxBlockedEditDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: Column,
+      maxDist: Int,
+      simhashDist: Int = 15,
+      gram: Int = 3): DataFrame = {
+    require(maxDist >= 0 && simhashDist >= 0 && simhashDist <= 63 && gram >= 1)
+    val t = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      blockKey.as("__blk"),
+      SimHash.simhash64(charNGrams(col(textCol), gram)).as("__sig"))
+    val chunked = t
+      .select(col("__id"), col("__t"), col("__blk"),
+        explode(SimHash.chunkKeys(col("__sig"), simhashDist + 1)).as("__c"))
+      .select(col("__id"), col("__t"), col("__blk"),
+        col("__c.chunk").as("__chunk"), col("__c.ck").as("__ck"))
+      .persist() // both join sides derive from the signature pipeline
+    val a = chunked.select(col("__id").as("id_a"), col("__t").as("__ta"),
+      col("__blk"), col("__chunk"), col("__ck"))
+    val b = chunked.select(col("__id").as("id_b"), col("__t").as("__tb"),
+      col("__blk"), col("__chunk"), col("__ck"))
+    a.join(b, Seq("__blk", "__chunk", "__ck"))
+      .filter(col("id_a") < col("id_b"))
+      // verify BEFORE distinct: false chunk collisions die at probe
+      // time; the distinct then dedups the (far smaller) verified set
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
 }

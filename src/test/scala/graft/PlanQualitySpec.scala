@@ -71,6 +71,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q78: block census computes once — cached frame feeds all dispatch legs") {
+    // string-based: AQE's AdaptiveSparkPlanExec exposes no children, so
+    // tree collect() sees nothing below it
+    val p = plan("q78_entity_match")
+    // all four join-side references (small a/b, large a/b) must read the
+    // one persisted census frame, not re-scan the source per leg
+    val scans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(scans >= 4, s"census cache not reused ($scans scans):\n$p")
+    // each InMemoryTableScan print embeds the cached relation's child
+    // plan (with its census Window); a Window BEYOND those is a leg
+    // recomputing the census outside the cache
+    val relations = "InMemoryRelation".r.findAllIn(p).size
+    val windows = "Window \\[count".r.findAllIn(p).size
+    assert(windows == relations,
+      s"census recomputed outside the cache ($windows windows, $relations cached relations):\n$p")
+  }
+
   test("q40: exact near-dup pairs run as a shuffle equi-join, not a corpus broadcast") {
     val p = plan("q40_embedding_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q40 regressed to BNLJ:\n$p")

@@ -121,6 +121,53 @@ class EntityResolutionSpec extends SparkSpec {
     // and the verify still finds exactly the brute-force pairs
   }
 
+  // ── opt-in approximate escape for the documented residual: a hot
+  // block whose members all share ONE length bucket (same-length SKUs)
+  // defeats the exact dispatch; the SimHash escape bounds candidates by
+  // signature-chunk density instead. Precision must stay 1 (identical
+  // verify → subset of brute force); recall is approximate and MEASURED
+  // here, not assumed.
+  private val sameLenHot: (Seq[(Long, String, String)], Set[(Long, Long)]) = {
+    val rng = new scala.util.Random(17)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val bases = (1L to 150L).map(i =>
+      (i, Seq.fill(24)(alpha(rng.nextInt(alpha.length))).mkString, "hot"))
+    // 50 planted near-dups: two substitutions (ED = 2), SAME length
+    val dups = bases.take(50).map { case (i, s, b) =>
+      val cs = s.toCharArray
+      cs(3) = if (cs(3) == 'x') 'y' else 'x'
+      cs(17) = if (cs(17) == 'p') 'q' else 'p'
+      (i + 1000L, new String(cs), b)
+    }
+    (bases ++ dups, bases.take(50).map(r => (r._1, r._1 + 1000L)).toSet)
+  }
+
+  test("approx escape: precision 1 (subset of brute), recall measured ≥ 0.9 on planted same-length hot block") {
+    val (data, planted) = sameLenHot
+    val exact = brute(data, 3)
+    assert(planted.forall(p => exact.exists(e => (e._1, e._2) == p)))
+    val got = EntityResolution.approxBlockedEditDistancePairs(
+      data.toDF("id", "name", "blk"), "id", "name", col("blk"), maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // subset: the verify is the same banded levenshtein, so any pair the
+    // escape emits must be a true pair with the true distance
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}")
+    val recall = got.size.toDouble / exact.size
+    info(f"approx escape recall: ${got.size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f under the measured floor")
+  }
+
+  test("approx escape: same-length block joins on signature chunks, never all-pairs") {
+    val (data, _) = sameLenHot
+    val p = EntityResolution.approxBlockedEditDistancePairs(
+      data.toDF("id", "name", "blk"), "id", "name", col("blk"), maxDist = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the composite chunk key must be part of the join, not a post-filter
+    assert(p.contains("__chunk") && p.contains("__ck"), p)
+  }
+
   test("legacy mode (smallBlockLimit=Int.MaxValue) matches adaptive default") {
     val adaptive = EntityResolution.blockedEditDistancePairs(
       hotBlock.toDF("id", "name", "blk"), "id", "name", col("blk"), 4,
