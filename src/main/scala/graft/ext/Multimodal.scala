@@ -17,12 +17,19 @@ import org.apache.spark.sql.functions._
   *    CRC validation, SOF marker walk) recovers format and pixel
   *    dimensions from the leading bytes. Oracle-checked end to end
   *    (q06: parser∘encoder identity over both formats).
-  *  - PIXEL decode / feature extraction is STUBBED (builder brief: no
-  *    image/audio libraries ship in this environment): [[FakeDecoder]]
-  *    derives a deterministic feature vector from the payload bytes.
-  *    The Spark-side contract — schema, batch shape, partitioning,
-  *    null/empty handling — is real and tested; swapping in a true
-  *    decoder touches only [[FakeDecoder.decode]].
+  *  - PIXEL/SAMPLE decode is REAL for PNG and 16-bit PCM WAV:
+  *    [[pixelStats]]/[[resizeImages]] run [[graft.functions.PngCodec]]
+  *    (IDAT zlib inflate + scanline unfilter — no native codec, zlib IS
+  *    the format) and [[sampleStats]] folds int16 samples from the WAV
+  *    data chunk. JPEG entropy decode stays out of scope (a DCT codec,
+  *    not container plumbing) — those payloads take the
+  *    [[FakeDecoder]] tier below.
+  *  - GENERIC feature extraction over arbitrary formats remains the
+  *    declared stub: [[FakeDecoder]] derives a deterministic vector
+  *    from the payload bytes. The Spark-side contract — schema, batch
+  *    shape, partitioning, null/empty handling — is real and tested;
+  *    swapping in a true embedding model touches only
+  *    [[FakeDecoder.decode]].
   */
 object Multimodal {
 
@@ -143,6 +150,118 @@ object Multimodal {
           m.map(_.bitsPerSample), m.map(_.nFrames))
       }
     }
+
+  /** Pixel-decoded image stats — REAL decode, not the FakeDecoder
+    * tier: [[graft.functions.PngCodec]] runs the chunk walk, IDAT zlib
+    * inflate, and scanline unfilter, then integer luma is summed per
+    * image (RGB(A): Σ(299R+587G+114B), Rec.601 ×1000 fixed-point;
+    * gray(+alpha): Σ(1000·v) — same scale, so mixed corpora compare).
+    * None columns for payloads that aren't decodable PNGs (JPEG
+    * entropy decode stays out of scope: that's a DCT codec, not
+    * container plumbing). Oracle-checked end to end as q81.
+    */
+  case class PixelStats(
+      media_id: Long,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      n_pixels: Option[Long],
+      luma_sum: Option[Long])
+
+  implicit private val pixEnc: Encoder[PixelStats] = Encoders.product[PixelStats]
+
+  def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        graft.functions.PngCodec.decode(r.payload) match {
+          case None =>
+            PixelStats(r.media_id, None, None, None, None, None)
+          case Some(img) =>
+            var luma = 0L
+            val d = img.data
+            var i = 0
+            img.channels match {
+              case 3 | 4 =>
+                while (i < d.length) {
+                  luma += 299L * (d(i) & 0xff) + 587L * (d(i + 1) & 0xff) +
+                    114L * (d(i + 2) & 0xff)
+                  i += img.channels
+                }
+              case _ => // gray / gray+alpha: value channel first
+                while (i < d.length) {
+                  luma += 1000L * (d(i) & 0xff)
+                  i += img.channels
+                }
+            }
+            PixelStats(r.media_id, Some(img.width), Some(img.height),
+              Some(img.channels), Some(img.width.toLong * img.height),
+              Some(luma))
+        }
+      }
+    }
+
+  /** PCM sample stats — the audio analogue of [[pixelStats]], real
+    * bytes not metadata: [[graft.functions.AudioHeaders.pcmStats]]
+    * walks to the data chunk and folds int16 samples into integer-
+    * exact aggregates. None columns for non-16-bit-PCM payloads.
+    */
+  case class SampleStats(
+      media_id: Long,
+      n_samples: Option[Long],
+      sum_squares: Option[Long],
+      n_clipped: Option[Long],
+      peak: Option[Int])
+
+  implicit private val sampEnc: Encoder[SampleStats] = Encoders.product[SampleStats]
+
+  def sampleStats(media: Dataset[MediaRow]): Dataset[SampleStats] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val s = graft.functions.AudioHeaders.pcmStats(r.payload)
+        SampleStats(r.media_id, s.map(_.nSamples), s.map(_.sumSquares),
+          s.map(_.nClipped), s.map(_.peak))
+      }
+    }
+
+  /** REAL image resize for decodable PNGs: decode → nearest-neighbor
+    * resample to (targetW, targetH) → re-encode (still a valid PNG).
+    * Payloads that don't decode pass through unchanged (dirty-corpus
+    * discipline: a resize stage must not destroy rows it can't parse).
+    * Nearest-neighbor is the honest kernel for a dependency-free
+    * codec — bilinear/Lanczos swap in at the marked sampling line.
+    */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        graft.functions.PngCodec.decode(r.payload) match {
+          case None => r
+          case Some(img) =>
+            val out = new Array[Byte](targetW * targetH * img.channels)
+            var y = 0
+            while (y < targetH) {
+              val sy = (y.toLong * img.height / targetH).toInt
+              var x = 0
+              while (x < targetW) {
+                val sx = (x.toLong * img.width / targetW).toInt // nearest-neighbor sample
+                var c = 0
+                while (c < img.channels) {
+                  out((y * targetW + x) * img.channels + c) =
+                    img.data((sy * img.width + sx) * img.channels + c)
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            r.copy(payload = graft.functions.PngCodec.encode(
+              graft.functions.PngCodec.Image(targetW, targetH,
+                img.channels, out)))
+        }
+      }
+    }
+  }
 
   /** Resize: map each payload to a fixed target byte length — the
     * stand-in for image resize / audio resample. The STUB "kernel" is

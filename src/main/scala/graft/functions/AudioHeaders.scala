@@ -70,6 +70,81 @@ object AudioHeaders {
     }
   }
 
+  /** Sample-level stats over a 16-bit PCM data chunk — the audio
+    * sibling of [[PngCodec]]'s pixel decode: the data payload is REAL
+    * bytes, not metadata. Integer-exact by construction (sum of squares
+    * and clip count over int16 samples — no floats, so an oracle
+    * replays it bit-for-bit): `nSamples` counts across channels,
+    * `sumSquares` = Σ s², `nClipped` counts full-scale samples
+    * (−32768/32767), `peak` = max |s| (32768 when a −32768 occurs).
+    *
+    * Contract: 16-bit PCM only (`bitsPerSample == 16`) — other depths
+    * return None rather than misread samples. A body shorter than the
+    * declared data size (prefix fetch) computes over the complete
+    * samples present; `sumSquares` overflows Long only past 2³³
+    * samples (≈ 10 h of 48 kHz stereo ×100 — beyond a single row's
+    * payload by design).
+    */
+  def pcmStats(payload: Array[Byte]): Option[PcmStats] = {
+    if (payload == null || payload.length < 36) return None
+    if (tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE") return None
+    var i = 12
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    while (i + 8 <= payload.length && (bits < 0 || dataOff < 0)) {
+      val id = tag(payload, i)
+      val size = le32(payload, i + 4)
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > payload.length) return None
+        bits = le16(payload, i + 22)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = size
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > payload.length) payload.length else next.toInt
+    }
+    if (bits != 16 || dataOff < 0) return None
+    // complete samples actually present (truncated-body tolerance)
+    val avail = math.min(dataLen, (payload.length - dataOff).toLong)
+    val n = (avail / 2L).toInt
+    var sumSq = 0L
+    var clipped = 0L
+    var peak = 0
+    var s = 0
+    while (s < n) {
+      val v = (le16(payload, dataOff + 2 * s) << 16) >> 16 // sign-extend int16
+      sumSq += v.toLong * v
+      if (v == 32767 || v == -32768) clipped += 1
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      s += 1
+    }
+    Some(PcmStats(n.toLong, sumSq, clipped, peak))
+  }
+
+  /** See [[pcmStats]]. */
+  final case class PcmStats(nSamples: Long, sumSquares: Long,
+      nClipped: Long, peak: Int)
+
+  /** Real 16-bit PCM WAV: [[wavHeaderBytes]]' layout plus the actual
+    * little-endian sample body (samples interleaved across channels as
+    * given).
+    */
+  def wavBytes(channels: Int, sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 &&
+      samples.length % channels == 0, "whole frames only")
+    val header = wavHeaderBytes(channels, sampleRate, 16,
+      samples.length.toLong / channels)
+    val out = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(header)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
   /** Header-only PCM WAV fixture: RIFF/WAVE + fmt + data chunk header
     * with the declared size and NO sample body — deterministic stand-in
     * so parser∘encoder is oracle-checkable end to end.

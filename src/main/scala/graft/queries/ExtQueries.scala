@@ -757,6 +757,56 @@ object ExtQueries {
         Seq("source", "doc_id"))
     },
 
+    // ── REAL PNG pixel decode: per doc_id a synthetic RGB raster with
+    // arithmetic pixel values is encoded to a standards-compliant PNG
+    // (zlib IDAT, per-row filters 0-4) and decoded back through the
+    // full chunk-walk → inflate → unfilter pipeline; the oracle
+    // recomputes the integer luma sum from the pixel formula, so a slip
+    // anywhere — filter math, inflate bounds, channel order, CRC —
+    // breaks the hash. (The encode side uses every filter type, so all
+    // five unfilter arms are on the verified path.)
+    "q81_png_pixel_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val img = graft.functions.PngCodec.syntheticRgb(id, w, h)
+          Multimodal.MediaRow(id, graft.functions.PngCodec.encode(img),
+            "image/png", source)
+        }
+      Multimodal.pixelStats(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("luma_sum"))
+    },
+
+    // ── REAL WAV sample decode, the q81 pattern for audio: synthetic
+    // int16 PCM with arithmetic sample values rides a real RIFF body;
+    // sample stats (Σ s², clip count, peak) are integer-exact so the
+    // oracle replays the formula bit-for-bit.
+    "q82_wav_pcm_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val n = (id % 200 + 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 65536) - 32768).toShort)
+          Multimodal.MediaRow(id,
+            graft.functions.AudioHeaders.wavBytes(1, 16000, samples),
+            "audio/wav", source)
+        }
+      Multimodal.sampleStats(media).toDF()
+        .select(col("media_id").as("doc_id"), col("n_samples"),
+          col("sum_squares"), col("n_clipped"),
+          col("peak").cast("long").as("peak"))
+    },
+
     // ── equi-depth (decile) binning of l_extendedprice: exact
     // cutpoints once (9 doubles to the driver), assignment as a pure
     // scan-stage when-chain, then per-bucket mass check. The oracle
@@ -790,6 +840,34 @@ object ExtQueries {
         |  8000 + (doc_id % 5) * 8000 AS sample_rate,
         |  doc_id % 1000 + 1 AS n_frames
         |FROM documents""".stripMargin,
+
+    // pixel-kernel identity: the oracle replays the synthetic raster's
+    // integer pixel formula; the Spark side must recover it through a
+    // real PNG encode→decode (deflate, filters, CRCs)
+    "q81_png_pixel_stats" ->
+      """SELECT d.doc_id,
+        |  d.doc_id % 16 + 4 AS width,
+        |  d.doc_id % 12 + 4 AS height,
+        |  (d.doc_id % 16 + 4) * (d.doc_id % 12 + 4) AS n_pixels,
+        |  CAST(sum(299*((d.doc_id + 3*x.i + 7*y.i) % 256)
+        |         + 587*((2*d.doc_id + 5*x.i + y.i) % 256)
+        |         + 114*((3*d.doc_id + x.i + 11*y.i) % 256)) AS BIGINT) AS luma_sum
+        |FROM documents d
+        |JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
+        |JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q82_wav_pcm_stats" ->
+      """SELECT d.doc_id,
+        |  d.doc_id % 200 + 50 AS n_samples,
+        |  CAST(sum(((d.doc_id*31 + i.i*17) % 65536 - 32768)
+        |         * ((d.doc_id*31 + i.i*17) % 65536 - 32768)) AS BIGINT) AS sum_squares,
+        |  CAST(sum(CASE WHEN (d.doc_id*31 + i.i*17) % 65536 - 32768 IN (-32768, 32767)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(max(abs((d.doc_id*31 + i.i*17) % 65536 - 32768)) AS BIGINT) AS peak
+        |FROM documents d
+        |JOIN range(0, 250) i(i) ON i.i < d.doc_id % 200 + 50
+        |GROUP BY d.doc_id""".stripMargin,
 
     "q17_token_stats" ->
       s"""SELECT doc_id,

@@ -94,4 +94,58 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2)
     assert(f1.values.forall(_.length == 4))
   }
+
+  test("pixelStats: real PNG decode through the batch stage; None on dirty rows") {
+    import graft.functions.PngCodec
+    val gray = PngCodec.Image(2, 2, 1,
+      Array[Byte](10, 20, 30, 40))
+    val rgb = PngCodec.syntheticRgb(5L, 6, 4)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, PngCodec.encode(rgb), "image/png", "src"),
+      Multimodal.MediaRow(2L, PngCodec.encode(gray), "image/png", "src"),
+      Multimodal.MediaRow(3L, "not a png".getBytes("UTF-8"), "text/plain", "src"))
+    val out = Multimodal.pixelStats(spark.createDataset(rows)).collect()
+      .map(p => p.media_id -> p).toMap
+    // rgb luma: replay the formula (same arithmetic as the q81 oracle)
+    val expected = (for (y <- 0 until 4; x <- 0 until 6) yield
+      299L * ((5 + 3 * x + 7 * y) % 256) + 587L * ((10 + 5 * x + y) % 256) +
+        114L * ((15 + x + 11 * y) % 256)).sum
+    assert(out(1L).n_pixels == Some(24L) && out(1L).luma_sum == Some(expected))
+    assert(out(2L).channels == Some(1) &&
+      out(2L).luma_sum == Some(1000L * (10 + 20 + 30 + 40)))
+    assert(out(3L).width.isEmpty && out(3L).luma_sum.isEmpty)
+  }
+
+  test("sampleStats: real PCM fold through the batch stage") {
+    import graft.functions.AudioHeaders
+    val rows = Seq(
+      Multimodal.MediaRow(1L,
+        AudioHeaders.wavBytes(1, 8000, Array[Short](3, -4, 32767)),
+        "audio/wav", "src"),
+      Multimodal.MediaRow(2L, "nope".getBytes("UTF-8"), "text/plain", "src"))
+    val out = Multimodal.sampleStats(spark.createDataset(rows)).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(out(1L).n_samples == Some(3L))
+    assert(out(1L).sum_squares == Some(9L + 16 + 32767L * 32767))
+    assert(out(1L).n_clipped == Some(1L) && out(1L).peak == Some(32767))
+    assert(out(2L).n_samples.isEmpty)
+  }
+
+  test("resizeImages: real nearest-neighbor resample, output is a valid PNG") {
+    import graft.functions.PngCodec
+    val src = PngCodec.syntheticRgb(9L, 8, 6)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, PngCodec.encode(src), "image/png", "src"),
+      Multimodal.MediaRow(2L, "text stays".getBytes("UTF-8"), "text/plain", "src"))
+    val out = Multimodal.resizeImages(spark.createDataset(rows), 4, 3)
+      .collect().map(r => r.media_id -> r).toMap
+    val resized = PngCodec.decode(out(1L).payload).get
+    assert(resized.width == 4 && resized.height == 3 && resized.channels == 3)
+    // nearest-neighbor: output pixel (x,y) = source pixel (2x, 2y)
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3)
+      assert(resized.data((y * 4 + x) * 3 + c) ==
+        src.data(((2 * y) * 8 + 2 * x) * 3 + c), s"($x,$y,$c)")
+    // undecodable payloads pass through untouched
+    assert(out(2L).payload.toSeq == "text stays".getBytes("UTF-8").toSeq)
+  }
 }

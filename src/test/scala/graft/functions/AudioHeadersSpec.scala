@@ -58,4 +58,40 @@ class AudioHeadersSpec extends AnyFunSuite {
       Array[Byte](0xf5.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
     assert(wavMeta(overflow).isEmpty)
   }
+
+  test("pcmStats: integer-exact stats over a real sample body") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 1000)
+    val bytes = wavBytes(1, 16000, samples)
+    // the real body still parses as a header too
+    assert(wavMeta(bytes) == Some(AudioMeta(1, 16000, 16, 6)))
+    val s = pcmStats(bytes).get
+    assert(s.nSamples == 6)
+    assert(s.sumSquares == 0L + 100 * 100 + 100 * 100 + 32767L * 32767 +
+      32768L * 32768 + 1000 * 1000)
+    assert(s.nClipped == 2) // full-scale positive and negative
+    assert(s.peak == 32768)
+  }
+
+  test("pcmStats: stereo interleaved counts all channels; truncated body uses complete samples") {
+    val samples = Array[Short](10, -10, 20, -20) // 2 frames x 2 channels
+    val bytes = wavBytes(2, 8000, samples)
+    assert(pcmStats(bytes).get.nSamples == 4)
+    assert(pcmStats(bytes).get.sumSquares == 100 + 100 + 400 + 400)
+    // cut mid-sample (drop 1 of the 8 body bytes): 3 complete samples remain
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 1)
+    assert(pcmStats(cut).get.nSamples == 3)
+    assert(pcmStats(cut).get.sumSquares == 100 + 100 + 400)
+  }
+
+  test("pcmStats: non-16-bit and malformed payloads are None, never misread") {
+    assert(pcmStats(wavHeaderBytes(1, 8000, 8, 10)).isEmpty) // 8-bit
+    assert(pcmStats(wavHeaderBytes(2, 44100, 32, 10)).isEmpty) // 32-bit
+    assert(pcmStats(null).isEmpty)
+    assert(pcmStats(Array[Byte](1, 2, 3)).isEmpty)
+    assert(pcmStats("RIFFxxxxWAVEjunk".getBytes("US-ASCII")).isEmpty)
+    // header-only 16-bit fixture: declared data but zero bytes present
+    val headerOnly = wavHeaderBytes(1, 16000, 16, 100)
+    assert(pcmStats(headerOnly) ==
+      Some(PcmStats(0, 0, 0, 0))) // prefix fetch: no samples available yet
+  }
 }
