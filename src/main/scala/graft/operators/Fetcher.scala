@@ -27,7 +27,14 @@ trait Fetcher {
   def fetch(key: String, headers: Map[String, String]): Either[String, String]
 }
 
-/** Knobs of the reference's fetch loop, in one place. */
+/** Knobs of the reference's fetch loop, in one place.
+  *
+  * `timeoutMs` is a CONTRACT on implementations with a transport:
+  * a network-backed [[Fetcher]] must bound each attempt by it and
+  * surface expiry as Left (see [[HttpFetcher]] — connect + response
+  * timeout; spec-pinned against a deliberately slow localhost server).
+  * [[Fetcher.FixtureFetcher]] has no transport, so nothing to bound.
+  */
 final case class FetchConfig(
     timeoutMs: Int = 15000,
     pageSleepMs: Long = 500,
