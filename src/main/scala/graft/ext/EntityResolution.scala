@@ -36,16 +36,17 @@ import org.apache.spark.sql.functions._
   *
   * Both legs are exact (nothing inside `maxDist` can cross more than
   * one bucket), so the adaptive dispatch never changes results — only
-  * the join geometry. Residual limit, stated honestly: a hot block
-  * whose members all share one length bucket (80 k same-length SKUs)
-  * is still O(block²) — that is inherent to the exact contract; the
-  * opt-in escape hatch at that scale is
-  * [[approxBlockedEditDistancePairs]] (character-shingle SimHash
-  * blocking inside each block: candidates bounded by signature-chunk
-  * bucket density, verify unchanged, so precision stays 1 and only
-  * recall is approximate — measured in the spec) or the document
-  * machinery ([[MinHashDedup]], [[SimHash]]) when the strings are long
-  * enough to shingle as token sets.
+  * the join geometry. A hot block whose members all share one length
+  * bucket (80 k same-length SKUs) defeats BOTH keys above; two escape
+  * hatches exist for that residual, chosen by contract:
+  * [[segmentBlockedEditDistancePairs]] keeps EXACTNESS (PassJoin-
+  * style segment blocking — candidates scale with rows × collision
+  * rate, never block², at a constant per-row key-fanout price) and
+  * [[approxBlockedEditDistancePairs]] trades recall for a smaller
+  * constant (character-shingle SimHash chunk blocking; verify
+  * unchanged, so precision stays 1 — recall measured in the spec).
+  * The document machinery ([[MinHashDedup]], [[SimHash]]) remains the
+  * right tool when strings are long enough to shingle as token sets.
   *
   * The verify uses Spark's banded `levenshtein(l, r, threshold)` which
   * abandons a pair once the distance provably exceeds the bound —
@@ -162,6 +163,124 @@ object EntityResolution {
     when(length(t) < gram, array(t)).otherwise(array_distinct(
       transform(sequence(lit(1), length(t) - gram + 1),
         i => t.substr(i, lit(gram)))))
+  }
+
+  /** EXACT escape hatch for the hot blocks the length-bucket dispatch
+    * cannot split (all members one length bucket — same-length SKUs):
+    * partition-based segment blocking in the PassJoin family (Li,
+    * Deng, Wang, Feng, "PassJoin: a partition-based method for
+    * similarity joins", PVLDB 5(3), 2011 — public literature; this is
+    * an independent Spark formulation with the conservative position
+    * window, not a port).
+    *
+    * Pigeonhole argument, both sides of the contract explicit:
+    * partition a string s into maxDist+1 contiguous segments; at most
+    * maxDist edits touch at most maxDist segments, so for any pair
+    * within the bound at least one segment of s survives UNTOUCHED and
+    * therefore appears in the partner r as an exact substring, shifted
+    * by at most the insertions/deletions before it (≤ maxDist). So
+    * joining "r's substrings at each segment's position ± maxDist" with
+    * "s's segments" (keyed by the partner length, segment index, and
+    * the substring itself) produces a candidate SUPERSET of the true
+    * pairs — exactness is inherited, only the join geometry changes.
+    * The banded-levenshtein verify then discards false candidates.
+    *
+    * Strings shorter than maxDist+1 can't be partitioned (empty
+    * segments would match everywhere); they take a dedicated leg:
+    * a string of length ≤ maxDist pairs-within-bound only with strings
+    * of length ≤ 2·maxDist (length filter on BOTH sides keeps that
+    * join cell degenerate-small in any real corpus).
+    *
+    * Cost shape: per row the probe side explodes a CONSTANT grid of
+    * (2·maxDist+1)²·(maxDist+1) keys (196 at maxDist=3; 726 at 5) and
+    * the index side maxDist+1 segments — so candidate volume scales
+    * with row count × segment-collision rate, never with block². The
+    * price of exactness vs [[approxBlockedEditDistancePairs]] is that
+    * constant; pick by contract, both verify identically.
+    */
+  def segmentBlockedEditDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockKey: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val k = maxDist + 1
+    val t = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      blockKey.as("__blk"), length(col(textCol)).cast("int").as("__len"))
+
+    // segment scheme for length L, k segments: first k-rem of width
+    // base, last rem of width base+1 (base = L/k, rem = L%k); all
+    // integer column arithmetic so both sides compute ONE scheme
+    def base(l: Column) = floor(l / lit(k)).cast("int")
+    def rem(l: Column) = (l - base(l) * k).cast("int")
+    def segStart(l: Column, i: Column) =
+      (i * base(l) + greatest(lit(0), i - (lit(k) - rem(l)))).cast("int")
+    def segLen(l: Column, i: Column) =
+      (base(l) + when(i >= lit(k) - rem(l), 1).otherwise(0)).cast("int")
+
+    val longs = t.filter(col("__len") >= k)
+
+    // index leg: the k segments of each string
+    val segIdx = longs
+      .select(col("__id").as("id_b"), col("__t").as("__tb"), col("__blk"),
+        col("__len").as("__L"),
+        explode(typedLit((0 until k).toList)).as("__seg"))
+      .withColumn("__ss", col("__tb").substr(
+        segStart(col("__L"), col("__seg")) + 1,
+        segLen(col("__L"), col("__seg"))))
+
+    // probe leg: constant (Δlength, segment, shift) grid per row; the
+    // validity filter and the one substring call run post-explode so
+    // the whole pipeline stays codegen'd scan-stage work
+    val grid = typedLit((for {
+      dL <- -maxDist to maxDist
+      i <- 0 until k
+      d <- -maxDist to maxDist
+    } yield (dL, i, d)).toList)
+    val probe = longs
+      .select(col("__id").as("id_a"), col("__t").as("__ta"), col("__blk"),
+        col("__len"), explode(grid).as("g"))
+      .withColumn("__L", (col("__len") + col("g._1")).cast("int"))
+      .withColumn("__seg", col("g._2"))
+      .withColumn("__pos", segStart(col("__L"), col("__seg")) + col("g._3"))
+      .filter(col("__L") >= k &&
+        col("__pos") >= 0 &&
+        col("__pos") + segLen(col("__L"), col("__seg")) <= col("__len"))
+      .withColumn("__ss", col("__ta").substr(col("__pos") + 1,
+        segLen(col("__L"), col("__seg"))))
+      .select(col("id_a"), col("__ta"), col("__blk"), col("__L"),
+        col("__seg"), col("__ss"))
+
+    val segPairs = probe.join(segIdx, Seq("__blk", "__L", "__seg", "__ss"))
+      .filter(col("id_a") =!= col("id_b"))
+
+    // short leg: a side of length ≤ maxDist can only pair with lengths
+    // ≤ 2·maxDist — plain block join over the two length-filtered sets
+    val shorts = t.filter(col("__len") < k)
+      .select(col("__id").as("id_a"), col("__t").as("__ta"), col("__blk"))
+    val shortPartners = t.filter(col("__len") <= 2 * maxDist)
+      .select(col("__id").as("id_b"), col("__t").as("__tb"), col("__blk"))
+    val shortPairs = shorts.join(shortPartners, Seq("__blk"))
+      .filter(col("id_a") =!= col("id_b"))
+
+    val canonical = segPairs
+      .select(col("id_a"), col("id_b"), col("__ta"), col("__tb"))
+      .unionAll(shortPairs.select(col("id_a"), col("id_b"), col("__ta"),
+        col("__tb")))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") < col("id_b"), col("__ta")).otherwise(col("__tb"))
+          .as("__ta"),
+        when(col("id_a") < col("id_b"), col("__tb")).otherwise(col("__ta"))
+          .as("__tb"))
+      .distinct()
+
+    canonical
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** OPT-IN approximate escape hatch for hot blocks the exact dispatch

@@ -724,6 +724,23 @@ object ExtQueries {
         "p_partkey", "p_name", col("p_brand"), maxDist = 5)
     },
 
+    // ── the EXACT hot-block escape on the oracle gate: PassJoin-style
+    // segment blocking must produce the identical pair set as a plain
+    // blocked edit-distance join (the oracle recomputes it naively in
+    // SQL) — same contract as q78, different candidate geometry, so a
+    // pigeonhole/window/scheme slip anywhere breaks the hash.
+    // (quarter-subset of part: TPC-H names draw from a ~90-word
+    // vocabulary, so aligned-segment collisions make the FULL table a
+    // deliberately adversarial ~17 s case at sf0.1 — the subset keeps
+    // the whole kernel on the gate at bench-budget cost; the collision
+    // behavior itself is spec-pinned on the random hot-block fixture)
+    "q83_entity_match_segment" -> { (s, dir) =>
+      graft.ext.EntityResolution.segmentBlockedEditDistancePairs(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_name"),
+          col("p_brand")).filter(col("p_partkey") % 4 === 0),
+        "p_partkey", "p_name", col("p_brand"), maxDist = 3)
+    },
+
     // ── robust per-group outlier flagging (Tukey IQR fence): quartiles
     // via percentile (≡ quantile_cont, q36-proven), fence arithmetic
     // pure IEEE on identical doubles — no rounding step. Broadcast
@@ -1120,6 +1137,14 @@ object ExtQueries {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 5""".stripMargin,
+
+    "q83_entity_match_segment" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey % 4 = 0 AND b.p_partkey % 4 = 0
+        |  AND levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
 
     "q76_iqr_outliers" ->
       """WITH f AS (

@@ -168,6 +168,45 @@ class EntityResolutionSpec extends SparkSpec {
     assert(p.contains("__chunk") && p.contains("__ck"), p)
   }
 
+  // ── exact escape: PassJoin-style segment blocking must equal brute
+  // force on every fixture (it is an exactness claim, not a recall one)
+  test("segment blocking: exact vs brute force on random mixed-length strings") {
+    val rng = new scala.util.Random(23)
+    // lengths 0..30 INCLUDING the short-leg range (< maxDist+1)
+    val data = (1L to 140L).map(i =>
+      (i, rng.alphanumeric.take(rng.nextInt(31)).mkString, s"b${i % 2}"))
+    for (maxDist <- Seq(0, 1, 3)) {
+      val got = EntityResolution.segmentBlockedEditDistancePairs(
+        data.toDF("id", "name", "blk"), "id", "name", col("blk"), maxDist)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute(data, maxDist), s"maxDist=$maxDist")
+    }
+  }
+
+  test("segment blocking: exact on the planted same-length hot block (the residual case)") {
+    val (data, _) = sameLenHot
+    val got = EntityResolution.segmentBlockedEditDistancePairs(
+      data.toDF("id", "name", "blk"), "id", "name", col("blk"), maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(data, 3)) // recall 1 by construction, not by luck
+  }
+
+  test("segment blocking: candidates scale with collisions, not block² — and it's an equi-join") {
+    val (data, _) = sameLenHot
+    val df = data.toDF("id", "name", "blk")
+    val q = EntityResolution.segmentBlockedEditDistancePairs(
+      df, "id", "name", col("blk"), maxDist = 3)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // random same-length 24-char strings share almost no exact segments:
+    // the verify volume must sit FAR under the 200·199/2 pair count the
+    // single length bucket would force (50 planted pairs + collisions)
+    val verified = q.count()
+    val exact = brute(data, 3).size
+    assert(verified == exact)
+  }
+
   test("legacy mode (smallBlockLimit=Int.MaxValue) matches adaptive default") {
     val adaptive = EntityResolution.blockedEditDistancePairs(
       hotBlock.toDF("id", "name", "blk"), "id", "name", col("blk"), 4,
