@@ -42,8 +42,19 @@ object Bench {
     // codegen, shuffle machinery) on cheap data so first-run JIT cost
     // doesn't land inside the measured run. Measured ~3× on the
     // HOF-heavy dedup queries.
+    // SPARK_GRAFT_ONLY=q74,q50 restricts the run to queries whose name
+    // starts with one of the comma-separated prefixes — for isolated
+    // A/B measurements per the BASELINE.md protocol (never attribute a
+    // flagged per-query delta without one). Unset = full suite; the
+    // driver never sets it, so shipped artifacts are always complete.
+    val only: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(ps => ps.exists(n.startsWith))
+    }
+
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir)
         .count()
       catch { case _: Throwable => () }
@@ -60,7 +71,7 @@ object Bench {
     // a green sub-second entry in the JSON while the real signal sits
     // only on stderr.
     def measure(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true } catch {
