@@ -17,13 +17,14 @@ import org.apache.spark.sql.functions._
   *    CRC validation, SOF marker walk) recovers format and pixel
   *    dimensions from the leading bytes. Oracle-checked end to end
   *    (q06: parser∘encoder identity over both formats).
-  *  - PIXEL/SAMPLE decode is REAL for PNG and 16-bit PCM WAV:
-  *    [[pixelStats]]/[[resizeImages]] run [[graft.functions.PngCodec]]
-  *    (IDAT zlib inflate + scanline unfilter — no native codec, zlib IS
-  *    the format) and [[sampleStats]] folds int16 samples from the WAV
-  *    data chunk. JPEG entropy decode stays out of scope (a DCT codec,
-  *    not container plumbing) — those payloads take the
-  *    [[FakeDecoder]] tier below.
+  *  - PIXEL/SAMPLE decode is REAL for PNG, baseline JPEG, and 16-bit
+  *    PCM WAV: [[pixelStats]]/[[resizeImages]] run
+  *    [[graft.functions.PngCodec]] (IDAT zlib inflate + scanline
+  *    unfilter — no native codec, zlib IS the format) with
+  *    [[graft.functions.JpegCodec]] (marker walk → Huffman → dequant →
+  *    IDCT → upsample → YCbCr) as the fallback leg, and [[sampleStats]]
+  *    folds int16 samples from the WAV data chunk. Progressive JPEG
+  *    and formats beyond these take the [[FakeDecoder]] tier below.
   *  - GENERIC feature extraction over arbitrary formats remains the
   *    declared stub: [[FakeDecoder]] derives a deterministic vector
   *    from the payload bytes. The Spark-side contract — schema, batch
@@ -156,9 +157,12 @@ object Multimodal {
     * inflate, and scanline unfilter, then integer luma is summed per
     * image (RGB(A): Σ(299R+587G+114B), Rec.601 ×1000 fixed-point;
     * gray(+alpha): Σ(1000·v) — same scale, so mixed corpora compare).
-    * None columns for payloads that aren't decodable PNGs (JPEG
-    * entropy decode stays out of scope: that's a DCT codec, not
-    * container plumbing). Oracle-checked end to end as q81.
+    * Baseline JPEG payloads take the [[graft.functions.JpegCodec]]
+    * fallback (each codec rejects the other's magic bytes in O(1), so
+    * the chain costs one signature check). None columns for anything
+    * neither codec accepts. Oracle-checked end to end as q81 (PNG) and
+    * q84 (JPEG — flat DC-only fixtures make the lossy format lossless,
+    * so the hash gate applies).
     */
   case class PixelStats(
       media_id: Long,
@@ -173,7 +177,8 @@ object Multimodal {
   def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] =
     media.mapPartitions { rows =>
       rows.map { r =>
-        graft.functions.PngCodec.decode(r.payload) match {
+        graft.functions.PngCodec.decode(r.payload)
+          .orElse(graft.functions.JpegCodec.decode(r.payload)) match {
           case None =>
             PixelStats(r.media_id, None, None, None, None, None)
           case Some(img) =>
@@ -223,19 +228,24 @@ object Multimodal {
       }
     }
 
-  /** REAL image resize for decodable PNGs: decode → nearest-neighbor
-    * resample to (targetW, targetH) → re-encode (still a valid PNG).
-    * Payloads that don't decode pass through unchanged (dirty-corpus
-    * discipline: a resize stage must not destroy rows it can't parse).
-    * Nearest-neighbor is the honest kernel for a dependency-free
-    * codec — bilinear/Lanczos swap in at the marked sampling line.
+  /** REAL image resize for decodable PNGs and baseline JPEGs: decode →
+    * nearest-neighbor resample to (targetW, targetH) → re-encode as
+    * PNG (JPEG inputs are thereby transcoded — re-encoding lossless
+    * avoids a second generation loss, the normal normalize-to-one-
+    * format move in a training pipeline; `format` is updated to
+    * match). Payloads that don't decode pass through unchanged
+    * (dirty-corpus discipline: a resize stage must not destroy rows it
+    * can't parse). Nearest-neighbor is the honest kernel for a
+    * dependency-free codec — bilinear/Lanczos swap in at the marked
+    * sampling line.
     */
   def resizeImages(media: Dataset[MediaRow], targetW: Int,
       targetH: Int): Dataset[MediaRow] = {
     require(targetW > 0 && targetH > 0)
     media.mapPartitions { rows =>
       rows.map { r =>
-        graft.functions.PngCodec.decode(r.payload) match {
+        graft.functions.PngCodec.decode(r.payload)
+          .orElse(graft.functions.JpegCodec.decode(r.payload)) match {
           case None => r
           case Some(img) =>
             val out = new Array[Byte](targetW * targetH * img.channels)
@@ -255,9 +265,11 @@ object Multimodal {
               }
               y += 1
             }
-            r.copy(payload = graft.functions.PngCodec.encode(
-              graft.functions.PngCodec.Image(targetW, targetH,
-                img.channels, out)))
+            r.copy(
+              payload = graft.functions.PngCodec.encode(
+                graft.functions.PngCodec.Image(targetW, targetH,
+                  img.channels, out)),
+              format = "image/png")
         }
       }
     }

@@ -801,6 +801,45 @@ object ExtQueries {
           col("n_pixels"), col("luma_sum"))
     },
 
+    // ── REAL JPEG pixel decode (the lossy sibling of q81, made
+    // hash-gateable): per doc_id a DC-only flat-block JPEG — even ids
+    // grayscale, odd ids 4:2:0 YCbCr — is entropy-ENCODED (canonical
+    // Huffman, byte stuffing, per-block DC prediction) then decoded
+    // back through the full marker walk → Huffman → dequant → IDCT →
+    // upsample → YCbCr→RGB pipeline. Flat blocks with DC quantum 8
+    // survive quantization exactly (F(0,0)=8·(v−128) is divisible, the
+    // IDCT has one term), so the oracle replays the per-MCU value
+    // formula plus the JFIF color matrix in SQL and the hash gate
+    // applies to a lossy format. A slip in Huffman table construction,
+    // EXTEND, prediction, dequant, upsample, or the color matrix —
+    // either direction — breaks it.
+    "q84_jpeg_pixel_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val payload =
+            if (id % 2 == 0)
+              graft.functions.JpegCodec.encodeFlatGray(w, h,
+                (bx, by) => ((id + 7 * bx + 13 * by) % 256).toInt)
+            else
+              graft.functions.JpegCodec.encodeFlatYcc420(w, h, (mx, _) => (
+                ((id + 5 * mx) % 256).toInt,
+                ((2 * id + 11 * mx) % 256).toInt,
+                ((3 * id + 7 * mx) % 256).toInt))
+          Multimodal.MediaRow(id, payload, "image/jpeg", source)
+        }
+      Multimodal.pixelStats(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("luma_sum"))
+    },
+
     // ── REAL WAV sample decode, the q81 pattern for audio: synthetic
     // int16 PCM with arithmetic sample values rides a real RIFF body;
     // sample stats (Σ s², clip count, peak) are integer-exact so the
@@ -873,6 +912,35 @@ object ExtQueries {
         |JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
         |JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4
         |GROUP BY d.doc_id""".stripMargin,
+
+    // lossy-format identity: the oracle replays the flat-block value
+    // formulas and the JFIF YCbCr→RGB matrix (identical double
+    // expressions → identical IEEE results → floor agrees); the Spark
+    // side must recover them through a real JPEG entropy encode→decode
+    "q84_jpeg_pixel_stats" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS doc_id, x.i AS x, y.i AS y,
+        |    (d.doc_id + 5*(x.i//16)) % 256 AS yv,
+        |    (2*d.doc_id + 11*(x.i//16)) % 256 AS cb,
+        |    (3*d.doc_id + 7*(x.i//16)) % 256 AS cr
+        |  FROM documents d
+        |  JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
+        |  JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4),
+        |rgb AS (
+        |  SELECT doc_id, x, y,
+        |    least(255, greatest(0, CAST(floor(yv + 1.402*(cr-128) + 0.5) AS BIGINT))) AS r,
+        |    least(255, greatest(0, CAST(floor(yv - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5) AS BIGINT))) AS g,
+        |    least(255, greatest(0, CAST(floor(yv + 1.772*(cb-128) + 0.5) AS BIGINT))) AS b
+        |  FROM px)
+        |SELECT doc_id,
+        |  doc_id % 16 + 4 AS width,
+        |  doc_id % 12 + 4 AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels,
+        |  (doc_id % 16 + 4) * (doc_id % 12 + 4) AS n_pixels,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0
+        |    THEN 1000*((doc_id + 7*(x//8) + 13*(y//8)) % 256)
+        |    ELSE 299*r + 587*g + 114*b END) AS BIGINT) AS luma_sum
+        |FROM rgb GROUP BY doc_id""".stripMargin,
 
     "q82_wav_pcm_stats" ->
       """SELECT d.doc_id,

@@ -103,7 +103,10 @@ class MultimodalSpec extends SparkSpec {
     val rows = Seq(
       Multimodal.MediaRow(1L, PngCodec.encode(rgb), "image/png", "src"),
       Multimodal.MediaRow(2L, PngCodec.encode(gray), "image/png", "src"),
-      Multimodal.MediaRow(3L, "not a png".getBytes("UTF-8"), "text/plain", "src"))
+      Multimodal.MediaRow(3L, "not a png".getBytes("UTF-8"), "text/plain", "src"),
+      Multimodal.MediaRow(4L,
+        graft.functions.JpegCodec.encodeFlatGray(10, 9, (bx, by) => 60 + 80 * bx + 100 * by),
+        "image/jpeg", "src"))
     val out = Multimodal.pixelStats(spark.createDataset(rows)).collect()
       .map(p => p.media_id -> p).toMap
     // rgb luma: replay the formula (same arithmetic as the q81 oracle)
@@ -114,6 +117,12 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).channels == Some(1) &&
       out(2L).luma_sum == Some(1000L * (10 + 20 + 30 + 40)))
     assert(out(3L).width.isEmpty && out(3L).luma_sum.isEmpty)
+    // JPEG fallback leg: flat 8×8 blocks decode exactly (10×9 → blocks
+    // (0,0)=60, (1,0)=140, (0,1)=160, (1,1)=240; crop keeps 8/2 cols,
+    // 8/1 rows of each)
+    assert(out(4L).channels == Some(1) && out(4L).n_pixels == Some(90L))
+    assert(out(4L).luma_sum == Some(1000L *
+      (64 * 60 + 16 * 140 + 8 * 160 + 2 * 240)))
   }
 
   test("sampleStats: real PCM fold through the batch stage") {
