@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *    unfilter — no native codec, zlib IS the format) with
   *    [[graft.functions.JpegCodec]] (marker walk → Huffman → dequant →
   *    IDCT → upsample → YCbCr) as the fallback leg, and [[sampleStats]]
-  *    folds int16 samples from the WAV data chunk. Progressive JPEG
-  *    and formats beyond these take the [[FakeDecoder]] tier below.
+  *    folds int16 samples from the WAV data chunk, and VIDEO is real
+  *    as MJPEG-in-AVI ([[graft.functions.AviCodec]] container walk +
+  *    per-frame JPEG decode in [[frameStats]]). Progressive JPEG and
+  *    formats beyond these take the [[FakeDecoder]] tier below.
   *  - GENERIC feature extraction over arbitrary formats remains the
   *    declared stub: [[FakeDecoder]] derives a deterministic vector
   *    from the payload bytes. The Spark-side contract — schema, batch
@@ -182,28 +184,36 @@ object Multimodal {
           case None =>
             PixelStats(r.media_id, None, None, None, None, None)
           case Some(img) =>
-            var luma = 0L
-            val d = img.data
-            var i = 0
-            img.channels match {
-              case 3 | 4 =>
-                while (i < d.length) {
-                  luma += 299L * (d(i) & 0xff) + 587L * (d(i + 1) & 0xff) +
-                    114L * (d(i + 2) & 0xff)
-                  i += img.channels
-                }
-              case _ => // gray / gray+alpha: value channel first
-                while (i < d.length) {
-                  luma += 1000L * (d(i) & 0xff)
-                  i += img.channels
-                }
-            }
             PixelStats(r.media_id, Some(img.width), Some(img.height),
               Some(img.channels), Some(img.width.toLong * img.height),
-              Some(luma))
+              Some(lumaSum(img)))
         }
       }
     }
+
+  /** Integer luma fold shared by the image and video stats stages:
+    * RGB(A): Σ(299R+587G+114B) (Rec.601 ×1000 fixed-point); gray
+    * (+alpha): Σ(1000·v) — same scale, so mixed corpora compare.
+    */
+  private def lumaSum(img: graft.functions.PngCodec.Image): Long = {
+    var luma = 0L
+    val d = img.data
+    var i = 0
+    img.channels match {
+      case 3 | 4 =>
+        while (i < d.length) {
+          luma += 299L * (d(i) & 0xff) + 587L * (d(i + 1) & 0xff) +
+            114L * (d(i + 2) & 0xff)
+          i += img.channels
+        }
+      case _ => // gray / gray+alpha: value channel first
+        while (i < d.length) {
+          luma += 1000L * (d(i) & 0xff)
+          i += img.channels
+        }
+    }
+    luma
+  }
 
   /** PCM sample stats — the audio analogue of [[pixelStats]], real
     * bytes not metadata: [[graft.functions.AudioHeaders.pcmStats]]
@@ -225,6 +235,67 @@ object Multimodal {
         val s = graft.functions.AudioHeaders.pcmStats(r.payload)
         SampleStats(r.media_id, s.map(_.nSamples), s.map(_.sumSquares),
           s.map(_.nClipped), s.map(_.peak))
+      }
+    }
+
+  /** Container-decoded video metadata — the video sibling of
+    * [[imageMeta]]/[[audioMeta]]: [[graft.functions.AviCodec]] walks
+    * the RIFF structure (avih/strh/strf headers, movi frame census)
+    * without touching frame pixels. None fields on anything that isn't
+    * a single-stream MJPEG AVI.
+    */
+  case class VideoMeta(
+      media_id: Long,
+      n_bytes: Long,
+      width: Option[Int],
+      height: Option[Int],
+      us_per_frame: Option[Int],
+      n_frames: Option[Int])
+
+  implicit private val videoEnc: Encoder[VideoMeta] = Encoders.product[VideoMeta]
+
+  def videoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = graft.functions.AviCodec.decode(r.payload)
+        VideoMeta(r.media_id, r.payload.length.toLong,
+          v.map(_.width), v.map(_.height), v.map(_.usPerFrame),
+          v.map(_.frames.length))
+      }
+    }
+
+  /** REAL video frame extraction + per-frame pixel decode: the
+    * container walk yields complete MJPEG frame payloads, each decoded
+    * through [[graft.functions.JpegCodec]] into the same integer luma
+    * stats as [[pixelStats]] (shared fold — one scale across image and
+    * video corpora). Row explosion is per FRAME, the shape a frame-
+    * level training pipeline needs; undecodable containers contribute
+    * no rows (dirty-corpus discipline, same as [[frameSample]] on
+    * empty payloads) and an undecodable single frame yields its row
+    * with None stats rather than poisoning its siblings. Oracle-
+    * checked end to end as q85 over flat-block fixtures.
+    */
+  case class FrameStats(
+      media_id: Long,
+      frame_idx: Int,
+      n_pixels: Option[Long],
+      luma_sum: Option[Long])
+
+  implicit private val frameEnc: Encoder[FrameStats] = Encoders.product[FrameStats]
+
+  def frameStats(media: Dataset[MediaRow]): Dataset[FrameStats] =
+    media.flatMap { r =>
+      graft.functions.AviCodec.decode(r.payload) match {
+        case None => Iterator.empty
+        case Some(video) =>
+          video.frames.iterator.zipWithIndex.map { case (frame, idx) =>
+            graft.functions.JpegCodec.decode(frame) match {
+              case None => FrameStats(r.media_id, idx, None, None)
+              case Some(img) =>
+                FrameStats(r.media_id, idx,
+                  Some(img.width.toLong * img.height), Some(lumaSum(img)))
+            }
+          }
       }
     }
 
@@ -270,6 +341,56 @@ object Multimodal {
                 graft.functions.PngCodec.Image(targetW, targetH,
                   img.channels, out)),
               format = "image/png")
+        }
+      }
+    }
+  }
+
+  /** REAL audio resample for decodable 16-bit PCM WAVs — the audio
+    * analogue of [[resizeImages]]: decode → per-channel linear
+    * interpolation onto the target rate's sample grid → re-encode
+    * (still a valid WAV). The kernel is integer-exact by construction:
+    * output frame j sits at source position j·srcRate/targetRate, split
+    * as idx = (j·srcRate)/targetRate and frac = (j·srcRate) mod
+    * targetRate, and interpolates s[idx] + (s[idx+1]−s[idx])·frac/
+    * targetRate with truncating integer division — no floats, so an
+    * oracle replays it bit-for-bit (q86; DuckDB's `//` truncates like
+    * the JVM). nFrames_out = nFrames_in·targetRate/srcRate, so a
+    * source already at the target rate round-trips identically.
+    * Payloads that don't decode pass through unchanged, same
+    * dirty-corpus discipline as [[resizeImages]]. Linear is the honest
+    * dependency-free kernel — windowed-sinc swaps in at the marked
+    * line with everything around it unchanged.
+    */
+  def resamplePcm(media: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
+    require(targetRate > 0 && targetRate <= 1000000)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        graft.functions.AudioHeaders.wavSamples(r.payload) match {
+          case None => r
+          case Some(pcm) =>
+            val ch = pcm.channels
+            val nIn = pcm.samples.length / ch
+            val nOut = (nIn.toLong * targetRate / pcm.sampleRate).toInt
+            val out = new Array[Short](nOut * ch)
+            var j = 0
+            while (j < nOut) {
+              val num = j.toLong * pcm.sampleRate
+              val idx = (num / targetRate).toInt
+              val frac = num % targetRate
+              val idx1 = math.min(idx + 1, nIn - 1)
+              var c = 0
+              while (c < ch) {
+                val a = pcm.samples(idx * ch + c).toInt
+                val b = pcm.samples(idx1 * ch + c).toInt
+                // linear interpolation; windowed-sinc kernel swaps in here
+                out(j * ch + c) = (a + (b - a).toLong * frac / targetRate).toShort
+                c += 1
+              }
+              j += 1
+            }
+            r.copy(payload = graft.functions.AudioHeaders.wavBytes(
+              ch, targetRate, out))
         }
       }
     }

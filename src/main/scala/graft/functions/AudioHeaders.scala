@@ -128,6 +128,41 @@ object AudioHeaders {
   final case class PcmStats(nSamples: Long, sumSquares: Long,
       nClipped: Long, peak: Int)
 
+  /** Decoded 16-bit PCM: channel-interleaved samples plus the format
+    * needed to process them. Same surface and truncation tolerance as
+    * [[pcmStats]] (complete FRAMES only — a ragged trailing channel
+    * slice is dropped, never misaligned); None on non-16-bit-PCM.
+    */
+  final case class WavPcm(channels: Int, sampleRate: Int,
+      samples: Array[Short])
+
+  /** Full sample decode — the input side of DSP kernels (resample,
+    * mixdown) the way [[PngCodec.decode]] feeds the image kernels.
+    */
+  def wavSamples(payload: Array[Byte]): Option[WavPcm] = {
+    val meta = wavMeta(payload).getOrElse(return None)
+    if (meta.bitsPerSample != 16) return None
+    // re-walk for the data offset (wavMeta only keeps the size)
+    var i = 12
+    var dataOff = -1
+    while (i + 8 <= payload.length && dataOff < 0) {
+      val size = le32(payload, i + 4)
+      if (tag(payload, i) == "data") dataOff = i + 8
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > payload.length) payload.length else next.toInt
+    }
+    if (dataOff < 0) return None
+    val avail = payload.length - dataOff
+    val nWhole = avail / 2 / meta.channels * meta.channels
+    val out = new Array[Short](nWhole)
+    var s = 0
+    while (s < nWhole) {
+      out(s) = le16(payload, dataOff + 2 * s).toShort
+      s += 1
+    }
+    Some(WavPcm(meta.channels, meta.sampleRate, out))
+  }
+
   /** Real 16-bit PCM WAV: [[wavHeaderBytes]]' layout plus the actual
     * little-endian sample body (samples interleaved across channels as
     * given).

@@ -840,6 +840,36 @@ object ExtQueries {
           col("n_pixels"), col("luma_sum"))
     },
 
+    // ── REAL video frame extraction (the multimodal set's third leg):
+    // per doc_id an MJPEG AVI — real RIFF layout: avih/strh/strf
+    // headers, word-aligned movi chunks — carrying id%4+2 flat-block
+    // JPEG frames is built, then decoded back through the container
+    // walk and per-frame entropy decode into per-frame luma stats. One
+    // output row per FRAME, so the frame census, chunk boundaries, and
+    // every frame's pixel recovery are all on the hash gate.
+    "q85_mjpeg_frame_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val nf = (id % 4 + 2).toInt
+          val frames = (0 until nf).map { f =>
+            graft.functions.JpegCodec.encodeFlatGray(w, h, (bx, by) =>
+              ((id + 17 * f + 7 * bx + 13 * by) % 256).toInt)
+          }
+          Multimodal.MediaRow(id,
+            graft.functions.AviCodec.aviBytes(w, h, 33333, frames),
+            "video/x-msvideo", source)
+        }
+      Multimodal.frameStats(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_pixels"), col("luma_sum"))
+    },
+
     // ── REAL WAV sample decode, the q81 pattern for audio: synthetic
     // int16 PCM with arithmetic sample values rides a real RIFF body;
     // sample stats (Σ s², clip count, peak) are integer-exact so the
@@ -858,6 +888,34 @@ object ExtQueries {
             "audio/wav", source)
         }
       Multimodal.sampleStats(media).toDF()
+        .select(col("media_id").as("doc_id"), col("n_samples"),
+          col("sum_squares"), col("n_clipped"),
+          col("peak").cast("long").as("peak"))
+    },
+
+    // ── REAL audio resample (the DSP kernel the audio leg was
+    // missing): per doc_id int16 PCM at a per-doc source rate (8-24
+    // kHz — both up- and down-sampling on the gate, with the identity
+    // case at 16 kHz as anchor) is linear-interpolated onto the 16 kHz
+    // grid — integer-exact kernel, truncating division on both engines
+    // — then folded by the same sampleStats as q82. Two container
+    // round-trips and the interpolation arithmetic are all under the
+    // hash.
+    "q86_pcm_resample" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val n = (id % 200 + 50).toInt
+          val srcRate = (8000 + (id % 5) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 65536) - 32768).toShort)
+          Multimodal.MediaRow(id,
+            graft.functions.AudioHeaders.wavBytes(1, srcRate, samples),
+            "audio/wav", source)
+        }
+      Multimodal.sampleStats(Multimodal.resamplePcm(media, 16000)).toDF()
         .select(col("media_id").as("doc_id"), col("n_samples"),
           col("sum_squares"), col("n_clipped"),
           col("peak").cast("long").as("peak"))
@@ -941,6 +999,47 @@ object ExtQueries {
         |    THEN 1000*((doc_id + 7*(x//8) + 13*(y//8)) % 256)
         |    ELSE 299*r + 587*g + 114*b END) AS BIGINT) AS luma_sum
         |FROM rgb GROUP BY doc_id""".stripMargin,
+
+    // frame-level identity: one oracle row per (doc, frame) replaying
+    // the flat-block formula; the Spark side must recover it through
+    // the AVI container walk plus a per-frame JPEG entropy decode
+    "q85_mjpeg_frame_stats" ->
+      """SELECT d.doc_id, f.i AS frame_idx,
+        |  (d.doc_id % 16 + 4) * (d.doc_id % 12 + 4) AS n_pixels,
+        |  CAST(sum(1000*((d.doc_id + 17*f.i + 7*(x.i//8) + 13*(y.i//8)) % 256)) AS BIGINT) AS luma_sum
+        |FROM documents d
+        |JOIN range(0, 6) f(i) ON f.i < d.doc_id % 4 + 2
+        |JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
+        |JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4
+        |GROUP BY d.doc_id, f.i""".stripMargin,
+
+    // resample identity: the oracle replays the integer interpolation
+    // (idx/frac split, truncating `//` — same semantics as JVM int
+    // division) over the synthetic sample formula; the Spark side must
+    // recover it through WAV decode → kernel → WAV encode → stats
+    "q86_pcm_resample" ->
+      """WITH p AS (
+        |  SELECT d.doc_id AS doc_id,
+        |    d.doc_id % 200 + 50 AS n,
+        |    8000 + (d.doc_id % 5) * 4000 AS src
+        |  FROM documents d),
+        |g AS (
+        |  SELECT doc_id, n, src, j.i AS j,
+        |    (j.i * src) // 16000 AS idx,
+        |    (j.i * src) % 16000 AS frac
+        |  FROM p JOIN range(0, 500) j(i) ON j.i < (n * 16000) // src),
+        |v AS (
+        |  SELECT doc_id, j,
+        |    ((doc_id*31 + idx*17) % 65536 - 32768)
+        |      + (((doc_id*31 + least(idx+1, n-1)*17) % 65536 - 32768)
+        |         - ((doc_id*31 + idx*17) % 65536 - 32768)) * frac // 16000 AS val
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(val*val) AS BIGINT) AS sum_squares,
+        |  CAST(sum(CASE WHEN val IN (-32768, 32767) THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(max(abs(val)) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id""".stripMargin,
 
     "q82_wav_pcm_stats" ->
       """SELECT d.doc_id,

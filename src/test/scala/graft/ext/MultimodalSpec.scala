@@ -140,6 +140,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).n_samples.isEmpty)
   }
 
+  test("resamplePcm: integer linear interpolation, identity at equal rates, dirty passthrough") {
+    import graft.functions.AudioHeaders
+    val rows = Seq(
+      Multimodal.MediaRow(1L, AudioHeaders.wavBytes(1, 8000, Array[Short](0, 100)),
+        "audio/wav", "src"),
+      Multimodal.MediaRow(2L, AudioHeaders.wavBytes(1, 16000,
+        Array[Short](7, -9, 32767, -32768)), "audio/wav", "src"),
+      Multimodal.MediaRow(3L, AudioHeaders.wavBytes(2, 8000,
+        Array[Short](0, 1000, 100, 2000)), "audio/wav", "src"),
+      Multimodal.MediaRow(4L, "静かな夜".getBytes("UTF-8"), "text/plain", "src"))
+    val out = Multimodal.resamplePcm(spark.createDataset(rows), 16000)
+      .collect().map(r => r.media_id -> r).toMap
+    def samples(id: Long) = AudioHeaders.wavSamples(out(id).payload).get
+    // 2x upsample: j=1 interpolates halfway, j=3 clamps to the last frame
+    assert(samples(1L).samples.toSeq == Seq[Short](0, 50, 100, 100))
+    assert(samples(1L).sampleRate == 16000)
+    // equal rates: bit-identical samples (idx=j, frac=0)
+    assert(samples(2L).samples.toSeq == Seq[Short](7, -9, 32767, -32768))
+    // stereo: channels interpolate independently, stay interleaved
+    assert(samples(3L).samples.toSeq == Seq[Short](0, 1000, 50, 1500, 100, 2000, 100, 2000))
+    assert(samples(3L).channels == 2)
+    // undecodable payloads pass through untouched
+    assert(out(4L).payload.toSeq == "静かな夜".getBytes("UTF-8").toSeq)
+  }
+
+  test("videoMeta + frameStats: real AVI container walk and per-frame decode") {
+    import graft.functions.{AviCodec, JpegCodec}
+    val frames = (0 until 3).map(f =>
+      JpegCodec.encodeFlatGray(10, 8, (bx, by) => (20 + 50 * f + 30 * bx + 90 * by) % 256))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, AviCodec.aviBytes(10, 8, 33333, frames),
+        "video/x-msvideo", "src"),
+      Multimodal.MediaRow(2L, "not a video".getBytes("UTF-8"), "text/plain", "src"))
+    val meta = Multimodal.videoMeta(spark.createDataset(rows)).collect()
+      .map(v => v.media_id -> v).toMap
+    assert(meta(1L).width == Some(10) && meta(1L).height == Some(8) &&
+      meta(1L).us_per_frame == Some(33333) && meta(1L).n_frames == Some(3))
+    assert(meta(2L).width.isEmpty && meta(2L).n_frames.isEmpty)
+    val stats = Multimodal.frameStats(spark.createDataset(rows)).collect()
+    assert(stats.map(_.media_id).toSet == Set(1L)) // dirty row: no rows
+    assert(stats.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
+    for (st <- stats) {
+      // 10×8 gray: blocks (0,0) 8×8=64px, (1,0) 2×8=16px
+      val f = st.frame_idx
+      val expected = 1000L * (64 * ((20 + 50 * f) % 256) + 16 * ((50 + 50 * f) % 256))
+      assert(st.n_pixels == Some(80L) && st.luma_sum == Some(expected), s"frame $f")
+    }
+  }
+
   test("resizeImages: real nearest-neighbor resample, output is a valid PNG") {
     import graft.functions.PngCodec
     val src = PngCodec.syntheticRgb(9L, 8, 6)

@@ -94,4 +94,18 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(pcmStats(headerOnly) ==
       Some(PcmStats(0, 0, 0, 0))) // prefix fetch: no samples available yet
   }
+
+  test("wavSamples: full decode round-trips; ragged trailing bytes drop whole frames") {
+    val stereo = Array[Short](10, -20, 30, -40, 32767, -32768)
+    val bytes = wavBytes(2, 44100, stereo)
+    val pcm = wavSamples(bytes).get
+    assert(pcm.channels == 2 && pcm.sampleRate == 44100)
+    assert(pcm.samples.toSeq == stereo.toSeq)
+    // drop 3 bytes: mid-sample cut leaves 2 complete FRAMES (4 samples),
+    // never a half-frame that would swap channels downstream
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 3)
+    assert(wavSamples(cut).get.samples.toSeq == Seq[Short](10, -20, 30, -40))
+    assert(wavSamples(wavHeaderBytes(1, 8000, 8, 10)).isEmpty) // 8-bit
+    assert(wavSamples(null).isEmpty)
+  }
 }
