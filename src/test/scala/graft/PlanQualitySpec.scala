@@ -136,6 +136,22 @@ class PlanQualitySpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"q60 lost its equi-join:\n$p")
   }
 
+  test("q84/q85/q86: media decode stays a pure per-partition map (no shuffle at all)") {
+    // the entire scale story of the codec queries: embarrassingly
+    // parallel decode must never gain an Exchange. q86 additionally
+    // fuses its two ops (resample → stats) as adjacent MapPartitions
+    // in ONE task pipeline.
+    for (q <- Seq("q84_jpeg_pixel_stats", "q85_mjpeg_frame_stats",
+        "q86_pcm_resample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+      assert(p.contains("MapPartitions"), s"$q lost its batch stage:\n$p")
+    }
+    val p86 = plan("q86_pcm_resample")
+    assert("MapPartitions".r.findAllIn(p86).size >= 2,
+      s"q86 ops no longer fuse as adjacent MapPartitions:\n$p86")
+  }
+
   test("q65: chunking is a pure scan-stage generator (no shuffle at all)") {
     val p = plan("q65_chunk_overlap")
     assert(!p.contains("Exchange"), s"q65 gained a shuffle:\n$p")
