@@ -172,4 +172,46 @@ object TextFunctions {
       size(regexp_extract_all(
         regexp_replace(regexp_replace(text, urlRe, "<URL>"), emailRe, "<EMAIL>"),
         lit(phoneRe), lit(0)))
+
+  // ── HTML boilerplate removal (web-corpus extraction) ───────────────
+  // The first stage of every web-scraped training corpus: strip markup,
+  // keep prose. Same Java∩RE2 regex discipline as the PII patterns —
+  // `(?s)` inline flag, non-greedy block bodies, no lookaround — so the
+  // whole chain is SQL-oracle-able bit-for-bit (q87).
+
+  /** Minimal HTML entity escape (fixture-synthesis side: document text
+    * must survive embedding in markup). `&` first, then the brackets.
+    */
+  def htmlEscape(text: Column): Column =
+    replace(replace(replace(text,
+      lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;"))
+
+  /** HTML → text: drop script/style blocks WITH their contents (before
+    * tag stripping — markup inside a script string must die with the
+    * script, not leak as text), strip remaining tags, unescape the four
+    * core entities (`&amp;` last, the standard order), collapse
+    * whitespace. Unknown entities pass through verbatim — extraction
+    * must not invent text. A pure codegen'd projection: scan-stage at
+    * any scale, no UDF.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val unescaped = replace(replace(replace(replace(noTags,
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Extracted-text-to-raw-markup length ratio — the boilerplate
+    * density signal (low ratio = chrome-heavy page, a standard
+    * keep/drop feature alongside [[qualityScore]]).
+    */
+  def markupRatio(html: Column): Column =
+    round(length(htmlToText(html)).cast("double") / length(html), 6)
 }

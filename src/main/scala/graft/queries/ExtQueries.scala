@@ -921,6 +921,30 @@ object ExtQueries {
           col("peak").cast("long").as("peak"))
     },
 
+    // ── HTML boilerplate removal (the first stage of every web
+    // corpus): per doc_id the document text is entity-escaped and
+    // embedded in a realistic page — script block CONTAINING markup
+    // (so strip order is on the gate), style block, headings, an
+    // unknown entity that must pass through — then extracted back.
+    // The oracle replays escape→wrap→extract in SQL; a slip in block
+    // removal, tag stripping, entity order, or whitespace collapse
+    // breaks the text hash on 500 rows.
+    "q87_html_extract" -> { (s, dir) =>
+      val wrapped = concat(
+        lit("<html><head><style>p{margin:0}</style><script>var id="),
+        col("doc_id").cast("string"),
+        lit(";document.write(\"<b>x</b>\");</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"),
+        T.htmlEscape(col("text")),
+        lit("</p><div class=\"footer\">&copy; 2026 &amp; co</div></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), wrapped.as("html"))
+        .select(col("doc_id"),
+          T.htmlToText(col("html")).as("clean_text"),
+          T.markupRatio(col("html")).as("markup_ratio"))
+    },
+
     // ── equi-depth (decile) binning of l_extendedprice: exact
     // cutpoints once (9 doubles to the driver), assignment as a pure
     // scan-stage when-chain, then per-bucket mass check. The oracle
@@ -1040,6 +1064,34 @@ object ExtQueries {
         |  CAST(sum(CASE WHEN val IN (-32768, 32767) THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
         |  CAST(max(abs(val)) AS BIGINT) AS peak
         |FROM v GROUP BY doc_id""".stripMargin,
+
+    // extraction identity: the oracle replays escape→wrap→extract with
+    // the identical regex chain (Java∩RE2 subset) and literal replaces
+    "q87_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{margin:0}</style><script>var id='
+        |      || CAST(doc_id AS VARCHAR)
+        |      || ';document.write("<b>x</b>");</script></head><body><h1>Doc '
+        |      || CAST(doc_id AS VARCHAR) || '</h1><p>'
+        |      || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |      || '</p><div class="footer">&copy; 2026 &amp; co</div></body></html>' AS html
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM h)
+        |SELECT doc_id, clean_text,
+        |  round(CAST(length(clean_text) AS DOUBLE) / length(html), 6) AS markup_ratio
+        |FROM t""".stripMargin,
 
     "q82_wav_pcm_stats" ->
       """SELECT d.doc_id,

@@ -87,4 +87,26 @@ class TextFunctionsSpec extends SparkSpec {
       ((0, false, false, false, false)))
     assert(sig("") == ((0, false, false, false, false))) // empty-safe
   }
+
+  test("htmlToText: block removal order, tag strip, entity order, collapse") {
+    def ext(html: String): String =
+      one[String](TextFunctions.htmlToText($"t"), html)
+    // markup inside the script string dies WITH the script — if tag
+    // stripping ran first, 'alert(1)' would leak into the text
+    assert(ext("<p>keep</p><script>document.write(\"<b>alert(1)</b>\")</script><p>this</p>")
+      == "keep this")
+    assert(ext("<style media=\"x\">p { color: red }</style>prose") == "prose")
+    // &amp; unescapes LAST: '&amp;lt;' means the literal text '&lt;'
+    assert(ext("a &amp;lt; b") == "a &lt; b")
+    assert(ext("x &lt;tag&gt; &quot;q&quot; &amp; y") == "x <tag> \"q\" & y")
+    // unknown entities pass through; whitespace collapses; trim applies
+    assert(ext("  <div>\n\ta &copy; b\n</div> ") == "a &copy; b")
+    // multi-line script body (the (?s) flag is load-bearing)
+    assert(ext("<script>\nvar a=1;\nvar b=2;\n</script>ok") == "ok")
+    // escape∘extract is identity on plain text
+    val tricky = "5 < 6 & \"7\" > 4"
+    assert(one[String](TextFunctions.htmlToText(
+      concat(lit("<p>"), TextFunctions.htmlEscape($"t"), lit("</p>"))), tricky)
+      == tricky)
+  }
 }
