@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary training — the
+  * tokenizer-construction step of an LLM data stack (Sennrich et al.
+  * 2016; the GPT-2/LLaMA tokenizer family trains exactly this loop).
+  *
+  * The scale story is the whole point: after the one corpus-wide
+  * aggregation ([[wordFreq]]), every training iteration runs on the
+  * DISTINCT-WORD table weighted by frequency — vocabulary size, not
+  * corpus size. At 100 TB of text the word table is millions of rows,
+  * so the expensive inner loop (pair count → argmax → merge) touches
+  * ~10⁶ rows per round regardless of corpus scale, while the only
+  * corpus-order pass is the initial word count (two-level hash agg,
+  * map-side partials). Driver state per round is ONE (left, right)
+  * pair — the argmax — matching how every production BPE trainer
+  * works.
+  *
+  * Determinism contract: pair counts are exact longs; the argmax tie
+  * breaks on (count DESC, left, right) so training is bit-reproducible
+  * across partitionings. The greedy left-to-right merge application is
+  * an `aggregate` fold over the symbol array — "aaa" under merge (a,a)
+  * becomes [aa, a], the standard non-overlapping semantics.
+  *
+  * Oracle surface: one pair-count round from characters is plain SQL
+  * (q88 hashes the full pair table + ranks); the k-round trainer is
+  * adaptive (each round's input depends on the previous argmax), so it
+  * is spec-pinned on corpora with hand-derivable merge sequences
+  * instead.
+  */
+object Bpe {
+
+  /** Corpus word-frequency table `(word, freq)` under the letter-run
+    * pre-tokenization (lowercased `[a-z]+`, the Java∩RE2 subset) — the
+    * ONE corpus-order pass of BPE training.
+    */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol table: each word split into single-character
+    * symbols into a `syms array<string>` column; all other columns
+    * ride along.
+    */
+  def initialSymbols(words: DataFrame): DataFrame =
+    words.withColumn("syms", expr("filter(split(word, ''), s -> s != '')"))
+
+  /** Adjacent-pair frequency table over symbol words, weighted by word
+    * frequency and counting every occurrence position (the pair `aa`
+    * appears twice in symbol word [a,a,a]) — BPE's inner-loop
+    * statistic. Bounded output: ≤ |vocab of adjacent symbol pairs|.
+    */
+  def pairCounts(symWords: DataFrame): DataFrame =
+    symWords
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> struct(element_at(syms, i) AS left,
+          |              element_at(syms, i + 1) AS right))""".stripMargin))
+        .as("p"), col("freq"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("freq")).as("pair_count"))
+
+  /** Greedy left-to-right merge of one (left, right) pair into the
+    * concatenated symbol, as a pure higher-order-function fold (no
+    * UDF): append each symbol, merging with the accumulator tail when
+    * it completes the pair — non-overlapping by construction because
+    * the merged symbol no longer equals `left` (BPE merges always
+    * grow strictly, so `left ++ right != left`).
+    */
+  def applyMerge(symWords: DataFrame, left: String, right: String): DataFrame = {
+    val l = left.replace("'", "\\'")
+    val r = right.replace("'", "\\'")
+    symWords.withColumn("syms", expr(
+      s"""aggregate(syms, CAST(array() AS array<string>),
+         |  (acc, s) -> CASE
+         |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r'
+         |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+         |    ELSE concat(acc, array(s)) END)""".stripMargin))
+  }
+
+  /** Train `nMerges` BPE merges. Returns the ordered merge list —
+    * the learned tokenizer. Each round: exact pair count (vocab-sized
+    * shuffle), deterministic argmax to the driver (ONE row), fold the
+    * merge through the symbol table. `localCheckpoint` per round keeps
+    * lineage flat (the [[PageRank]] recipe); the symbol table is
+    * reused across rounds via persist.
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 0)
+    var syms = initialSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val top = pairCounts(syms)
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true // every word fused to one symbol
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((l, r))
+        syms = applyMerge(syms, l, r).localCheckpoint()
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** Tokenize words with a trained merge list: split to chars and fold
+    * each merge in order — the inference side of the trained
+    * tokenizer, a pure scan-stage projection (the merge folds chain as
+    * nested expressions in ONE codegen stage). Adds/overwrites the
+    * `syms` column; every input column rides along.
+    */
+  def tokenizeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(initialSymbols(words)) { case (df, (l, r)) =>
+      applyMerge(df, l, r)
+    }
+}

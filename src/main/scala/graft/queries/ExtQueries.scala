@@ -945,6 +945,49 @@ object ExtQueries {
           T.markupRatio(col("html")).as("markup_ratio"))
     },
 
+    // ── BPE training inner loop (tokenizer construction): the
+    // corpus-wide word-frequency aggregation followed by one exact
+    // adjacent-char-pair count round — the statistic every BPE trainer
+    // argmaxes over. Top-50 merge candidates ranked deterministically.
+    // The rank window is partition-less but bounded by construction:
+    // the pair table is ≤ |alphabet|² = 676 rows, driver-safe at any
+    // corpus scale (the iterative trainer in ext.Bpe reuses this op
+    // per round on the vocab-sized symbol table; adaptive rounds are
+    // spec-pinned since SQL can't replay data-dependent merges).
+    "q88_bpe_pair_stats" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val pairs = graft.ext.Bpe.pairCounts(
+        graft.ext.Bpe.initialSymbols(
+          graft.ext.Bpe.wordFreq(
+            Tables.documents(s, dir).select(col("text")), "text")))
+      pairs
+        .select(concat(col("left"), col("right")).as("pair"),
+          col("pair_count"))
+        .withColumn("rank", row_number().over(
+          W.orderBy(col("pair_count").desc, col("pair"))))
+        .filter(col("rank") <= 50)
+        .select(col("pair"), col("pair_count"), col("rank").cast("long").as("rank"))
+    },
+
+    // ── compression-ratio repetition signal (Gopher/MassiveText
+    // family): per-doc zlib deflate accounting. Deflated lengths are
+    // zlib-implementation-specific, so the gate is invariant-form
+    // (q28/q44 pattern): raw byte counts hash exactly; the stored-
+    // block upper bound and the 10×-repeat self-similarity fact
+    // (deflate(text×10) < 10·deflate(text)) ride as pinned-true
+    // booleans over every doc with ≥ 20 chars.
+    "q89_compression_signal" -> { (s, dir) =>
+      graft.ext.CompressionStats.perDoc(
+          Tables.documents(s, dir).filter(length(col("text")) >= 20),
+          "doc_id", "text").toDF()
+        .select(col("doc_id"), col("raw_bytes"),
+          (col("deflate_bytes") > 0 &&
+            col("deflate_bytes") <= col("raw_bytes") + lit(64) +
+              col("raw_bytes") / 1000).as("within_bound"),
+          (col("deflate10_bytes") < col("deflate_bytes") * 10)
+            .as("repeat_compresses_better"))
+    },
+
     // ── equi-depth (decile) binning of l_extendedprice: exact
     // cutpoints once (9 doubles to the driver), assignment as a pure
     // scan-stage when-chain, then per-bucket mass check. The oracle
@@ -1092,6 +1135,30 @@ object ExtQueries {
         |SELECT doc_id, clean_text,
         |  round(CAST(length(clean_text) AS DOUBLE) / length(html), 6) AS markup_ratio
         |FROM t""".stripMargin,
+
+    // BPE-statistic identity: word freq under the same [a-z]+ pre-tok,
+    // per-position adjacent pairs (aa counts twice in aaa), exact sums
+    "q88_bpe_pair_stats" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+        |p AS (
+        |  SELECT substring(word, i.i, 2) AS pair, freq
+        |  FROM wf JOIN range(1, 1000) i(i) ON i.i <= length(word) - 1),
+        |pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |       FROM p GROUP BY pair)
+        |SELECT pair, pair_count,
+        |  row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+        |FROM pc
+        |QUALIFY rank <= 50""".stripMargin,
+
+    // invariant form (q28 family): exact raw byte counts + structural
+    // deflate facts pinned true — DuckDB cannot replay zlib lengths
+    "q89_compression_signal" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS raw_bytes,
+        |  true AS within_bound, true AS repeat_compresses_better
+        |FROM documents WHERE length(text) >= 20""".stripMargin,
 
     "q82_wav_pcm_stats" ->
       """SELECT d.doc_id,
