@@ -10,10 +10,11 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * per the PNG spec §9), yielding raw interleaved samples.
   *
   * Supported surface, stated honestly: 8-bit depth, color types 0
-  * (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the
-  * shapes a training-data pipeline actually normalizes to. Palette
-  * (type 3), 16-bit, and Adam7 interlace decode to None rather than
-  * wrong pixels.
+  * (gray), 2 (RGB), 3 (palette — PLTE lookup expands to RGB; tRNS is
+  * skipped, so the output is the opaque projection), 4 (gray+alpha),
+  * 6 (RGBA), non-interlaced — the shapes a training-data pipeline
+  * actually normalizes to. 1/2/4-bit depths, 16-bit, and Adam7
+  * interlace decode to None rather than wrong pixels.
   *
   * Scale/robustness posture: decode is O(pixels) per row and runs
   * inside per-partition batch stages ([[graft.ext.Multimodal]]); a
@@ -70,15 +71,21 @@ object PngCodec {
     val compression = payload(26) & 0xff
     val filterMethod = payload(27) & 0xff
     val interlace = payload(28) & 0xff
-    val ch = channelsOf(colorType)
+    val isPalette = colorType == 3
+    val ch = if (isPalette) 1 else channelsOf(colorType) // filter-pass bpp
+    val outCh = if (isPalette) 3 else ch
     if (bitDepth != 8 || ch < 0 || interlace != 0 ||
       compression != 0 || filterMethod != 0) return None
-    if (w * h > MaxPixels || w * h * ch > Int.MaxValue - 64) return None
+    if (w * h > MaxPixels || w * h * outCh > Int.MaxValue - 64) return None
     val width = w.toInt
     val height = h.toInt
 
-    // chunk walk: concatenate IDAT bodies (CRC-checked), stop at IEND
+    // chunk walk: concatenate IDAT bodies (CRC-checked), capture PLTE
+    // for palette images (required, pre-IDAT, ≤256 RGB entries; PLTE on
+    // a non-palette image stays rejected — this codec doesn't honor
+    // suggested palettes), stop at IEND
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var off = 8 + 25 // past IHDR
     var sawEnd = false
     while (!sawEnd) {
@@ -92,6 +99,11 @@ object PngCodec {
       val ctype = new String(payload, off + 4, 4, "US-ASCII")
       ctype match {
         case "IDAT" => idat.write(payload, off + 8, len.toInt)
+        case "PLTE" =>
+          if (!isPalette || plte != null || idat.size() > 0) return None
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(payload, off + 8,
+            off + 8 + len.toInt)
         case "IEND" => sawEnd = true
         case t if (t.charAt(0) & 0x20) == 0 => return None // unknown CRITICAL chunk
         case _ => () // ancillary (tEXt, gAMA, …): skip
@@ -100,6 +112,7 @@ object PngCodec {
     }
     val compressed = idat.toByteArray
     if (compressed.isEmpty) return None
+    if (isPalette && plte == null) return None
 
     // inflate to the EXACT raster size the IHDR implies — a bomb or a
     // short stream both reject
@@ -146,7 +159,24 @@ object PngCodec {
       }
       y += 1
     }
-    Some(Image(width, height, ch, out))
+    if (!isPalette) Some(Image(width, height, ch, out))
+    else {
+      // palette lookup: index raster → RGB; an index past the palette
+      // is malformed (never reads garbage colors). tRNS is ancillary
+      // and skipped — output is the opaque RGB projection.
+      val nEntries = plte.length / 3
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < width * height) {
+        val idx = out(i) & 0xff
+        if (idx >= nEntries) return None
+        rgb(3 * i) = plte(3 * idx)
+        rgb(3 * i + 1) = plte(3 * idx + 1)
+        rgb(3 * i + 2) = plte(3 * idx + 2)
+        i += 1
+      }
+      Some(Image(width, height, 3, rgb))
+    }
   }
 
   /** Paeth predictor (spec §9.4): nearest of a/b/c to a+b−c, ties a,b,c. */
@@ -235,6 +265,71 @@ object PngCodec {
     val crc = new CRC32
     crc.update(out.array(), start, 4 + len)
     out.putInt(crc.getValue.toInt)
+  }
+
+  /** Encode an 8-bit PALETTE PNG (color type 3): `palette` is packed
+    * RGB triplets (≤ 256 entries), `indices` the row-major index
+    * raster. Same per-row filter = row%5 discipline as [[encode]] (the
+    * filter pass runs on the index plane at bpp 1, exactly how the
+    * decoder unfilters it). Decodes — here and in any conformant
+    * viewer — to the palette-expanded RGB raster.
+    */
+  def encodePalette(width: Int, height: Int, palette: Array[Byte],
+      indices: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && indices.length == width * height,
+      "index raster must match dims")
+    require(palette.nonEmpty && palette.length % 3 == 0 &&
+      palette.length <= 768, "palette must be 1..256 RGB triplets")
+    val n = palette.length / 3
+    require(indices.forall(i => (i & 0xff) < n), "index out of palette range")
+
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      raw(y * (width + 1)) = ft.toByte
+      val rowIn = y * width
+      val rowOut = y * (width + 1) + 1
+      var x = 0
+      while (x < width) {
+        val cur = indices(rowIn + x) & 0xff
+        val a = if (x >= 1) indices(rowIn + x - 1) & 0xff else 0
+        val b = if (y > 0) indices(rowIn - width + x) & 0xff else 0
+        val c = if (x >= 1 && y > 0) indices(rowIn - width + x - 1) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(rowOut + x) = (cur - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+
+    val def_ = new Deflater()
+    val compressed = try {
+      def_.setInput(raw); def_.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!def_.finished()) buf.write(tmp, 0, def_.deflate(tmp))
+      buf.toByteArray
+    } finally def_.end()
+
+    val out = java.nio.ByteBuffer.allocate(
+      8 + 25 + (12 + palette.length) + (12 + compressed.length) + 12)
+    out.put(Sig)
+    writeChunk(out, "IHDR", { b =>
+      b.putInt(width).putInt(height)
+      b.put(8.toByte).put(3.toByte) // depth 8, palette
+      b.put(0.toByte).put(0.toByte).put(0.toByte)
+    }, 13)
+    writeChunk(out, "PLTE", _.put(palette), palette.length)
+    writeChunk(out, "IDAT", _.put(compressed), compressed.length)
+    writeChunk(out, "IEND", _ => (), 0)
+    out.array()
   }
 
   /** Deterministic RGB test raster: pixel (x,y) of image `seed` is

@@ -152,6 +152,25 @@ class PlanQualitySpec extends SparkSpec {
       s"q86 ops no longer fuse as adjacent MapPartitions:\n$p86")
   }
 
+  test("q87/q89: extraction and compression signals are pure scan stages") {
+    for (q <- Seq("q87_html_extract", "q89_compression_signal")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+  }
+
+  test("q88: BPE pair stats = two partial-agg shuffles + distributed top-k (no single-partition sort)") {
+    val p = plan("q88_bpe_pair_stats")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"q88 should shuffle twice (word agg, pair agg), saw $exchanges:\n$p")
+    // the rank<=50 window must ride a TakeOrderedAndProject (global
+    // top-k computed distributedly), NOT an Exchange SinglePartition
+    // over the full pair table
+    assert(p.contains("TakeOrderedAndProject"), s"q88 lost the top-k pushdown:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"q88 single-partition sort:\n$p")
+    assert(p.contains("partial_"), s"q88 lost map-side partial agg:\n$p")
+  }
+
   test("q65: chunking is a pure scan-stage generator (no shuffle at all)") {
     val p = plan("q65_chunk_overlap")
     assert(!p.contains("Exchange"), s"q65 gained a shuffle:\n$p")

@@ -61,6 +61,39 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("palette PNGs: PLTE lookup expands to RGB, JDK-decoder cross-check, bad index rejects") {
+    val palette = Array[Byte](
+      10, 20, 30, 100.toByte, 110.toByte, 120.toByte,
+      200.toByte, 210.toByte, 220.toByte, 5, 6, 7)
+    val indices = Array.tabulate(7 * 6)(i => (i % 4).toByte)
+    val bytes = encodePalette(7, 6, palette, indices)
+    val img = decode(bytes).getOrElse(fail("palette decode failed"))
+    assert(img.width == 7 && img.height == 6 && img.channels == 3)
+    for (i <- 0 until 42; c <- 0 until 3)
+      assert(img.data(3 * i + c) == palette(3 * (i % 4) + c), s"px $i ch $c")
+    // independent implementation: the JDK decodes the same bytes
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (y <- 0 until 6; x <- 0 until 7) {
+      val p = jdk.getRGB(x, y)
+      val i = (y * 7 + x) * 3
+      assert((img.data(i) & 0xff) == ((p >> 16) & 0xff) &&
+        (img.data(i + 1) & 0xff) == ((p >> 8) & 0xff) &&
+        (img.data(i + 2) & 0xff) == (p & 0xff), s"jdk ($x,$y)")
+    }
+    // shrink the palette below the max index (CRCs rebuilt): the
+    // out-of-range index must reject, never read garbage colors
+    val at = 8 + 25
+    assert(new String(bytes, at + 4, 4, "US-ASCII") == "PLTE")
+    val shrunk = java.nio.ByteBuffer.allocate(bytes.length - 3)
+    shrunk.put(bytes, 0, at)
+    shrunk.putInt(9).put("PLTE".getBytes("US-ASCII")).put(palette, 0, 9)
+    val crc = new java.util.zip.CRC32
+    crc.update(shrunk.array(), at + 4, 13)
+    shrunk.putInt(crc.getValue.toInt)
+    shrunk.put(bytes, at + 12 + 12, bytes.length - at - 24)
+    assert(decode(shrunk.array()).isEmpty)
+  }
+
   test("corrupted payloads decode to None, never throw or return wrong pixels") {
     val ok = encode(gradient(9, 9, 3))
     assert(decode(ok).isDefined)
@@ -82,7 +115,7 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("unsupported surface rejects: palette, 16-bit, interlace, bad filter method") {
+  test("unsupported/malformed surface rejects: PLTE-less palette, 16-bit, interlace, bad filter method") {
     val ok = encode(gradient(4, 4, 3))
     def mutIhdr(off: Int, v: Byte): Array[Byte] = {
       val b = ok.clone()
