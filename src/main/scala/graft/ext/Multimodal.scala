@@ -299,6 +299,39 @@ object Multimodal {
       }
     }
 
+  /** Content-addressed video-frame fingerprints: one row per frame
+    * with the md5 of the frame's exact payload bytes — the key for
+    * frame-level dedup across a video corpus (broadcast intros,
+    * station cards, and duplicated clips collapse to one training
+    * example). Same flatMap shape as [[frameStats]]; grouping the
+    * output by `frame_md5` is a plain hash agg, so corpus-scale dedup
+    * is two-level-aggregation cheap. Oracle-checked end to end as q90
+    * (the flat-block fixtures make byte-identity an arithmetic
+    * equivalence SQL can replay).
+    */
+  case class FrameFingerprint(
+      media_id: Long,
+      frame_idx: Int,
+      frame_bytes: Long,
+      frame_md5: String)
+
+  implicit private val ffEnc: Encoder[FrameFingerprint] =
+    Encoders.product[FrameFingerprint]
+
+  def frameFingerprints(media: Dataset[MediaRow]): Dataset[FrameFingerprint] =
+    media.flatMap { r =>
+      graft.functions.AviCodec.decode(r.payload) match {
+        case None => Iterator.empty
+        case Some(video) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          video.frames.iterator.zipWithIndex.map { case (frame, idx) =>
+            md.reset()
+            val hex = md.digest(frame).map("%02x".format(_)).mkString
+            FrameFingerprint(r.media_id, idx, frame.length.toLong, hex)
+          }
+      }
+    }
+
   /** REAL image resize for decodable PNGs and baseline JPEGs: decode →
     * nearest-neighbor resample to (targetW, targetH) → re-encode as
     * PNG (JPEG inputs are thereby transcoded — re-encoding lossless

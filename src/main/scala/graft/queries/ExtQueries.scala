@@ -988,6 +988,42 @@ object ExtQueries {
             .as("repeat_compresses_better"))
     },
 
+    // ── content-addressed FRAME-level video dedup: md5 over exact
+    // frame payload bytes, grouped — the broadcast-intro/duplicated-
+    // clip collapse a video training pipeline runs before sampling.
+    // The value formula folds doc_id mod 32, so ids congruent mod 96
+    // (lcm of the width/height/value periods) produce BYTE-IDENTICAL
+    // frames: real multi-copy groups exist at every SF (~5 copies per
+    // group at 500 docs), not just singletons. The oracle replays
+    // byte-identity as arithmetic — frames are equal iff dims agree
+    // and (doc_id%32 + 17·frame) mod 256 agrees (the bx/by terms
+    // cancel) — so container walk, frame slicing, AND digest grouping
+    // are all under the hash.
+    "q90_video_frame_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val nf = (id % 4 + 2).toInt
+          val frames = (0 until nf).map { f =>
+            graft.functions.JpegCodec.encodeFlatGray(w, h, (bx, by) =>
+              ((id % 32 + 17 * f + 7 * bx + 13 * by) % 256).toInt)
+          }
+          Multimodal.MediaRow(id,
+            graft.functions.AviCodec.aviBytes(w, h, 33333, frames),
+            "video/x-msvideo", source)
+        }
+      Multimodal.frameFingerprints(media).toDF()
+        .groupBy(col("frame_md5"))
+        .agg(min(col("media_id")).as("canonical_doc_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("media_id") * 1000 + col("frame_idx")).as("canonical_key"))
+        .select(col("canonical_doc_id"), col("n_copies"), col("canonical_key"))
+    },
+
     // ── equi-depth (decile) binning of l_extendedprice: exact
     // cutpoints once (9 doubles to the driver), assignment as a pure
     // scan-stage when-chain, then per-bucket mass check. The oracle
@@ -1135,6 +1171,20 @@ object ExtQueries {
         |SELECT doc_id, clean_text,
         |  round(CAST(length(clean_text) AS DOUBLE) / length(html), 6) AS markup_ratio
         |FROM t""".stripMargin,
+
+    // byte-identity as arithmetic: md5 groups over real JPEG payloads
+    // must coincide with the formula-equivalence groups
+    "q90_video_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, ff.i AS frame_idx,
+        |    d.doc_id % 16 AS wk, d.doc_id % 12 AS hk,
+        |    (d.doc_id % 32 + 17*ff.i) % 256 AS vk
+        |  FROM documents d
+        |  JOIN range(0, 6) ff(i) ON ff.i < d.doc_id % 4 + 2)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(doc_id * 1000 + frame_idx) AS BIGINT) AS canonical_key
+        |FROM f GROUP BY wk, hk, vk""".stripMargin,
 
     // BPE-statistic identity: word freq under the same [a-z]+ pre-tok,
     // per-position adjacent pairs (aa counts twice in aaa), exact sums

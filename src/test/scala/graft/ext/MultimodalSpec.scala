@@ -189,6 +189,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameFingerprints: identical frames share md5 across containers, distinct don't") {
+    import graft.functions.{AviCodec, JpegCodec}
+    val shared = JpegCodec.encodeFlatGray(8, 8, (_, _) => 123)
+    val other = JpegCodec.encodeFlatGray(8, 8, (_, _) => 124)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, AviCodec.aviBytes(8, 8, 40000, Seq(shared, other)),
+        "video/x-msvideo", "src"),
+      Multimodal.MediaRow(2L, AviCodec.aviBytes(8, 8, 40000, Seq(shared)),
+        "video/x-msvideo", "src"))
+    val fps = Multimodal.frameFingerprints(spark.createDataset(rows)).collect()
+    assert(fps.length == 3)
+    val byKey = fps.map(f => (f.media_id, f.frame_idx) -> f.frame_md5).toMap
+    assert(byKey((1L, 0)) == byKey((2L, 0))) // same bytes, different container
+    assert(byKey((1L, 0)) != byKey((1L, 1)))
+    assert(fps.forall(_.frame_bytes == shared.length.toLong))
+  }
+
   test("resizeImages: real nearest-neighbor resample, output is a valid PNG") {
     import graft.functions.PngCodec
     val src = PngCodec.syntheticRgb(9L, 8, 6)
