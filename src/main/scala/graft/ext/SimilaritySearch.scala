@@ -90,6 +90,35 @@ object SimilaritySearch {
     rank(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k candidates by cosine AMONG those strictly below the
+    * near-duplicate ceiling — the closest non-duplicates are the
+    * informative negatives (the standard retrieval-training recipe;
+    * easy negatives teach nothing, near-dups are false negatives).
+    * The ceiling compares against the 6-dp-rounded cosine, matching
+    * the SQL oracle's arithmetic exactly (q91). This exact form
+    * scores the full corpus (the gate/reference leg); at scale feed a
+    * candidate pool from [[lshTopK]]/[[ivfTopK]] through the same
+    * filter+rank instead.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      maxCos: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = normalized(queries, "query_id", "qn", idCol, vecCol)
+    val c = Partitioning.forCompute(
+      normalized(corpus, "cand_id", "cn", idCol, vecCol))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(VectorFunctions.dotDouble(col("qn"), col("cn")), 6).as("cos_sim"))
+      .filter(col("cos_sim") < maxCos)
+    rank(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k. Candidates from bucket collisions
     * across L tables, exact-cosine re-ranked. Queries whose buckets are
     * all empty return no rows (increase `tables`/decrease `bits` to

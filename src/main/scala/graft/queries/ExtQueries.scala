@@ -116,6 +116,18 @@ object ExtQueries {
         emb, emb.filter(col("vec_id") < 10), k = 5)
     },
 
+    // ── hard-negative mining (contrastive-training data prep): per
+    // query the top-5 by cosine among candidates strictly below the
+    // 0.8 near-dup ceiling — closest non-duplicates, the negatives a
+    // retrieval trainer actually wants. Exact leg on the gate; the
+    // scale path feeds lshTopK/ivfTopK candidates through the same
+    // filter+rank.
+    "q91_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      SimilaritySearch.hardNegatives(
+        emb, emb.filter(col("vec_id") < 10), k = 5, maxCos = 0.8)
+    },
+
     // ── embedding norms + per-label aggregate (Σ in index order, double).
     "q22_embedding_norms" -> { (s, dir) =>
       Tables.embeddings(s, dir)
@@ -1293,6 +1305,30 @@ object ExtQueries {
         |SELECT query_id, cand_id, cos_sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
         |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
+    // q21's arithmetic with the near-dup ceiling applied before rank
+    "q91_hard_negatives" ->
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(SUM(e*e)) AS nrm FROM flat GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.e*b.e) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(dp / (qn.nrm * cn.nrm), 6) AS cos_sim
+        |  FROM pairs
+        |  JOIN norms qn ON qn.vec_id = query_id
+        |  JOIN norms cn ON cn.vec_id = cand_id)
+        |SELECT query_id, cand_id, cos_sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+        |FROM scored
+        |WHERE cos_sim < 0.8
         |QUALIFY rank <= 5""".stripMargin,
 
     "q22_embedding_norms" ->

@@ -57,10 +57,14 @@ class PlanQualitySpec extends SparkSpec {
     // stay keyed equi-joins (pinned by the dedicated plan tests below).
     // q67 fans the single-row total-weight aggregate into the scan the
     // same way (broadcast of one scalar row, then a pure filter).
+    // q91 is q21's shape with the near-dup ceiling: the same ≤10-row
+    // broadcast brute-force gate leg (the scale path routes ANN
+    // candidates through the same filter+rank instead).
     val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound",
       "q27_ann_lsh_recall_floor", "q35_ann_ivf_recall_floor",
       "q58_tfidf_topk", "q59_bigram_lm_score", "q60_semdedup_invariant",
-      "q63_heavy_hitters_superset", "q67_weighted_sample")
+      "q63_heavy_hitters_superset", "q67_weighted_sample",
+      "q91_hard_negatives")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

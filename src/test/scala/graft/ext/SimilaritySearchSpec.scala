@@ -111,4 +111,32 @@ class SimilaritySearchSpec extends SparkSpec {
       assert(bulk.collect().map(_.toSeq).toSet == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("hardNegatives: below-ceiling top-k, contiguous ranks, agrees with filtered brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" < 5)
+    val hn = SimilaritySearch.hardNegatives(emb, queries, k = 5, maxCos = 0.8)
+      .collect()
+    assert(hn.nonEmpty)
+    // every row respects the ceiling; ranks are 1..n per query
+    assert(hn.forall(_.getAs[Double]("cos_sim") < 0.8))
+    for ((_, rows) <- hn.groupBy(_.getAs[Long]("query_id")))
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    // equals brute-force top-k restricted to the ceiling: take a large
+    // brute k, drop >= ceiling rows, re-rank, truncate to 5
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, k = 1000)
+      .collect()
+      .filter(_.getAs[Double]("cos_sim") < 0.8)
+      .groupBy(_.getAs[Long]("query_id"))
+      .flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r.getAs[Double]("cos_sim"), r.getAs[Long]("cand_id")))
+          .take(5).zipWithIndex
+          .map { case (r, i) =>
+            (q, r.getAs[Long]("cand_id"), r.getAs[Double]("cos_sim"), i + 1)
+          }.toSeq
+      }.toSet
+    val got = hn.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+      r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))).toSet
+    assert(got == brute)
+  }
 }

@@ -163,6 +163,27 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
   }
 
+  test("property: 30 random flat configs round-trip exactly and match the JDK") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 30) {
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(30) + 1
+      val base = rnd.nextInt(256)
+      val dx = rnd.nextInt(64)
+      val dy = rnd.nextInt(64)
+      val rst = rnd.nextInt(3) // 0 = none
+      val bytes = encodeFlatGray(w, h,
+        (bx, by) => (base + dx * bx + dy * by) % 256, restartInterval = rst)
+      val img = decode(bytes).getOrElse(fail(s"trial $trial $w x $h rst=$rst"))
+      val jdk = decodeImageIO(bytes)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = (base + dx * (x / 8) + dy * (y / 8)) % 256
+        assert((img.data(y * w + x) & 0xff) == expect, s"t$trial ours ($x,$y)")
+        assert(jdk.getRaster.getSample(x, y, 0) == expect, s"t$trial jdk ($x,$y)")
+      }
+    }
+  }
+
   test("oversized frame rejects before any allocation") {
     // hand-build SOI + SOF0 declaring 65535×65535×3 (> MaxPixels)
     val b = new scala.collection.mutable.ArrayBuffer[Byte]()
