@@ -34,6 +34,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache (static conf, default 100 entries): the
+      // suite's two-sweep min-of-2 re-executes every query after ~90
+      // others, so once the suite's distinct codegen classes crossed
+      // 100 (at 91 queries) EVERY query's second sweep recompiled from
+      // scratch — the big-literal kernels (q60 centroids, q74's
+      // when-chain) repaid 5-10 s of Janino per sweep and the min-of-2
+      // stopped being a warm measurement. 100× headroom costs a few MB.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

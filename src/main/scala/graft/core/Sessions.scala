@@ -27,7 +27,14 @@ object Sessions {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // Parquet vectorized reads + pushdown are defaults, pinned for clarity.
     "spark.sql.parquet.filterPushdown" -> "true",
-    "spark.sql.parquet.aggregatePushdown" -> "true"
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    // Generated-class cache (static conf; default 100). A driver cycling
+    // through >100 distinct codegen'd plans — this engine's own 91-query
+    // registry, or any long-lived production session — silently evicts
+    // and repays full Janino compilation per re-execution; the
+    // big-value-literal kernels (CentroidAssign) cost seconds per
+    // recompile. A few MB of class metadata buys 100× headroom.
+    "spark.sql.codegen.cache.maxEntries" -> "10000"
   )
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
