@@ -215,6 +215,94 @@ object Multimodal {
     luma
   }
 
+  /** Per-pixel integer luma, same Rec.601 ×1000 fixed-point scale as
+    * [[lumaSum]] (RGB(A): 299R+587G+114B; gray(+alpha): 1000·v).
+    */
+  private def lumaAt(img: graft.functions.PngCodec.Image,
+      x: Int, y: Int): Long = {
+    val i = (y * img.width + x) * img.channels
+    val d = img.data
+    img.channels match {
+      case 3 | 4 =>
+        299L * (d(i) & 0xff) + 587L * (d(i + 1) & 0xff) +
+          114L * (d(i + 2) & 0xff)
+      case _ => 1000L * (d(i) & 0xff)
+    }
+  }
+
+  /** Perceptual difference-hash result; `dhash` None when the payload
+    * decodes with neither codec.
+    */
+  case class ImageHash(
+      media_id: Long,
+      width: Option[Int],
+      height: Option[Int],
+      dhash: Option[Long])
+
+  implicit private val ihEnc: Encoder[ImageHash] = Encoders.product[ImageHash]
+
+  /** Perceptual image hash — dHash ("difference hash", Krawetz 2013;
+    * the standard cheap near-dup key in image corpus pipelines, e.g.
+    * the DataComp/LAION dedup stacks): decode (PNG, baseline-JPEG
+    * fallback — [[pixelStats]]' chain), sample the integer luma on a
+    * 9×8 nearest-neighbor grid (sx = ⌊c·w/9⌋, sy = ⌊r·h/8⌋ — same
+    * truncating index rule as [[resizeImages]]), then bit r·8+c of the
+    * 64-bit hash records L(r,c) < L(r,c+1): the horizontal gradient
+    * SIGN pattern, which survives uniform scaling and brightness/
+    * contrast shifts that preserve pixel ordering. Integer-exact end
+    * to end, so the whole decode→sample→compare pipeline is
+    * oracle-replayable (q93) — and because nested floor division
+    * composes (⌊⌊k·a/m⌋/k⌋ = ⌊a/m⌋), an integer-factor nearest-
+    * neighbor upscale provably CANNOT change the hash (spec-pinned).
+    *
+    * Scale shape: a scan-stage mapPartitions projection, one row per
+    * image — the corpus-scale near-dup join over these hashes is
+    * [[nearDuplicateImages]].
+    */
+  def imageDHash(media: Dataset[MediaRow]): Dataset[ImageHash] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        graft.functions.PngCodec.decode(r.payload)
+          .orElse(graft.functions.JpegCodec.decode(r.payload)) match {
+          case None => ImageHash(r.media_id, None, None, None)
+          case Some(img) =>
+            val l = Array.ofDim[Long](8, 9)
+            var row = 0
+            while (row < 8) {
+              val sy = (row.toLong * img.height / 8).toInt
+              var c = 0
+              while (c < 9) {
+                val sx = (c.toLong * img.width / 9).toInt
+                l(row)(c) = lumaAt(img, sx, sy)
+                c += 1
+              }
+              row += 1
+            }
+            var h = 0L
+            var k = 0
+            while (k < 64) {
+              if (l(k / 8)(k % 8) < l(k / 8)(k % 8 + 1)) h |= 1L << k
+              k += 1
+            }
+            ImageHash(r.media_id, Some(img.width), Some(img.height), Some(h))
+        }
+      }
+    }
+
+  /** Image near-duplicate pairs by dHash Hamming distance ≤ `maxDist`,
+    * blocked EXACTLY via [[SimHash.nearPairsFromSignatures]]'
+    * pigeonhole chunk join (maxDist+1 chunks of the 64-bit key ⇒ every
+    * qualifying pair shares one chunk — no all-pairs stage, same
+    * corpus-scale shape as the text SimHash path). Undecodable rows
+    * drop out (no hash, no pair). Output: `doc_a`, `doc_b`, `hamming`.
+    */
+  def nearDuplicateImages(media: Dataset[MediaRow], maxDist: Int): DataFrame =
+    SimHash.nearPairsFromSignatures(
+      imageDHash(media).toDF()
+        .filter(col("dhash").isNotNull)
+        .select(col("media_id").as("id"), col("dhash").as("simhash")),
+      maxDist)
+
   /** PCM sample stats — the audio analogue of [[pixelStats]], real
     * bytes not metadata: [[graft.functions.AudioHeaders.pcmStats]]
     * walks to the data chunk and folds int16 samples into integer-
@@ -331,6 +419,73 @@ object Multimodal {
           }
       }
     }
+
+  /** Per-frame short-time energy + zero-crossing analysis; one row per
+    * whole `frameSize`-sample frame of channel 0.
+    */
+  case class FrameEnergy(
+      media_id: Long,
+      frame_idx: Int,
+      sum_abs: Long,
+      sum_squares: Long,
+      n_zero_cross: Int,
+      is_silence: Boolean)
+
+  implicit private val feEnc: Encoder[FrameEnergy] =
+    Encoders.product[FrameEnergy]
+
+  /** Short-time frame analysis over decodable 16-bit PCM WAVs — the
+    * classic VAD/silence-trim front end of an ASR data pipeline
+    * (Rabiner & Schafer's short-time energy + zero-crossing-rate pair):
+    * channel 0 is cut into whole `frameSize`-sample frames (tail
+    * remainder dropped — partial frames would skew the mean-based
+    * silence test) and each frame folds integer-exactly to
+    *
+    *  - `sum_abs`      — Σ|s|, the magnitude energy,
+    *  - `sum_squares`  — Σs², the power energy,
+    *  - `n_zero_cross` — sign flips between CONSECUTIVE samples within
+    *    the frame (negative vs non-negative — the boundary pair of
+    *    adjacent frames belongs to neither),
+    *  - `is_silence`   — Σ|s| < `silenceMeanAbs`·frameSize, i.e. the
+    *    frame's mean |s| is under the threshold.
+    *
+    * Multi-channel inputs analyze channel 0 (downmix or [[resamplePcm]]
+    * first if another policy is wanted); undecodable payloads emit no
+    * rows ([[frameFingerprints]]' dirty-corpus discipline). Everything
+    * is integer arithmetic, so the whole decode→frame→fold path is
+    * oracle-replayable (q94). Scale shape: scan-stage flatMap, ≤
+    * n_samples/frameSize rows per doc, no shuffle.
+    */
+  def frameEnergy(media: Dataset[MediaRow], frameSize: Int,
+      silenceMeanAbs: Long): Dataset[FrameEnergy] = {
+    require(frameSize > 0 && silenceMeanAbs >= 0)
+    media.flatMap { r =>
+      graft.functions.AudioHeaders.wavSamples(r.payload) match {
+        case None => Iterator.empty
+        case Some(pcm) =>
+          val ch = pcm.channels
+          val nFrames0 = pcm.samples.length / ch // channel-0 sample count
+          val nWhole = nFrames0 / frameSize
+          (0 until nWhole).iterator.map { f =>
+            var sumAbs = 0L
+            var sumSq = 0L
+            var zc = 0
+            var i = 0
+            var prev = 0
+            while (i < frameSize) {
+              val s = pcm.samples((f * frameSize + i) * ch).toInt
+              sumAbs += math.abs(s)
+              sumSq += s.toLong * s
+              if (i > 0 && ((prev < 0) != (s < 0))) zc += 1
+              prev = s
+              i += 1
+            }
+            FrameEnergy(r.media_id, f, sumAbs, sumSq, zc,
+              sumAbs < silenceMeanAbs * frameSize)
+          }
+      }
+    }
+  }
 
   /** REAL image resize for decodable PNGs and baseline JPEGs: decode →
     * nearest-neighbor resample to (targetW, targetH) → re-encode as

@@ -223,4 +223,105 @@ class MultimodalSpec extends SparkSpec {
     // undecodable payloads pass through untouched
     assert(out(2L).payload.toSeq == "text stays".getBytes("UTF-8").toSeq)
   }
+
+  test("frameEnergy: hand-computed folds, tail drop, channel-0 on stereo, silence flag") {
+    import graft.functions.AudioHeaders
+    // mono: frames of 4; 10 samples -> 2 whole frames, tail of 2 dropped
+    val mono = Array[Short](100, -100, 50, -50, /*f1*/ 3, 3, -3, 3, /*tail*/ 999, 999)
+    // stereo: channel 0 = (8, -8, 8, -8), channel 1 = loud junk that must not leak
+    val stereo = Array[Short](8, 30000, -8, 30000, 8, 30000, -8, 30000)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, AudioHeaders.wavBytes(1, 8000, mono), "audio/wav", "t"),
+      Multimodal.MediaRow(2L, AudioHeaders.wavBytes(2, 8000, stereo), "audio/wav", "t"),
+      Multimodal.MediaRow(3L, "nope".getBytes("UTF-8"), "text/plain", "t"))
+    val out = Multimodal.frameEnergy(spark.createDataset(rows),
+        frameSize = 4, silenceMeanAbs = 10)
+      .collect().groupBy(_.media_id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+    val m = out(1L)
+    assert(m.length == 2) // tail dropped
+    assert(m(0).sum_abs == 300 && m(0).sum_squares == 25000 && m(0).n_zero_cross == 3)
+    assert(!m(0).is_silence) // 300 >= 10*4
+    assert(m(1).sum_abs == 12 && m(1).n_zero_cross == 2 && m(1).is_silence)
+    val st = out(2L)
+    assert(st.length == 1 && st(0).sum_abs == 32 && st(0).n_zero_cross == 3)
+    assert(!out.contains(3L)) // undecodable emits no rows
+  }
+
+  test("imageDHash: hand-computed gradient bits; ramp saturates; flat is zero") {
+    import graft.functions.PngCodec
+    // 9x8 gray ramp increasing left to right: every horizontal gradient
+    // is positive, so all 64 bits set
+    val ramp = PngCodec.Image(9, 8, 1,
+      Array.tabulate(72)(i => (i % 9 * 20).toByte))
+    // flat image: no strict increase anywhere, hash 0
+    val flat = PngCodec.Image(9, 8, 1, Array.fill(72)(77.toByte))
+    // 2x2 RGB with a known single comparison pattern
+    val rows = Seq(
+      Multimodal.MediaRow(1L, PngCodec.encode(ramp), "image/png", "t"),
+      Multimodal.MediaRow(2L, PngCodec.encode(flat), "image/png", "t"),
+      Multimodal.MediaRow(3L, "junk".getBytes("UTF-8"), "text/plain", "t"))
+    val out = Multimodal.imageDHash(spark.createDataset(rows))
+      .collect().map(h => h.media_id -> h).toMap
+    assert(out(1L).dhash.contains(-1L)) // all 64 bits
+    assert(out(2L).dhash.contains(0L))
+    assert(out(3L).dhash.isEmpty && out(3L).width.isEmpty)
+  }
+
+  test("imageDHash: invariant under integer-factor nearest-neighbor upscale") {
+    import graft.functions.PngCodec
+    // floor-division composition: sampling the 2x/3x upscale hits the
+    // same source pixels, so the hash provably cannot move
+    val src = PngCodec.syntheticRgb(42L, 12, 9)
+    val pairs = for (f <- Seq(2, 3)) yield {
+      val rows = Seq(Multimodal.MediaRow(1L, PngCodec.encode(src), "image/png", "t"))
+      val up = Multimodal.resizeImages(
+        spark.createDataset(rows), 12 * f, 9 * f)
+      (Multimodal.imageDHash(spark.createDataset(rows)).collect().head.dhash,
+        Multimodal.imageDHash(up).collect().head.dhash)
+    }
+    pairs.foreach { case (orig, scaled) =>
+      assert(orig.isDefined && orig == scaled)
+    }
+  }
+
+  test("imageDHash: brightness shift preserving pixel order preserves the hash") {
+    import graft.functions.PngCodec
+    val base = PngCodec.syntheticRgb(7L, 10, 8)
+    // halve every channel: strictly monotone map on [0,255], so every
+    // luma comparison keeps its sign (integer luma of halved channels
+    // is not exactly half, but < is preserved when all channels halve
+    // with the same truncation ordering on an even-valued raster)
+    val dimmed = PngCodec.Image(base.width, base.height, base.channels,
+      base.data.map(b => ((b & 0xff) >> 1).toByte))
+    val h = Multimodal.imageDHash(spark.createDataset(Seq(
+        Multimodal.MediaRow(1L, PngCodec.encode(base), "image/png", "t"),
+        Multimodal.MediaRow(2L, PngCodec.encode(dimmed), "image/png", "t"))))
+      .collect().map(x => x.media_id -> x.dhash).toMap
+    // the hashes agree on the vast majority of bits (exact equality is
+    // not guaranteed: >> 1 truncation can flip a tie). Hamming ≤ 4 of 64.
+    val d = java.lang.Long.bitCount(h(1L).get ^ h(2L).get)
+    assert(d <= 4, s"hamming $d")
+  }
+
+  test("nearDuplicateImages: planted near-dup found, distinct images not paired") {
+    import graft.functions.PngCodec
+    val a = PngCodec.syntheticRgb(5L, 16, 12)
+    // near-dup of a: one pixel's channels nudged by 1 (at most a few
+    // grid comparisons can flip)
+    val tweaked = a.data.clone()
+    tweaked(0) = ((tweaked(0) & 0xff) ^ 1).toByte
+    val b = PngCodec.Image(16, 12, 3, tweaked)
+    val far = PngCodec.syntheticRgb(999L, 16, 12)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, PngCodec.encode(a), "image/png", "t"),
+      Multimodal.MediaRow(2L, PngCodec.encode(b), "image/png", "t"),
+      Multimodal.MediaRow(3L, PngCodec.encode(far), "image/png", "t"),
+      Multimodal.MediaRow(4L, "noise".getBytes("UTF-8"), "text/plain", "t"))
+    val pairs = Multimodal.nearDuplicateImages(spark.createDataset(rows), maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // undecodable row never appears
+    assert(pairs.forall { case (x, y) => x != 4L && y != 4L })
+  }
 }
