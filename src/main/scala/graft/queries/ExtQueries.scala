@@ -128,6 +128,108 @@ object ExtQueries {
         emb, emb.filter(col("vec_id") < 10), k = 5, maxCos = 0.8)
     },
 
+    // ── CCNet-style line-level boilerplate removal: lines recurring
+    // across ≥ 2 distinct docs are dropped from every doc, order
+    // preserved, blank lines structural. The corpus has no newlines,
+    // so the query first MAKES lines both engines can replay — each
+    // doc's text split into non-overlapping 4-word windows (341 such
+    // lines recur cross-doc at sf0.01, max df 10). The cleaned text
+    // itself rides under the hash, so a slip in df counting, blank
+    // handling, within-doc-repeat semantics, or reassembly order
+    // breaks the gate.
+    "q92_line_dedup" -> { (s, dir) =>
+      val words = split(col("text"), " ")
+      val liney = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), floor((size(words) - 1) / lit(4)).cast("int")),
+            i => array_join(slice(words, i * 4 + 1, lit(4)), " ")),
+          "\n").as("text"))
+      graft.ext.LineDedup.removeDuplicatedLines(
+        liney, "doc_id", "text", minDf = 2)
+    },
+
+    // ── perceptual image hash (dHash): q81's synthetic PNG rasters
+    // through the REAL decode, then the 9×8 luma grid's horizontal
+    // gradient-sign bits. Integer-exact throughout, so the oracle
+    // replays pixel formula → truncating resize indices → Rec.601
+    // luma → bit pack from pure SQL arithmetic; the 64-bit hash rides
+    // as two unsigned 32-bit halves (a BIGINT can't carry bit 63 as a
+    // sum term portably). Corpus-scale near-dup pairing over these
+    // hashes reuses the SimHash pigeonhole chunk join (spec-pinned).
+    "q93_image_dhash" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val img = graft.functions.PngCodec.syntheticRgb(id, w, h)
+          Multimodal.MediaRow(id, graft.functions.PngCodec.encode(img),
+            "image/png", source)
+        }
+      Multimodal.imageDHash(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"))
+    },
+
+    // ── short-time frame energy + zero-crossing rate (the VAD/
+    // silence-trim front end of an ASR pipeline): q82's synthetic WAVs
+    // through the REAL decode, then 16-sample frames fold to Σ|s|, Σs²,
+    // sign-flip count, and a mean-|s| silence flag — all integer, so
+    // the oracle replays decode→frame→fold from the sample formula
+    // (per-frame rows, tail remainder dropped, frame-boundary pairs
+    // counted in neither frame — each a distinct way to break the hash).
+    "q94_audio_frame_energy" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val n = (id % 200 + 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 65536) - 32768).toShort)
+          Multimodal.MediaRow(id,
+            graft.functions.AudioHeaders.wavBytes(1, 16000, samples),
+            "audio/wav", source)
+        }
+      Multimodal.frameEnergy(media, frameSize = 16, silenceMeanAbs = 8192)
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("sum_abs"), col("sum_squares"),
+          col("n_zero_cross").cast("long").as("n_zero_cross"),
+          col("is_silence"))
+    },
+
+    // ── product-quantization ANN (Jégou et al. 2011; the 32×-
+    // compressed scale path FAISS calls ADC): train per-subspace
+    // codebooks, encode the corpus to m codes, search via per-query
+    // distance tables — candidates never touch the original vectors.
+    // Same invariant form as the IVF/LSH gates (q27/q35): the query
+    // emits rows ONLY if ADC top-5 recall against the exact brute-
+    // force leg drops under the floor, so the oracle is the empty set.
+    // Measured recall at sf0.01 rides well above the 0.30 floor.
+    "q95_ann_pq_recall_floor" -> { (s, dir) =>
+      import graft.ext.ProductQuantization
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("cand_id")).cache()
+      val model = ProductQuantization.train(emb, dim = 64)
+      val approx = ProductQuantization.adcTopK(
+          ProductQuantization.encode(emb, model), q, topK = 5, model)
+        .select(col("query_id"), col("cand_id"))
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / exact.count()).as("recall"))
+        .filter(col("recall") < 0.30)
+        .select(lit("pq").as("method"), round(col("recall"), 6).as("recall"))
+    },
+
     // ── embedding norms + per-label aggregate (Σ in index order, double).
     "q22_embedding_norms" -> { (s, dir) =>
       Tables.embeddings(s, dir)
@@ -1306,6 +1408,89 @@ object ExtQueries {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+
+    // full line-dedup replay: 4-word windows as lines, df = distinct
+    // docs, anti-join removal, ordered string_agg reassembly
+    "q92_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |lines AS (
+        |  SELECT w.doc_id, i.i AS ord,
+        |    array_to_string(ws[(i.i*4+1):(i.i*4+4)], ' ') AS line
+        |  FROM w JOIN range(0, 1000) i(i) ON i.i <= (len(ws)-1)//4),
+        |boiler AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df
+        |    FROM lines WHERE trim(line) <> '' GROUP BY line)
+        |  WHERE df >= 2),
+        |kept AS (
+        |  SELECT l.doc_id, l.ord, l.line
+        |  FROM lines l ANTI JOIN boiler b ON l.line = b.line),
+        |r AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY ord) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |  (len(ws)-1)//4 + 1 AS n_lines,
+        |  (len(ws)-1)//4 + 1 - coalesce(r.n_kept, 0) AS n_removed
+        |FROM w LEFT JOIN r ON w.doc_id = r.doc_id""".stripMargin,
+
+    // dHash replay from pure arithmetic: q81's pixel formula sampled at
+    // the truncating 9×8 grid indices, Rec.601 integer luma, horizontal
+    // gradient-sign bits summed into the two unsigned halves
+    "q93_image_dhash" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, r.i AS r, c.i AS c,
+        |    (c.i * (d.doc_id % 16 + 4)) // 9 AS sx,
+        |    (r.i * (d.doc_id % 12 + 4)) // 8 AS sy
+        |  FROM documents d
+        |  JOIN range(0, 8) r(i) ON true
+        |  JOIN range(0, 9) c(i) ON true),
+        |l AS (
+        |  SELECT doc_id, r, c,
+        |    299*((doc_id + 3*sx + 7*sy) % 256)
+        |      + 587*((2*doc_id + 5*sx + sy) % 256)
+        |      + 114*((3*doc_id + sx + 11*sy) % 256) AS luma
+        |  FROM g),
+        |b AS (
+        |  SELECT a.doc_id, a.r, a.c,
+        |    CASE WHEN a.luma < n.luma THEN 1 ELSE 0 END AS bit
+        |  FROM l a JOIN l n
+        |    ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+        |  WHERE a.c < 8)
+        |SELECT doc_id,
+        |  doc_id % 16 + 4 AS width,
+        |  doc_id % 12 + 4 AS height,
+        |  CAST(sum(CASE WHEN r*8+c < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (r*8+c)) ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |  CAST(sum(CASE WHEN r*8+c >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (r*8+c-32)) ELSE 0 END) AS BIGINT) AS dhash_hi
+        |FROM b GROUP BY doc_id""".stripMargin,
+
+    // frame-fold replay from the q82 sample formula: whole 16-sample
+    // frames only, in-frame consecutive sign flips, mean-|s| silence
+    "q94_audio_frame_energy" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, i.i AS i,
+        |    (d.doc_id*31 + i.i*17) % 65536 - 32768 AS v,
+        |    CASE WHEN i.i % 16 <> 0
+        |      THEN (d.doc_id*31 + (i.i-1)*17) % 65536 - 32768 END AS prev
+        |  FROM documents d
+        |  JOIN range(0, 256) i(i)
+        |    ON i.i < ((d.doc_id % 200 + 50) // 16) * 16)
+        |SELECT doc_id, i // 16 AS frame_idx,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v*v) AS BIGINT) AS sum_squares,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (v < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  sum(abs(v)) < 8192*16 AS is_silence
+        |FROM s GROUP BY doc_id, frame_idx""".stripMargin,
+
+    // invariant form (q35 family): empty unless the PQ recall floor is
+    // violated
+    "q95_ann_pq_recall_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
 
     // q21's arithmetic with the near-dup ceiling applied before rank
     "q91_hard_negatives" ->

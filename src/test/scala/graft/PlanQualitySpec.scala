@@ -60,11 +60,16 @@ class PlanQualitySpec extends SparkSpec {
     // q91 is q21's shape with the near-dup ceiling: the same ≤10-row
     // broadcast brute-force gate leg (the scale path routes ANN
     // candidates through the same filter+rank instead).
+    // q95 carries BOTH intentional shapes: its exact reference leg is
+    // q21's broadcast brute force, and the ADC scan under test
+    // broadcasts the ≤10-row query-table frame against the encoded
+    // corpus — per-candidate work is m table lookups, streamed once;
+    // that broadcast-the-tiny-side scan IS the PQ search plan.
     val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound",
       "q27_ann_lsh_recall_floor", "q35_ann_ivf_recall_floor",
       "q58_tfidf_topk", "q59_bigram_lm_score", "q60_semdedup_invariant",
       "q63_heavy_hitters_superset", "q67_weighted_sample",
-      "q91_hard_negatives")
+      "q91_hard_negatives", "q95_ann_pq_recall_floor")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -90,6 +95,21 @@ class PlanQualitySpec extends SparkSpec {
     val windows = "Window \\[count".r.findAllIn(p).size
     assert(windows == relations,
       s"census recomputed outside the cache ($windows windows, $relations cached relations):\n$p")
+  }
+
+  test("q92: boilerplate removal joins ANTI on the line key; reassembly is a hash agg, not a global window") {
+    val p = plan("q92_line_dedup")
+    assert(p.contains("LeftAnti"), s"q92 lost the anti-join:\n$p")
+    assert(!p.contains("Window"), s"q92 reassembly regressed to a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q93/q94: codec kernels stay scan-stage — no joins, no windows") {
+    Seq("q93_image_dhash", "q94_audio_frame_energy").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q plans a join:\n$p")
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+    }
   }
 
   test("q40: exact near-dup pairs run as a shuffle equi-join, not a corpus broadcast") {
