@@ -303,6 +303,44 @@ object Multimodal {
         .select(col("media_id").as("id"), col("dhash").as("simhash")),
       maxDist)
 
+  /** Image near-duplicate CLUSTERS: per image in any near-dup relation,
+    * (vertex = media_id, component = smallest media_id reachable via
+    * Hamming ≤ `maxDist` steps) — [[nearDuplicateImages]] composed with
+    * [[ConnectedComponents]], but scale-restructured: identical hashes
+    * collapse to one representative (min id) BEFORE the pair join, so
+    * the Hamming join and the closure run over DISTINCT hash values,
+    * not images. Exact-duplicate cliques are the dominant mass in a
+    * dedup corpus (a k-copy image contributes k²/2 pairs but only ONE
+    * distinct hash), so candidate volume drops from Σ clique² to
+    * Σ distinct-hash-bucket² — the standard exact-collapse-then-
+    * near-dup staging of large dedup pipelines. EXACT equivalence to
+    * the naive pairs∘closure composition (spec-pinned): within-clique
+    * edges are implied by the shared hash; the rep graph's closure
+    * labels (min rep = min member, since the rep IS the clique min)
+    * broadcast back over the hash join.
+    */
+  def nearDuplicateImageComponents(media: Dataset[MediaRow],
+      maxDist: Int): DataFrame = {
+    // cached at the (media_id, dhash) level: the decode pass is the
+    // dominant cost and would otherwise run once for the group census
+    // and again for the map-back join
+    val h = imageDHash(media).toDF()
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"))
+      .cache()
+    val groups = h.groupBy(col("dhash"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
+    val repPairs = SimHash.nearPairsFromSignatures(
+      groups.select(col("rep").as("id"), col("dhash").as("simhash")),
+      maxDist)
+    val comp = ConnectedComponents.auto(repPairs, "doc_a", "doc_b")
+    h.join(groups, Seq("dhash"))
+      .join(comp, col("rep") === col("vertex"), "left")
+      .filter(col("component").isNotNull || col("n") >= 2)
+      .select(col("media_id").as("vertex"),
+        coalesce(col("component"), col("rep")).as("component"))
+  }
+
   /** PCM sample stats — the audio analogue of [[pixelStats]], real
     * bytes not metadata: [[graft.functions.AudioHeaders.pcmStats]]
     * walks to the data chunk and folds int16 samples into integer-

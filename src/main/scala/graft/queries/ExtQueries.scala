@@ -177,6 +177,36 @@ object ExtQueries {
           shiftrightunsigned(col("dhash"), 32).as("dhash_hi"))
     },
 
+    // ── end-to-end image dedup closure: the q93 rasters through REAL
+    // decode → dHash → pigeonhole Hamming pairs (≤2) → connected
+    // components → canonical label per near-dup cluster. The fixture
+    // family makes this semantically sharp: the raster formula's
+    // horizontal gradients are doc_id-INDEPENDENT for a fixed (w,h)
+    // class, i.e. same-dimension images are brightness-shifted copies
+    // — exactly what dHash exists to identify (422 of 500 docs fall
+    // into 21 clusters at sf0.01). Identical hashes collapse to a
+    // representative BEFORE the Hamming join (exact-dup cliques are
+    // the corpus mass; pairs over distinct VALUES, not images —
+    // equivalence to the naive pairs∘closure spec-pinned). Oracle
+    // replays hash arithmetic, brute-force Hamming on the 32-bit
+    // halves (bit_count∘xor — no 64-bit reconstruction, bit 63 won't
+    // ride a BIGINT), and a recursive-CTE closure over the FULL pair
+    // graph, so the collapse must be invisible in the answer.
+    "q96_image_dedup_closure" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val img = graft.functions.PngCodec.syntheticRgb(id, w, h)
+          Multimodal.MediaRow(id, graft.functions.PngCodec.encode(img),
+            "image/png", source)
+        }
+      Multimodal.nearDuplicateImageComponents(media, maxDist = 2)
+    },
+
     // ── short-time frame energy + zero-crossing rate (the VAD/
     // silence-trim front end of an ASR pipeline): q82's synthetic WAVs
     // through the REAL decode, then 16-sample frames fold to Σ|s|, Σs²,
@@ -1491,6 +1521,49 @@ object ExtQueries {
     "q95_ann_pq_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+
+    // q93's hash arithmetic + brute Hamming on the halves + recursive
+    // closure (q34's reach pattern)
+    "q96_image_dedup_closure" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT d.doc_id, r.i AS r, c.i AS c,
+        |    (c.i * (d.doc_id % 16 + 4)) // 9 AS sx,
+        |    (r.i * (d.doc_id % 12 + 4)) // 8 AS sy
+        |  FROM documents d
+        |  JOIN range(0, 8) r(i) ON true
+        |  JOIN range(0, 9) c(i) ON true),
+        |l AS (
+        |  SELECT doc_id, r, c,
+        |    299*((doc_id + 3*sx + 7*sy) % 256)
+        |      + 587*((2*doc_id + 5*sx + sy) % 256)
+        |      + 114*((3*doc_id + sx + 11*sy) % 256) AS luma
+        |  FROM g),
+        |b AS (
+        |  SELECT a.doc_id, a.r, a.c,
+        |    CASE WHEN a.luma < n.luma THEN 1 ELSE 0 END AS bit
+        |  FROM l a JOIN l n
+        |    ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN r*8+c < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (r*8+c)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN r*8+c >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (r*8+c-32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM b GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS vertex, least(src, MIN(dst)) AS component
+        |FROM reach GROUP BY src""".stripMargin,
 
     // q21's arithmetic with the near-dup ceiling applied before rank
     "q91_hard_negatives" ->

@@ -303,6 +303,27 @@ class MultimodalSpec extends SparkSpec {
     assert(d <= 4, s"hamming $d")
   }
 
+  test("nearDuplicateImageComponents: hash-collapse closure == naive pairs∘closure") {
+    import graft.functions.PngCodec
+    // 60 images over a few (w,h) classes: heavy identical-hash cliques
+    // plus cross-clique near-misses — the exact shape the collapse
+    // optimizes. Equivalence must be EXACT, vertex set included.
+    val rows = (0L until 60L).map { id =>
+      val w = (id % 4 + 6).toInt
+      val h = (id % 3 + 6).toInt
+      Multimodal.MediaRow(id,
+        PngCodec.encode(PngCodec.syntheticRgb(id, w, h)), "image/png", "t")
+    }
+    val media = spark.createDataset(rows)
+    val fast = Multimodal.nearDuplicateImageComponents(media, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = ConnectedComponents.auto(
+        Multimodal.nearDuplicateImages(media, maxDist = 2), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive)
+    assert(fast.nonEmpty) // the fixture really does cluster
+  }
+
   test("nearDuplicateImages: planted near-dup found, distinct images not paired") {
     import graft.functions.PngCodec
     val a = PngCodec.syntheticRgb(5L, 16, 12)
