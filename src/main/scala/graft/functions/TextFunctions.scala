@@ -99,6 +99,17 @@ object TextFunctions {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Unicode NFC normalization (native codegen expression —
+    * [[graft.plans.NfcNormalizeExpr]]): composed/decomposed variants of
+    * the same visible text unify BEFORE any exact-match operator
+    * (fingerprints, line dedup, shingles) sees them. Oracle twin:
+    * DuckDB `nfc_normalize`.
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.plans.NfcNormalizeExpr(bridge.expression(text)))
+  }
+
   /** Content fingerprint: md5 of the normalized text — exact-dup key
     * that survives case/whitespace jitter. Oracle-able (DuckDB md5 is
     * identical).

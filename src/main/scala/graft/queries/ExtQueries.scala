@@ -236,6 +236,24 @@ object ExtQueries {
           col("is_silence"))
     },
 
+    // ── Unicode NFC normalization (native codegen Expression —
+    // Spark has no built-in): per doc the text gets decomposed
+    // sequences appended (e+◌́, u+◌̈, A+◌̊, and s+◌̣+◌̇ which composes
+    // TWICE through canonical ordering), then normalizes. The oracle
+    // is DuckDB's independent utf8proc-based nfc_normalize — two
+    // unrelated Unicode implementations must produce byte-identical
+    // NFC, with code-point lengths before/after on the hash too.
+    "q97_nfc_normalize" -> { (s, dir) =>
+      val raw = concat(col("text"),
+        lit(" Cafe\u0301 blu\u0308 A\u030A ss\u0323\u0307"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          T.nfcNormalize(col("raw")).as("norm_text"),
+          length(col("raw")).cast("long").as("len_before"),
+          length(T.nfcNormalize(col("raw"))).cast("long").as("len_after"))
+    },
+
     // ── product-quantization ANN (Jégou et al. 2011; the 32×-
     // compressed scale path FAISS calls ADC): train per-subspace
     // codebooks, encode the corpus to m codes, search via per-query
@@ -1521,6 +1539,20 @@ object ExtQueries {
     "q95_ann_pq_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+
+    // independent-implementation NFC identity: DuckDB's utf8proc vs
+    // the JDK Normalizer must agree byte-for-byte; combining marks
+    // built via chr() so no editor/encoding layer can corrupt them
+    "q97_nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text || ' Cafe' || chr(769) || ' blu' || chr(776)
+        |         || ' A' || chr(778) || ' ss' || chr(803) || chr(775) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        |  length(raw) AS len_before,
+        |  length(nfc_normalize(raw)) AS len_after
+        |FROM r""".stripMargin,
 
     // q93's hash arithmetic + brute Hamming on the halves + recursive
     // closure (q34's reach pattern)
