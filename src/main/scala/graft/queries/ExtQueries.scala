@@ -236,6 +236,17 @@ object ExtQueries {
           col("is_silence"))
     },
 
+    // ── schema-generic data profile (exact mode — the oracle gate;
+    // approx_count_distinct is the one-scan 100 TB default, q38/q46's
+    // documented trade): documents plus a derived genuinely-nullable
+    // column, one row per column with row/null/distinct counts.
+    "q98_profile" -> { (s, dir) =>
+      graft.operators.Profile.profile(
+        Tables.documents(s, dir)
+          .withColumn("lang_non_en", nullif(col("lang"), lit("en"))),
+        exact = true)
+    },
+
     // ── Unicode NFC normalization (native codegen Expression —
     // Spark has no built-in): per doc the text gets decomposed
     // sequences appended (e+◌́, u+◌̈, A+◌̊, and s+◌̣+◌̇ which composes
@@ -1539,6 +1550,30 @@ object ExtQueries {
     "q95_ann_pq_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+
+    // per-column replay of the single-pass profile (exact mode)
+    "q98_profile" ->
+      """WITH d AS (
+        |  SELECT *, nullif(lang, 'en') AS lang_non_en FROM documents)
+        |SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+        |  count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_nulls,
+        |  count(DISTINCT doc_id) AS n_distinct FROM d
+        |UNION ALL
+        |SELECT 'text', count(*), count(CASE WHEN text IS NULL THEN 1 END),
+        |  count(DISTINCT text) FROM d
+        |UNION ALL
+        |SELECT 'lang', count(*), count(CASE WHEN lang IS NULL THEN 1 END),
+        |  count(DISTINCT lang) FROM d
+        |UNION ALL
+        |SELECT 'source', count(*), count(CASE WHEN source IS NULL THEN 1 END),
+        |  count(DISTINCT source) FROM d
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(CASE WHEN n_chars IS NULL THEN 1 END),
+        |  count(DISTINCT n_chars) FROM d
+        |UNION ALL
+        |SELECT 'lang_non_en', count(*),
+        |  count(CASE WHEN lang_non_en IS NULL THEN 1 END),
+        |  count(DISTINCT lang_non_en) FROM d""".stripMargin,
 
     // independent-implementation NFC identity: DuckDB's utf8proc vs
     // the JDK Normalizer must agree byte-for-byte; combining marks
