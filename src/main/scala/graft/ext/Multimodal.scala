@@ -303,6 +303,45 @@ object Multimodal {
         .select(col("media_id").as("id"), col("dhash").as("simhash")),
       maxDist)
 
+  /** Incremental image near-dup — the multimodal sibling of
+    * [[MinHashDedup.incrementalNearDuplicates]] /
+    * [[SimilaritySearch.incrementalCosineNearDuplicates]]: pairs at
+    * Hamming ≤ `maxDist` where at least ONE side is from `newMedia` —
+    * batch×corpus plus batch×batch through the same pigeonhole chunk
+    * join; corpus×corpus is NEVER enumerated, so per-batch cost is
+    * |batch|-proportional, not |corpus|². The corpus side arrives as an
+    * already-hashed index frame (`media_id`, `dhash`) — at 100 TB the
+    * stored index IS the hashes, 8 bytes per image; re-decoding the
+    * corpus per batch would defeat the point. Output: `doc_a` <
+    * `doc_b`, `hamming`.
+    */
+  def incrementalNearDuplicateImages(newMedia: Dataset[MediaRow],
+      corpusHashes: DataFrame, maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    def chunked(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"), col("simhash"),
+        explode(SimHash.chunkKeys(col("simhash"), nChunks)).as("c"))
+      .select(col("id"), col("simhash"),
+        col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    // cached: feeds the cross join AND the batch-internal self join
+    val newSigs = imageDHash(newMedia).toDF()
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("id"), col("dhash").as("simhash"))
+      .cache()
+    val newChunked = chunked(newSigs)
+    val oldChunked = chunked(
+      corpusHashes.select(col("media_id").as("id"), col("dhash").as("simhash")))
+    val cross = newChunked.as("a").join(oldChunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") =!= col("b.id") &&
+          expr("bit_count(a.simhash ^ b.simhash)") <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+    val within = SimHash.nearPairsFromSignatures(newSigs, maxDist)
+    cross.unionByName(within).distinct()
+  }
+
   /** Image near-duplicate CLUSTERS: per image in any near-dup relation,
     * (vertex = media_id, component = smallest media_id reachable via
     * Hamming ≤ `maxDist` steps) — [[nearDuplicateImages]] composed with

@@ -236,6 +236,34 @@ object ExtQueries {
           col("is_silence"))
     },
 
+    // ── incremental image dedup (the multimodal member of the q50/q54
+    // incremental family): the 10% batch (doc_id ≡ 0 mod 10) arrives
+    // as raw payloads, the corpus as its stored 8-byte dHash index;
+    // pairs with ≥1 batch side via batch×corpus + batch×batch chunk
+    // joins — corpus×corpus never enumerated. EXACT oracle: brute
+    // Hamming over the formula hashes with the ≥1-batch-side predicate.
+    "q99_incremental_image_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val img = graft.functions.PngCodec.syntheticRgb(id, w, h)
+          Multimodal.MediaRow(id, graft.functions.PngCodec.encode(img),
+            "image/png", source)
+        }
+      val batch = all.filter(r => r.media_id % 10 == 0)
+      val corpusIndex = Multimodal.imageDHash(
+          all.filter(r => r.media_id % 10 != 0)).toDF()
+        .filter(col("dhash").isNotNull)
+        .select(col("media_id"), col("dhash"))
+      Multimodal.incrementalNearDuplicateImages(batch, corpusIndex, maxDist = 2)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+    },
+
     // ── schema-generic data profile (exact mode — the oracle gate;
     // approx_count_distinct is the one-scan 100 TB default, q38/q46's
     // documented trade): documents plus a derived genuinely-nullable
@@ -1550,6 +1578,41 @@ object ExtQueries {
     "q95_ann_pq_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+
+    // brute-force replay of the incremental contract: q93's hash
+    // arithmetic, all pairs at Hamming ≤ 2 with at least one batch side
+    "q99_incremental_image_dedup" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, r.i AS r, c.i AS c,
+        |    (c.i * (d.doc_id % 16 + 4)) // 9 AS sx,
+        |    (r.i * (d.doc_id % 12 + 4)) // 8 AS sy
+        |  FROM documents d
+        |  JOIN range(0, 8) r(i) ON true
+        |  JOIN range(0, 9) c(i) ON true),
+        |l AS (
+        |  SELECT doc_id, r, c,
+        |    299*((doc_id + 3*sx + 7*sy) % 256)
+        |      + 587*((2*doc_id + 5*sx + sy) % 256)
+        |      + 114*((3*doc_id + sx + 11*sy) % 256) AS luma
+        |  FROM g),
+        |b AS (
+        |  SELECT a.doc_id, a.r, a.c,
+        |    CASE WHEN a.luma < n.luma THEN 1 ELSE 0 END AS bit
+        |  FROM l a JOIN l n
+        |    ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN r*8+c < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (r*8+c)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN r*8+c >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (r*8+c-32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2
+        |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)""".stripMargin,
 
     // per-column replay of the single-pass profile (exact mode)
     "q98_profile" ->

@@ -324,6 +324,31 @@ class MultimodalSpec extends SparkSpec {
     assert(fast.nonEmpty) // the fixture really does cluster
   }
 
+  test("incrementalNearDuplicateImages == full pairs restricted to a batch side") {
+    import graft.functions.PngCodec
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 40L).map { id =>
+      val w = (id % 4 + 6).toInt
+      val h = (id % 3 + 6).toInt
+      Multimodal.MediaRow(id,
+        PngCodec.encode(PngCodec.syntheticRgb(id, w, h)), "image/png", "t")
+    }
+    val media = spark.createDataset(rows)
+    val batch = media.filter(r => r.media_id % 5 == 0)
+    val index = Multimodal.imageDHash(media.filter(r => r.media_id % 5 != 0))
+      .toDF().filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"))
+    val inc = Multimodal.incrementalNearDuplicateImages(batch, index, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Multimodal.nearDuplicateImages(media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = full.filter { case (a, b, _) => a % 5 == 0 || b % 5 == 0 }
+    assert(inc == expected)
+    // corpus-only pairs really are excluded, and some exist to exclude
+    assert(full.exists { case (a, b, _) => a % 5 != 0 && b % 5 != 0 })
+    assert(inc.forall { case (a, b, _) => a % 5 == 0 || b % 5 == 0 })
+  }
+
   test("nearDuplicateImages: planted near-dup found, distinct images not paired") {
     import graft.functions.PngCodec
     val a = PngCodec.syntheticRgb(5L, 16, 12)
