@@ -129,6 +129,80 @@ object ProductQuantization {
         e.getField("_3")))
   }
 
+  /** IVF + ADC — the composed billion-scale index (FAISS "IVFPQ"
+    * without residual refinement, documented below): a coarse
+    * full-vector k-means partitions the corpus into `nCells` inverted
+    * lists; search probes the `nProbe` cells nearest the query and
+    * ADC-ranks ONLY their members, so the scan fraction is
+    * ~nProbe/nCells of [[adcTopK]]'s full pass on top of the same
+    * 12-byte codes. Probing ALL cells recovers [[adcTopK]] exactly
+    * (spec-pinned equivalence — the cell stage is a pure candidate
+    * restriction). Classic IVFADC additionally re-trains PQ on the
+    * residuals v − c_cell for finer quantization; that refinement
+    * slots in at the `codesFor` call without changing any plan shape.
+    *
+    * Plan: coarse training = `coarseIters` scans with the
+    * [[CentroidAssign]] value-literal argmin; the index pass emits
+    * (cand_id, cell, codes) in one projection; probes broadcast while
+    * queries×nProbe is broadcast-small with the same stats-estimate
+    * fallback to a shuffle join as [[SimilaritySearch.ivfTopK]].
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      model: PqModel, nCells: Int = 16, nProbe: Int = 6,
+      coarseIters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = Partitioning.forCompute(unit(corpus, "cand_id", idCol, vecCol))
+      .cache()
+    try {
+      var coarse: Array[(Int, Seq[Double])] = c
+        .orderBy(md5(col("cand_id").cast("string"))).limit(nCells)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      for (_ <- 1 to coarseIters) {
+        val means = c.select(
+            element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
+              .getField("cell").as("cell"),
+            col("vd"))
+          .select(col("cell"), posexplode(col("vd")).as(Seq("d", "x")))
+          .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+          .collect()
+        val next = coarse.map { case (i, v) => i -> v.toArray }.toMap
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        coarse = coarse.map { case (i, _) => (i, next(i).toSeq) }
+      }
+      val indexed = c.select(col("cand_id"),
+        element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
+          .getField("cell").as("cell"),
+        codesFor(col("vd"), model).as("codes"))
+      val probed = unit(queries, "query_id", idCol, vecCol)
+        .select(col("query_id"), distTable(col("vd"), model).as("tbl"),
+          explode(transform(
+            CentroidAssign.nearestCells(col("vd"), coarse, nProbe),
+            _.getField("cell"))).as("cell"))
+      val bcLimit = BigInt(
+        corpus.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+      val probeEst =
+        queries.queryExecution.optimizedPlan.stats.sizeInBytes * nProbe
+      val probeJoin =
+        if (bcLimit > 0 && probeEst <= bcLimit)
+          broadcast(probed).join(indexed, Seq("cell"))
+        else probed.join(indexed, Seq("cell"))
+      val scored = probeJoin
+        .where(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+            (acc, j) => acc + element_at(col("tbl"),
+              j * model.k + element_at(col("codes"), j + 1) + 1))
+            .as("adc_dist"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("cand_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("cand_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+    } finally { c.unpersist(); () }
+  }
+
   /** Approximate top-k by ADC distance over PQ codes: per query the
     * m·k table (exact arithmetic, broadcast with the query row), per
     * candidate m array lookups, per-query top-k window (ascending

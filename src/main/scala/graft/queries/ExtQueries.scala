@@ -236,6 +236,27 @@ object ExtQueries {
           col("is_silence"))
     },
 
+    // ── IVF+ADC composed index (FAISS IVFPQ architecture): coarse
+    // cells restrict the scan to ~nProbe/nCells of the corpus, PQ
+    // codes make each candidate cost m lookups — the full
+    // billion-scale ANN stack. Invariant form (q27/q35/q95 family):
+    // rows only if top-5 recall vs the exact leg drops under 0.25
+    // (measured 0.50 at sf0.01 / 0.40 at sf0.1 with nProbe=6).
+    "q100_ann_ivfadc_recall_floor" -> { (s, dir) =>
+      import graft.ext.ProductQuantization
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("cand_id")).cache()
+      val model = ProductQuantization.train(emb, dim = 64)
+      val approx = ProductQuantization.ivfAdcTopK(emb, q, topK = 5, model)
+        .select(col("query_id"), col("cand_id"))
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / exact.count()).as("recall"))
+        .filter(col("recall") < 0.25)
+        .select(lit("ivfadc").as("method"), round(col("recall"), 6).as("recall"))
+    },
+
     // ── incremental image dedup (the multimodal member of the q50/q54
     // incremental family): the 10% batch (doc_id ≡ 0 mod 10) arrives
     // as raw payloads, the corpus as its stored 8-byte dHash index;
@@ -1576,6 +1597,10 @@ object ExtQueries {
     // invariant form (q35 family): empty unless the PQ recall floor is
     // violated
     "q95_ann_pq_recall_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+
+    "q100_ann_ivfadc_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
 

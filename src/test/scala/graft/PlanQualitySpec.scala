@@ -65,11 +65,14 @@ class PlanQualitySpec extends SparkSpec {
     // broadcasts the ≤10-row query-table frame against the encoded
     // corpus — per-candidate work is m table lookups, streamed once;
     // that broadcast-the-tiny-side scan IS the PQ search plan.
+    // q100's brute-force EXACT leg carries the same tiny-broadcast
+    // shape; the IVFADC side under test joins on the cell key.
     val intentionalBnlj = Set("q21_cosine_topk", "q45_ann_upper_bound",
       "q27_ann_lsh_recall_floor", "q35_ann_ivf_recall_floor",
       "q58_tfidf_topk", "q59_bigram_lm_score", "q60_semdedup_invariant",
       "q63_heavy_hitters_superset", "q67_weighted_sample",
-      "q91_hard_negatives", "q95_ann_pq_recall_floor")
+      "q91_hard_negatives", "q95_ann_pq_recall_floor",
+      "q100_ann_ivfadc_recall_floor")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

@@ -59,6 +59,29 @@ class ProductQuantizationSpec extends SparkSpec {
     }
   }
 
+  test("ivfAdcTopK probing ALL cells == adcTopK exactly (cells are pure restriction)") {
+    val q = emb.filter(col("vec_id") < 5)
+    val full = ProductQuantization.adcTopK(
+        ProductQuantization.encode(emb, model), q, topK = 5, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val allProbes = ProductQuantization.ivfAdcTopK(
+        emb, q, topK = 5, model, nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(allProbes == full)
+  }
+
+  test("ivfAdcTopK recall clears the q100 floor with margin") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ProductQuantization.ivfAdcTopK(emb, q, topK = 5, model)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall $recall under gate floor")
+  }
+
   test("ADC top-5 recall vs exact cosine clears the gate floor with margin") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
