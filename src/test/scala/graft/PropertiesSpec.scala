@@ -168,6 +168,65 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("LineDedup invariants over random corpora: subset, order, df threshold, blank immunity") {
+    val lineGen = Gen.oneOf(Gen.oneOf("alpha", "beta", "gamma", "delta"),
+      Gen.const(""), Gen.const("  "),
+      Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    val docGen = Gen.listOfN(6, lineGen).map(_.mkString("\n"))
+    forAll(Gen.listOfN(12, docGen), n = 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = graft.ext.LineDedup
+        .removeDuplicatedLines(docs.toDF("doc_id", "text"), "doc_id", "text", 2)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      // reference semantics computed in plain Scala
+      val split = docs.map { case (id, t) => id -> t.split("\n", -1).toSeq }.toMap
+      val df = split.toSeq.flatMap { case (id, ls) =>
+        ls.filter(_.trim.nonEmpty).distinct.map(_ -> id)
+      }.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      docs.foreach { case (id, _) =>
+        val ls = split(id)
+        val expectKept = ls.filter(l => l.trim.isEmpty || df.getOrElse(l, 0) < 2)
+        val (_, clean, nLines, nRemoved) = out(id)
+        assert(nLines == ls.size.toLong, s"doc $id n_lines")
+        assert(clean == expectKept.mkString("\n") ||
+          (expectKept.isEmpty && clean == ""), s"doc $id text")
+        assert(nRemoved == (ls.size - expectKept.size).toLong, s"doc $id n_removed")
+      }
+    }
+  }
+
+  test("imageDHash is total over arbitrary byte payloads (None, never a throw)") {
+    val junkGen = Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+    forAll(Gen.listOfN(24, junkGen), n = 4) { payloads =>
+      val rows = payloads.zipWithIndex.map { case (p, i) =>
+        graft.ext.Multimodal.MediaRow(i.toLong, p, "application/octet-stream", "fuzz")
+      }
+      val out = graft.ext.Multimodal.imageDHash(spark.createDataset(rows))
+        .collect()
+      assert(out.length == payloads.size)
+      assert(out.forall(_.dhash.isEmpty)) // junk never decodes
+    }
+  }
+
+  test("Profile: n_distinct <= n_rows - n_nulls for any frame, both modes") {
+    val cellGen = Gen.oneOf(Gen.const(null: String), Gen.alphaStr.map(_.take(3)))
+    forAll(Gen.listOfN(30, Gen.zip(cellGen, cellGen)), n = 4) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("a", "b")
+        Seq(true, false).foreach { exact =>
+          graft.operators.Profile.profile(df, exact)
+            .as[(String, Long, Long, Long)].collect().foreach {
+              case (c, n, nulls, dist) =>
+                assert(n == rows.size.toLong)
+                assert(dist <= n - nulls, s"$c exact=$exact")
+                assert(nulls >= 0 && dist >= 0)
+            }
+        }
+      }
+    }
+  }
+
   test("BlockJoin.crossPairs covers every left×right pair exactly once, any block count") {
     forAll(Gen.zip(Gen.choose(1, 15), Gen.choose(1, 25), Gen.choose(1, 12)), n = 6) {
       case (nl, nr, blocks) =>
