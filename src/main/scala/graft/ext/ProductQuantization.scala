@@ -70,7 +70,13 @@ object ProductQuantization {
     * Deterministic init (hash-scattered corpus vectors, the
     * [[SimilaritySearch.ivfTopK]] convention), empty cells keep their
     * previous centroid. One scan + one bounded aggregate per round,
-    * covering all subspaces at once.
+    * covering all subspaces at once; the unit-vector projection is
+    * cached (MEMORY_AND_DISK) across rounds and released on return.
+    * At true corpus scale codebooks are trained on a SAMPLE (m·k
+    * centroids saturate long before the full corpus informs them) —
+    * pass `corpus.filter(xxhash64-fraction)` / a [[Sampling]] draw as
+    * `corpus`; the gates train on the full small-SF frames so the
+    * oracle has no sampling seam.
     */
   def train(corpus: DataFrame, dim: Int, m: Int = 16, k: Int = 64,
       iters: Int = 5, idCol: String = "vec_id",
