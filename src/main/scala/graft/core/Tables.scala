@@ -36,7 +36,14 @@ object Tables {
       case LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+      case _ =>
+        // µs-precision parquet without isAdjustedToUTC arrives as
+        // TIMESTAMP_NTZ (inferTimestampNTZ default); sessions run UTC,
+        // so the cast to instant-typed TIMESTAMP is value-preserving —
+        // and unix_micros accepts only the instant type.
+        val asTs = col("ts").cast("timestamp")
+        raw.withColumn("ts", asTs)
+          .withColumn("ts_ns", unix_micros(asTs) * 1000)
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

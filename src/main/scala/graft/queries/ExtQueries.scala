@@ -257,6 +257,38 @@ object ExtQueries {
         .select(lit("ivfadc").as("method"), round(col("recall"), 6).as("recall"))
     },
 
+    // ── fasttext-style quality classifier (Joulin et al. 2016 — the
+    // CCNet/GPT-3-pipeline filter architecture): hashed mean-pooled
+    // linear model, distributed full-batch logistic GD. The training
+    // label is a relative-frequency rule (rel freq of 'data' ≥ 3%),
+    // which mean-pooling puts INSIDE the hypothesis class — so the
+    // held-out metric isolates trainer correctness, not label noise.
+    // The gate metric is ranking AUC (rank-sum identity over the
+    // house two-phase global row number), because ranking IS the
+    // production filter contract (CCNet keeps top-X% by score);
+    // 0.5-threshold accuracy would measure the optimizer's norm
+    // asymptote instead. Invariant form (q35 family): rows only if
+    // AUC on the doc_id≡4 (mod 5) held-out fold drops under 0.80
+    // (chance 0.5; measured 0.94 at sf0.01, 0.97 at sf0.1).
+    "q101_quality_classifier_floor" -> { (s, dir) =>
+      import graft.ext.HashedClassifier
+      val toks = split(lower(col("text")), "\\s+")
+      val labeled = Tables.documents(s, dir).select(
+        col("doc_id"), col("text"),
+        (size(filter(toks, t => t === "data")) / size(toks) >= 0.03)
+          .cast("double").as("y"))
+      val train = labeled.filter(pmod(col("doc_id"), lit(5)) < 4)
+      val heldOut = labeled.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val model = HashedClassifier.fit(train, "text", "y",
+        dim = 1 << 15, iters = 15)
+      val scored = HashedClassifier.predict(heldOut, "text", model)
+      val auc = HashedClassifier.auc(scored, "y", "prob", Seq("doc_id"))
+      s.range(1)
+        .select(lit("fasttext_lr").as("method"),
+          round(lit(auc), 6).as("auc"))
+        .filter(lit(auc) < 0.80)
+    },
+
     // ── incremental image dedup (the multimodal member of the q50/q54
     // incremental family): the 10% batch (doc_id ≡ 0 mod 10) arrives
     // as raw payloads, the corpus as its stored 8-byte dHash index;
@@ -1602,6 +1634,12 @@ object ExtQueries {
 
     "q100_ann_ivfadc_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+
+    // invariant form (q35 family): empty unless the held-out AUC
+    // floor is violated
+    "q101_quality_classifier_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS auc
         |WHERE 1 = 0""".stripMargin,
 
     // brute-force replay of the incremental contract: q93's hash
