@@ -172,4 +172,47 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Temperature-scaled mixture (the XLM-R / multilingual-LM rebalance:
+    * sample stratum s in proportion to n_s^α, α<1 upweighting small
+    * strata): per-stratum budgets are COMPUTED from corpus totals —
+    * budget_s = ⌊total · n_s^α / Σ n^α⌋ — then the exact md5-ordered
+    * token trim of [[tokenBudgetMixture]] applies them. One bounded
+    * aggregate (one row per stratum) decides the budgets; everything
+    * else is the q52 shape, so the 100 TB cost profile is unchanged.
+    *
+    * Cross-engine exactness (the default α = 0.5): sqrt is IEEE
+    * correctly-rounded in every engine (pow is NOT — which is why 0.5
+    * is the proven default), the normalizer Z is a LEFT-TO-RIGHT fold
+    * over strata in stratum-name order (an engine-replayable ordered
+    * sum — a DuckDB running-window sum computes the identical value),
+    * and each budget is one multiply of one divide: floor-identical
+    * bits on both sides. Other α values compute via pow and carry no
+    * cross-engine bit guarantee (document or oracle with a tolerance).
+    *
+    * A stratum's budget may exceed its own token count (α<1 upweights
+    * small strata); the trim then keeps the whole stratum — the
+    * standard behavior (upsampling/repetition is a separate policy).
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      tokens: Column,
+      totalTokens: Long,
+      alpha: Double = 0.5,
+      salt: String = ""): DataFrame = {
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(tokens).cast("long").as("t"))
+      .collect() // bounded: one row per stratum (tens of sources)
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val pw: Double => Double =
+      if (alpha == 0.5) math.sqrt else x => math.pow(x, alpha)
+    val z = totals.foldLeft(0.0) { case (acc, (_, t)) => acc + pw(t.toDouble) }
+    val budgets = totals.map { case (s, t) =>
+      s -> math.floor(totalTokens.toDouble * (pw(t.toDouble) / z)).toLong
+    }.toMap
+    tokenBudgetMixture(df, stratumCol, keyCol, tokens, budgets, salt)
+  }
 }

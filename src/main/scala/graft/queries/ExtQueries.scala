@@ -649,6 +649,20 @@ object ExtQueries {
           T.tokenCount(col("text")).as("n_tokens"))
     },
 
+    // ── temperature-scaled mixture (XLM-R rebalance): budgets are
+    // COMPUTED as ⌊total·√n_s / Σ√n⌋ from per-source token totals
+    // (α=0.5 — sqrt is correctly-rounded cross-engine, pow is not;
+    // the normalizer is an ordered fold both engines replay
+    // bit-identically), then the q52 md5-ordered trim applies them.
+    // EXACT row-set oracle: DuckDB recomputes budgets and trim.
+    "q102_temperature_mixture" -> { (s, dir) =>
+      graft.ext.Sampling.temperatureMixture(Tables.documents(s, dir),
+          "source", "doc_id", T.tokenCount(col("text")),
+          totalTokens = 2000L, salt = "temp")
+        .select(col("doc_id"), col("source"),
+          T.tokenCount(col("text")).as("n_tokens"))
+    },
+
     // ── train/val/test split assignment by hash ranges: a row's split
     // never changes when the corpus grows (random shuffles can't
     // promise that). Binary-exact weights.
@@ -1935,6 +1949,32 @@ object ExtQueries {
         |SELECT doc_id, source, n_tokens FROM c
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
         |                         WHEN 'src2' THEN 400 ELSE NULL END""".stripMargin,
+
+    // budget replay: ordered running-window sum of sqrt totals = the
+    // driver's left-to-right fold; sqrt/floor are bit-identical
+    "q102_temperature_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'temp'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |tot AS (SELECT source, SUM(n_tokens) AS st FROM t GROUP BY source),
+        |ord AS (SELECT source, st,
+        |    SUM(sqrt(CAST(st AS DOUBLE))) OVER (ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        |  FROM tot),
+        |b AS (SELECT source,
+        |    CAST(FLOOR(CAST(2000 AS DOUBLE) * (sqrt(CAST(st AS DOUBLE))
+        |      / (SELECT MAX(rs) FROM ord))) AS BIGINT) AS budget
+        |  FROM tot),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.n_tokens FROM c
+        |JOIN b ON c.source = b.source
+        |WHERE c.cum <= b.budget""".stripMargin,
 
     // Spark's window(ts, 1h, 30m) aligns slides to the epoch; every
     // event is in exactly the two windows starting at floor30(ts) and

@@ -81,6 +81,36 @@ class SamplingSpec extends SparkSpec {
     assert(d500.subsetOf(d900))
   }
 
+  test("temperatureMixture: sqrt budgets, small-stratum upweighting, whole-stratum cap") {
+    // two strata, 9:1 token ratio — α=0.5 gives the small one a
+    // 1/(3+1)=25% share instead of the proportional 10%
+    val df = ((1L to 90L).map(i => (i, "big", "w " * 10)) ++
+      (91L to 100L).map(i => (i, "small", "w " * 10)))
+      .toDF("doc_id", "stratum", "text")
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    val out = Sampling.temperatureMixture(df, "stratum", "doc_id", toks,
+      totalTokens = 400L, salt = "t")
+    val got = out.groupBy("stratum").agg(sum(toks).as("t"))
+      .as[(String, Long)].collect().toMap
+    // budgets: big = ⌊400·√900/(√900+√100)⌋ = 300, small = ⌊400·√100/40⌋ = 100
+    assert(got("big") == 300L, got.toString)
+    // small stratum only HAS 100 tokens and budget is 100 → kept whole
+    assert(got("small") == 100L)
+    // equals tokenBudgetMixture with the hand-computed budgets
+    val manual = Sampling.tokenBudgetMixture(df, "stratum", "doc_id", toks,
+        Map("big" -> 300L, "small" -> 100L), salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    val auto = out.select("doc_id").as[Long].collect().toSet
+    assert(auto == manual)
+    // α=1 (pow path) is proportional: big 360, small 40
+    val prop = Sampling.temperatureMixture(df, "stratum", "doc_id", toks,
+        totalTokens = 400L, alpha = 1.0, salt = "t")
+      .groupBy("stratum").agg(sum(toks).as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(prop("big") == 360L, prop.toString)
+    assert(prop("small") == 40L)
+  }
+
   test("weightedSample: inclusion proportional to weight, deterministic, partition-stable") {
     // weights 1..1000, ΣW = 500500; expected 200 rows ⇒ p(w) = 200·w/ΣW
     val df = (1L to 1000L).map(i => i -> i).toDF("id", "w")
