@@ -46,7 +46,7 @@ object ProductQuantization {
     def subDim: Int = dim / m
   }
 
-  private def unit(df: DataFrame, id: String, idCol: String,
+  private[ext] def unit(df: DataFrame, id: String, idCol: String,
       vecCol: String): DataFrame =
     df.select(col(idCol).as(id),
       VectorFunctions.normalize(col(vecCol)).as("vd"))
@@ -55,7 +55,7 @@ object ProductQuantization {
     * centroid per subspace via the shared value-literal argmin kernel,
     * packed as array<int> of length m.
     */
-  private def codesFor(vd: Column, model: PqModel): Column =
+  private[ext] def codesFor(vd: Column, model: PqModel): Column =
     array((0 until model.m).map { j =>
       val cents = model.centroids(j).zipWithIndex
         .map { case (v, c) => (c, v.toSeq) }
@@ -81,32 +81,41 @@ object ProductQuantization {
   def train(corpus: DataFrame, dim: Int, m: Int = 16, k: Int = 64,
       iters: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding"): PqModel = {
+    val c = Partitioning.forCompute(unit(corpus, "id", idCol, vecCol)).cache()
+    try trainOnFrame(c, dim, m, k, iters)
+    finally { c.unpersist(); () }
+  }
+
+  /** The Lloyd loop over a CACHED `(id, vd)` frame — shared by raw
+    * [[train]] and the residual path of [[ivfAdcResidualTopK]] (where
+    * `vd` holds v − c_cell, NOT a unit vector — the loop makes no
+    * normalization assumption).
+    */
+  private[ext] def trainOnFrame(c: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val c = Partitioning.forCompute(unit(corpus, "id", idCol, vecCol)).cache()
-    try {
-      val seed = c.orderBy(md5(col("id").cast("string"))).limit(k)
-        .collect().map(_.getSeq[Double](1))
-      var model = PqModel(dim, m, k,
-        Array.tabulate(m, k)((j, cc) =>
-          seed(cc % seed.length).slice(j * subDim, (j + 1) * subDim).toArray))
-      for (_ <- 1 to iters) {
-        val means = c
-          .select(col("vd"), posexplode(codesFor(col("vd"), model)).as(Seq("j", "code")))
-          .select(col("j"), col("code"),
-            posexplode(slice(col("vd"), col("j") * subDim + 1, lit(subDim)))
-              .as(Seq("d", "x")))
-          .groupBy(col("j"), col("code"), col("d"))
-          .agg(avg(col("x")).as("mean"))
-          .collect()
-        val next = model.centroids.map(_.map(_.clone()))
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
-        }
-        model = PqModel(dim, m, k, next)
+    val seed = c.orderBy(md5(col("id").cast("string"))).limit(k)
+      .collect().map(_.getSeq[Double](1))
+    var model = PqModel(dim, m, k,
+      Array.tabulate(m, k)((j, cc) =>
+        seed(cc % seed.length).slice(j * subDim, (j + 1) * subDim).toArray))
+    for (_ <- 1 to iters) {
+      val means = c
+        .select(col("vd"), posexplode(codesFor(col("vd"), model)).as(Seq("j", "code")))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("vd"), col("j") * subDim + 1, lit(subDim)))
+            .as(Seq("d", "x")))
+        .groupBy(col("j"), col("code"), col("d"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = model.centroids.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
       }
-      model
-    } finally { c.unpersist(); () }
+      model = PqModel(dim, m, k, next)
+    }
+    model
   }
 
   /** Encode the corpus: (cand_id, codes array<int> of length m). At
@@ -123,7 +132,7 @@ object ProductQuantization {
     * terms are candidate-independent, the [[CentroidAssign]] argmin
     * identity). One typed literal carries (subspace, ‖c‖², centroid).
     */
-  private def distTable(qd: Column, model: PqModel): Column = {
+  private[ext] def distTable(qd: Column, model: PqModel): Column = {
     val packed: Seq[(Int, Double, Seq[Double])] =
       for (j <- 0 until model.m; cc <- 0 until model.k) yield {
         val v = model.centroids(j)(cc)
@@ -133,6 +142,43 @@ object ProductQuantization {
       e.getField("_2") - lit(2.0) * VectorFunctions.dotDouble(
         slice(qd, e.getField("_1") * model.subDim + 1, lit(model.subDim)),
         e.getField("_3")))
+  }
+
+  /** Coarse full-vector k-means over a CACHED `(cand_id, vd)` frame —
+    * the IVF cell stage shared by [[ivfAdcTopK]] and
+    * [[ivfAdcResidualTopK]]. Deterministic md5-ordered seeding; cell
+    * ids are 0..nCells−1 throughout (the residual path indexes a
+    * value literal by them).
+    */
+  private[ext] def trainCoarse(c: DataFrame, nCells: Int,
+      iters: Int): Array[(Int, Seq[Double])] = {
+    var coarse: Array[(Int, Seq[Double])] = c
+      .orderBy(md5(col("cand_id").cast("string"))).limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to iters) {
+      val means = c.select(
+          element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
+            .getField("cell").as("cell"),
+          col("vd"))
+        .select(col("cell"), posexplode(col("vd")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = coarse.map { case (i, v) => i -> v.toArray }.toMap
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      coarse = coarse.map { case (i, _) => (i, next(i).toSeq) }
+    }
+    coarse
+  }
+
+  /** v − coarse[cell] as a column — the residual the classic IVFADC
+    * quantizes. The coarse table rides as ONE typed-literal value
+    * indexed by the cell column ([[CentroidAssign]] rule).
+    */
+  private[ext] def residualOf(vd: Column, cell: Column,
+      coarse: Array[(Int, Seq[Double])]): Column = {
+    val byId: Seq[Seq[Double]] = coarse.sortBy(_._1).map(_._2).toIndexedSeq
+    zip_with(vd, element_at(typedLit(byId), cell + 1), (a, b) => a - b)
   }
 
   /** IVF + ADC — the composed billion-scale index (FAISS "IVFPQ"
@@ -160,53 +206,141 @@ object ProductQuantization {
     val c = Partitioning.forCompute(unit(corpus, "cand_id", idCol, vecCol))
       .cache()
     try {
-      var coarse: Array[(Int, Seq[Double])] = c
-        .orderBy(md5(col("cand_id").cast("string"))).limit(nCells)
-        .collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](1)) }
-      for (_ <- 1 to coarseIters) {
-        val means = c.select(
-            element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
-              .getField("cell").as("cell"),
-            col("vd"))
-          .select(col("cell"), posexplode(col("vd")).as(Seq("d", "x")))
-          .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
-          .collect()
-        val next = coarse.map { case (i, v) => i -> v.toArray }.toMap
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        coarse = coarse.map { case (i, _) => (i, next(i).toSeq) }
-      }
+      val coarse = trainCoarse(c, nCells, coarseIters)
       val indexed = c.select(col("cand_id"),
         element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
           .getField("cell").as("cell"),
         codesFor(col("vd"), model).as("codes"))
       val probed = unit(queries, "query_id", idCol, vecCol)
         .select(col("query_id"), distTable(col("vd"), model).as("tbl"),
+          lit(0.0).as("base"),
           explode(transform(
             CentroidAssign.nearestCells(col("vd"), coarse, nProbe),
             _.getField("cell"))).as("cell"))
-      val bcLimit = BigInt(
-        corpus.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
-      val probeEst =
-        queries.queryExecution.optimizedPlan.stats.sizeInBytes * nProbe
-      val probeJoin =
-        if (bcLimit > 0 && probeEst <= bcLimit)
-          broadcast(probed).join(indexed, Seq("cell"))
-        else probed.join(indexed, Seq("cell"))
-      val scored = probeJoin
-        .where(col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"),
-          aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
-            (acc, j) => acc + element_at(col("tbl"),
-              j * model.k + element_at(col("codes"), j + 1) + 1))
-            .as("adc_dist"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("adc_dist").asc, col("cand_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= topK)
-        .select(col("query_id"), col("cand_id"),
-          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+      scoreProbes(probed, indexed, queries, nProbe, topK, model)
     } finally { c.unpersist(); () }
+  }
+
+  /** Shared IVF scoring tail: cell equi-join (probe side broadcast
+    * under the stats-estimate guard, shuffle otherwise), the m-lookup
+    * ADC sum plus the probe row's `base` term, per-query top-k
+    * window. Each candidate lives in exactly ONE cell, so a
+    * (query, cand) pair joins at most once — no dedup stage needed,
+    * raw or residual.
+    *
+    * `probed` must carry a `base` column: [[distTable]] drops the
+    * ‖q_j‖² terms as rank-constant, which holds per QUERY (raw path,
+    * base = 0) but NOT per cell — the residual path's dropped
+    * constant is ‖q − c_cell‖², different in every probed cell, so
+    * cross-cell candidate comparison is skewed unless it is added
+    * back (measured on the residual path: recall 0.38 → 0.46 at
+    * sf0.01 and 0.34 → 0.38 at sf0.1 from this term alone).
+    */
+  private def scoreProbes(probed: DataFrame, indexed: DataFrame,
+      queries: DataFrame, nProbe: Int, topK: Int,
+      model: PqModel): DataFrame = {
+    val bcLimit = BigInt(
+      probed.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    val probeEst =
+      queries.queryExecution.optimizedPlan.stats.sizeInBytes * nProbe
+    val probeJoin =
+      if (bcLimit > 0 && probeEst <= bcLimit)
+        broadcast(probed).join(indexed, Seq("cell"))
+      else probed.join(indexed, Seq("cell"))
+    val scored = probeJoin
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (col("base") + aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("tbl"),
+            j * model.k + element_at(col("codes"), j + 1) + 1)))
+          .as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("cand_id"),
+        round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+  }
+
+  /** Classic residual IVFADC (Jégou et al. §IV — what FAISS' IVFPQ
+    * actually stores): PQ quantizes the RESIDUAL v − c_cell instead of
+    * v, so the codebook spends its k^m cells on the within-cell
+    * remainder (norm ≪ ‖v‖) rather than re-describing the coarse
+    * structure — finer quantization at the identical 12-byte code
+    * budget (spec-pinned: residual reconstruction MSE ≤ raw-PQ MSE,
+    * same m/k/iters). The query side shifts per probed cell —
+    * distTable(q − c_cell) — so tables are per-(query, cell): nProbe
+    * small literals' worth of arithmetic per query row, still
+    * broadcast-sized. Plan shape is [[ivfAdcTopK]]'s exactly: coarse
+    * assignment and residual are scan-stage projections over the
+    * coarse value literal, one cell equi-join, one per-query window.
+    *
+    * Trains its own PQ model (on residuals — a raw-vector model would
+    * be the wrong codebook by construction) plus the coarse cells;
+    * `trainFraction` < 1 draws a deterministic md5 training sample
+    * while indexing/searching every row — the corpus-scale contract.
+    * Caveat from measurement: on UNSTRUCTURED embeddings (PQ's worst
+    * case, no cluster structure for a sample to find) a 25% draw cost
+    * the gates 0.46→0.34 recall at sf0.01, so the small-SF gates
+    * train on the full frame; real clustered corpora are where the
+    * sample contract earns its keep.
+    */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame,
+      topK: Int, nCells: Int = 16, nProbe: Int = 6,
+      coarseIters: Int = 2, m: Int = 16, k: Int = 64, pqIters: Int = 5,
+      trainFraction: Double = 1.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = Partitioning.forCompute(unit(corpus, "cand_id", idCol, vecCol))
+      .cache()
+    try {
+      // the sample-training contract made explicit: codebooks train on
+      // a deterministic md5 draw of the corpus (m·k centroids saturate
+      // long before the full corpus informs them); assignment,
+      // encoding, and search always cover EVERY row
+      val trainFrame =
+        if (trainFraction >= 1.0) c
+        else c.filter(Sampling.hashUniform(col("cand_id"), "pqtrain")
+          < trainFraction)
+      val coarse = trainCoarse(trainFrame, nCells, coarseIters)
+      val dim = coarse(0)._2.length
+      val assigned = c.select(col("cand_id"),
+        element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
+          .getField("cell").as("cell"),
+        col("vd"))
+      val resid = assigned
+        .filter(if (trainFraction >= 1.0) lit(true)
+          else Sampling.hashUniform(col("cand_id"), "pqtrain") < trainFraction)
+        .select(col("cand_id").as("id"),
+          residualOf(col("vd"), col("cell"), coarse).as("vd")).cache()
+      val pq =
+        try trainOnFrame(resid, dim, m, k, pqIters)
+        finally { resid.unpersist(); () }
+      val indexed = assigned.select(col("cand_id"), col("cell"),
+        codesFor(residualOf(col("vd"), col("cell"), coarse), pq).as("codes"))
+      val probed = unit(queries, "query_id", idCol, vecCol)
+        .select(col("query_id"), col("vd"),
+          explode(transform(
+            CentroidAssign.nearestCells(col("vd"), coarse, nProbe),
+            _.getField("cell"))).as("cell"))
+        .select(col("query_id"), col("cell"),
+          distTable(residualOf(col("vd"), col("cell"), coarse), pq).as("tbl"),
+          aggregate(residualOf(col("vd"), col("cell"), coarse),
+            lit(0.0), (acc, x) => acc + x * x).as("base"))
+      scoreProbes(probed, indexed, queries, nProbe, topK, pq)
+    } finally { c.unpersist(); () }
+  }
+
+  /** Reconstruct vectors from PQ codes (the codebook as one
+    * typed-literal value) — the measurement column behind the
+    * residual-beats-raw MSE invariant.
+    */
+  def decode(codes: Column, model: PqModel): Column = {
+    val cb: Seq[Seq[Seq[Double]]] = model.centroids
+      .map(_.map(_.toIndexedSeq: Seq[Double]).toIndexedSeq: Seq[Seq[Double]])
+      .toIndexedSeq
+    flatten(transform(sequence(lit(0), lit(model.m - 1)),
+      j => element_at(element_at(typedLit(cb), j + 1),
+        element_at(codes, j + 1) + 1)))
   }
 
   /** Approximate top-k by ADC distance over PQ codes: per query the

@@ -289,6 +289,29 @@ object ExtQueries {
         .filter(lit(auc) < 0.80)
     },
 
+    // ── classic residual IVFADC (Jégou et al. §IV — what FAISS'
+    // IVFPQ actually stores): PQ trained on v − c_cell, query tables
+    // shifted per probed cell WITH the ‖q−c_cell‖² base term (rank
+    // comparability across cells — see scoreProbes). Same invariant
+    // form as q100; floor 0.25 (measured 0.44 at sf0.01 / 0.40 at
+    // sf0.1 with nProbe=6, pqIters=3 — 3 Lloyd rounds hold the same
+    // recall as 5 here at ~60% of the gate's training cost).
+    "q103_ann_residual_recall_floor" -> { (s, dir) =>
+      import graft.ext.ProductQuantization
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("cand_id")).cache()
+      val approx = ProductQuantization.ivfAdcResidualTopK(emb, q, topK = 5,
+          pqIters = 3)
+        .select(col("query_id"), col("cand_id"))
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / exact.count()).as("recall"))
+        .filter(col("recall") < 0.25)
+        .select(lit("ivfadc_residual").as("method"),
+          round(col("recall"), 6).as("recall"))
+    },
+
     // ── incremental image dedup (the multimodal member of the q50/q54
     // incremental family): the 10% batch (doc_id ≡ 0 mod 10) arrives
     // as raw payloads, the corpus as its stored 8-byte dHash index;
@@ -1647,6 +1670,10 @@ object ExtQueries {
         |WHERE 1 = 0""".stripMargin,
 
     "q100_ann_ivfadc_recall_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+
+    "q103_ann_residual_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
 

@@ -82,6 +82,61 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall under gate floor")
   }
 
+  test("residual PQ reconstructs strictly better than raw PQ at the same bit budget") {
+    // the point of residual IVFADC: quantizing v − c_cell spends the
+    // codebook on the (smaller) remainder. Measure Σ‖v − recon‖² both
+    // ways with the SAME m/k/iters — residual must not lose.
+    import ProductQuantization._
+    val c = unit(emb, "cand_id", "vec_id", "embedding").cache()
+    try {
+      val coarse = trainCoarse(c, nCells = 8, iters = 2)
+      val assigned = c.select(col("cand_id"),
+        element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
+          .getField("cell").as("cell"), col("vd"))
+      val resid = assigned.select(col("cand_id").as("id"),
+        residualOf(col("vd"), col("cell"), coarse).as("vd")).cache()
+      val pqR = trainOnFrame(resid, dim = 64, m = 16, k = 64, iters = 5)
+      def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val mseResid = resid
+        .select(sq(col("vd"), decode(codesFor(col("vd"), pqR), pqR)).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+      val pqRaw = trainOnFrame(
+        c.select(col("cand_id").as("id"), col("vd")), 64, 16, 64, 5)
+      val mseRaw = c
+        .select(sq(col("vd"), decode(codesFor(col("vd"), pqRaw), pqRaw)).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+      info(s"mse raw=$mseRaw resid=$mseResid")
+      assert(mseResid <= mseRaw,
+        s"residual PQ lost: $mseResid > $mseRaw")
+      resid.unpersist()
+    } finally { c.unpersist(); () }
+  }
+
+  test("residual IVFADC: full-probe results are a valid per-query top-k, recall clears floor") {
+    val q = emb.filter(col("vec_id") < 10)
+    val out = ProductQuantization.ivfAdcResidualTopK(emb, q, topK = 5,
+        nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // every query present, ranks contiguous 1..5, no self-pairs
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5), s"query $qid ranks")
+      assert(rows.forall(_._2 != qid))
+    }
+    val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ProductQuantization.ivfAdcResidualTopK(emb, q, topK = 5)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"residual ivfadc recall=$recall")
+    assert(recall >= 0.25, s"recall $recall under floor")
+  }
+
   test("ADC top-5 recall vs exact cosine clears the gate floor with margin") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
