@@ -241,14 +241,17 @@ object ExtQueries {
     // codes make each candidate cost m lookups — the full
     // billion-scale ANN stack. Invariant form (q27/q35/q95 family):
     // rows only if top-5 recall vs the exact leg drops under 0.25
-    // (measured 0.50 at sf0.01 / 0.40 at sf0.1 with nProbe=6).
+    // (measured 0.48 at sf0.01 / 0.38 at sf0.1 with nProbe=6 at the
+    // gate's iters=3 — unlike q95, three Lloyd rounds hold recall
+    // here (0.38–0.48 vs 0.42–0.44 at five) at roughly half the
+    // training cost, so the gate takes the cheaper knob).
     "q100_ann_ivfadc_recall_floor" -> { (s, dir) =>
       import graft.ext.ProductQuantization
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
       val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
         .select(col("query_id"), col("cand_id")).cache()
-      val model = ProductQuantization.train(emb, dim = 64)
+      val model = ProductQuantization.train(emb, dim = 64, iters = 3)
       val approx = ProductQuantization.ivfAdcTopK(emb, q, topK = 5, model)
         .select(col("query_id"), col("cand_id"))
       exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
