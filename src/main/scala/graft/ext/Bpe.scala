@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) vocabulary training — the
@@ -65,23 +65,39 @@ object Bpe {
       .groupBy(col("p.left").as("left"), col("p.right").as("right"))
       .agg(sum(col("freq")).as("pair_count"))
 
-  /** Greedy left-to-right merge of one (left, right) pair into the
-    * concatenated symbol, as a pure higher-order-function fold (no
-    * UDF): append each symbol, merging with the accumulator tail when
-    * it completes the pair — non-overlapping by construction because
-    * the merged symbol no longer equals `left` (BPE merges always
-    * grow strictly, so `left ++ right != left`).
+  /** Fold an ordered merge list through a symbol-array column as ONE
+    * nested higher-order expression whose merges ride as a typed
+    * literal VALUE (the CentroidAssign rule): the previous
+    * formulation spliced each merge's strings into the expression
+    * SOURCE, so every trained merge list produced brand-new generated
+    * Java — measured 13.9 s of Janino per q104 run to tokenize 31
+    * words, on BOTH sweeps (source-keyed codegen cache can't help
+    * when the source itself changes). With the value literal the
+    * generated code is shape-constant: compiled once, cache-hit for
+    * every merge list of any length.
+    *
+    * Inner fold per merge is the greedy left-to-right pass: append
+    * each symbol, merging with the accumulator tail when it completes
+    * the pair — non-overlapping by construction because the merged
+    * symbol no longer equals `left` (BPE merges grow strictly).
     */
-  def applyMerge(symWords: DataFrame, left: String, right: String): DataFrame = {
-    val l = left.replace("'", "\\'")
-    val r = right.replace("'", "\\'")
-    symWords.withColumn("syms", expr(
-      s"""aggregate(syms, CAST(array() AS array<string>),
-         |  (acc, s) -> CASE
-         |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r'
-         |    THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
-         |    ELSE concat(acc, array(s)) END)""".stripMargin))
+  def foldMerges(syms: Column, merges: Seq[(String, String)]): Column = {
+    if (merges.isEmpty) syms
+    else aggregate(
+      typedLit(merges).cast("array<struct<l:string,r:string>>"),
+      syms,
+      (acc, m) => aggregate(acc, array().cast("array<string>"),
+        (out, s) => when(
+          size(out) > 0 && element_at(out, -1) === m.getField("l") &&
+            s === m.getField("r"),
+          concat(slice(out, lit(1), size(out) - 1),
+            array(concat(m.getField("l"), m.getField("r")))))
+          .otherwise(concat(out, array(s)))))
   }
+
+  /** One-merge convenience over [[foldMerges]] (training's inner step). */
+  def applyMerge(symWords: DataFrame, left: String, right: String): DataFrame =
+    symWords.withColumn("syms", foldMerges(col("syms"), Seq((left, right))))
 
   /** Train `nMerges` BPE merges. Returns the ordered merge list —
     * the learned tokenizer. Each round: exact pair count (vocab-sized
@@ -90,9 +106,22 @@ object Bpe {
     * lineage flat (the [[PageRank]] recipe); the symbol table is
     * reused across rounds via persist.
     */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] =
+    trainFromWords(wordFreq(docs, textCol), nMerges)
+
+  /** [[train]] from a prebuilt `(word, freq)` table — callers that
+    * also tokenize should build the vocab table ONCE (checkpointed)
+    * and share it: the corpus pass happens a single time, and
+    * downstream plans start from the materialized vocab instead of
+    * re-deriving it (recomputing the word aggregate under the
+    * tokenize projection also triggered a pathological post-shuffle
+    * AQE re-optimization of the nested merge-fold expression —
+    * measured 14 s of driver time on a 31-word vocab; from the
+    * checkpointed table the same tokenize runs in 0.15 s).
+    */
+  def trainFromWords(words: DataFrame, nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 0)
-    var syms = initialSymbols(wordFreq(docs, textCol)).localCheckpoint()
+    var syms = initialSymbols(words).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var i = 0
@@ -112,13 +141,12 @@ object Bpe {
   }
 
   /** Tokenize words with a trained merge list: split to chars and fold
-    * each merge in order — the inference side of the trained
-    * tokenizer, a pure scan-stage projection (the merge folds chain as
-    * nested expressions in ONE codegen stage). Adds/overwrites the
+    * the whole merge list in order via [[foldMerges]] — the inference
+    * side of the trained tokenizer, a pure scan-stage projection with
+    * merge-value-independent generated code. Adds/overwrites the
     * `syms` column; every input column rides along.
     */
   def tokenizeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(initialSymbols(words)) { case (df, (l, r)) =>
-      applyMerge(df, l, r)
-    }
+    initialSymbols(words).withColumn("syms",
+      foldMerges(col("syms"), merges))
 }

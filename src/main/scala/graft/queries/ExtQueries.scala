@@ -1263,6 +1263,37 @@ object ExtQueries {
         .select(col("pair"), col("pair_count"), col("rank").cast("long").as("rank"))
     },
 
+    // ── BPE end-to-end roundtrip gate (closes the q88 loop: train →
+    // tokenize → verify over the corpus vocabulary). Two invariants,
+    // both emitting violations only (oracle = empty set):
+    // "roundtrip" — tokenization must PARTITION the word (concat of
+    // tokens reassembles it exactly); "no_compress" — any word
+    // containing the first merge's pair as a substring has the two
+    // chars adjacent in the initial split, so that merge MUST fire
+    // and the token count must drop below the char count (kills a
+    // tokenizer that never merges, which roundtrip alone would pass).
+    "q104_bpe_roundtrip" -> { (s, dir) =>
+      import graft.ext.Bpe
+      val docs = Tables.documents(s, dir).select(col("text"))
+      // ONE corpus pass: the vocab table is materialized once and
+      // shared by training and tokenization (see trainFromWords)
+      val words = Bpe.wordFreq(docs, "text").localCheckpoint()
+      val merges = Bpe.trainFromWords(words, nMerges = 12)
+      val tok = Bpe.tokenizeWords(words, merges)
+      val broken = tok
+        .filter(concat_ws("", col("syms")) =!= col("word"))
+        .select(lit("roundtrip").as("kind"), col("word"))
+      val uncompressed = merges.headOption match {
+        case Some((l, r)) => tok
+          .filter(col("word").contains(lit(l + r)) &&
+            size(col("syms")) === length(col("word")))
+          .select(lit("no_compress").as("kind"), col("word"))
+        case None => tok.limit(0)
+          .select(lit("no_compress").as("kind"), col("word"))
+      }
+      broken.union(uncompressed)
+    },
+
     // ── compression-ratio repetition signal (Gopher/MassiveText
     // family): per-doc zlib deflate accounting. Deflated lengths are
     // zlib-implementation-specific, so the gate is invariant-form
@@ -1678,6 +1709,12 @@ object ExtQueries {
 
     "q103_ann_residual_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+
+    // invariant form: tokenization violations only — empty when BPE
+    // partitions every vocab word and the first merge fires
+    "q104_bpe_roundtrip" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS word
         |WHERE 1 = 0""".stripMargin,
 
     // invariant form (q35 family): empty unless the held-out AUC

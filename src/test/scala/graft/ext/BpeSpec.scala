@@ -62,4 +62,28 @@ class BpeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"tokenize gained a shuffle:\n$plan")
   }
+
+  test("roundtrip property: trained tokenization partitions every random word") {
+    // deterministic pseudo-random corpus over a 3-letter alphabet
+    // (maximizes merge collisions); tokens must reassemble exactly and
+    // multi-char tokens imply real compression
+    val rng = new scala.util.Random(42)
+    val words = (1 to 120).map { _ =>
+      (1 to (1 + rng.nextInt(10))).map(_ => "abc" (rng.nextInt(3))).mkString
+    }.distinct
+    val corpus = docs(words.mkString(" "))
+    val merges = Bpe.train(corpus, "text", nMerges = 8)
+    assert(merges.nonEmpty)
+    val tok = Bpe.tokenizeWords(Bpe.wordFreq(corpus, "text"), merges)
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getAs[scala.collection.Seq[String]]("syms").toSeq)
+    assert(tok.nonEmpty)
+    tok.foreach { case (w, syms) =>
+      assert(syms.mkString("") == w, s"roundtrip broke for '$w': $syms")
+      assert(syms.forall(_.nonEmpty), s"empty token in '$w'")
+    }
+    // at least one word actually compressed (first merge is two chars
+    // of a 3-letter alphabet — some word contains them adjacently)
+    assert(tok.exists { case (w, syms) => syms.length < w.length })
+  }
 }
