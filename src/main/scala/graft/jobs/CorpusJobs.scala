@@ -36,6 +36,13 @@ object CorpusJobs {
     * @param budgets    per-source token budgets for the mixture; sources
     *                   absent from the map are dropped
     * @param splits     (label, weight) split ranges, weights ≤ 1
+    * @param classifierTrainPath labeled parquet (text, y ∈ {0,1}) — when
+    *                   set, a fasttext-style model ([[graft.ext.HashedClassifier]])
+    *                   trains on it and a "learned_filter" stage keeps
+    *                   docs with P(good) ≥ `classifierKeepProb` between
+    *                   the heuristic filter and dedup (the CCNet
+    *                   ordering: cheap heuristics first, the learned
+    *                   filter on the survivors)
     */
   def buildTrainingSet(
       docsPath: String,
@@ -53,10 +60,15 @@ object CorpusJobs {
       qualityCanonical: Boolean = false,
       // benchmark-decontamination: drop corpus docs sharing winnowing
       // fingerprints with this eval-set parquet (doc_id, text)
-      evalDocsPath: Option[String] = None): Seq[Task] = {
+      evalDocsPath: Option[String] = None,
+      classifierTrainPath: Option[String] = None,
+      classifierKeepProb: Double = 0.5): Seq[Task] = {
     val mixtureInput =
       if (evalDocsPath.isDefined) s"$outRoot/decontaminated"
       else s"$outRoot/deduped"
+    val dedupInput =
+      if (classifierTrainPath.isDefined) s"$outRoot/learned_filtered"
+      else s"$outRoot/cleaned"
     Seq(
 
     Task("clean_filter", Nil, run = ctx => {
@@ -68,8 +80,11 @@ object CorpusJobs {
       new ParquetTable(ctx.spark, s"$outRoot/cleaned").overwriteAtomic(cleaned)
     }),
 
-    Task("dedup", Seq("clean_filter"), run = ctx => {
-      val cleaned = new ParquetTable(ctx.spark, s"$outRoot/cleaned").read()
+    Task("dedup",
+      Seq(if (classifierTrainPath.isDefined) "learned_filter"
+        else "clean_filter"),
+      run = ctx => {
+      val cleaned = new ParquetTable(ctx.spark, dedupInput).read()
       // exact first (cheap hash-groupBy shrinks the near-dup input and
       // keeps LSH buckets free of megadup clusters), then transitive
       // near-dup closure so chains collapse to one canonical doc
@@ -100,7 +115,24 @@ object CorpusJobs {
         new ParquetTable(ctx.spark, s"$outRoot/training_set")
           .overwriteAtomic(split)
       })
-  ) ++ evalDocsPath.map { evalPath =>
+  ) ++ classifierTrainPath.map { trainPath =>
+    // learned quality filter (the CCNet/GPT-3 stage): train on the
+    // labeled frame, score the heuristic survivors, keep by
+    // probability threshold. Scoring is a pure scan-stage projection;
+    // training follows the sample-training contract (the labeled
+    // frame IS the bounded sample).
+    Task("learned_filter", Seq("clean_filter"), run = ctx => {
+      import graft.ext.HashedClassifier
+      val model = HashedClassifier.fit(
+        ctx.spark.read.parquet(trainPath), "text", "y")
+      val cleaned = new ParquetTable(ctx.spark, s"$outRoot/cleaned").read()
+      val kept = HashedClassifier.predict(cleaned, "text", model)
+        .filter(col("prob") >= classifierKeepProb)
+        .drop("prob", "pred")
+      new ParquetTable(ctx.spark, s"$outRoot/learned_filtered")
+        .overwriteAtomic(kept)
+    })
+  }.toSeq ++ evalDocsPath.map { evalPath =>
     // winnowing-fingerprint containment vs the (broadcast-size) eval
     // set — the q56-oracled operator, here as a pipeline stage
     Task("decontaminate", Seq("dedup"), run = ctx => {

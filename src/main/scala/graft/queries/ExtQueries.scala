@@ -1263,6 +1263,21 @@ object ExtQueries {
         .select(col("pair"), col("pair_count"), col("rank").cast("long").as("rank"))
     },
 
+    // ── salted skew join (the explicit hot-key tool for large-large
+    // joins where even AQE's split partitions overflow): probe rows
+    // get a deterministic xxhash salt, the build side replicates n×,
+    // the join key becomes (key, salt). EXACT oracle: result must be
+    // row-identical to the plain join (multiplicity preserved) — the
+    // events table's event_type is the skewed key.
+    "q105_skew_salted_join" -> { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val typeCounts = events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_count"))
+      graft.operators.SkewJoin.salted(events, typeCounts,
+          Seq("event_type"), col("event_id"), n = 8)
+        .select(col("event_id"), col("event_type"), col("type_count"))
+    },
+
     // ── BPE end-to-end roundtrip gate (closes the q88 loop: train →
     // tokenize → verify over the corpus vocabulary). Two invariants,
     // both emitting violations only (oracle = empty set):
@@ -1710,6 +1725,14 @@ object ExtQueries {
     "q103_ann_residual_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+
+    // plain-join replay: salting must be result-invisible
+    "q105_skew_salted_join" ->
+      """SELECT e.event_id, e.event_type, t.type_count
+        |FROM events e
+        |JOIN (SELECT event_type, COUNT(*) AS type_count
+        |      FROM events GROUP BY event_type) t
+        |  ON e.event_type = t.event_type""".stripMargin,
 
     // invariant form: tokenization violations only — empty when BPE
     // partitions every vocab word and the first merge fires

@@ -337,6 +337,46 @@ object EventStreams {
     * @param corpus   table of surviving documents (full input schema)
     * @param index    MinHash index table: (id, hashes, sig)
     */
+  /** Quality-filtered streaming ingest: score each micro-batch with a
+    * PRE-TRAINED fasttext-style model ([[graft.ext.HashedClassifier]])
+    * and insert-ignore the passes into the corpus. The model rides
+    * into the stream as a typed-literal value, scoring is a stateless
+    * scan-stage projection, and the write is insert-ignore — so
+    * checkpoint replay is idempotent exactly like
+    * [[ingestPricePaidStream]]. Training happens offline on a labeled
+    * sample (the [[graft.jobs.CorpusJobs]] learned_filter contract);
+    * the stream only applies the model, which is why there is no
+    * state store and no watermark here.
+    */
+  def qualityFilteredIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      corpus: ParquetTable,
+      checkpointDir: String,
+      model: graft.ext.HashedClassifier.TextModel,
+      keepProb: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxFilesPerBatch: Option[Int] = None): StreamingQuery = {
+    val raw0 = spark.readStream.schema(schema)
+    val raw = maxFilesPerBatch
+      .fold(raw0)(nf => raw0.option("maxFilesPerTrigger", nf))
+      .parquet(srcDir)
+    raw.writeStream
+      .queryName("quality_filtered_ingest")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = graft.ext.HashedClassifier.predict(batch, textCol, model)
+          .filter(col("prob") >= keepProb).drop("prob", "pred")
+        corpus.overwriteAtomic(
+          Upsert.insertIgnore(corpus.read(), kept, Seq(idCol)))
+        ()
+      }
+      .start()
+  }
+
   def nearDupFilteredIngest(
       spark: SparkSession,
       srcDir: String,

@@ -72,7 +72,11 @@ class PlanQualitySpec extends SparkSpec {
       "q58_tfidf_topk", "q59_bigram_lm_score", "q60_semdedup_invariant",
       "q63_heavy_hitters_superset", "q67_weighted_sample",
       "q91_hard_negatives", "q95_ann_pq_recall_floor",
-      "q100_ann_ivfadc_recall_floor")
+      "q100_ann_ivfadc_recall_floor",
+      // q103 carries q100's exact brute-force reference leg (the same
+      // ≤10-row broadcast); the residual-IVFADC side under test joins
+      // on the cell key like q100's
+      "q103_ann_residual_recall_floor")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -208,5 +212,20 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q68_scd2_intervals")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"q68 should shuffle once, saw $exchanges:\n$p")
+  }
+
+  test("q102: mixture trim is ONE stratum-keyed shuffle (budgets ride from the driver)") {
+    val p = plan("q102_temperature_mixture")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"q102 should shuffle once (stratum window), saw $exchanges:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"q102 global window:\n$p")
+  }
+
+  test("q105: salting is result-invisible AND the join stays a (key, salt) equi-join") {
+    val p = plan("q105_skew_salted_join")
+    assert(p.contains("__salt"), s"q105 lost the salt key:\n$p")
+    // equi-join machinery only — the build replication is an explode
+    // Generate, never a nested-loop respray
+    assert(p.contains("Generate"), s"q105 lost the build replication:\n$p")
   }
 }

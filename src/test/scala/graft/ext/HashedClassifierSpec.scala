@@ -87,6 +87,14 @@ class HashedClassifierSpec extends SparkSpec {
     assert(bounds.getInt(0) >= 0 && bounds.getInt(1) < dim)
   }
 
+  test("scoring is a pure scan-stage projection (no shuffle; the 100 TB filter path)") {
+    val m = HashedClassifier.TextModel(dim, new Array[Double](dim + 1))
+    val p = HashedClassifier.predict(
+        spark.read.parquet(s"$sf001/documents.parquet"), "text", m)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"predict gained a shuffle:\n$p")
+  }
+
   test("empty and single-token docs featurize without error") {
     val edge = Seq((1.0, ""), (0.0, "word"), (1.0, "  ")).toDF("y", "text")
     val m = HashedClassifier.TextModel(dim, new Array[Double](dim + 1))

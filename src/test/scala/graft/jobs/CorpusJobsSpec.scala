@@ -68,6 +68,46 @@ class CorpusJobsSpec extends SparkSpec {
     assert(ts.exceptAll(ts3).count() == 0 && ts3.exceptAll(ts).count() == 0)
   }
 
+  test("classifierTrainPath chains the learned filter between heuristics and dedup") {
+    val work = Files.createTempDirectory("corpus-clf").toString
+    // labeled training frame: the latent rule is presence of 'spamword'
+    val labeled = ((1 to 30).map(i =>
+        (s"good clean document number $i with many plain words " +
+          "the a of and to in data table query", 1.0)) ++
+      (1 to 30).map(i =>
+        (s"spamword offer $i spamword click spamword free " +
+          "the a of and to in data table query", 0.0)))
+      .toDF("text", "y")
+    labeled.write.mode("overwrite").parquet(s"$work/labels")
+    // corpus: sf0.01 docs plus planted spammy docs that pass the
+    // heuristic filters (long enough, English-looking)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val planted = (1 to 5).map(i => (900000L + i,
+      "spamword offer spamword click spamword free spamword buy " +
+        "the a of and to in data table query row scan fast slow merge",
+      "en", "src0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.unionByName(planted).write.mode("overwrite")
+      .parquet(s"$work/docs")
+    val r = TaskGraph.run(CorpusJobs.buildTrainingSet(
+      s"$work/docs", s"$work/out",
+      budgets = Map("src0" -> 400L, "src1" -> 300L),
+      classifierTrainPath = Some(s"$work/labels")), spark)
+    assert(r.succeeded, r.states)
+    val filtered = new ParquetTable(spark, s"$work/out/learned_filtered")
+      .read().cache()
+    // every planted spam doc is gone; the bulk of real docs survive
+    assert(filtered.filter($"doc_id" >= 900000L).count() == 0,
+      "planted spam survived the learned filter")
+    val cleaned = new ParquetTable(spark, s"$work/out/cleaned").read()
+    assert(filtered.count() >= cleaned.count() / 2,
+      "learned filter dropped most of the real corpus")
+    // downstream stages consumed the filtered table
+    val ts = new ParquetTable(spark, s"$work/out/training_set").read()
+    assert(ts.filter($"doc_id" >= 900000L).count() == 0)
+    assert(ts.count() > 0)
+  }
+
   test("evalDocsPath chains decontamination: the quoting doc drops, others survive") {
     val work = Files.createTempDirectory("corpusd").toString
     val passage = ("the quick brown fox jumps over the lazy dog and then " +

@@ -333,6 +333,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(state() == withF3) // untouched
   }
 
+  test("qualityFilteredIngest: pre-trained model gates the stream, replay-safe") {
+    val work = Files.createTempDirectory("qfingest").toString
+    val srcDir = s"$work/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val corpus = new ParquetTable(spark, s"$work/corpus")
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    corpus.ensureExists(docSchema)
+    // offline training on a labeled toy frame (separable rule)
+    val labeled = ((1 to 20).map(i => (s"good clean words number $i here", 1.0)) ++
+      (1 to 20).map(i => (s"spam spam buy now spam click $i", 0.0)))
+      .toDF("text", "y")
+    val model = graft.ext.HashedClassifier.fit(labeled, "text", "y",
+      dim = 1 << 12, iters = 30)
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$srcDir/$name")
+    def run(): Unit = EventStreams.qualityFilteredIngest(spark, s"$srcDir/*",
+      docSchema, corpus, s"$work/ckpt", model).awaitTermination()
+    def corpusIds = corpus.read().select("doc_id").as[Long].collect().toSeq.sorted
+
+    land("f1", Seq(
+      1L -> "good clean words and more good words",
+      2L -> "spam spam buy now spam click here spam"))
+    run()
+    assert(corpusIds == Seq(1L), s"got $corpusIds")
+
+    // second batch: another good doc lands, spam keeps dying
+    land("f2", Seq(
+      3L -> "spam click spam buy spam now",
+      4L -> "more good clean words in a clean document"))
+    run()
+    assert(corpusIds == Seq(1L, 4L), s"got $corpusIds")
+
+    // re-delivery under a new file name: insert-ignore absorbs it
+    land("f3", Seq(1L -> "good clean words and more good words"))
+    run()
+    assert(corpusIds == Seq(1L, 4L))
+  }
+
   test("nearDupFilteredIngest: cross-batch near-dups dropped via persistent index, replay-safe") {
     val work = Files.createTempDirectory("nddingest").toString
     val srcDir = s"$work/in"
