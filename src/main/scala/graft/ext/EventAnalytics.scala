@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and retention-cohort analytics over an event stream
+  * — the two classic product-analytics operators (the Amplitude/
+  * Mixpanel core) expressed as single-shuffle Spark plans.
+  *
+  * Scale shape: both operators key every stage on the user column, so
+  * ONE hash partitioning serves the whole plan — the stacked funnel
+  * windows use unbounded-frame `min` (no per-partition sort of the
+  * event list), and the per-user reduction that follows reuses the
+  * window's partitioning (Catalyst sees the distribution satisfied —
+  * no second Exchange; plan-pinned). Per-user state is a handful of
+  * timestamps, never a collected event list, so a power user with
+  * millions of events costs no more memory than a one-event user.
+  */
+object EventAnalytics {
+
+  /** Strictly-ordered funnel: for each user, step i's timestamp is the
+    * MINIMUM event time of `steps(i)` that falls strictly after step
+    * i−1's timestamp (step 0 is unconstrained). Emits one row per
+    * user that completed at least step 0: the step timestamps (µs
+    * since epoch, null once the funnel breaks) and `funnel_depth`.
+    *
+    * The min-after-min recurrence is the standard exact semantics
+    * ("earliest conversion"): greedily anchoring each step at its
+    * earliest valid time never misses a completion — any valid
+    * ordered assignment implies the greedy one exists.
+    */
+  def orderedFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(userCol))
+    val us = unix_micros(col(tsCol))
+    // each step's window min references the PREVIOUS step's
+    // materialized column (window functions can't nest in one
+    // projection); every window shares the user partitioning, so the
+    // stack still costs one Exchange
+    val stacked = steps.zipWithIndex.foldLeft(events) {
+      case (df, (step, i)) =>
+        val eligible =
+          if (i == 0) col(typeCol) === step
+          else col(typeCol) === step && us > col(s"step${i - 1}_us")
+        df.withColumn(s"step${i}_us", min(when(eligible, us)).over(w))
+    }
+    val depth = steps.indices
+      .map(i => when(col(s"step${i}_us").isNotNull, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    stacked
+      .filter(col("step0_us").isNotNull)
+      .groupBy(col(userCol))
+      .agg(first(col("step0_us")).as("step0_us"),
+        (1 until steps.length).map(i =>
+          first(col(s"step${i}_us")).as(s"step${i}_us")) :+
+          first(depth).as("funnel_depth"): _*)
+  }
+
+  /** Retention cohorts: users grouped by the epoch-week of their first
+    * `anchorType` event; for each (cohort_week, week_offset ≥ 0) the
+    * number of distinct cohort users with ANY event that week.
+    * Epoch-week = ⌊days-since-epoch / 7⌋ — pure integer arithmetic,
+    * replayable bit-exactly in any engine (the NUMERICS.md rule: no
+    * date_trunc dialect seams).
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, anchorType: String): DataFrame = {
+    // exact integer division via subtract-the-remainder: a bare
+    // double `us / 86400000000.0` can round UP across a boundary for
+    // events within ~350 µs of midnight, silently shifting a day —
+    // the subtraction makes the numerator an exact multiple, so the
+    // division is exact in double for any µs value < 2^53
+    def idiv(x: Column, d: Long): Column =
+      ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+    val week = idiv(idiv(unix_micros(col(tsCol)), 86400000000L), 7L)
+    val firstWeek = events
+      .filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol))
+      .agg(min(week).as("cohort_week"))
+    events
+      .select(col(userCol), week.as("activity_week"))
+      .join(firstWeek, Seq(userCol))
+      .filter(col("activity_week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"),
+        (col("activity_week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

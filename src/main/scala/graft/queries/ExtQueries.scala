@@ -1263,6 +1263,25 @@ object ExtQueries {
         .select(col("pair"), col("pair_count"), col("rank").cast("long").as("rank"))
     },
 
+    // ── ordered funnel (the Amplitude/Mixpanel core op): per user,
+    // step i anchors at the EARLIEST event of its type strictly after
+    // step i−1 (greedy = exact for "did the user convert in order").
+    // Single user-keyed shuffle: stacked unbounded-frame window mins,
+    // no per-user event list. EXACT oracle: DuckDB replays the same
+    // min-after-min recurrence on µs timestamps.
+    "q106_funnel" -> { (s, dir) =>
+      graft.ext.EventAnalytics.orderedFunnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    },
+
+    // ── retention cohorts: users cohorted by the epoch-week of first
+    // signup; distinct active users per (cohort_week, week_offset).
+    // Integer epoch-week arithmetic (no date_trunc dialect seams).
+    "q107_retention_cohorts" -> { (s, dir) =>
+      graft.ext.EventAnalytics.retentionCohorts(Tables.events(s, dir),
+        "user_id", "ts", "event_type", anchorType = "signup")
+    },
+
     // ── salted skew join (the explicit hot-key tool for large-large
     // joins where even AQE's split partitions overflow): probe rows
     // get a deterministic xxhash salt, the build side replicates n×,
@@ -1725,6 +1744,38 @@ object ExtQueries {
     "q103_ann_residual_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+
+    // min-after-min funnel recurrence on µs timestamps
+    "q106_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, MIN(us) AS step0_us FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(e.us) AS step1_us
+        |       FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s0.step0_us
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.us) AS step2_us
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s1.step1_us
+        |       GROUP BY e.user_id)
+        |SELECT s0.user_id, s0.step0_us, s1.step1_us, s2.step2_us,
+        |  CAST(1 + CASE WHEN s1.step1_us IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN s2.step2_us IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS funnel_depth
+        |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+        |        LEFT JOIN s2 ON s0.user_id = s2.user_id""".stripMargin,
+
+    // integer epoch-week cohort replay
+    "q107_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    (epoch_us(ts) // 86400000000) // 7 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE e.wk >= c.cohort_week
+        |GROUP BY 1, 2""".stripMargin,
 
     // plain-join replay: salting must be result-invisible
     "q105_skew_salted_join" ->

@@ -1,0 +1,97 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, when) => (u, t, ts(when)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("orderedFunnel: hand-computed depths, strict ordering, earliest anchoring") {
+    val events = ev(
+      // u1 completes in order
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // u2: click BEFORE the first view — funnel stops at view
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      // u3: no view at all — excluded entirely
+      (3L, "click", "2024-01-01 10:00:00"),
+      // u4: two views; the EARLIEST anchors, later click still counts
+      (4L, "view", "2024-01-01 08:00:00"),
+      (4L, "view", "2024-01-01 12:00:00"),
+      (4L, "click", "2024-01-01 09:00:00"))
+    val out = EventAnalytics.orderedFunnel(events,
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Any]("step1_us"), r.getLong(r.fieldIndex("funnel_depth"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L)._2 == 3L)
+    assert(out(2L)._2 == 1L && out(2L)._1 == null) // pre-view click ignored
+    assert(out(4L)._2 == 2L) // 09:00 click is after the 08:00 view
+  }
+
+  test("orderedFunnel: greedy min-after-min matches an order-scan on real data") {
+    // reference semantics computed per user by an in-memory scan
+    val events = graft.core.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val steps = Seq("view", "click", "purchase")
+    val expected = events.groupBy(_._1).flatMap { case (u, rows) =>
+      var bound = Long.MinValue
+      var depth = 0L
+      var broke = false
+      for (step <- steps if !broke) {
+        val cand = rows.filter(r => r._2 == step &&
+          (if (depth == 0) true else r._3 > bound))
+        if (cand.isEmpty) broke = true
+        else { bound = cand.map(_._3).min; depth += 1 }
+      }
+      if (depth > 0) Some(u -> depth) else None
+    }
+    val got = EventAnalytics.orderedFunnel(
+        graft.core.Tables.events(spark, sf0001),
+        "user_id", "ts", "event_type", steps)
+      .select("user_id", "funnel_depth").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("retentionCohorts: hand-computed weeks; pre-signup activity excluded") {
+    val events = ev(
+      // u1 signs up in week w, active in w and w+1
+      (1L, "signup", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-02 10:00:00"),
+      (1L, "view", "2024-01-10 10:00:00"),
+      // u2 signs up same week, only active that week — and has a
+      // PRE-signup event that must not create a negative offset
+      (2L, "view", "2023-12-25 10:00:00"),
+      (2L, "signup", "2024-01-03 10:00:00"),
+      // u3 never signs up — not in any cohort
+      (3L, "view", "2024-01-01 10:00:00"))
+    val out = EventAnalytics.retentionCohorts(events,
+        "user_id", "ts", "event_type", "signup")
+      .select("cohort_week", "week_offset", "n_users")
+      .as[(Long, Long, Long)].collect().toSet
+    // 2024-01-01 = epoch day 19723 → week 2817; 01-10 → week 2818
+    assert(out == Set((2817L, 0L, 2L), (2817L, 1L, 1L)), out.toString)
+  }
+
+  test("funnel plan: one user-keyed Exchange serves windows AND the reduction") {
+    val p = EventAnalytics.orderedFunnel(
+        graft.core.Tables.events(spark, sf0001),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"funnel should shuffle once, saw $exchanges:\n$p")
+  }
+}
