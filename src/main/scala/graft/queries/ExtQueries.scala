@@ -1263,6 +1263,30 @@ object ExtQueries {
         .select(col("pair"), col("pair_count"), col("rank").cast("long").as("rank"))
     },
 
+    // ── mergeable-sketch rollup (the 100 TB distinct-count design:
+    // persist per-(type, week) HLL sketches — KBs per group — and
+    // answer coarser rollups by MERGING them, never rescanning raw
+    // ids; distinct counts don't decompose, so without this every
+    // rollup repays a full scan). Invariant form: rows only if the
+    // merged estimate strays more than 10 % from the exact distinct
+    // (DataSketches HLL at lgK=12 is ~1.6 % rse; measured ≤ 2 %).
+    "q108_sketch_rollup_bound" -> { (s, dir) =>
+      import graft.ext.Sketches
+      val e = Tables.events(s, dir).withColumn("week",
+        expr("(unix_micros(ts) div 86400000000) div 7"))
+      val sketches = Sketches.sketchTable(e,
+        Seq("event_type", "week"), "user_id")
+      val rolled = Sketches.mergeEstimate(sketches, Seq("event_type"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      rolled.join(exact, Seq("event_type"))
+        .filter(abs(col("approx_distinct") - col("exact_distinct"))
+          > col("exact_distinct") * 0.10)
+        .select(col("event_type"),
+          col("approx_distinct").cast("long").as("approx_distinct"),
+          col("exact_distinct"))
+    },
+
     // ── ordered funnel (the Amplitude/Mixpanel core op): per user,
     // step i anchors at the EARLIEST event of its type strictly after
     // step i−1 (greedy = exact for "did the user convert in order").
@@ -1743,6 +1767,14 @@ object ExtQueries {
 
     "q103_ann_residual_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+
+    // invariant form: empty unless the merged-sketch estimate strays
+    // past the bound
+    "q108_sketch_rollup_bound" ->
+      """SELECT CAST(NULL AS VARCHAR) AS event_type,
+        |  CAST(NULL AS BIGINT) AS approx_distinct,
+        |  CAST(NULL AS BIGINT) AS exact_distinct
         |WHERE 1 = 0""".stripMargin,
 
     // min-after-min funnel recurrence on µs timestamps
