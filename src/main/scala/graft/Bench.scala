@@ -151,7 +151,7 @@ object Bench {
           if (n == null || !n.path("queries").isObject) Map.empty
           else {
             val out = scala.collection.mutable.Map[String, Double]()
-            val it = n.path("queries").fields()
+            val it = n.path("queries").properties().iterator()
             while (it.hasNext) {
               val e = it.next()
               if (e.getValue.isNumber) out(e.getKey) = e.getValue.asDouble()
