@@ -71,6 +71,20 @@ object HashedClassifier {
     */
   def features(text: Column, dim: Int,
       withBigrams: Boolean = false): Column = {
+    if (!withBigrams) {
+      // native one-pass kernel (tokenize + murmur in a single loop,
+      // WSCG-compatible); bit-equal to the HOF path below, spec-pinned
+      import org.apache.spark.sql.graft.bridge
+      bridge.column(graft.plans.HashedGramsExpr(bridge.expression(text), dim))
+    } else featuresHof(text, dim, withBigrams = true)
+  }
+
+  /** HOF reference twin of [[features]] (CodegenFallback lambdas) —
+    * the bigram path still runs through it, and the spec pins the
+    * unigram path's bit-equality against it.
+    */
+  def featuresHof(text: Column, dim: Int,
+      withBigrams: Boolean = false): Column = {
     val toks = Shingling.tokens(text)
     val grams = if (!withBigrams) toks else {
       // short-doc fallback of nGramsFromTokens would duplicate the
@@ -82,9 +96,23 @@ object HashedClassifier {
   }
 
   /** Mean-pooled linear score b + Σ w[f]/n over a hashed-gram column;
-    * the weight vector rides as one typed-literal value.
+    * the weight vector rides as one typed-literal value into the
+    * native codegen kernel ([[graft.plans.HashedScoreExpr]] — one
+    * primitive loop inside whole-stage codegen; the HOF twin
+    * [[scoreHof]] is the bit-equality reference).
     */
   def score(feats: Column, model: TextModel): Column = {
+    import org.apache.spark.sql.graft.bridge
+    val wLit = typedLit(model.w.toIndexedSeq)
+    lit(model.bias) + bridge.column(graft.plans.HashedScoreExpr(
+      bridge.expression(feats), bridge.expression(wLit)))
+  }
+
+  /** Reference twin of [[score]] built from higher-order functions —
+    * CodegenFallback (boxed lambda walk per gram), kept for the
+    * spec's bit-equality pin against the native kernel.
+    */
+  def scoreHof(feats: Column, model: TextModel): Column = {
     val wLit = typedLit(model.w.toIndexedSeq)
     val total = aggregate(feats, lit(0.0),
       (acc, f) => acc + element_at(wLit, f + 1))

@@ -87,6 +87,66 @@ class HashedClassifierSpec extends SparkSpec {
     assert(bounds.getInt(0) >= 0 && bounds.getInt(1) < dim)
   }
 
+  test("native featurize kernel == HOF twin on real docs and adversarial strings") {
+    val real = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("text"))
+    val nasty = Seq(
+      "",                              // empty
+      "   \t\n\f\r  ",           // whitespace soup, every \s char
+      "ΣΊΣΥΦΟΣ ΟΔΥΣΣΕΎΣ word",         // Greek final-sigma lowercasing
+      "Tab\tsplit\nandmore\fhere\rnow",
+      "trailingΣ",                     // sigma at end of text
+      "mixedCASE tokens WITH  double  spaces ",
+      "ümläut ÉCOLE İstanbul",         // non-ASCII lowercase mappings
+    ).toDF("text")
+    for (df <- Seq(real, nasty)) {
+      val rows = df.select(
+          HashedClassifier.features(col("text"), dim).as("native"),
+          HashedClassifier.featuresHof(col("text"), dim).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+          s"featurize diverged: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}")
+      }
+    }
+  }
+
+  test("native score kernel == HOF twin bit-for-bit; trained model included") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val m = HashedClassifier.fit(
+      docs.withColumn("y", (pmod(col("doc_id"), lit(2)) === 0).cast("double")),
+      "text", "y", dim = dim, iters = 5)
+    val f = HashedClassifier.features(col("text"), dim)
+    val pairs = docs.select(
+        HashedClassifier.score(f, m).as("native"),
+        HashedClassifier.scoreHof(f, m).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"kernel diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("native score kernel stays inside whole-stage codegen (no fallback)") {
+    val m = HashedClassifier.TextModel(dim, new Array[Double](dim + 1))
+    val scored = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(HashedClassifier.score(
+        HashedClassifier.features(col("text"), dim), m).as("s"))
+    val p = scored.queryExecution.executedPlan.toString
+    // "*(n) Project" is the whole-stage-codegen marker in the simple
+    // plan string (the literal node name only prints in formatted mode)
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection left whole-stage codegen:\n$p")
+    assert(p.contains("graft_hashed_score") && p.contains("graft_hashed_grams"),
+      s"native kernels missing:\n$p")
+    // the HOF twin's per-gram fold shows up as an aggregate() lambda;
+    // the native path must not contain one (featurize's tokenize
+    // transform/filter lambdas are separate and expected)
+    assert(!p.contains("aggregate("),
+      s"score still folds through the lambda interpreter:\n$p")
+  }
+
   test("scoring is a pure scan-stage projection (no shuffle; the 100 TB filter path)") {
     val m = HashedClassifier.TextModel(dim, new Array[Double](dim + 1))
     val p = HashedClassifier.predict(
