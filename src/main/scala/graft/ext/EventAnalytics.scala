@@ -58,6 +58,39 @@ object EventAnalytics {
           first(depth).as("funnel_depth"): _*)
   }
 
+  /** Windowed funnel — EXACT "converted within T" semantics. The
+    * q106-style single-anchor recurrence is wrong here: the earliest
+    * step-0 event can time out while a later one converts, so every
+    * step-0 event is an anchor. Per anchor the chain is greedy
+    * (earliest next step maximizes remaining budget — optimal for a
+    * fixed anchor), so correctness needs all anchors × greedy chains:
+    * N−1 user-keyed join+min rounds, each bounded by the window
+    * (events of step i within T of an anchor), never an unbounded
+    * cross product. Emits per user the earliest converting anchor and
+    * how many anchors convert.
+    */
+  def windowedFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.length >= 2, "windowed funnel needs ≥ 2 steps")
+    require(windowUs > 0, "window must be positive")
+    val us = unix_micros(col(tsCol))
+    def ofType(t: String) = events.filter(col(typeCol) === t)
+      .select(col(userCol), us.as("us"))
+    val anchors = ofType(steps.head)
+      .select(col(userCol), col("us").as("anchor_us"))
+      .withColumn("bound_us", col("anchor_us"))
+    val chains = steps.tail.foldLeft(anchors) { (acc, step) =>
+      acc.join(ofType(step), Seq(userCol))
+        .filter(col("us") > col("bound_us") &&
+          col("us") <= col("anchor_us") + windowUs)
+        .groupBy(col(userCol), col("anchor_us"))
+        .agg(min(col("us")).as("bound_us"))
+    }
+    chains.groupBy(col(userCol))
+      .agg(min(col("anchor_us")).as("first_anchor_us"),
+        count(lit(1)).as("n_converting_anchors"))
+  }
+
   /** Retention cohorts: users grouped by the epoch-week of their first
     * `anchorType` event; for each (cohort_week, week_offset ≥ 0) the
     * number of distinct cohort users with ANY event that week.

@@ -63,9 +63,17 @@ object HashedGramsExpr {
 
   /** Java-callable kernel shared by interpreted eval and generated
     * code: one pass over the lowered bytes, one murmur per token.
+    *
+    * Lowercasing goes through the SAME arm the `lower()` expression
+    * takes for default UTF8_BINARY strings in Spark 4.1 —
+    * `CollationSupport.Lower.execBinaryICU` (probed: `lower()` maps
+    * "Σ中" to σ like ICU, while both `UTF8String.toLowerCase` and
+    * `execBinary` apply Java's final-sigma rule and produce ς; the
+    * random-unicode property caught the one-token divergence).
     */
   def compute(s: UTF8String, dim: Int): ArrayData = {
-    val bytes = s.toLowerCase.getBytes
+    val bytes = org.apache.spark.sql.catalyst.util.CollationSupport
+      .Lower.execBinaryICU(s).getBytes
     val n = bytes.length
     val out = new java.util.ArrayList[Integer]()
     var i = 0

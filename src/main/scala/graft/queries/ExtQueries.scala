@@ -1298,6 +1298,18 @@ object ExtQueries {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     },
 
+    // ── windowed funnel (EXACT "converted within T"): every view is
+    // an anchor (the earliest can time out while a later one
+    // converts — the q106 recurrence is provably wrong here), each
+    // anchor's chain is greedy (earliest next step maximizes the
+    // remaining budget). T = 6 h. EXACT oracle: DuckDB replays the
+    // anchor × greedy-chain joins.
+    "q109_windowed_funnel" -> { (s, dir) =>
+      graft.ext.EventAnalytics.windowedFunnel(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        windowUs = 6L * 3600 * 1000000)
+    },
+
     // ── retention cohorts: users cohorted by the epoch-week of first
     // signup; distinct active users per (cohort_week, week_offset).
     // Integer epoch-week arithmetic (no date_trunc dialect seams).
@@ -1796,6 +1808,28 @@ object ExtQueries {
         |    AS funnel_depth
         |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
         |        LEFT JOIN s2 ON s0.user_id = s2.user_id""".stripMargin,
+
+    // anchor × greedy-chain replay at T = 6h = 21600000000 µs
+    "q109_windowed_funnel" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase'),
+        |chain AS (
+        |  SELECT v.user_id, v.us AS anchor_us, MIN(c.us) AS cus
+        |  FROM v JOIN c ON c.user_id = v.user_id
+        |    AND c.us > v.us AND c.us <= v.us + 21600000000
+        |  GROUP BY v.user_id, v.us),
+        |conv AS (
+        |  SELECT ch.user_id, ch.anchor_us
+        |  FROM chain ch JOIN p ON p.user_id = ch.user_id
+        |    AND p.us > ch.cus AND p.us <= ch.anchor_us + 21600000000
+        |  GROUP BY ch.user_id, ch.anchor_us)
+        |SELECT user_id, MIN(anchor_us) AS first_anchor_us,
+        |  COUNT(*) AS n_converting_anchors
+        |FROM conv GROUP BY user_id""".stripMargin,
 
     // integer epoch-week cohort replay
     "q107_retention_cohorts" ->

@@ -242,4 +242,28 @@ class PropertiesSpec extends AnyFunSuite {
         assert(pairs.toSet == expect, s"nl=$nl nr=$nr blocks=$blocks: wrong set")
     }
   }
+
+  test("native featurize kernel == HOF twin on random unicode strings") {
+    import graft.ext.HashedClassifier
+    // strings over a unicode-heavy alphabet with every \s character
+    // interleaved — the kernel's tokenize/lowercase/hash must agree
+    // with the four-HOF chain on anything
+    val alphabet = "aAzZ09äÄßΣσς中文 \t\n\f\r.!-é"
+    val strGen: Gen[String] = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet.toSeq)).map(_.mkString))
+    forAll(Gen.listOfN(40, strGen), n = 5) { strs =>
+      whenever(strs.nonEmpty) {
+        val dim = 1 << 10
+        val rows = strs.toDF("text").select(
+            HashedClassifier.features(col("text"), dim).as("native"),
+            HashedClassifier.featuresHof(col("text"), dim).as("hof"),
+            col("text"))
+          .collect()
+        rows.foreach { r =>
+          assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+            s"diverged on ${r.getString(2).map(_.toInt.toHexString)}")
+        }
+      }
+    }
+  }
 }

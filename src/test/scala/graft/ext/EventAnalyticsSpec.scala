@@ -86,6 +86,58 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Set((2817L, 0L, 2L), (2817L, 1L, 1L)), out.toString)
   }
 
+  test("windowedFunnel: later anchor converts when the earliest times out") {
+    val T = 3600L * 1000000 // 1 hour
+    val events = ev(
+      // u1: first view's chain exceeds the window; second view's fits —
+      // the single-anchor recurrence would miss this conversion
+      (1L, "view", "2024-01-01 08:00:00"),
+      (1L, "click", "2024-01-01 08:30:00"),
+      (1L, "view", "2024-01-01 11:00:00"),
+      (1L, "click", "2024-01-01 11:10:00"),
+      (1L, "purchase", "2024-01-01 11:20:00"),
+      // u2: in-order events but purchase past the 1h window — no row
+      (2L, "view", "2024-01-01 08:00:00"),
+      (2L, "click", "2024-01-01 08:10:00"),
+      (2L, "purchase", "2024-01-01 09:30:00"),
+      // u3: two converting anchors (both views complete in window)
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "view", "2024-01-01 10:05:00"),
+      (3L, "click", "2024-01-01 10:10:00"),
+      (3L, "purchase", "2024-01-01 10:20:00"))
+    val out = EventAnalytics.windowedFunnel(events,
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"), T)
+      .select("user_id", "first_anchor_us", "n_converting_anchors")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 3L), out.toString)
+    assert(out(1L)._1 == ts("2024-01-01 11:00:00").getTime * 1000)
+    assert(out(3L)._2 == 2L) // both anchors convert
+    // u2 correctly absent: 09:30 purchase is past 09:00
+  }
+
+  test("windowedFunnel: greedy-per-anchor equals exhaustive chain search on real data") {
+    val T = 6L * 3600 * 1000000
+    val steps = Seq("view", "click", "purchase")
+    val raw = graft.core.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exhaustive reference: anchor converts iff ANY (c, p) chain fits
+    val expected = raw.groupBy(_._1).flatMap { case (u, rows) =>
+      def of(t: String) = rows.filter(_._2 == t).map(_._3).sorted
+      val conv = of("view").filter { v =>
+        of("click").exists(c => c > v && c <= v + T &&
+          of("purchase").exists(p => p > c && p <= v + T))
+      }
+      if (conv.nonEmpty) Some(u -> (conv.min, conv.size.toLong)) else None
+    }
+    val got = EventAnalytics.windowedFunnel(
+        graft.core.Tables.events(spark, sf0001),
+        "user_id", "ts", "event_type", steps, T)
+      .select("user_id", "first_anchor_us", "n_converting_anchors")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("funnel plan: one user-keyed Exchange serves windows AND the reduction") {
     val p = EventAnalytics.orderedFunnel(
         graft.core.Tables.events(spark, sf0001),
