@@ -91,6 +91,24 @@ object EventAnalytics {
         count(lit(1)).as("n_converting_anchors"))
   }
 
+  /** Per-user next-event transition counts (the Markov-chain / path-
+    * analysis statistic): one user-keyed window sorts each user's
+    * stream once, `lag` pairs consecutive events, and a global hash
+    * agg counts (from, to) — at most |types|² output rows. Ties on
+    * identical timestamps break deterministically on the event id.
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    events
+      .select(col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Retention cohorts: users grouped by the epoch-week of their first
     * `anchorType` event; for each (cohort_week, week_offset ≥ 0) the
     * number of distinct cohort users with ANY event that week.

@@ -1310,6 +1310,15 @@ object ExtQueries {
         windowUs = 6L * 3600 * 1000000)
     },
 
+    // ── next-event transition matrix (path analysis): lag over each
+    // user's time-ordered stream, counted per (from, to) — ≤ |types|²
+    // rows. EXACT oracle: identical lag replay with the same
+    // (ts, event_id) tie order.
+    "q110_event_transitions" -> { (s, dir) =>
+      graft.ext.EventAnalytics.eventTransitions(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id")
+    },
+
     // ── retention cohorts: users cohorted by the epoch-week of first
     // signup; distinct active users per (cohort_week, week_offset).
     // Integer epoch-week arithmetic (no date_trunc dialect seams).
@@ -1808,6 +1817,18 @@ object ExtQueries {
         |    AS funnel_depth
         |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
         |        LEFT JOIN s2 ON s0.user_id = s2.user_id""".stripMargin,
+
+    // lag replay with the same (ts, event_id) tie order
+    "q110_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type,
+        |  COUNT(*) AS n_transitions
+        |FROM o WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // anchor × greedy-chain replay at T = 6h = 21600000000 µs
     "q109_windowed_funnel" ->

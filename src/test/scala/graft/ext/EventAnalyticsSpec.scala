@@ -138,6 +138,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("eventTransitions: hand-computed pairs; per-user streams never mix") {
+    val events = Seq(
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "click", ts("2024-01-01 10:01:00")),
+      (1L, 12L, "view", ts("2024-01-01 10:02:00")),
+      (2L, 20L, "view", ts("2024-01-01 10:00:30")), // between u1's events
+      (2L, 21L, "purchase", ts("2024-01-01 10:03:00")),
+      (3L, 30L, "signup", ts("2024-01-01 09:00:00"))) // lone event: no pair
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = EventAnalytics.eventTransitions(events,
+        "user_id", "ts", "event_type", "event_id")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("view", "click", 1L), ("click", "view", 1L),
+      ("view", "purchase", 1L)), out.toString)
+  }
+
   test("funnel plan: one user-keyed Exchange serves windows AND the reduction") {
     val p = EventAnalytics.orderedFunnel(
         graft.core.Tables.events(spark, sf0001),
