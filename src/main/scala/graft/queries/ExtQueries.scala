@@ -1310,6 +1310,20 @@ object ExtQueries {
         windowUs = 6L * 3600 * 1000000)
     },
 
+    // ── funnel conversion latency: per fully-converting user the
+    // step-to-step gaps in exact integer µs — the time-to-convert
+    // readout that pairs with q106's depth counts. Pure composition
+    // over orderedFunnel's step timestamps; EXACT oracle wraps the
+    // q106 recurrence.
+    "q111_funnel_latency" -> { (s, dir) =>
+      graft.ext.EventAnalytics.orderedFunnel(Tables.events(s, dir),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .filter(col("funnel_depth") === 3)
+        .select(col("user_id"),
+          (col("step1_us") - col("step0_us")).as("gap01_us"),
+          (col("step2_us") - col("step1_us")).as("gap12_us"))
+    },
+
     // ── next-event transition matrix (path analysis): lag over each
     // user's time-ordered stream, counted per (from, to) — ≤ |types|²
     // rows. EXACT oracle: identical lag replay with the same
@@ -1817,6 +1831,25 @@ object ExtQueries {
         |    AS funnel_depth
         |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
         |        LEFT JOIN s2 ON s0.user_id = s2.user_id""".stripMargin,
+
+    // q106's recurrence, gaps only for depth-3 users
+    "q111_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, MIN(us) AS step0_us FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(e.us) AS step1_us
+        |       FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s0.step0_us
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.us) AS step2_us
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s1.step1_us
+        |       GROUP BY e.user_id)
+        |SELECT s0.user_id,
+        |  s1.step1_us - s0.step0_us AS gap01_us,
+        |  s2.step2_us - s1.step1_us AS gap12_us
+        |FROM s0 JOIN s1 ON s0.user_id = s1.user_id
+        |        JOIN s2 ON s0.user_id = s2.user_id""".stripMargin,
 
     // lag replay with the same (ts, event_id) tie order
     "q110_event_transitions" ->
