@@ -68,6 +68,16 @@ object EventAnalytics {
     * (events of step i within T of an anchor), never an unbounded
     * cross product. Emits per user the earliest converting anchor and
     * how many anchors convert.
+    *
+    * Anchor identity is the (user, anchor timestamp) PAIR, not the
+    * event row: two step-0 events of one user in the same microsecond
+    * collapse into a single anchor (the per-anchor `groupBy(user,
+    * anchor_us)` keys on the timestamp), so `n_converting_anchors`
+    * counts distinct converting anchor TIMESTAMPS. This is deliberate
+    * — duplicate-microsecond anchors share an identical chain (the
+    * window and every bound depend only on anchor_us), so counting
+    * them separately would just multiply-count one conversion path —
+    * and it is the semantics the DuckDB oracle (q107) replays.
     */
   def windowedFunnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], windowUs: Long): DataFrame = {

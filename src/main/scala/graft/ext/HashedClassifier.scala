@@ -136,7 +136,11 @@ object HashedClassifier {
     // `iters` times — upscaling a tiny cached frame to cluster-wide
     // partitioning multiplied wall time ~4× for zero parallelism gain.
     // A sample big enough to need more partitions arrives with them.
+    // Null-label / null-text rows are dropped up front: they carry no
+    // gradient, so counting them in n would silently dilute the
+    // effective learning rate (every real gradient divides by n).
     val featurized = docs
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
       .select(col(labelCol).cast("double").as("y"),
         features(col(textCol), dim, withBigrams).as("f"))
       .cache()
@@ -201,7 +205,12 @@ object HashedClassifier {
       tieCols: Seq[String]): Double = {
     val keep = Seq(col(labelCol).cast("double").as("y"), col(probCol)) ++
       tieCols.map(col)
-    val ranked = Ids.globalRowNumber(scored.select(keep: _*),
+    // null-label rows are excluded BEFORE ranking — a row that counts
+    // in neither class must not consume a rank either, or the
+    // rank-sum identity silently skews toward whichever class sorts
+    // above the unlabeled rows
+    val ranked = Ids.globalRowNumber(
+      scored.filter(col(labelCol).isNotNull).select(keep: _*),
       orderCols = probCol +: tieCols, outCol = "rank")
     val agg = ranked.agg(
       sum(when(col("y") === 1.0, col("rank"))).as("pos_ranks"),

@@ -241,8 +241,18 @@ object ProductQuantization {
       model: PqModel): DataFrame = {
     val bcLimit = BigInt(
       probed.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    // each probed row carries the m·k ADC table (doubles) + base/ids —
+    // dominant payload the raw `queries` stats cannot see (the frame
+    // only holds the dim-double embedding), so estimate rows from the
+    // query stats and charge the table bytes per probe row explicitly;
+    // without this term the residual path (tables ≈ m·k·8 B ≈ 8 KB/row)
+    // could be force-broadcast far above the threshold at scale
+    val qStats = queries.queryExecution.optimizedPlan.stats
+    val rowEst = qStats.rowCount.getOrElse(
+      (qStats.sizeInBytes / BigInt(model.dim.toLong * 8L).max(1)).max(1))
+    val tableBytesPerRow = BigInt(model.m.toLong * model.k * 8L + 96L)
     val probeEst =
-      queries.queryExecution.optimizedPlan.stats.sizeInBytes * nProbe
+      qStats.sizeInBytes * nProbe + rowEst * nProbe * tableBytesPerRow
     val probeJoin =
       if (bcLimit > 0 && probeEst <= bcLimit)
         broadcast(probed).join(indexed, Seq("cell"))

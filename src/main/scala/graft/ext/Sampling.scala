@@ -206,7 +206,15 @@ object Sampling {
       .agg(sum(tokens).cast("long").as("t"))
       .collect() // bounded: one row per stratum (tens of sources)
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      // code-point order (== UTF-8 byte order), NOT Scala's default
+      // String order (UTF-16 code units): supplementary-plane stratum
+      // names would otherwise fold in a different order than the
+      // DuckDB oracle's ORDER BY, breaking the bit-identical-Z claim
+      .sortWith { case ((a, _), (b, _)) =>
+        java.util.Arrays.compare(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }
     val pw: Double => Double =
       if (alpha == 0.5) math.sqrt else x => math.pow(x, alpha)
     val z = totals.foldLeft(0.0) { case (acc, (_, t)) => acc + pw(t.toDouble) }

@@ -1387,6 +1387,33 @@ object ExtQueries {
       broken.union(uncompressed)
     },
 
+    // ── transactional MERGE on the commit-log table (TxLogTable —
+    // the multi-writer replacement for the rename-swap sink): the q05
+    // merge-latest state rebuilt through THREE serialized optimistic
+    // commits (create, merge of even event_ids, merge of odd), each a
+    // versioned manifest + immutable data dirs, then a snapshot read.
+    // Latest-wins composes across commits (max over a union = max of
+    // per-half maxes), so the final snapshot must hash-equal the
+    // single-shot q05 oracle — pinning that the log replay, snapshot
+    // isolation, and the merge recompute preserve merge semantics
+    // exactly, not just "some rows survived".
+    "q112_txlog_merge" -> { (s, dir) =>
+      val t = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q112").toString)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_ns"))
+      val prec = Seq(col("ts_ns").desc, col("event_id").desc)
+      t.ensureExists(ev.schema)
+      t.merge(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        Seq("user_id"), prec)
+      t.merge(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        Seq("user_id"), prec)
+      t.read().select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+    },
+
     // ── compression-ratio repetition signal (Gopher/MassiveText
     // family): per-doc zlib deflate accounting. Deflated lengths are
     // zlib-implementation-specific, so the gate is invariant-form
@@ -1904,6 +1931,16 @@ object ExtQueries {
         |JOIN (SELECT event_type, COUNT(*) AS type_count
         |      FROM events GROUP BY event_type) t
         |  ON e.event_type = t.event_type""".stripMargin,
+
+    // the commit-log merge must reproduce the single-shot q05 state
+    // exactly: DuckDB replays latest-wins over ALL events in one pass
+    // (max over a union = max of per-half maxes), ns-exact tie order
+    "q112_txlog_merge" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       event_type AS last_event_type, value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
 
     // invariant form: tokenization violations only — empty when BPE
     // partitions every vocab word and the first merge fires

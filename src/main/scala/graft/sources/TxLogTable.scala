@@ -1,0 +1,325 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import graft.operators.Upsert
+
+/** Minimal log-structured transactional table — the multi-writer seam
+  * [[ParquetTable.overwriteAtomic]] deliberately leaves open (its
+  * double-rename swap is correct but single-writer: two concurrent
+  * mergers would silently drop one merge). The design is the public
+  * Delta/Iceberg core reduced to what the engine needs:
+  *
+  *   - `_log/%020d.json` — one immutable manifest per version, holding
+  *     the commit action (`overwrite` resets the live set, `append`
+  *     extends it), the added data dirs, and the schema. The LOG is the
+  *     table; data files are inert until a manifest references them.
+  *   - `data/<uuid>/` — immutable parquet dirs, written ONCE, never
+  *     mutated, never renamed. Snapshot isolation falls out: a reader
+  *     (or a merge computing on snapshot v) references only v's dirs,
+  *     which no later commit touches — no read lock, no swap window.
+  *   - commit = publish manifest v+1 via an atomic create-if-absent
+  *     (hard-link of a fully-written temp file — POSIX `link(2)` fails
+  *     with EEXIST atomically, unlike `rename(2)` which silently
+  *     replaces). Exactly ONE writer wins a version; losers observe the
+  *     collision and retry against the new snapshot. This is the
+  *     optimistic-concurrency protocol Delta documents for HDFS-like
+  *     stores (on S3 the same role is played by a conditional PUT).
+  *
+  * Read-modify-write commits (merge / insert-ignore) recompute on the
+  * fresh snapshot when they lose a race — the no-lost-update guarantee:
+  * interleaved writers serialize as version order, each merge sees every
+  * earlier merge's rows (spec-pinned by TxLogTableSpec's deterministic
+  * interleave and threaded race). Blind appends reuse their staged data
+  * dir and just re-bid for the next version.
+  *
+  * Scale shape: a commit is one manifest file regardless of data size;
+  * readers plan from ≤ versions-since-checkpoint manifests (the
+  * [[checkpoint]] action folds history, so the log never has to be
+  * replayed from zero); data dirs are parquet read with an explicit
+  * schema — partition-pruning/pushdown identical to a plain parquet
+  * table. Reference behavior covered: the Postgres transactional
+  * upserts at monthly_price_paid_data.py:140-160 and
+  * pull_new_sales_list.py:252-264 (ON CONFLICT inside one txn) —
+  * here as serialized optimistic commits over object storage.
+  */
+object TxLogTable {
+  /** One log entry. `add` holds data-dir names relative to `data/`;
+    * `action` is "overwrite" (live set := add) or "append" (live set
+    * ++= add). `schemaJson` rides on every manifest so an empty or
+    * vacuumed table still knows its schema. Top-level (not nested in
+    * the class) so json4s can construct it reflectively.
+    */
+  private[sources] case class Manifest(version: Long, action: String,
+      add: Seq[String], schemaJson: String, tsMillis: Long)
+}
+
+final class TxLogTable(spark: SparkSession, root: String) {
+
+  import TxLogTable.Manifest
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def logDir: Path = Paths.get(root, "_log")
+  private def dataDir: Path = Paths.get(root, "data")
+  private def manifestPath(v: Long): Path =
+    logDir.resolve(f"$v%020d.json")
+
+  def exists: Boolean = Files.isDirectory(logDir) && currentVersion >= 0
+
+  /** Latest committed version, or -1 for an empty log. */
+  def currentVersion: Long = {
+    if (!Files.isDirectory(logDir)) return -1L
+    val s = Files.list(logDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    } finally s.close()
+  }
+
+  /** Create-if-absent (S7 semantics): version 0 = empty overwrite.
+    * Losing the creation race to a concurrent creator is success.
+    */
+  def ensureExists(schema: StructType): Unit = {
+    Files.createDirectories(logDir)
+    Files.createDirectories(dataDir)
+    if (currentVersion < 0) {
+      tryCommit(0L, Manifest(0L, "overwrite", Nil, schema.json,
+        System.currentTimeMillis()))
+      ()
+    }
+  }
+
+  // ── snapshot reads ────────────────────────────────────────────────
+
+  private def manifestAt(v: Long): Manifest = {
+    val p = manifestPath(v)
+    require(Files.exists(p), s"version $v does not exist in $root")
+    Serialization.read[Manifest](
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Replay the log up to `v`: walk BACKWARD to the nearest overwrite
+    * (or checkpoint — written as an overwrite) so cost is
+    * O(appends-since-last-overwrite), not O(history).
+    */
+  private def liveSetAt(v: Long): (Seq[String], StructType) = {
+    var dirs = List.empty[String]
+    var schema: StructType = null
+    var cur = v
+    var done = false
+    while (!done) {
+      val m = manifestAt(cur)
+      if (schema == null)
+        schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      dirs = m.add.toList ::: dirs
+      if (m.action == "overwrite" || cur == 0) done = true else cur -= 1
+    }
+    (dirs, schema)
+  }
+
+  /** Time-travel read: the table exactly as committed at `version`.
+    * Immutable data dirs make this a plain parquet read of that
+    * snapshot's file list — later commits cannot disturb it.
+    */
+  def readAt(version: Long): DataFrame = {
+    val (dirs, schema) = liveSetAt(version)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+  }
+
+  /** Snapshot read at the latest version. */
+  def read(): DataFrame = readAt(currentVersion)
+
+  /** (version, action, tsMillis) per commit, oldest first. */
+  def history(): Seq[(Long, String, Long)] =
+    (0L to currentVersion).flatMap { v =>
+      if (Files.exists(manifestPath(v))) {
+        val m = manifestAt(v)
+        Some((m.version, m.action, m.tsMillis))
+      } else None
+    }
+
+  // ── write path ────────────────────────────────────────────────────
+
+  /** Write `df` as a fresh immutable data dir; returns its name. The
+    * dir is INERT until a manifest references it — a crash here leaks
+    * an orphan for [[vacuum]], never a half-visible table state.
+    */
+  private[sources] def stageData(df: DataFrame,
+      sortCols: Seq[String] = Nil): String = {
+    val name = UUID.randomUUID().toString
+    val out =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(df.col): _*)
+    out.write.parquet(dataDir.resolve(name).toString)
+    name
+  }
+
+  /** The atomic publish: temp-write the manifest, then hard-link it to
+    * its version slot. `link(2)` fails with EEXIST atomically when a
+    * concurrent writer already owns the version — the whole concurrency
+    * story reduces to this one primitive. Returns false on collision.
+    */
+  private[sources] def tryCommit(version: Long, m: Manifest): Boolean = {
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp,
+      Serialization.write(m.copy(version = version))
+        .getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(manifestPath(version), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case NonFatal(e) => throw e
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Spec hook: bid for `version` with an already-staged overwrite —
+    * lets the concurrency spec interleave two writers deterministically
+    * without threads. Production paths go through [[commitLoop]].
+    */
+  private[sources] def tryCommitForTest(version: Long, stagedDir: String,
+      schemaJson: String): Boolean =
+    tryCommit(version, Manifest(version, "overwrite", Seq(stagedDir),
+      schemaJson, System.currentTimeMillis()))
+
+  private def commitLoop(maxRetries: Int)(
+      attempt: Long => Option[Manifest]): Long = {
+    var tries = 0
+    while (tries <= maxRetries) {
+      val v = currentVersion
+      val next = v + 1
+      attempt(v) match {
+        case None => return v // no-op commit (e.g. empty append)
+        case Some(m) => if (tryCommit(next, m)) return next
+      }
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: lost $maxRetries consecutive races on $root")
+  }
+
+  /** Blind append (S8): stage once, then bid for versions until one
+    * lands. Appends never conflict semantically — no recompute needed,
+    * the staged dir is reused across retries.
+    */
+  def append(df: DataFrame, sortCols: Seq[String] = Nil,
+      maxRetries: Int = 20): Long = {
+    val staged = stageData(df, sortCols)
+    val schemaJson = df.schema.json
+    commitLoop(maxRetries) { _ =>
+      Some(Manifest(0L, "append", Seq(staged), schemaJson,
+        System.currentTimeMillis()))
+    }
+  }
+
+  /** Full overwrite: last-writer-wins by design (no read dependency),
+    * but still serialized through the version protocol.
+    */
+  def overwrite(df: DataFrame, sortCols: Seq[String] = Nil,
+      maxRetries: Int = 20): Long = {
+    val staged = stageData(df, sortCols)
+    val schemaJson = df.schema.json
+    commitLoop(maxRetries) { _ =>
+      Some(Manifest(0L, "overwrite", Seq(staged), schemaJson,
+        System.currentTimeMillis()))
+    }
+  }
+
+  /** Transactional MERGE (S10/J2 semantics — latest-wins by
+    * `precedence` per `key`): optimistic read-modify-write. Each
+    * attempt computes [[Upsert.mergeByKey]] against the CURRENT
+    * snapshot and bids for the next version; losing the race discards
+    * the attempt's staged dir (an orphan for vacuum) and recomputes on
+    * the winner's state — no update can be lost, because a commit at
+    * version v+1 always derives from a full read of version v.
+    */
+  def merge(updates: DataFrame, key: Seq[String], precedence: Seq[Column],
+      sortCols: Seq[String] = Nil, maxRetries: Int = 20): Long =
+    commitLoop(maxRetries) { v =>
+      val merged = Upsert.mergeByKey(readAt(v), updates, key, precedence)
+      Some(Manifest(0L, "overwrite", Seq(stageData(merged, sortCols)),
+        merged.schema.json, System.currentTimeMillis()))
+    }
+
+  /** Transactional insert-ignore (S9/J1): same optimistic loop, rows of
+    * `updates` whose key exists in the snapshot are dropped. Committed
+    * as an APPEND of only the new rows — concurrent insert-ignores of
+    * disjoint keys both land without rewriting the table; the
+    * recompute-on-retry keeps the key-uniqueness invariant when they
+    * overlap.
+    */
+  def insertIgnore(updates: DataFrame, key: Seq[String],
+      maxRetries: Int = 20): Long =
+    commitLoop(maxRetries) { v =>
+      val snap = readAt(v)
+      val newRows = updates.dropDuplicates(key)
+        .join(snap.select(key.map(snap.col): _*).distinct(), key, "left_anti")
+        .select(snap.columns.map(updates.col).toIndexedSeq: _*)
+      // empty appends still commit: idempotent-replay markers rely on
+      // the version advancing even when every row was a duplicate
+      Some(Manifest(0L, "append", Seq(stageData(newRows)),
+        snap.schema.json, System.currentTimeMillis()))
+    }
+
+  // ── maintenance ───────────────────────────────────────────────────
+
+  /** Metadata-only history fold: commit an `overwrite` manifest listing
+    * the CURRENT live set (no data rewrite). Readers of any later
+    * version replay at most back to here — the log-growth bound that
+    * keeps planning O(1) over an append-heavy table.
+    */
+  def checkpoint(maxRetries: Int = 20): Long =
+    commitLoop(maxRetries) { v =>
+      val (dirs, schema) = liveSetAt(v)
+      Some(Manifest(0L, "overwrite", dirs, schema.json,
+        System.currentTimeMillis()))
+    }
+
+  /** Remove data dirs referenced by NO manifest (orphans from lost
+    * commit races or crashes mid-stage) plus, when `retainHistory` is
+    * false, dirs referenced only by versions strictly before the last
+    * overwrite/checkpoint (unreachable from any still-replayable read).
+    * Never touches the current live set. Returns removed dir names.
+    */
+  def vacuum(retainHistory: Boolean = true): Seq[String] = {
+    val v = currentVersion
+    if (v < 0) return Nil
+    val referenced: Set[String] =
+      if (retainHistory)
+        (0L to v).flatMap(i =>
+          if (Files.exists(manifestPath(i))) manifestAt(i).add else Nil).toSet
+      else liveSetAt(v)._1.toSet
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dataDir)
+    val all =
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    val doomed = all.filterNot(referenced)
+    doomed.foreach { d =>
+      val p = dataDir.resolve(d)
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    doomed.sorted
+  }
+}

@@ -313,30 +313,6 @@ object EventStreams {
     query
   }
 
-  /** Streaming near-duplicate-filtered document ingest — the
-    * training-data production loop: documents arrive as files; each
-    * micro-batch is deduplicated against the PERSISTENT MinHash index
-    * (batch×corpus and batch×batch, via
-    * [[graft.ext.MinHashDedup.incrementalNearDuplicates]]) and only
-    * novel documents land in the corpus table, with their signatures
-    * appended to the index. Old×old pairs are never re-examined, so
-    * per-batch cost stays O(batch + collisions) no matter how large the
-    * corpus grows.
-    *
-    * Idempotent replay (T2): both corpus and index writes go through
-    * insert-ignore on the doc id + atomic overwrite, so a micro-batch
-    * re-delivered after a crash re-lands the same rows as no-ops —
-    * checkpoint + idempotent sink = exactly-once corpus state.
-    *
-    * Dedup rule: a batch doc near-dupping an already-landed corpus doc
-    * ALWAYS loses, regardless of id order (the corpus is never
-    * retro-edited; ids are user-assigned and need not be monotonic);
-    * within a batch, the smallest id of a near-dup pair survives.
-    *
-    * @param srcDir   arrival dir of parquet files with (idCol, textCol)
-    * @param corpus   table of surviving documents (full input schema)
-    * @param index    MinHash index table: (id, hashes, sig)
-    */
   /** Quality-filtered streaming ingest: score each micro-batch with a
     * PRE-TRAINED fasttext-style model ([[graft.ext.HashedClassifier]])
     * and insert-ignore the passes into the corpus. The model rides
@@ -377,6 +353,30 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming near-duplicate-filtered document ingest — the
+    * training-data production loop: documents arrive as files; each
+    * micro-batch is deduplicated against the PERSISTENT MinHash index
+    * (batch×corpus and batch×batch, via
+    * [[graft.ext.MinHashDedup.incrementalNearDuplicates]]) and only
+    * novel documents land in the corpus table, with their signatures
+    * appended to the index. Old×old pairs are never re-examined, so
+    * per-batch cost stays O(batch + collisions) no matter how large the
+    * corpus grows.
+    *
+    * Idempotent replay (T2): both corpus and index writes go through
+    * insert-ignore on the doc id + atomic overwrite, so a micro-batch
+    * re-delivered after a crash re-lands the same rows as no-ops —
+    * checkpoint + idempotent sink = exactly-once corpus state.
+    *
+    * Dedup rule: a batch doc near-dupping an already-landed corpus doc
+    * ALWAYS loses, regardless of id order (the corpus is never
+    * retro-edited; ids are user-assigned and need not be monotonic);
+    * within a batch, the smallest id of a near-dup pair survives.
+    *
+    * @param srcDir   arrival dir of parquet files with (idCol, textCol)
+    * @param corpus   table of surviving documents (full input schema)
+    * @param index    MinHash index table: (id, hashes, sig)
+    */
   def nearDupFilteredIngest(
       spark: SparkSession,
       srcDir: String,

@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+/** Pins the transactional commit-log table: snapshot isolation, time
+  * travel, the atomic create-if-absent commit primitive, and — the
+  * reason the format exists — no lost update under concurrent
+  * read-modify-write writers (deterministic interleave AND a real
+  * threaded race).
+  */
+class TxLogTableSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true),
+    StructField("ts", LongType, nullable = false)))
+
+  private def df(rows: (Long, String, Long)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v, ts) => Row(k, v, ts) }.asJava, schema)
+  }
+
+  private def fresh(): TxLogTable = {
+    val dir = Files.createTempDirectory("txlog").toString
+    new TxLogTable(spark, dir)
+  }
+
+  private def asMap(t: TxLogTable, version: Long = -2): Map[Long, (String, Long)] = {
+    val d = if (version == -2) t.read() else t.readAt(version)
+    d.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+  }
+
+  test("create / append / merge / time travel") {
+    val t = fresh()
+    t.ensureExists(schema)
+    assert(t.currentVersion === 0L)
+    assert(t.read().count() === 0L)
+    // re-running create is a no-op, not a reset
+    t.ensureExists(schema)
+    assert(t.currentVersion === 0L)
+
+    val v1 = t.append(df((1L, "a", 10L), (2L, "b", 10L)))
+    assert(v1 === 1L)
+    val v2 = t.append(df((3L, "c", 10L)))
+    assert(v2 === 2L)
+    assert(asMap(t).keySet === Set(1L, 2L, 3L))
+
+    // merge: k=2 updated (newer ts wins), k=4 inserted
+    val v3 = t.merge(df((2L, "B", 20L), (4L, "d", 20L)),
+      Seq("k"), Seq(col("ts").desc, col("v").desc))
+    assert(v3 === 3L)
+    assert(asMap(t) === Map(
+      1L -> ("a", 10L), 2L -> ("B", 20L), 3L -> ("c", 10L), 4L -> ("d", 20L)))
+
+    // merge precedence: a STALE update (older ts) must lose
+    t.merge(df((2L, "stale", 5L)), Seq("k"), Seq(col("ts").desc, col("v").desc))
+    assert(asMap(t)(2L) === ("B", 20L))
+
+    // time travel: every committed snapshot is still exactly readable
+    assert(asMap(t, 0L) === Map.empty)
+    assert(asMap(t, 1L).keySet === Set(1L, 2L))
+    assert(asMap(t, 2L).keySet === Set(1L, 2L, 3L))
+    assert(asMap(t, 3L)(2L) === ("B", 20L))
+    assert(t.history().map(_._2) ===
+      Seq("overwrite", "append", "append", "overwrite", "overwrite"))
+  }
+
+  test("insert-ignore keeps existing keys and appends only novel rows") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 10L)))
+    t.insertIgnore(df((1L, "CLOBBER", 99L), (2L, "b", 10L)), Seq("k"))
+    assert(asMap(t) === Map(1L -> ("a", 10L), 2L -> ("b", 10L)))
+    // full-duplicate batch: version still advances (replay marker), state unchanged
+    val v = t.currentVersion
+    t.insertIgnore(df((1L, "x", 1L), (2L, "y", 2L)), Seq("k"))
+    assert(t.currentVersion === v + 1)
+    assert(asMap(t) === Map(1L -> ("a", 10L), 2L -> ("b", 10L)))
+  }
+
+  test("commit primitive: exactly one writer wins a version") {
+    val t = fresh()
+    t.ensureExists(schema)
+    // deterministic interleave of two read-modify-write writers:
+    // A reads snapshot v0, then B commits v1, then A bids for v1 → must fail
+    val v0 = t.currentVersion
+    val mergedA = graft.operators.Upsert.mergeByKey(
+      t.readAt(v0), df((10L, "A", 1L)), Seq("k"), Seq(col("ts").desc))
+    val stagedA = t.stageData(mergedA)
+    val okB = t.merge(df((20L, "B", 1L)), Seq("k"), Seq(col("ts").desc))
+    assert(okB === v0 + 1)
+    // A's bid for the version B just took: atomically rejected
+    assert(!t.tryCommitForTest(v0 + 1, stagedA, mergedA.schema.json))
+    // A retries through the public path → recomputes on B's state; both land
+    t.merge(df((10L, "A", 1L)), Seq("k"), Seq(col("ts").desc))
+    assert(asMap(t).keySet === Set(10L, 20L))
+  }
+
+  test("no lost update under threaded concurrent merges") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((0L, "seed", 0L)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1L to 6L).map { i =>
+      Future { t.merge(df((i, s"w$i", i)), Seq("k"), Seq(col("ts").desc)) }
+    }
+    Await.result(Future.sequence(writers), 5.minutes)
+    // every writer's key present ⇒ no merge was lost in any race
+    assert(asMap(t).keySet === (0L to 6L).toSet)
+    // versions are a contiguous serialization of the 7 commits
+    assert(t.currentVersion === 7L)
+  }
+
+  test("checkpoint folds history; vacuum removes unreachable dirs only") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1L)))
+    t.append(df((2L, "b", 1L)))
+    t.merge(df((3L, "c", 1L)), Seq("k"), Seq(col("ts").desc)) // overwrite: dirs of v1/v2 now historical
+    val before = asMap(t)
+    val cv = t.checkpoint()
+    assert(asMap(t, cv) === before)
+    // full-history vacuum keeps everything still referenced by a manifest
+    assert(t.vacuum(retainHistory = true) === Nil)
+    // dropping history removes the pre-merge dirs; current state intact
+    val removed = t.vacuum(retainHistory = false)
+    assert(removed.nonEmpty)
+    assert(asMap(t) === before)
+  }
+}
