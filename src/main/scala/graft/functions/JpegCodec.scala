@@ -9,9 +9,12 @@ package graft.functions
   * upsample, and JFIF YCbCr→RGB.
   *
   * Supported surface, stated honestly: 8-bit Huffman sequential (SOF0/
-  * SOF1), 1- or 3-component, any sampling factors ≤ 4, interleaved or
-  * per-component scans, restart markers, 8- and 16-bit quant tables.
-  * Progressive (SOF2), arithmetic coding, lossless, hierarchical, and
+  * SOF1) AND progressive (SOF2 — spectral selection + successive
+  * approximation per T.81 Annex G: DC first/refine, AC first/refine
+  * with EOB-run state, coefficients accumulated raw across scans and
+  * IDCT'd once at EOI), 1- or 3-component, any sampling factors ≤ 4,
+  * interleaved or per-component scans, restart markers, 8- and 16-bit
+  * quant tables. Arithmetic coding, lossless, hierarchical, and
   * 4-component (Adobe CMYK) files decode to None rather than wrong
   * pixels — same posture as [[PngCodec]].
   *
@@ -189,6 +192,12 @@ object JpegCodec {
     var planeW: Int = 0
     var blocksW: Int = 0 // ceil(compW/8) — non-interleaved scan grid
     var blocksH: Int = 0
+    // progressive only: raw (un-dequantized) coefficients for every
+    // block of the PADDED grid, natural order within a block; scans
+    // accumulate bits here and the IDCT runs once at EOI
+    var coefs: Array[Int] = null
+    var coefBlocksW: Int = 0 // padded grid width = mcusX·h
+    var dcPred: Int = 0 // per-scan DC predictor (reset at scan/RST)
   }
 
   /** Full pixel decode; None on anything malformed OR outside the
@@ -217,6 +226,7 @@ object JpegCodec {
     var vMax = 0
     var mcusX = 0
     var mcusY = 0
+    var progressive = false
 
     var pos = 2
     var eoi = false
@@ -278,8 +288,10 @@ object JpegCodec {
         if (u16(pos) != 4) throw Fail
         restartInterval = u16(pos + 2)
         pos += 4
-      } else if (m == 0xc0 || m == 0xc1) { // SOF0/SOF1: Huffman sequential
+      } else if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        // SOF0/SOF1 Huffman sequential, SOF2 Huffman progressive
         if (comps != null) throw Fail // one frame per file
+        progressive = m == 0xc2
         val end = pos + u16(pos)
         if (u8(pos + 2) != 8) throw Fail // precision
         height = u16(pos + 3)
@@ -313,38 +325,68 @@ object JpegCodec {
           c.plane = new Array[Byte](c.planeW * planeH)
           c.blocksW = ((width * c.h + hMax - 1) / hMax + 7) / 8
           c.blocksH = ((height * c.v + vMax - 1) / vMax + 7) / 8
+          if (progressive) {
+            // coefficient store = 64 ints per padded-grid block (4 B per
+            // sample-equivalent — same order of memory as the plane ×4);
+            // the plane guard above already bounds padded pixels
+            c.coefBlocksW = mcusX * c.h
+            c.coefs = new Array[Int](c.planeW * planeH)
+          }
         }
         pos = end
-      } else if ((m >= 0xc2 && m <= 0xcf) && m != 0xc4 && m != 0xc8 &&
+      } else if ((m >= 0xc3 && m <= 0xcf) && m != 0xc4 && m != 0xc8 &&
           m != 0xcc) {
-        throw Fail // progressive/lossless/arithmetic/hierarchical
+        throw Fail // lossless/arithmetic/hierarchical
       } else if (m == 0xda) { // SOS
         if (comps == null) throw Fail
         val ns = u8(pos + 2)
         if (ns < 1 || ns > comps.length) throw Fail
         val scanComps = new Array[Component](ns)
-        val scanDc = new Array[HuffTable](ns)
-        val scanAc = new Array[HuffTable](ns)
+        val scanTd = new Array[Int](ns)
+        val scanTa = new Array[Int](ns)
         var i = 0
         var p = pos + 3
         while (i < ns) {
           val cs = u8(p)
           val c = comps.find(_.id == cs).getOrElse(throw Fail)
           scanComps(i) = c
-          val td = u8(p + 1) >> 4
-          val ta = u8(p + 1) & 0xf
-          if (td > 3 || ta > 3) throw Fail
-          scanDc(i) = Option(dcT(td)).getOrElse(throw Fail)
-          scanAc(i) = Option(acT(ta)).getOrElse(throw Fail)
+          scanTd(i) = u8(p + 1) >> 4
+          scanTa(i) = u8(p + 1) & 0xf
+          if (scanTd(i) > 3 || scanTa(i) > 3) throw Fail
           p += 2
           i += 1
         }
-        // baseline spectral-selection / approximation bytes must be 0,63,0
-        if (u8(p) != 0 || u8(p + 1) != 63 || u8(p + 2) != 0) throw Fail
+        val ss = u8(p)
+        val se = u8(p + 1)
+        val ah = u8(p + 2) >> 4
+        val al = u8(p + 2) & 0xf
         p += 3
         if (p != pos + u16(pos)) throw Fail
-        pos = decodeScan(d, p, scanComps, scanDc, scanAc, qt,
-          restartInterval, mcusX, mcusY)
+        if (!progressive) {
+          // baseline: spectral/approximation bytes must be 0,63,0, and
+          // every scan component needs both tables
+          if (ss != 0 || se != 63 || ah != 0 || al != 0) throw Fail
+          val scanDc = scanTd.map(t => Option(dcT(t)).getOrElse(throw Fail))
+          val scanAc = scanTa.map(t => Option(acT(t)).getOrElse(throw Fail))
+          pos = decodeScan(d, p, scanComps, scanDc, scanAc, qt,
+            restartInterval, mcusX, mcusY)
+        } else {
+          // progressive (T.81 G.1): DC band (Ss=Se=0) may interleave;
+          // AC bands are single-component; Ah=0 first pass, else one
+          // successive-approximation refinement bit per pass
+          if (ss == 0 && se != 0) throw Fail
+          if (ss > 0 && (ns != 1 || se < ss || se > 63)) throw Fail
+          if (al > 13 || (ah != 0 && ah != al + 1)) throw Fail
+          // table demand depends on the scan kind: DC-first needs the
+          // DC table, AC scans the AC table, DC-refine neither
+          val scanDc = scanTd.map(t =>
+            if (ss == 0 && ah == 0) Option(dcT(t)).getOrElse(throw Fail)
+            else null)
+          val scanAc = scanTa.map(t =>
+            if (ss > 0) Option(acT(t)).getOrElse(throw Fail) else null)
+          pos = decodeProgScan(d, p, scanComps, scanDc, scanAc,
+            ss, se, ah, al, restartInterval, mcusX, mcusY)
+        }
       } else if (m == 0xd8) { // SOI mid-stream
         throw Fail
       } else { // APPn / COM / DNL / anything else with a length field
@@ -355,7 +397,214 @@ object JpegCodec {
     }
 
     if (comps == null) throw Fail
+    if (progressive) reconstructProgressive(comps, qt)
     assemble(width, height, comps, hMax, vMax)
+  }
+
+  /** EOI-time reconstruction for progressive frames: dequantize each
+    * accumulated coefficient block and IDCT it into the plane. Only the
+    * component's REAL block grid is rendered — padded-grid blocks
+    * (decoded to keep interleaved DC scans in bit-sync) carry no
+    * displayed pixel.
+    */
+  private def reconstructProgressive(comps: Array[Component],
+      qt: Array[Array[Int]]): Unit = {
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    comps.foreach { c =>
+      val q = Option(qt(c.tq)).getOrElse(throw Fail)
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val base = (by * c.coefBlocksW + bx) * 64
+          var k = 0
+          while (k < 64) { coef(k) = c.coefs(base + k) * q(k); k += 1 }
+          idct(coef, px)
+          val x0 = bx * 8
+          val y0 = by * 8
+          var y = 0
+          while (y < 8) {
+            val row = (y0 + y) * c.planeW + x0
+            var x = 0
+            while (x < 8) {
+              c.plane(row + x) = px(y * 8 + x).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+  }
+
+  /** One progressive scan (T.81 G.2 decode procedures). Coefficients
+    * accumulate RAW (un-dequantized) in each component's `coefs` —
+    * successive approximation shifts/refines integer magnitudes, so
+    * quantization must wait for reconstruction. `eobrun` (G.1.2.2) is
+    * scan-level state: an EOBn symbol ends the current block's band and
+    * skips the band in the next eobrun−1 blocks; restart markers reset
+    * it with the DC predictors.
+    */
+  private def decodeProgScan(d: Array[Byte], start: Int,
+      scanComps: Array[Component], scanDc: Array[HuffTable],
+      scanAc: Array[HuffTable], ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int, mcusX: Int, mcusY: Int): Int = {
+    val br = new BitReader(d, start)
+    var eobrun = 0
+    scanComps.foreach(_.dcPred = 0)
+
+    // DC first pass (G.1.2.1): baseline DC decode, value lands in the
+    // top approximation bits
+    def dcFirst(ci: Int, bx: Int, by: Int): Unit = {
+      val c = scanComps(ci)
+      val s0 = scanDc(ci).decode(br)
+      if (s0 > 11) throw Fail
+      c.dcPred += extend(br.receive(s0), s0)
+      c.coefs((by * c.coefBlocksW + bx) * 64) = c.dcPred << al
+    }
+
+    // DC refinement (G.1.2.1): one raw bit per block
+    def dcRefine(ci: Int, bx: Int, by: Int): Unit = {
+      val c = scanComps(ci)
+      if (br.bit() == 1)
+        c.coefs((by * c.coefBlocksW + bx) * 64) |= 1 << al
+    }
+
+    // AC first pass (G.1.2.2): run-length + EOB-run over the band
+    def acFirst(bx: Int, by: Int): Unit = {
+      val c = scanComps(0)
+      val base = (by * c.coefBlocksW + bx) * 64
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = scanAc(0).decode(br)
+        val r = rs >> 4
+        val s = rs & 0xf
+        if (s == 0) {
+          if (r < 15) {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            k = se + 1 // EOB: band done for this block
+          } else k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) throw Fail
+          c.coefs(base + ZigZag(k)) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    // AC refinement (G.1.2.3): already-nonzero coefficients receive a
+    // correction bit whenever the scan passes over them; zero-history
+    // coefficients are created at ±1<<al. The run length r counts only
+    // ZERO-history positions — nonzero ones are "transparent".
+    def acRefine(bx: Int, by: Int): Unit = {
+      val c = scanComps(0)
+      val base = (by * c.coefBlocksW + bx) * 64
+      val p1 = 1 << al
+      val m1 = -1 << al
+      def correct(z: Int): Unit =
+        if (br.bit() == 1 && (c.coefs(z) & p1) == 0)
+          c.coefs(z) += (if (c.coefs(z) >= 0) p1 else m1)
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = scanAc(0).decode(br)
+          var r = rs >> 4
+          val s = rs & 0xf
+          var newVal = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              done = true // remaining band handled by the eobrun arm
+            }
+            // r == 15: ZRL — run of 16 zero-history positions
+          } else {
+            if (s != 1) throw Fail // refinement creates only ±1 (G.1.2.3)
+            newVal = if (br.bit() == 1) p1 else m1
+          }
+          if (!done) {
+            var placed = false
+            while (!placed && k <= se) {
+              val z = base + ZigZag(k)
+              if (c.coefs(z) != 0) correct(z)
+              else if (r == 0) {
+                if (newVal != 0) c.coefs(z) = newVal
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed && newVal != 0) throw Fail // band ran out
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB region: only correction bits for surviving nonzeros
+        while (k <= se) {
+          val z = base + ZigZag(k)
+          if (c.coefs(z) != 0) correct(z)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    // Unit grid (same rule as baseline): interleaved DC scan → MCU
+    // grid; single-component scan → that component's own block grid
+    val single = scanComps.length == 1
+    val totalUnits =
+      if (single) scanComps(0).blocksW * scanComps(0).blocksH
+      else mcusX * mcusY
+    var rstIdx = 0
+    var unit = 0
+    while (unit < totalUnits) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.align()
+        if (br.pos + 1 >= d.length) throw Fail
+        if ((d(br.pos) & 0xff) != 0xff ||
+            (d(br.pos + 1) & 0xff) != 0xd0 + rstIdx) throw Fail
+        br.pos += 2
+        rstIdx = (rstIdx + 1) % 8
+        scanComps.foreach(_.dcPred = 0)
+        eobrun = 0
+      }
+      if (single) {
+        val c = scanComps(0)
+        val bx = unit % c.blocksW
+        val by = unit / c.blocksW
+        if (ss == 0) { if (ah == 0) dcFirst(0, bx, by) else dcRefine(0, bx, by) }
+        else { if (ah == 0) acFirst(bx, by) else acRefine(bx, by) }
+      } else {
+        // interleaved: progressive allows it for the DC band only
+        if (ss != 0) throw Fail
+        val mx = unit % mcusX
+        val my = unit / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var v = 0
+          while (v < c.v) {
+            var h = 0
+            while (h < c.h) {
+              if (ah == 0) dcFirst(ci, mx * c.h + h, my * c.v + v)
+              else dcRefine(ci, mx * c.h + h, my * c.v + v)
+              h += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+      }
+      unit += 1
+    }
+    br.align()
+    br.pos
   }
 
   /** Decode one scan's entropy data; returns the position just past it
@@ -571,13 +820,21 @@ object JpegCodec {
     s
   }
 
-  /** Shared flat-block entropy encoder: one DC diff + EOB per block. */
-  private def putDcOnlyBlock(w: BitWriter, dc: Map[Int, (Int, Int)],
-      ac: Map[Int, (Int, Int)], diff: Int): Unit = {
+  /** DC diff alone (category code + magnitude bits) — the whole entropy
+    * content of a progressive DC-first scan's block.
+    */
+  private def putDc(w: BitWriter, dc: Map[Int, (Int, Int)],
+      diff: Int): Unit = {
     val s = dcCategory(diff)
     val (c, l) = dc(s)
     w.put(c, l)
     if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+  }
+
+  /** Shared flat-block entropy encoder: one DC diff + EOB per block. */
+  private def putDcOnlyBlock(w: BitWriter, dc: Map[Int, (Int, Int)],
+      ac: Map[Int, (Int, Int)], diff: Int): Unit = {
+    putDc(w, dc, diff)
     val (ec, el) = ac(0x00)
     w.put(ec, el)
   }
@@ -644,6 +901,82 @@ object JpegCodec {
     }
     w.flush()
     out ++= w.buf
+    out += 0xff.toByte; out += 0xd9.toByte // EOI
+    out.toArray
+  }
+
+  /** AC table for progressive fixtures: the fifteen EOBn symbols
+    * (r<<4, r = 0..14) at four bits each — enough to express any EOB
+    * run, which is ALL a zero-AC progressive scan emits.
+    */
+  private val AcEobnBits =
+    Array(0, 0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcEobnVals = Array.tabulate(15)(r => r << 4)
+
+  /** Encode a PROGRESSIVE (SOF2) grayscale JPEG of the same flat-block
+    * content as [[encodeFlatGray]], through the canonical four-scan
+    * successive-approximation script:
+    *   1. DC first   (Al=1): diffs of (v−128) >> 1
+    *   2. AC first   1–63 (Al=1): one EOBn run covering every block
+    *   3. DC refine  (Ah=1, Al=0): one raw bit per block — (v−128) & 1
+    *   4. AC refine  1–63 (Ah=1, Al=0): the EOBn run again
+    * Flat blocks keep every AC zero, so the decoded raster must equal
+    * the sequential encoding of the same content BIT-EXACTLY (DC
+    * reconstruction is floor(x/2)·2 + (x&1) = x; DC quantum 8 is again
+    * lossless) — giving the progressive path the same arithmetic oracle
+    * the baseline fixtures have, while exercising DC-first/refine and
+    * both EOB-run arms.
+    */
+  def encodeFlatGrayProgressive(width: Int, height: Int,
+      blockVal: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](1024)
+    out += 0xff.toByte; out += 0xd8.toByte // SOI
+    header(out, 0xdb, dqtBody(0))
+    header(out, 0xc2, Array(8, height >> 8, height & 0xff, width >> 8,
+      width & 0xff, 1, 1, 0x11, 0))
+    header(out, 0xc4, dhtBody(0, 0, DcLumBits, DcLumVals))
+    header(out, 0xc4, dhtBody(1, 0, AcEobnBits, AcEobnVals))
+    val dc = canonical(DcLumBits, DcLumVals)
+    val ac = canonical(AcEobnBits, AcEobnVals)
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val nBlocks = bw * bh
+    def vOf(unit: Int): Int = {
+      val v = blockVal(unit % bw, unit / bw)
+      require(v >= 0 && v <= 255)
+      v - 128
+    }
+    def scan(params: Array[Int])(body: BitWriter => Unit): Unit = {
+      header(out, 0xda, params)
+      val w = new BitWriter
+      body(w)
+      w.flush()
+      out ++= w.buf
+    }
+    // one EOBn covering all nBlocks: eobrun_total = 2^r + extra
+    def putEobAll(w: BitWriter): Unit = {
+      val r = 31 - Integer.numberOfLeadingZeros(nBlocks)
+      val (c, l) = ac(r << 4)
+      w.put(c, l)
+      if (r > 0) w.put(nBlocks - (1 << r), r)
+    }
+    scan(Array(1, 1, 0x00, 0, 0, 0x01)) { w => // DC first, Al=1
+      var pred = 0
+      var unit = 0
+      while (unit < nBlocks) {
+        val t = vOf(unit) >> 1
+        putDc(w, dc, t - pred)
+        pred = t
+        unit += 1
+      }
+    }
+    scan(Array(1, 1, 0x00, 1, 63, 0x01))(putEobAll) // AC first, Al=1
+    scan(Array(1, 1, 0x00, 0, 0, 0x10)) { w => // DC refine, Ah=1 Al=0
+      var unit = 0
+      while (unit < nBlocks) { w.put(vOf(unit) & 1, 1); unit += 1 }
+    }
+    scan(Array(1, 1, 0x00, 1, 63, 0x10))(putEobAll) // AC refine
     out += 0xff.toByte; out += 0xd9.toByte // EOI
     out.toArray
   }

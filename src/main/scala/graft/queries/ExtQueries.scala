@@ -1134,6 +1134,34 @@ object ExtQueries {
           col("n_pixels"), col("luma_sum"))
     },
 
+    // ── PROGRESSIVE JPEG pixel decode (q84's sibling for the majority
+    // encoding of large web JPEGs): the same flat-block content as q84
+    // even-ids, but entropy-coded through the four-scan successive-
+    // approximation script (DC first Al=1 → AC EOB-runs → DC refine →
+    // AC refine). Flat blocks survive the approximation losslessly
+    // (floor(x/2)·2 + (x&1) = x; DC quantum 8), so the SAME arithmetic
+    // oracle applies — a slip in scan dispatch, coefficient
+    // accumulation, EOB-run bookkeeping, or the point transform breaks
+    // the hash in either direction.
+    "q113_jpeg_progressive_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val payload = graft.functions.JpegCodec.encodeFlatGrayProgressive(
+            w, h, (bx, by) => ((id + 7 * bx + 13 * by) % 256).toInt)
+          Multimodal.MediaRow(id, payload, "image/jpeg", source)
+        }
+      Multimodal.pixelStats(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("luma_sum"))
+    },
+
     // ── REAL video frame extraction (the multimodal set's third leg):
     // per doc_id an MJPEG AVI — real RIFF layout: avih/strh/strf
     // headers, word-aligned movi chunks — carrying id%4+2 flat-block
@@ -1547,6 +1575,21 @@ object ExtQueries {
         |    THEN 1000*((doc_id + 7*(x//8) + 13*(y//8)) % 256)
         |    ELSE 299*r + 587*g + 114*b END) AS BIGINT) AS luma_sum
         |FROM rgb GROUP BY doc_id""".stripMargin,
+
+    // progressive identity: the successive-approximation round-trip is
+    // lossless on flat blocks, so the oracle is q84's gray arithmetic
+    // verbatim — the engine side must recover it through the four-scan
+    // progressive decode instead of the baseline path
+    "q113_jpeg_progressive_stats" ->
+      """SELECT d.doc_id AS doc_id,
+        |  d.doc_id % 16 + 4 AS width,
+        |  d.doc_id % 12 + 4 AS height,
+        |  (d.doc_id % 16 + 4) * (d.doc_id % 12 + 4) AS n_pixels,
+        |  CAST(sum(1000*((d.doc_id + 7*(x.i//8) + 13*(y.i//8)) % 256)) AS BIGINT) AS luma_sum
+        |FROM documents d
+        |JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
+        |JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4
+        |GROUP BY d.doc_id""".stripMargin,
 
     // frame-level identity: one oracle row per (doc, frame) replaying
     // the flat-block formula; the Spark side must recover it through

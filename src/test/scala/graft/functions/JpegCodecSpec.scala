@@ -145,14 +145,17 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("unsupported surface rejects: progressive, 4-component, 12-bit, stray SOI") {
+  test("unsupported surface rejects: lossless, arithmetic, 4-component, 12-bit, stray SOI") {
     val ok = encodeFlatGray(16, 16, (_, _) => 99)
     val sofAt = (0 until ok.length - 1).find(i =>
       (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0).get
     def mut(off: Int, v: Int): Array[Byte] = {
       val b = ok.clone(); b(off) = v.toByte; b
     }
-    assert(decode(mut(sofAt + 1, 0xc2)).isEmpty) // progressive
+    // 0xc2 (progressive) is no longer a reject — but THIS stream is
+    // baseline data whose SOS declares Se=63 for a "DC" band, which the
+    // progressive validator must still refuse
+    assert(decode(mut(sofAt + 1, 0xc2)).isEmpty)
     assert(decode(mut(sofAt + 1, 0xc3)).isEmpty) // lossless
     assert(decode(mut(sofAt + 1, 0xc9)).isEmpty) // arithmetic
     assert(decode(mut(sofAt + 4, 12)).isEmpty) // 12-bit precision
@@ -181,6 +184,109 @@ class JpegCodecSpec extends AnyFunSuite {
         assert((img.data(y * w + x) & 0xff) == expect, s"t$trial ours ($x,$y)")
         assert(jdk.getRaster.getSample(x, y, 0) == expect, s"t$trial jdk ($x,$y)")
       }
+    }
+  }
+
+  test("progressive flat fixtures decode bit-exactly and agree with the JDK decoder") {
+    for ((w, h) <- Seq((8, 8), (1, 1), (7, 5), (17, 15), (64, 48), (100, 1))) {
+      val bytes = encodeFlatGrayProgressive(w, h,
+        (bx, by) => (11 * bx + 29 * by + 40) % 256)
+      val img = decode(bytes).getOrElse(fail(s"$w x $h: no progressive decode"))
+      assert(img.width == w && img.height == h && img.channels == 1)
+      val jdk = decodeImageIO(bytes)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = (11 * (x / 8) + 29 * (y / 8) + 40) % 256
+        assert((img.data(y * w + x) & 0xff) == expect, s"ours ($x,$y) $w x $h")
+        assert(jdk.getRaster.getSample(x, y, 0) == expect, s"jdk ($x,$y) $w x $h")
+      }
+    }
+  }
+
+  test("progressive equals sequential on identical flat content") {
+    val f = (bx: Int, by: Int) => (53 * bx + 17 * by + 3) % 256
+    val seq = decode(encodeFlatGray(33, 25, f)).get
+    val prog = decode(encodeFlatGrayProgressive(33, 25, f)).get
+    assert(seq.width == prog.width && seq.height == prog.height)
+    assert(java.util.Arrays.equals(seq.data, prog.data))
+  }
+
+  test("JDK progressive-encoded natural gray decodes within ±2 of the JDK decoder") {
+    // the real thing: multi-scan spectral selection + successive
+    // approximation with NONZERO AC coefficients — exercises AC-first
+    // placement, AC-refine correction bits, and cross-scan EOB runs
+    val w = 120; val h = 80
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0,
+        (128 + 90 * math.sin(x / 7.0) * math.cos(y / 5.0) +
+          (if ((x / 16 + y / 16) % 2 == 0) 30 else -30)).toInt.max(0).min(255))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(src, null, null), p)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    // confirm the writer actually emitted SOF2
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "JDK writer did not produce a progressive stream")
+    val ours = decode(bytes).getOrElse(fail("no decode of JDK progressive stream"))
+    val jdk = decodeImageIO(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 1)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs((ours.data(y * w + x) & 0xff) - jdk.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 2, s"max per-sample diff $maxDiff")
+  }
+
+  test("JDK progressive-encoded natural COLOR decodes within ±2 luma of the JDK decoder") {
+    // color progressive: interleaved DC scan + per-component AC scans.
+    // Chroma is flat (gray content in RGB) so the upsample filter
+    // difference vanishes and a tight cross-decoder bound holds.
+    val w = 48; val h = 32
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (128 + 80 * math.sin((x + 2 * y) / 6.0)).toInt.max(0).min(255)
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(src, null, null), p)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2))
+    val ours = decode(bytes).getOrElse(fail("no decode of JDK progressive color"))
+    val jdk = decodeImageIO(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 3)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (jdk.getRGB(x, y) >> 8) & 0xff
+      maxDiff = math.max(maxDiff,
+        math.abs((ours.data((y * w + x) * 3 + 1) & 0xff) - g))
+    }
+    assert(maxDiff <= 2, s"max green-channel diff $maxDiff")
+  }
+
+  test("progressive truncation rejects; bit flips never throw") {
+    val ok = encodeFlatGrayProgressive(40, 24, (bx, by) => (bx * 37 + by * 73) % 256)
+    assert(decode(ok).isDefined)
+    for (cut <- 0 until ok.length by 7)
+      assert(decode(java.util.Arrays.copyOf(ok, cut)).isEmpty, s"cut=$cut")
+    for (pos <- 2 until ok.length; bit <- Seq(0x01, 0x80)) {
+      val bad = ok.clone()
+      bad(pos) = (bad(pos) ^ bit).toByte
+      decode(bad) // totality: may decode differently or reject, never throw
     }
   }
 
