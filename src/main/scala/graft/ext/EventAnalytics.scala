@@ -58,6 +58,50 @@ object EventAnalytics {
           first(depth).as("funnel_depth"): _*)
   }
 
+  /** Skew-robust [[orderedFunnel]] — identical semantics and output,
+    * different physical shape for the power-user regime (one user
+    * holding a macroscopic fraction of all events). The window form
+    * ships EVERY event of a user to one task (WindowExec cannot split
+    * a partition; AQE's skew handling only splits joins), so a 10 %
+    * power user makes one straggler task carry 10 % of the corpus.
+    * Here each step is a partial-aggregating `groupBy(user).min`
+    * instead: map-side combine collapses a user's events to one row
+    * PER PARTITION before any shuffle, so the hot user costs one row ×
+    * partitions, not their event count. The step-(i−1) bound reaches
+    * step i's events through [[graft.operators.SkewJoin.salted]] —
+    * the per-user bound row replicates `saltN` ways and the hot user's
+    * probe events spread across `saltN` tasks.
+    *
+    * Cost: N−1 joins + N aggregations (vs one window stack) — pay it
+    * when a hot key dominates; the results are row-identical
+    * (spec-pinned on a planted 10 %-power-user fixture, oracle-pinned
+    * as q115 against q106's DuckDB twin).
+    */
+  def orderedFunnelSkewed(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], saltN: Int = 8): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = unix_micros(col(tsCol))
+    def ofType(t: String) = events.filter(col(typeCol) === t)
+      .select(col(userCol), us.as("us"))
+    // step 0: a plain min agg — partial aggregation is skew-immune
+    var cur = ofType(steps.head).groupBy(col(userCol))
+      .agg(min(col("us")).as("step0_us"))
+    steps.zipWithIndex.tail.foreach { case (step, i) =>
+      val bound = cur.select(col(userCol), col(s"step${i - 1}_us"))
+        .filter(col(s"step${i - 1}_us").isNotNull)
+      val stepMin = graft.operators.SkewJoin
+        .salted(ofType(step), bound, Seq(userCol), col("us"), saltN)
+        .filter(col("us") > col(s"step${i - 1}_us"))
+        .groupBy(col(userCol))
+        .agg(min(col("us")).as(s"step${i}_us"))
+      cur = cur.join(stepMin, Seq(userCol), "left")
+    }
+    val depth = steps.indices
+      .map(i => when(col(s"step${i}_us").isNotNull, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    cur.withColumn("funnel_depth", depth)
+  }
+
   /** Windowed funnel — EXACT "converted within T" semantics. The
     * q106-style single-anchor recurrence is wrong here: the earliest
     * step-0 event can time out while a later one converts, so every

@@ -315,6 +315,29 @@ object ExtQueries {
           round(col("recall"), 6).as("recall"))
     },
 
+    // ── two-stage ANN: IVFADC candidates (q103's path and probe
+    // budget exactly) → fetch original vectors for the top-50 → exact
+    // cosine re-rank to top-5. The production "rescoring" tier: the
+    // compressed scan decides WHO gets exact treatment, not the final
+    // order. Invariant form; floor 0.60 vs q103's 0.25 (measured:
+    // rerank 0.72 at sf0.01 / 0.76 at sf0.1 vs ADC-ranked 0.44 /
+    // 0.40 — same nProbe=6, pqIters=3).
+    "q114_ann_rerank_recall_floor" -> { (s, dir) =>
+      import graft.ext.ProductQuantization
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("cand_id")).cache()
+      val approx = ProductQuantization.ivfAdcRerankTopK(emb, q, topK = 5,
+          rerankFactor = 10, pqIters = 3)
+        .select(col("query_id"), col("cand_id"))
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / exact.count()).as("recall"))
+        .filter(col("recall") < 0.60)
+        .select(lit("ivfadc_rerank").as("method"),
+          round(col("recall"), 6).as("recall"))
+    },
+
     // ── incremental image dedup (the multimodal member of the q50/q54
     // incremental family): the 10% batch (doc_id ≡ 0 mod 10) arrives
     // as raw payloads, the corpus as its stored 8-byte dHash index;
@@ -1326,6 +1349,18 @@ object ExtQueries {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     },
 
+    // ── skew-robust funnel: the q106 semantics through the salted-agg
+    // physical shape (partial-aggregating per-step minima + salted
+    // equi-joins — the power-user defense; a window cannot split a hot
+    // user's partition). Must hash-equal q106's oracle exactly: the
+    // skew treatment is required to be result-invisible.
+    "q115_funnel_skew_robust" -> { (s, dir) =>
+      graft.ext.EventAnalytics.orderedFunnelSkewed(Tables.events(s, dir),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("step0_us"), col("step1_us"),
+          col("step2_us"), col("funnel_depth"))
+    },
+
     // ── windowed funnel (EXACT "converted within T"): every view is
     // an anchor (the earliest can time out while a later one
     // converts — the q106 recurrence is provably wrong here), each
@@ -1975,6 +2010,27 @@ object ExtQueries {
         |      FROM events GROUP BY event_type) t
         |  ON e.event_type = t.event_type""".stripMargin,
 
+    // the salted skew-robust funnel must reproduce q106's oracle
+    // hash-exactly (the physical skew treatment is result-invisible)
+    "q115_funnel_skew_robust" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, MIN(us) AS step0_us FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(e.us) AS step1_us
+        |       FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s0.step0_us
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.us) AS step2_us
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s1.step1_us
+        |       GROUP BY e.user_id)
+        |SELECT s0.user_id, s0.step0_us, s1.step1_us, s2.step2_us,
+        |  CAST(1 + CASE WHEN s1.step1_us IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN s2.step2_us IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS funnel_depth
+        |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+        |        LEFT JOIN s2 ON s0.user_id = s2.user_id""".stripMargin,
+
     // the commit-log merge must reproduce the single-shot q05 state
     // exactly: DuckDB replays latest-wins over ALL events in one pass
     // (max over a union = max of per-half maxes), ns-exact tie order
@@ -1989,6 +2045,12 @@ object ExtQueries {
     // partitions every vocab word and the first merge fires
     "q104_bpe_roundtrip" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS word
+        |WHERE 1 = 0""".stripMargin,
+
+    // invariant form: empty unless the re-ranked recall floor (0.60 —
+    // 2.4× q103's ADC-ranked floor at the identical probe budget) fails
+    "q114_ann_rerank_recall_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
 
     // invariant form (q35 family): empty unless the held-out AUC

@@ -76,7 +76,11 @@ class PlanQualitySpec extends SparkSpec {
       // q103 carries q100's exact brute-force reference leg (the same
       // ≤10-row broadcast); the residual-IVFADC side under test joins
       // on the cell key like q100's
-      "q103_ann_residual_recall_floor")
+      "q103_ann_residual_recall_floor",
+      // q114 = q103 + exact re-rank: the BNLJ is again ONLY the exact
+      // reference leg; the candidate stage joins on the cell key and
+      // the re-rank fetch is a broadcast EQUI-join on cand_id/query_id
+      "q114_ann_rerank_recall_floor")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

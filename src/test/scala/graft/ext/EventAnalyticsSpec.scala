@@ -66,6 +66,57 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("orderedFunnelSkewed == orderedFunnel on a planted 10%-power-user fixture") {
+    // 30 regular users with LCG event streams + ONE power user holding
+    // ~12% of all events — the skew regime the salted-agg variant exists
+    // for. Equality must be row-identical including null step patterns.
+    var seed = 42L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed >>> 16 }
+    val types = Array("view", "click", "purchase", "other")
+    val base = 1700000000000000L
+    val regular = (1L to 30L).flatMap { u =>
+      (0 until 20).map { _ =>
+        (u, types((next() % 4).abs.toInt), base + (next() % 86400000000L).abs)
+      }
+    }
+    val power = (0 until 80).map { _ =>
+      (999L, types((next() % 4).abs.toInt), base + (next() % 86400000000L).abs)
+    }
+    val events = (regular ++ power).map { case (u, t, us) =>
+      val ts = new Timestamp(us / 1000L)
+      ts.setNanos(((us % 1000000L) * 1000L).toInt)
+      (u, t, ts)
+    }.toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    val cols = Seq("user_id", "step0_us", "step1_us", "step2_us", "funnel_depth")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.indices.map(i => r.get(i)).toSeq).toSet
+    val window = EventAnalytics.orderedFunnel(events,
+      "user_id", "ts", "event_type", steps)
+    val salted = EventAnalytics.orderedFunnelSkewed(events,
+      "user_id", "ts", "event_type", steps, saltN = 8)
+    assert(canon(salted) === canon(window))
+    assert(canon(salted).exists(_.head == 999L), "power user present")
+  }
+
+  test("orderedFunnelSkewed plan: partial aggregation + salted equi-joins, no window over events") {
+    val events = graft.core.Tables.events(spark, sf0001)
+    val p = EventAnalytics.orderedFunnelSkewed(events,
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    // the skew defense in the plan: every per-user min is a two-phase
+    // hash aggregate (map-side combine collapses the hot user's events
+    // before the Exchange)...
+    assert(p.contains("partial_min"),
+      "per-step minima must partial-aggregate map-side")
+    // ...the bound reaches events through salted EQUI-joins (never a
+    // window over the raw event partition, never a nested loop)
+    assert(!p.contains("Window"), "no window over raw events")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("__salt"), "salted join key present")
+  }
+
   test("retentionCohorts: hand-computed weeks; pre-signup activity excluded") {
     val events = ev(
       // u1 signs up in week w, active in w and w+1
