@@ -26,6 +26,42 @@ object ScrapeParse {
           .as("property_id"))
       .dropDuplicates(keyCol, "property_id")
 
+  /** DOM-tree property-id extraction — the reference's ACTUAL selector
+    * walk (`pull_new_sales_list.py:123-137`), which [[propertyIds]]'s
+    * whole-page regex only approximates: for each `div` whose class
+    * contains "l-searchResult", take its `a.propertyCard-link` (falling
+    * back to the card's first `a[href]`), normalize the href, and keep
+    * `/properties/(\d+)`. The containment scoping is the point — ids in
+    * footers, comments, or script blobs are NOT listings; the regex
+    * path reports them, this path cannot (divergence spec-pinned in
+    * HtmlDomSpec). Runs [[graft.functions.HtmlDom]] inside a typed
+    * per-partition map — a scan-stage row transform, no shuffle.
+    */
+  def propertyIdsDom(pages: DataFrame, keyCol: String, htmlCol: String,
+      host: String = "https://www.rightmove.co.uk"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val idRe = java.util.regex.Pattern.compile("/properties/(\\d+)")
+    pages.select(col(keyCol).cast("long"), col(htmlCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (key, html) =>
+        val root = graft.functions.HtmlDom.parse(html)
+        root.findAll("div", graft.functions.HtmlDom.classContains("l-searchResult"))
+          .flatMap { card =>
+            card.find("a", graft.functions.HtmlDom.classContains("propertyCard-link"))
+              .orElse(card.find("a", graft.functions.HtmlDom.hasAttr("href")))
+              .flatMap(_.attr("href")).filter(_.nonEmpty)
+              .flatMap { href =>
+                val full = if (href.startsWith("http")) href else host + href
+                val m = idRe.matcher(full)
+                if (m.find()) Some((key, m.group(1))) else None
+              }
+          }
+      }
+      .toDF(keyCol, "property_id")
+      .dropDuplicates(keyCol, "property_id")
+  }
+
   /** F7: URL normalization — prefix relative hrefs with the host
     * (`pull_new_sales_list.py:131`).
     */

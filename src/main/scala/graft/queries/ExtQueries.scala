@@ -1349,6 +1349,45 @@ object ExtQueries {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     },
 
+    // ── DOM-tree extraction (the reference's real BeautifulSoup walk,
+    // pull_new_sales_list.py:123-137): per doc a fixture page with
+    // id%5+1 listing cards — even cards a propertyCard-link with a
+    // relative href, odd cards a nested plain a[href] with an absolute
+    // URL + query string, card 4 a link with NO href (skipped, like
+    // the reference's `if not href: continue`) — plus three DECOYS
+    // carrying /properties/ ids in footer text, an HTML comment, and a
+    // script blob. The DOM path must emit exactly the card ids and
+    // NONE of the decoys (the whole-page regex path would report all
+    // three — divergence spec-pinned); the oracle replays the card
+    // arithmetic.
+    "q116_dom_extract" -> { (s, dir) =>
+      import s.implicits._
+      val pages = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (id % 5 + 1).toInt
+          val cards = (0 until n).map { i =>
+            val p = id * 1000 + i
+            if (i == 4)
+              """<div class="l-searchResult"><a class="propertyCard-link">no href</a></div>"""
+            else if (i % 2 == 0)
+              s"""<div class="card l-searchResult x"><a class="propertyCard-link" href="/properties/$p">View</a><br><span>.</span></div>"""
+            else
+              s"""<div data-i='$i' class="l-searchResult"><div class="inner"><a href="https://www.rightmove.co.uk/properties/$p?src=1">x</a></div></div>"""
+          }.mkString("\n")
+          val d = id * 1000
+          (id,
+            s"""<!DOCTYPE html><html><head><title>p$id</title>
+               |<script>var u="/properties/${d + 999}";</script></head>
+               |<body>$cards
+               |<!-- /properties/${d + 888} -->
+               |<footer>see <a href="/properties/${d + 777}">archive</a></footer>
+               |</body></html>""".stripMargin)
+        }
+        .toDF("doc_id", "html")
+      graft.operators.ScrapeParse.propertyIdsDom(pages, "doc_id", "html")
+    },
+
     // ── skew-robust funnel: the q106 semantics through the salted-agg
     // physical shape (partial-aggregating per-step minima + salted
     // equi-joins — the power-user defense; a window cannot split a hot
@@ -2009,6 +2048,15 @@ object ExtQueries {
         |JOIN (SELECT event_type, COUNT(*) AS type_count
         |      FROM events GROUP BY event_type) t
         |  ON e.event_type = t.event_type""".stripMargin,
+
+    // arithmetic replay of the CARD ids only — the decoys (777/888/999
+    // slots) are absent by construction, so a tree-scoping slip in
+    // either direction breaks rows or hash
+    "q116_dom_extract" ->
+      """SELECT d.doc_id, CAST(d.doc_id * 1000 + i.i AS VARCHAR) AS property_id
+        |FROM documents d
+        |JOIN range(0, 5) i(i)
+        |  ON i.i < d.doc_id % 5 + 1 AND i.i <> 4""".stripMargin,
 
     // the salted skew-robust funnel must reproduce q106's oracle
     // hash-exactly (the physical skew treatment is result-invisible)
