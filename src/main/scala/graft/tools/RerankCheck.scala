@@ -31,12 +31,16 @@ object RerankCheck {
           pqIters = 3)
         .select("query_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val rr = ProductQuantization.ivfAdcRerankTopK(emb, q, topK = 5,
-          rerankFactor = 10, pqIters = 3)
-        .select("query_id", "cand_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"[rerank] $sf%8s plain=${(exact & plain).size.toDouble / exact.size}%.3f " +
-        f"rerank=${(exact & rr).size.toDouble / exact.size}%.3f exactK=${exact.size}")
+      for (pi <- Seq(2, 3); ci <- Seq(1, 2)) {
+        val t0 = System.nanoTime()
+        val rr = ProductQuantization.ivfAdcRerankTopK(emb, q, topK = 5,
+            rerankFactor = 10, coarseIters = ci, pqIters = pi)
+          .select("query_id", "cand_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[rerank] $sf%8s pqIters=$pi coarseIters=$ci plain=${(exact & plain).size.toDouble / exact.size}%.3f " +
+          f"rerank=${(exact & rr).size.toDouble / exact.size}%.3f wall=$dt%.2f s")
+      }
     }
     spark.stop()
   }

@@ -73,6 +73,47 @@ class MiscSpec extends SparkSpec {
     assert(e.getMessage.contains("'d'"))
   }
 
+  test("avro bridge: nested structs, arrays, and maps round-trip exactly") {
+    val work = Files.createTempDirectory("avronested").toString
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, named_struct('city', 'leeds', 'zip', 7,
+        |     'geo', named_struct('lat', 1.5D, 'lon', -0.25D)),
+        |   array(1, 2, 3), map('a', 10L, 'b', 20L),
+        |   array(named_struct('k', 'x', 'v', 1L))),
+        |  (2L, named_struct('city', CAST(NULL AS STRING), 'zip', 9,
+        |     'geo', named_struct('lat', 0D, 'lon', 0D)),
+        |   array(CAST(NULL AS INT), 4), map('c', CAST(NULL AS BIGINT)),
+        |   array())
+        |AS t(id, address, nums, tags, kvs)""".stripMargin)
+    AvroTables.write(df, s"$work/t")
+    val back = AvroTables.read(spark, s"$work/t")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    // exact value round-trip at every nesting level (struct-in-struct,
+    // null leaf inside a struct, null array element, null map value,
+    // array of structs, empty array). Spark refuses set ops on MAP
+    // columns, so canonicalize collected rows instead.
+    def canon(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.collect().map { r =>
+        def v(x: Any): String = x match {
+          case m: scala.collection.Map[_, _] =>
+            m.toSeq.map { case (k, x2) => s"$k=${v(x2)}" }.sorted.mkString("{", ",", "}")
+          case s: scala.collection.Seq[_] => s.map(v).mkString("[", ",", "]")
+          case row: org.apache.spark.sql.Row => row.toSeq.map(v).mkString("(", ",", ")")
+          case other => String.valueOf(other)
+        }
+        r.toSeq.map(v).mkString("|")
+      }.toSet
+    assert(canon(back) === canon(df))
+    // non-string map keys still fail fast with the field path
+    val e = intercept[IllegalArgumentException] {
+      AvroTables.write(
+        spark.sql("SELECT map(1, 'x') AS m"), s"$work/bad")
+    }
+    assert(e.getMessage.contains("'m'"))
+  }
+
   test("parquet ↔ ORC conversion preserves rows and schema") {
     val work = Files.createTempDirectory("orc").toString
     val src = spark.read.parquet(s"$sf0001/documents.parquet")
