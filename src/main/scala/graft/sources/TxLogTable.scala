@@ -60,7 +60,8 @@ object TxLogTable {
     * the class) so json4s can construct it reflectively.
     */
   private[sources] case class Manifest(version: Long, action: String,
-      add: Seq[String], schemaJson: String, tsMillis: Long)
+      add: Seq[String], schemaJson: String, tsMillis: Long,
+      markers: Option[Map[String, String]] = None)
 }
 
 final class TxLogTable(spark: SparkSession, root: String) {
@@ -147,6 +148,27 @@ final class TxLogTable(spark: SparkSession, root: String) {
   /** Snapshot read at the latest version. */
   def read(): DataFrame = readAt(currentVersion)
 
+  private def wrap(m: Map[String, String]): Option[Map[String, String]] =
+    if (m.isEmpty) None else Some(m)
+
+  /** Latest value of commit marker `name`, searching newest-first —
+    * commit metadata that travels ATOMICALLY with the state it
+    * produced (the exactly-once hook [[ParquetTable.marker]] provides
+    * for the rename-swap table; here it is a manifest field, so there
+    * is no window where state and marker disagree).
+    */
+  def marker(name: String): Option[String] = {
+    var v = currentVersion
+    while (v >= 0) {
+      if (Files.exists(manifestPath(v))) {
+        val m = manifestAt(v).markers.flatMap(_.get(name))
+        if (m.isDefined) return m
+      }
+      v -= 1
+    }
+    None
+  }
+
   /** (version, action, tsMillis) per commit, oldest first. */
   def history(): Seq[(Long, String, Long)] =
     (0L to currentVersion).flatMap { v =>
@@ -221,12 +243,13 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * the staged dir is reused across retries.
     */
   def append(df: DataFrame, sortCols: Seq[String] = Nil,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty): Long = {
     val staged = stageData(df, sortCols)
     val schemaJson = df.schema.json
     commitLoop(maxRetries) { _ =>
       Some(Manifest(0L, "append", Seq(staged), schemaJson,
-        System.currentTimeMillis()))
+        System.currentTimeMillis(), wrap(markers)))
     }
   }
 
@@ -234,12 +257,13 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * but still serialized through the version protocol.
     */
   def overwrite(df: DataFrame, sortCols: Seq[String] = Nil,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty): Long = {
     val staged = stageData(df, sortCols)
     val schemaJson = df.schema.json
     commitLoop(maxRetries) { _ =>
       Some(Manifest(0L, "overwrite", Seq(staged), schemaJson,
-        System.currentTimeMillis()))
+        System.currentTimeMillis(), wrap(markers)))
     }
   }
 
@@ -252,11 +276,12 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * version v+1 always derives from a full read of version v.
     */
   def merge(updates: DataFrame, key: Seq[String], precedence: Seq[Column],
-      sortCols: Seq[String] = Nil, maxRetries: Int = 20): Long =
+      sortCols: Seq[String] = Nil, maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty): Long =
     commitLoop(maxRetries) { v =>
       val merged = Upsert.mergeByKey(readAt(v), updates, key, precedence)
       Some(Manifest(0L, "overwrite", Seq(stageData(merged, sortCols)),
-        merged.schema.json, System.currentTimeMillis()))
+        merged.schema.json, System.currentTimeMillis(), wrap(markers)))
     }
 
   /** Transactional insert-ignore (S9/J1): same optimistic loop, rows of
@@ -267,7 +292,8 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * overlap.
     */
   def insertIgnore(updates: DataFrame, key: Seq[String],
-      maxRetries: Int = 20): Long =
+      maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty): Long =
     commitLoop(maxRetries) { v =>
       val snap = readAt(v)
       val newRows = updates.dropDuplicates(key)
@@ -276,7 +302,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
       // empty appends still commit: idempotent-replay markers rely on
       // the version advancing even when every row was a duplicate
       Some(Manifest(0L, "append", Seq(stageData(newRows)),
-        snap.schema.json, System.currentTimeMillis()))
+        snap.schema.json, System.currentTimeMillis(), wrap(markers)))
     }
 
   // ── maintenance ───────────────────────────────────────────────────
@@ -292,6 +318,29 @@ final class TxLogTable(spark: SparkSession, root: String) {
       Some(Manifest(0L, "overwrite", dirs, schema.json,
         System.currentTimeMillis()))
     }
+
+  /** Small-files compaction, transactional: rewrite the CURRENT live
+    * set into ⌈rows / targetRowsPerFile⌉ files behind one overwrite
+    * commit — the maintenance pass after many micro-batch commits
+    * (each commit is its own data dir, so an ingest stream accretes
+    * small files exactly like the rename-swap table did). Optimistic
+    * like every commit: losing a race recomputes on the winner's
+    * state, so compaction can run CONCURRENTLY with ingest without a
+    * stop-the-world window.
+    */
+  def compact(targetRowsPerFile: Long, sortCols: Seq[String] = Nil,
+      maxRetries: Int = 20): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    commitLoop(maxRetries) { v =>
+      val snap = readAt(v)
+      val n = snap.count()
+      val files =
+        math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      Some(Manifest(0L, "overwrite",
+        Seq(stageData(snap.coalesce(files), sortCols)),
+        snap.schema.json, System.currentTimeMillis()))
+    }
+  }
 
   /** Remove data dirs referenced by NO manifest (orphans from lost
     * commit races or crashes mid-stage) plus, when `retainHistory` is

@@ -353,6 +353,49 @@ object EventStreams {
       .start()
   }
 
+  /** Micro-batch ingest onto the TRANSACTIONAL commit-log table
+    * ([[graft.sources.TxLogTable]]) — the multi-writer upgrade of
+    * [[ingestPricePaidStream]]'s rename-swap sink: each micro-batch
+    * lands as one insert-ignore commit whose manifest carries the
+    * (query id, batch id) marker ATOMICALLY with the data, so replay
+    * after a crash re-lands the same rows as no-ops (insert-ignore)
+    * AND the lineage is readable from the log itself. Because commits
+    * are optimistic, a concurrent batch writer (compaction, another
+    * ingest, a corpus merge) can interleave with the stream without a
+    * swap window or lost update — the concurrent-corpus-build story
+    * the single-writer table could not offer.
+    */
+  def txInsertIgnoreIngest(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      table: graft.sources.TxLogTable,
+      checkpointDir: String,
+      key: Seq[String],
+      maxFilesPerBatch: Option[Int] = None): StreamingQuery = {
+    table.ensureExists(schema)
+    val raw0 = spark.readStream.schema(schema)
+    val raw = maxFilesPerBatch
+      .fold(raw0)(nf => raw0.option("maxFilesPerTrigger", nf))
+      .parquet(srcDir)
+    val queryId = scala.concurrent.Promise[String]()
+    val query = raw.writeStream
+      .queryName("tx_insert_ignore_ingest")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qid = scala.concurrent.Await.result(
+          queryId.future, scala.concurrent.duration.Duration.Inf)
+        table.insertIgnore(batch, key, markers = Map(
+          "_graft_batch_id" -> batchId.toString,
+          "_graft_query_id" -> qid))
+        ()
+      }
+      .start()
+    queryId.complete(scala.util.Success(query.id.toString))
+    query
+  }
+
   /** Streaming near-duplicate-filtered document ingest — the
     * training-data production loop: documents arrive as files; each
     * micro-batch is deduplicated against the PERSISTENT MinHash index

@@ -120,6 +120,66 @@ class TxLogTableSpec extends SparkSpec {
     assert(t.currentVersion === 7L)
   }
 
+  test("markers travel atomically with commits; latest-wins lookup") {
+    val t = fresh()
+    t.ensureExists(schema)
+    assert(t.marker("_graft_batch_id") === None)
+    t.append(df((1L, "a", 1L)), markers = Map("_graft_batch_id" -> "0"))
+    t.insertIgnore(df((2L, "b", 1L)), Seq("k"),
+      markers = Map("_graft_batch_id" -> "1", "other" -> "x"))
+    assert(t.marker("_graft_batch_id") === Some("1"))
+    assert(t.marker("other") === Some("x"))
+    // a marker-less commit does not erase earlier markers
+    t.append(df((3L, "c", 1L)))
+    assert(t.marker("_graft_batch_id") === Some("1"))
+  }
+
+  test("streaming insert-ignore ingest: exactly-once across checkpoint restart") {
+    import org.apache.spark.sql.functions.col
+    val t = fresh()
+    val src = Files.createTempDirectory("txstream_src").toString
+    val ck = Files.createTempDirectory("txstream_ck").toString
+    df((1L, "a", 1L), (2L, "b", 1L)).coalesce(1).write.parquet(s"$src/f0")
+    df((2L, "DUP", 9L), (3L, "c", 1L)).coalesce(1).write.parquet(s"$src/f1")
+    def runOnce(): Unit = {
+      val q = graft.streaming.EventStreams.txInsertIgnoreIngest(
+        spark, src + "/*", schema, t, ck, Seq("k"), maxFilesPerBatch = Some(1))
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+    runOnce()
+    // insert-ignore: first writer of k=2 wins, DUP dropped
+    assert(asMap(t) === Map(1L -> ("a", 1L), 2L -> ("b", 1L), 3L -> ("c", 1L)))
+    val v1 = t.currentVersion
+    assert(t.marker("_graft_batch_id").isDefined)
+    // restart with the SAME checkpoint + one new file: only the new
+    // file lands; re-delivered state stays exactly-once
+    df((4L, "d", 1L), (1L, "CLOBBER", 9L)).coalesce(1).write.parquet(s"$src/f2")
+    runOnce()
+    assert(asMap(t) === Map(1L -> ("a", 1L), 2L -> ("b", 1L),
+      3L -> ("c", 1L), 4L -> ("d", 1L)))
+    // exactly one additional data commit — old batches were not re-run
+    assert(t.currentVersion === v1 + 1)
+    // lineage survives in the log: every data commit carries its batch id
+    assert(t.read().filter(col("k") === 4L).count() === 1L)
+  }
+
+  test("compact collapses many commits into one data dir, state intact") {
+    val t = fresh()
+    t.ensureExists(schema)
+    (1L to 6L).foreach(i => t.append(df((i, s"v$i", i))))
+    val before = asMap(t)
+    val cv = t.compact(targetRowsPerFile = 1000)
+    assert(asMap(t) === before)
+    // compaction is an overwrite commit listing ONE fresh dir; the
+    // history (and time travel to it) survives until vacuumed
+    assert(t.history().last === ((cv, "overwrite", t.history().last._3)))
+    assert(asMap(t, cv - 1) === before)
+    val removed = t.vacuum(retainHistory = false)
+    assert(removed.length >= 6, s"expected the six pre-compaction dirs, got $removed")
+    assert(asMap(t) === before)
+  }
+
   test("checkpoint folds history; vacuum removes unreachable dirs only") {
     val t = fresh()
     t.ensureExists(schema)
