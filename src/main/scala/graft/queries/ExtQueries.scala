@@ -1517,6 +1517,70 @@ object ExtQueries {
         col("value").as("last_value"))
     },
 
+    // ── manifest-level DATA SKIPPING on the commit-log table: lineitem
+    // appended as four ship-year range batches with per-file l_shipdate
+    // stats in the manifests, then a pruned time-range read
+    // (TxLogTable.readWhere) — the planner drops the pre-1996 batches
+    // from manifest ranges alone (TxLogSkippingSpec pins the file
+    // counts; here the HASH pins that pruning never drops a matching
+    // row). The 100 TB shape: a time-ranged scan of an append-mostly
+    // store schedules work proportional to the matched range, not to
+    // table history.
+    "q117_txlog_skipping_read" -> { (s, dir) =>
+      val dsum = (c: org.apache.spark.sql.Column) =>
+        sum(c.cast("decimal(18,4)")).cast("double")
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate"))
+      val t = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q117").toString)
+      t.ensureExists(li.schema)
+      Seq((0, 1994), (1994, 1996), (1996, 1997), (1997, 9999)).foreach {
+        case (lo, hi) =>
+          t.append(li.filter(year(col("l_shipdate")) >= lo &&
+            year(col("l_shipdate")) < hi), statsCols = Seq("l_shipdate"))
+      }
+      // literal typed to the column (NTZ in the fixtures) so the
+      // family-checked pruner engages instead of conservatively keeping
+      val cutLit = li.schema("l_shipdate").dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          lit(java.time.LocalDateTime.of(1996, 6, 15, 0, 0))
+        case _ => lit(java.sql.Timestamp.valueOf("1996-06-15 00:00:00"))
+      }
+      t.readWhere(col("l_shipdate") >= cutLit)
+        .groupBy(year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // ── row-level CHANGE FEED from the commit-log table: append the
+    // even-id events raw (v1), transactionally merge the odd half
+    // latest-wins (v2), then read changeFeed(0, v2). v1's change set is
+    // the raw appended rows; v2's is the merge's commit-time post-image
+    // staging — per odd-touched user, argmax over (per-user latest of
+    // evens ∪ odds) = the OVERALL latest event, which is how DuckDB
+    // replays it in one window. Pins that the feed carries exactly the
+    // rows each commit changed (no snapshot diffing) with the right
+    // `_commit_version` tags — what an incremental downstream (index
+    // refresh, dedup-signature update) consumes at 100 TB instead of
+    // re-reading the table.
+    "q118_txlog_change_feed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_ns"))
+      val t = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q118").toString)
+      t.ensureExists(ev.schema)
+      t.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      val v2 = t.merge(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        Seq("user_id"), Seq(col("ts_ns").desc, col("event_id").desc))
+      t.changeFeed(0L, v2)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("_commit_version"))
+    },
+
     // ── compression-ratio repetition signal (Gopher/MassiveText
     // family): per-doc zlib deflate accounting. Deflated lengths are
     // zlib-implementation-specific, so the gate is invariant-form
@@ -2089,6 +2153,34 @@ object ExtQueries {
         |FROM events
         |QUALIFY row_number() OVER (
         |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    // the pruned read must equal a plain filtered scan — DuckDB sees
+    // the whole table, the engine plans from manifest ranges only
+    "q117_txlog_skipping_read" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |       CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-15 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // change feed replay: v1 = the raw even-id rows; v2 = per user
+    // touched by an odd id, the overall latest event (argmax over
+    // evens-latest ∪ odds = argmax over all events of that user)
+    "q118_txlog_change_feed" ->
+      """SELECT user_id, event_id, event_type, value,
+        |       CAST(1 AS BIGINT) AS _commit_version
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT user_id, event_id, event_type, value,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 AND user_id IN (
+        |  SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)""".stripMargin,
 
     // invariant form: tokenization violations only — empty when BPE
     // partitions every vocab word and the first merge fires

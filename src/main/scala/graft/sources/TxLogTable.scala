@@ -12,6 +12,7 @@ import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
 import graft.operators.Upsert
+import graft.sources.DataSkipping.{ColRange, FileStats}
 
 /** Minimal log-structured transactional table — the multi-writer seam
   * [[ParquetTable.overwriteAtomic]] deliberately leaves open (its
@@ -58,10 +59,23 @@ object TxLogTable {
     * ++= add). `schemaJson` rides on every manifest so an empty or
     * vacuumed table still knows its schema. Top-level (not nested in
     * the class) so json4s can construct it reflectively.
+    *
+    * `stats` maps "dir/part-file" → per-file column ranges for the
+    * dirs THIS manifest adds (data skipping — see [[DataSkipping]]);
+    * absent for commits written without `statsCols`. `cdc` names the
+    * dirs holding this commit's CHANGE rows (post-images) when they
+    * differ from `add`: a merge's overwrite lists the whole new
+    * snapshot in `add` but only the upserted keys' rows in `cdc`;
+    * compaction/checkpoint carry `cdc = Some(Nil)` (no logical
+    * change). `cdc = None` means `add` IS the change set — true for
+    * appends, insert-ignores, and blind overwrites (full-refresh
+    * post-image).
     */
   private[sources] case class Manifest(version: Long, action: String,
       add: Seq[String], schemaJson: String, tsMillis: Long,
-      markers: Option[Map[String, String]] = None)
+      markers: Option[Map[String, String]] = None,
+      stats: Option[Map[String, FileStats]] = None,
+      cdc: Option[Seq[String]] = None)
 }
 
 final class TxLogTable(spark: SparkSession, root: String) {
@@ -113,12 +127,15 @@ final class TxLogTable(spark: SparkSession, root: String) {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
-  /** Replay the log up to `v`: walk BACKWARD to the nearest overwrite
-    * (or checkpoint — written as an overwrite) so cost is
-    * O(appends-since-last-overwrite), not O(history).
+  /** Manifests contributing to snapshot `v`, oldest-first: walk
+    * BACKWARD to the nearest overwrite (or checkpoint — written as an
+    * overwrite) so cost is O(appends-since-last-overwrite), not
+    * O(history). The snapshot schema is the NEWEST manifest's (schema
+    * evolution: later appends may widen it; old files read missing
+    * columns as null).
     */
-  private def liveSetAt(v: Long): (Seq[String], StructType) = {
-    var dirs = List.empty[String]
+  private def manifestChainAt(v: Long): (List[Manifest], StructType) = {
+    var chain = List.empty[Manifest]
     var schema: StructType = null
     var cur = v
     var done = false
@@ -126,10 +143,15 @@ final class TxLogTable(spark: SparkSession, root: String) {
       val m = manifestAt(cur)
       if (schema == null)
         schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-      dirs = m.add.toList ::: dirs
+      chain = m :: chain
       if (m.action == "overwrite" || cur == 0) done = true else cur -= 1
     }
-    (dirs, schema)
+    (chain, schema)
+  }
+
+  private def liveSetAt(v: Long): (Seq[String], StructType) = {
+    val (chain, schema) = manifestChainAt(v)
+    (chain.flatMap(_.add), schema)
   }
 
   /** Time-travel read: the table exactly as committed at `version`.
@@ -147,6 +169,52 @@ final class TxLogTable(spark: SparkSession, root: String) {
 
   /** Snapshot read at the latest version. */
   def read(): DataFrame = readAt(currentVersion)
+
+  // ── data-skipping reads ───────────────────────────────────────────
+
+  /** The paths a pruned read of snapshot `version` under `filter`
+    * would scan: dirs without manifest stats are kept whole; dirs
+    * WITH stats are expanded to the individual part-files whose
+    * ranges could satisfy the predicate. Exposed to the spec so
+    * pruning EFFECTIVENESS (not just correctness) is pinned.
+    */
+  private[sources] def scanPathsAt(version: Long,
+      filter: Column): Seq[String] = {
+    val (chain, schema) = manifestChainAt(version)
+    val stats: Map[String, FileStats] =
+      chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+    val live = chain.flatMap(_.add)
+    val filterExpr = org.apache.spark.sql.graft.bridge.catalystExpression(filter)
+    live.flatMap { d =>
+      val inDir = stats.collect {
+        case (k, fs) if k.startsWith(d + "/") => (k, fs)
+      }
+      if (inDir.isEmpty) Seq(dataDir.resolve(d).toString)
+      else inDir.collect {
+        case (k, fs) if DataSkipping.mayMatch(filterExpr, schema, fs) =>
+          dataDir.resolve(k).toString
+      }.toSeq
+    }
+  }
+
+  /** Stats-pruned snapshot read: skip every file whose manifest
+    * ranges PROVE it cannot satisfy `filter`, then re-apply the full
+    * filter — pruning can only skip work, never change the result.
+    * Files from commits without stats are scanned normally.
+    */
+  def readWhereAt(version: Long, filter: Column): DataFrame = {
+    val (_, schema) = manifestChainAt(version)
+    val paths = scanPathsAt(version, filter)
+    val base =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    base.filter(filter)
+  }
+
+  /** Stats-pruned read at the latest version. */
+  def readWhere(filter: Column): DataFrame =
+    readWhereAt(currentVersion, filter)
 
   private def wrap(m: Map[String, String]): Option[Map[String, String]] =
     if (m.isEmpty) None else Some(m)
@@ -194,6 +262,51 @@ final class TxLogTable(spark: SparkSession, root: String) {
     name
   }
 
+  /** Per-file min/max/null-count ranges for `statsCols` over a staged
+    * dir — one column-pruned scan of ONLY the stats columns (parquet
+    * reads nothing else), grouped by file. The collect is bounded at
+    * one row per part-file of the staged batch. Unsupported column
+    * types are silently skipped (no stats ⇒ never pruned).
+    */
+  private def collectStats(dirName: String, schema: StructType,
+      statsCols: Seq[String]): Map[String, FileStats] = {
+    import org.apache.spark.sql.functions._
+    val valid = statsCols.filter(c =>
+      schema.fieldNames.contains(c) && DataSkipping.supported(schema(c).dataType))
+    if (valid.isEmpty) return Map.empty
+    val aggs = Seq(count(lit(1L)).as("__rows")) ++ valid.flatMap(c => Seq(
+      min(col(c)).as(s"__min__$c"),
+      max(col(c)).as(s"__max__$c"),
+      count(col(c)).as(s"__nn__$c")))
+    val rows = spark.read.schema(schema)
+      .parquet(dataDir.resolve(dirName).toString)
+      .select((valid.map(col) :+ input_file_name().as("__file")): _*)
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val uri = r.getString(0)
+      val fname = Paths.get(new java.net.URI(uri).getPath).getFileName.toString
+      val total = r.getLong(1)
+      val cols = valid.zipWithIndex.map { case (c, i) =>
+        val base = 2 + i * 3
+        c -> ColRange(
+          DataSkipping.encodeExternal(r.get(base)),
+          DataSkipping.encodeExternal(r.get(base + 1)),
+          total - r.getLong(base + 2))
+      }.toMap
+      s"$dirName/$fname" -> FileStats(total, cols)
+    }.toMap
+  }
+
+  private def statsOpt(dirName: String, schema: StructType,
+      statsCols: Seq[String]): Option[Map[String, FileStats]] =
+    if (statsCols.isEmpty) None
+    else {
+      val m = collectStats(dirName, schema, statsCols)
+      if (m.isEmpty) None else Some(m)
+    }
+
   /** The atomic publish: temp-write the manifest, then hard-link it to
     * its version slot. `link(2)` fails with EEXIST atomically when a
     * concurrent writer already owns the version — the whole concurrency
@@ -238,18 +351,53 @@ final class TxLogTable(spark: SparkSession, root: String) {
       s"commit contention: lost $maxRetries consecutive races on $root")
   }
 
+  /** Union of the snapshot schema and an incoming batch's schema —
+    * additive evolution: existing fields keep their position and
+    * type, genuinely new fields append at the end. A field present in
+    * both with a DIFFERENT type is a hard error (silent coercion is
+    * how a corpus store rots); a field the batch omits stays in the
+    * table schema (its rows read as null from the new files, exactly
+    * as new fields read as null from old files).
+    */
+  private def evolveSchema(current: StructType,
+      incoming: StructType): StructType = {
+    incoming.fields.foreach { f =>
+      current.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { c =>
+        require(c.dataType == f.dataType,
+          s"schema evolution cannot change type of '${c.name}': " +
+            s"${c.dataType.simpleString} -> ${f.dataType.simpleString}")
+      }
+    }
+    val novel = incoming.fields.filterNot(f =>
+      current.fields.exists(_.name.equalsIgnoreCase(f.name)))
+    val widened = current.fields.map { c =>
+      val in = incoming.fields.find(_.name.equalsIgnoreCase(c.name))
+      // a column absent from ANY contributing file must admit nulls
+      if (in.isEmpty && !c.nullable) c.copy(nullable = true) else c
+    }
+    StructType(widened ++ novel.map(_.copy(nullable = true)))
+  }
+
   /** Blind append (S8): stage once, then bid for versions until one
     * lands. Appends never conflict semantically — no recompute needed,
-    * the staged dir is reused across retries.
+    * the staged dir is reused across retries. The committed schema is
+    * the EVOLVED union of snapshot and batch schemas, so an append
+    * may add columns (old files read them as null) without rewriting
+    * anything. `statsCols` records per-file ranges in the manifest
+    * for [[readWhere]] skipping.
     */
   def append(df: DataFrame, sortCols: Seq[String] = Nil,
       maxRetries: Int = 20,
-      markers: Map[String, String] = Map.empty): Long = {
+      markers: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
     val staged = stageData(df, sortCols)
-    val schemaJson = df.schema.json
-    commitLoop(maxRetries) { _ =>
-      Some(Manifest(0L, "append", Seq(staged), schemaJson,
-        System.currentTimeMillis(), wrap(markers)))
+    val stats = statsOpt(staged, df.schema, statsCols)
+    commitLoop(maxRetries) { v =>
+      val schema =
+        if (v < 0) df.schema
+        else evolveSchema(manifestChainAt(v)._2, df.schema)
+      Some(Manifest(0L, "append", Seq(staged), schema.json,
+        System.currentTimeMillis(), wrap(markers), stats))
     }
   }
 
@@ -258,12 +406,14 @@ final class TxLogTable(spark: SparkSession, root: String) {
     */
   def overwrite(df: DataFrame, sortCols: Seq[String] = Nil,
       maxRetries: Int = 20,
-      markers: Map[String, String] = Map.empty): Long = {
+      markers: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
     val staged = stageData(df, sortCols)
     val schemaJson = df.schema.json
+    val stats = statsOpt(staged, df.schema, statsCols)
     commitLoop(maxRetries) { _ =>
       Some(Manifest(0L, "overwrite", Seq(staged), schemaJson,
-        System.currentTimeMillis(), wrap(markers)))
+        System.currentTimeMillis(), wrap(markers), stats))
     }
   }
 
@@ -277,11 +427,21 @@ final class TxLogTable(spark: SparkSession, root: String) {
     */
   def merge(updates: DataFrame, key: Seq[String], precedence: Seq[Column],
       sortCols: Seq[String] = Nil, maxRetries: Int = 20,
-      markers: Map[String, String] = Map.empty): Long =
+      markers: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long =
     commitLoop(maxRetries) { v =>
       val merged = Upsert.mergeByKey(readAt(v), updates, key, precedence)
-      Some(Manifest(0L, "overwrite", Seq(stageData(merged, sortCols)),
-        merged.schema.json, System.currentTimeMillis(), wrap(markers)))
+      val staged = stageData(merged, sortCols)
+      // CDC post-images: the merged rows whose key the batch touched —
+      // read back from the staged dir (already materialized) so the
+      // change set is BY CONSTRUCTION consistent with the commit
+      val stagedDf = spark.read.schema(merged.schema)
+        .parquet(dataDir.resolve(staged).toString)
+      val touched = updates.select(key.map(updates.col): _*).distinct()
+      val cdcDir = stageData(stagedDf.join(touched, key, "left_semi"))
+      Some(Manifest(0L, "overwrite", Seq(staged),
+        merged.schema.json, System.currentTimeMillis(), wrap(markers),
+        statsOpt(staged, merged.schema, statsCols), Some(Seq(cdcDir))))
     }
 
   /** Transactional insert-ignore (S9/J1): same optimistic loop, rows of
@@ -293,7 +453,8 @@ final class TxLogTable(spark: SparkSession, root: String) {
     */
   def insertIgnore(updates: DataFrame, key: Seq[String],
       maxRetries: Int = 20,
-      markers: Map[String, String] = Map.empty): Long =
+      markers: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long =
     commitLoop(maxRetries) { v =>
       val snap = readAt(v)
       val newRows = updates.dropDuplicates(key)
@@ -301,8 +462,10 @@ final class TxLogTable(spark: SparkSession, root: String) {
         .select(snap.columns.map(updates.col).toIndexedSeq: _*)
       // empty appends still commit: idempotent-replay markers rely on
       // the version advancing even when every row was a duplicate
-      Some(Manifest(0L, "append", Seq(stageData(newRows)),
-        snap.schema.json, System.currentTimeMillis(), wrap(markers)))
+      val staged = stageData(newRows)
+      Some(Manifest(0L, "append", Seq(staged),
+        snap.schema.json, System.currentTimeMillis(), wrap(markers),
+        statsOpt(staged, snap.schema, statsCols)))
     }
 
   // ── maintenance ───────────────────────────────────────────────────
@@ -314,9 +477,14 @@ final class TxLogTable(spark: SparkSession, root: String) {
     */
   def checkpoint(maxRetries: Int = 20): Long =
     commitLoop(maxRetries) { v =>
-      val (dirs, schema) = liveSetAt(v)
-      Some(Manifest(0L, "overwrite", dirs, schema.json,
-        System.currentTimeMillis()))
+      val (chain, schema) = manifestChainAt(v)
+      // carry the chain's file stats forward: a checkpoint folds
+      // history, it must not discard the skipping metadata with it
+      val stats: Map[String, FileStats] =
+        chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+      Some(Manifest(0L, "overwrite", chain.flatMap(_.add), schema.json,
+        System.currentTimeMillis(), None,
+        if (stats.isEmpty) None else Some(stats), Some(Nil)))
     }
 
   /** Small-files compaction, transactional: rewrite the CURRENT live
@@ -338,8 +506,107 @@ final class TxLogTable(spark: SparkSession, root: String) {
         math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       Some(Manifest(0L, "overwrite",
         Seq(stageData(snap.coalesce(files), sortCols)),
-        snap.schema.json, System.currentTimeMillis()))
+        snap.schema.json, System.currentTimeMillis(), None, None,
+        Some(Nil)))
     }
+  }
+
+  /** Range-clustered compaction — the OPTIMIZE pass that makes data
+    * skipping bite: ONE range shuffle of the snapshot on
+    * `clusterCols` into `numFiles` files with DISJOINT value ranges,
+    * committed with per-file stats. After it, a [[readWhere]] on the
+    * cluster columns scans ~(selectivity × numFiles) files — the
+    * effectiveness of hive-style partitioning without the
+    * small-file/directory explosion, and re-clusterable at any time
+    * because it is just another optimistic overwrite commit (safe to
+    * interleave with live ingest, like [[compact]]). Zero logical
+    * change (`cdc = Some(Nil)`).
+    */
+  def compactClustered(clusterCols: Seq[String], numFiles: Int,
+      statsCols: Seq[String] = Nil, maxRetries: Int = 20): Long = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(numFiles > 0, "numFiles must be positive")
+    commitLoop(maxRetries) { v =>
+      val snap = readAt(v)
+      val arranged = snap
+        .repartitionByRange(numFiles, clusterCols.map(snap.col): _*)
+        .sortWithinPartitions(clusterCols.map(snap.col): _*)
+      val staged = stageData(arranged)
+      Some(Manifest(0L, "overwrite", Seq(staged), snap.schema.json,
+        System.currentTimeMillis(), None,
+        statsOpt(staged, snap.schema, (clusterCols ++ statsCols).distinct),
+        Some(Nil)))
+    }
+  }
+
+  /** Z-order-clustered compaction: like [[compactClustered]] but the
+    * layout key is the Morton interleave of `clusterCols`
+    * ([[ZOrder.layoutBy]]), so per-file ranges are tight boxes in
+    * EVERY cluster dimension — a lexicographic range layout only
+    * clusters its first column; z-order makes [[readWhere]] prune on
+    * any of them (the Delta/Iceberg OPTIMIZE ZORDER decomposition:
+    * one arithmetic projection + one range shuffle + manifest stats).
+    * Cluster columns must be numeric (bucketed by observed min/max)
+    * and the snapshot non-empty.
+    */
+  def compactZOrdered(clusterCols: Seq[String], numFiles: Int,
+      bits: Int = 8, statsCols: Seq[String] = Nil,
+      maxRetries: Int = 20): Long = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(numFiles > 0, "numFiles must be positive")
+    commitLoop(maxRetries) { v =>
+      val snap = readAt(v)
+      val arranged = ZOrder.layoutBy(snap, clusterCols, bits, numFiles)
+        .drop("zval")
+      val staged = stageData(arranged)
+      Some(Manifest(0L, "overwrite", Seq(staged), snap.schema.json,
+        System.currentTimeMillis(), None,
+        statsOpt(staged, snap.schema, (clusterCols ++ statsCols).distinct),
+        Some(Nil)))
+    }
+  }
+
+  // ── change feed ───────────────────────────────────────────────────
+
+  /** Row-level change feed over `(fromVersion, toVersion]`: the
+    * POST-IMAGE rows each commit inserted or updated, tagged with
+    * `_commit_version` — what an incremental downstream (index
+    * refresh, dedup-signature update, replication) consumes instead
+    * of re-diffing snapshots. Appends/insert-ignores contribute their
+    * appended rows, merges the upserted keys' rows (staged at commit
+    * time — computing the feed costs no snapshot diff), compaction/
+    * checkpoint nothing. The engine's tables never delete rows, so
+    * post-images are the complete feed. Cost: a parquet read of the
+    * change dirs only — independent of table size.
+    */
+  def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"empty feed range: ($fromVersion, $toVersion]")
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      if (!Files.exists(manifestPath(v))) None
+      else {
+        val m = manifestAt(v)
+        val dirs = m.cdc.getOrElse(m.add)
+        dirs.foreach { d =>
+          require(Files.isDirectory(dataDir.resolve(d)),
+            s"change dirs of version $v were vacuumed; feed from a later version")
+        }
+        if (dirs.isEmpty) None
+        else {
+          val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+          Some(spark.read.schema(schema)
+            .parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+            .withColumn("_commit_version", lit(v)))
+        }
+      }
+    }
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val (_, schema) = manifestChainAt(toVersion)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          schema.add("_commit_version", "long", nullable = false))
+      }
   }
 
   /** Remove data dirs referenced by NO manifest (orphans from lost
@@ -353,9 +620,18 @@ final class TxLogTable(spark: SparkSession, root: String) {
     if (v < 0) return Nil
     val referenced: Set[String] =
       if (retainHistory)
-        (0L to v).flatMap(i =>
-          if (Files.exists(manifestPath(i))) manifestAt(i).add else Nil).toSet
-      else liveSetAt(v)._1.toSet
+        (0L to v).flatMap { i =>
+          if (Files.exists(manifestPath(i))) {
+            val m = manifestAt(i)
+            m.add ++ m.cdc.getOrElse(Nil)
+          } else Nil
+        }.toSet
+      else {
+        // keep the live set plus the change dirs of the still-walked
+        // manifest chain (the feed window a reader can still replay)
+        val (chain, _) = manifestChainAt(v)
+        (chain.flatMap(_.add) ++ chain.flatMap(_.cdc.getOrElse(Nil))).toSet
+      }
     import scala.jdk.CollectionConverters._
     val s = Files.list(dataDir)
     val all =

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → catalyst conversion. [[expression]] returns a
+    * lazy `ColumnNodeExpression` wrapper whose tree is opaque to
+    * pattern matching; this converts through the session's node
+    * converter so callers that INSPECT the tree (e.g. data-skipping
+    * pruning) see real catalyst nodes (`UnresolvedFunction`,
+    * `UnresolvedAttribute`, `Literal`).
+    */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
