@@ -1581,6 +1581,74 @@ object ExtQueries {
           col("value"), col("_commit_version"))
     },
 
+    // ── full conditional MERGE INTO over the commit-log table: target
+    // = the non-multiple-of-3 orders; source = per-order lineitem
+    // revenue summary. Ordered clauses — WHEN MATCHED AND has_return
+    // DELETE, WHEN MATCHED AND new_price > o_totalprice UPDATE (row :=
+    // source projection), ELSE keep; WHEN NOT MATCHED AND NOT
+    // has_return INSERT. The oracle replays all four arms in one
+    // left-join CASE + insert UNION, so clause ORDER (delete shadows
+    // update), the unmatched-keep arm, and the guarded insert are all
+    // under the hash. Plan: one full-outer key join + scan-stage
+    // when-chain — the clause logic costs no extra exchange.
+    "q119_txlog_merge_conditional" -> { (s, dir) =>
+      import graft.sources.TxLogTable
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val target = ord.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val src = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double").as("new_price"),
+          (max(when(col("l_returnflag") === "R", 1).otherwise(0)) === 1)
+            .as("has_return"))
+        .join(ord.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")), Seq("o_orderkey"))
+        .withColumn("o_totalprice", col("new_price"))
+      val t = new TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q119").toString)
+      t.ensureExists(target.schema)
+      t.append(target)
+      t.mergeConditional(src, Seq("o_orderkey"),
+        whenMatched = Seq(
+          TxLogTable.MatchedDelete(Some("s.has_return")),
+          TxLogTable.MatchedUpdate(Some("s.new_price > t.o_totalprice"))),
+        notMatchedCondition = Some("NOT s.has_return"))
+      t.read().select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    },
+
+    // ── exact duplicate-SPAN removal (Lee et al. substring dedup):
+    // every ≥8-token run appearing in >1 doc is cut everywhere except
+    // a deterministic keeper (min doc_id). The oracle replays the full
+    // fixed point — tokenize, k-gram index, keeper election, position
+    // cover, rebuild — so gram windowing, overlap union, and the
+    // keeper rule are all under the hash (at sf0.01: 24 docs lose
+    // 1 254 of 27 165 tokens). Spark plan: grams are array-built per
+    // row (no pre-shuffle explode cost beyond the gram groupBy — the
+    // one corpus-wide exchange), cut-sets fold per doc.
+    "q120_duplicate_span_removal" -> { (s, dir) =>
+      graft.ext.DuplicateSpans.removeDuplicateSpans(
+        Tables.documents(s, dir), "doc_id", "text", k = 8)
+    },
+
+    // ── theta-sketch corpus-overlap estimation: per-source vocabulary
+    // sketches (ONE hash aggregate over the raw tokens), then every
+    // pairwise intersection is set math over the 20 stored sketches —
+    // the set operation HLL fundamentally lacks. Invariant gate (q35
+    // family): for all 190 source pairs AND all 20 marginals, the
+    // EXACT count (distinct-token equi-join — the plan you'd need per
+    // question without sketches) must sit inside the sketch's own
+    // ±3σ [lb, ub] band. lgK=9 (512 nominal) keeps the per-source
+    // sketches in ESTIMATION mode at sf0.01 (~1k distinct tokens per
+    // source), so the bounds math is genuinely exercised, not
+    // trivially exact.
+    "q121_theta_vocab_overlap" -> { (s, dir) =>
+      graft.ext.ThetaSketches.vocabOverlapViolations(
+        Tables.documents(s, dir), "text", "source", lgK = 9, numStdDev = 3)
+    },
+
     // ── compression-ratio repetition signal (Gopher/MassiveText
     // family): per-doc zlib deflate accounting. Deflated lengths are
     // zlib-implementation-specific, so the gate is invariant-form
@@ -2181,6 +2249,77 @@ object ExtQueries {
         |      FROM events) t
         |WHERE rn = 1 AND user_id IN (
         |  SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)""".stripMargin,
+
+    // conditional-merge replay: matched+returned → deleted; matched
+    // with higher recomputed price → updated; other matched → kept;
+    // unmatched source (o_orderkey % 3 = 0) inserted unless returned
+    "q119_txlog_merge_conditional" ->
+      """WITH src AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |           AS new_price,
+        |         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+        |           AS has_return
+        |  FROM lineitem GROUP BY 1)
+        |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL
+        |                 AND s.new_price > t.o_totalprice
+        |            THEN s.new_price ELSE t.o_totalprice END AS o_totalprice
+        |FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |WHERE t.o_orderkey % 3 <> 0
+        |  AND (s.o_orderkey IS NULL OR NOT s.has_return)
+        |UNION ALL
+        |SELECT s.o_orderkey, o.o_custkey, o.o_orderstatus,
+        |       s.new_price AS o_totalprice
+        |FROM src s JOIN orders o ON s.o_orderkey = o.o_orderkey
+        |WHERE s.o_orderkey % 3 = 0 AND NOT s.has_return""".stripMargin,
+
+    // full algorithm replay: k-gram index over whitespace tokens,
+    // keeper = min doc_id per cross-doc gram, position cover via
+    // range expansion, rebuild from uncovered tokens
+    "q120_duplicate_span_removal" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |              THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split(
+        |                regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |         END AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(toks) - 8 + 2),
+        |                i -> array_to_string(toks[i:i+7], ' '))) AS gram,
+        |         unnest(range(1, len(toks) - 8 + 2)) AS pos
+        |  FROM docs WHERE len(toks) >= 8),
+        |dup AS (
+        |  SELECT gram, MIN(doc_id) AS keeper
+        |  FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+        |cover AS (
+        |  SELECT DISTINCT doc_id, cpos FROM (
+        |    SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS cpos
+        |    FROM grams g JOIN dup d ON g.gram = d.gram
+        |    WHERE g.doc_id <> d.keeper) z),
+        |cuts AS (
+        |  SELECT doc_id, list_sort(list(cpos)) AS cut
+        |  FROM cover GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(array_to_string(list_filter(list_transform(
+        |    range(1, len(d.toks) + 1),
+        |    i -> CASE WHEN c.cut IS NULL OR NOT list_contains(c.cut, i)
+        |              THEN d.toks[i] END), t -> t IS NOT NULL), ' '), '')
+        |    AS clean_text,
+        |  COALESCE(len(c.cut), 0) AS n_cut,
+        |  len(d.toks) AS n_tokens
+        |FROM docs d LEFT JOIN cuts c USING (doc_id)""".stripMargin,
+
+    // invariant form: empty unless some source pair's (or marginal's)
+    // exact distinct count escapes its theta sketch's ±3σ band
+    "q121_theta_vocab_overlap" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS src_a,
+        |       CAST(NULL AS VARCHAR) AS src_b, CAST(NULL AS DOUBLE) AS exact,
+        |       CAST(NULL AS DOUBLE) AS lb, CAST(NULL AS DOUBLE) AS ub
+        |WHERE 1 = 0""".stripMargin,
 
     // invariant form: tokenization violations only — empty when BPE
     // partitions every vocab word and the first merge fires

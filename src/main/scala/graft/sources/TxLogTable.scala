@@ -76,6 +76,21 @@ object TxLogTable {
       markers: Option[Map[String, String]] = None,
       stats: Option[Map[String, FileStats]] = None,
       cdc: Option[Seq[String]] = None)
+
+  /** One WHEN MATCHED clause of [[TxLogTable.mergeConditional]], in
+    * evaluation order (first whose condition holds wins — the public
+    * MERGE INTO contract). Conditions are SQL strings over the aliases
+    * `t` (target snapshot row) and `s` (source row); `None` = always.
+    */
+  sealed trait MergeClause
+  /** Replace the target row with the source row's target-schema
+    * projection when `condition` holds.
+    */
+  final case class MatchedUpdate(condition: Option[String] = None)
+      extends MergeClause
+  /** Drop the target row when `condition` holds. */
+  final case class MatchedDelete(condition: Option[String] = None)
+      extends MergeClause
 }
 
 final class TxLogTable(spark: SparkSession, root: String) {
@@ -443,6 +458,95 @@ final class TxLogTable(spark: SparkSession, root: String) {
         merged.schema.json, System.currentTimeMillis(), wrap(markers),
         statsOpt(staged, merged.schema, statsCols), Some(Seq(cdcDir))))
     }
+
+  /** Full conditional MERGE INTO (the Delta/SQL:2003 shape): ordered
+    * WHEN MATCHED clauses (update / delete, each optionally guarded by
+    * a predicate over target alias `t` and source alias `s`) plus an
+    * optional WHEN NOT MATCHED insert guard. First matching clause
+    * wins; a matched row no clause claims is kept unchanged. Runs in
+    * the same optimistic commit loop as [[merge]] — every attempt
+    * recomputes against the current snapshot, so interleaved
+    * conditional merges serialize with no lost update.
+    *
+    * Semantics notes (all Delta-documented behaviors):
+    *   - `source` must contain every target column (extra columns are
+    *     visible to conditions but not written); an update/insert
+    *     writes the source row's target-schema projection.
+    *   - Multiple source rows matching one target key make the MERGE
+    *     ambiguous — rejected up front (the check is one bounded
+    *     aggregate: first duplicated key or nothing).
+    *   - Keys join by plain equality: null-keyed rows never match
+    *     (null-keyed source rows flow to the NOT MATCHED branch).
+    *
+    * Plan shape: ONE full-outer shuffle join on the key plus a
+    * scan-stage when-chain projection — identical cost to the
+    * latest-wins [[merge]]; the clause logic adds no exchange.
+    *
+    * Covers the reference's conditional upsert tier
+    * (monthly_price_paid_data.py:140-160 ON CONFLICT DO UPDATE;
+    * rightmove_outcodes.py:124-128 keyed UPDATE) generalized to the
+    * delete arm Postgres expresses as a separate DELETE statement
+    * inside the same transaction.
+    */
+  def mergeConditional(source: DataFrame, key: Seq[String],
+      whenMatched: Seq[TxLogTable.MergeClause],
+      insertWhenNotMatched: Boolean = true,
+      notMatchedCondition: Option[String] = None,
+      sortCols: Seq[String] = Nil, maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    import TxLogTable.{MatchedDelete, MatchedUpdate}
+    val dupKey = source.groupBy(key.map(source.col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"ambiguous MERGE: source has multiple rows for key ${dupKey.toSeq}")
+    commitLoop(maxRetries) { v =>
+      val target = readAt(v)
+      val tgtCols = target.columns.toSeq
+      val missing = tgtCols.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"MERGE source lacks target columns: ${missing.mkString(", ")}")
+      // presence markers survive the full-outer join where every data
+      // column (keys included) may be legitimately null on one side
+      val t = target.withColumn("__t_present", lit(true)).alias("t")
+      val s = source.withColumn("__s_present", lit(true)).alias("s")
+      val keyCond = key.map(k => col(s"t.$k") === col(s"s.$k"))
+        .reduce(_ && _)
+      val j = t.join(s, keyCond, "full_outer")
+      def condOf(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
+      val KEEP = 0; val USE_SRC = 1; val DROP = 2
+      // first-clause-wins: build the else-chain from the last clause in
+      val matchedAction = whenMatched.foldRight(lit(KEEP): Column) {
+        case (MatchedUpdate(c), els) => when(condOf(c), USE_SRC).otherwise(els)
+        case (MatchedDelete(c), els) => when(condOf(c), DROP).otherwise(els)
+      }
+      val insertAction =
+        if (!insertWhenNotMatched) lit(DROP)
+        else when(condOf(notMatchedCondition), USE_SRC).otherwise(DROP)
+      val action =
+        when(col("t.__t_present").isNotNull && col("s.__s_present").isNull,
+          KEEP)
+        .when(col("s.__s_present").isNotNull && col("t.__t_present").isNull,
+          insertAction)
+        .otherwise(matchedAction)
+      val merged = j.withColumn("__action", action)
+        .filter(col("__action") =!= DROP)
+        .select(tgtCols.map(c =>
+          when(col("__action") === USE_SRC, col(s"s.$c"))
+            .otherwise(col(s"t.$c")).as(c)): _*)
+      val staged = stageData(merged, sortCols)
+      val stagedDf = spark.read.schema(merged.schema)
+        .parquet(dataDir.resolve(staged).toString)
+      // CDC post-images: deletes surface as absence (the feed is
+      // post-image-only, matching merge()); touched = source keys
+      val touched = source.select(key.map(source.col): _*).distinct()
+      val cdcDir = stageData(stagedDf.join(touched, key, "left_semi"))
+      Some(Manifest(0L, "overwrite", Seq(staged),
+        merged.schema.json, System.currentTimeMillis(), wrap(markers),
+        statsOpt(staged, merged.schema, statsCols), Some(Seq(cdcDir))))
+    }
+  }
 
   /** Transactional insert-ignore (S9/J1): same optimistic loop, rows of
     * `updates` whose key exists in the snapshot are dropped. Committed

@@ -80,7 +80,13 @@ class PlanQualitySpec extends SparkSpec {
       // q114 = q103 + exact re-rank: the BNLJ is again ONLY the exact
       // reference leg; the candidate stage joins on the cell key and
       // the re-rank fetch is a broadcast EQUI-join on cand_id/query_id
-      "q114_ann_rerank_recall_floor")
+      "q114_ann_rerank_recall_floor",
+      // q121's BNLJ is the p×p pair expansion of p AGGREGATED sketch
+      // rows (p = #sources, 20 at every SF) — the raw corpus was
+      // already collapsed by the sketch hash-aggregate; pair math is
+      // set operations over kilobytes. The exact leg (the invariant's
+      // reference) joins EQUI on token.
+      "q121_theta_vocab_overlap")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),

@@ -196,4 +196,82 @@ class TxLogTableSpec extends SparkSpec {
     assert(removed.nonEmpty)
     assert(asMap(t) === before)
   }
+
+  test("conditional MERGE: all four arms on one source batch") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L)))
+    // k=1 untouched (not in source); k=2 updated (newer ts); k=3
+    // deleted (v='DEL'); k=4 inserted; k=5 insert-guard fails
+    t.mergeConditional(
+      df((2L, "B", 20L), (3L, "DEL", 99L), (4L, "d", 5L), (5L, "e", -1L)),
+      Seq("k"),
+      whenMatched = Seq(
+        TxLogTable.MatchedDelete(Some("s.v = 'DEL'")),
+        TxLogTable.MatchedUpdate(Some("s.ts > t.ts"))),
+      notMatchedCondition = Some("s.ts >= 0"))
+    assert(asMap(t) === Map(
+      1L -> ("a", 10L), 2L -> ("B", 20L), 4L -> ("d", 5L)))
+  }
+
+  test("conditional MERGE: matched row no clause claims is kept; clause order arbitrates") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 10L)))
+    // stale source (ts 5 < 10): update guard fails, row kept unchanged
+    t.mergeConditional(df((1L, "stale", 5L)), Seq("k"),
+      whenMatched = Seq(TxLogTable.MatchedUpdate(Some("s.ts > t.ts"))))
+    assert(asMap(t) === Map(1L -> ("a", 10L)))
+
+    // a row satisfying BOTH clause conditions: first clause wins.
+    // delete-first → row gone …
+    t.mergeConditional(df((1L, "DEL", 99L)), Seq("k"),
+      whenMatched = Seq(
+        TxLogTable.MatchedDelete(Some("s.v = 'DEL'")),
+        TxLogTable.MatchedUpdate(Some("s.ts > t.ts"))),
+      insertWhenNotMatched = false)
+    assert(asMap(t) === Map.empty)
+
+    // … update-first on the same conditions → row updated, not deleted
+    t.append(df((1L, "a", 10L)))
+    t.mergeConditional(df((1L, "DEL", 99L)), Seq("k"),
+      whenMatched = Seq(
+        TxLogTable.MatchedUpdate(Some("s.ts > t.ts")),
+        TxLogTable.MatchedDelete(Some("s.v = 'DEL'"))),
+      insertWhenNotMatched = false)
+    assert(asMap(t) === Map(1L -> ("DEL", 99L)))
+  }
+
+  test("conditional MERGE: ambiguous source is rejected up front") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 10L)))
+    val before = t.currentVersion
+    intercept[IllegalArgumentException] {
+      t.mergeConditional(df((1L, "x", 1L), (1L, "y", 2L)), Seq("k"),
+        whenMatched = Seq(TxLogTable.MatchedUpdate(None)))
+    }
+    // nothing committed
+    assert(t.currentVersion === before)
+    assert(asMap(t) === Map(1L -> ("a", 10L)))
+  }
+
+  test("conditional MERGE serializes with a concurrent writer (no lost update)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((0L, "seed", 0L)))
+    val fs = (1L to 4L).map { i =>
+      Future {
+        t.mergeConditional(df((i, s"w$i", i)), Seq("k"),
+          whenMatched = Seq(TxLogTable.MatchedUpdate(Some("s.ts > t.ts"))))
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    // every writer's key landed — each retry recomputed on the fresh snapshot
+    assert(asMap(t) === Map(0L -> ("seed", 0L), 1L -> ("w1", 1L),
+      2L -> ("w2", 2L), 3L -> ("w3", 3L), 4L -> ("w4", 4L)))
+  }
 }
