@@ -180,7 +180,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         graft.functions.PngCodec.decode(r.payload)
-          .orElse(graft.functions.JpegCodec.decode(r.payload)) match {
+          .orElse(graft.functions.JpegCodec.decode(r.payload))
+          .orElse(graft.functions.GifCodec.decode(r.payload)) match {
           case None =>
             PixelStats(r.media_id, None, None, None, None, None)
           case Some(img) =>
@@ -263,7 +264,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         graft.functions.PngCodec.decode(r.payload)
-          .orElse(graft.functions.JpegCodec.decode(r.payload)) match {
+          .orElse(graft.functions.JpegCodec.decode(r.payload))
+          .orElse(graft.functions.GifCodec.decode(r.payload)) match {
           case None => ImageHash(r.media_id, None, None, None)
           case Some(img) =>
             val l = Array.ofDim[Long](8, 9)
@@ -581,7 +583,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         graft.functions.PngCodec.decode(r.payload)
-          .orElse(graft.functions.JpegCodec.decode(r.payload)) match {
+          .orElse(graft.functions.JpegCodec.decode(r.payload))
+          .orElse(graft.functions.GifCodec.decode(r.payload)) match {
           case None => r
           case Some(img) =>
             val out = new Array[Byte](targetW * targetH * img.channels)

@@ -1649,6 +1649,36 @@ object ExtQueries {
         Tables.documents(s, dir), "text", "source", lgK = 9, numStdDev = 3)
     },
 
+    // ── REAL GIF pixel decode (the palette sibling of q81/q84): per
+    // doc_id a 64-color palette + index raster is LZW-COMPRESSED into
+    // a GIF89a container (real string-table LZW — dictionary growth,
+    // code-width bumps, sub-block framing) and decoded back through
+    // the block walk → LZW → palette-map pipeline; odd ids are
+    // INTERLACED, so the four-pass row reorder is under the hash too.
+    // The oracle replays palette and index arithmetic in SQL — a slip
+    // in LZW code scheduling, bit packing, or interlace mapping in
+    // EITHER direction breaks it.
+    "q122_gif_pixel_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val (palette, idx) = graft.functions.GifCodec.syntheticIndexed(id, w, h)
+          Multimodal.MediaRow(id,
+            graft.functions.GifCodec.encode(w, h, palette, idx,
+              interlaced = id % 2 == 1),
+            "image/gif", source)
+        }
+      Multimodal.pixelStats(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("luma_sum"))
+    },
+
     // ── compression-ratio repetition signal (Gopher/MassiveText
     // family): per-doc zlib deflate accounting. Deflated lengths are
     // zlib-implementation-specific, so the gate is invariant-form
@@ -2320,6 +2350,24 @@ object ExtQueries {
         |       CAST(NULL AS VARCHAR) AS src_b, CAST(NULL AS DOUBLE) AS exact,
         |       CAST(NULL AS DOUBLE) AS lb, CAST(NULL AS DOUBLE) AS ub
         |WHERE 1 = 0""".stripMargin,
+
+    // palette-format identity: color index c = (doc_id+3x+7y)%64,
+    // palette[c] = ((5c+id)%256, (3c+2id)%256, (7c+3id)%256); the
+    // engine must recover this through a real LZW decode (+ interlace
+    // reorder on odd ids)
+    "q122_gif_pixel_stats" ->
+      """SELECT d.doc_id,
+        |  d.doc_id % 16 + 4 AS width,
+        |  d.doc_id % 12 + 4 AS height,
+        |  (d.doc_id % 16 + 4) * (d.doc_id % 12 + 4) AS n_pixels,
+        |  CAST(sum(299*((5*((d.doc_id + 3*x.i + 7*y.i) % 64) + d.doc_id) % 256)
+        |         + 587*((3*((d.doc_id + 3*x.i + 7*y.i) % 64) + 2*d.doc_id) % 256)
+        |         + 114*((7*((d.doc_id + 3*x.i + 7*y.i) % 64) + 3*d.doc_id) % 256))
+        |       AS BIGINT) AS luma_sum
+        |FROM documents d
+        |JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
+        |JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4
+        |GROUP BY d.doc_id""".stripMargin,
 
     // invariant form: tokenization violations only — empty when BPE
     // partitions every vocab word and the first merge fires
