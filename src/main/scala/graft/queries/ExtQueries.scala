@@ -1679,6 +1679,21 @@ object ExtQueries {
           col("n_pixels"), col("luma_sum"))
     },
 
+    // ── unigram-LM (SentencePiece) tokenizer train + segment: the
+    // prune-down tokenizer family beside BPE's merge-up (q104). EM
+    // over the segmentation lattice fits piece probabilities on the
+    // DISTINCT-word table (vocab-sized rounds — the Bpe scale
+    // contract), expected counts aggregate as fixed-point micro-longs
+    // (bit-deterministic across partitionings). Gate: roundtrip
+    // (concat(viterbi pieces) == word for EVERY corpus word), no
+    // out-of-vocab piece, vocab budget, and EM's monotone-likelihood
+    // law within each phase — violations empty.
+    "q123_unigram_lm_roundtrip" -> { (s, dir) =>
+      graft.ext.UnigramLm.violations(Tables.documents(s, dir), "text",
+        vocabSize = 400, maxPieceLen = 6, seedSize = 1200,
+        emIters = 2, postPruneIters = 1)
+    },
+
     // ── compression-ratio repetition signal (Gopher/MassiveText
     // family): per-doc zlib deflate accounting. Deflated lengths are
     // zlib-implementation-specific, so the gate is invariant-form
@@ -2368,6 +2383,12 @@ object ExtQueries {
         |JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
         |JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4
         |GROUP BY d.doc_id""".stripMargin,
+
+    // invariant form: empty unless the unigram tokenizer breaks
+    // roundtrip/vocab/EM-monotonicity (q104's gate pattern)
+    "q123_unigram_lm_roundtrip" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS detail
+        |WHERE 1 = 0""".stripMargin,
 
     // invariant form: tokenization violations only — empty when BPE
     // partitions every vocab word and the first merge fires
