@@ -185,6 +185,23 @@ final class TxLogTable(spark: SparkSession, root: String) {
   /** Snapshot read at the latest version. */
   def read(): DataFrame = readAt(currentVersion)
 
+  /** Latest version committed at or before `tsMillis` (Delta's
+    * TIMESTAMP AS OF): one manifest-header walk, no data access.
+    * Rejects timestamps before the table existed.
+    */
+  def versionAsOf(tsMillis: Long): Long = {
+    val cv = currentVersion
+    require(cv >= 0, s"no committed version in $root")
+    var v = cv
+    while (v >= 0 && manifestAt(v).tsMillis > tsMillis) v -= 1
+    require(v >= 0,
+      s"timestamp $tsMillis predates the table's first commit in $root")
+    v
+  }
+
+  /** Snapshot read as of a wall-clock timestamp. */
+  def readAsOf(tsMillis: Long): DataFrame = readAt(versionAsOf(tsMillis))
+
   // ── data-skipping reads ───────────────────────────────────────────
 
   /** The paths a pruned read of snapshot `version` under `filter`

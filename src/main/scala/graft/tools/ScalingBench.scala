@@ -17,7 +17,10 @@ object ScalingBench {
     "q01_pricing_summary", "q04_insert_ignore", "q07_window_topk",
     "q08_join_agg", "q09_sort_limit", "q17_token_stats",
     "q20_dedup_fingerprint", "q31_moving_window", "q106_funnel",
-    "q110_event_transitions")
+    "q110_event_transitions",
+    // round-8 second session: the duplicate-span fixed point (the
+    // heaviest new corpus-order op) and the GIF decode scan stage
+    "q120_duplicate_span_removal", "q122_gif_pixel_stats")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sf1")

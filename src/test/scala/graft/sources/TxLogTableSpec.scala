@@ -197,6 +197,29 @@ class TxLogTableSpec extends SparkSpec {
     assert(asMap(t) === before)
   }
 
+  test("timestamp time travel resolves to the latest commit at or before the instant") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1L)))
+    t.append(df((2L, "b", 1L)))
+    t.merge(df((1L, "A", 9L)), Seq("k"), Seq(col("ts").desc))
+    val hist = t.history() // (version, action, tsMillis), newest-first or oldest-first per impl
+    val byVersion = hist.map { case (v, _, ts) => v -> ts }.toMap
+    // exactly at each commit's own timestamp → that version
+    for (v <- 0L to 3L)
+      assert(t.versionAsOf(byVersion(v)) >= v) // same-millisecond commits resolve to the latest
+    // after the last commit → head; between commits → the earlier one
+    assert(t.versionAsOf(byVersion(3L) + 1000L) === 3L)
+    assert(asMap(t.readAsOf(byVersion(3L) + 1000L)) ===
+      Map(1L -> ("A", 9L), 2L -> ("b", 1L)))
+    intercept[IllegalArgumentException] {
+      t.versionAsOf(byVersion(0L) - 1000L)
+    }
+  }
+
+  private def asMap(d: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+    d.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
   test("conditional MERGE: all four arms on one source batch") {
     val t = fresh()
     t.ensureExists(schema)
