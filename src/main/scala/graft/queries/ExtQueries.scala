@@ -1761,6 +1761,20 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
             .as("sum_price"))
+    },
+
+    // ── distributed PCA / whitening invariant, driver-checked
+    // (zero-row oracle): one-pass decimal moment aggregate → driver
+    // Jacobi (d×d, bounded) → scan-stage projection. The gate replays
+    // the eigendecomposition's own laws end to end over the real
+    // fixture: eigenvalues descending/non-negative with Σλ = trace,
+    // components orthonormal, per-component projected variance equal
+    // to λⱼ under ANY partitioning (decimal sums), whitened variance
+    // exactly 1, and full-rank per-row reconstruction within 1e-6 —
+    // the conditioning stage SemDeDup-style pipelines run before
+    // semantic dedup or ANN indexing.
+    "q124_pca_whitening_invariant" -> { (s, dir) =>
+      graft.ext.Pca.violations(Tables.embeddings(s, dir))
     }
   )
 
@@ -3164,7 +3178,14 @@ object ExtQueries {
         |    round(CAST(SUM(contrib) AS DOUBLE) / SUM(nb), 6) AS avg_prob
         |  FROM scored GROUP BY 1)
         |SELECT w.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_prob
-        |FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id""".stripMargin
+        |FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id""".stripMargin,
+
+    // invariant form: empty unless an eigendecomposition law
+    // (ordering, orthonormality, variance=λ, whitening, trace
+    // conservation, full-rank reconstruction) is violated
+    "q124_pca_whitening_invariant" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS detail
+        |WHERE 1 = 0""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
