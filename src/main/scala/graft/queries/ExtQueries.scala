@@ -1557,12 +1557,15 @@ object ExtQueries {
 
     // ── row-level CHANGE FEED from the commit-log table: append the
     // even-id events raw (v1), transactionally merge the odd half
-    // latest-wins (v2), then read changeFeed(0, v2). v1's change set is
-    // the raw appended rows; v2's is the merge's commit-time post-image
-    // staging — per odd-touched user, argmax over (per-user latest of
-    // evens ∪ odds) = the OVERALL latest event, which is how DuckDB
-    // replays it in one window. Pins that the feed carries exactly the
-    // rows each commit changed (no snapshot diffing) with the right
+    // latest-wins (v2), then read changeFeed(0, v2) — the post-image
+    // projection of the typed CDC (`changes()`). v1's change set is
+    // the raw appended rows; v2's post-images cover every key the
+    // merge changed: the odd-touched users (argmax over latest evens ∪
+    // odds = the OVERALL latest event) AND the multi-even-row users
+    // whose duplicate keys the latest-wins window collapsed even
+    // though the batch never named them. DuckDB replays both arms in
+    // one window. Pins that the feed carries exactly the rows each
+    // commit changed (no snapshot diffing) with the right
     // `_commit_version` tags — what an incremental downstream (index
     // refresh, dedup-signature update) consumes at 100 TB instead of
     // re-reading the table.
@@ -1775,6 +1778,98 @@ object ExtQueries {
     // semantic dedup or ANN indexing.
     "q124_pca_whitening_invariant" -> { (s, dir) =>
       graft.ext.Pca.violations(Tables.embeddings(s, dir))
+    },
+
+    // ── INCREMENTAL VIEW MAINTENANCE over the typed change feed: the
+    // view (count + decimal sum of value by event_type) is seeded from
+    // snapshot v1, then maintained PURELY from `changes()` deltas
+    // across a merge (pre/post pairs) and a conditional merge with a
+    // delete arm (explicit retractions) — the table's final state is
+    // NEVER re-aggregated. The oracle recomputes the final state from
+    // raw events in SQL; hash equality proves the CDC classification
+    // (insert/update_preimage/update_postimage/delete) and the signed
+    // fold are exact. The 100 TB contract: view refresh costs
+    // O(change batch) + O(view), never O(table).
+    "q125_incremental_view" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_ns"))
+      val t = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q125").toString)
+      t.ensureExists(ev.schema)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      // v1: per-user latest EVEN event (key-unique append)
+      val v1 = t.append(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+      val group = Seq("event_type"); val sums = Seq("value")
+      val seeded = graft.ext.IncrementalView.seed(t.readAt(v1), group, sums)
+      // v2: merge ALL odd events latest-wins → state = overall latest
+      val v2 = t.merge(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        Seq("user_id"), Seq(col("ts_ns").desc, col("event_id").desc))
+      // v3: conditional merge — source carries the doubled value plus
+      // a guard column; low-value users are deleted, the rest updated
+      val src = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("__low", col("value") < 50)
+        .withColumn("value", col("value") * 2)
+      val v3 = t.mergeConditional(src, Seq("user_id"),
+        whenMatched = Seq(
+          graft.sources.TxLogTable.MatchedDelete(Some("s.__low")),
+          graft.sources.TxLogTable.MatchedUpdate(None)),
+        insertWhenNotMatched = false)
+      val view = graft.ext.IncrementalView.applyChanges(
+        graft.ext.IncrementalView.applyChanges(seeded,
+          t.changes(v1, v2), group, sums),
+        t.changes(v2, v3), group, sums)
+      view.select(col("event_type"), col("n").as("n_users"),
+        col("sum_value").cast("double").as("sum_value"))
+    },
+
+    // ── transactional MATERIALIZED VIEW refresh (q125's fold, table-
+    // backed): the view lives in its own commit-log table and the
+    // last-folded source version rides as a commit MARKER — state and
+    // watermark advance in one atomic manifest, so refresh is
+    // exactly-once (a redundant rerun after each commit is a no-op,
+    // exercised here). Same final-state oracle as q125: hash equality
+    // proves the marker bookkeeping folds each commit exactly once.
+    "q126_materialized_view_refresh" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_ns"))
+      val t = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q126s").toString)
+      val mv = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q126v").toString)
+      t.ensureExists(ev.schema)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      val group = Seq("event_type"); val sums = Seq("value")
+      t.append(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+      graft.ext.MaterializedView.refresh(t, mv, group, sums)
+      t.merge(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        Seq("user_id"), Seq(col("ts_ns").desc, col("event_id").desc))
+      graft.ext.MaterializedView.refresh(t, mv, group, sums)
+      // redundant refresh: marker == head, must fold nothing
+      graft.ext.MaterializedView.refresh(t, mv, group, sums)
+      val src = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("__low", col("value") < 50)
+        .withColumn("value", col("value") * 2)
+      t.mergeConditional(src, Seq("user_id"),
+        whenMatched = Seq(
+          graft.sources.TxLogTable.MatchedDelete(Some("s.__low")),
+          graft.sources.TxLogTable.MatchedUpdate(None)),
+        insertWhenNotMatched = false)
+      graft.ext.MaterializedView.refresh(t, mv, group, sums)
+      graft.ext.MaterializedView.read(mv)
+        .select(col("event_type"), col("n").as("n_users"),
+          col("sum_value").cast("double").as("sum_value"))
     }
   )
 
@@ -2306,8 +2401,12 @@ object ExtQueries {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) t
-        |WHERE rn = 1 AND user_id IN (
-        |  SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)""".stripMargin,
+        |WHERE rn = 1 AND (
+        |  user_id IN (
+        |    SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)
+        |  OR user_id IN (
+        |    SELECT user_id FROM events WHERE event_id % 2 = 0
+        |    GROUP BY 1 HAVING COUNT(*) > 1))""".stripMargin,
 
     // conditional-merge replay: matched+returned → deleted; matched
     // with higher recomputed price → updated; other matched → kept;
@@ -3185,7 +3284,37 @@ object ExtQueries {
     // conservation, full-rank reconstruction) is violated
     "q124_pca_whitening_invariant" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS detail
-        |WHERE 1 = 0""".stripMargin
+        |WHERE 1 = 0""".stripMargin,
+
+    // full recompute of the table's FINAL state (overall-latest per
+    // user, low-value users deleted, survivors' value doubled) — the
+    // engine side never aggregates that state, it folds the typed
+    // change feed; hash equality proves CDC + IVM exact
+    "q125_incremental_view" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |final AS (
+        |  SELECT user_id, event_type, value * 2 AS value
+        |  FROM l WHERE rn = 1 AND NOT (value < 50))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM final GROUP BY 1""".stripMargin,
+
+    // same final state as q125, reached through the marker-gated
+    // table-backed refresh loop instead of the in-memory fold
+    "q126_materialized_view_refresh" ->
+      """WITH l AS (
+        |  SELECT user_id, event_type, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |final AS (
+        |  SELECT user_id, event_type, value * 2 AS value
+        |  FROM l WHERE rn = 1 AND NOT (value < 50))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM final GROUP BY 1""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

@@ -294,6 +294,48 @@ final class TxLogTable(spark: SparkSession, root: String) {
     name
   }
 
+  /** Stage the full CDC row set of a keyed write: classify by key
+    * presence between the pre-commit snapshot and the staged result,
+    * restricted to `touched` keys PLUS any duplicate-key groups of the
+    * target (a latest-wins merge collapses those even when the batch
+    * never names them — without this the feed would silently miss the
+    * collapse). Emits Delta-CDF-style `_change_type` rows:
+    * `insert` / `update_preimage` / `update_postimage` / `delete`.
+    *
+    * A matched key whose row survives unchanged (conditional-merge
+    * keep arm, or a latest-wins merge the target won) emits a no-op
+    * pre/post pair — pre = post, so it cancels in any additive fold
+    * (the incremental-view contract); exact change-row suppression
+    * would cost a full-row comparison for no consumer benefit.
+    *
+    * Null-keyed rows never key-match, so they are invisible to the
+    * typed feed (the same rule the merge join itself applies).
+    * Cost: semi-joins against frames the commit already materialized —
+    * batch-proportional, plus one duplicate-key aggregate on the
+    * snapshot the merge is reading anyway.
+    */
+  private def stageCdc(target: DataFrame, newDf: DataFrame,
+      touched: DataFrame, key: Seq[String]): String = {
+    import org.apache.spark.sql.functions._
+    val dupKeys = target.groupBy(key.map(target.col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(key.map(col): _*)
+    val keys = touched.unionByName(dupKeys).distinct()
+    val oldT = target.join(keys, key, "left_semi")
+    val newT = newDf.join(keys, key, "left_semi")
+    val oldKeys = oldT.select(key.map(oldT.col): _*).distinct()
+    val newKeys = newT.select(key.map(newT.col): _*).distinct()
+    val cdc = oldT.join(newKeys, key, "left_anti")
+        .withColumn("_change_type", lit("delete"))
+      .unionByName(oldT.join(newKeys, key, "left_semi")
+        .withColumn("_change_type", lit("update_preimage")))
+      .unionByName(newT.join(oldKeys, key, "left_semi")
+        .withColumn("_change_type", lit("update_postimage")))
+      .unionByName(newT.join(oldKeys, key, "left_anti")
+        .withColumn("_change_type", lit("insert")))
+    stageData(cdc)
+  }
+
   /** Per-file min/max/null-count ranges for `statsCols` over a staged
     * dir — one column-pruned scan of ONLY the stats columns (parquet
     * reads nothing else), grouped by file. The collect is bounded at
@@ -462,15 +504,16 @@ final class TxLogTable(spark: SparkSession, root: String) {
       markers: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil): Long =
     commitLoop(maxRetries) { v =>
-      val merged = Upsert.mergeByKey(readAt(v), updates, key, precedence)
+      val target = readAt(v)
+      val merged = Upsert.mergeByKey(target, updates, key, precedence)
       val staged = stageData(merged, sortCols)
-      // CDC post-images: the merged rows whose key the batch touched —
-      // read back from the staged dir (already materialized) so the
-      // change set is BY CONSTRUCTION consistent with the commit
+      // CDC: full change rows (pre/post images, typed) — read back
+      // from the staged dir (already materialized) so the change set
+      // is BY CONSTRUCTION consistent with the commit
       val stagedDf = spark.read.schema(merged.schema)
         .parquet(dataDir.resolve(staged).toString)
       val touched = updates.select(key.map(updates.col): _*).distinct()
-      val cdcDir = stageData(stagedDf.join(touched, key, "left_semi"))
+      val cdcDir = stageCdc(target, stagedDf, touched, key)
       Some(Manifest(0L, "overwrite", Seq(staged),
         merged.schema.json, System.currentTimeMillis(), wrap(markers),
         statsOpt(staged, merged.schema, statsCols), Some(Seq(cdcDir))))
@@ -555,10 +598,10 @@ final class TxLogTable(spark: SparkSession, root: String) {
       val staged = stageData(merged, sortCols)
       val stagedDf = spark.read.schema(merged.schema)
         .parquet(dataDir.resolve(staged).toString)
-      // CDC post-images: deletes surface as absence (the feed is
-      // post-image-only, matching merge()); touched = source keys
+      // CDC: typed change rows; the delete arm surfaces as explicit
+      // `delete` pre-images (not as absence); touched = source keys
       val touched = source.select(key.map(source.col): _*).distinct()
-      val cdcDir = stageData(stagedDf.join(touched, key, "left_semi"))
+      val cdcDir = stageCdc(target, stagedDf, touched, key)
       Some(Manifest(0L, "overwrite", Seq(staged),
         merged.schema.json, System.currentTimeMillis(), wrap(markers),
         statsOpt(staged, merged.schema, statsCols), Some(Seq(cdcDir))))
@@ -701,13 +744,35 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * change dirs only — independent of table size.
     */
   def changeFeed(fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.col
+    changes(fromVersion, toVersion)
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+  }
+
+  /** Typed row-level CDC over `(fromVersion, toVersion]` (the Delta
+    * Change Data Feed shape): every row tagged `_change_type` ∈
+    * {`insert`, `update_preimage`, `update_postimage`, `delete`} and
+    * `_commit_version`. Appends/insert-ignores contribute their
+    * appended rows as `insert`s; blind overwrites their full
+    * post-image as `insert` (a refresh, with no pre-image — consumers
+    * of an overwritten table must reseed); merges their commit-time
+    * typed change set; compaction/checkpoint nothing. This is the
+    * complete input for incremental view maintenance
+    * ([[graft.ext.IncrementalView]]): the signed fold (+post −pre)
+    * reproduces any distributive aggregate of the snapshot exactly.
+    * Cost: a parquet read of the change dirs only — independent of
+    * table size.
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(fromVersion <= toVersion,
       s"empty feed range: ($fromVersion, $toVersion]")
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       if (!Files.exists(manifestPath(v))) None
       else {
         val m = manifestAt(v)
+        val typed = m.cdc.isDefined
         val dirs = m.cdc.getOrElse(m.add)
         dirs.foreach { d =>
           require(Files.isDirectory(dataDir.resolve(d)),
@@ -716,9 +781,18 @@ final class TxLogTable(spark: SparkSession, root: String) {
         if (dirs.isEmpty) None
         else {
           val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-          Some(spark.read.schema(schema)
+          val readSchema =
+            if (typed) schema.add("_change_type", "string", nullable = true)
+            else schema
+          val df = spark.read.schema(readSchema)
             .parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
-            .withColumn("_commit_version", lit(v)))
+          // pre-CDC cdc dirs (older tables) lack the column → their
+          // rows were post-images by the old contract
+          val tagged =
+            if (typed) df.withColumn("_change_type",
+              coalesce(col("_change_type"), lit("update_postimage")))
+            else df.withColumn("_change_type", lit("insert"))
+          Some(tagged.withColumn("_commit_version", lit(v)))
         }
       }
     }
@@ -726,7 +800,8 @@ final class TxLogTable(spark: SparkSession, root: String) {
       .getOrElse {
         val (_, schema) = manifestChainAt(toVersion)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          schema.add("_commit_version", "long", nullable = false))
+          schema.add("_change_type", "string", nullable = false)
+            .add("_commit_version", "long", nullable = false))
       }
   }
 

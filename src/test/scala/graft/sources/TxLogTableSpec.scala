@@ -220,6 +220,77 @@ class TxLogTableSpec extends SparkSpec {
   private def asMap(d: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
     d.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
 
+  test("typed CDC: merge classifies insert vs update pre/post pairs") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1L), (2L, "b", 1L)))
+    // k=1 updated (newer ts), k=3 inserted, k=2 untouched
+    val v = t.merge(df((1L, "A", 9L), (3L, "c", 5L)),
+      Seq("k"), Seq(col("ts").desc))
+    val ch = t.changes(v - 1, v)
+      .select("k", "v", "ts", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(ch === Set(
+      (1L, "a", 1L, "update_preimage"),
+      (1L, "A", 9L, "update_postimage"),
+      (3L, "c", 5L, "insert")))
+    // the post-image view of the same commit, via the legacy feed
+    assert(t.changeFeed(v - 1, v).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "A"), (3L, "c")))
+  }
+
+  test("typed CDC: conditional-merge delete arm emits explicit delete rows") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)))
+    // delete k=1, update k=2; k=3 untouched (not in source)
+    val v = t.mergeConditional(
+      df((1L, "x", 10L), (2L, "B", 20L)), Seq("k"),
+      whenMatched = Seq(
+        TxLogTable.MatchedDelete(Some("s.v = 'x'")),
+        TxLogTable.MatchedUpdate(None)),
+      insertWhenNotMatched = false)
+    val ch = t.changes(v - 1, v)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch === Set(
+      (1L, "a", "delete"),
+      (2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage")))
+  }
+
+  test("typed CDC: a latest-wins merge's duplicate-key collapse is in the feed") {
+    val t = fresh()
+    t.ensureExists(schema)
+    // raw append leaves TWO rows under k=1; the merge of an unrelated
+    // key must still record the k=1 collapse (2 pre-images, 1 post)
+    t.append(df((1L, "old", 1L), (1L, "new", 2L), (2L, "b", 1L)))
+    val v = t.merge(df((3L, "c", 5L)), Seq("k"), Seq(col("ts").desc))
+    val ch = t.changes(v - 1, v)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch === Set(
+      (1L, "old", "update_preimage"),
+      (1L, "new", "update_preimage"),
+      (1L, "new", "update_postimage"),
+      (3L, "c", "insert")))
+  }
+
+  test("typed CDC: appends arrive as inserts; compaction contributes nothing") {
+    val t = fresh()
+    t.ensureExists(schema)
+    val v1 = t.append(df((1L, "a", 1L)))
+    val v2 = t.append(df((2L, "b", 2L)))
+    val v3 = t.compact(targetRowsPerFile = 100)
+    val ch = t.changes(0L, v3)
+    assert(ch.filter(col("_change_type") =!= "insert").count() === 0)
+    assert(ch.select("k", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, v1), (2L, v2)))
+  }
+
   test("conditional MERGE: all four arms on one source batch") {
     val t = fresh()
     t.ensureExists(schema)
