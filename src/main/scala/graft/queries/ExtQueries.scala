@@ -1870,6 +1870,19 @@ object ExtQueries {
       graft.ext.MaterializedView.read(mv)
         .select(col("event_type"), col("n").as("n_users"),
           col("sum_value").cast("double").as("sum_value"))
+    },
+
+    // ── WordPiece tokenizer invariant, driver-checked (zero-row
+    // oracle, q104/q123 family): likelihood-scored merge training on
+    // the distinct-word table, then greedy longest-match encoding
+    // with ## continuations. The gate replays the encoding laws over
+    // the real corpus vocabulary — pieces ∈ vocab, marker placement,
+    // roundtrip, no UNK under alphabet coverage, vocab-word identity.
+    // Completes the three production subword families next to BPE
+    // (q104, merge-order) and unigram-LM (q123, Viterbi).
+    "q127_wordpiece_roundtrip" -> { (s, dir) =>
+      graft.ext.WordPiece.violations(
+        Tables.documents(s, dir).select(col("text")), "text", nMerges = 12)
     }
   )
 
@@ -3301,6 +3314,11 @@ object ExtQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM final GROUP BY 1""".stripMargin,
+
+    // invariant form: empty unless a WordPiece encoding law fails
+    "q127_wordpiece_roundtrip" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS word
+        |WHERE 1 = 0""".stripMargin,
 
     // same final state as q125, reached through the marker-gated
     // table-backed refresh loop instead of the in-memory fold
