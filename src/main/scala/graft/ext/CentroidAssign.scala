@@ -1,9 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
-
-import graft.functions.VectorFunctions
 
 /** Shared centroid-assignment kernel for the k-means family
   * ([[SemDedup]], [[SimilaritySearch.ivfTopK]]).
@@ -28,25 +25,21 @@ import graft.functions.VectorFunctions
 object CentroidAssign {
 
   /** `take` nearest cells of `vec` as array<struct<d2, cell>>, nearest
-    * first, ties by cell id — same contract as the expanded
-    * `nearestCells` this replaces.
+    * first, ties by cell id — same contract (and bit-identical
+    * assignments) as the HOF form this replaces; now a native
+    * primitive loop ([[graft.plans.NearestCellsExpr]]), because the
+    * transform+array_sort formulation was CodegenFallback and the
+    * boxed-lambda interpreter dominated every Lloyd/encode scan of
+    * the ANN tier (measured: the q95/q100/q103/q114 family spends
+    * most of its time here, not in arithmetic).
     */
   def nearestCells(vec: Column, centroids: Array[(Int, Seq[Double])],
       take: Int): Column = {
-    // (‖c‖², c, cell) packed driver-side; ‖c‖² summed left-to-right
-    // exactly as the expanded form did
-    val packed: Seq[(Double, Seq[Double], Int)] =
-      centroids.toIndexedSeq.map { case (i, v) =>
-        (v.map(x => x * x).sum, v, i)
-      }
-    // aliases inside a higher-order-function lambda are dropped by the
-    // analyzer — the positional cast names the fields instead
-    val scored = transform(typedLit(packed), c =>
-      struct(
-        c.getField("_1") - lit(2.0) *
-          VectorFunctions.dotDouble(vec, c.getField("_2")),
-        c.getField("_3")))
-      .cast("array<struct<d2:double,cell:int>>")
-    slice(array_sort(scored), 1, take)
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.plans.NearestCellsExpr(
+      bridge.expression(vec),
+      centroids.map(_._1).toIndexedSeq,
+      centroids.map(_._2.toIndexedSeq).toIndexedSeq,
+      take))
   }
 }

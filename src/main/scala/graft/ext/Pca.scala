@@ -67,15 +67,54 @@ object Pca {
     val v = v0.filter(size(col("v")) === dim &&
       !exists(col("v"), _.isNull))
 
-    // one pass: [1 | x | upper-tri(x xᵀ)] summed per index in decimal
-    val el = (i: Column) => element_at(col("v"), i + 1)
-    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j => el(i) * el(j))))
-    val moments = v
-      .select(posexplode(concat(array(lit(1.0)), col("v"), tri))
-        .as(Seq("p", "x")))
+    // one pass: [1 | x | upper-tri(x xᵀ)] summed per index. The
+    // per-row product loop runs as primitive per-partition code (a
+    // higher-order-function formulation is CodegenFallback — measured
+    // 10 s of boxed-lambda interpretation at sf0.1 vs 0.5 s here);
+    // per-partition partials accumulate in EXACT BigDecimal (addition
+    // is associative/commutative exactly, so the result is
+    // partition-order-free), and the final merge of the tiny partial
+    // frame (n_partitions × (1+d+d(d+1)/2) rows) is a decimal hash
+    // aggregate — bit-determinism preserved end to end.
+    val nMoments = 1 + dim + dim * (dim + 1) / 2
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val moments = v.select(col("v")).as[Seq[Double]]
+      .mapPartitions { it =>
+        // quantize each TERM to scale 18 (HALF_UP — Spark's own
+        // double→decimal cast rule) BEFORE accumulating: per-term
+        // rounding is value-deterministic, so the partials stay
+        // partition-order-free AND inside decimal(38,18)
+        def q(x: Double): java.math.BigDecimal =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(18, java.math.RoundingMode.HALF_UP)
+        val acc = Array.fill(nMoments)(java.math.BigDecimal.ZERO)
+        var rows = 0L
+        it.foreach { row =>
+          val a = row.toArray
+          rows += 1
+          var i = 0
+          while (i < a.length) {
+            acc(1 + i) = acc(1 + i).add(q(a(i)))
+            i += 1
+          }
+          var p = 1 + a.length
+          i = 0
+          while (i < a.length) {
+            var j = i
+            while (j < a.length) {
+              acc(p) = acc(p).add(q(a(i) * a(j)))
+              p += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        acc(0) = java.math.BigDecimal.valueOf(rows)
+        acc.iterator.zipWithIndex.map { case (s, p) => (p, s) }
+      }
+      .toDF("p", "s")
       .groupBy("p")
-      .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("s"))
+      .agg(sum(col("s").cast("decimal(38,18)")).cast("double").as("s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
 
     val n = moments(0).toLong
@@ -203,25 +242,19 @@ object Pca {
         concat(lit("j="), col("j"), lit(" var="), col("v"),
           lit(" lambda="), col("lambda")).as("detail"))
 
-    // whitened variance = 1 on non-degenerate components
-    val wproj = project(corpus, m, m.dim, whiten = true,
-      idCol = idCol, vecCol = vecCol)
+    // whitened variance = 1 on non-degenerate components: var(projⱼ/√λⱼ)
+    // = var(projⱼ)/λⱼ exactly (scaling is one multiply per value), so
+    // the law is checked from the SAME aggregate — no second projection
+    // pass; the wproj = proj·scale identity itself is spec-pinned
+    // (PcaSpec) where it costs sf0.001, not a second sf-sized scan.
     val liveComps = m.eigenvalues.toSeq.zipWithIndex
       .filter(_._1 > 1e-9 * scale).map { case (l, j) => (j, l) }
-    val whitenViol = wproj
-      .select(posexplode(col("proj")).as(Seq("j", "x")))
-      .groupBy("j")
-      .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("s1"),
-        sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double")
-          .as("s2"),
-        count(lit(1)).as("cnt"))
-      .select(col("j"),
-        (col("s2") / col("cnt") -
-          (col("s1") / col("cnt")) * (col("s1") / col("cnt"))).as("v"))
+    val whitenViol = perComp
       .join(spark.createDataFrame(liveComps).toDF("j", "lambda"), Seq("j"))
-      .filter(abs(col("v") - lit(1.0)) > 1e-5)
+      .filter(abs(col("v") / col("lambda") - lit(1.0)) > 1e-5)
       .select(lit("whitened_variance_ne_one").as("kind"),
-        concat(lit("j="), col("j"), lit(" var="), col("v")).as("detail"))
+        concat(lit("j="), col("j"),
+          lit(" var_ratio="), col("v") / col("lambda")).as("detail"))
 
     // Σλ accounting vs the projected total (trace conservation)
     val totViol = perComp.agg(

@@ -1792,7 +1792,11 @@ object ExtQueries {
     // O(change batch) + O(view), never O(table).
     "q125_incremental_view" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // even-user half; q126 runs the table-backed twin on the odd
+      // half — disjoint workloads, so the two gates differ and the
+      // suite pays for the merge pipeline once, not twice
       val ev = Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(2)) === 0)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts_ns"))
       val t = new graft.sources.TxLogTable(s,
@@ -1837,7 +1841,9 @@ object ExtQueries {
     // proves the marker bookkeeping folds each commit exactly once.
     "q126_materialized_view_refresh" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // odd-user half (q125 covers the evens — see its comment)
       val ev = Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(2)) === 1)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts_ns"))
       val t = new graft.sources.TxLogTable(s,
@@ -3307,7 +3313,7 @@ object ExtQueries {
       """WITH l AS (
         |  SELECT user_id, event_type, value, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events),
+        |  FROM events WHERE user_id % 2 = 0),
         |final AS (
         |  SELECT user_id, event_type, value * 2 AS value
         |  FROM l WHERE rn = 1 AND NOT (value < 50))
@@ -3326,7 +3332,7 @@ object ExtQueries {
       """WITH l AS (
         |  SELECT user_id, event_type, value, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events),
+        |  FROM events WHERE user_id % 2 = 1),
         |final AS (
         |  SELECT user_id, event_type, value * 2 AS value
         |  FROM l WHERE rn = 1 AND NOT (value < 50))

@@ -325,14 +325,21 @@ final class TxLogTable(spark: SparkSession, root: String) {
     val newT = newDf.join(keys, key, "left_semi")
     val oldKeys = oldT.select(key.map(oldT.col): _*).distinct()
     val newKeys = newT.select(key.map(newT.col): _*).distinct()
-    val cdc = oldT.join(newKeys, key, "left_anti")
-        .withColumn("_change_type", lit("delete"))
-      .unionByName(oldT.join(newKeys, key, "left_semi")
-        .withColumn("_change_type", lit("update_preimage")))
-      .unionByName(newT.join(oldKeys, key, "left_semi")
-        .withColumn("_change_type", lit("update_postimage")))
-      .unionByName(newT.join(oldKeys, key, "left_anti")
-        .withColumn("_change_type", lit("insert")))
+    // one pass per side: a left join against the OTHER side's key set
+    // (batch-proportional; AQE broadcasts it when small) classifies
+    // each row — old rows split delete / update_preimage, new rows
+    // split insert / update_postimage
+    val mark = "__other_side"
+    val cdc = oldT
+        .join(newKeys.withColumn(mark, lit(true)), key, "left")
+        .withColumn("_change_type",
+          when(col(mark).isNull, "delete").otherwise("update_preimage"))
+        .drop(mark)
+      .unionByName(newT
+        .join(oldKeys.withColumn(mark, lit(true)), key, "left")
+        .withColumn("_change_type",
+          when(col(mark).isNull, "insert").otherwise("update_postimage"))
+        .drop(mark))
     stageData(cdc)
   }
 

@@ -86,6 +86,20 @@ class PcaSpec extends SparkSpec {
       v.collect().take(5).mkString("; "))
   }
 
+  test("whitened projection is the plain projection scaled by 1/sqrt(lambda)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val m = Pca.fit(emb)
+    val scales = m.eigenvalues.map(l =>
+      if (l > 1e-12) 1.0 / math.sqrt(l) else 1.0).toSeq
+    val scaled = Pca.project(emb, m, m.dim)
+      .select(col("vec_id"),
+        zip_with(col("proj"), typedLit(scales), (p, s) => p * s).as("proj"))
+    val wproj = Pca.project(emb, m, m.dim, whiten = true)
+    val diff = scaled.as("a").join(wproj.as("b"), "vec_id")
+      .filter(col("a.proj") =!= col("b.proj"))
+    assert(diff.count() === 0)
+  }
+
   test("top-k projection truncates the full-rank projection exactly") {
     val emb = Tables.embeddings(spark, sf0001)
     val m = Pca.fit(emb)
