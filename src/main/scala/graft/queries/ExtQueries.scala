@@ -1889,6 +1889,18 @@ object ExtQueries {
     "q127_wordpiece_roundtrip" -> { (s, dir) =>
       graft.ext.WordPiece.violations(
         Tables.documents(s, dir).select(col("text")), "text", nMerges = 12)
+    },
+
+    // ── BM25 ranked retrieval (Robertson-Walker Okapi weighting): the
+    // lexical-search baseline and standard hard-negative miner for a
+    // retrieval-training corpus. Rational (ln-free) idf so every score
+    // op is IEEE-exact on both engines; per-doc totals sum ROUNDED
+    // per-term scores as DECIMAL(38,6) (q59's bit-stable-sum recipe).
+    // One corpus scan; query-sized frames broadcast; top-k is
+    // TakeOrdered, never a global sort.
+    "q128_bm25_topk" -> { (s, dir) =>
+      graft.ext.Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "hash", "vector"), k = 25)
     }
   )
 
@@ -3338,7 +3350,39 @@ object ExtQueries {
         |  FROM l WHERE rn = 1 AND NOT (value < 50))
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-        |FROM final GROUP BY 1""".stripMargin
+        |FROM final GROUP BY 1""".stripMargin,
+
+    // BM25 replay: same tokenization as q58, rational idf, the exact
+    // (k1+1)/(1−b) literal folds spelled as double ADDS so both
+    // engines round identically, decimal per-doc sum
+    "q128_bm25_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^ ]+') AS words
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |flat AS (SELECT doc_id, unnest(words) AS term FROM w),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM flat
+        |       WHERE term IN ('spark', 'hash', 'vector') GROUP BY 1, 2),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |per AS (
+        |  SELECT tf.doc_id,
+        |    round(((CAST(s.n_docs AS DOUBLE) - dfc.df + 0.5) / (dfc.df + 0.5))
+        |      * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * ((1.0 - 0.75)
+        |           + 0.75 * (dl.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))),
+        |      6) AS term_score
+        |  FROM tf JOIN dfc ON tf.term = dfc.term
+        |          JOIN dl ON tf.doc_id = dl.doc_id
+        |          CROSS JOIN stats s),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    CAST(SUM(CAST(term_score AS DECIMAL(38,6))) AS DOUBLE) AS score
+        |  FROM per GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT doc_id, n_terms, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 25""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

@@ -86,7 +86,11 @@ class PlanQualitySpec extends SparkSpec {
       // already collapsed by the sketch hash-aggregate; pair math is
       // set operations over kilobytes. The exact leg (the invariant's
       // reference) joins EQUI on token.
-      "q121_theta_vocab_overlap")
+      "q121_theta_vocab_overlap",
+      // q128 fans the single-row (N, avgdl) corpus-stats aggregate into
+      // the per-term score rows — q58/q67's one-scalar-row broadcast
+      // shape; the data joins (tf⋈df, tf⋈dl) are keyed equi-joins.
+      "q128_bm25_topk")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
