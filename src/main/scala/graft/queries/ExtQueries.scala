@@ -1901,6 +1901,20 @@ object ExtQueries {
     "q128_bm25_topk" -> { (s, dir) =>
       graft.ext.Bm25.topK(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "hash", "vector"), k = 25)
+    },
+
+    // ── time-series regularization: purchase values resampled onto an
+    // hourly grid per user, gaps filled by locf AND linear
+    // interpolation — the prep step every metric/sensor feature
+    // pipeline runs before windowed models. ONE event-sized Exchange
+    // (plan-pinned): the cached bucket aggregate feeds bounds/grid AND
+    // the fill join; fills are user_id-partitioned windows. Values are
+    // fixed-point ×10⁶ BIGINTs (NUMERICS rule 2).
+    "q129_timeseries_fill" -> { (s, dir) =>
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      graft.ext.TimeSeries.resampleFill(purchases, "user_id",
+        unix_micros(col("ts")), "value", stepUs = 3600L * 1000000)
     }
   )
 
@@ -3382,7 +3396,52 @@ object ExtQueries {
         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
         |      FROM sc)
         |SELECT doc_id, n_terms, score, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 25""".stripMargin
+        |FROM r WHERE rank <= 25""".stripMargin,
+
+    // grid replay: generate_series per user over the observed bucket
+    // range; locf/interp via IGNORE NULLS window frames; values are
+    // fixed-point ×10⁶ BIGINTs (NUMERICS rule 2 — the decimal inputs ×
+    // small-integer grid ratios land on terminating .5 constantly),
+    // half-up division spelled (2n + d) // (2d) on non-negatives
+    "q129_timeseries_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |obs AS (
+        |  SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    (2 * CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+        |      + COUNT(*)) // (2 * COUNT(*)) AS v_obs_u6
+        |  FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+        |           FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+        |         FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.bucket,
+        |    COALESCE(o.n_obs, 0) AS n_obs, o.v_obs_u6
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.bucket = o.bucket),
+        |f AS (
+        |  SELECT user_id, bucket, n_obs, v_obs_u6,
+        |    last_value(v_obs_u6 IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v_obs_u6 IS NOT NULL THEN bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |    first_value(v_obs_u6 IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v_obs_u6 IS NOT NULL THEN bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY bucket
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT user_id, bucket, n_obs, v_obs_u6, pv AS v_ffill_u6,
+        |  CASE WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       WHEN nb = pb THEN pv
+        |       ELSE (2 * (pv * (nb - bucket) + nv * (bucket - pb))
+        |             + (nb - pb)) // (2 * (nb - pb))
+        |  END AS v_interp_u6
+        |FROM f""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

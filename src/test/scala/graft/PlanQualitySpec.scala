@@ -228,6 +228,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges == 1, s"q68 should shuffle once, saw $exchanges:\n$p")
   }
 
+  test("q129: fills are key-partitioned windows over ONE cached bucket aggregate") {
+    val p = plan("q129_timeseries_fill")
+    // the event-stream scan + bucket aggregate compute once (cached);
+    // bounds/grid and the fill join both read the InMemoryRelation
+    assert(p.contains("InMemoryTableScan"), s"q129 lost the obs cache:\n$p")
+    // all four fill windows are user_id-partitioned — a global window
+    // (SinglePartition) would serialize the corpus through one task
+    assert(!p.contains("Exchange SinglePartition"), s"q129 global window:\n$p")
+    // every shuffle is keyed on user_id (bucket agg, bounds, windows)
+    val ex = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    val exAll = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == exAll && exAll >= 1, s"q129 non-key shuffle:\n$p")
+  }
+
   test("q102: mixture trim is ONE stratum-keyed shuffle (budgets ride from the driver)") {
     val p = plan("q102_temperature_mixture")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
