@@ -1915,6 +1915,23 @@ object ExtQueries {
         .filter(col("event_type") === "purchase")
       graft.ext.TimeSeries.resampleFill(purchases, "user_id",
         unix_micros(col("ts")), "value", stepUs = 3600L * 1000000)
+    },
+
+    // ── mergeable QUANTILE rollup (q108's pattern for percentiles):
+    // persist per-(type, week) KLL sketches — KBs per group — and
+    // answer the per-type p50/p95 by MERGING them; percentiles don't
+    // decompose, so without this every rollup repays a full scan.
+    // Invariant form: rows only if the true rank of a merged-rollup
+    // estimate strays more than 2ε from its target rank (ε = the
+    // sketch's own 99 %-confidence bound; KLL compaction is
+    // randomized, so only the BOUND is stable — NUMERICS rule 3).
+    "q130_kll_quantile_rollup" -> { (s, dir) =>
+      val e = Tables.events(s, dir).withColumn("week",
+        expr("(unix_micros(ts) div 86400000000) div 7"))
+      graft.ext.QuantileSketches.rollupViolations(e,
+        fineKeys = Seq("event_type", "week"),
+        coarseKeys = Seq("event_type"), valueCol = "value",
+        ranks = Seq(0.5, 0.95))
     }
   )
 
@@ -3441,7 +3458,18 @@ object ExtQueries {
         |       ELSE (2 * (pv * (nb - bucket) + nv * (bucket - pb))
         |             + (nb - pb)) // (2 * (nb - pb))
         |  END AS v_interp_u6
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // invariant form: empty unless a merged-KLL quantile estimate's
+    // true rank escapes the 2ε band
+    "q130_kll_quantile_rollup" ->
+      """SELECT CAST(NULL AS VARCHAR) AS event_type,
+        |  CAST(NULL AS DOUBLE) AS target_rank,
+        |  CAST(NULL AS DOUBLE) AS est_q,
+        |  CAST(NULL AS DOUBLE) AS rank_lo,
+        |  CAST(NULL AS DOUBLE) AS rank_hi,
+        |  CAST(NULL AS DOUBLE) AS eps
+        |WHERE 1 = 0""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
