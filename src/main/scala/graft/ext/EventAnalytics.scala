@@ -192,4 +192,64 @@ object EventAnalytics {
         (col("activity_week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Multi-touch attribution: credit each conversion's value to the
+    * touch events (e.g. clicks) of the same user inside the lookback
+    * window, under the three standard models at once — `first_touch`
+    * (earliest touch takes all), `last_touch` (latest takes all),
+    * `linear` (equal split). Output: one row per (model, touch event)
+    * with the accumulated credit and how many conversions contributed.
+    *
+    * Numerics (NUMERICS rule 2): credit is fixed-point ×10⁶ BIGINT —
+    * the linear split value/n is a small-integer-ratio division that
+    * lands on terminating .5 routinely, so it is computed half-up in
+    * integers, `(2v + n) div (2n)`; per-conversion remainders stay
+    * (deterministically) with the division, so a model's total credit
+    * can differ from total value by < n µ-units per conversion —
+    * exactly replayable by the oracle.
+    *
+    * Plan shape: ONE user-keyed equi-join with the time bounds as
+    * join residuals (q43's interval shape — never a nested loop),
+    * then per-conversion windows over the pair frame (keyed by the
+    * conversion id) and one final (model, touch) hash aggregate.
+    * Touch-per-conversion fan-out is bounded by the lookback window —
+    * the knob a 100 TB deployment tunes. First/last selection orders
+    * by (ts, event_id), so ties are deterministic on both engines.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, idCol: String,
+      touchType: String, convType: String, lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0)
+    val us = unix_micros(col(tsCol))
+    val touches = events.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(idCol).as("touch_id"), us.as("t_us"))
+    val convs = events.filter(col(typeCol) === convType &&
+        col(valueCol).isNotNull)
+      .select(col(userCol), col(idCol).as("conv_id"), us.as("c_us"),
+        (col(valueCol).cast("decimal(38,6)") * lit(1000000L))
+          .cast("long").as("v_u6"))
+    val pairs = convs.join(touches, Seq(userCol))
+      .filter(col("t_us") <= col("c_us") &&
+        col("t_us") > col("c_us") - lookbackUs)
+    val wConv = Window.partitionBy(col("conv_id"))
+    val asc = wConv.orderBy(col("t_us").asc, col("touch_id").asc)
+    val desc = wConv.orderBy(col("t_us").desc, col("touch_id").desc)
+    val ranked = pairs
+      .withColumn("__n", count(lit(1)).over(wConv))
+      .withColumn("__rn_first", row_number().over(asc))
+      .withColumn("__rn_last", row_number().over(desc))
+    val firstT = ranked.filter(col("__rn_first") === 1)
+      .select(lit("first_touch").as("model"), col("touch_id"),
+        col("conv_id"), col("v_u6").as("credit_u6"))
+    val lastT = ranked.filter(col("__rn_last") === 1)
+      .select(lit("last_touch").as("model"), col("touch_id"),
+        col("conv_id"), col("v_u6").as("credit_u6"))
+    val linear = ranked
+      .select(lit("linear").as("model"), col("touch_id"), col("conv_id"),
+        expr("(2 * v_u6 + __n) div (2 * __n)").as("credit_u6"))
+    firstT.unionByName(lastT).unionByName(linear)
+      .groupBy(col("model"), col("touch_id"))
+      .agg(sum(col("credit_u6")).as("credit_u6"),
+        count(lit(1)).as("n_conversions"))
+  }
 }

@@ -1932,6 +1932,41 @@ object ExtQueries {
         fineKeys = Seq("event_type", "week"),
         coarseKeys = Seq("event_type"), valueCol = "value",
         ranks = Seq(0.5, 0.95))
+    },
+
+    // ── multi-touch attribution (first/last/linear): purchase value
+    // credited to the user's clicks inside a 7-day lookback. EXACT
+    // oracle: one user-keyed interval join (q43's shape), windows per
+    // conversion for n/first/last, fixed-point ×10⁶ credits with the
+    // half-up linear split replayed in integer arithmetic.
+    "q131_attribution" -> { (s, dir) =>
+      graft.ext.EventAnalytics.attribution(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "value", "event_id",
+        touchType = "click", convType = "purchase",
+        lookbackUs = 7L * 86400 * 1000000)
+    },
+
+    // ── Bloom file-skipping on the commit-log table: two appends with
+    // fully-overlapping doc_id ranges (evens/odds — range stats alone
+    // keep every file for any point lookup), manifest-level per-file
+    // Bloom filters over the id AND source columns, then a point-
+    // lookup read. The oracle replays the lookup against the raw
+    // table; the spec pins pruning EFFECTIVENESS (files actually
+    // skipped) — this query gates end-to-end correctness through the
+    // build→manifest→prune→scan path.
+    "q132_txlog_bloom_lookup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val t = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q132").toString)
+      t.ensureExists(docs.schema)
+      t.append(docs.filter(col("doc_id") % 2 === 0).coalesce(1),
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id", "source"))
+      t.append(docs.filter(col("doc_id") % 2 === 1).coalesce(1),
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id", "source"))
+      val hits = t.readWhere(col("doc_id").isin(7L, 42L, 123L, 999999L))
+      val bySource = t.readWhere(col("source") === "src3")
+      hits.unionByName(bySource)
     }
   )
 
@@ -3469,7 +3504,51 @@ object ExtQueries {
         |  CAST(NULL AS DOUBLE) AS rank_lo,
         |  CAST(NULL AS DOUBLE) AS rank_hi,
         |  CAST(NULL AS DOUBLE) AS eps
-        |WHERE 1 = 0""".stripMargin
+        |WHERE 1 = 0""".stripMargin,
+
+    // interval-join replay; (ts, event_id) tie order; half-up linear
+    // split in integer micro-units
+    "q131_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id AS touch_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS c_us,
+        |    CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS v_u6
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |p AS (
+        |  SELECT c.conv_id, c.v_u6, t.touch_id, t.t_us
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |  WHERE t.t_us <= c.c_us AND t.t_us > c.c_us - 604800000000),
+        |r AS (
+        |  SELECT *,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY t_us, touch_id) AS rn_first,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY t_us DESC, touch_id DESC) AS rn_last
+        |  FROM p),
+        |u AS (
+        |  SELECT 'first_touch' AS model, touch_id, v_u6 AS credit_u6
+        |  FROM r WHERE rn_first = 1
+        |  UNION ALL
+        |  SELECT 'last_touch' AS model, touch_id, v_u6 AS credit_u6
+        |  FROM r WHERE rn_last = 1
+        |  UNION ALL
+        |  SELECT 'linear' AS model, touch_id,
+        |    (2 * v_u6 + n) // (2 * n) AS credit_u6
+        |  FROM r)
+        |SELECT model, touch_id, CAST(SUM(credit_u6) AS BIGINT) AS credit_u6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // the point-lookup ∪ source-lookup the bloom-pruned read answered
+    "q132_txlog_bloom_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 42, 123, 999999)
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE source = 'src3'""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

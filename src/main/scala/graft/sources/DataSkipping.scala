@@ -46,8 +46,17 @@ object DataSkipping {
     */
   case class ColRange(min: Option[String], max: Option[String], nulls: Long)
 
-  /** Per-file statistics: total rows + per-column ranges. */
-  case class FileStats(rows: Long, cols: Map[String, ColRange])
+  /** Per-file statistics: total rows + per-column ranges, plus
+    * optional per-column Bloom filters (`blooms`: column → Base64 of a
+    * serialized `org.apache.spark.util.sketch.BloomFilter` over
+    * `xxhash64` of the canonicalized value — see [[bloomHash]]).
+    * Ranges prune RANGE predicates (after clustering); blooms prune
+    * POINT lookups on high-cardinality columns whose per-file ranges
+    * span the key space (the append-ordered id column every corpus
+    * store has). Old manifests deserialize with `blooms` empty.
+    */
+  case class FileStats(rows: Long, cols: Map[String, ColRange],
+      blooms: Map[String, String] = Map.empty)
 
   /** Comparison domain a column's stats live in. */
   private[sources] sealed trait Kind
@@ -83,6 +92,59 @@ object DataSkipping {
 
   /** Can stats be collected/used for a column of this type? */
   def supported(dt: DataType): Boolean = kindOf(dt).isDefined
+
+  /** Can a Bloom filter be collected/consulted for this type? Integral
+    * and string only: both sides hash through ONE canonical form
+    * (integrals cast to long, strings raw — [[bloomHash]] must produce
+    * exactly the value the writer's `xxhash64` aggregate hashed, and
+    * Spark's xxhash64 output differs by input TYPE, so the writer
+    * casts too). Floats/decimals are poor point-lookup keys anyway.
+    */
+  def bloomSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | _: StringType => true
+    case _ => false
+  }
+
+  /** xxhash64(seed 42) of a catalyst literal in the writer's canonical
+    * form: integrals as LONG, strings as UTF8String — the exact
+    * expression [[graft.sources.TxLogTable]]'s bloom aggregate hashes
+    * (`xxhash64(col.cast("long"))` / `xxhash64(col)`).
+    */
+  private[sources] def bloomHash(value: Any, dt: DataType): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    val canon: Option[Literal] = (dt, value) match {
+      case (_, null) => None
+      case (ByteType, v: Byte) => Some(Literal(v.toLong, LongType))
+      case (ShortType, v: Short) => Some(Literal(v.toLong, LongType))
+      case (IntegerType, v: Int) => Some(Literal(v.toLong, LongType))
+      case (LongType, v: Long) => Some(Literal(v, LongType))
+      case (_: StringType, s: UTF8String) => Some(Literal(s, StringType))
+      case _ => None
+    }
+    canon.map(l => XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long])
+  }
+
+  private def bloomFor(attr: String, schema: StructType,
+      fs: FileStats): Option[org.apache.spark.util.sketch.BloomFilter] =
+    for {
+      f <- schema.fields.find(_.name.equalsIgnoreCase(attr))
+      b64 <- fs.blooms.get(f.name)
+    } yield org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(b64)))
+
+  /** Bloom leg of an equality test: false only when a filter EXISTS
+    * for the column, the literal canonicalizes, and the filter says
+    * definitely-absent. Anything missing keeps the file.
+    */
+  private def bloomMayContain(attr: String, lit: Literal,
+      schema: StructType, fs: FileStats): Boolean =
+    (for {
+      bf <- bloomFor(attr, schema, fs)
+      f <- schema.fields.find(_.name.equalsIgnoreCase(attr))
+      if family(f.dataType) == family(lit.dataType)
+      h <- bloomHash(lit.value, lit.dataType)
+    } yield bf.mightContainLong(h)).getOrElse(true)
 
   /** Canonical string for an EXTERNAL (Row-level) value, as returned
     * by a min/max aggregate collected through the DataFrame API.
@@ -287,5 +349,6 @@ object DataSkipping {
   private def eqTest(attr: String, l: Literal, schema: StructType,
       fs: FileStats): Boolean =
     valueTest(attr, l, schema, fs)((k, mn, mx, v) =>
-      cmp(k, mn, v) <= 0 && cmp(k, mx, v) >= 0)
+      cmp(k, mn, v) <= 0 && cmp(k, mx, v) >= 0) &&
+      bloomMayContain(attr, l, schema, fs)
 }

@@ -350,18 +350,42 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * types are silently skipped (no stats ⇒ never pruned).
     */
   private def collectStats(dirName: String, schema: StructType,
-      statsCols: Seq[String]): Map[String, FileStats] = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomExpectedItems: Long = 100000L,
+      bloomFpp: Double = 0.01): Map[String, FileStats] = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.types.{LongType => SLong}
     val valid = statsCols.filter(c =>
       schema.fieldNames.contains(c) && DataSkipping.supported(schema(c).dataType))
-    if (valid.isEmpty) return Map.empty
-    val aggs = Seq(count(lit(1L)).as("__rows")) ++ valid.flatMap(c => Seq(
-      min(col(c)).as(s"__min__$c"),
-      max(col(c)).as(s"__max__$c"),
-      count(col(c)).as(s"__nn__$c")))
+    val validBloom = bloomCols.filter(c => schema.fieldNames.contains(c) &&
+      DataSkipping.bloomSupported(schema(c).dataType))
+    if (valid.isEmpty && validBloom.isEmpty) return Map.empty
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(bloomExpectedItems, bloomFpp)
+    val aggs = Seq(count(lit(1L)).as("__rows")) ++
+      valid.flatMap(c => Seq(
+        min(col(c)).as(s"__min__$c"),
+        max(col(c)).as(s"__max__$c"),
+        count(col(c)).as(s"__nn__$c"))) ++
+      validBloom.map { c =>
+        // canonical hash form (DataSkipping.bloomHash's contract):
+        // integrals as LONG, strings raw
+        val canon = schema(c).dataType match {
+          case _: org.apache.spark.sql.types.StringType => col(c)
+          case _ => col(c).cast(SLong)
+        }
+        bridge.column(new BloomFilterAggregate(
+          bridge.expression(xxhash64(canon)),
+          Literal(bloomExpectedItems), Literal(numBits))
+          .toAggregateExpression()).as(s"__bloom__$c")
+      }
     val rows = spark.read.schema(schema)
       .parquet(dataDir.resolve(dirName).toString)
-      .select((valid.map(col) :+ input_file_name().as("__file")): _*)
+      .select(((valid ++ validBloom).distinct.map(col) :+
+        input_file_name().as("__file")): _*)
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -376,15 +400,22 @@ final class TxLogTable(spark: SparkSession, root: String) {
           DataSkipping.encodeExternal(r.get(base + 1)),
           total - r.getLong(base + 2))
       }.toMap
-      s"$dirName/$fname" -> FileStats(total, cols)
+      val bloomBase = 2 + valid.length * 3
+      val blooms = validBloom.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(bloomBase + i)).map(b => c ->
+          java.util.Base64.getEncoder.encodeToString(
+            b.asInstanceOf[Array[Byte]]))
+      }.toMap
+      s"$dirName/$fname" -> FileStats(total, cols, blooms)
     }.toMap
   }
 
   private def statsOpt(dirName: String, schema: StructType,
-      statsCols: Seq[String]): Option[Map[String, FileStats]] =
-    if (statsCols.isEmpty) None
+      statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Option[Map[String, FileStats]] =
+    if (statsCols.isEmpty && bloomCols.isEmpty) None
     else {
-      val m = collectStats(dirName, schema, statsCols)
+      val m = collectStats(dirName, schema, statsCols, bloomCols)
       if (m.isEmpty) None else Some(m)
     }
 
@@ -470,9 +501,10 @@ final class TxLogTable(spark: SparkSession, root: String) {
   def append(df: DataFrame, sortCols: Seq[String] = Nil,
       maxRetries: Int = 20,
       markers: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val staged = stageData(df, sortCols)
-    val stats = statsOpt(staged, df.schema, statsCols)
+    val stats = statsOpt(staged, df.schema, statsCols, bloomCols)
     commitLoop(maxRetries) { v =>
       val schema =
         if (v < 0) df.schema
@@ -488,10 +520,11 @@ final class TxLogTable(spark: SparkSession, root: String) {
   def overwrite(df: DataFrame, sortCols: Seq[String] = Nil,
       maxRetries: Int = 20,
       markers: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val staged = stageData(df, sortCols)
     val schemaJson = df.schema.json
-    val stats = statsOpt(staged, df.schema, statsCols)
+    val stats = statsOpt(staged, df.schema, statsCols, bloomCols)
     commitLoop(maxRetries) { _ =>
       Some(Manifest(0L, "overwrite", Seq(staged), schemaJson,
         System.currentTimeMillis(), wrap(markers), stats))

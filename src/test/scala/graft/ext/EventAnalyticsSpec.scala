@@ -205,6 +205,62 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", "purchase", 1L)), out.toString)
   }
 
+  test("attribution: hand-computed first/last/linear credits with lookback exclusion") {
+    val events = Seq(
+      // u1: clicks at 09:01 (id 1), 09:30 (id 2), purchase 10.00 at 10:00
+      (1L, 1L, "click", ts("2024-01-01 09:01:00"), None),
+      (1L, 2L, "click", ts("2024-01-01 09:30:00"), None),
+      (1L, 3L, "purchase", ts("2024-01-01 10:00:00"), Some(10.0)),
+      // u1: click EXACTLY at purchase − 1h: the lookback lower bound
+      // is strict (t > c − L), so the boundary touch is excluded
+      (1L, 4L, "click", ts("2024-01-01 09:00:00"), None),
+      // u2: purchase with no touch in window → no attribution rows
+      (2L, 5L, "purchase", ts("2024-01-01 10:00:00"), Some(5.0)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val out = EventAnalytics.attribution(events, "user_id", "ts",
+        "event_type", "value", "event_id", "click", "purchase",
+        lookbackUs = 3600L * 1000000)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("first_touch", 1L) -> ((10000000L, 1L)),
+      ("last_touch", 2L) -> ((10000000L, 1L)),
+      ("linear", 1L) -> ((5000000L, 1L)),
+      ("linear", 2L) -> ((5000000L, 1L))))
+  }
+
+  test("attribution: linear split is half-up in micro-units; remainder stays with the division") {
+    // one purchase of 10.00 split across 3 touches:
+    // (2·10000000 + 3) div 6 = 3333333 each → total 9999999 (< value
+    // by 1 µ-unit — deterministic, replayed identically by the oracle)
+    val events = Seq(
+      (1L, 1L, "click", ts("2024-01-01 09:00:00"), None),
+      (1L, 2L, "click", ts("2024-01-01 09:10:00"), None),
+      (1L, 3L, "click", ts("2024-01-01 09:20:00"), None),
+      (1L, 4L, "purchase", ts("2024-01-01 10:00:00"), Some(10.0)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val lin = EventAnalytics.attribution(events, "user_id", "ts",
+        "event_type", "value", "event_id", "click", "purchase",
+        lookbackUs = 86400L * 1000000)
+      .filter($"model" === "linear")
+      .as[(String, Long, Long, Long)].collect().map(_._3)
+    assert(lin.toSeq == Seq(3333333L, 3333333L, 3333333L))
+  }
+
+  test("attribution: simultaneous touches break first/last ties by event_id") {
+    val t0 = ts("2024-01-01 09:00:00")
+    val events = Seq(
+      (1L, 7L, "click", t0, None), (1L, 8L, "click", t0, None),
+      (1L, 9L, "purchase", ts("2024-01-01 09:30:00"), Some(2.0)))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val out = EventAnalytics.attribution(events, "user_id", "ts",
+        "event_type", "value", "event_id", "click", "purchase",
+        lookbackUs = 3600L * 1000000)
+      .as[(String, Long, Long, Long)].collect()
+      .filter(r => r._1 != "linear").map(r => r._1 -> r._2).toMap
+    assert(out == Map("first_touch" -> 7L, "last_touch" -> 8L))
+  }
+
   test("funnel plan: one user-keyed Exchange serves windows AND the reduction") {
     val p = EventAnalytics.orderedFunnel(
         graft.core.Tables.events(spark, sf0001),

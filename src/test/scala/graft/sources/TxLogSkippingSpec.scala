@@ -236,4 +236,53 @@ class TxLogSkippingSpec extends SparkSpec {
     assert(t.readWhere(pred).count() === 1L)
     assert(t.readWhere(col("v") > lit("!")).count() === 2L)
   }
+
+  test("bloom skipping: point lookups prune files min/max ranges cannot") {
+    val t = fresh()
+    t.ensureExists(schema)
+    // two appends with FULLY OVERLAPPING k ranges (evens vs odds over
+    // the same span) — range stats keep both files for every point
+    // lookup, so any pruning here is the bloom's
+    t.append(df((0L until 100L by 2).map(k => (k, s"v$k", k)): _*)
+      .coalesce(1), statsCols = Seq("k"), bloomCols = Seq("k", "v"))
+    t.append(df((1L until 100L by 2).map(k => (k, s"v$k", k)): _*)
+      .coalesce(1), statsCols = Seq("k"), bloomCols = Seq("k", "v"))
+    val full = t.read()
+    // correctness + no-false-negative: every present key is found
+    Seq(0L, 1L, 42L, 97L).foreach { k =>
+      val pred = col("k") === lit(k)
+      assert(sortedRows(t.readWhere(pred)) ===
+        sortedRows(full.filter(pred)), s"bloom read diverged for k=$k")
+      assert(t.scanPathsAt(t.currentVersion, pred).nonEmpty)
+    }
+    // effectiveness: a present key lives in exactly one file; ranges
+    // alone would scan 2 (fpp 1 % makes a stray extra file ~never
+    // at this size with the fixed xxhash64 seed — deterministic here)
+    assert(t.scanPathsAt(t.currentVersion, col("k") === 42L).size === 1)
+    assert(t.scanPathsAt(t.currentVersion, col("k") === 43L).size === 1)
+    // string bloom prunes too (no range stats were collected for v)
+    assert(t.scanPathsAt(t.currentVersion, col("v") === "v42").size === 1)
+    // absent key inside the range: ranges keep both, blooms drop both
+    assert(t.scanPathsAt(t.currentVersion, col("k") === 1000L).isEmpty)
+    assert(t.readWhere(col("k") === lit(1000L)).count() === 0L)
+    // IN fans through the bloom: hits in both files scan both
+    assert(t.scanPathsAt(t.currentVersion,
+      col("k").isin(42L, 43L)).size === 2)
+  }
+
+  test("bloom skipping: unsupported types and bloom-less manifests stay conservative") {
+    val t = fresh()
+    t.ensureExists(schema)
+    // first commit WITHOUT blooms, second WITH — mixed history must
+    // keep the bloom-less file for any point lookup it can't disprove
+    t.append(df((0L until 10L).map(k => (k, s"a$k", k)): _*)
+      .coalesce(1), statsCols = Seq("k"))
+    t.append(df((100L until 110L).map(k => (k, s"b$k", k)): _*)
+      .coalesce(1), statsCols = Seq("k"), bloomCols = Seq("k"))
+    // k=5: first file kept by range, second pruned by range+bloom
+    assert(t.scanPathsAt(t.currentVersion, col("k") === 5L).size === 1)
+    // range-only predicates ignore blooms entirely
+    assert(t.scanPathsAt(t.currentVersion, col("k") >= 0L).size === 2)
+    assert(t.readWhere(col("k") === 5L).count() === 1L)
+  }
 }
