@@ -1967,6 +1967,36 @@ object ExtQueries {
       val hits = t.readWhere(col("doc_id").isin(7L, 42L, 123L, 999999L))
       val bySource = t.readWhere(col("source") === "src3")
       hits.unionByName(bySource)
+    },
+
+    // ── positional inverted index + exact phrase search: the
+    // retrieval primitive BM25 can't answer. Postings build is one
+    // scan + posexplode; the 3-word phrase query is term-filtered
+    // postings legs equi-joined on (doc_id, anchor = pos − i). EXACT
+    // oracle: DuckDB replays the postings and the anchor joins.
+    "q133_phrase_search" -> { (s, dir) =>
+      val idx = graft.ext.InvertedIndex.postings(
+        Tables.documents(s, dir), "doc_id", "text")
+      graft.ext.InvertedIndex.phraseSearch(idx,
+        Seq("table", "key", "scan"))
+    },
+
+    // ── declarative data-quality expectations (the CHECK-constraint /
+    // expectations gate): five row rules + a key rule in ONE scan of
+    // lineitem, plus one referential anti-join against orders. EXACT
+    // oracle: each rule replays as its own SQL count.
+    "q134_quality_expectations" -> { (s, dir) =>
+      import graft.operators.Expectations._
+      val li = Tables.lineitem(s, dir)
+      check(li, Seq(
+        notNull("shipdate_not_null", "l_shipdate"),
+        between("quantity_1_50", "l_quantity", lit(1.0), lit(50.0)),
+        between("discount_0_01", "l_discount", lit(0.0), lit(0.1)),
+        inSet("returnflag_domain", "l_returnflag", Seq("A", "N", "R")),
+        Expect("price_positive", col("l_extendedprice") > 0.0),
+        UniqueKey("order_line_unique", Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("orderkey_in_orders", Seq("l_orderkey"),
+          Tables.orders(s, dir), Seq("o_orderkey"))))
     }
   )
 
@@ -3548,7 +3578,66 @@ object ExtQueries {
         |WHERE doc_id IN (7, 42, 123, 999999)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM documents
-        |WHERE source = 'src3'""".stripMargin
+        |WHERE source = 'src3'""".stripMargin,
+
+    // postings replay (q58 tokenization, 0-based positions) + the
+    // anchor-aligned 3-way join
+    "q133_phrase_search" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^ ]+') AS words
+        |  FROM documents),
+        |p AS (
+        |  -- positions via a bounded range join (no WITH ORDINALITY in
+        |  -- DuckDB); fixture docs cap at 100 tokens, bound 1024
+        |  SELECT doc_id, words[i.i + 1] AS term, CAST(i.i AS BIGINT) AS pos
+        |  FROM w JOIN range(0, 1024) i(i) ON i.i < len(words)),
+        |a0 AS (SELECT doc_id, pos AS anchor FROM p WHERE term = 'table'),
+        |a1 AS (SELECT doc_id, pos - 1 AS anchor FROM p WHERE term = 'key'),
+        |a2 AS (SELECT doc_id, pos - 2 AS anchor FROM p WHERE term = 'scan')
+        |SELECT a0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  MIN(a0.anchor) AS first_pos
+        |FROM a0 JOIN a1 ON a0.doc_id = a1.doc_id AND a0.anchor = a1.anchor
+        |        JOIN a2 ON a0.doc_id = a2.doc_id AND a0.anchor = a2.anchor
+        |GROUP BY a0.doc_id""".stripMargin,
+
+    // each rule as its own SQL count over the same table
+    "q134_quality_expectations" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+        |SELECT 'shipdate_not_null' AS rule,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+        |    AS n_violations, n.n_rows FROM n
+        |UNION ALL
+        |SELECT 'quantity_1_50',
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT COALESCE(l_quantity >= 1.0 AND l_quantity <= 50.0, FALSE)),
+        |  n.n_rows FROM n
+        |UNION ALL
+        |SELECT 'discount_0_01',
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT COALESCE(l_discount >= 0.0 AND l_discount <= 0.1, FALSE)),
+        |  n.n_rows FROM n
+        |UNION ALL
+        |SELECT 'returnflag_domain',
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE)),
+        |  n.n_rows FROM n
+        |UNION ALL
+        |SELECT 'price_positive',
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT COALESCE(l_extendedprice > 0.0, FALSE)),
+        |  n.n_rows FROM n
+        |UNION ALL
+        |SELECT 'order_line_unique',
+        |  (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |   FROM lineitem),
+        |  n.n_rows FROM n
+        |UNION ALL
+        |SELECT 'orderkey_in_orders',
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+        |     (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
+        |  n.n_rows FROM n""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
