@@ -1997,6 +1997,31 @@ object ExtQueries {
         UniqueKey("order_line_unique", Seq("l_orderkey", "l_linenumber")),
         RefIntegrity("orderkey_in_orders", Seq("l_orderkey"),
           Tables.orders(s, dir), Seq("o_orderkey"))))
+    },
+
+    // ── transactional row-level UPDATE + DELETE (the DML pair next to
+    // MERGE): seed the commit-log table with events, UPDATE clicks
+    // (value → value·2 + 1 where value present), DELETE errors, then
+    // read the final snapshot AND the change feed's net deletes. The
+    // oracle replays both statements over the raw table — pins SQL
+    // WHERE semantics (null condition = untouched/kept) through the
+    // optimistic-commit path.
+    "q135_txlog_dml" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val t = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q135").toString)
+      t.ensureExists(ev.schema)
+      t.append(ev)
+      t.update(col("event_type") === "click" && col("value").isNotNull,
+        Map("value" -> (col("value") * 2 + 1)))
+      t.delete(col("event_type") === "error")
+      t.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
     }
   )
 
@@ -3637,7 +3662,19 @@ object ExtQueries {
         |  (SELECT COUNT(*) FROM lineitem
         |   WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
         |     (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
-        |  n.n_rows FROM n""".stripMargin
+        |  n.n_rows FROM n""".stripMargin,
+
+    // UPDATE then DELETE replayed over the raw table
+    "q135_txlog_dml" ->
+      """WITH upd AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_type = 'click' AND value IS NOT NULL
+        |         THEN value * 2 + 1 ELSE value END AS value
+        |  FROM events),
+        |fin AS (SELECT * FROM upd WHERE NOT COALESCE(event_type = 'error', FALSE))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM fin GROUP BY 1""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

@@ -559,6 +559,80 @@ final class TxLogTable(spark: SparkSession, root: String) {
         statsOpt(staged, merged.schema, statsCols), Some(Seq(cdcDir))))
     }
 
+  /** Transactional row-level DELETE (the third core DML next to
+    * [[merge]]/[[mergeConditional]]): drop every snapshot row where
+    * `condition` is TRUE (null = kept — SQL WHERE semantics), in the
+    * same optimistic commit loop, so interleaved DML serializes with
+    * no lost update. The CDC dir carries the dropped rows as `delete`
+    * change rows, so incremental consumers ([[changes]]/[[changeFeed]],
+    * the q125/q126 view-maintenance tier) see row-level deletes
+    * without snapshot diffing.
+    *
+    * Cost: a snapshot rewrite (the [[compact]] bound). File-granular
+    * rewrite — carrying provably-untouched files over via the
+    * [[DataSkipping]] manifest ranges — needs file-level `add`
+    * entries; the manifest tracks dirs, so that refinement is left to
+    * a format revision.
+    */
+  def delete(condition: Column, sortCols: Seq[String] = Nil,
+      maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    commitLoop(maxRetries) { v =>
+      val target = readAt(v)
+      val cond = coalesce(condition, lit(false))
+      val staged = stageData(target.filter(!cond), sortCols)
+      val cdcDir = stageData(target.filter(cond)
+        .withColumn("_change_type", lit("delete")))
+      Some(Manifest(0L, "overwrite", Seq(staged), target.schema.json,
+        System.currentTimeMillis(), wrap(markers),
+        statsOpt(staged, target.schema, statsCols, bloomCols),
+        Some(Seq(cdcDir))))
+    }
+  }
+
+  /** Transactional row-level UPDATE: assign `set` expressions (over
+    * the current row) wherever `condition` is TRUE, optimistic-commit
+    * like [[delete]]. Assignments cast to the column's existing type
+    * (the schema is invariant under UPDATE — widening is an append/
+    * merge concern). CDC carries `update_preimage`/`update_postimage`
+    * pairs for the touched rows.
+    */
+  def update(condition: Column, set: Map[String, Column],
+      sortCols: Seq[String] = Nil, maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    commitLoop(maxRetries) { v =>
+      val target = readAt(v)
+      set.keys.foreach(c => require(target.schema.fieldNames.contains(c),
+        s"UPDATE assigns unknown column $c"))
+      val cond = coalesce(condition, lit(false))
+      def applied(df: DataFrame): DataFrame =
+        df.select(df.schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => when(cond, e.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+      val staged = stageData(applied(target), sortCols)
+      val cdcDir = stageData(
+        target.filter(cond)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied(target.filter(cond))
+            .withColumn("_change_type", lit("update_postimage"))))
+      Some(Manifest(0L, "overwrite", Seq(staged), target.schema.json,
+        System.currentTimeMillis(), wrap(markers),
+        statsOpt(staged, target.schema, statsCols, bloomCols),
+        Some(Seq(cdcDir))))
+    }
+  }
+
   /** Full conditional MERGE INTO (the Delta/SQL:2003 shape): ordered
     * WHEN MATCHED clauses (update / delete, each optionally guarded by
     * a predicate over target alias `t` and source alias `s`) plus an

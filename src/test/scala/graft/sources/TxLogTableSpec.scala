@@ -368,4 +368,51 @@ class TxLogTableSpec extends SparkSpec {
     assert(asMap(t) === Map(0L -> ("seed", 0L), 1L -> ("w1", 1L),
       2L -> ("w2", 2L), 3L -> ("w3", 3L), 4L -> ("w4", 4L)))
   }
+
+  test("DELETE: WHERE semantics (null kept), CDC delete rows, time travel intact") {
+    val t = fresh()
+    t.ensureExists(schema)
+    val v0 = t.append(df((1L, "a", 1L), (2L, null, 2L), (3L, "c", 3L)))
+    // v = 'a' deletes k=1; k=2's null condition is NOT true → kept
+    val v = t.delete(col("v") === "a")
+    assert(asMap(t) === Map(2L -> ((null, 2L)), 3L -> (("c", 3L))))
+    assert(asMap(t, v0) === Map(1L -> (("a", 1L)), 2L -> ((null, 2L)),
+      3L -> (("c", 3L))), "pre-delete snapshot must stay readable")
+    val ch = t.changes(v - 1, v).select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch === Set((1L, "delete")))
+  }
+
+  test("UPDATE: assignments only where condition holds, typed, CDC pre/post pairs") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 10L), (2L, "b", 20L), (3L, null, 30L)))
+    // null condition row (k=3: v is null) is untouched; assignment
+    // casts (ts is long — the int literal expression must land long)
+    val v = t.update(col("v") === "a",
+      Map("v" -> upper(col("v")), "ts" -> (col("ts") + 1)))
+    assert(asMap(t) === Map(1L -> (("A", 11L)), 2L -> (("b", 20L)),
+      3L -> ((null, 30L))))
+    val ch = t.changes(v - 1, v).select("k", "v", "ts", "_change_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(ch === Set(
+      (1L, "a", 10L, "update_preimage"),
+      (1L, "A", 11L, "update_postimage")))
+    // unknown column rejected up front
+    intercept[IllegalArgumentException] {
+      t.update(lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("interleaved UPDATE and DELETE serialize: each statement reads the other's commit") {
+    val t = fresh()
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1L), (2L, "b", 2L)))
+    t.update(col("k") === 1L, Map("v" -> lit("A")))
+    t.delete(col("v") === "b")
+    t.update(col("k") === 1L, Map("ts" -> (col("ts") * 10)))
+    assert(asMap(t) === Map(1L -> (("A", 10L))))
+  }
 }
