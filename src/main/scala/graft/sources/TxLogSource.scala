@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("txlog")` / `df.write.format("txlog")` — the
+  * [[TxLogTable]] surfaced through Spark's stable DataSource API, so
+  * the transactional table composes with everything that speaks
+  * DataFrameReader/Writer (SQL `CREATE TABLE ... USING txlog`,
+  * `spark.read`, structured-streaming `foreachBatch` sinks, BI tools)
+  * instead of requiring the library's own class.
+  *
+  * Read options:
+  *   - `versionAsOf`   — time-travel to an exact committed version
+  *   - `timestampAsOf` — epoch millis, `yyyy-MM-dd HH:mm:ss`, or
+  *     ISO-8601 instant; resolves via the manifest-header walk
+  *
+  * The relation implements [[PrunedFilteredScan]]: Spark pushes the
+  * query's column set and convertible predicates into `buildScan`,
+  * which (a) prunes the snapshot's FILE LIST through the manifest
+  * stats + Bloom sidecars ([[TxLogTable.scanPathsAt]]) — files whose
+  * ranges prove they cannot match are never opened — and (b) hands the
+  * surviving paths to the vectorized parquet reader with the same
+  * predicates, so row-group pushdown applies inside each file too.
+  * Pushed filters are re-applied exactly; `unhandledFilters` therefore
+  * reports only the ones the converter cannot express, and the
+  * physical plan shows the rest under `PushedFilters:`.
+  *
+  * Write modes map onto commit actions: Append → [[TxLogTable.append]]
+  * (one optimistic commit), Overwrite → [[TxLogTable.overwrite]],
+  * ErrorIfExists / Ignore gate on table existence. Options
+  * `statsCols` / `bloomCols` / `sortCols` (comma-separated) flow to
+  * the commit so data-skipping sidecars are declared at write time,
+  * exactly like the programmatic path.
+  */
+final class TxLogSourceProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "txlog"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txlog source requires a path: spark.read.format(\"txlog\").load(root)"))
+
+  /** `timestampAsOf` accepts epoch millis, ISO-8601 instants, or the
+    * SQL `yyyy-MM-dd HH:mm:ss[.fff]` form (interpreted in UTC, the
+    * session zone the engine pins).
+    */
+  private def parseTs(s: String): Long = {
+    val t = s.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime
+          .parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val table = new TxLogTable(sqlContext.sparkSession, rootOf(parameters))
+    require(table.exists,
+      s"txlog table does not exist at ${rootOf(parameters)}")
+    val version = parameters.get("versionAsOf") match {
+      case Some(v) => v.toLong
+      case None => parameters.get("timestampAsOf") match {
+        case Some(ts) => table.versionAsOf(parseTs(ts))
+        case None => table.currentVersion
+      }
+    }
+    new TxLogRelation(sqlContext, table, version)
+  }
+
+  private def csv(parameters: Map[String, String], key: String): Seq[String] =
+    parameters.get(key).toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    val table = new TxLogTable(sqlContext.sparkSession, root)
+    val sortCols = csv(parameters, "sortCols")
+    val statsCols = csv(parameters, "statsCols")
+    val bloomCols = csv(parameters, "bloomCols")
+    def write(f: => Unit): Unit = { table.ensureExists(data.schema); f }
+    def doAppend(): Unit = write(table.append(data, sortCols = sortCols,
+      statsCols = statsCols, bloomCols = bloomCols))
+    mode match {
+      case SaveMode.Append => doAppend()
+      case SaveMode.Overwrite =>
+        write(table.overwrite(data, sortCols = sortCols,
+          statsCols = statsCols, bloomCols = bloomCols))
+      case SaveMode.ErrorIfExists =>
+        if (table.exists) throw new IllegalStateException(
+          s"txlog table already exists at $root (mode=ErrorIfExists)")
+        doAppend()
+      case SaveMode.Ignore =>
+        if (!table.exists) doAppend()
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+object TxLogRelation {
+  private[sources] def asNullable(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+
+  /** Test hook: (files scanned, live files in the snapshot) of the most
+    * recent `buildScan` — lets specs pin pruning EFFECTIVENESS (fewer
+    * files opened), not just result correctness.
+    */
+  @volatile private[sources] var lastScan: (Int, Int) = (0, 0)
+
+  /** Source `Filter` → `Column`, for the subset with exact Column
+    * semantics. `None` marks the filter unhandled: Spark keeps its own
+    * copy above the scan, so correctness never depends on coverage
+    * here — only pruning effectiveness does.
+    */
+  private[sources] def toColumn(f: Filter): Option[Column] = {
+    def attr(a: String): Column = col(s"`$a`")
+    f match {
+      case EqualTo(a, v) => Some(attr(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(attr(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(attr(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(attr(a) >= lit(v))
+      case LessThan(a, v) => Some(attr(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(attr(a) <= lit(v))
+      case In(a, vs) => Some(attr(a).isin(vs.toIndexedSeq.map(lit): _*))
+      case IsNull(a) => Some(attr(a).isNull)
+      case IsNotNull(a) => Some(attr(a).isNotNull)
+      case StringStartsWith(a, p) => Some(attr(a).startsWith(p))
+      case StringEndsWith(a, s) => Some(attr(a).endsWith(s))
+      case StringContains(a, s) => Some(attr(a).contains(s))
+      case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case Not(c) => toColumn(c).map(not)
+      case _ => None
+    }
+  }
+}
+
+/** One snapshot of a [[TxLogTable]] as a Spark relation. Immutable by
+  * construction — the version is fixed at planning time, and later
+  * commits never touch a published snapshot's files — so a cached or
+  * re-executed plan always re-reads identical data.
+  */
+final class TxLogRelation(val sqlContext: SQLContext,
+    table: TxLogTable, version: Long)
+    extends BaseRelation with PrunedFilteredScan {
+
+  // Parquet file sources force every column nullable at read time; the
+  // relation must declare the schema it actually produces.
+  override val schema: StructType =
+    TxLogRelation.asNullable(table.schemaAt(version))
+      .asInstanceOf[StructType]
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(f => TxLogRelation.toColumn(f).isEmpty)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val spark = sqlContext.sparkSession
+    val pushed = filters.toIndexedSeq.flatMap(TxLogRelation.toColumn)
+    val allPaths = table.scanPathsAt(version, lit(true))
+    val base: DataFrame = if (pushed.isEmpty) {
+      TxLogRelation.lastScan = (allPaths.size, allPaths.size)
+      table.readAt(version)
+    } else {
+      val pred = pushed.reduce(_ && _)
+      val paths = table.scanPathsAt(version, pred)
+      TxLogRelation.lastScan = (paths.size, allPaths.size)
+      val df =
+        if (paths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema).parquet(paths: _*)
+      // Re-apply the exact predicate: manifest pruning is file-level
+      // (may-match), and these filters were reported HANDLED.
+      df.filter(pred)
+    }
+    base.select(requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*).rdd
+  }
+}

@@ -185,6 +185,12 @@ final class TxLogTable(spark: SparkSession, root: String) {
   /** Snapshot read at the latest version. */
   def read(): DataFrame = readAt(currentVersion)
 
+  /** Schema of snapshot `version` — one manifest-chain walk, no data
+    * access. The [[TxLogSourceProvider]] relation needs it at planning
+    * time, before any scan runs.
+    */
+  def schemaAt(version: Long): StructType = manifestChainAt(version)._2
+
   /** Latest version committed at or before `tsMillis` (Delta's
     * TIMESTAMP AS OF): one manifest-header walk, no data access.
     * Rejects timestamps before the table existed.

@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+/** The DataSource façade over [[TxLogTable]]: format registration,
+  * read/write through DataFrameReader/Writer, pushdown-driven manifest
+  * file pruning (effectiveness pinned via the relation's scan hook),
+  * time-travel options, and SQL `USING txlog` DDL. Correctness is
+  * always cross-checked against the programmatic API on the same root
+  * — the façade must be a view, never a fork, of table semantics.
+  */
+class TxLogSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("grp", StringType, nullable = true),
+    StructField("v", LongType, nullable = false)))
+
+  private def df(rows: (Long, String, Long)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, g, v) => Row(k, g, v) }.asJava, schema)
+  }
+
+  private def sortedRows(d: DataFrame): Seq[String] =
+    d.collect().map(_.toString).sorted.toSeq
+
+  private def seeded(): (String, TxLogTable) = {
+    val root = Files.createTempDirectory("txsrc").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    // four single-file commits with disjoint k ranges → prunable
+    (0L until 4L).foreach { b =>
+      t.append(
+        df((b * 100L until b * 100L + 50L).map(k =>
+          (k, s"g${k % 3}", k * 2L)): _*).coalesce(1),
+        statsCols = Seq("k"), bloomCols = Seq("grp"))
+    }
+    (root, t)
+  }
+
+  test("format(\"txlog\") read equals the programmatic snapshot read") {
+    val (root, t) = seeded()
+    val viaSource = spark.read.format("txlog").load(root)
+    assert(viaSource.schema === t.read().schema)
+    assert(sortedRows(viaSource) === sortedRows(t.read()))
+  }
+
+  test("filter pushdown prunes manifest files and stays exact") {
+    val (root, t) = seeded()
+    val q = spark.read.format("txlog").load(root)
+      .filter(col("k") >= 100L && col("k") < 150L)
+      .groupBy(col("grp")).agg(sum(col("v")).as("sv"))
+    val expect = t.read()
+      .filter(col("k") >= 100L && col("k") < 150L)
+      .groupBy(col("grp")).agg(sum(col("v")).as("sv"))
+    assert(sortedRows(q) === sortedRows(expect))
+    val (scanned, live) = TxLogRelation.lastScan
+    assert(live === 4, s"expected 4 live files, saw $live")
+    assert(scanned === 1, s"k-range predicate should prune to 1 file, scanned $scanned")
+    // the handled predicates surface in the physical plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(k,100)"), plan)
+  }
+
+  test("bloom pushdown prunes on a point predicate over a non-range column") {
+    val (root, t) = seeded()
+    // grp cycles g0/g1/g2 in every file — range stats cannot prune it,
+    // but a never-present value must still be pruned by the Bloom
+    // sidecar to zero files.
+    val miss = spark.read.format("txlog").load(root)
+      .filter(col("grp") === "nope")
+    assert(miss.count() === 0L)
+    val (scanned, _) = TxLogRelation.lastScan
+    assert(scanned === 0, s"bloom should prune all files, scanned $scanned")
+    assert(t.read().filter(col("grp") === "nope").count() === 0L)
+  }
+
+  test("unconvertible filters stay unhandled yet correct") {
+    val (root, _) = seeded()
+    val rel = new TxLogRelation(spark.sqlContext,
+      new TxLogTable(spark, root), 4L)
+    // arithmetic inside a predicate has no source-Filter form
+    val q = spark.read.format("txlog").load(root)
+      .filter((col("k") % 10L === 3L) && col("k") < 100L)
+    assert(q.count() === 5L) // k ∈ {3,13,23,33,43}
+    val (scanned, live) = TxLogRelation.lastScan
+    assert(scanned === 1 && live === 4,
+      s"convertible half should still prune: $scanned/$live")
+    assert(rel.unhandledFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("k", 3L))).isEmpty)
+  }
+
+  test("time travel via versionAsOf and timestampAsOf options") {
+    val (root, t) = seeded()
+    val v2 = spark.read.format("txlog")
+      .option("versionAsOf", "2").load(root)
+    assert(sortedRows(v2) === sortedRows(t.readAt(2L)))
+    assert(v2.count() === 100L)
+    val tsOfV3 = t.history().find(_._1 == 3L).get._3
+    val atTs = spark.read.format("txlog")
+      .option("timestampAsOf", tsOfV3.toString).load(root)
+    assert(sortedRows(atTs) === sortedRows(t.readAt(3L)))
+    val iso = java.time.Instant.ofEpochMilli(tsOfV3).toString
+    assert(spark.read.format("txlog").option("timestampAsOf", iso)
+      .load(root).count() === 150L)
+  }
+
+  test("write path: all four SaveModes commit through the txlog protocol") {
+    val root = Files.createTempDirectory("txsrcw").toString
+    val t = new TxLogTable(spark, root)
+    val a = df((1L to 5L).map(k => (k, s"g${k % 2}", k)): _*)
+
+    a.write.format("txlog").option("statsCols", "k").save(root) // ErrorIfExists default
+    assert(t.read().count() === 5L)
+    intercept[IllegalStateException] {
+      a.write.format("txlog").save(root)
+    }
+    a.write.format("txlog").mode(SaveMode.Ignore).save(root) // no-op
+    assert(t.read().count() === 5L)
+    df((6L to 8L).map(k => (k, "g9", k)): _*)
+      .write.format("txlog").mode(SaveMode.Append)
+      .option("statsCols", "k").save(root)
+    assert(t.read().count() === 8L)
+    assert(t.currentVersion === 2L)
+    df(Seq((99L, "z", 0L)): _*)
+      .write.format("txlog").mode(SaveMode.Overwrite).save(root)
+    assert(sortedRows(t.read()) === Seq("[99,z,0]"))
+    // stats written through the writer options actually skip
+    assert(t.readAt(2L).filter(col("k") === 7L).count() === 1L)
+    assert(t.scanPathsAt(2L, col("k") === 1L).size <
+      t.scanPathsAt(2L, lit(true)).size)
+  }
+
+  test("SQL DDL: CREATE TABLE ... USING txlog and time-travel view") {
+    val (root, t) = seeded()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txsrc_sql " +
+      s"USING txlog OPTIONS (path '$root')")
+    val viaSql = spark.sql(
+      "SELECT grp, count(*) AS n FROM txsrc_sql WHERE k < 100 GROUP BY grp")
+    assert(sortedRows(viaSql) ===
+      sortedRows(t.read().filter(col("k") < 100L)
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))))
+    spark.sql("DROP VIEW txsrc_sql")
+  }
+}
