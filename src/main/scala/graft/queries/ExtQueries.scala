@@ -2022,6 +2022,49 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,4)")).cast("double")
             .as("sum_value"))
+    },
+
+    // ── the DataSource façade end-to-end: seed the commit-log table
+    // through `df.write.format("txlog")` (three appends, stats+bloom
+    // sidecars declared as writer options), then answer through
+    // `spark.read.format("txlog")` with the `versionAsOf` option —
+    // time travel to the click+view snapshot — and a filter Spark
+    // pushes into the relation (manifest file pruning + parquet
+    // row-group pushdown). EXACT oracle: replay over the raw events
+    // table restricted to the first two appended types.
+    "q136_txlog_source" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_txlog_q136").toString
+      def put(tpe: String, mode: String): Unit =
+        ev.filter(col("event_type") === tpe).write.format("txlog")
+          .mode(mode).option("statsCols", "event_id")
+          .option("bloomCols", "event_type").save(root)
+      put("click", "errorifexists") // v0 create + v1 append
+      put("view", "append")         // v2
+      put("error", "append")        // v3 — excluded by time travel
+      s.read.format("txlog").option("versionAsOf", "2").load(root)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"),
+          min(col("event_id")).as("min_event"))
+    },
+
+    // ── exact triangle census over the part co-purchase graph
+    // (market-basket projection of lineitem): degree-ordered
+    // compact-forward — the orientation bounds wedge work at O(m^1.5)
+    // regardless of degree skew, the property that keeps the census
+    // alive on a 100 TB co-occurrence graph with hub items. EXACT
+    // oracle: DuckDB replays the edge projection and the canonical
+    // a<b<c triple join.
+    "q137_triangle_census" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40.0)
+      graft.ext.Triangles.stats(
+        graft.ext.Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
     }
   )
 
@@ -3674,7 +3717,38 @@ object ExtQueries {
         |fin AS (SELECT * FROM upd WHERE NOT COALESCE(event_type = 'error', FALSE))
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM fin GROUP BY 1""".stripMargin
+        |FROM fin GROUP BY 1""".stripMargin,
+
+    // time-travel snapshot (first two appends) + pushed null filter
+    "q136_txlog_source" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(MIN(event_id) AS BIGINT) AS min_event
+        |FROM events
+        |WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // canonical a<b<c triple join over the co-purchase edge projection
+    "q137_triangle_census" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_quantity > 40),
+        |e AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM li x JOIN li y ON x.g = y.g AND x.i < y.i),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  (SELECT CAST(COUNT(*) AS BIGINT)
+        |   FROM e e1
+        |   JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
