@@ -169,6 +169,27 @@ final class TxLogRelation(val sqlContext: SQLContext,
     TxLogRelation.asNullable(table.schemaAt(version))
       .asInstanceOf[StructType]
 
+  /** True on-disk bytes of the snapshot's live files (one driver-side
+    * metadata walk, O(#files)). Without this a BaseRelation reports
+    * `spark.sql.defaultSizeInBytes` (≈ Long.Max) and a small txlog
+    * dimension table could NEVER be auto-broadcast — every join
+    * against it would shuffle. Parquet compresses, so this
+    * UNDER-estimates in-memory size the same way Spark's own file
+    * sources do — consistent with how the broadcast threshold is
+    * tuned.
+    */
+  override def sizeInBytes: Long = {
+    val paths = table.scanPathsAt(version, lit(true))
+    paths.iterator.map { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.iterator
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
+          .getOrElse(0L)
+      else f.length()
+    }.sum
+  }
+
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(f => TxLogRelation.toColumn(f).isEmpty)
 

@@ -931,6 +931,37 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * overwrite/checkpoint (unreachable from any still-replayable read).
     * Never touches the current live set. Returns removed dir names.
     */
+  /** RESTORE TO VERSION — roll the table back to snapshot `version`
+    * as a NEW commit (Delta's RESTORE): history is preserved, the
+    * rollback itself is auditable and time-travelable past, and
+    * concurrent writers serialize against it like any other commit.
+    * Metadata-only: the restored manifest re-references `version`'s
+    * immutable data dirs (with their per-file stats, so data skipping
+    * keeps working) — no data is copied or deleted. Returns the new
+    * version.
+    */
+  def restore(version: Long, maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty): Long = {
+    val (chain, schema) = manifestChainAt(version)
+    val dirs = chain.flatMap(_.add)
+    // a retainHistory=false vacuum may have collected dirs that only
+    // old snapshots referenced — fail loudly, not with a broken table
+    dirs.foreach(d => require(Files.isDirectory(dataDir.resolve(d)),
+      s"cannot restore to $version: data dir $d was vacuumed"))
+    val stats: Map[String, FileStats] =
+      chain.flatMap(_.stats.getOrElse(Map.empty))
+        .filter { case (k, _) => dirs.exists(d => k.startsWith(d + "/")) }
+        .toMap
+    commitLoop(maxRetries) { _ =>
+      Some(Manifest(0L, "overwrite", dirs, schema.json,
+        System.currentTimeMillis(),
+        wrap(markers + ("restoredFrom" -> version.toString)), wrap2(stats)))
+    }
+  }
+
+  private def wrap2(m: Map[String, FileStats]): Option[Map[String, FileStats]] =
+    if (m.isEmpty) None else Some(m)
+
   def vacuum(retainHistory: Boolean = true): Seq[String] = {
     val v = currentVersion
     if (v < 0) return Nil

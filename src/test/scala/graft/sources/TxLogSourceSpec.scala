@@ -139,6 +139,20 @@ class TxLogSourceSpec extends SparkSpec {
       t.scanPathsAt(2L, lit(true)).size)
   }
 
+  test("sizeInBytes from live files lets a small snapshot auto-broadcast") {
+    val (root, _) = seeded()
+    val rel = spark.read.format("txlog").load(root)
+    val base = rel.queryExecution.analyzed.stats.sizeInBytes
+    assert(base > 0 && base < 10L * 1024 * 1024,
+      s"tiny table should report its true few-KB size, got $base")
+    val big = spark.range(0, 100000).withColumnRenamed("id", "k")
+    val joined = big.join(rel, "k")
+    assert(joined.count() === 200L)
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "a few-KB txlog side must broadcast, not shuffle")
+  }
+
   test("SQL DDL: CREATE TABLE ... USING txlog and time-travel view") {
     val (root, t) = seeded()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txsrc_sql " +

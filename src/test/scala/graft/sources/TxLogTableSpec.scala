@@ -415,4 +415,38 @@ class TxLogTableSpec extends SparkSpec {
     t.update(col("k") === 1L, Map("ts" -> (col("ts") * 10)))
     assert(asMap(t) === Map(1L -> (("A", 10L))))
   }
+
+  test("RESTORE rolls back as a new auditable commit, metadata-only") {
+    val root = Files.createTempDirectory("txlog").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1L)), statsCols = Seq("k"))   // v1
+    t.append(df((2L, "b", 2L)), statsCols = Seq("k"))   // v2
+    t.delete(col("k") === 1L)                           // v3
+    val dirsBefore = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(root, "data"))
+      try s.iterator().asScala.size finally s.close()
+    }
+    val rv = t.restore(2L)                              // v4 ≡ v2
+    assert(rv === 4L)
+    assert(asMap(t) === asMap(t, 2L))
+    assert(asMap(t).keySet === Set(1L, 2L))
+    // history preserved: the pre-restore state is still time-travelable
+    assert(asMap(t, 3L).keySet === Set(2L))
+    assert(t.marker("restoredFrom") === Some("2"))
+    // metadata-only: no new data dirs were written
+    val dirsAfter = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(root, "data"))
+      try s.iterator().asScala.size finally s.close()
+    }
+    assert(dirsAfter === dirsBefore)
+    // stats travel with the restore: pruning still effective at v4
+    assert(t.scanPathsAt(rv, col("k") === 1L).size === 1)
+    assert(t.scanPathsAt(rv, lit(true)).size === 2)
+    // writing after a restore extends the restored line normally
+    t.append(df((5L, "e", 5L)))
+    assert(asMap(t).keySet === Set(1L, 2L, 5L))
+  }
 }
