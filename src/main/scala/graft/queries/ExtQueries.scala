@@ -2065,6 +2065,35 @@ object ExtQueries {
       val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40.0)
       graft.ext.Triangles.stats(
         graft.ext.Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+    },
+
+    // ── count-min frequency rollup, driver-checked through a
+    // deterministic gate: per-source CMS tables merge cell-wise into
+    // the global sketch (merged ≡ direct is asserted IN the query —
+    // divergence drops rows and reddens the hash), and every top-20
+    // probe survives only if its estimate respects the one-sided
+    // bound est ≥ exact. Output = the exact top-20 term counts, which
+    // the oracle replays; any sketch-contract violation makes rows
+    // vanish. Scale story: per-(source,week) sketches persist, merge
+    // by addition for coarser rollups — never rescan the corpus.
+    "q138_cms_frequency_rollup" -> { (s, dir) =>
+      val C = graft.ext.CountMin
+      val tok = graft.core.Partitioning.forCompute(Tables.documents(s, dir))
+        .select(col("source"),
+          explode(split(T.normalized(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val perSource = C.sketch(tok, Seq("source"), "term")
+      val merged = C.merge(Seq(perSource), Nil)
+      val direct = C.sketch(tok, Nil, "term")
+      val top = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(20)
+      val estM = C.estimate(merged, top, Nil, "term")
+      val estD = C.estimate(direct, top, Nil, "term")
+        .withColumnRenamed("est", "est_direct")
+      top.join(estM, "term").join(estD, "term")
+        .filter(col("est") >= col("cnt") &&
+          col("est") === col("est_direct"))
+        .select(col("term"), col("cnt"))
     }
   )
 
@@ -3748,7 +3777,19 @@ object ExtQueries {
         |  (SELECT CAST(COUNT(*) AS BIGINT)
         |   FROM e e1
         |   JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-        |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin
+        |   JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    // exact top-20 term counts — the CMS gate's survivors
+    "q138_cms_frequency_rollup" ->
+      """WITH w AS (
+        |  SELECT regexp_extract_all(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^ ]+')
+        |    AS words
+        |  FROM documents),
+        |flat AS (SELECT unnest(words) AS term FROM w),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM flat GROUP BY 1)
+        |SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
