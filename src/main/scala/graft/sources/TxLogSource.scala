@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.StructType
   * exactly like the programmatic path.
   */
 final class TxLogSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
 
@@ -104,6 +105,67 @@ final class TxLogSourceProvider extends RelationProvider
         if (!table.exists) doAppend()
     }
     createRelation(sqlContext, parameters)
+  }
+
+  // ── streaming: the table as a CDC source and an append sink ───────
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val table = new TxLogTable(sqlContext.sparkSession, rootOf(parameters))
+    require(table.exists,
+      s"txlog table does not exist at ${rootOf(parameters)}")
+    (shortName(), TxLogStream.changeSchema(table))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = rootOf(parameters)
+    val table = new TxLogTable(sqlContext.sparkSession, root)
+    require(table.exists, s"txlog table does not exist at $root")
+    val configured = parameters.get("startingVersion") match {
+      case Some("earliest") => -1L
+      case Some(v) => v.toLong - 1 // startingVersion itself is included
+      case None => table.currentVersion // tail: only future commits
+    }
+    // Anchor the start in the checkpoint-scoped metadata dir: tail
+    // mode must mean "commits after the FIRST stream start", not
+    // "after every restart" — otherwise a restart with no committed
+    // batch yet would silently skip the commits in between.
+    val anchorPath = java.nio.file.Paths.get(metadataPath, "graft-start")
+    val startExclusive =
+      if (java.nio.file.Files.exists(anchorPath))
+        new String(java.nio.file.Files.readAllBytes(anchorPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else {
+        java.nio.file.Files.createDirectories(anchorPath.getParent)
+        val tmp = java.nio.file.Files.createTempFile(
+          anchorPath.getParent, ".graft-start", ".tmp")
+        java.nio.file.Files.write(tmp, configured.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.move(tmp, anchorPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+        }
+        new String(java.nio.file.Files.readAllBytes(anchorPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      }
+    new TxLogChangeSource(sqlContext.sparkSession, root, startExclusive,
+      parameters.get("maxVersionsPerBatch").map(_.toLong))
+  }
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"txlog sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "txlog sink does not take partition columns (use sortCols)")
+    new TxLogAppendSink(sqlContext.sparkSession, rootOf(parameters), parameters)
   }
 }
 

@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("txlog")` — the commit-log table as a
+  * STREAMING CDC source. Versions are the natural offsets: each
+  * micro-batch is exactly the typed change feed of a version range
+  * `(from, to]` ([[TxLogTable.changes]] — inserts, update pre/post
+  * images, deletes, each stamped `_commit_version`), so a restarted
+  * query resumes from its checkpointed version with exactly-once
+  * ranges and no state beyond one long. The pattern is the public
+  * Delta/Kafka V1 source design: `getOffset` = current table version,
+  * `getBatch` = plan the feed range as a streaming-flagged frame.
+  *
+  * Options: `startingVersion` — first version whose changes are
+  * included (`"earliest"` = from table creation; default = only
+  * commits AFTER stream start, the tail-the-table mode).
+  *
+  * Scale shape: offset discovery is one manifest-header read; a batch
+  * plans only the CDC/add dirs of its version range (never rescans
+  * the table), and the heavy lifting stays in the parquet scan of
+  * exactly those files. Downstream this composes with everything
+  * Structured Streaming offers — watermarked aggs, stream-stream
+  * joins, `foreachBatch` merges into OTHER txlog tables (incremental
+  * view maintenance end-to-end).
+  */
+final class TxLogChangeSource(spark: SparkSession, root: String,
+    startExclusive: Long, maxVersionsPerBatch: Option[Long] = None)
+    extends Source {
+
+  private val table = new TxLogTable(spark, root)
+
+  // Admission control: a stream catching up on a long-lived table must
+  // not plan ONE batch over thousands of versions. The cap rides on
+  // the last batch end this instance handed out (the V1
+  // FileStreamSource maxFilesPerTrigger pattern) — after a restart the
+  // first getBatch re-seeds it from the checkpointed start offset.
+  @volatile private var lastEnd: Long = startExclusive
+
+  override val schema: StructType = TxLogStream.changeSchema(table)
+
+  override def getOffset: Option[V1Offset] = {
+    val cv = table.currentVersion
+    val capped = maxVersionsPerBatch.fold(cv)(m => math.min(cv, lastEnd + m))
+    if (capped <= startExclusive) None else Some(LongOffset(capped))
+  }
+
+  // LongOffset serializes as its bare number, so parsing `json` covers
+  // both the live object and the checkpoint-recovered SerializedOffset
+  private def ver(o: V1Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startExclusive)
+    // `end < from` can only happen when a restart's first getOffset ran
+    // before the cap re-seeded from the checkpoint (commit below); an
+    // empty batch re-seeds it and the stream proceeds from `from`.
+    val to = math.max(from, ver(end))
+    lastEnd = math.max(lastEnd, to)
+    val cols = schema.fieldNames.toIndexedSeq.map(col)
+    val changes = table.changes(from, to).select(cols: _*)
+    org.apache.spark.sql.graft.bridge.replanned(changes, isStreaming = true)
+  }
+
+  // called by the engine after each completed batch AND with the
+  // checkpointed offset on restart — the reliable cap re-seed
+  override def commit(end: V1Offset): Unit =
+    lastEnd = math.max(lastEnd, ver(end))
+
+  override def stop(): Unit = ()
+}
+
+/** `df.writeStream.format("txlog")` — append sink with exactly-once
+  * batch replay: every commit carries the micro-batch id as a marker,
+  * and a replayed batch (failure between commit and checkpoint
+  * advance) is recognized and skipped. Writer options `statsCols` /
+  * `bloomCols` / `sortCols` apply per commit, same as the batch
+  * writer. Single-stream-per-table (the marker is the dedup line);
+  * concurrent BATCH writers still serialize through the version
+  * protocol as usual.
+  */
+final class TxLogAppendSink(spark: SparkSession, root: String,
+    parameters: Map[String, String]) extends Sink {
+
+  private val table = new TxLogTable(spark, root)
+  private def csv(key: String): Seq[String] =
+    parameters.get(key).toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val done = table.marker(TxLogStream.SinkBatchMarker)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+    if (batchId <= done) return // exact replay of a committed batch
+    val batchDf = org.apache.spark.sql.graft.bridge
+      .replanned(data, isStreaming = false)
+    table.ensureExists(batchDf.schema)
+    table.append(batchDf, sortCols = csv("sortCols"),
+      statsCols = csv("statsCols"), bloomCols = csv("bloomCols"),
+      markers = Map(TxLogStream.SinkBatchMarker -> batchId.toString))
+  }
+}
+
+object TxLogStream {
+  val SinkBatchMarker = "_graft_sink_batch_id"
+
+  /** Feed schema: the table's columns (nullable, as parquet reads
+    * them) + the CDC columns. Fixed at stream start; columns added by
+    * later schema evolution surface after a restart.
+    */
+  def changeSchema(table: TxLogTable): StructType = {
+    val base = TxLogRelation
+      .asNullable(table.schemaAt(table.currentVersion))
+      .asInstanceOf[StructType]
+    base.add("_change_type", "string", nullable = true)
+      .add("_commit_version", "long", nullable = true)
+  }
+}

@@ -953,9 +953,14 @@ final class TxLogTable(spark: SparkSession, root: String) {
         .filter { case (k, _) => dirs.exists(d => k.startsWith(d + "/")) }
         .toMap
     commitLoop(maxRetries) { _ =>
+      // cdc = Some(Nil): like compaction, a restore re-references rows
+      // the change feed has ALREADY emitted — replaying them would
+      // duplicate a tailing reader's stream. The rollback is visible in
+      // history()/markers, not as change rows (documented contract).
       Some(Manifest(0L, "overwrite", dirs, schema.json,
         System.currentTimeMillis(),
-        wrap(markers + ("restoredFrom" -> version.toString)), wrap2(stats)))
+        wrap(markers + ("restoredFrom" -> version.toString)), wrap2(stats),
+        Some(Nil)))
     }
   }
 

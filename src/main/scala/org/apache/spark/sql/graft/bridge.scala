@@ -22,4 +22,17 @@ object bridge {
     */
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Re-plan a batch DataFrame's rows as a (non-)streaming frame —
+    * `internalCreateDataFrame` is `private[sql]` in Spark 4. Streaming
+    * V1 sources must hand `MicroBatchExecution` a plan flagged
+    * `isStreaming=true` (the FileStreamSource/DeltaSource pattern);
+    * V1 sinks must do the inverse, because the incremental plan a
+    * Sink receives cannot be re-executed through `df.write`.
+    */
+  def replanned(df: org.apache.spark.sql.DataFrame,
+      isStreaming: Boolean): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming)
+  }
 }

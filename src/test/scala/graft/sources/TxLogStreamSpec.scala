@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+/** Pins the table-as-stream duplex: readStream tails the typed change
+  * feed with version offsets (exactly-once across checkpoint
+  * restarts), and writeStream appends with batch-id replay dedup.
+  */
+class TxLogStreamSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true),
+    StructField("ts", LongType, nullable = false)))
+
+  private def df(rows: (Long, String, Long)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v, ts) => Row(k, v, ts) }.asJava, schema)
+  }
+
+  private def changeSet(d: DataFrame): Set[(Long, String, String, Long)] =
+    d.select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+  test("CDC source streams appends and DML as typed changes") {
+    val root = Files.createTempDirectory("txstream").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1L), (2L, "b", 2L))) // v1
+    t.update(col("k") === 1L, Map("v" -> lit("A"))) // v2
+    t.delete(col("k") === 2L) // v3
+
+    val out = Files.createTempDirectory("txstream_out").toString
+    val ck = Files.createTempDirectory("txstream_ck").toString
+    val q = spark.readStream.format("txlog")
+      .option("startingVersion", "earliest").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+
+    val got = changeSet(spark.read.parquet(out))
+    assert(got === Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (1L, "a", "update_preimage", 2L), (1L, "A", "update_postimage", 2L),
+      (2L, "b", "delete", 3L)))
+
+    // restart from the checkpoint: three more commits land exactly once
+    t.append(df((5L, "e", 5L))) // v4
+    t.update(col("k") === 5L, Map("ts" -> lit(50L))) // v5
+    val q2 = spark.readStream.format("txlog")
+      .option("startingVersion", "earliest").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    q2.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    val got2 = changeSet(spark.read.parquet(out))
+    assert(got2.size === got.size + 3, "no duplicates, no gaps on restart")
+    assert(got2.filter(_._4 >= 4L) === Set(
+      (5L, "e", "insert", 4L),
+      (5L, "e", "update_preimage", 5L), (5L, "e", "update_postimage", 5L)))
+  }
+
+  test("tail mode (no startingVersion) sees only post-start commits") {
+    val root = Files.createTempDirectory("txtail").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "old", 1L))) // before the stream exists
+    val out = Files.createTempDirectory("txtail_out").toString
+    val ck = Files.createTempDirectory("txtail_ck").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("txlog").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+    run() // nothing new yet
+    t.append(df((2L, "new", 2L)))
+    run()
+    val files = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val got = if (files == 0) Set.empty else changeSet(spark.read.parquet(out))
+    assert(got === Set((2L, "new", "insert", 2L)),
+      "pre-start history must not replay in tail mode")
+  }
+
+  test("append sink: batch-id marker makes replays no-ops") {
+    val root = Files.createTempDirectory("txsink").toString
+    val src = Files.createTempDirectory("txsink_src").toString
+    val ck = Files.createTempDirectory("txsink_ck").toString
+    df((1L, "a", 1L), (2L, "b", 1L)).coalesce(1).write.parquet(s"$src/f0")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        .writeStream.format("txlog")
+        .option("path", root).option("statsCols", "k")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+    run()
+    val t = new TxLogTable(spark, root)
+    assert(t.read().count() === 2L)
+    val v1 = t.currentVersion
+    assert(t.marker(TxLogStream.SinkBatchMarker) === Some("0"))
+    // re-run same checkpoint, one new file: exactly one more commit
+    df((3L, "c", 2L)).coalesce(1).write.parquet(s"$src/f1")
+    run()
+    assert(t.read().count() === 3L)
+    assert(t.currentVersion === v1 + 1)
+    assert(t.marker(TxLogStream.SinkBatchMarker) === Some("1"))
+    // manual replay of an old batch id is ignored
+    new TxLogAppendSink(spark, root, Map.empty)
+      .addBatch(0L, df((99L, "dup", 9L)))
+    assert(t.read().filter(col("k") === 99L).count() === 0L)
+    // stats option flowed through the sink: point predicate prunes
+    assert(t.scanPathsAt(t.currentVersion, col("k") === 1L).size === 1)
+  }
+
+  test("maxVersionsPerBatch bounds catch-up batches; restore/compaction invisible to the feed") {
+    val root = Files.createTempDirectory("txcap").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    (1L to 4L).foreach(i => t.append(df((i, s"v$i", i)))) // v1..v4
+    t.compact(targetRowsPerFile = 1000)                   // v5: no changes
+    t.restore(4L)                                         // v6: no changes
+    t.append(df((9L, "post", 9L)))                        // v7
+
+    val ck = Files.createTempDirectory("txcap_ck").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("txlog")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerBatch", "2").load(root)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, batch.count())) }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    // 7 versions at cap 2 → ≥ 4 batches; every batch ≤ 2 versions' rows
+    assert(batches.size >= 4, s"cap ignored: $batches")
+    assert(batches.map(_._2).sum === 5L,
+      "4 inserts + 1 post-restore insert; compact/restore emit nothing")
+  }
+
+  test("end-to-end incremental mirror: CDC stream foreachBatch-merges into a second table") {
+    val srcRoot = Files.createTempDirectory("txmirror_a").toString
+    val dstRoot = Files.createTempDirectory("txmirror_b").toString
+    val ck = Files.createTempDirectory("txmirror_ck").toString
+    val a = new TxLogTable(spark, srcRoot)
+    a.ensureExists(schema)
+    a.append(df((1L, "a", 1L), (2L, "b", 2L)))
+    a.update(col("k") === 2L, Map("v" -> lit("B")))
+    val b = new TxLogTable(spark, dstRoot)
+    b.ensureExists(schema)
+    def sync(): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("startingVersion", "earliest").load(srcRoot)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // apply the net effect of the batch's change rows, newest
+          // version wins per key; deletes drop the key
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k"))
+            .orderBy(col("_commit_version").desc,
+              // postimage outranks preimage within a version
+              when(col("_change_type") === "update_preimage", 1)
+                .otherwise(0).asc)
+          val net = batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          val dels = net.filter(col("_change_type") === "delete")
+          val ups = net.filter(col("_change_type") =!= "delete")
+            .select(col("k"), col("v"), col("ts"))
+          if (dels.count() > 0)
+            b.delete(col("k").isin(
+              dels.select("k").collect().map(_.getLong(0)).toIndexedSeq: _*))
+          if (ups.count() > 0)
+            b.merge(ups, Seq("k"), Seq(col("ts").desc, col("v").desc))
+          ()
+        }.start()
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+    sync()
+    def snap(t: TxLogTable) = t.read().collect().map(_.toString).sorted.toSeq
+    assert(snap(b) === snap(a))
+    a.delete(col("k") === 1L)
+    a.append(df((7L, "g", 7L)))
+    sync()
+    assert(snap(b) === snap(a))
+  }
+}
