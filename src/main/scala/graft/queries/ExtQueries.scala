@@ -2094,6 +2094,32 @@ object ExtQueries {
         .filter(col("est") >= col("cnt") &&
           col("est") === col("est_direct"))
         .select(col("term"), col("cnt"))
+    },
+
+    // ── exact association rules over part co-purchase baskets:
+    // support / confidence / lift in ×10⁶ truncating fixed-point, so
+    // the rule table is bit-identical on any partitioning and replays
+    // exactly in DuckDB's integer division. minCooc floor prunes the
+    // singleton tail before the degree joins.
+    "q139_association_rules" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 30.0)
+      graft.ext.MarketBasket.pairRules(li, "l_orderkey", "l_partkey",
+        minCooc = 2L)
+    },
+
+    // ── multi-source BFS hop levels over the co-purchase graph
+    // (frontier expansion, each edge traversed ≤ 2× total): the
+    // distance-from-trusted-set signal. EXACT oracle: DuckDB replays
+    // the walk as a recursive CTE with UNION dedup and min-folds the
+    // levels.
+    "q140_bfs_hop_levels" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40.0)
+      val edges = graft.ext.Triangles.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
+      val seeds = li.select(col("l_partkey")).distinct()
+        .filter(col("l_partkey") % 97 === 0)
+      graft.ext.ShortestPaths.hopLevels(edges, seeds, maxHops = 3)
+        .select(col("v"), col("level").cast("long").as("level"))
     }
   )
 
@@ -3789,7 +3815,49 @@ object ExtQueries {
         |flat AS (SELECT unnest(words) AS term FROM w),
         |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
         |      FROM flat GROUP BY 1)
-        |SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+        |SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    // the same integer divisions over the basket projection
+    "q139_association_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_quantity > 30),
+        |nb AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_baskets FROM li),
+        |it AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM li GROUP BY 1),
+        |c AS (
+        |  SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS cooc
+        |  FROM li x JOIN li y ON x.g = y.g AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT c.a, c.b, c.cooc, ia.n_i AS n_a, ib.n_i AS n_b,
+        |  nb.n_baskets,
+        |  (c.cooc * 1000000) // nb.n_baskets AS support_e6,
+        |  (c.cooc * 1000000) // ia.n_i AS conf_a_b_e6,
+        |  (c.cooc * 1000000) // ib.n_i AS conf_b_a_e6,
+        |  (c.cooc * nb.n_baskets * 1000000) // (ia.n_i * ib.n_i) AS lift_e6
+        |FROM c
+        |JOIN it ia ON ia.i = c.a
+        |JOIN it ib ON ib.i = c.b
+        |CROSS JOIN nb""".stripMargin,
+
+    // recursive-CTE walk with UNION dedup; min level per node
+    "q140_bfs_hop_levels" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_quantity > 40),
+        |e AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM li x JOIN li y ON x.g = y.g AND x.i < y.i),
+        |u AS (
+        |  SELECT a AS src, b AS dst FROM e
+        |  UNION ALL SELECT b AS src, a AS dst FROM e),
+        |seeds AS (SELECT DISTINCT i AS v FROM li WHERE i % 97 = 0),
+        |walk(v, lvl) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT u.dst, walk.lvl + 1
+        |  FROM walk JOIN u ON u.src = walk.v
+        |  WHERE walk.lvl < 3)
+        |SELECT v, CAST(MIN(lvl) AS BIGINT) AS level FROM walk GROUP BY 1""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
