@@ -163,6 +163,29 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Path mining: frequency census of k-step event-type sequences
+    * (consecutive in each user's timeline) — the n-gram extension of
+    * [[eventTransitions]] (k = 2) that answers "which 3-click journeys
+    * dominate". Same single user-keyed Exchange: the window's k−1
+    * `lead`s ride one sort, and the census is a two-level hash agg.
+    * Per-user state in the window frame is k rows, never the event
+    * list.
+    */
+  def pathKGrams(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"paths need k >= 2 steps, got $k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val steps = (0 until k).map { i =>
+      (if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+        .as(s"step_$i")
+    }
+    events.select(steps: _*)
+      .filter(col(s"step_${k - 1}").isNotNull) // window runs off the end
+      .groupBy((0 until k).map(i => col(s"step_$i")): _*)
+      .agg(count(lit(1)).as("n_paths"))
+  }
+
   /** Retention cohorts: users grouped by the epoch-week of their first
     * `anchorType` event; for each (cohort_week, week_offset ≥ 0) the
     * number of distinct cohort users with ANY event that week.

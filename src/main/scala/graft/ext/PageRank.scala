@@ -85,4 +85,61 @@ object PageRank {
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     ranks
   }
+
+  /** Personalized PageRank (TrustRank, Gyöngyi et al. 2004): identical
+    * integer arithmetic, but the teleport mass lands ONLY on the seed
+    * set — initial rank `10¹² DIV |S|` on seeds / 0 elsewhere, and the
+    * per-round base term `(15·10¹² DIV 100) DIV |S|` is multiplied by
+    * the node's seed flag. Rank becomes "authority flowing out of the
+    * trusted set", the standard trust-propagation weighting for web
+    * corpora (complementing [[ShortestPaths.hopLevels]]' hop
+    * distance with a damped, degree-normalized measure). Seeds are
+    * intersected with the graph's node set; same bit-exactness and
+    * lineage-cadence contract as [[run]].
+    */
+  def personalized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iters: Int,
+      dampingPct: Int = 85,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    val flagged = nodes
+      .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    val nSeeds = flagged.filter(col("is_seed") === 1L).count()
+    require(nSeeds > 0, "no seed intersects the graph's node set")
+    val base = (Scale / 100L) * (100L - dampingPct) / nSeeds
+
+    var ranks = flagged
+      .select(col("node"), (col("is_seed") * lit(Scale / nSeeds)).as("rank_e12"))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_e12 DIV outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+      ranks = flagged.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * lit(base) +
+            expr(s"($dampingPct * coalesce(in_sum, 0)) DIV 100"))
+            .as("rank_e12"))
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks = ranks.localCheckpoint()
+    e.unpersist(); flagged.unpersist(); outdeg.unpersist()
+    ranks
+  }
 }

@@ -2120,6 +2120,65 @@ object ExtQueries {
         .filter(col("l_partkey") % 97 === 0)
       graft.ext.ShortestPaths.hopLevels(edges, seeds, maxHops = 3)
         .select(col("v"), col("level").cast("long").as("level"))
+    },
+
+    // ── TrustRank: personalized PageRank with teleport restricted to
+    // a trusted seed set, same integer fixed-point as q71 (bit-exact
+    // on any partitioning). Seeds = every 7th node of the q71
+    // bipartite customer/supplier graph; 3 unrolled rounds replayed
+    // exactly by the oracle.
+    "q141_trustrank" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct().filter(col("node") % 7 === 0)
+      graft.ext.PageRank.personalized(edges, "src", "dst", seeds, iters = 3)
+    },
+
+    // ── grouped EXACT linear fit (OLS on quantity → price cents):
+    // closed-form normal-equation sums emitted as separate numerator/
+    // denominator decimals — no division anywhere, so the regression
+    // is exact integer arithmetic end-to-end and hash-replays in
+    // DuckDB HUGEINT. slope = num/den, intercept = inum/den for any
+    // consumer that wants the float.
+    "q142_grouped_linear_fit" -> { (s, dir) =>
+      // y = whole dollars, cents truncated via integer DIV — keeps
+      // every normal-equation term under ~10^17 at sf1 (documented
+      // headroom; the decimal(38,0) intermediates would carry far
+      // larger, but the driver contract wants native int64 output)
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("grp"),
+        col("l_quantity").cast("decimal(18,0)").cast("decimal(38,0)").as("x"),
+        expr("CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+          "AS BIGINT) DIV 100 AS DECIMAL(38,0))").as("y"))
+      li.groupBy(col("grp"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("grp"),
+          col("n").cast("long").as("n_rows"),
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("long").as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("long").as("slope_den"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("long").as("intercept_num"))
+    },
+
+    // ── path mining: the 3-step journey census (q110's transition
+    // matrix extended to trigrams) — one user-keyed window sort
+    // carries both leads, then a hash agg. EXACT oracle: LEAD twice.
+    "q143_path_trigrams" -> { (s, dir) =>
+      graft.ext.EventAnalytics.pathKGrams(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id", k = 3)
     }
   )
 
@@ -3857,7 +3916,76 @@ object ExtQueries {
         |  SELECT u.dst, walk.lvl + 1
         |  FROM walk JOIN u ON u.src = walk.v
         |  WHERE walk.lvl < 3)
-        |SELECT v, CAST(MIN(lvl) AS BIGINT) AS level FROM walk GROUP BY 1""".stripMargin
+        |SELECT v, CAST(MIN(lvl) AS BIGINT) AS level FROM walk GROUP BY 1""".stripMargin,
+
+    // seed-personalized teleport; otherwise q71's unrolled rounds
+    "q141_trustrank" ->
+      """WITH pairs AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |flags AS (SELECT node,
+        |            CASE WHEN node % 7 = 0 THEN 1 ELSE 0 END AS is_seed
+        |          FROM nodes),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |ns AS (SELECT COUNT(*) AS n FROM flags WHERE is_seed = 1),
+        |r0 AS (SELECT node, is_seed * (1000000000000 // n) AS r
+        |       FROM flags CROSS JOIN ns),
+        |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // o.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r0 ON r0.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r1 AS (SELECT flags.node,
+        |        flags.is_seed * (((1000000000000 // 100) * 15) // n)
+        |          + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |       FROM flags CROSS JOIN ns LEFT JOIN c1 ON c1.node = flags.node),
+        |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // o.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r1 ON r1.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r2 AS (SELECT flags.node,
+        |        flags.is_seed * (((1000000000000 // 100) * 15) // n)
+        |          + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |       FROM flags CROSS JOIN ns LEFT JOIN c2 ON c2.node = flags.node),
+        |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // o.outdeg) AS BIGINT) AS s
+        |       FROM edges e JOIN r2 ON r2.node = e.src
+        |       JOIN outdeg o ON o.src = e.src GROUP BY 1),
+        |r3 AS (SELECT flags.node,
+        |        flags.is_seed * (((1000000000000 // 100) * 15) // n)
+        |          + (85 * coalesce(c3.s, 0)) // 100 AS r
+        |       FROM flags CROSS JOIN ns LEFT JOIN c3 ON c3.node = flags.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r3""".stripMargin,
+
+    // HUGEINT normal-equation sums, final cast to BIGINT
+    "q142_grouped_linear_fit" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,0)) AS HUGEINT) AS x,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) // 100 AS HUGEINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        |  FROM b GROUP BY 1)
+        |SELECT grp,
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num
+        |FROM a""".stripMargin,
+
+    "q143_path_trigrams" ->
+      """WITH o AS (
+        |  SELECT event_type AS step_0,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS step_1,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS step_2
+        |  FROM events)
+        |SELECT step_0, step_1, step_2, COUNT(*) AS n_paths
+        |FROM o WHERE step_2 IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

@@ -69,4 +69,39 @@ class PageRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(every1 == every3 && every3 == never)
   }
+
+  test("personalized: teleport lands only on seeds; trust decays with distance") {
+    // chain 1→2→3→4 plus an unreachable island 8→9; seed = {1}
+    val df = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 8L -> 9L).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = PageRank.personalized(df, "src", "dst", seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // island nodes never receive seed mass
+    assert(out(8L) === 0L && out(9L) === 0L)
+    // seed keeps only the base term (nothing links to it)
+    assert(out(1L) === (S / 100L) * 15L)
+    // the initial unit pulse decays by exactly 0.85 per hop: after 3
+    // rounds it sits on node 4, while 2 and 3 carry the damped echo of
+    // the seed's base term (hand-replay of the integer recurrence)
+    val base = (S / 100L) * 15L
+    assert(out(4L) === 85L * (85L * (85L * S / 100L) / 100L) / 100L)
+    assert(out(2L) === 85L * base / 100L)
+    assert(out(3L) === 85L * (85L * base / 100L) / 100L)
+    // bit-determinism under repartition
+    val out2 = PageRank.personalized(df.repartition(7), "src", "dst",
+      seeds, iters = 3).as[(Long, Long)].collect().toMap
+    assert(out === out2)
+  }
+
+  test("personalized: seeds outside the graph are ignored; empty intersection rejected") {
+    val df = Seq(1L -> 2L).toDF("src", "dst")
+    val out = PageRank.personalized(df, "src", "dst",
+      Seq(1L, 99L).toDF("node"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // |S ∩ nodes| = 1, so the seed's base uses nSeeds = 1
+    assert(out(1L) === (S / 100L) * 15L)
+    intercept[IllegalArgumentException] {
+      PageRank.personalized(df, "src", "dst", Seq(99L).toDF("node"), 1)
+    }
+  }
 }
