@@ -52,6 +52,21 @@ object Triangles {
       .distinct()
   }
 
+  /** Orient each edge from its π = (degree, id)-smaller endpoint,
+    * carrying π(dst) so wedge pairs order without another degree join.
+    */
+  private def orient(e: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dstDeg"))
+  }
+
   /** (n_nodes, n_edges, n_wedges, n_triangles) over an undirected
     * simple edge list `(a, b)` — callers must pre-dedup (a<b form;
     * [[coOccurrenceEdges]] does). `n_wedges` is the open+closed path-2
@@ -64,21 +79,11 @@ object Triangles {
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
 
-    // orient by π = (deg, id): src is the π-smaller endpoint
-    val withDeg = e
-      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
-      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
-    val oriented = withDeg.select(
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("a"))
-        .otherwise(col("b")).as("src"),
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("b"))
-        .otherwise(col("a")).as("dst"),
-      // carry π of dst so the wedge pair (v, w) orders without re-joining
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("db"))
-        .otherwise(col("da")).as("dstDeg"))
+    // orient by π = (deg, id): src is the π-smaller endpoint.
+    // Materialized: it feeds THREE join legs (both wedge sides + the
+    // closing edge) — without the checkpoint each leg re-runs the
+    // scan + degree joins (the repo's shared-self-join-input rule).
+    val oriented = orient(e, deg).localCheckpoint(eager = true)
 
     // wedges at the π-minimum vertex: (u→v, u→w) with π(v) < π(w)
     val wedgesAtMin = oriented.as("e1").join(oriented.as("e2"),
@@ -108,19 +113,7 @@ object Triangles {
     val e = edges.select(col("a"), col("b"))
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val withDeg = e
-      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
-      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
-    val oriented = withDeg.select(
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("a"))
-        .otherwise(col("b")).as("src"),
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("b"))
-        .otherwise(col("a")).as("dst"),
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")), col("db"))
-        .otherwise(col("da")).as("dstDeg"))
+    val oriented = orient(e, deg).localCheckpoint(eager = true)
     val tri = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           (col("e1.dstDeg") < col("e2.dstDeg") ||
