@@ -36,4 +36,32 @@ object Sketches {
     sketches.groupBy(groupKeys.map(col): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))")
         .as("approx_distinct"))
+
+  /** SLIDING-window rollup from the stored sketches: for every value w
+    * of `orderCol` present in the table (per `partitionKeys`), the
+    * estimated distinct count over the window [w − window + 1, w] —
+    * "rolling 4-week actives" from 4 sketch merges per week instead of
+    * a re-scan per window (distinct counts don't decompose over
+    * overlapping windows; mergeable sketches are the only way rolling
+    * uniques stay cheap at corpus scale). Each sketch fans out to the
+    * ≤ `window` targets it contributes to — a `window`-factor explode
+    * on the KB-sized sketch table, not on raw data — then one
+    * hash-agg union per (keys, target). Windows are anchored on
+    * PRESENT values only (no phantom trailing windows).
+    */
+  def rollingMergeEstimate(sketches: DataFrame, orderCol: String,
+      window: Int, partitionKeys: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val keys = partitionKeys.map(col)
+    val expanded = sketches
+      .withColumn("_off", explode(sequence(lit(0), lit(window - 1))))
+      .select((keys :+ (col(orderCol) + col("_off")).as(orderCol) :+
+        col("sketch")): _*)
+    val present = sketches
+      .select((keys :+ col(orderCol)): _*).distinct()
+    expanded.join(present, partitionKeys :+ orderCol)
+      .groupBy((keys :+ col(orderCol)): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))")
+        .as("approx_distinct"))
+  }
 }

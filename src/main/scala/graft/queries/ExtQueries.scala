@@ -2179,6 +2179,30 @@ object ExtQueries {
     "q143_path_trigrams" -> { (s, dir) =>
       graft.ext.EventAnalytics.pathKGrams(Tables.events(s, dir),
         "user_id", "ts", "event_type", "event_id", k = 3)
+    },
+
+    // ── ROLLING 4-week distinct actives from the persisted weekly HLL
+    // sketches (q108's stored artifact, now answering the sliding
+    // window distinct counts can't decompose over): 4 sketch merges
+    // per week, no raw re-scan. Driver-checked bound gate: each
+    // week's estimate must sit within 10 % of the exact windowed
+    // distinct (rsd ≈ 1.6 % at lgK 12) or its row vanishes; survivors
+    // emit the EXACT count the oracle replays.
+    "q144_rolling_distinct_actives" -> { (s, dir) =>
+      import graft.ext.Sketches
+      val e = Tables.events(s, dir).withColumn("week",
+        expr("(unix_micros(ts) div 86400000000) div 7"))
+      val weekly = Sketches.sketchTable(e, Seq("week"), "user_id")
+      val rolled = Sketches.rollingMergeEstimate(weekly, "week", window = 4)
+      val wk = e.select(col("week")).distinct()
+      val exact = wk.as("w").join(e.as("ev"),
+          col("ev.week").between(col("w.week") - 3, col("w.week")))
+        .groupBy(col("w.week").as("week"))
+        .agg(countDistinct(col("ev.user_id")).as("exact_rolling"))
+      rolled.join(exact, Seq("week"))
+        .filter(abs(col("approx_distinct") - col("exact_rolling")) <=
+          col("exact_rolling") * 0.10)
+        .select(col("week"), col("exact_rolling"))
     }
   )
 
@@ -3985,7 +4009,19 @@ object ExtQueries {
         |  FROM events)
         |SELECT step_0, step_1, step_2, COUNT(*) AS n_paths
         |FROM o WHERE step_2 IS NOT NULL
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // exact rolling 4-week windowed distinct per present week
+    "q144_rolling_distinct_actives" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 86400000000) // 7 AS week
+        |  FROM events),
+        |wk AS (SELECT DISTINCT week FROM e)
+        |SELECT wk.week,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_rolling
+        |FROM wk JOIN e ON e.week BETWEEN wk.week - 3 AND wk.week
+        |GROUP BY 1""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

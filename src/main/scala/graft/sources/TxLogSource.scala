@@ -223,7 +223,16 @@ object TxLogRelation {
   */
 final class TxLogRelation(val sqlContext: SQLContext,
     table: TxLogTable, version: Long)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a `USING txlog` table:
+    * one optimistic commit through the version protocol. The relation
+    * object itself stays pinned to its planning-time snapshot —
+    * readers re-resolve the view to see the new version (standard V1
+    * relation semantics).
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    if (overwrite) table.overwrite(data) else table.append(data)
 
   // Parquet file sources force every column nullable at read time; the
   // relation must declare the schema it actually produces.

@@ -162,6 +162,12 @@ class TxLogSourceSpec extends SparkSpec {
     assert(sortedRows(viaSql) ===
       sortedRows(t.read().filter(col("k") < 100L)
         .groupBy(col("grp")).agg(count(lit(1)).as("n"))))
+
+    // SQL INSERT INTO commits through the version protocol
+    val vBefore = t.currentVersion
+    spark.sql("INSERT INTO txsrc_sql VALUES (9999, 'sqlrow', 1)")
+    assert(t.currentVersion === vBefore + 1)
+    assert(t.read().filter(col("k") === 9999L).count() === 1L)
     spark.sql("DROP VIEW txsrc_sql")
   }
 }
