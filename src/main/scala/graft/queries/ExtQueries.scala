@@ -2203,6 +2203,18 @@ object ExtQueries {
         .filter(abs(col("approx_distinct") - col("exact_rolling")) <=
           col("exact_rolling") * 0.10)
         .select(col("week"), col("exact_rolling"))
+    },
+
+    // ── k-core peel: 4 synchronous rounds at k=3 over the co-purchase
+    // graph — each round drops sub-k vertices and their edges. Fixed
+    // round count ⇒ pure function of the input, EXACT oracle = 4
+    // unrolled degree-filter layers. (At convergence the peel IS the
+    // 3-core; KCoreSpec pins convergence on its fixtures.)
+    "q145_kcore_peel" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 44.0)
+      val edges = graft.ext.Triangles.coOccurrenceEdges(
+        li, "l_orderkey", "l_partkey")
+      graft.ext.KCore.peel(edges, k = 3, rounds = 4)
     }
   )
 
@@ -4021,7 +4033,43 @@ object ExtQueries {
         |SELECT wk.week,
         |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_rolling
         |FROM wk JOIN e ON e.week BETWEEN wk.week - 3 AND wk.week
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // 4 unrolled peel layers at k=3, then final surviving degrees
+    "q145_kcore_peel" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_quantity > 44),
+        |e0 AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM li x JOIN li y ON x.g = y.g AND x.i < y.i),
+        |d0 AS (SELECT v, COUNT(*) AS deg FROM
+        |       (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+        |       GROUP BY v),
+        |k0 AS (SELECT v FROM d0 WHERE deg >= 3),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a IN (SELECT v FROM k0) AND b IN (SELECT v FROM k0)),
+        |d1 AS (SELECT v, COUNT(*) AS deg FROM
+        |       (SELECT a AS v FROM e1 UNION ALL SELECT b AS v FROM e1)
+        |       GROUP BY v),
+        |k1 AS (SELECT v FROM d1 WHERE deg >= 3),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
+        |d2 AS (SELECT v, COUNT(*) AS deg FROM
+        |       (SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2)
+        |       GROUP BY v),
+        |k2 AS (SELECT v FROM d2 WHERE deg >= 3),
+        |e3 AS (SELECT a, b FROM e2
+        |       WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
+        |d3 AS (SELECT v, COUNT(*) AS deg FROM
+        |       (SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3)
+        |       GROUP BY v),
+        |k3 AS (SELECT v FROM d3 WHERE deg >= 3),
+        |e4 AS (SELECT a, b FROM e3
+        |       WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
+        |SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS v FROM e4 UNION ALL SELECT b AS v FROM e4)
+        |GROUP BY v""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

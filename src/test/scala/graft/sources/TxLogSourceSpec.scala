@@ -153,6 +153,24 @@ class TxLogSourceSpec extends SparkSpec {
       "a few-KB txlog side must broadcast, not shuffle")
   }
 
+  test("writer append with a new column evolves the schema additively") {
+    val root = Files.createTempDirectory("txevo").toString
+    df((1L, "g0", 1L)).write.format("txlog").save(root)
+    val wide = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(2L, "g1", 2L, "extra")),
+      schema.add("note", org.apache.spark.sql.types.StringType))
+    wide.write.format("txlog").mode(SaveMode.Append).save(root)
+    val back = spark.read.format("txlog").load(root)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "grp", "v", "note"))
+    val rows = back.orderBy("k").collect()
+    assert(rows(0).isNullAt(3), "old rows read the new column as null")
+    assert(rows(1).getString(3) === "extra")
+    // time travel still serves the narrow schema at v1
+    assert(spark.read.format("txlog").option("versionAsOf", "1")
+      .load(root).schema.fieldNames.toSeq === Seq("k", "grp", "v"))
+  }
+
   test("SQL DDL: CREATE TABLE ... USING txlog and time-travel view") {
     val (root, t) = seeded()
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW txsrc_sql " +

@@ -159,6 +159,31 @@ class TxLogStreamSpec extends SparkSpec {
       "4 inserts + 1 post-restore insert; compact/restore emit nothing")
   }
 
+  test("stream sink and concurrent batch writers interleave without lost updates") {
+    val root = Files.createTempDirectory("txrace").toString
+    val src = Files.createTempDirectory("txrace_src").toString
+    val ck = Files.createTempDirectory("txrace_ck").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    df((1L, "a", 1L)).coalesce(1).write.parquet(s"$src/f0")
+    // batch merge BEFORE the stream batch commits — the sink's append
+    // must serialize after it through the version protocol
+    t.merge(df((50L, "batch", 5L)), Seq("k"), Seq(col("ts").desc))
+    val q = spark.readStream.schema(schema).parquet(src + "/*")
+      .writeStream.format("txlog")
+      .option("path", root).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    // another batch writer after the stream
+    t.merge(df((60L, "batch2", 6L)), Seq("k"), Seq(col("ts").desc))
+    assert(t.read().select("k").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 50L, 60L), "no writer lost")
+    // versions strictly serialized: create + merge + sink + merge
+    assert(t.currentVersion === 3L)
+    assert(t.marker(TxLogStream.SinkBatchMarker) === Some("0"))
+  }
+
   test("end-to-end incremental mirror: CDC stream foreachBatch-merges into a second table") {
     val srcRoot = Files.createTempDirectory("txmirror_a").toString
     val dstRoot = Files.createTempDirectory("txmirror_b").toString
