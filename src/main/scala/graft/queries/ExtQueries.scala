@@ -2194,11 +2194,16 @@ object ExtQueries {
         expr("(unix_micros(ts) div 86400000000) div 7"))
       val weekly = Sketches.sketchTable(e, Seq("week"), "user_id")
       val rolled = Sketches.rollingMergeEstimate(weekly, "week", window = 4)
+      // exact leg in the same fan-out equi-join shape as the sketch
+      // side: an event in week w contributes to the windows anchored
+      // at w..w+3 — no range join, no BNLJ
       val wk = e.select(col("week")).distinct()
-      val exact = wk.as("w").join(e.as("ev"),
-          col("ev.week").between(col("w.week") - 3, col("w.week")))
-        .groupBy(col("w.week").as("week"))
-        .agg(countDistinct(col("ev.user_id")).as("exact_rolling"))
+      val exact = e
+        .select(col("user_id"),
+          explode(sequence(col("week"), col("week") + 3)).as("week"))
+        .join(wk, Seq("week"), "left_semi")
+        .groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("exact_rolling"))
       rolled.join(exact, Seq("week"))
         .filter(abs(col("approx_distinct") - col("exact_rolling")) <=
           col("exact_rolling") * 0.10)
@@ -2215,6 +2220,27 @@ object ExtQueries {
       val edges = graft.ext.Triangles.coOccurrenceEdges(
         li, "l_orderkey", "l_partkey")
       graft.ext.KCore.peel(edges, k = 3, rounds = 4)
+    },
+
+    // ── SQ8 scalar-quantization recall floor, driver-checked
+    // (zero-row oracle, the q27/q35 harness): int8 asymmetric-distance
+    // top-k vs exact cosine top-k. SQ8 reconstructs far tighter than
+    // PQ's shared codebooks, so the floor is high: measured
+    // 1.000/1.000/0.960 at sf0.001/0.01/0.1 (tools/SqCheck); floor
+    // 0.70 keeps a wide margin while pinning that the memory tier
+    // cannot collapse. Violations emit — EMPTY expected.
+    "q146_ann_sq8_recall_floor" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("cand_id")).cache()
+      val (lo, hi) = graft.ext.ScalarQuantization.train(emb, "embedding")
+      val approx = graft.ext.ScalarQuantization.sqTopK(emb, q, k = 5, lo, hi)
+        .select(col("query_id"), col("cand_id"))
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / exact.count()).as("recall"))
+        .filter(col("recall") < 0.70)
+        .select(lit("sq8").as("method"), round(col("recall"), 6).as("recall"))
     }
   )
 
@@ -4069,7 +4095,11 @@ object ExtQueries {
         |       WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
         |SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
         |  (SELECT a AS v FROM e4 UNION ALL SELECT b AS v FROM e4)
-        |GROUP BY v""".stripMargin
+        |GROUP BY v""".stripMargin,
+
+    "q146_ann_sq8_recall_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

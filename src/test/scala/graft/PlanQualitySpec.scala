@@ -90,7 +90,22 @@ class PlanQualitySpec extends SparkSpec {
       // q128 fans the single-row (N, avgdl) corpus-stats aggregate into
       // the per-term score rows — q58/q67's one-scalar-row broadcast
       // shape; the data joins (tf⋈df, tf⋈dl) are keyed equi-joins.
-      "q128_bm25_topk")
+      "q128_bm25_topk",
+      // q137 assembles its census row by cross-joining three
+      // SINGLE-ROW aggregates (node/wedge stats × edge count ×
+      // triangle count) — the q58/q67 one-scalar-row broadcast shape;
+      // all DATA joins (orientation, wedges, closing edge) are keyed
+      // equi-joins on materialized inputs.
+      "q137_triangle_census",
+      // q139 fans the SINGLE-ROW basket census into the rule rows
+      // (explicit broadcast) — same scalar shape; cooc/degree joins
+      // are keyed equi-joins.
+      "q139_association_rules",
+      // q146 = q27's harness for the SQ8 memory tier: BOTH legs are the
+      // deliberate ≤10-row query broadcast (exact reference + the SQ8
+      // asymmetric scan under test — streaming the int8 codes once IS
+      // the SQ8 search plan; the scale path cell-restricts first).
+      "q146_ann_sq8_recall_floor")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
