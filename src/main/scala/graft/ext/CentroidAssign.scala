@@ -42,4 +42,37 @@ object CentroidAssign {
       centroids.map(_._2.toIndexedSeq).toIndexedSeq,
       take))
   }
+
+  /** The deterministic Lloyd recipe [[SimilaritySearch.ivfTopK]]
+    * pioneered, extracted for NEW cell-index call sites (existing
+    * sites keep their inline copies — their init order is
+    * oracle-pinned): md5-scattered seeding, `iters` rounds of
+    * assign + per-dimension mean. Bounded driver state: nCells × dim
+    * doubles per round. `c` must carry (`idCol`, `vdCol`:
+    * array<double>).
+    */
+  def trainCells(c: org.apache.spark.sql.DataFrame, nCells: Int,
+      iters: Int, idCol: String = "cand_id",
+      vdCol: String = "vd"): Array[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.functions._
+    var centroids: Array[(Int, Seq[Double])] = c
+      .select(col(idCol), col(vdCol))
+      .orderBy(md5(col(idCol).cast("string"))).limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to iters) {
+      val assigned = c.select(col(vdCol).as("vd"),
+        element_at(nearestCells(col(vdCol), centroids, 1), 1)
+          .getField("cell").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vd")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("d"), col("m"))))
+          .as("dm"))
+        .select(col("cell"), transform(col("dm"), _.getField("m")).as("v"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      if (means.nonEmpty) centroids = means
+    }
+    centroids
+  }
 }

@@ -76,6 +76,54 @@ object ScalarQuantization {
     * The brute pair scan is the BASELINE tier — at scale, restrict to
     * IVF cells first and SQ-scan inside (same composition as ADC).
     */
+  /** IVF × SQ8 — the scale path: Lloyd cells restrict candidates
+    * ([[CentroidAssign.trainCells]], same deterministic recipe as
+    * [[SimilaritySearch.ivfTopK]]), then the asymmetric int8 scan runs
+    * ONLY inside the probed cells. Probe side broadcasts below the
+    * session threshold, shuffles on the cell key past it (the
+    * [[SimilaritySearch]] guard). This is FAISS's `IVF,SQ8` index as
+    * two equi-joined DataFrame stages; memory per candidate is dim
+    * bytes, work per query is nProbe cells.
+    */
+  def ivfSqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      lo: Array[Double], hi: Array[Double], nCells: Int = 16,
+      nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val c = graft.core.Partitioning.forCompute(
+        corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv")))
+      .withColumn("vd", transform(col("cv"), _.cast("double")))
+      .cache()
+    val centroids = CentroidAssign.trainCells(c, nCells, iters)
+    val indexed = c.select(col("cand_id"),
+      encodeCol(col("cv"), lo, hi).as("codes"),
+      element_at(CentroidAssign.nearestCells(col("vd"), centroids, 1), 1)
+        .getField("cell").as("cell"))
+    val probed = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qd"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(
+          CentroidAssign.nearestCells(col("qd"), centroids, nProbe),
+          _.getField("cell"))).as("cell"))
+    val bcLimit = BigInt(corpus.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold)
+    val probeEst =
+      queries.queryExecution.optimizedPlan.stats.sizeInBytes * nProbe
+    val joined =
+      if (bcLimit > 0 && probeEst <= bcLimit)
+        broadcast(probed).join(indexed, Seq("cell"))
+      else probed.join(indexed, Seq("cell"))
+    val scored = joined
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        negSqDist(col("codes"), col("qvec"), lo, hi).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+  }
+
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       lo: Array[Double], hi: Array[Double]): DataFrame = {
     val codes = corpus.select(col("vec_id").as("cand_id"),

@@ -126,4 +126,34 @@ object Triangles {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Degree-assortativity moments — EXACT integer sums, no division
+    * (the [[MarketBasket]]/q142 discipline): over the 2m directed edge
+    * ends (each undirected edge counted in both orientations, the
+    * standard Newman 2002 convention), emits `m2` = 2m,
+    * `s_prod` = Σ dᵤdᵥ, `s_sum` = Σ (dᵤ+dᵥ)… as the moments from which
+    * r = (m2·s_prod − s_half²/…)/… assembles in any precision the
+    * consumer wants. Positive assortativity (hubs link hubs) vs
+    * negative (hubs link leaves) separates social-graph shapes from
+    * web/biology shapes — a one-scan + two-equi-join summary.
+    *
+    * Column contract (all exact longs): m2 = 2m, s_prod = Σ dᵤ·dᵥ,
+    * s_half = Σ (dᵤ+dᵥ)/1 over directed ends /2 … concretely r =
+    * (m2·s_prod − s_half²) / (m2·s_sq − s_half²) with
+    * s_half = Σ(dᵤ+dᵥ) over UNDIRECTED edges and s_sq = Σ(dᵤ²+dᵥ²)
+    * likewise.
+    */
+  def assortativityMoments(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    withDeg.agg(
+      (count(lit(1)) * 2).as("m2"),
+      sum(col("da") * col("db")).as("s_prod"),
+      sum(col("da") + col("db")).as("s_half"),
+      sum(col("da") * col("da") + col("db") * col("db")).as("s_sq"))
+  }
 }

@@ -2241,6 +2241,38 @@ object ExtQueries {
         .agg((count(lit(1)) / exact.count()).as("recall"))
         .filter(col("recall") < 0.70)
         .select(lit("sq8").as("method"), round(col("recall"), 6).as("recall"))
+    },
+
+    // ── IVF × SQ8 composition recall floor (FAISS "IVF,SQ8"): Lloyd
+    // cells restrict candidates, the int8 asymmetric scan runs only
+    // inside the probed cells. Measured 0.580/0.580/0.560 across SFs
+    // (tools/SqCheck) vs plain IVF's 0.580 — quantization costs
+    // ≤ 0.02 recall; the loss is all cell restriction. Floor 0.30 =
+    // ~1.9× margin. Zero-row oracle.
+    "q147_ann_ivf_sq8_recall_floor" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = SimilaritySearch.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("cand_id")).cache()
+      val (lo, hi) = graft.ext.ScalarQuantization.train(emb, "embedding")
+      val approx = graft.ext.ScalarQuantization
+        .ivfSqTopK(emb, q, k = 5, lo, hi)
+        .select(col("query_id"), col("cand_id"))
+      exact.join(approx, Seq("query_id", "cand_id"), "left_semi")
+        .agg((count(lit(1)) / exact.count()).as("recall"))
+        .filter(col("recall") < 0.30)
+        .select(lit("ivf_sq8").as("method"),
+          round(col("recall"), 6).as("recall"))
+    },
+
+    // ── degree-assortativity moments of the co-purchase graph: exact
+    // integer sums, no division (q142's numerator/denominator
+    // discipline) — Pearson r over edge-end degrees assembles
+    // downstream in any precision. One scan + two keyed equi-joins.
+    "q148_assortativity_moments" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40.0)
+      graft.ext.Triangles.assortativityMoments(
+        graft.ext.Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
     }
   )
 
@@ -4099,7 +4131,30 @@ object ExtQueries {
 
     "q146_ann_sq8_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
-        |WHERE 1 = 0""".stripMargin
+        |WHERE 1 = 0""".stripMargin,
+
+    "q147_ann_ivf_sq8_recall_floor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
+        |WHERE 1 = 0""".stripMargin,
+
+    "q148_assortativity_moments" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |  FROM lineitem WHERE l_quantity > 40),
+        |e AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM li x JOIN li y ON x.g = y.g AND x.i < y.i),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v)
+        |SELECT CAST(COUNT(*) * 2 AS BIGINT) AS m2,
+        |  CAST(SUM(da.deg * db.deg) AS BIGINT) AS s_prod,
+        |  CAST(SUM(da.deg + db.deg) AS BIGINT) AS s_half,
+        |  CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS s_sq
+        |FROM e
+        |JOIN deg da ON da.v = e.a
+        |JOIN deg db ON db.v = e.b""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

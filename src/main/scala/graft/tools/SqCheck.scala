@@ -28,7 +28,13 @@ object SqCheck {
       val sq = ScalarQuantization.sqTopK(emb, q, k = 5, lo, hi)
         .select("query_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"[sq8] $sf%8s recall=${(exact & sq).size.toDouble / exact.size}%.3f")
+      val ivfSq = ScalarQuantization.ivfSqTopK(emb, q, k = 5, lo, hi)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = SimilaritySearch.ivfTopK(emb, q, k = 5, dim = 64)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[sq8] $sf%8s recall=${(exact & sq).size.toDouble / exact.size}%.3f ivfSq=${(exact & ivfSq).size.toDouble / exact.size}%.3f ivf=${(exact & ivf).size.toDouble / exact.size}%.3f")
     }
     spark.stop()
   }

@@ -105,7 +105,10 @@ class PlanQualitySpec extends SparkSpec {
       // deliberate ≤10-row query broadcast (exact reference + the SQ8
       // asymmetric scan under test — streaming the int8 codes once IS
       // the SQ8 search plan; the scale path cell-restricts first).
-      "q146_ann_sq8_recall_floor")
+      "q146_ann_sq8_recall_floor",
+      // q147's BNLJ is ONLY the exact brute reference leg (q100's
+      // shape); the IVF×SQ8 side under test joins on the cell key.
+      "q147_ann_ivf_sq8_recall_floor")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
