@@ -181,7 +181,8 @@ object Multimodal {
       rows.map { r =>
         graft.functions.PngCodec.decode(r.payload)
           .orElse(graft.functions.JpegCodec.decode(r.payload))
-          .orElse(graft.functions.GifCodec.decode(r.payload)) match {
+          .orElse(graft.functions.GifCodec.decode(r.payload))
+          .orElse(graft.functions.BmpCodec.decode(r.payload)) match {
           case None =>
             PixelStats(r.media_id, None, None, None, None, None)
           case Some(img) =>
@@ -265,7 +266,8 @@ object Multimodal {
       rows.map { r =>
         graft.functions.PngCodec.decode(r.payload)
           .orElse(graft.functions.JpegCodec.decode(r.payload))
-          .orElse(graft.functions.GifCodec.decode(r.payload)) match {
+          .orElse(graft.functions.GifCodec.decode(r.payload))
+          .orElse(graft.functions.BmpCodec.decode(r.payload)) match {
           case None => ImageHash(r.media_id, None, None, None)
           case Some(img) =>
             val l = Array.ofDim[Long](8, 9)
@@ -584,7 +586,8 @@ object Multimodal {
       rows.map { r =>
         graft.functions.PngCodec.decode(r.payload)
           .orElse(graft.functions.JpegCodec.decode(r.payload))
-          .orElse(graft.functions.GifCodec.decode(r.payload)) match {
+          .orElse(graft.functions.GifCodec.decode(r.payload))
+          .orElse(graft.functions.BmpCodec.decode(r.payload)) match {
           case None => r
           case Some(img) =>
             val out = new Array[Byte](targetW * targetH * img.channels)

@@ -2265,6 +2265,29 @@ object ExtQueries {
           round(col("recall"), 6).as("recall"))
     },
 
+    // ── BMP raster identity (the 4th still-image codec): the same
+    // integer pixel formulas as q81, recovered through a REAL 24-bit
+    // BI_RGB encode→decode (BGR order, bottom-up rows, 4-byte row
+    // padding). Shares q81's arithmetic oracle verbatim.
+    "q149_bmp_pixel_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val img = graft.functions.PngCodec.syntheticRgb(id, w, h)
+          Multimodal.MediaRow(id, graft.functions.BmpCodec.encode(img),
+            "image/bmp", source)
+        }
+      Multimodal.pixelStats(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("luma_sum"))
+    },
+
     // ── degree-assortativity moments of the co-purchase graph: exact
     // integer sums, no division (q142's numerator/denominator
     // discipline) — Pearson r over edge-end degrees assembles
@@ -4175,6 +4198,9 @@ object ExtQueries {
     */
   val oracle: Map[String, String] =
     oracleBase +
+      // q149 recovers the SAME synthetic raster as q81 through the BMP
+      // codec — identical arithmetic oracle
+      ("q149_bmp_pixel_stats" -> oracleBase("q81_png_pixel_stats")) +
       ("q25_minhash_dups" -> oracleBase("q24_ngram_jaccard_dups")) +
       // q50 = the exact pair set restricted to pairs touching the
       // simulated new batch (doc_id ≡ 0 mod 10); same capture pinning
