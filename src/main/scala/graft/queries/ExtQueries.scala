@@ -2265,6 +2265,33 @@ object ExtQueries {
           round(col("recall"), 6).as("recall"))
     },
 
+    // ── exact weighted median per group: smallest value whose
+    // value-inclusive cumulative weight reaches half the group total
+    // (lower weighted median). RANGE frame makes equal values peers,
+    // so the definition — and the integer comparison 2·cum ≥ total —
+    // is partitioning-independent and replays exactly. One key+value
+    // sort window, the q36 cost shape; weights and values are longs
+    // (cents), so nothing floats.
+    "q150_weighted_median" -> { (s, dir) =>
+      val b = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("grp"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("v"),
+        col("l_quantity").cast("long").as("w"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("v"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      b.withColumn("cum", sum(col("w")).over(win))
+        .withColumn("total", sum(col("w")).over(tot))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy(col("grp"))
+        .agg(min(col("v")).as("w_median_cents"),
+          max(col("total")).as("total_weight"))
+    },
+
     // ── BMP raster identity (the 4th still-image codec): the same
     // integer pixel formulas as q81, recovered through a REAL 24-bit
     // BI_RGB encode→decode (BGR order, bottom-up rows, 4-byte row
@@ -4159,6 +4186,23 @@ object ExtQueries {
     "q147_ann_ivf_sq8_recall_floor" ->
       """SELECT CAST(NULL AS VARCHAR) AS method, CAST(NULL AS DOUBLE) AS recall
         |WHERE 1 = 0""".stripMargin,
+
+    "q150_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT grp, v, w,
+        |    SUM(w) OVER (PARTITION BY grp ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY grp) AS total
+        |  FROM b)
+        |SELECT grp, CAST(MIN(v) AS BIGINT) AS w_median_cents,
+        |  CAST(MAX(total) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= total GROUP BY 1""".stripMargin,
 
     "q148_assortativity_moments" ->
       """WITH li AS (
