@@ -134,7 +134,19 @@ final class TxLogSourceProvider extends RelationProvider
     // mode must mean "commits after the FIRST stream start", not
     // "after every restart" — otherwise a restart with no committed
     // batch yet would silently skip the commits in between.
-    val anchorPath = java.nio.file.Paths.get(metadataPath, "graft-start")
+    // metadataPath arrives as a Hadoop URI string (`file:/ckpt/...`);
+    // strip the scheme or Paths.get treats it as a RELATIVE literal
+    // and the anchor lands in a `file:` directory under the cwd.
+    val metaDir = {
+      val uri = java.net.URI.create(metadataPath)
+      if (uri.getScheme == null) metadataPath
+      else {
+        require(uri.getScheme == "file",
+          s"txlog stream anchor needs a local checkpoint, got $metadataPath")
+        uri.getPath
+      }
+    }
+    val anchorPath = java.nio.file.Paths.get(metaDir, "graft-start")
     val startExclusive =
       if (java.nio.file.Files.exists(anchorPath))
         new String(java.nio.file.Files.readAllBytes(anchorPath),
