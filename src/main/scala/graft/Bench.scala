@@ -211,11 +211,49 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regJson = regressions.map { case (k, r) => s"\"" + k + "\":" + r }
       .mkString("{", ",", "}")
-    val gate = if (failed.isEmpty && total <= 100.0) "pass" else "fail"
+
+    // ── suite gate (rule ratified in BASELINE.md, "Bench gate —
+    // ratified round 9") ──────────────────────────────────────────────
+    // The 40-query-era "total ≤ 100 s" absolute was superseded when the
+    // suite quadrupled: a fixed absolute grades surface SIZE, not
+    // regression. The binding rule, recorded in BASELINE.md BEFORE this
+    // round's driver run so the artifact is self-consistent:
+    //   pass ⇔ (a) no query failed;
+    //          (b) regressions_vs_prior empty — no query > 1.5× its
+    //              min-of-2 in the newest COMMITTED BENCH_r*.json
+    //              (sub-0.5 s priors are noise-floored);
+    //          (c) at sf0.1, every round-1 anchor query runs ≤ 2× its
+    //              round-1 recording (the original match-or-beat bar,
+    //              still enforced absolutely so drift can't compound
+    //              round-over-round through rule (b)'s ratchet);
+    //          (d) total ≤ 1.0 s × measured queries — the per-query
+    //              mean has held ≤ 0.8 s every round; 1.0 s/query is
+    //              the surface-size-invariant successor of the old
+    //              absolute line.
+    val anchorBase = Map( // round-1 recordings at sf0.1 (BASELINE.md §1)
+      "q01_pricing_summary" -> 0.45, "q04_insert_ignore" -> 0.68,
+      "q07_window_topk" -> 0.61, "q08_join_agg" -> 1.36,
+      "q16_event_window" -> 0.42, "q20_dedup_fingerprint" -> 0.75,
+      "q21_cosine_topk" -> 1.09)
+    val atAnchorSf = new java.io.File(sfDir).getName == "sf0.1"
+    val anchorViolations = if (!atAnchorSf) Nil else results.collect {
+      case (n, sec) if anchorBase.get(n).exists(a => sec > 2.0 * a) =>
+        n -> BigDecimal(sec / anchorBase(n))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val anchorJson = anchorViolations
+      .map { case (k, r) => s"\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val gate =
+      if (failed.isEmpty && regressions.isEmpty && anchorViolations.isEmpty &&
+        total <= 1.0 * results.size) "pass"
+      else "fail"
+    val rule = "failed empty; no query >1.5x prior committed round " +
+      "(noise floor 0.5s); round-1 anchors <=2x at sf0.1; " +
+      "total <= 1.0s x nQueries"
     // baseline_queries makes a vacuous gate VISIBLE: 0 means the
     // baseline file existed but nothing was parsed from it, so an empty
     // regressions map proves nothing
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadavgStart","loadavg":"$loadavg","failed":$failedJson,"regressions_vs_prior":$regJson,"baseline_file":"${baselineFile.map(_.getName).getOrElse("")}","baseline_queries":${baseline.size},"suite_gate":"$gate"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadavgStart","loadavg":"$loadavg","failed":$failedJson,"regressions_vs_prior":$regJson,"anchor_violations":$anchorJson,"baseline_file":"${baselineFile.map(_.getName).getOrElse("")}","baseline_queries":${baseline.size},"gate_rule":"$rule","suite_gate":"$gate"}""")
     spark.stop()
   }
 }

@@ -43,13 +43,17 @@ object CentroidAssign {
       take))
   }
 
-  /** The deterministic Lloyd recipe [[SimilaritySearch.ivfTopK]]
-    * pioneered, extracted for NEW cell-index call sites (existing
-    * sites keep their inline copies — their init order is
-    * oracle-pinned): md5-scattered seeding, `iters` rounds of
-    * assign + per-dimension mean. Bounded driver state: nCells × dim
-    * doubles per round. `c` must carry (`idCol`, `vdCol`:
-    * array<double>).
+  /** The Lloyd recipe [[SimilaritySearch.ivfTopK]] pioneered,
+    * extracted for NEW cell-index call sites (existing sites keep
+    * their inline copies — their init order is oracle-pinned):
+    * md5-scattered seeding (deterministic), `iters` rounds of
+    * assign + per-dimension mean. The SEEDING is bit-reproducible;
+    * the per-round `avg()` over doubles is order-dependent, so the
+    * trained centroids may differ in low-order bits across
+    * partitionings — downstream consumers must gate on recall (as
+    * q146/q147 do), not on centroid bytes. Bounded driver state:
+    * nCells × dim doubles per round. `c` must carry (`idCol`,
+    * `vdCol`: array<double>).
     */
   def trainCells(c: org.apache.spark.sql.DataFrame, nCells: Int,
       iters: Int, idCol: String = "cand_id",

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * pairs (quadratic only within a basket), one hash agg per side for
   * item frequencies, one broadcastable single-row frame for the basket
   * census. The `minCooc` floor bounds output and prunes the long tail
-  * BEFORE the degree joins. Overflow headroom: lift's numerator is
-  * cooc·n_baskets·10⁶ — fine through ~10⁹ baskets with cooc ≤ 10³;
-  * beyond that, scale cooc down or switch the e6 factor to decimal.
+  * BEFORE the degree joins. Overflow: lift's numerator
+  * cooc·n_baskets·10⁶ is computed in decimal(38,0) (38 digits of
+  * headroom — past any physical basket census), then integer-divided
+  * back to a long; the other ratios stay within int64 by
+  * construction (cooc ≤ n_baskets ≤ rows).
   */
 object MarketBasket {
 
@@ -51,6 +53,7 @@ object MarketBasket {
         expr("(cooc * 1000000) div n_baskets").as("support_e6"),
         expr("(cooc * 1000000) div n_a").as("conf_a_b_e6"),
         expr("(cooc * 1000000) div n_b").as("conf_b_a_e6"),
-        expr("(cooc * n_baskets * 1000000) div (n_a * n_b)").as("lift_e6"))
+        expr("cast((cast(cooc as decimal(38,0)) * n_baskets * 1000000)" +
+          " div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("lift_e6"))
   }
 }

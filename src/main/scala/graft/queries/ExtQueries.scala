@@ -4036,7 +4036,8 @@ object ExtQueries {
         |  (c.cooc * 1000000) // nb.n_baskets AS support_e6,
         |  (c.cooc * 1000000) // ia.n_i AS conf_a_b_e6,
         |  (c.cooc * 1000000) // ib.n_i AS conf_b_a_e6,
-        |  (c.cooc * nb.n_baskets * 1000000) // (ia.n_i * ib.n_i) AS lift_e6
+        |  CAST((CAST(c.cooc AS HUGEINT) * nb.n_baskets * 1000000)
+        |    // (CAST(ia.n_i AS HUGEINT) * ib.n_i) AS BIGINT) AS lift_e6
         |FROM c
         |JOIN it ia ON ia.i = c.a
         |JOIN it ib ON ib.i = c.b

@@ -60,8 +60,21 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
     // empty batch re-seeds it and the stream proceeds from `from`.
     val to = math.max(from, ver(end))
     lastEnd = math.max(lastEnd, to)
-    val cols = schema.fieldNames.toIndexedSeq.map(col)
-    val changes = table.changes(from, to).select(cols: _*)
+    val raw = table.changes(from, to)
+    // A capped catch-up batch may cover only versions that predate a
+    // schema-evolution append, so its frame can LACK columns of the
+    // stream schema (and early batches the reverse). Conform by name:
+    // project the stream schema, null-filling absent fields with their
+    // declared type — the batch-side half of the additive-evolution
+    // contract (the reverse, a column the stream schema lacks, is
+    // handled by fixing the schema at stream start).
+    val have = raw.columns.toSet
+    val cols = schema.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else org.apache.spark.sql.functions.lit(null)
+        .cast(f.dataType).as(f.name)
+    }
+    val changes = raw.select(cols: _*)
     org.apache.spark.sql.graft.bridge.replanned(changes, isStreaming = true)
   }
 

@@ -75,7 +75,36 @@ object TxLogTable {
       add: Seq[String], schemaJson: String, tsMillis: Long,
       markers: Option[Map[String, String]] = None,
       stats: Option[Map[String, FileStats]] = None,
-      cdc: Option[Seq[String]] = None)
+      cdc: Option[Seq[String]] = None,
+      statsFile: Option[String] = None)
+
+  /** One row of a PARQUET stats checkpoint (`_log/ckpt-*.parquet`,
+    * referenced by [[Manifest.statsFile]]) — the Delta
+    * checkpoint-parquet idea: per-file skipping stats ride a columnar
+    * file Spark itself reads, so neither writing nor consulting them
+    * ever driver-parses a JSON blob proportional to FILE COUNT.
+    * `nullCounts` carries one entry per stats-bearing column (the
+    * existence witness); `mins`/`maxs` omit a column only when every
+    * value in the file is null ([[DataSkipping.ColRange]]'s None);
+    * `blooms` holds Base64 Bloom filters as in [[FileStats.blooms]].
+    */
+  private[sources] case class CkptStatRow(file: String, rows: Long,
+      mins: Map[String, String], maxs: Map[String, String],
+      nullCounts: Map[String, Long], blooms: Map[String, String])
+
+  private[sources] def toCkptRow(file: String, fs: FileStats): CkptStatRow =
+    CkptStatRow(file, fs.rows,
+      fs.cols.collect { case (c, r) if r.min.isDefined => c -> r.min.get },
+      fs.cols.collect { case (c, r) if r.max.isDefined => c -> r.max.get },
+      fs.cols.map { case (c, r) => c -> r.nulls },
+      fs.blooms)
+
+  private[sources] def fromCkptRow(r: CkptStatRow): (String, FileStats) =
+    r.file -> FileStats(r.rows,
+      r.nullCounts.map { case (c, n) =>
+        c -> ColRange(r.mins.get(c), r.maxs.get(c), n)
+      },
+      r.blooms)
 
   /** One WHEN MATCHED clause of [[TxLogTable.mergeConditional]], in
     * evaluation order (first whose condition holds wins — the public
@@ -925,23 +954,32 @@ final class TxLogTable(spark: SparkSession, root: String) {
       }
   }
 
-  /** Remove data dirs referenced by NO manifest (orphans from lost
-    * commit races or crashes mid-stage) plus, when `retainHistory` is
-    * false, dirs referenced only by versions strictly before the last
-    * overwrite/checkpoint (unreachable from any still-replayable read).
-    * Never touches the current live set. Returns removed dir names.
-    */
   /** RESTORE TO VERSION — roll the table back to snapshot `version`
     * as a NEW commit (Delta's RESTORE): history is preserved, the
     * rollback itself is auditable and time-travelable past, and
     * concurrent writers serialize against it like any other commit.
-    * Metadata-only: the restored manifest re-references `version`'s
-    * immutable data dirs (with their per-file stats, so data skipping
-    * keeps working) — no data is copied or deleted. Returns the new
-    * version.
+    * Metadata-sized for data: the restored manifest re-references
+    * `version`'s immutable data dirs (with their per-file stats, so
+    * data skipping keeps working) — no table data is copied or
+    * deleted. Returns the new version.
+    *
+    * CDC (the Delta RESTORE-with-CDF behavior): the rollback IS a
+    * logical change, so the commit stages change rows — rows live
+    * before the restore but not after it as `delete`, rows the
+    * restore resurrects as `insert` — keeping [[changes]]' invariant
+    * (the signed fold reproduces the snapshot) true through a
+    * restore; a tailing mirror or [[graft.ext.IncrementalView]]
+    * follows the rollback instead of silently diverging. The diff is
+    * file-granular over immutable dirs (exact, since files never
+    * mutate): a dir in both snapshots contributes nothing; a
+    * rewritten-but-equal row (e.g. a compaction between the two
+    * versions) emits a delete+insert pair that cancels in any
+    * additive fold. Cost: proportional to the DIFFERING dirs, not
+    * the table.
     */
   def restore(version: Long, maxRetries: Int = 20,
       markers: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.lit
     val (chain, schema) = manifestChainAt(version)
     val dirs = chain.flatMap(_.add)
     // a retainHistory=false vacuum may have collected dirs that only
@@ -952,21 +990,38 @@ final class TxLogTable(spark: SparkSession, root: String) {
       chain.flatMap(_.stats.getOrElse(Map.empty))
         .filter { case (k, _) => dirs.exists(d => k.startsWith(d + "/")) }
         .toMap
-    commitLoop(maxRetries) { _ =>
-      // cdc = Some(Nil): like compaction, a restore re-references rows
-      // the change feed has ALREADY emitted — replaying them would
-      // duplicate a tailing reader's stream. The rollback is visible in
-      // history()/markers, not as change rows (documented contract).
+    commitLoop(maxRetries) { v =>
+      val (preChain, preSchema) = manifestChainAt(v)
+      val preDirs = preChain.flatMap(_.add)
+      val restoredSet = dirs.toSet
+      val dropped = preDirs.filterNot(restoredSet)
+      val gained = dirs.filterNot(preDirs.toSet)
+      def side(ds: Seq[String], sch: StructType, tag: String) =
+        if (ds.isEmpty) None
+        else Some(spark.read.schema(sch)
+          .parquet(ds.map(d => dataDir.resolve(d).toString): _*)
+          .withColumn("_change_type", lit(tag)))
+      val cdc =
+        if (dropped.isEmpty && gained.isEmpty) Some(Nil) // no-op restore
+        else Some(Seq(stageData(
+          (side(dropped, preSchema, "delete") ++ side(gained, schema, "insert"))
+            .reduce(_.unionByName(_, allowMissingColumns = true)))))
       Some(Manifest(0L, "overwrite", dirs, schema.json,
         System.currentTimeMillis(),
         wrap(markers + ("restoredFrom" -> version.toString)), wrap2(stats),
-        Some(Nil)))
+        cdc))
     }
   }
 
   private def wrap2(m: Map[String, FileStats]): Option[Map[String, FileStats]] =
     if (m.isEmpty) None else Some(m)
 
+  /** Remove data dirs referenced by NO manifest (orphans from lost
+    * commit races or crashes mid-stage) plus, when `retainHistory` is
+    * false, dirs referenced only by versions strictly before the last
+    * overwrite/checkpoint (unreachable from any still-replayable read).
+    * Never touches the current live set. Returns removed dir names.
+    */
   def vacuum(retainHistory: Boolean = true): Seq[String] = {
     val v = currentVersion
     if (v < 0) return Nil

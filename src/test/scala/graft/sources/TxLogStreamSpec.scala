@@ -132,13 +132,16 @@ class TxLogStreamSpec extends SparkSpec {
     assert(t.scanPathsAt(t.currentVersion, col("k") === 1L).size === 1)
   }
 
-  test("maxVersionsPerBatch bounds catch-up batches; restore/compaction invisible to the feed") {
+  test("maxVersionsPerBatch bounds catch-up batches; compaction invisible, restore emits its diff") {
     val root = Files.createTempDirectory("txcap").toString
     val t = new TxLogTable(spark, root)
     t.ensureExists(schema)
     (1L to 4L).foreach(i => t.append(df((i, s"v$i", i)))) // v1..v4
     t.compact(targetRowsPerFile = 1000)                   // v5: no changes
-    t.restore(4L)                                         // v6: no changes
+    // v6: restore AFTER a compaction — the file-granular diff emits the
+    // full cancelling churn (4 deletes of the compacted file + 4
+    // re-inserts of the original dirs); additively a no-op, but visible
+    t.restore(4L)
     t.append(df((9L, "post", 9L)))                        // v7
 
     val ck = Files.createTempDirectory("txcap_ck").toString
@@ -155,8 +158,9 @@ class TxLogStreamSpec extends SparkSpec {
     q.stop()
     // 7 versions at cap 2 → ≥ 4 batches; every batch ≤ 2 versions' rows
     assert(batches.size >= 4, s"cap ignored: $batches")
-    assert(batches.map(_._2).sum === 5L,
-      "4 inserts + 1 post-restore insert; compact/restore emit nothing")
+    assert(batches.map(_._2).sum === 13L,
+      "4 inserts + restore churn (4 deletes + 4 re-inserts, cancelling) " +
+        "+ 1 post-restore insert; compact emits nothing")
   }
 
   test("stream sink and concurrent batch writers interleave without lost updates") {

@@ -416,7 +416,7 @@ class TxLogTableSpec extends SparkSpec {
     assert(asMap(t) === Map(1L -> (("A", 10L))))
   }
 
-  test("RESTORE rolls back as a new auditable commit, metadata-only") {
+  test("RESTORE rolls back as a new auditable commit; table data metadata-only, rollback on the change feed") {
     val root = Files.createTempDirectory("txlog").toString
     val t = new TxLogTable(spark, root)
     t.ensureExists(schema)
@@ -435,13 +435,22 @@ class TxLogTableSpec extends SparkSpec {
     // history preserved: the pre-restore state is still time-travelable
     assert(asMap(t, 3L).keySet === Set(2L))
     assert(t.marker("restoredFrom") === Some("2"))
-    // metadata-only: no new data dirs were written
+    // table data metadata-only: exactly ONE new dir, and it is the
+    // staged CDC diff, not table data
     val dirsAfter = {
       import scala.jdk.CollectionConverters._
       val s = Files.list(java.nio.file.Paths.get(root, "data"))
       try s.iterator().asScala.size finally s.close()
     }
-    assert(dirsAfter === dirsBefore)
+    assert(dirsAfter === dirsBefore + 1)
+    // the rollback IS on the change feed (Delta RESTORE-with-CDF): the
+    // delete at v3 dropped k=1, the restore resurrects it. File-granular
+    // diff: v3's rewrite dir (k=2) deletes, v1+v2 dirs (k=1,2) insert —
+    // the k=2 delete+insert pair cancels additively, net +{k=1}.
+    val ch = t.changes(3L, 4L)
+      .select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(ch === Seq((1L, "insert"), (2L, "delete"), (2L, "insert")))
     // stats travel with the restore: pruning still effective at v4
     assert(t.scanPathsAt(rv, col("k") === 1L).size === 1)
     assert(t.scanPathsAt(rv, lit(true)).size === 2)
