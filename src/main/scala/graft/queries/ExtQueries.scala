@@ -2158,19 +2158,32 @@ object ExtQueries {
         col("l_quantity").cast("decimal(18,0)").cast("decimal(38,0)").as("x"),
         expr("CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
           "AS BIGINT) DIV 100 AS DECIMAL(38,0))").as("y"))
-      li.groupBy(col("grp"))
+      val terms = li.groupBy(col("grp"))
         .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("y")).as("sxy"))
-        .select(col("grp"),
-          col("n").cast("long").as("n_rows"),
-          (col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("long").as("slope_num"),
-          (col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("long").as("slope_den"),
-          (col("sy") * col("sxx") - col("sx") * col("sxy"))
-            .cast("long").as("intercept_num"))
+        .select(col("grp"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("dnum"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("dden"),
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).as("dinum"))
+      // int64-cap invariant gate, IN-QUERY (not fixture convention):
+      // the decimal(38,0) terms are exact; a term past int64 would
+      // otherwise null out silently in the non-ANSI cast below. A
+      // violating group poisons its key instead — a row the oracle
+      // cannot have, so the driver compare goes red loudly (DuckDB's
+      // own HUGEINT→BIGINT cast errors on its side).
+      val lim = lit(new java.math.BigDecimal("9223372036854775807"))
+        .cast("decimal(38,0)")
+      val ok = abs(col("dnum")) <= lim && abs(col("dden")) <= lim &&
+        abs(col("dinum")) <= lim && col("n") <= lim
+      terms.select(
+        when(ok, col("grp")).otherwise(concat(lit("OVERFLOW:"), col("grp")))
+          .as("grp"),
+        col("n").cast("long").as("n_rows"),
+        col("dnum").cast("long").as("slope_num"),
+        col("dden").cast("long").as("slope_den"),
+        col("dinum").cast("long").as("intercept_num"))
     },
 
     // ── path mining: the 3-step journey census (q110's transition
@@ -2323,6 +2336,35 @@ object ExtQueries {
       val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 40.0)
       graft.ext.Triangles.assortativityMoments(
         graft.ext.Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+    },
+
+    // ── deletion-vector DML (merge-on-read): two stacked vectored
+    // deletes over the commit-log table — the path a point delete on
+    // a 100 TB table takes (deleted-rows-sized commit, zero file
+    // rewrite). The in-query require is the no-rewrite invariant
+    // gate: the live file set must be IDENTICAL across both deletes
+    // (a copy-on-write regression throws, failing the oracle run
+    // loudly). EXACT oracle: both WHERE conditions replayed over the
+    // raw table with SQL null semantics.
+    "q151_dv_delete" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val t = new graft.sources.TxLogTable(s,
+        java.nio.file.Files.createTempDirectory("graft_txlog_q151").toString)
+      t.ensureExists(ev.schema)
+      t.append(ev.repartition(4))
+      val before = t.liveDataPaths(t.currentVersion).toSet
+      t.deleteVectored(col("event_type") === "error")
+      t.deleteVectored(col("event_type") === "click" && col("value") > 100.0)
+      val after = t.liveDataPaths(t.currentVersion).toSet
+      require(after == before,
+        "vectored delete must not rewrite live data files")
+      t.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
     }
   )
 
@@ -4222,7 +4264,17 @@ object ExtQueries {
         |  CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS s_sq
         |FROM e
         |JOIN deg da ON da.v = e.a
-        |JOIN deg db ON db.v = e.b""".stripMargin
+        |JOIN deg db ON db.v = e.b""".stripMargin,
+
+    // both vectored deletes replayed with SQL null semantics
+    "q151_dv_delete" ->
+      """WITH fin AS (
+        |  SELECT * FROM events
+        |  WHERE NOT COALESCE(event_type = 'error', FALSE)
+        |    AND NOT COALESCE(event_type = 'click' AND value > 100, FALSE))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM fin GROUP BY 1""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

@@ -115,7 +115,14 @@ final class TxLogSourceProvider extends RelationProvider
     val table = new TxLogTable(sqlContext.sparkSession, rootOf(parameters))
     require(table.exists,
       s"txlog table does not exist at ${rootOf(parameters)}")
-    (shortName(), TxLogStream.changeSchema(table))
+    val base = TxLogStream.changeSchema(table)
+    val full =
+      if (parameters.get("onSchemaEvolution").contains("evolved"))
+        base.add("_evolved", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType), nullable = true)
+      else base
+    (shortName(), full)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -166,7 +173,8 @@ final class TxLogSourceProvider extends RelationProvider
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       }
     new TxLogChangeSource(sqlContext.sparkSession, root, startExclusive,
-      parameters.get("maxVersionsPerBatch").map(_.toLong))
+      parameters.get("maxVersionsPerBatch").map(_.toLong),
+      parameters.getOrElse("onSchemaEvolution", "ignore"))
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -292,7 +300,12 @@ final class TxLogRelation(val sqlContext: SQLContext,
         if (paths.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], schema)
-        else spark.read.schema(schema).parquet(paths: _*)
+        // deletion vectors apply on the pruned scan exactly as in
+        // readAt — the path-pruned frame bypasses it, so anti-join
+        // here (no-op when the snapshot carries no vectors)
+        else table.applyDv(
+          spark.read.schema(schema).parquet(paths: _*),
+          table.dvDirsAt(version))
       // Re-apply the exact predicate: manifest pruning is file-level
       // (may-match), and these filters were reported HANDLED.
       df.filter(pred)

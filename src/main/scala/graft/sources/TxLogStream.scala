@@ -20,6 +20,22 @@ import org.apache.spark.sql.types.StructType
   * included (`"earliest"` = from table creation; default = only
   * commits AFTER stream start, the tail-the-table mode).
   *
+  * Schema evolution while the stream runs: a Structured Streaming V1
+  * source's schema is FIXED into the query plan at stream start, so a
+  * column added by a later evolved append cannot appear as a real
+  * column without a restart (the Delta CDF streaming contract too).
+  * Three behaviors, per the `onSchemaEvolution` option:
+  *   - `"ignore"` (default) — post-start columns are invisible until
+  *     the stream restarts;
+  *   - `"fail"` — the first batch containing an unknown column stops
+  *     the stream with a descriptive error (pick this when silently
+  *     dropping a column is worse than paging someone);
+  *   - `"evolved"` — the feed schema gains an `_evolved
+  *     map<string,string>` column, and every post-start column
+  *     surfaces there (stringified) from its admission batch onward,
+  *     NO restart — the consumer opts into weak typing for the gap
+  *     columns instead of downtime.
+  *
   * Scale shape: offset discovery is one manifest-header read; a batch
   * plans only the CDC/add dirs of its version range (never rescans
   * the table), and the heavy lifting stays in the parquet scan of
@@ -29,8 +45,12 @@ import org.apache.spark.sql.types.StructType
   * view maintenance end-to-end).
   */
 final class TxLogChangeSource(spark: SparkSession, root: String,
-    startExclusive: Long, maxVersionsPerBatch: Option[Long] = None)
+    startExclusive: Long, maxVersionsPerBatch: Option[Long] = None,
+    onSchemaEvolution: String = "ignore")
     extends Source {
+
+  require(Set("ignore", "fail", "evolved")(onSchemaEvolution),
+    s"onSchemaEvolution must be ignore|fail|evolved, got $onSchemaEvolution")
 
   private val table = new TxLogTable(spark, root)
 
@@ -41,7 +61,14 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
   // first getBatch re-seeds it from the checkpointed start offset.
   @volatile private var lastEnd: Long = startExclusive
 
-  override val schema: StructType = TxLogStream.changeSchema(table)
+  override val schema: StructType = {
+    val base = TxLogStream.changeSchema(table)
+    if (onSchemaEvolution == "evolved")
+      base.add("_evolved", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType), nullable = true)
+    else base
+  }
 
   override def getOffset: Option[V1Offset] = {
     val cv = table.currentVersion
@@ -61,18 +88,37 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
     val to = math.max(from, ver(end))
     lastEnd = math.max(lastEnd, to)
     val raw = table.changes(from, to)
+    val have = raw.columns.toSet
+    val known = schema.fieldNames.toSet
+    // columns the stream schema does NOT know: added by evolution
+    // after stream start (never _evolved itself — the feed writer
+    // could not have produced it)
+    val unknown = raw.columns.toIndexedSeq.filterNot(known)
+    if (unknown.nonEmpty && onSchemaEvolution == "fail")
+      throw new IllegalStateException(
+        s"txlog CDC stream on $root: schema evolved mid-stream " +
+          s"(new columns: ${unknown.mkString(", ")}); restart the " +
+          "stream to pick them up, or run with " +
+          "onSchemaEvolution=evolved/ignore")
     // A capped catch-up batch may cover only versions that predate a
     // schema-evolution append, so its frame can LACK columns of the
     // stream schema (and early batches the reverse). Conform by name:
     // project the stream schema, null-filling absent fields with their
-    // declared type — the batch-side half of the additive-evolution
-    // contract (the reverse, a column the stream schema lacks, is
-    // handled by fixing the schema at stream start).
-    val have = raw.columns.toSet
+    // declared type; in `evolved` mode the unknown columns surface in
+    // the _evolved map from this batch on instead of waiting for a
+    // restart.
+    import org.apache.spark.sql.functions.{lit, map_from_arrays, array}
     val cols = schema.fields.toIndexedSeq.map { f =>
-      if (have(f.name)) col(f.name)
-      else org.apache.spark.sql.functions.lit(null)
-        .cast(f.dataType).as(f.name)
+      if (f.name == "_evolved" && onSchemaEvolution == "evolved") {
+        if (unknown.isEmpty)
+          lit(null).cast("map<string,string>").as("_evolved")
+        else map_from_arrays(
+          array(unknown.map(lit): _*),
+          array(unknown.map(c => col(c).cast("string")): _*))
+          .as("_evolved")
+      }
+      else if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
     }
     val changes = raw.select(cols: _*)
     org.apache.spark.sql.graft.bridge.replanned(changes, isStreaming = true)

@@ -70,13 +70,23 @@ object TxLogTable {
     * change). `cdc = None` means `add` IS the change set — true for
     * appends, insert-ignores, and blind overwrites (full-refresh
     * post-image).
+    *
+    * `dv` is the COMPLETE list of deletion-vector dirs in effect for
+    * this snapshot (each a staged dir whose parquet carries
+    * `_dv_file`/`_dv_pos` rows naming deleted positions of immutable
+    * data files — [[TxLogTable.deleteVectored]]). Replace semantics:
+    * a manifest with `dv` defined sets the state; `None` inherits
+    * from the previous manifest in the chain, and the chain's head
+    * overwrite resets to empty unless it says otherwise (rewritten
+    * files carry no ghosts).
     */
   private[sources] case class Manifest(version: Long, action: String,
       add: Seq[String], schemaJson: String, tsMillis: Long,
       markers: Option[Map[String, String]] = None,
       stats: Option[Map[String, FileStats]] = None,
       cdc: Option[Seq[String]] = None,
-      statsFile: Option[String] = None)
+      statsFile: Option[String] = None,
+      dv: Option[Seq[String]] = None)
 
   /** One row of a PARQUET stats checkpoint (`_log/ckpt-*.parquet`,
     * referenced by [[Manifest.statsFile]]) — the Delta
@@ -198,17 +208,65 @@ final class TxLogTable(spark: SparkSession, root: String) {
     (chain.flatMap(_.add), schema)
   }
 
+  // ── deletion vectors ──────────────────────────────────────────────
+
+  private def dvReadSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("_dv_file",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("_dv_pos",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
+  /** Deletion-vector dirs in effect for a chain: the LAST manifest
+    * that declares `dv` wins; none declared = none in effect (the
+    * chain's head overwrite implicitly reset them).
+    */
+  private def dvDirsOf(chain: List[Manifest]): Seq[String] =
+    chain.reverse.collectFirst { case m if m.dv.isDefined => m.dv.get }
+      .getOrElse(Nil)
+
+  private[sources] def dvDirsAt(version: Long): Seq[String] =
+    dvDirsOf(manifestChainAt(version)._1)
+
+  /** The merge-on-read half of [[deleteVectored]]: anti-join a
+    * file-scan frame against the snapshot's deletion vectors on
+    * (containing file, row position) — both derived from the scan's
+    * `_metadata` columns, so the filter composes with ANY projection
+    * or pushed predicate Spark applied to `base`. The DV side is
+    * deleted-rows-sized; AQE broadcasts it when small, which is the
+    * point-delete case the mechanism exists for.
+    */
+  private[sources] def applyDv(base: DataFrame,
+      dvDirs: Seq[String]): DataFrame = {
+    if (dvDirs.isEmpty) return base
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val dv = spark.read.schema(dvReadSchema)
+      .parquet(dvDirs.map(d => dataDir.resolve(d).toString): _*)
+      .select(col("_dv_file").as("__del_file"),
+        col("_dv_pos").as("__del_pos"))
+    val tagged = base
+      .withColumn("__row_file",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("__row_pos", col("_metadata.row_index"))
+    tagged.join(dv,
+        tagged("__row_file") === dv("__del_file") &&
+          tagged("__row_pos") === dv("__del_pos"), "left_anti")
+      .drop("__row_file", "__row_pos")
+  }
+
   /** Time-travel read: the table exactly as committed at `version`.
     * Immutable data dirs make this a plain parquet read of that
-    * snapshot's file list — later commits cannot disturb it.
+    * snapshot's file list — later commits cannot disturb it — with
+    * the snapshot's deletion vectors applied on top (merge-on-read).
     */
   def readAt(version: Long): DataFrame = {
-    val (dirs, schema) = liveSetAt(version)
+    val (chain, schema) = manifestChainAt(version)
+    val dirs = chain.flatMap(_.add)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else
-      spark.read.schema(schema)
-        .parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+      applyDv(spark.read.schema(schema)
+        .parquet(dirs.map(d => dataDir.resolve(d).toString): _*),
+        dvDirsOf(chain))
   }
 
   /** Snapshot read at the latest version. */
@@ -252,15 +310,28 @@ final class TxLogTable(spark: SparkSession, root: String) {
       chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
     val live = chain.flatMap(_.add)
     val filterExpr = org.apache.spark.sql.graft.bridge.catalystExpression(filter)
+    // dirs whose stats live in a parquet checkpoint prune DISTRIBUTED
+    // (one small Spark job over the stat rows); the driver sees only
+    // the covered-dir census and the surviving file names. Lazy: a
+    // chain with no checkpoint (or a filter arriving before any
+    // checkpointed dir is consulted) never runs the job.
+    lazy val ckpt: Option[(Set[String], Set[String])] =
+      chain.flatMap(_.statsFile).lastOption
+        .map(name => pruneCkpt(name, schema, filterExpr))
     live.flatMap { d =>
       val inDir = stats.collect {
         case (k, fs) if k.startsWith(d + "/") => (k, fs)
       }
-      if (inDir.isEmpty) Seq(dataDir.resolve(d).toString)
-      else inDir.collect {
+      if (inDir.nonEmpty) inDir.collect {
         case (k, fs) if DataSkipping.mayMatch(filterExpr, schema, fs) =>
           dataDir.resolve(k).toString
       }.toSeq
+      else ckpt match {
+        case Some((covered, surviving)) if covered(d) =>
+          surviving.iterator.filter(_.startsWith(d + "/"))
+            .map(k => dataDir.resolve(k).toString).toSeq
+        case _ => Seq(dataDir.resolve(d).toString)
+      }
     }
   }
 
@@ -270,18 +341,29 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * Files from commits without stats are scanned normally.
     */
   def readWhereAt(version: Long, filter: Column): DataFrame = {
-    val (_, schema) = manifestChainAt(version)
+    val (chain, schema) = manifestChainAt(version)
     val paths = scanPathsAt(version, filter)
-    val base =
-      if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
-    base.filter(filter)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .filter(filter)
+    else
+      applyDv(spark.read.schema(schema).parquet(paths: _*).filter(filter),
+        dvDirsOf(chain))
   }
 
   /** Stats-pruned read at the latest version. */
   def readWhere(filter: Column): DataFrame =
     readWhereAt(currentVersion, filter)
+
+  /** The data paths a full scan of snapshot `version` reads (the
+    * DESCRIBE DETAIL-style introspection surface): dirs for commits
+    * without per-file stats, individual part-files otherwise. Lets
+    * callers pin physical-layout invariants — e.g. that a vectored
+    * delete left the live set untouched — without reaching into the
+    * log format.
+    */
+  def liveDataPaths(version: Long): Seq[String] =
+    scanPathsAt(version, org.apache.spark.sql.functions.lit(true))
 
   private def wrap(m: Map[String, String]): Option[Map[String, String]] =
     if (m.isEmpty) None else Some(m)
@@ -628,6 +710,60 @@ final class TxLogTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Row-level DELETE without rewriting data (the Delta/Iceberg
+    * deletion-vector design, merge-on-read): instead of [[delete]]'s
+    * snapshot rewrite, commit a sidecar naming the (file, position)
+    * pairs the condition matched; every read anti-joins the sidecars
+    * ([[applyDv]]). A 1-row delete on a 100 TB table is then a
+    * deleted-rows-sized commit — the copy-on-write [[delete]] remains
+    * for when a physical rewrite is wanted, and any overwrite-class
+    * maintenance commit ([[compact]], [[merge]], [[delete]]) folds
+    * the vectors into rewritten files and resets them.
+    *
+    * The staged sidecar doubles as the commit's CDC dir: its rows are
+    * the full deleted rows (plus `_dv_file`/`_dv_pos`/`_change_type`
+    * columns the CDC read ignores), so [[changes]] emits the deletes
+    * with zero extra IO. Same optimistic loop and WHERE semantics
+    * (null = kept) as the rewrite path; already-deleted positions
+    * never re-match because the scan applies existing vectors first.
+    */
+  def deleteVectored(condition: Column, maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions._
+    commitLoop(maxRetries) { v =>
+      val (chain, schema) = manifestChainAt(v)
+      val live = chain.flatMap(_.add)
+      if (live.isEmpty)
+        // nothing to delete from; still commit (marker/idempotency
+        // parity with delete()); dv = None inherits the (empty) state
+        Some(Manifest(0L, "append", Nil, schema.json,
+          System.currentTimeMillis(), wrap(markers), None, Some(Nil)))
+      else {
+        val prevDv = dvDirsOf(chain)
+        val cond = coalesce(condition, lit(false))
+        val tagged = spark.read.schema(schema)
+          .parquet(live.map(d => dataDir.resolve(d).toString): _*)
+          .withColumn("_dv_file",
+            regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+          .withColumn("_dv_pos", col("_metadata.row_index"))
+        val alive =
+          if (prevDv.isEmpty) tagged
+          else {
+            val dv = spark.read.schema(dvReadSchema)
+              .parquet(prevDv.map(d => dataDir.resolve(d).toString): _*)
+              .select(col("_dv_file").as("__pf"), col("_dv_pos").as("__pp"))
+            tagged.join(dv, tagged("_dv_file") === dv("__pf") &&
+              tagged("_dv_pos") === dv("__pp"), "left_anti")
+          }
+        val staged = stageData(
+          alive.filter(cond).withColumn("_change_type", lit("delete")))
+        Some(Manifest(0L, "append", Nil, schema.json,
+          System.currentTimeMillis(), wrap(markers), None,
+          Some(Seq(staged)), None, Some(prevDv :+ staged)))
+      }
+    }
+  }
+
   /** Transactional row-level UPDATE: assign `set` expressions (over
     * the current row) wherever `condition` is TRUE, optimistic-commit
     * like [[delete]]. Assignments cast to the column's existing type
@@ -783,22 +919,116 @@ final class TxLogTable(spark: SparkSession, root: String) {
 
   // ── maintenance ───────────────────────────────────────────────────
 
+  // ── parquet stats checkpoints ─────────────────────────────────────
+
+  private def ckptPath(name: String): Path = logDir.resolve(name)
+
+  /** Stage the chain's folded per-file stats as a parquet checkpoint
+    * under `_log/` (inert until a manifest references it, like a data
+    * dir): the union of the chain's INLINE JSON stats and the rows of
+    * any prior checkpoint the chain references — computed as a Spark
+    * union, so folding a million-file history never materializes the
+    * old checkpoint on the driver. Returns None when the chain carries
+    * no stats at all.
+    */
+  private def stageCkptStats(chain: List[Manifest]): Option[String] = {
+    import spark.implicits._
+    val inline: Map[String, FileStats] =
+      chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+    val prior = chain.flatMap(_.statsFile)
+    if (inline.isEmpty && prior.isEmpty) return None
+    // restrict carried rows to files still under a live dir: a prior
+    // checkpoint may cover dirs an overwrite since dropped
+    val liveDirs = chain.flatMap(_.add).toSet
+    val inlineDs = inline.toSeq
+      .map { case (f, fs) => TxLogTable.toCkptRow(f, fs) }.toDS()
+    val priorDs = prior.map(p => spark.read
+      .schema(inlineDs.schema).parquet(ckptPath(p).toString)
+      .as[TxLogTable.CkptStatRow])
+    val all = (priorDs :+ inlineDs).reduce(_.unionByName(_))
+      .filter(r => liveDirs.contains(r.file.takeWhile(_ != '/')))
+    val name = s"ckpt-${UUID.randomUUID()}.parquet"
+    all.write.parquet(ckptPath(name).toString)
+    Some(name)
+  }
+
+  /** `(coveredDirs, survivingFiles)` of a distributed prune over one
+    * stats checkpoint: executor-side [[DataSkipping.mayMatch]] per stat
+    * row, so the driver collects only the dir census and the MATCHED
+    * file names — bounded by selectivity, never by table file count.
+    */
+  private def pruneCkpt(name: String, schema: StructType,
+      filterExpr: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Set[String], Set[String]) = {
+    import spark.implicits._
+    val template = Seq.empty[TxLogTable.CkptStatRow].toDS()
+    val ds = spark.read.schema(template.schema)
+      .parquet(ckptPath(name).toString).as[TxLogTable.CkptStatRow]
+    val covered = ds.map(_.file.takeWhile(_ != '/'))
+      .distinct().collect().toSet
+    val surviving = ds.filter { r =>
+      val (_, fs) = TxLogTable.fromCkptRow(r)
+      DataSkipping.mayMatch(filterExpr, schema, fs)
+    }.map(_.file).collect().toSet
+    (covered, surviving)
+  }
+
+  /** Version of the newest parquet-stats checkpoint, per the
+    * `_log/_last_checkpoint` pointer (the Delta discovery contract: a
+    * reader of a long log jumps here instead of listing history).
+    * Correctness never depends on it — manifests reference their
+    * stats file directly — it is the O(1) discovery hint plus the
+    * audit record.
+    */
+  def lastCheckpoint: Option[Long] = {
+    val p = logDir.resolve("_last_checkpoint")
+    if (!Files.exists(p)) None
+    else "\"version\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8))
+      .map(_.group(1).toLong)
+  }
+
+  private def writeLastCheckpoint(version: Long, statsFile: Option[String]): Unit = {
+    val tmp = logDir.resolve(s".tmp-lc-${UUID.randomUUID()}")
+    val sf = statsFile.fold("")(s => s""","statsFile":"$s"""")
+    Files.write(tmp, s"""{"version":$version$sf}"""
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logDir.resolve("_last_checkpoint"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Metadata-only history fold: commit an `overwrite` manifest listing
     * the CURRENT live set (no data rewrite). Readers of any later
     * version replay at most back to here — the log-growth bound that
     * keeps planning O(1) over an append-heavy table.
+    *
+    * Skipping stats fold into a PARQUET checkpoint file referenced by
+    * the manifest (`statsFile`), not into the manifest itself: at
+    * millions of files, inline JSON stats made the driver parse the
+    * whole census per read — the scale ceiling Delta's
+    * checkpoint-parquet + `_last_checkpoint` design removes, mirrored
+    * here. The fold includes any PRIOR checkpoint's rows (as a Spark
+    * union — never driver-materialized), restricted to still-live
+    * dirs; after the commit lands, `_log/_last_checkpoint` points at
+    * it.
     */
-  def checkpoint(maxRetries: Int = 20): Long =
-    commitLoop(maxRetries) { v =>
+  def checkpoint(maxRetries: Int = 20): Long = {
+    var staged: Option[String] = None
+    val v = commitLoop(maxRetries) { v =>
       val (chain, schema) = manifestChainAt(v)
-      // carry the chain's file stats forward: a checkpoint folds
-      // history, it must not discard the skipping metadata with it
-      val stats: Map[String, FileStats] =
-        chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+      staged = stageCkptStats(chain)
+      // a checkpoint folds METADATA only — live deletion vectors must
+      // ride along or the fold would resurrect deleted rows
+      val dvs = dvDirsOf(chain)
       Some(Manifest(0L, "overwrite", chain.flatMap(_.add), schema.json,
-        System.currentTimeMillis(), None,
-        if (stats.isEmpty) None else Some(stats), Some(Nil)))
+        System.currentTimeMillis(), None, None, Some(Nil), staged,
+        if (dvs.isEmpty) None else Some(dvs)))
     }
+    writeLastCheckpoint(v, staged)
+    v
+  }
 
   /** Small-files compaction, transactional: rewrite the CURRENT live
     * set into ⌈rows / targetRowsPerFile⌉ files behind one overwrite
@@ -984,32 +1214,74 @@ final class TxLogTable(spark: SparkSession, root: String) {
     val dirs = chain.flatMap(_.add)
     // a retainHistory=false vacuum may have collected dirs that only
     // old snapshots referenced — fail loudly, not with a broken table
-    dirs.foreach(d => require(Files.isDirectory(dataDir.resolve(d)),
-      s"cannot restore to $version: data dir $d was vacuumed"))
+    (dirs ++ dvDirsOf(chain)).foreach(d =>
+      require(Files.isDirectory(dataDir.resolve(d)),
+        s"cannot restore to $version: data dir $d was vacuumed"))
     val stats: Map[String, FileStats] =
       chain.flatMap(_.stats.getOrElse(Map.empty))
         .filter { case (k, _) => dirs.exists(d => k.startsWith(d + "/")) }
         .toMap
+    val targetDv = dvDirsOf(chain)
     commitLoop(maxRetries) { v =>
+      import org.apache.spark.sql.functions.{col, regexp_extract,
+        substring_index}
       val (preChain, preSchema) = manifestChainAt(v)
       val preDirs = preChain.flatMap(_.add)
+      val preDv = dvDirsOf(preChain)
       val restoredSet = dirs.toSet
       val dropped = preDirs.filterNot(restoredSet)
       val gained = dirs.filterNot(preDirs.toSet)
-      def side(ds: Seq[String], sch: StructType, tag: String) =
+      val shared = preDirs.filter(restoredSet).distinct
+      // whole-dir legs, each under ITS snapshot's deletion vectors
+      def side(ds: Seq[String], sch: StructType, dvs: Seq[String],
+          tag: String) =
         if (ds.isEmpty) None
-        else Some(spark.read.schema(sch)
-          .parquet(ds.map(d => dataDir.resolve(d).toString): _*)
+        else Some(applyDv(spark.read.schema(sch)
+            .parquet(ds.map(d => dataDir.resolve(d).toString): _*), dvs)
           .withColumn("_change_type", lit(tag)))
+      // shared-dir legs: dirs live in BOTH snapshots but under
+      // different deletion vectors — positions deleted pre-restore and
+      // not in the target resurrect (insert); the reverse are new
+      // deletes. Keys compare as (file, pos) frames; rows fetch by
+      // semi-join, so cost is DV-delta-proportional.
+      def dvKeys(ds: Seq[String]): DataFrame = {
+        val all =
+          if (ds.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              dvReadSchema)
+          else spark.read.schema(dvReadSchema)
+            .parquet(ds.map(d => dataDir.resolve(d).toString): _*)
+        all.filter(substring_index(col("_dv_file"), "/", 1)
+          .isin(shared: _*))
+      }
+      def fetch(keys: DataFrame, tag: String): DataFrame =
+        spark.read.schema(schema)
+          .parquet(shared.map(d => dataDir.resolve(d).toString): _*)
+          .withColumn("_dv_file", regexp_extract(
+            col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+          .withColumn("_dv_pos", col("_metadata.row_index"))
+          .join(keys, Seq("_dv_file", "_dv_pos"), "left_semi")
+          .withColumn("_change_type", lit(tag))
+      val dvDelta = shared.nonEmpty && preDv.toSet != targetDv.toSet
+      val deltaSides =
+        if (!dvDelta) Nil
+        else {
+          val preK = dvKeys(preDv)
+          val tgtK = dvKeys(targetDv)
+          Seq(fetch(preK.exceptAll(tgtK), "insert"),
+            fetch(tgtK.exceptAll(preK), "delete"))
+        }
+      val sides = (side(dropped, preSchema, preDv, "delete") ++
+        side(gained, schema, targetDv, "insert")).toSeq ++ deltaSides
       val cdc =
-        if (dropped.isEmpty && gained.isEmpty) Some(Nil) // no-op restore
+        if (sides.isEmpty) Some(Nil) // no-op restore
         else Some(Seq(stageData(
-          (side(dropped, preSchema, "delete") ++ side(gained, schema, "insert"))
-            .reduce(_.unionByName(_, allowMissingColumns = true)))))
+          sides.reduce(_.unionByName(_, allowMissingColumns = true)))))
       Some(Manifest(0L, "overwrite", dirs, schema.json,
         System.currentTimeMillis(),
         wrap(markers + ("restoredFrom" -> version.toString)), wrap2(stats),
-        cdc))
+        cdc, chain.flatMap(_.statsFile).lastOption,
+        if (targetDv.isEmpty) None else Some(targetDv)))
     }
   }
 
@@ -1025,33 +1297,40 @@ final class TxLogTable(spark: SparkSession, root: String) {
   def vacuum(retainHistory: Boolean = true): Seq[String] = {
     val v = currentVersion
     if (v < 0) return Nil
-    val referenced: Set[String] =
+    val manifests: Seq[Manifest] =
       if (retainHistory)
-        (0L to v).flatMap { i =>
-          if (Files.exists(manifestPath(i))) {
-            val m = manifestAt(i)
-            m.add ++ m.cdc.getOrElse(Nil)
-          } else Nil
-        }.toSet
-      else {
-        // keep the live set plus the change dirs of the still-walked
-        // manifest chain (the feed window a reader can still replay)
-        val (chain, _) = manifestChainAt(v)
-        (chain.flatMap(_.add) ++ chain.flatMap(_.cdc.getOrElse(Nil))).toSet
-      }
+        (0L to v).flatMap(i =>
+          if (Files.exists(manifestPath(i))) Some(manifestAt(i)) else None)
+      else manifestChainAt(v)._1
+    // retainHistory=false keeps the live set plus the change dirs of
+    // the still-walked manifest chain (the feed window a reader can
+    // still replay)
+    val referenced: Set[String] =
+      manifests.flatMap(m =>
+        m.add ++ m.cdc.getOrElse(Nil) ++ m.dv.getOrElse(Nil)).toSet
     import scala.jdk.CollectionConverters._
-    val s = Files.list(dataDir)
-    val all =
+    def sweep(dir: Path, doomed: List[String]): List[String] = {
+      doomed.foreach { d =>
+        val walk = Files.walk(dir.resolve(d))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        finally walk.close()
+      }
+      doomed
+    }
+    def ls(dir: Path): List[String] = {
+      val s = Files.list(dir)
       try s.iterator().asScala.map(_.getFileName.toString).toList
       finally s.close()
-    val doomed = all.filterNot(referenced)
-    doomed.foreach { d =>
-      val p = dataDir.resolve(d)
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
     }
-    doomed.sorted
+    val doomedData = sweep(dataDir, ls(dataDir).filterNot(referenced))
+    // stats-checkpoint GC: a ckpt parquet is garbage once no surviving
+    // manifest references it (lost checkpoint races, or — with
+    // retainHistory=false — checkpoints of no-longer-replayable
+    // versions)
+    val refCkpt: Set[String] = manifests.flatMap(_.statsFile).toSet
+    val doomedCkpt = sweep(logDir,
+      ls(logDir).filter(n => n.startsWith("ckpt-") && !refCkpt(n)))
+    (doomedData ++ doomedCkpt).sorted
   }
 }

@@ -235,4 +235,67 @@ class TxLogStreamSpec extends SparkSpec {
     sync()
     assert(snap(b) === snap(a))
   }
+
+  test("mid-stream schema evolution: evolved mode surfaces new columns live, fail mode stops loudly") {
+    val root = Files.createTempDirectory("txevo").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1L)))
+
+    val wide = StructType(schema.fields :+
+      StructField("extra", StringType, nullable = true))
+    def wideDf(rows: (Long, String, Long, String)*) = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        rows.map { case (k, v, ts, e) => Row(k, v, ts, e) }.asJava, wide)
+    }
+
+    // evolved mode: the post-start column arrives in _evolved with NO
+    // restart, from its admission batch onward
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Map[String, String]])]
+    val ck = Files.createTempDirectory("txevo_ck").toString
+    val q = spark.readStream.format("txlog")
+      .option("startingVersion", "earliest")
+      .option("onSchemaEvolution", "evolved").load(root)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val got = batch.select(col("k"), col("_evolved")).collect()
+          .map(r => (r.getLong(0),
+            Option(r.getMap[String, String](1)).map(_.toMap)))
+        rows.synchronized { rows ++= got }
+        ()
+      }.start()
+    q.processAllAvailable()
+    t.append(wideDf((2L, "b", 2L, "NEW"))) // evolves the table schema
+    q.processAllAvailable()
+    q.stop()
+    val byK = rows.toMap
+    assert(byK(1L).isEmpty, "pre-evolution rows carry no _evolved map")
+    assert(byK(2L) === Some(Map("extra" -> "NEW")),
+      s"evolved column must surface live, got $rows")
+
+    // fail mode: a SECOND evolution, after this stream starts, stops
+    // it with the descriptive error instead of silently dropping the
+    // column ("extra" is known to this stream — it predates it)
+    val wider = StructType(wide.fields :+
+      StructField("extra2", StringType, nullable = true))
+    val ck2 = Files.createTempDirectory("txevo_ck2").toString
+    val q2 = spark.readStream.format("txlog")
+      .option("startingVersion", "earliest")
+      .option("onSchemaEvolution", "fail").load(root)
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    q2.processAllAvailable() // drains the pre-evolution history fine
+    t.append {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        Seq(Row(3L, "c", 3L, null, "NEWER")).asJava, wider)
+    }
+    try q2.processAllAvailable() catch { case _: Throwable => () }
+    q2.stop()
+    assert(q2.exception.isDefined &&
+      q2.exception.get.getMessage.contains("schema evolved mid-stream"),
+      s"fail mode must stop loudly, got ${q2.exception}")
+  }
 }
