@@ -69,10 +69,26 @@ object Multimodal {
       bits_per_sample: Option[Int],
       n_frames: Option[Long])
 
+  /** Frame-walk MP3 metadata ([[graft.functions.Mp3Codec]]); None
+    * fields on payloads that are not a consistent Layer III walk.
+    * `n_samples` is exact — duration derives as n_samples/sample_rate
+    * downstream, the numerator/denominator time discipline.
+    */
+  case class Mp3Meta(
+      media_id: Long,
+      n_bytes: Long,
+      version: Option[String],
+      bitrate_kbps: Option[Int],
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      n_frames: Option[Long],
+      n_samples: Option[Long])
+
   implicit private val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit private val metaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
   implicit private val audioEnc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
+  implicit private val mp3Enc: Encoder[Mp3Meta] = Encoders.product[Mp3Meta]
 
   /** STUB decoder — deterministic fake standing in for a real
     * image/audio codec. A production decoder would replace `decode`
@@ -151,6 +167,20 @@ object Multimodal {
         AudioMeta(r.media_id, r.payload.length.toLong,
           m.map(_.channels), m.map(_.sampleRate),
           m.map(_.bitsPerSample), m.map(_.nFrames))
+      }
+    }
+
+  /** Compressed-audio sibling of [[audioMeta]]: the MP3 frame walk
+    * ([[graft.functions.Mp3Codec.meta]]) — O(frame headers) per row,
+    * same per-partition decode stage, total on dirty payloads.
+    */
+  def mp3Meta(media: Dataset[MediaRow]): Dataset[Mp3Meta] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = graft.functions.Mp3Codec.meta(r.payload)
+        Mp3Meta(r.media_id, r.payload.length.toLong,
+          m.map(_.version), m.map(_.bitrateKbps), m.map(_.sampleRate),
+          m.map(_.channels), m.map(_.nFrames), m.map(_.nSamples))
       }
     }
 

@@ -2365,6 +2365,38 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,4)")).cast("double")
             .as("sum_value"))
+    },
+
+    // ── MP3 frame-walk metadata (the compressed-audio sibling of
+    // q80's WAV walk): per doc_id a standards-shaped Layer III stream
+    // — MPEG-1 or MPEG-2 by id, cycling bitrate/rate indices, mono/
+    // stereo, padding bits every third frame, ID3v2 prefix and ID3v1
+    // trailer on id strides — walked frame-by-frame back to exact
+    // (version, bitrate, rate, channels, frames, samples). The oracle
+    // replays the index arithmetic through the published bitrate/rate
+    // tables, so a slip in sync masks, table rows, padding math, the
+    // syncsafe ID3 skip, or samples-per-frame breaks the hash.
+    "q152_mp3_headers" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val vbits = if (id % 4 == 0) 2 else 3
+          val payload = graft.functions.Mp3Codec.mp3Bytes(vbits,
+            (id % 14 + 1).toInt, (id % 3).toInt, id % 2 == 0,
+            (id % 297 + 3).toInt,
+            id3v2Bytes = if (id % 5 == 0) 64 else 0,
+            id3v1 = id % 7 == 0)
+          Multimodal.MediaRow(id, payload, "audio/mpeg", source)
+        }
+      Multimodal.mp3Meta(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("version"),
+          col("bitrate_kbps").cast("long").as("bitrate_kbps"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("n_samples"))
     }
   )
 
@@ -4274,7 +4306,29 @@ object ExtQueries {
         |    AND NOT COALESCE(event_type = 'click' AND value > 100, FALSE))
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM fin GROUP BY 1""".stripMargin
+        |FROM fin GROUP BY 1""".stripMargin,
+
+    // index arithmetic through the published MPEG bitrate/rate tables
+    "q152_mp3_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'MPEG2' ELSE 'MPEG1' END AS version,
+        |  CAST(CASE WHEN doc_id % 4 = 0
+        |    THEN [8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+        |      [CAST(doc_id % 14 AS INT) + 1]
+        |    ELSE [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |      [CAST(doc_id % 14 AS INT) + 1]
+        |  END AS BIGINT) AS bitrate_kbps,
+        |  CAST(CASE WHEN doc_id % 4 = 0
+        |    THEN [22050,24000,16000][CAST(doc_id % 3 AS INT) + 1]
+        |    ELSE [44100,48000,32000][CAST(doc_id % 3 AS INT) + 1]
+        |  END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS channels,
+        |  CAST(doc_id % 297 + 3 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 297 + 3) *
+        |    CASE WHEN doc_id % 4 = 0 THEN 576 ELSE 1152 END AS BIGINT)
+        |    AS n_samples
+        |FROM documents""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
