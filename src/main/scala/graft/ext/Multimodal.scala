@@ -212,7 +212,8 @@ object Multimodal {
         graft.functions.PngCodec.decode(r.payload)
           .orElse(graft.functions.JpegCodec.decode(r.payload))
           .orElse(graft.functions.GifCodec.decode(r.payload))
-          .orElse(graft.functions.BmpCodec.decode(r.payload)) match {
+          .orElse(graft.functions.BmpCodec.decode(r.payload))
+          .orElse(graft.functions.WebpCodec.decode(r.payload)) match {
           case None =>
             PixelStats(r.media_id, None, None, None, None, None)
           case Some(img) =>
@@ -297,7 +298,8 @@ object Multimodal {
         graft.functions.PngCodec.decode(r.payload)
           .orElse(graft.functions.JpegCodec.decode(r.payload))
           .orElse(graft.functions.GifCodec.decode(r.payload))
-          .orElse(graft.functions.BmpCodec.decode(r.payload)) match {
+          .orElse(graft.functions.BmpCodec.decode(r.payload))
+          .orElse(graft.functions.WebpCodec.decode(r.payload)) match {
           case None => ImageHash(r.media_id, None, None, None)
           case Some(img) =>
             val l = Array.ofDim[Long](8, 9)
@@ -617,7 +619,8 @@ object Multimodal {
         graft.functions.PngCodec.decode(r.payload)
           .orElse(graft.functions.JpegCodec.decode(r.payload))
           .orElse(graft.functions.GifCodec.decode(r.payload))
-          .orElse(graft.functions.BmpCodec.decode(r.payload)) match {
+          .orElse(graft.functions.BmpCodec.decode(r.payload))
+          .orElse(graft.functions.WebpCodec.decode(r.payload)) match {
           case None => r
           case Some(img) =>
             val out = new Array[Byte](targetW * targetH * img.channels)

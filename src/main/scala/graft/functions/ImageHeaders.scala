@@ -100,9 +100,10 @@ object ImageHeaders {
     None
   }
 
-  /** Sniff PNG then JPEG (each validates its own magic). */
+  /** Sniff PNG, then JPEG, then WebP (each validates its own magic). */
   def dims(payload: Array[Byte]): Option[Dims] =
     pngDims(payload).orElse(jpegDims(payload))
+      .orElse(WebpCodec.dims(payload))
 
   // ── fixture emitters ──────────────────────────────────────────────
   // Minimal spec-shaped headers (valid signature/IHDR/CRC, valid

@@ -2397,6 +2397,48 @@ object ExtQueries {
           col("sample_rate").cast("long").as("sample_rate"),
           col("channels").cast("long").as("channels"),
           col("n_frames"), col("n_samples"))
+    },
+
+    // ── REAL WebP/VP8L pixel decode (the 5th still-image codec — the
+    // majority lossless encoding of a modern crawl): per doc_id a
+    // 4×4-BLOCK raster (horizontal runs + repeated colors, so the
+    // encoder's LZ77 distance-1 copies AND color-cache hits are on the
+    // verified path, not just literals) is VP8L-encoded — package-merge
+    // Huffman, RLE'd code lengths, cache inserts — and decoded back
+    // through the full container walk → prefix-code rebuild → LZ77/
+    // cache pixel loop. The oracle replays the block formula, so a slip
+    // in canonical code assignment, bit order, the repeat codes, cache
+    // hashing, or copy addressing breaks the hash.
+    "q153_webp_pixel_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val data = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = (y * w + x) * 3
+              data(i) = ((id + 3L * (x / 4) + 7L * (y / 4)) % 256).toByte
+              data(i + 1) = ((2L * id + 5L * (x / 4) + (y / 4)) % 256).toByte
+              data(i + 2) = ((3L * id + (x / 4) + 11L * (y / 4)) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val img = graft.functions.PngCodec.Image(w, h, 3, data)
+          Multimodal.MediaRow(id, graft.functions.WebpCodec.encode(img),
+            "image/webp", source)
+        }
+      Multimodal.pixelStats(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("luma_sum"))
     }
   )
 
@@ -4328,7 +4370,24 @@ object ExtQueries {
         |  CAST((doc_id % 297 + 3) *
         |    CASE WHEN doc_id % 4 = 0 THEN 576 ELSE 1152 END AS BIGINT)
         |    AS n_samples
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // block-raster identity: the oracle replays the 4x4-block pixel
+    // formula; the Spark side recovers it through a real VP8L
+    // encode→decode (prefix codes, LZ77 copies, color cache)
+    "q153_webp_pixel_stats" ->
+      """SELECT d.doc_id,
+        |  d.doc_id % 16 + 4 AS width,
+        |  d.doc_id % 12 + 4 AS height,
+        |  (d.doc_id % 16 + 4) * (d.doc_id % 12 + 4) AS n_pixels,
+        |  CAST(sum(299*((d.doc_id + 3*(x.i//4) + 7*(y.i//4)) % 256)
+        |         + 587*((2*d.doc_id + 5*(x.i//4) + (y.i//4)) % 256)
+        |         + 114*((3*d.doc_id + (x.i//4) + 11*(y.i//4)) % 256))
+        |    AS BIGINT) AS luma_sum
+        |FROM documents d
+        |JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
+        |JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4
+        |GROUP BY d.doc_id""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
