@@ -150,23 +150,25 @@ object Mp3Codec {
       out.write((id3v2Bytes >>> 14) & 0x7f)
       out.write((id3v2Bytes >>> 7) & 0x7f)
       out.write(id3v2Bytes & 0x7f)
-      (0 until id3v2Bytes).foreach(_ => out.write(0))
+      out.write(new Array[Byte](id3v2Bytes))
     }
     val (rates, bitrates, coef) = versionBits match {
       case 3 => (RatesV1, BitratesV1L3, 144000)
       case 2 => (RatesV2, BitratesV2L3, 72000)
       case _ => (RatesV25, BitratesV2L3, 72000)
     }
+    val baseLen = coef * bitrates(bitrateIdx) / rates(rateIdx)
+    val filler = Array.fill[Byte](baseLen + 1 - 4)(0xAA.toByte)
     var i = 0
     while (i < nFrames) {
       val padding = if (i % 3 == 0) 1 else 0
-      val frameLen = coef * bitrates(bitrateIdx) / rates(rateIdx) + padding
+      val frameLen = baseLen + padding
       val h = (0x7ff << 21) | (versionBits << 19) | (1 << 17) | (1 << 16) |
         (bitrateIdx << 12) | (rateIdx << 10) | (padding << 9) |
         ((if (mono) 3 else 0) << 6)
       out.write((h >>> 24) & 0xff); out.write((h >>> 16) & 0xff)
       out.write((h >>> 8) & 0xff); out.write(h & 0xff)
-      (4 until frameLen).foreach(_ => out.write(0xAA))
+      out.write(filler, 0, frameLen - 4)
       i += 1
     }
     if (id3v1) {

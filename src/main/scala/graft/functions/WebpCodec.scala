@@ -20,17 +20,29 @@ import PngCodec.Image
   *   - color cache (any 1-11 bits), LZ77 back-references with the
   *     prefix-coded length/distance scheme, distance plane-codes in
   *     the direct (> 120) range;
-  *   - NOT decoded (None, documented): the four pixel transforms,
-  *     meta-prefix (entropy-image) streams, and the 120 mapped 2-D
-  *     distance codes — rejecting beats silently mis-addressing
-  *     rows, and the encoder below never emits any of them.
+  *   - three of the four pixel transforms, inverse-applied in
+  *     reverse read order: SUBTRACT-GREEN, the 14-mode PREDICTOR
+  *     transform (its per-block mode image decoded as the spec's
+  *     sub-resolution entropy-coded image), and COLOR-INDEXING
+  *     (palette with delta-coded entries, including the sub-byte
+  *     pixel-bundling widths) — what real encoders emit for
+  *     photographic and icon content respectively;
+  *   - NOT decoded (None, documented): the cross-channel COLOR
+  *     transform, meta-prefix (entropy-image) ARGB streams,
+  *     predictor combined with color-indexing, and the 120 mapped
+  *     2-D distance codes — rejecting beats silently mis-addressing
+  *     rows.
   *
   * Encode side (fixture/writer leg): a real, generally-correct VP8L
   * encoder — greedy distance-1 run LZ77 + 8-bit color cache +
   * literals, per-channel histograms, package-merge length-limited
   * Huffman (15 for symbols, 7 for the code-length code), canonical
-  * code assignment, RLE-coded code lengths. decode(encode(img)) is
-  * pixel-exact for every raster (q153's hash gate).
+  * code assignment, RLE-coded code lengths; opt-in subtract-green
+  * and fixed-mode predictor transforms, plus a palette
+  * ([[encodeIndexed]]) path with pixel bundling, put the
+  * inverse-transform arms on the oracle-verified path.
+  * decode(encode(img)) is pixel-exact for every raster (q153's hash
+  * gate).
   *
   * Lossy (VP8) and extended (VP8X) WebP: header-only dimension
   * parse ([[dims]]) — the metadata step; full VP8 entropy decode is
@@ -124,7 +136,6 @@ object WebpCodec {
     lengths.foreach(l => if (l > 0) count(l) += 1)
     private val nSyms = count.sum
     private val single = if (nSyms == 1) lengths.indexWhere(_ > 0) else -1
-    // firstCode/offset per length + symbols sorted by (length, index)
     private val firstCode = new Array[Int](maxLen + 1)
     private val offset = new Array[Int](maxLen + 1)
     private val sorted = new Array[Int](nSyms)
@@ -218,50 +229,107 @@ object WebpCodec {
   private def cacheHash(argb: Int, bits: Int): Int =
     (0x1e35a7bd * argb) >>> (32 - bits)
 
-  // ── decode ────────────────────────────────────────────────────────
+  // ── pixel-channel arithmetic (ARGB ints) ──────────────────────────
 
-  private val Vp8lMagic = 0x2f
-
-  /** Full VP8L pixel decode from a WebP container. */
-  def decode(payload: Array[Byte]): Option[Image] = {
-    val chunk = vp8lChunk(payload).getOrElse(return None)
-    val (off, len) = chunk
-    if (len < 5) return None
-    if ((payload(off) & 0xff) != Vp8lMagic) return None
-    val br = new BitReader(payload, off + 1, off + len)
-    val w = br.readBits(14) + 1
-    val h = br.readBits(14) + 1
-    val alphaUsed = br.readBits(1)
-    if (br.readBits(3) != 0) return None // version
-    if (w.toLong * h > PngCodec.MaxPixels) return None
-    if (br.readBits(1) != 0) return None // transforms: out of surface
-    decodeEntropyImage(br, w, h) match {
-      case Some(px) if !br.eof =>
-        val useAlpha = alphaUsed == 1
-        val ch = if (useAlpha) 4 else 3
-        val data = new Array[Byte](w * h * ch)
-        var i = 0
-        while (i < w * h) {
-          val p = px(i)
-          data(i * ch) = ((p >> 16) & 0xff).toByte
-          data(i * ch + 1) = ((p >> 8) & 0xff).toByte
-          data(i * ch + 2) = (p & 0xff).toByte
-          if (useAlpha) data(i * ch + 3) = ((p >>> 24) & 0xff).toByte
-          i += 1
-        }
-        Some(Image(w, h, ch, data))
-      case _ => None
-    }
+  private def addPixels(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) + (b >>> 24)) & 0xff) << 24
+    val rr = ((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) & 0xff) << 16
+    val gg = ((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) & 0xff) << 8
+    val bb = ((a & 0xff) + (b & 0xff)) & 0xff
+    aa | rr | gg | bb
   }
 
-  /** The entropy-coded ARGB image (no transforms, single prefix
-    * group): color-cache header, 5 prefix codes, LZ77 pixel loop.
+  private def subPixels(a: Int, b: Int): Int = {
+    val aa = (((a >>> 24) - (b >>> 24)) & 0xff) << 24
+    val rr = ((((a >> 16) & 0xff) - ((b >> 16) & 0xff)) & 0xff) << 16
+    val gg = ((((a >> 8) & 0xff) - ((b >> 8) & 0xff)) & 0xff) << 8
+    val bb = ((a & 0xff) - (b & 0xff)) & 0xff
+    aa | rr | gg | bb
+  }
+
+  private def avg2(a: Int, b: Int): Int = {
+    val aa = ((((a >>> 24) + (b >>> 24)) / 2) & 0xff) << 24
+    val rr = (((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) / 2) & 0xff) << 16
+    val gg = (((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) / 2) & 0xff) << 8
+    val bb = (((a & 0xff) + (b & 0xff)) / 2) & 0xff
+    aa | rr | gg | bb
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def clampAddSubtractFull(l: Int, t: Int, tl: Int): Int = {
+    def c(sh: Int) = clamp255(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) -
+      ((tl >>> sh) & 0xff)) << sh
+    c(24) | c(16) | c(8) | c(0)
+  }
+
+  private def clampAddSubtractHalf(ave: Int, tl: Int): Int = {
+    def c(sh: Int) = {
+      val a = (ave >>> sh) & 0xff
+      clamp255(a + (a - ((tl >>> sh) & 0xff)) / 2) << sh
+    }
+    c(24) | c(16) | c(8) | c(0)
+  }
+
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    def ch(p: Int, sh: Int) = (p >>> sh) & 0xff
+    var pL = 0
+    var pT = 0
+    var sh = 0
+    while (sh < 32) {
+      val p = ch(l, sh) + ch(t, sh) - ch(tl, sh)
+      pL += math.abs(p - ch(l, sh))
+      pT += math.abs(p - ch(t, sh))
+      sh += 8
+    }
+    if (pL < pT) l else t
+  }
+
+  /** The 14 spec predictors; -1 marks an invalid mode. */
+  private def predictPixel(mode: Int, l: Int, t: Int, tl: Int,
+      tr: Int): Int = mode match {
+    case 0 => 0xff000000
+    case 1 => l
+    case 2 => t
+    case 3 => tr
+    case 4 => tl
+    case 5 => avg2(avg2(l, tr), t)
+    case 6 => avg2(l, tl)
+    case 7 => avg2(l, t)
+    case 8 => avg2(tl, t)
+    case 9 => avg2(t, tr)
+    case 10 => avg2(avg2(l, tl), avg2(t, tr))
+    case 11 => select(l, t, tl)
+    case 12 => clampAddSubtractFull(l, t, tl)
+    case 13 => clampAddSubtractHalf(avg2(l, t), tl)
+    case _ => -1
+  }
+
+  /** Predictor for position i on a row-major image where neighbors are
+    * already final. Edge rules per spec: (0,0) predicts opaque black,
+    * row 0 predicts LEFT, column 0 predicts TOP; the top-right of the
+    * last column is the first pixel of the current row (the
+    * contiguous-memory addressing the spec codifies).
     */
-  private def decodeEntropyImage(br: BitReader, w: Int,
-      h: Int): Option[Array[Int]] = {
+  private def predictorAt(px: Array[Int], w: Int, x: Int, y: Int,
+      mode: Int): Int = {
+    val i = y * w + x
+    if (x == 0 && y == 0) 0xff000000
+    else if (y == 0) px(i - 1)
+    else if (x == 0) px(i - w)
+    else predictPixel(mode, px(i - 1), px(i - w), px(i - w - 1),
+      px(i - w + 1))
+  }
+
+  // ── entropy-coded image (shared by the ARGB image and sub-images) ─
+
+  private def readEntropyImage(br: BitReader, w: Int, h: Int,
+      level0: Boolean): Option[Array[Int]] = {
     val cacheBits = if (br.readBits(1) == 1) br.readBits(4) else 0
     if (cacheBits > 11) return None
-    if (br.readBits(1) != 0) return None // meta prefix: out of surface
+    // the meta-prefix bit exists ONLY at level 0 (sub-images never
+    // consume it — the spec's allow_recursion short-circuit)
+    if (level0 && br.readBits(1) != 0) return None
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val green = readPrefixCode(br, 256 + 24 + cacheSize).getOrElse(return None)
     val red = readPrefixCode(br, 256).getOrElse(return None)
@@ -330,7 +398,6 @@ object WebpCodec {
         lengths(s0) = 1
         lengths(s1) = 1
       }
-      // note: single-symbol PrefixDecoder reads zero bits, as required
       Some(new PrefixDecoder(lengths)).filter(_.valid)
     } else { // normal: code-length-coded lengths
       val numCodes = br.readBits(4) + 4
@@ -371,6 +438,136 @@ object WebpCodec {
     }
   }
 
+  // ── decode ────────────────────────────────────────────────────────
+
+  private val Vp8lMagic = 0x2f
+
+  /** Full VP8L pixel decode from a WebP container. */
+  def decode(payload: Array[Byte]): Option[Image] = {
+    val (off, len) = vp8lChunk(payload).getOrElse(return None)
+    if (len < 5) return None
+    if ((payload(off) & 0xff) != Vp8lMagic) return None
+    val br = new BitReader(payload, off + 1, off + len)
+    val w = br.readBits(14) + 1
+    val h = br.readBits(14) + 1
+    val alphaUsed = br.readBits(1)
+    if (br.readBits(3) != 0) return None // version
+    if (w.toLong * h > PngCodec.MaxPixels) return None
+
+    // transform stack, in read order
+    var order = List.empty[Int]
+    var predictor: Option[(Int, Array[Int], Int)] = None // sizeBits, modes, subW
+    var palette: Option[(Array[Int], Int)] = None // entries, xbits
+    var decodeW = w
+    var more = br.readBits(1) == 1
+    while (more) {
+      val t = br.readBits(2)
+      if (order.contains(t)) return None // each transform at most once
+      order = order :+ t
+      t match {
+        case 2 => () // subtract-green: no data
+        case 0 =>
+          val sizeBits = br.readBits(3) + 2
+          val bs = 1 << sizeBits
+          val sw = (w + bs - 1) >> sizeBits
+          val sh = (h + bs - 1) >> sizeBits
+          val modes = readEntropyImage(br, sw, sh, level0 = false)
+            .getOrElse(return None)
+          predictor = Some((sizeBits, modes, sw))
+        case 3 =>
+          val tableSize = br.readBits(8) + 1
+          val raw = readEntropyImage(br, tableSize, 1, level0 = false)
+            .getOrElse(return None)
+          // palette entries are delta-coded against the previous one
+          val pal = new Array[Int](tableSize)
+          var prev = 0
+          var i = 0
+          while (i < tableSize) { pal(i) = addPixels(prev, raw(i)); prev = pal(i); i += 1 }
+          val xbits =
+            if (tableSize <= 2) 3
+            else if (tableSize <= 4) 2
+            else if (tableSize <= 16) 1
+            else 0
+          palette = Some((pal, xbits))
+          decodeW = (w + (1 << xbits) - 1) >> xbits
+        case _ => return None // cross-channel color transform: out of surface
+      }
+      more = br.readBits(1) == 1
+    }
+    if (br.eof) return None
+    // predictor-over-packed-indices is a combination real encoders do
+    // not produce; dims would disagree — reject rather than guess
+    if (predictor.isDefined && palette.isDefined) return None
+
+    var px = readEntropyImage(br, decodeW, h, level0 = true)
+      .getOrElse(return None)
+    if (br.eof) return None
+
+    // inverse transforms, reverse read order
+    order.reverse.foreach {
+      case 2 => // add green back to red and blue
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val g = (p >> 8) & 0xff
+          val r = (((p >> 16) & 0xff) + g) & 0xff
+          val b = ((p & 0xff) + g) & 0xff
+          px(i) = (p & 0xff00ff00) | (r << 16) | b
+          i += 1
+        }
+      case 0 =>
+        val (sizeBits, modes, subW) = predictor.get
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val mode =
+              (modes((y >> sizeBits) * subW + (x >> sizeBits)) >> 8) & 0xff
+            if (mode > 13) return None
+            val i = y * w + x
+            px(i) = addPixels(px(i), predictorAt(px, w, x, y, mode))
+            x += 1
+          }
+          y += 1
+        }
+      case 3 =>
+        val (pal, xbits) = palette.get
+        val unpacked = new Array[Int](w * h)
+        val perPacked = 1 << xbits
+        val bitsPer = 8 >> xbits
+        val mask = (1 << bitsPer) - 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val packed = px(y * decodeW + x / perPacked)
+            val g = (packed >> 8) & 0xff
+            val idx = (g >> ((x % perPacked) * bitsPer)) & mask
+            unpacked(y * w + x) =
+              if (idx < pal.length) pal(idx) else 0x00000000
+            x += 1
+          }
+          y += 1
+        }
+        px = unpacked
+      case _ => return None
+    }
+
+    val useAlpha = alphaUsed == 1
+    val ch = if (useAlpha) 4 else 3
+    val data = new Array[Byte](w * h * ch)
+    var i = 0
+    while (i < w * h) {
+      val p = px(i)
+      data(i * ch) = ((p >> 16) & 0xff).toByte
+      data(i * ch + 1) = ((p >> 8) & 0xff).toByte
+      data(i * ch + 2) = (p & 0xff).toByte
+      if (useAlpha) data(i * ch + 3) = ((p >>> 24) & 0xff).toByte
+      i += 1
+    }
+    Some(Image(w, h, ch, data))
+  }
+
   // ── encode ────────────────────────────────────────────────────────
 
   private val CacheBits = 8
@@ -380,50 +577,49 @@ object WebpCodec {
   private final case class CacheRef(idx: Int) extends Tok
   private final case class Copy(len: Int) extends Tok // distance always 1
 
-  /** VP8L-lossless encode of a raster (1/3/4 channels; gray encodes
-    * as r=g=b). Greedy tokens: distance-1 runs, color-cache hits,
-    * literals — then canonical length-limited Huffman over the real
-    * histograms. decode ∘ encode = identity on pixels.
-    */
-  def encode(img: Image): Array[Byte] = {
-    require(img.width > 0 && img.height > 0 &&
-      img.width <= (1 << 14) && img.height <= (1 << 14),
-      "VP8L dims are 14-bit")
+  private def toArgb(img: Image): (Array[Int], Boolean) = {
     val n = img.width * img.height
     val px = new Array[Int](n)
     var i = 0
     while (i < n) {
-      val (a, r, g, b) = img.channels match {
+      px(i) = img.channels match {
         case 4 =>
           val o = i * 4
-          (img.data(o + 3) & 0xff, img.data(o) & 0xff,
-            img.data(o + 1) & 0xff, img.data(o + 2) & 0xff)
+          ((img.data(o + 3) & 0xff) << 24) | ((img.data(o) & 0xff) << 16) |
+            ((img.data(o + 1) & 0xff) << 8) | (img.data(o + 2) & 0xff)
         case 3 =>
           val o = i * 3
-          (255, img.data(o) & 0xff, img.data(o + 1) & 0xff,
-            img.data(o + 2) & 0xff)
-        case 2 => // gray + alpha
+          0xff000000 | ((img.data(o) & 0xff) << 16) |
+            ((img.data(o + 1) & 0xff) << 8) | (img.data(o + 2) & 0xff)
+        case 2 =>
           val v = img.data(i * 2) & 0xff
-          (img.data(i * 2 + 1) & 0xff, v, v, v)
+          ((img.data(i * 2 + 1) & 0xff) << 24) | (v << 16) | (v << 8) | v
         case _ =>
           val v = img.data(i) & 0xff
-          (255, v, v, v)
+          0xff000000 | (v << 16) | (v << 8) | v
       }
-      px(i) = (a << 24) | (r << 16) | (g << 8) | b
       i += 1
     }
-    val alphaUsed = img.channels == 4 || img.channels == 2
+    (px, img.channels == 4 || img.channels == 2)
+  }
 
-    // tokenize (greedy; mirrors the decoder's cache state exactly)
+  /** Tokenize + histogram + code + emit one entropy-coded image.
+    * `level0` controls the meta-prefix bit; `useCache` trades header
+    * bits for hits (off for tiny sub-images).
+    */
+  private def writeEntropyImage(bw: BitWriter, px: Array[Int],
+      level0: Boolean, useCache: Boolean): Unit = {
+    val cacheBits = if (useCache) CacheBits else 0
     val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
-    val cache = new Array[Int](1 << CacheBits)
-    val seeded = new Array[Boolean](1 << CacheBits)
-    def insert(p: Int): Unit = {
-      val hsh = cacheHash(p, CacheBits)
+    val cache = if (useCache) new Array[Int](1 << cacheBits) else null
+    val seeded = if (useCache) new Array[Boolean](1 << cacheBits) else null
+    def insert(p: Int): Unit = if (useCache) {
+      val hsh = cacheHash(p, cacheBits)
       cache(hsh) = p
       seeded(hsh) = true
     }
-    i = 0
+    var i = 0
+    val n = px.length
     while (i < n) {
       val p = px(i)
       var run = 0
@@ -435,15 +631,14 @@ object WebpCodec {
         insert(p) // all copied pixels identical: one insert suffices
         i += run
       } else {
-        val hsh = cacheHash(p, CacheBits)
-        if (seeded(hsh) && cache(hsh) == p) toks += CacheRef(hsh)
+        val hsh = if (useCache) cacheHash(p, cacheBits) else 0
+        if (useCache && seeded(hsh) && cache(hsh) == p) toks += CacheRef(hsh)
         else { toks += Lit(p); insert(p) }
         i += 1
       }
     }
 
-    // histograms
-    val greenF = new Array[Long](256 + 24 + (1 << CacheBits))
+    val greenF = new Array[Long](256 + 24 + (if (useCache) 1 << cacheBits else 0))
     val redF = new Array[Long](256)
     val blueF = new Array[Long](256)
     val alphaF = new Array[Long](256)
@@ -461,15 +656,11 @@ object WebpCodec {
         distF(dist1._1) += 1
     }
 
-    val bw = new BitWriter
-    bw.writeBits(img.width - 1, 14)
-    bw.writeBits(img.height - 1, 14)
-    bw.writeBits(if (alphaUsed) 1 else 0, 1)
-    bw.writeBits(0, 3) // version
-    bw.writeBits(0, 1) // no transforms
-    bw.writeBits(1, 1) // color cache present
-    bw.writeBits(CacheBits, 4)
-    bw.writeBits(0, 1) // no meta prefix codes
+    if (useCache) {
+      bw.writeBits(1, 1)
+      bw.writeBits(cacheBits, 4)
+    } else bw.writeBits(0, 1)
+    if (level0) bw.writeBits(0, 1) // no meta prefix codes
 
     val greenC = writePrefixCode(bw, greenF)
     val redC = writePrefixCode(bw, redF)
@@ -491,6 +682,157 @@ object WebpCodec {
         distC(dist1._1, bw)
         bw.writeBits(dist1._3, dist1._2)
     }
+  }
+
+  /** VP8L-lossless encode (1/2/3/4-channel rasters; gray encodes as
+    * r=g=b). No transforms — the plain literal/LZ77/cache stream.
+    */
+  def encode(img: Image): Array[Byte] =
+    encodeWith(img, subtractGreen = false, predictorMode = None)
+
+  /** VP8L encode with the transform stack: optional SUBTRACT-GREEN
+    * and an optional fixed-mode PREDICTOR (mode 0-13, constant across
+    * blocks — the sub-resolution mode image is a single-literal
+    * entropy image). Forward order subtract-green → predictor;
+    * bitstream lists them so the decoder inverts in the right order.
+    */
+  def encodeWith(img: Image, subtractGreen: Boolean,
+      predictorMode: Option[Int]): Array[Byte] = {
+    require(img.width > 0 && img.height > 0 &&
+      img.width <= (1 << 14) && img.height <= (1 << 14),
+      "VP8L dims are 14-bit")
+    predictorMode.foreach(m => require(m >= 0 && m <= 13,
+      s"predictor mode 0-13, got $m"))
+    val (orig, alphaUsed) = toArgb(img)
+    val w = img.width
+    val h = img.height
+
+    var px = orig
+    if (subtractGreen) {
+      val out = new Array[Int](px.length)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        val g = (p >> 8) & 0xff
+        val r = (((p >> 16) & 0xff) - g) & 0xff
+        val b = ((p & 0xff) - g) & 0xff
+        out(i) = (p & 0xff00ff00) | (r << 16) | b
+        i += 1
+      }
+      px = out
+    }
+    predictorMode.foreach { mode =>
+      // residuals against the (possibly subtract-greened) final values,
+      // scanning forward so neighbors are the values the decoder will
+      // have already reconstructed
+      val src = px
+      val out = new Array[Int](src.length)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          out(i) = subPixels(src(i), predictorAt(src, w, x, y, mode))
+          x += 1
+        }
+        y += 1
+      }
+      px = out
+    }
+
+    val bw = new BitWriter
+    bw.writeBits(w - 1, 14)
+    bw.writeBits(h - 1, 14)
+    bw.writeBits(if (alphaUsed) 1 else 0, 1)
+    bw.writeBits(0, 3) // version
+    if (subtractGreen) {
+      bw.writeBits(1, 1)
+      bw.writeBits(2, 2)
+    }
+    predictorMode.foreach { mode =>
+      bw.writeBits(1, 1)
+      bw.writeBits(0, 2)
+      val sizeBits = 4 // 16-pixel blocks
+      bw.writeBits(sizeBits - 2, 3)
+      val bs = 1 << sizeBits
+      val sw = (w + bs - 1) >> sizeBits
+      val sh = (h + bs - 1) >> sizeBits
+      // constant mode image: every block pixel = 0xff000000 | mode<<8
+      writeEntropyImage(bw,
+        Array.fill(sw * sh)(0xff000000 | (mode << 8)),
+        level0 = false, useCache = false)
+    }
+    bw.writeBits(0, 1) // end of transforms
+    writeEntropyImage(bw, px, level0 = true, useCache = true)
+    container(bw.toBytes)
+  }
+
+  /** Palette (COLOR-INDEXING) encode: for rasters with ≤ 256 distinct
+    * colors — the icon/logo/diagram shape — emit the delta-coded
+    * palette plus the index image, pixel-BUNDLED into sub-byte widths
+    * when the palette is small (≤16 → 2 px/byte, ≤4 → 4, ≤2 → 8).
+    * Falls back to [[encode]] when the color census exceeds 256.
+    */
+  def encodeIndexed(img: Image): Array[Byte] = {
+    require(img.width > 0 && img.height > 0 &&
+      img.width <= (1 << 14) && img.height <= (1 << 14),
+      "VP8L dims are 14-bit")
+    val (px, alphaUsed) = toArgb(img)
+    val w = img.width
+    val h = img.height
+    val palette = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    var i = 0
+    while (i < px.length && palette.size <= 256) {
+      val p = px(i)
+      if (!palette.contains(p)) palette(p) = palette.size
+      i += 1
+    }
+    if (palette.size > 256) return encode(img)
+    val tableSize = palette.size
+    val xbits =
+      if (tableSize <= 2) 3
+      else if (tableSize <= 4) 2
+      else if (tableSize <= 16) 1
+      else 0
+    val perPacked = 1 << xbits
+    val bitsPer = 8 >> xbits
+    val packedW = (w + perPacked - 1) >> xbits
+
+    val packed = new Array[Int](packedW * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < packedW) {
+        var g = 0
+        var j = 0
+        while (j < perPacked) {
+          val srcX = x * perPacked + j
+          if (srcX < w) g |= palette(px(y * w + srcX)) << (j * bitsPer)
+          j += 1
+        }
+        packed(y * packedW + x) = 0xff000000 | (g << 8)
+        x += 1
+      }
+      y += 1
+    }
+    // delta-code palette entries
+    val entries = palette.keys.toArray
+    val deltas = new Array[Int](tableSize)
+    var prev = 0
+    i = 0
+    while (i < tableSize) { deltas(i) = subPixels(entries(i), prev); prev = entries(i); i += 1 }
+
+    val bw = new BitWriter
+    bw.writeBits(w - 1, 14)
+    bw.writeBits(h - 1, 14)
+    bw.writeBits(if (alphaUsed) 1 else 0, 1)
+    bw.writeBits(0, 3)
+    bw.writeBits(1, 1) // one transform…
+    bw.writeBits(3, 2) // …color indexing
+    bw.writeBits(tableSize - 1, 8)
+    writeEntropyImage(bw, deltas, level0 = false, useCache = false)
+    bw.writeBits(0, 1) // end of transforms
+    writeEntropyImage(bw, packed, level0 = true, useCache = true)
     container(bw.toBytes)
   }
 
@@ -522,7 +864,6 @@ object WebpCodec {
       // told nothing via max_symbol, covers the whole alphabet
       val clToks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var i = 0
-      var prevNonzero = 8
       while (i < lengths.length) {
         val v = lengths(i)
         var run = 1
@@ -539,12 +880,8 @@ object WebpCodec {
           }
           while (left > 0) { clToks += ((0, 0)); left -= 1 }
         } else {
-          // first occurrence literal (sets prev), rest via 16-codes —
-          // but 16 repeats prev nonzero, so it also works when v ==
-          // prevNonzero from an earlier stretch; keep it simple: one
-          // literal then runs of 16
+          // one literal (sets the 16-code's "previous"), rest via 16s
           clToks += ((v, 0))
-          prevNonzero = v
           var left = run - 1
           while (left >= 3) {
             val take = math.min(left, 6)
@@ -554,7 +891,6 @@ object WebpCodec {
         }
         i += run
       }
-      val _ = prevNonzero
       val clFreq = new Array[Long](19)
       clToks.foreach { case (c, _) => clFreq(c) += 1 }
       val clLengths = limitedLengths(clFreq, 7)

@@ -2406,9 +2406,14 @@ object ExtQueries {
     // verified path, not just literals) is VP8L-encoded — package-merge
     // Huffman, RLE'd code lengths, cache inserts — and decoded back
     // through the full container walk → prefix-code rebuild → LZ77/
-    // cache pixel loop. The oracle replays the block formula, so a slip
-    // in canonical code assignment, bit order, the repeat codes, cache
-    // hashing, or copy addressing breaks the hash.
+    // cache pixel loop. Ids rotate the encoder path so every transform
+    // arm is under THIS hash gate: id%3==0 subtract-green + predictor
+    // mode 11 (Select) with its sub-resolution mode image; id%3==1
+    // COLOR-INDEXING (block rasters have ≤20 colors → bundled sub-byte
+    // indices); id%3==2 the plain stream. A slip in canonical code
+    // assignment, bit order, the repeat codes, cache hashing, copy
+    // addressing, any inverse transform, or palette delta-coding
+    // breaks the hash.
     "q153_webp_pixel_stats" -> { (s, dir) =>
       import s.implicits._
       val media = Tables.documents(s, dir)
@@ -2431,8 +2436,13 @@ object ExtQueries {
             y += 1
           }
           val img = graft.functions.PngCodec.Image(w, h, 3, data)
-          Multimodal.MediaRow(id, graft.functions.WebpCodec.encode(img),
-            "image/webp", source)
+          val payload = (id % 3) match {
+            case 0 => graft.functions.WebpCodec.encodeWith(img,
+              subtractGreen = true, predictorMode = Some(11))
+            case 1 => graft.functions.WebpCodec.encodeIndexed(img)
+            case _ => graft.functions.WebpCodec.encode(img)
+          }
+          Multimodal.MediaRow(id, payload, "image/webp", source)
         }
       Multimodal.pixelStats(media).toDF()
         .select(col("media_id").as("doc_id"),

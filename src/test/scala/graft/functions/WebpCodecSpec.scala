@@ -79,6 +79,55 @@ class WebpCodecSpec extends AnyFunSuite {
     roundTrip(Image(16, 16, 3, d))
   }
 
+  test("transform round-trips: subtract-green, every predictor mode, both combined") {
+    val img = PngCodec.syntheticRgb(42L, 37, 29)
+    assert(decode(encodeWith(img, subtractGreen = true,
+      predictorMode = None)).get.data.toSeq === img.data.toSeq)
+    (0 to 13).foreach { mode =>
+      val d = decode(encodeWith(img, subtractGreen = false,
+        predictorMode = Some(mode)))
+      assert(d.isDefined && d.get.data.toSeq === img.data.toSeq,
+        s"predictor mode $mode")
+    }
+    (0 to 13).foreach { mode =>
+      val d = decode(encodeWith(img, subtractGreen = true,
+        predictorMode = Some(mode)))
+      assert(d.isDefined && d.get.data.toSeq === img.data.toSeq,
+        s"SG + predictor mode $mode")
+    }
+    // alpha channel through the predictor path too
+    val rgba = Image(18, 11, 4,
+      Array.tabulate[Byte](18 * 11 * 4)(i => ((i * 29 + 5) % 256).toByte))
+    assert(decode(encodeWith(rgba, subtractGreen = true,
+      predictorMode = Some(12))).get.data.toSeq === rgba.data.toSeq)
+  }
+
+  test("palette round-trips: every bundling width, first-seen order, 256-color edge") {
+    // 2 colors → 8 px/byte; 4 → 4; 16 → 2; 200 → 1 (no bundling)
+    for (nColors <- Seq(2, 3, 4, 9, 16, 17, 200, 256)) {
+      val (w, h) = (41, 13) // non-multiple of every bundling width
+      val d = new Array[Byte](w * h * 3)
+      (0 until w * h).foreach { i =>
+        val c = (i * 7) % nColors
+        d(i * 3) = (c * 31 % 256).toByte
+        d(i * 3 + 1) = (c * 17 % 256).toByte
+        d(i * 3 + 2) = (255 - c % 256).toByte
+      }
+      val img = Image(w, h, 3, d)
+      val enc = encodeIndexed(img)
+      val dec = decode(enc)
+      assert(dec.isDefined && dec.get.data.toSeq === img.data.toSeq,
+        s"$nColors colors")
+      // small palettes actually bundle: the packed stream must be
+      // smaller than the plain encoding of the same raster
+      if (nColors <= 16)
+        assert(enc.length < encode(img).length, s"$nColors colors: no gain?")
+    }
+    // over 256 distinct colors: falls back to the plain path, still exact
+    val big = PngCodec.syntheticRgb(7L, 40, 30)
+    assert(decode(encodeIndexed(big)).get.data.toSeq === big.data.toSeq)
+  }
+
   test("totality: garbage, truncation, and bit flips never throw, never lie about dims") {
     val good = encode(PngCodec.syntheticRgb(5L, 12, 9))
     assert(decode(good).isDefined)
