@@ -137,9 +137,13 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
   * and a replayed batch (failure between commit and checkpoint
   * advance) is recognized and skipped. Writer options `statsCols` /
   * `bloomCols` / `sortCols` apply per commit, same as the batch
-  * writer. Single-stream-per-table (the marker is the dedup line);
-  * concurrent BATCH writers still serialize through the version
-  * protocol as usual.
+  * writer; `checkpointEvery=N` folds the manifest chain whenever it
+  * grows past N commits ([[TxLogTable.maybeCheckpoint]]) — without
+  * it, a long-lived micro-batch stream accretes one manifest per
+  * trigger and every reader's chain walk grows with stream age.
+  * Single-stream-per-table (the marker is the dedup line); concurrent
+  * BATCH writers still serialize through the version protocol as
+  * usual.
   */
 final class TxLogAppendSink(spark: SparkSession, root: String,
     parameters: Map[String, String]) extends Sink {
@@ -148,6 +152,8 @@ final class TxLogAppendSink(spark: SparkSession, root: String,
   private def csv(key: String): Seq[String] =
     parameters.get(key).toSeq.flatMap(_.split(",")).map(_.trim)
       .filter(_.nonEmpty)
+  private val checkpointEvery: Option[Int] =
+    parameters.get("checkpointEvery").map(_.trim.toInt)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val done = table.marker(TxLogStream.SinkBatchMarker)
@@ -159,6 +165,7 @@ final class TxLogAppendSink(spark: SparkSession, root: String,
     table.append(batchDf, sortCols = csv("sortCols"),
       statsCols = csv("statsCols"), bloomCols = csv("bloomCols"),
       markers = Map(TxLogStream.SinkBatchMarker -> batchId.toString))
+    checkpointEvery.foreach(n => table.maybeCheckpoint(n))
   }
 }
 

@@ -1030,6 +1030,21 @@ final class TxLogTable(spark: SparkSession, root: String) {
     v
   }
 
+  /** Checkpoint only when the manifest chain has grown past
+    * `maxChain` commits — the automatic-maintenance policy (Delta's
+    * every-N-commits checkpoint): callers on a hot append path
+    * (micro-batch sinks, ingest loops) invoke this after each commit
+    * and the log's read cost stays O(maxChain) forever at the price
+    * of one fold per maxChain commits. Returns the checkpoint
+    * version when one was taken.
+    */
+  def maybeCheckpoint(maxChain: Int, maxRetries: Int = 20): Option[Long] = {
+    require(maxChain > 0, "maxChain must be positive")
+    val v = currentVersion
+    if (v < 0 || manifestChainAt(v)._1.length <= maxChain) None
+    else Some(checkpoint(maxRetries))
+  }
+
   /** Small-files compaction, transactional: rewrite the CURRENT live
     * set into ⌈rows / targetRowsPerFile⌉ files behind one overwrite
     * commit — the maintenance pass after many micro-batch commits

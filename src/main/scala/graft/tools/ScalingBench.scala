@@ -20,7 +20,11 @@ object ScalingBench {
     "q110_event_transitions",
     // round-8 second session: the duplicate-span fixed point (the
     // heaviest new corpus-order op) and the GIF decode scan stage
-    "q120_duplicate_span_removal", "q122_gif_pixel_stats")
+    "q120_duplicate_span_removal", "q122_gif_pixel_stats",
+    // round 9: the deletion-vector DML commit path, the MP3 frame
+    // walk, and the WebP/VP8L decode scan stage (rotating its three
+    // encoder paths)
+    "q151_dv_delete", "q152_mp3_headers", "q153_webp_pixel_stats")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sf1")

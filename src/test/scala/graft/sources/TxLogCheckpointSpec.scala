@@ -111,6 +111,26 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(t.readAt(rv).count() === 100L)
   }
 
+  test("checkpointEvery sink option bounds the chain walk on a hot append path") {
+    val (t, root) = fresh()
+    t.ensureExists(schema)
+    val sink = new TxLogAppendSink(spark, root,
+      Map("checkpointEvery" -> "5", "statsCols" -> "k"))
+    (0 until 18).foreach(b =>
+      sink.addBatch(b.toLong, df((b.toLong, s"b$b")).coalesce(1)))
+    // maybeCheckpoint fires whenever the chain passes 5 commits, so
+    // history shows periodic overwrite folds and the final chain is
+    // short no matter how long the stream ran
+    val folds = t.history().count(_._2 == "overwrite")
+    assert(folds >= 3, s"expected periodic folds, history=${t.history()}")
+    assert(t.lastCheckpoint.isDefined)
+    // data intact, stats still prune after the folds
+    assert(t.read().count() === 18L)
+    assert(t.scanPathsAt(t.currentVersion, col("k") === 7L).size === 1)
+    val noFold = t.maybeCheckpoint(maxChain = 100)
+    assert(noFold.isEmpty, "short chain must not re-fold")
+  }
+
   test("10^4-file synthetic log: sub-KB manifest, distributed prune to one file") {
     val (t, root) = fresh()
     t.ensureExists(schema)
