@@ -2449,6 +2449,121 @@ object ExtQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_pixels"), col("luma_sum"))
+    },
+
+    // ── WARC crawl-archive round trip (the raw-input container of a
+    // web-scale corpus): per doc_id a two-record archive (warcinfo +
+    // HTTP response whose entity body is the document text) is
+    // serialized — odd ids as one-gzip-member-per-record .warc.gz, the
+    // Common Crawl layout; even ids plain — and read back through the
+    // full parser walk: member-by-member gunzip, WARC header fields,
+    // Content-Length block framing, RFC 9112 status/header/body split.
+    // doc_id is recovered FROM the parsed WARC-Target-URI (not carried
+    // alongside), so a framing slip anywhere breaks the join to the
+    // oracle; payload identity is pinned by md5 over the extracted
+    // entity body vs DuckDB's md5 over the source text.
+    "q154_warc_extract" -> { (s, dir) =>
+      import s.implicits._
+      val files = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val status = if (id % 3 == 0) 404 else 200
+          val reason = if (status == 200) "OK" else "Not Found"
+          val date = "2026-01-01T00:00:00Z"
+          val recs = Seq(
+            graft.functions.WarcCodec.warcinfoRecord(
+              s"<urn:uuid:info-$id>", date, Seq("software" -> "graft")),
+            graft.functions.WarcCodec.responseRecord(
+              s"<urn:uuid:resp-$id>", s"https://example.org/doc/$id", date,
+              status, reason, "text/html; charset=utf-8", body))
+          (s"doc-$id.warc", graft.functions.WarcCodec.file(recs, gzip = id % 2 == 1))
+        }
+      graft.sources.WarcSource.responses(graft.sources.WarcSource.fromBytes(files))
+        .toDF()
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"),
+          col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"),
+          length(col("payload")).cast("long").as("payload_len"),
+          md5(col("payload")).as("payload_md5"))
+    },
+
+    // ── main-content extraction (boilerplate removal): each doc's text
+    // is planted as the two-paragraph article of a full page skeleton —
+    // header/nav, marker-classed sidebar, a link-dense related block
+    // (plain class, so only the link-density SCORE can reject it),
+    // comments, footer, plus a <script> decoy carrying literal "<p>"
+    // markup. The extractor must prune the chrome, zero out the
+    // link-dense block, pick the article container, and return exactly
+    // the two paragraphs — which the oracle recomputes as trimmed
+    // substrings of the source text.
+    "q155_main_content" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val p1 = text.substring(0, 40)
+          val p2 = text.substring(40)
+          val html =
+            s"""<!DOCTYPE html><html><head><title>Doc $id</title>
+               |<script>var decoy = "<p>not content $id</p>";</script></head>
+               |<body>
+               |<header><h1>Site</h1><nav><a href="/">home</a> <a href="/a">archive</a></nav></header>
+               |<div class="sidebar box"><p>subscribe to our newsletter for daily updates and offers</p></div>
+               |<div id="page">
+               |<div class="morelinks"><p><a href="/r/1">a very long related article title number one</a> <a href="/r/2">another even longer related article title number two</a></p></div>
+               |<article id="story"><p>$p1</p><p>$p2</p></article>
+               |<div class="comments"><p>first comment rambling on at considerable length about nothing</p><p>second comment also quite long and equally content free</p></div>
+               |</div>
+               |<footer><p>copyright twenty twenty six all rights reserved worldwide</p></footer>
+               |</body></html>""".stripMargin
+          (id, graft.functions.MainContent.extract(html))
+        }
+        .toDF("doc_id", "main_text")
+    },
+
+    // ── robots.txt admission (RFC 9309): per doc_id a robots body with
+    // a bot-specific group (prefix Disallow, longer-prefix Allow,
+    // wildcard+anchored Disallow, Crawl-delay) over a deny-all "*"
+    // group; five probe paths rotate through longest-match-wins, the
+    // Allow tie-break, group selection (deny-all must NOT apply), the
+    // $ anchor hit, and the $ anchor miss. The oracle replays the
+    // decision table arithmetically.
+    "q156_robots_check" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val txt =
+            s"""# robots for doc $id
+               |User-agent: graftbot
+               |Disallow: /p$id/
+               |Allow: /p$id/pub
+               |Disallow: /*.pdf$$
+               |Crawl-delay: ${id % 7 + 1}
+               |
+               |User-agent: *
+               |Disallow: /
+               |""".stripMargin
+          val path = (id % 5) match {
+            case 0 => s"/p$id/x"      // prefix Disallow hits
+            case 1 => s"/p$id/pub/a"  // longer Allow overrides
+            case 2 => "/other"        // no rule in the bot's group
+            case 3 => "/doc.pdf"      // anchored wildcard hits
+            case _ => "/doc.pdfx"     // $ anchor must miss
+          }
+          val robots = graft.functions.RobotsRules.parse(txt)
+          (id, path, robots.allows("graftbot/1.0", path),
+            robots.crawlDelay("graftbot/1.0").getOrElse(-1.0).toLong)
+        }
+        .toDF("doc_id", "path", "allowed", "crawl_delay")
     }
   )
 
@@ -4397,7 +4512,42 @@ object ExtQueries {
         |FROM documents d
         |JOIN range(0, 20) x(i) ON x.i < d.doc_id % 16 + 4
         |JOIN range(0, 16) y(i) ON y.i < d.doc_id % 12 + 4
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // container identity: the oracle recomputes the fields the Spark
+    // side ENCODED into a real WARC archive (gzip members, HTTP
+    // framing) and then PARSED back; md5 pins the entity body
+    "q154_warc_extract" ->
+      """SELECT doc_id,
+        |  'response' AS warc_type,
+        |  'https://example.org/doc/' || doc_id AS target_uri,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 404 ELSE 200 END AS BIGINT)
+        |    AS http_status,
+        |  'text/html; charset=utf-8' AS http_content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+        |  md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+
+    // extraction identity: the oracle recomputes the article paragraphs
+    // the Spark side planted in a chrome-laden page and extracted back
+    "q155_main_content" ->
+      """SELECT doc_id,
+        |  trim(substr(text, 1, 40)) || chr(10) || trim(substr(text, 41))
+        |    AS main_text
+        |FROM documents""".stripMargin,
+
+    // decision-table identity over the RFC 9309 precedence rules
+    "q156_robots_check" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN '/p' || doc_id || '/x'
+        |    WHEN 1 THEN '/p' || doc_id || '/pub/a'
+        |    WHEN 2 THEN '/other'
+        |    WHEN 3 THEN '/doc.pdf'
+        |    ELSE '/doc.pdfx' END AS path,
+        |  doc_id % 5 IN (1, 2, 4) AS allowed,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS crawl_delay
+        |FROM documents""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.functions.WarcCodec
+
+class WarcSpec extends SparkSpec {
+
+  // ── parser vs an INDEPENDENT hand-written archive (not the writer's
+  // output): literal bytes assembled from the WARC-1.0 grammar itself.
+  test("parser reads a hand-authored plain archive") {
+    val body = "<html><body>hi</body></html>"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: ${body.length}\r\n\r\n$body"
+    val raw =
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:handmade-1>\r\n" +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        "WARC-Target-URI: https://h.example/a\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n" +
+        "\r\n" + http + "\r\n\r\n" +
+        // a second, non-http record
+        "WARC/1.0\r\n" +
+        "WARC-Type: resource\r\n" +
+        "WARC-Record-ID: <urn:uuid:handmade-2>\r\n" +
+        "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+        "WARC-Target-URI: https://h.example/b\r\n" +
+        "Content-Type: text/plain\r\n" +
+        "Content-Length: 5\r\n" +
+        "\r\nhello\r\n\r\n"
+    val recs = WarcCodec.parseFile(raw.getBytes(UTF_8))
+    assert(recs.map(_.warcType) == Seq("response", "resource"))
+    val r = recs.head
+    assert(r.targetUri == "https://h.example/a")
+    assert(r.httpStatus.contains(200))
+    assert(r.httpContentType.contains("text/html"))
+    assert(new String(r.payload, UTF_8) == body)
+    assert(new String(recs(1).payload, UTF_8) == "hello")
+    assert(recs(1).httpStatus.isEmpty)
+  }
+
+  test("writer→parser round trip, gzip multi-member and plain") {
+    val body = "café — naïve".getBytes(UTF_8) // multi-byte: length is octets
+    val recs = Seq(
+      WarcCodec.warcinfoRecord("<urn:uuid:i>", "2026-01-01T00:00:00Z",
+        Seq("software" -> "graft", "format" -> "WARC/1.0")),
+      WarcCodec.responseRecord("<urn:uuid:r>", "https://e.org/x",
+        "2026-01-01T00:00:00Z", 301, "Moved", "text/plain; charset=utf-8", body))
+    for (gz <- Seq(false, true)) {
+      val parsed = WarcCodec.parseFile(WarcCodec.file(recs, gzip = gz))
+      assert(parsed.map(_.warcType) == Seq("warcinfo", "response"), s"gzip=$gz")
+      assert(parsed(1).httpStatus.contains(301))
+      assert(parsed(1).contentLength > body.length) // http head included
+      assert(parsed(1).payload.toSeq == body.toSeq)
+      assert(new String(parsed.head.payload, UTF_8).contains("software: graft"))
+    }
+  }
+
+  test("total on dirty input: truncated tail keeps recovered records") {
+    val good = WarcCodec.responseRecord("<urn:uuid:g>", "https://e.org/1",
+      "2026-01-01T00:00:00Z", 200, "OK", "text/plain", "ok".getBytes(UTF_8))
+    val full = WarcCodec.file(Seq(good, good), gzip = false)
+    // cut into the second record's block
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 6)
+    val recs = WarcCodec.parseFile(cut)
+    assert(recs.length == 1)
+    assert(recs.head.httpStatus.contains(200))
+    // garbage is zero records, not an exception
+    assert(WarcCodec.parseFile("not a warc".getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.parseFile(Array[Byte](0x1f, 0x8b.toByte, 1, 2)).isEmpty)
+  }
+
+  test("distributed read: binaryFile → one task per archive → typed rows") {
+    val dir = Files.createTempDirectory("warc_spec").toFile
+    try {
+      for (i <- 0 until 4) {
+        val rec = WarcCodec.responseRecord(s"<urn:uuid:$i>", s"https://e.org/p/$i",
+          "2026-01-01T00:00:00Z", 200, "OK", "text/html",
+          s"<p>doc $i</p>".getBytes(UTF_8))
+        Files.write(Paths.get(dir.toString, f"part-$i%02d.warc.gz"),
+          WarcCodec.file(Seq(rec), gzip = true))
+      }
+      val rows = WarcSource.read(spark, dir.toString + "/*.warc.gz")
+      val got = WarcSource.responses(rows).collect().sortBy(_.target_uri)
+      assert(got.length == 4)
+      assert(got.map(_.target_uri).toSeq == (0 until 4).map(i => s"https://e.org/p/$i"))
+      assert(got.forall(_.http_status.contains(200)))
+      assert(new String(got(2).payload, UTF_8) == "<p>doc 2</p>")
+      assert(got.forall(_.warc_file.endsWith(".warc.gz")))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
