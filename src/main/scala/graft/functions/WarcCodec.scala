@@ -74,19 +74,57 @@ object WarcCodec {
     out
   }
 
-  /** An HTTP response block: status line + headers + blank line + body. */
+  /** An HTTP response block: status line + headers + blank line + body.
+    * `gzipBody` adds `Content-Encoding: gzip` (the dominant entity
+    * coding of a real crawl); `chunked` frames the body with
+    * `Transfer-Encoding: chunked` (RFC 9112 §7.1) instead of a
+    * Content-Length — applied AFTER the content coding, as on the wire.
+    */
   def httpResponseBlock(
       status: Int,
       reason: String,
       entityContentType: String,
-      body: Array[Byte]): Array[Byte] = {
-    val head = (s"HTTP/1.1 $status $reason" + CRLF +
-      s"Content-Type: $entityContentType" + CRLF +
-      s"Content-Length: ${body.length}" + CRLF + CRLF).getBytes(US_ASCII)
-    val out = new Array[Byte](head.length + body.length)
+      body: Array[Byte],
+      gzipBody: Boolean = false,
+      chunked: Boolean = false): Array[Byte] = {
+    val encoded = if (gzipBody) {
+      val bos = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(body); gz.finish(); gz.close()
+      bos.toByteArray
+    } else body
+    val framed = if (chunked) chunkEncode(encoded) else encoded
+    val sb = new StringBuilder
+    sb.append(s"HTTP/1.1 $status $reason").append(CRLF)
+    sb.append(s"Content-Type: $entityContentType").append(CRLF)
+    if (gzipBody) sb.append("Content-Encoding: gzip").append(CRLF)
+    if (chunked) sb.append("Transfer-Encoding: chunked").append(CRLF)
+    else sb.append(s"Content-Length: ${framed.length}").append(CRLF)
+    sb.append(CRLF)
+    val head = sb.toString.getBytes(US_ASCII)
+    val out = new Array[Byte](head.length + framed.length)
     System.arraycopy(head, 0, out, 0, head.length)
-    System.arraycopy(body, 0, out, head.length, body.length)
+    System.arraycopy(framed, 0, out, head.length, framed.length)
     out
+  }
+
+  /** RFC 9112 chunked framing: split into a few chunks so the decoder's
+    * size-line walk sees more than one chunk.
+    */
+  private def chunkEncode(body: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    var pos = 0
+    val step = math.max(1, body.length / 3)
+    while (pos < body.length) {
+      val len = math.min(step, body.length - pos)
+      bos.write(Integer.toHexString(len).getBytes(US_ASCII))
+      bos.write('\r'); bos.write('\n')
+      bos.write(body, pos, len)
+      bos.write('\r'); bos.write('\n')
+      pos += len
+    }
+    bos.write("0\r\n\r\n".getBytes(US_ASCII))
+    bos.toByteArray
   }
 
   /** A `response` record wrapping an HTTP response. */
@@ -97,10 +135,13 @@ object WarcCodec {
       status: Int,
       reason: String,
       entityContentType: String,
-      body: Array[Byte]): Array[Byte] =
+      body: Array[Byte],
+      gzipBody: Boolean = false,
+      chunked: Boolean = false): Array[Byte] =
     record("response", recordId, Some(targetUri), warcDate,
       "application/http; msgtype=response",
-      httpResponseBlock(status, reason, entityContentType, body))
+      httpResponseBlock(status, reason, entityContentType, body,
+        gzipBody = gzipBody, chunked = chunked))
 
   /** A `warcinfo` record (file-level metadata). */
   def warcinfoRecord(recordId: String, warcDate: String,
@@ -205,7 +246,13 @@ object WarcCodec {
       contentLength, st, hct, payload), blockStart + contentLength.toInt))
   }
 
-  /** Split an HTTP message block into (status, entity Content-Type, body). */
+  /** Split an HTTP message block into (status, entity Content-Type,
+    * decoded body): chunked transfer framing is unwrapped (RFC 9112
+    * §7.1, trailers skipped) and gzip/deflate content codings inflated
+    * — so the payload column downstream operators see is always the
+    * entity itself, as fetched. Decode failures fall back to the raw
+    * body (dirty-corpus posture).
+    */
   private def parseHttp(block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
     val hdrEnd = indexOfBlank(block, 0)
     if (hdrEnd < 0) return (None, None, block)
@@ -217,14 +264,76 @@ object WarcCodec {
         try Some(parts(1).toInt) catch { case _: NumberFormatException => None }
       else None
     }
-    val ct = lines.iterator.drop(1).flatMap { ln =>
+    def header(name: String): Option[String] = lines.iterator.drop(1).flatMap { ln =>
       val c = ln.indexOf(':')
-      if (c > 0 && ln.substring(0, c).trim.equalsIgnoreCase("content-type"))
+      if (c > 0 && ln.substring(0, c).trim.equalsIgnoreCase(name))
         Some(ln.substring(c + 1).trim)
       else None
     }.toSeq.headOption
-    val body = java.util.Arrays.copyOfRange(block, hdrEnd + 4, block.length)
+    val ct = header("content-type")
+    val raw = java.util.Arrays.copyOfRange(block, hdrEnd + 4, block.length)
+    val unframed =
+      if (header("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+        chunkDecode(raw).getOrElse(raw)
+      else raw
+    val body = header("content-encoding").map(_.toLowerCase.trim) match {
+      case Some("gzip") | Some("x-gzip") =>
+        val d = gunzipAll(unframed); if (d.nonEmpty || unframed.isEmpty) d else unframed
+      case Some("deflate") => inflate(unframed).getOrElse(unframed)
+      case _ => unframed
+    }
     (status, ct, body)
+  }
+
+  /** Unwrap RFC 9112 chunked framing; None on malformed size lines. */
+  private def chunkDecode(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var pos = 0
+    while (true) {
+      // size line: hex digits up to CRLF (chunk extensions after ';' ignored)
+      val eol = indexOfCrlf(b, pos)
+      if (eol < 0) return None
+      val line = new String(b, pos, eol - pos, US_ASCII)
+      val hexPart = { val s = line.indexOf(';'); if (s >= 0) line.substring(0, s) else line }.trim
+      val size = try java.lang.Long.parseLong(hexPart, 16) catch { case _: NumberFormatException => return None }
+      if (size < 0 || eol + 2 + size > b.length) return None
+      if (size == 0) return Some(out.toByteArray) // trailers (if any) skipped
+      out.write(b, eol + 2, size.toInt)
+      pos = eol + 2 + size.toInt
+      // chunk data is followed by CRLF
+      if (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
+      else return None
+    }
+    None // unreachable
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** HTTP `deflate` is zlib-wrapped; some servers send raw deflate —
+    * try both (the lenient posture every HTTP client ships).
+    */
+  private def inflate(b: Array[Byte]): Option[Array[Byte]] = {
+    def tryWith(nowrap: Boolean): Option[Array[Byte]] = try {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(b)
+      val out = new ByteArrayOutputStream(b.length * 4)
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) { inf.end(); return None } // needs more input: truncated
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+    tryWith(false).orElse(tryWith(true))
   }
 
   /** Index of the first CRLFCRLF at/after `from`, or -1. */

@@ -2461,7 +2461,10 @@ object ExtQueries {
     // doc_id is recovered FROM the parsed WARC-Target-URI (not carried
     // alongside), so a framing slip anywhere breaks the join to the
     // oracle; payload identity is pinned by md5 over the extracted
-    // entity body vs DuckDB's md5 over the source text.
+    // entity body vs DuckDB's md5 over the source text. id%4 rotates
+    // the HTTP wire codings (Content-Encoding: gzip × Transfer-
+    // Encoding: chunked), so the inflate and chunk-unwrap arms sit
+    // under the same hash gate as the plain path.
     "q154_warc_extract" -> { (s, dir) =>
       import s.implicits._
       val files = Tables.documents(s, dir)
@@ -2477,7 +2480,8 @@ object ExtQueries {
               s"<urn:uuid:info-$id>", date, Seq("software" -> "graft")),
             graft.functions.WarcCodec.responseRecord(
               s"<urn:uuid:resp-$id>", s"https://example.org/doc/$id", date,
-              status, reason, "text/html; charset=utf-8", body))
+              status, reason, "text/html; charset=utf-8", body,
+              gzipBody = id % 2 == 0, chunked = id % 4 >= 2))
           (s"doc-$id.warc", graft.functions.WarcCodec.file(recs, gzip = id % 2 == 1))
         }
       graft.sources.WarcSource.responses(graft.sources.WarcSource.fromBytes(files))

@@ -59,6 +59,51 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("HTTP wire codings: gzip body, chunked framing, both") {
+    val body = ("lorem ipsum " * 20).getBytes(UTF_8)
+    for ((gz, ch) <- Seq((true, false), (false, true), (true, true))) {
+      val rec = WarcCodec.responseRecord("<urn:uuid:e>", "https://e.org/enc",
+        "2026-01-01T00:00:00Z", 200, "OK", "text/plain", body,
+        gzipBody = gz, chunked = ch)
+      val parsed = WarcCodec.parseFile(rec)
+      assert(parsed.length == 1, s"gz=$gz ch=$ch")
+      assert(parsed.head.payload.toSeq == body.toSeq, s"gz=$gz ch=$ch")
+      // the WARC block carries the WIRE bytes, not the entity
+      if (gz) assert(parsed.head.contentLength < body.length + 200)
+    }
+  }
+
+  test("hand-built chunked + deflate message decodes (parser ≠ writer⁻¹)") {
+    // zlib-deflate "hello world", then frame as two chunks by hand
+    val entity = "hello world".getBytes(UTF_8)
+    val dbos = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(dbos)
+    dos.write(entity); dos.finish(); dos.close()
+    val z = dbos.toByteArray
+    val cut = z.length / 2
+    val framed = new java.io.ByteArrayOutputStream()
+    framed.write(Integer.toHexString(cut).getBytes(UTF_8)); framed.write("\r\n".getBytes(UTF_8))
+    framed.write(z, 0, cut); framed.write("\r\n".getBytes(UTF_8))
+    // second chunk with a chunk extension, which must be ignored
+    framed.write((Integer.toHexString(z.length - cut) + ";ext=1").getBytes(UTF_8))
+    framed.write("\r\n".getBytes(UTF_8))
+    framed.write(z, cut, z.length - cut); framed.write("\r\n".getBytes(UTF_8))
+    framed.write("0\r\n\r\n".getBytes(UTF_8))
+    val http = framed.toByteArray
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Content-Encoding: deflate\r\nTransfer-Encoding: chunked\r\n\r\n").getBytes(UTF_8)
+    val block = head ++ http
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:ch>\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "WARC-Target-URI: https://e.org/ch\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8) ++
+      block ++ "\r\n\r\n".getBytes(UTF_8)
+    val recs = WarcCodec.parseFile(raw)
+    assert(recs.length == 1)
+    assert(new String(recs.head.payload, UTF_8) == "hello world")
+  }
+
   test("total on dirty input: truncated tail keeps recovered records") {
     val good = WarcCodec.responseRecord("<urn:uuid:g>", "https://e.org/1",
       "2026-01-01T00:00:00Z", 200, "OK", "text/plain", "ok".getBytes(UTF_8))
