@@ -2568,6 +2568,64 @@ object ExtQueries {
             robots.crawlDelay("graftbot/1.0").getOrElse(-1.0).toLong)
         }
         .toDF("doc_id", "path", "allowed", "crawl_delay")
+    },
+
+    // ── URL frontier decomposition: five URL shapes (multi-label
+    // public suffix, userinfo+port, IPv4 literal, bare host, relative)
+    // through host → registrable domain → politeness shard → path, all
+    // pure codegen Column expressions. The shard is the md5-variate of
+    // the domain (the house cross-engine hash), so the oracle
+    // recomputes it bit-exactly; one host's URLs land in one shard
+    // under any partitioning.
+    "q157_url_frontier" -> { (s, dir) =>
+      import graft.functions.UrlFunctions
+      val idS = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://www.sub.site"), idS, lit(".co.uk/a/b?q="), idS))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://user:pw@site"), idS, lit(".example.com:8080/idx.html#frag")))
+        .when(col("doc_id") % 5 === 2, concat(lit("https://10.0.0.7/p"), idS))
+        .when(col("doc_id") % 5 === 3, concat(lit("https://host"), idS, lit(".com.au")))
+        .otherwise(lit("/relative/only"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("host", UrlFunctions.host(col("url")))
+        .withColumn("domain", UrlFunctions.registrableDomain(col("host")))
+        .withColumn("shard", UrlFunctions.crawlShard(col("domain"), 64))
+        .withColumn("path", UrlFunctions.path(col("url")))
+    },
+
+    // ── sitemap seed extraction (sitemaps.org protocol): per doc_id a
+    // three-entry urlset with XML prolog, namespace attr, and per-entry
+    // lastmod/changefreq/priority; parsed through the DOM walk and
+    // exploded to one row per entry, each field replayed by the oracle.
+    "q158_sitemap_entries" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val entries = (0 until 3).map { i =>
+            val day = (id % 28 + 1).toInt
+            val freq = Seq("daily", "weekly", "monthly")(((id + i) % 3).toInt)
+            s"""  <url>
+               |    <loc>https://s$id.example/p/$i</loc>
+               |    <lastmod>2026-01-${f"$day%02d"}</lastmod>
+               |    <changefreq>$freq</changefreq>
+               |    <priority>0.${(id + i) % 10}</priority>
+               |  </url>""".stripMargin
+          }
+          val xml =
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+               |${entries.mkString("\n")}
+               |</urlset>""".stripMargin
+          graft.functions.Sitemap.parse(xml).map { e =>
+            (id, e.loc, e.lastmod.orNull, e.changefreq.orNull,
+              e.priority.getOrElse(-1.0))
+          }
+        }
+        .toDF("doc_id", "loc", "lastmod", "changefreq", "priority")
     }
   )
 
@@ -4539,6 +4597,54 @@ object ExtQueries {
         |  trim(substr(text, 1, 40)) || chr(10) || trim(substr(text, 41))
         |    AS main_text
         |FROM documents""".stripMargin,
+
+    // frontier identity: host/domain/path replayed per URL-shape arm;
+    // the politeness shard re-derived through the shared md5 recipe
+    "q157_url_frontier" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'site' || doc_id || '.co.uk'
+        |      WHEN 1 THEN 'example.com'
+        |      WHEN 2 THEN '10.0.0.7'
+        |      WHEN 3 THEN 'host' || doc_id || '.com.au'
+        |      ELSE NULL END AS domain
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'https://www.sub.site' || doc_id || '.co.uk/a/b?q=' || doc_id
+        |    WHEN 1 THEN 'http://user:pw@site' || doc_id || '.example.com:8080/idx.html#frag'
+        |    WHEN 2 THEN 'https://10.0.0.7/p' || doc_id
+        |    WHEN 3 THEN 'https://host' || doc_id || '.com.au'
+        |    ELSE '/relative/only' END AS url,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'www.sub.site' || doc_id || '.co.uk'
+        |    WHEN 1 THEN 'site' || doc_id || '.example.com'
+        |    WHEN 2 THEN '10.0.0.7'
+        |    WHEN 3 THEN 'host' || doc_id || '.com.au'
+        |    ELSE NULL END AS host,
+        |  domain,
+        |  CAST('0x' || substring(md5(domain), 1, 15) AS BIGINT) % 64
+        |    AS shard,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN '/a/b'
+        |    WHEN 1 THEN '/idx.html'
+        |    WHEN 2 THEN '/p' || doc_id
+        |    WHEN 3 THEN '/'
+        |    ELSE NULL END AS path
+        |FROM u""".stripMargin,
+
+    // urlset identity: every entry field replayed arithmetically
+    "q158_sitemap_entries" ->
+      """SELECT d.doc_id,
+        |  'https://s' || d.doc_id || '.example/p/' || x.i AS loc,
+        |  '2026-01-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS lastmod,
+        |  CASE CAST((d.doc_id + x.i) % 3 AS INT)
+        |    WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' ELSE 'monthly' END
+        |    AS changefreq,
+        |  CAST((d.doc_id + x.i) % 10 AS DOUBLE) / 10.0 AS priority
+        |FROM documents d JOIN range(0, 3) x(i) ON true""".stripMargin,
 
     // decision-table identity over the RFC 9309 precedence rules
     "q156_robots_check" ->
