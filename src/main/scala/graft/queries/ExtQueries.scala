@@ -2626,6 +2626,58 @@ object ExtQueries {
           }
         }
         .toDF("doc_id", "loc", "lastmod", "changefreq", "priority")
+    },
+
+    // ── frontier schedule: URLs collapse onto 7 domains; the plan must
+    // serialize each domain (row_number by priority DESC, url) and
+    // space fetches by the domain's crawl delay — one domain-keyed
+    // Exchange, everything else scan-stage. The oracle replays the
+    // window arithmetic and the shared md5 shard.
+    "q159_frontier_schedule" -> { (s, dir) =>
+      import graft.ext.Frontier
+      val idS = col("doc_id").cast("string")
+      val urls = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("https://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example/d/"), idS).as("url"),
+          (col("doc_id") % 10).as("prio"),
+          ((col("doc_id") % 7 + 1) * 100).as("delay_ms"))
+      Frontier.schedule(urls, "url", col("prio"), col("delay_ms"), nShards = 32)
+        .select(col("doc_id"), col("url"), col("domain"),
+          col("shard"), col("seq").cast("long").as("seq"),
+          col("fetch_offset_ms"))
+    },
+
+    // ── hyperlink extraction: per doc a page at a two-deep path with
+    // six anchor arms (absolute, path-absolute, relative, ../ climb,
+    // protocol-relative, rel=nofollow) plus javascript:/fragment decoys
+    // that must drop; each resolved dst replayed by the oracle. DOM
+    // scoping: a decoy <a> inside a <script> blob must not surface.
+    "q160_link_extract" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val pageUrl = s"https://w$id.example/a/b/page.html"
+          val html =
+            s"""<html><head><script>var s = '<a href="https://decoy.example/x">no</a>';</script></head>
+               |<body>
+               |<a href="https://other$id.example/z">link0</a>
+               |<a href="/r/s">link1</a>
+               |<a href="c/d.html">link2</a>
+               |<a href="../up.html">link3</a>
+               |<a href="//cdn$id.example/lib.js">link4</a>
+               |<a href="https://ref.example/p" rel="sponsored nofollow">link5</a>
+               |<a href="#frag">drop me</a>
+               |<a href="javascript:void(0)">drop too</a>
+               |<a href="mailto:x@example.org">drop three</a>
+               |</body></html>""".stripMargin
+          graft.ext.LinkGraph.links(pageUrl, html).map { l =>
+            (id, l.dst_url, l.anchor, l.nofollow)
+          }
+        }
+        .toDF("doc_id", "dst_url", "anchor", "nofollow")
     }
   )
 
@@ -4645,6 +4697,37 @@ object ExtQueries {
         |    AS changefreq,
         |  CAST((d.doc_id + x.i) % 10 AS DOUBLE) / 10.0 AS priority
         |FROM documents d JOIN range(0, 3) x(i) ON true""".stripMargin,
+
+    // window arithmetic + md5 shard replayed over the 7-domain collapse
+    "q159_frontier_schedule" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'https://site' || (doc_id % 7) || '.example/d/' || doc_id AS url,
+        |    'site' || (doc_id % 7) || '.example' AS domain,
+        |    doc_id % 10 AS prio,
+        |    (doc_id % 7 + 1) * 100 AS delay_ms
+        |  FROM documents)
+        |SELECT doc_id, url, domain,
+        |  CAST('0x' || substring(md5(domain), 1, 15) AS BIGINT) % 32 AS shard,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  CAST((row_number() OVER w - 1) * delay_ms AS BIGINT)
+        |    AS fetch_offset_ms
+        |FROM f
+        |WINDOW w AS (PARTITION BY domain ORDER BY prio DESC, url)""".stripMargin,
+
+    // resolution identity per anchor arm; decoys must vanish
+    "q160_link_extract" ->
+      """SELECT d.doc_id,
+        |  CASE x.i
+        |    WHEN 0 THEN 'https://other' || d.doc_id || '.example/z'
+        |    WHEN 1 THEN 'https://w' || d.doc_id || '.example/r/s'
+        |    WHEN 2 THEN 'https://w' || d.doc_id || '.example/a/b/c/d.html'
+        |    WHEN 3 THEN 'https://w' || d.doc_id || '.example/a/up.html'
+        |    WHEN 4 THEN 'https://cdn' || d.doc_id || '.example/lib.js'
+        |    ELSE 'https://ref.example/p' END AS dst_url,
+        |  'link' || x.i AS anchor,
+        |  x.i = 5 AS nofollow
+        |FROM documents d JOIN range(0, 6) x(i) ON true""".stripMargin,
 
     // decision-table identity over the RFC 9309 precedence rules
     "q156_robots_check" ->
