@@ -439,6 +439,37 @@ object Multimodal {
       }
     }
 
+  /** FLAC sibling of [[sampleStats]]: the REAL lossless-audio decode
+    * ([[graft.functions.FlacCodec]] — frame walk, fixed/LPC prediction,
+    * Rice residuals, CRC + stream-MD5 verification) folded into the
+    * SAME integer aggregates, one scale across PCM and FLAC corpora.
+    * Clip bounds come from the stream's bits-per-sample. None columns
+    * on anything that fails structural or integrity checks.
+    */
+  def flacSampleStats(media: Dataset[MediaRow]): Dataset[SampleStats] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = graft.functions.FlacCodec.decode(r.payload)
+        val folded = d.map { a =>
+          val lo = -(1 << (a.meta.bitsPerSample - 1))
+          val hi = (1 << (a.meta.bitsPerSample - 1)) - 1
+          var sumSq = 0L; var clipped = 0L; var peak = 0
+          var i = 0
+          while (i < a.samples.length) {
+            val s = a.samples(i)
+            sumSq += s.toLong * s
+            if (s == lo || s == hi) clipped += 1
+            val as = math.abs(s)
+            if (as > peak) peak = as
+            i += 1
+          }
+          (a.samples.length.toLong / math.max(1, a.meta.channels), sumSq, clipped, peak)
+        }
+        SampleStats(r.media_id, folded.map(_._1), folded.map(_._2),
+          folded.map(_._3), folded.map(_._4))
+      }
+    }
+
   /** Container-decoded video metadata — the video sibling of
     * [[imageMeta]]/[[audioMeta]]: [[graft.functions.AviCodec]] walks
     * the RIFF structure (avih/strh/strf headers, movi frame census)

@@ -2678,6 +2678,35 @@ object ExtQueries {
           }
         }
         .toDF("doc_id", "dst_url", "anchor", "nofollow")
+    },
+
+    // ── REAL FLAC decode (the lossless-audio format of archival
+    // corpora): q82's exact PCM formula rides a full FLAC encode →
+    // decode instead of a WAV container — frame walk, fixed/LPC
+    // prediction, partitioned Rice residuals, CRC-8/16 and the
+    // STREAMINFO MD5 integrity gate all under q82's arithmetic oracle.
+    // 64-sample blocks force multi-frame streams with partial tails;
+    // ids rotate the predictor representation (explicit quantized-LPC
+    // vs FIXED) and the Rice partition order 0-2, so every decode arm
+    // is hash-gated.
+    "q161_flac_pcm_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val n = (id % 200 + 50).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 65536) - 32768).toInt)
+          val payload = graft.functions.FlacCodec.encode(
+            samples, channels = 1, sampleRate = 16000, blockSize = 64,
+            useLpc = id % 2 == 0, partitionOrder = (id % 3).toInt)
+          Multimodal.MediaRow(id, payload, "audio/flac", source)
+        }
+      Multimodal.flacSampleStats(media).toDF()
+        .select(col("media_id").as("doc_id"), col("n_samples"),
+          col("sum_squares"), col("n_clipped"),
+          col("peak").cast("long").as("peak"))
     }
   )
 
@@ -4764,6 +4793,9 @@ object ExtQueries {
       // q149 recovers the SAME synthetic raster as q81 through the BMP
       // codec — identical arithmetic oracle
       ("q149_bmp_pixel_stats" -> oracleBase("q81_png_pixel_stats")) +
+      // q161 recovers the SAME synthetic PCM as q82 through the FLAC
+      // codec — identical arithmetic oracle
+      ("q161_flac_pcm_stats" -> oracleBase("q82_wav_pcm_stats")) +
       ("q25_minhash_dups" -> oracleBase("q24_ngram_jaccard_dups")) +
       // q50 = the exact pair set restricted to pairs touching the
       // simulated new batch (doc_id ≡ 0 mod 10); same capture pinning
