@@ -2707,6 +2707,42 @@ object ExtQueries {
         .select(col("media_id").as("doc_id"), col("n_samples"),
           col("sum_squares"), col("n_clipped"),
           col("peak").cast("long").as("peak"))
+    },
+
+    // ── charset sniff + decode (the bytes→text seam): five wire
+    // encodings of the doc text with a non-ASCII suffix that
+    // discriminates every arm — UTF-8 BOM, windows-1252 via an
+    // iso-8859-1 transport label (the € at 0x80 proves the WHATWG
+    // superset reading), UTF-16LE BOM, <meta charset> prescan, and
+    // undeclared 1252 bytes that must fail strict UTF-8 validation
+    // into the fallback. The oracle replays charset and decoded text.
+    "q162_charset_decode" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val u = "éüñ" // éüñ
+          val (bytes, header) = (id % 5) match {
+            case 0 =>
+              (Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                (text + " " + u + "№").getBytes("UTF-8"), None)
+            case 1 =>
+              ((text + " " + u + "€").getBytes("windows-1252"),
+                Some("text/html; charset=iso-8859-1"))
+            case 2 =>
+              (Array[Byte](0xff.toByte, 0xfe.toByte) ++
+                (text + " " + u + "№").getBytes("UTF-16LE"), None)
+            case 3 =>
+              (("<meta charset=\"utf-8\">" + text + " " + u + "№")
+                .getBytes("UTF-8"), None)
+            case _ =>
+              ((text + " " + u + "€").getBytes("windows-1252"), None)
+          }
+          val d = graft.functions.CharsetDetect.decode(bytes, header)
+          (id, d.charset, d.text)
+        }
+        .toDF("doc_id", "charset", "text_out")
     }
   )
 
@@ -4757,6 +4793,21 @@ object ExtQueries {
         |  'link' || x.i AS anchor,
         |  x.i = 5 AS nofollow
         |FROM documents d JOIN range(0, 6) x(i) ON true""".stripMargin,
+
+    // sniff-order identity: charset and decoded text per wire arm
+    "q162_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'utf-16le'
+        |    WHEN 4 THEN 'windows-1252'
+        |    ELSE 'utf-8' END AS charset,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 1 THEN text || ' éüñ€'
+        |    WHEN 3 THEN '<meta charset="utf-8">' || text || ' éüñ№'
+        |    WHEN 4 THEN text || ' éüñ€'
+        |    ELSE text || ' éüñ№' END AS text_out
+        |FROM documents""".stripMargin,
 
     // decision-table identity over the RFC 9309 precedence rules
     "q156_robots_check" ->
