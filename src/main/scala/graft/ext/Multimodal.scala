@@ -470,6 +470,31 @@ object Multimodal {
       }
     }
 
+  /** Ogg sibling of [[mp3Meta]]: the RFC 3533 page walk
+    * ([[graft.functions.OggCodec.meta]]) with Vorbis/Opus ID headers —
+    * CRC-verified pages, duration from the closing granule position.
+    */
+  case class OggMetaRow(
+      media_id: Long,
+      n_bytes: Long,
+      codec: Option[String],
+      channels: Option[Int],
+      sample_rate: Option[Int],
+      n_pages: Option[Int],
+      n_samples: Option[Long])
+
+  implicit private val oggEnc: Encoder[OggMetaRow] = Encoders.product[OggMetaRow]
+
+  def oggMeta(media: Dataset[MediaRow]): Dataset[OggMetaRow] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = graft.functions.OggCodec.meta(r.payload)
+        OggMetaRow(r.media_id, r.payload.length.toLong,
+          m.map(_.codec), m.map(_.channels), m.map(_.sampleRate),
+          m.map(_.nPages), m.map(_.nSamples))
+      }
+    }
+
   /** Container-decoded video metadata — the video sibling of
     * [[imageMeta]]/[[audioMeta]]: [[graft.functions.AviCodec]] walks
     * the RIFF structure (avih/strh/strf headers, movi frame census)

@@ -2743,6 +2743,43 @@ object ExtQueries {
           (id, d.charset, d.text)
         }
         .toDF("doc_id", "charset", "text_out")
+    },
+
+    // ── Ogg container walk (Vorbis + Opus ID headers): per doc a
+    // structurally valid multi-page stream — BOS ID page, data pages,
+    // EOS granule carrying the duration — CRC-verified page by page.
+    // Opus durations subtract the pre-skip from the 48 kHz granule;
+    // Vorbis granules are stream-rate samples; both arms land on the
+    // same arithmetic n_samples under the oracle.
+    "q163_ogg_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val n = id % 1000 + 1
+          val nData = (id % 3 + 1).toInt
+          val (idPkt, lastGranule) =
+            if (id % 2 == 0)
+              (graft.functions.OggCodec.vorbisIdPacket(
+                (id % 2 + 1).toInt, (8000 + (id % 5) * 8000).toInt), n)
+            else
+              (graft.functions.OggCodec.opusIdPacket(
+                (id % 2 + 1).toInt,
+                Seq(48000, 24000, 16000)((id % 3).toInt), preSkip = 312),
+                n + 312)
+          val granules = (1 to nData).map(i =>
+            if (i == nData) lastGranule else lastGranule * i / nData)
+          val payload = graft.functions.OggCodec.encode(
+            idPkt, serial = (id & 0x7fffffff).toInt, granules)
+          Multimodal.MediaRow(id, payload, "audio/ogg", source)
+        }
+      Multimodal.oggMeta(media).toDF()
+        .select(col("media_id").as("doc_id"), col("codec"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_pages").cast("long").as("n_pages"),
+          col("n_samples"))
     }
   )
 
@@ -4793,6 +4830,19 @@ object ExtQueries {
         |  'link' || x.i AS anchor,
         |  x.i = 5 AS nofollow
         |FROM documents d JOIN range(0, 6) x(i) ON true""".stripMargin,
+
+    // container identity: ID-header fields and the granule-derived
+    // duration replayed per codec arm
+    "q163_ogg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 8000
+        |    ELSE [48000,24000,16000][CAST(doc_id % 3 AS INT) + 1]
+        |  END AS BIGINT) AS sample_rate,
+        |  CAST(doc_id % 3 + 2 AS BIGINT) AS n_pages,
+        |  CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples
+        |FROM documents""".stripMargin,
 
     // sniff-order identity: charset and decoded text per wire arm
     "q162_charset_decode" ->

@@ -215,6 +215,23 @@ class PlanQualitySpec extends SparkSpec {
       s"q86 ops no longer fuse as adjacent MapPartitions:\n$p86")
   }
 
+  test("crawl-ingest tier stays scan-stage; frontier schedules in exactly one Exchange") {
+    // WARC parse, content extraction, robots, sitemap, links, FLAC,
+    // charset: all per-row decode work — an Exchange anywhere is a
+    // regression of the embarrassingly-parallel ingest contract
+    for (q <- Seq("q154_warc_extract", "q155_main_content",
+        "q156_robots_check", "q157_url_frontier", "q158_sitemap_entries",
+        "q160_link_extract", "q161_flac_pcm_stats", "q162_charset_decode",
+        "q163_ogg_meta")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+    }
+    // the politeness window is the frontier's ONE semantic shuffle
+    val p159 = plan("q159_frontier_schedule")
+    assert("Exchange".r.findAllIn(p159).size == 1,
+      s"q159 must shuffle exactly once (domain window):\n$p159")
+  }
+
   test("q87/q89: extraction and compression signals are pure scan stages") {
     for (q <- Seq("q87_html_extract", "q89_compression_signal")) {
       val p = plan(q)
