@@ -166,16 +166,45 @@ object WarcCodec {
 
   // ── parser ────────────────────────────────────────────────────────
 
-  /** Parse a whole WARC file (plain, or gzip — multi-member or single).
-    * Total on malformed input: parsing stops at the first unreadable
-    * record boundary and returns what was recovered.
+  /** Parse a whole WARC file (plain; gzip multi-member or single; or
+    * zstd — the `.warc.zst` layout of newer crawls, detected by the
+    * 28 B5 2F FD frame magic and inflated via the zstd-jni Spark
+    * ships). Total on malformed input: parsing stops at the first
+    * unreadable record boundary and returns what was recovered.
     */
   def parseFile(bytes: Array[Byte]): Seq[WarcRecord] = {
     val plain =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
         gunzipAll(bytes)
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
+        (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd)
+        unzstdAll(bytes)
       else bytes
     parsePlain(plain)
+  }
+
+  /** Decompress a (possibly multi-frame) zstd stream. */
+  private def unzstdAll(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new ByteArrayInputStream(bytes))
+      in.setContinuous(true) // walk concatenated frames
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch { case _: java.io.IOException => () } // keep what decoded
+    out.toByteArray
+  }
+
+  /** One zstd frame per record — the `.warc.zst` sibling of the gzip
+    * member layout.
+    */
+  def fileZstd(records: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    records.foreach(r => bos.write(com.github.luben.zstd.Zstd.compress(r, 3)))
+    bos.toByteArray
   }
 
   /** Decompress an entire (possibly multi-member) gzip stream. */

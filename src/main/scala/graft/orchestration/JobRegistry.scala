@@ -113,5 +113,16 @@ object JobRegistry {
         evalDocsPath = p.get("eval_docs_path")),
       schedule = None, // run on demand / per crawl snapshot
       tags = Set("corpus", "training")))
+    // engine extension: crawl archives → documents + link graph +
+    // next polite frontier (the upstream of build_training_set)
+    register(JobSpec("crawl_ingest",
+      p => graft.jobs.CrawlJobs.ingest(
+        p("warc_glob"), p("out_root"),
+        agent = p.getOrElse("agent", "graftbot"),
+        seenPath = p.get("seen_path"),
+        robotsPath = p.get("robots_path"),
+        nShards = p.getOrElse("n_shards", "256").toInt),
+      schedule = None, // run per crawl snapshot
+      tags = Set("crawl", "corpus")))
   }
 }

@@ -104,6 +104,17 @@ class WarcSpec extends SparkSpec {
     assert(new String(recs.head.payload, UTF_8) == "hello world")
   }
 
+  test(".warc.zst: multi-frame zstd archive parses like the gzip layout") {
+    val recs = (0 until 3).map(i =>
+      WarcCodec.responseRecord(s"<urn:uuid:z$i>", s"https://e.org/z/$i",
+        "2026-01-01T00:00:00Z", 200, "OK", "text/plain",
+        s"zstd body $i".getBytes(UTF_8)))
+    val parsed = WarcCodec.parseFile(WarcCodec.fileZstd(recs))
+    assert(parsed.length == 3)
+    assert(parsed.map(_.targetUri) == (0 until 3).map(i => s"https://e.org/z/$i"))
+    assert(new String(parsed(1).payload, UTF_8) == "zstd body 1")
+  }
+
   test("total on dirty input: truncated tail keeps recovered records") {
     val good = WarcCodec.responseRecord("<urn:uuid:g>", "https://e.org/1",
       "2026-01-01T00:00:00Z", 200, "OK", "text/plain", "ok".getBytes(UTF_8))
