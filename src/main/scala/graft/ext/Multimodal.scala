@@ -206,14 +206,22 @@ object Multimodal {
 
   implicit private val pixEnc: Encoder[PixelStats] = Encoders.product[PixelStats]
 
+  /** The image-codec dispatch chain shared by every pixel stage:
+    * formats are sniffed by magic, so mixed corpora decode row by row
+    * (PNG, JPEG, GIF, BMP, WebP/VP8L, TIFF).
+    */
+  private def decodeImage(payload: Array[Byte]): Option[graft.functions.PngCodec.Image] =
+    graft.functions.PngCodec.decode(payload)
+      .orElse(graft.functions.JpegCodec.decode(payload))
+      .orElse(graft.functions.GifCodec.decode(payload))
+      .orElse(graft.functions.BmpCodec.decode(payload))
+      .orElse(graft.functions.WebpCodec.decode(payload))
+      .orElse(graft.functions.TiffCodec.decode(payload))
+
   def pixelStats(media: Dataset[MediaRow]): Dataset[PixelStats] =
     media.mapPartitions { rows =>
       rows.map { r =>
-        graft.functions.PngCodec.decode(r.payload)
-          .orElse(graft.functions.JpegCodec.decode(r.payload))
-          .orElse(graft.functions.GifCodec.decode(r.payload))
-          .orElse(graft.functions.BmpCodec.decode(r.payload))
-          .orElse(graft.functions.WebpCodec.decode(r.payload)) match {
+        decodeImage(r.payload) match {
           case None =>
             PixelStats(r.media_id, None, None, None, None, None)
           case Some(img) =>
@@ -295,11 +303,7 @@ object Multimodal {
   def imageDHash(media: Dataset[MediaRow]): Dataset[ImageHash] =
     media.mapPartitions { rows =>
       rows.map { r =>
-        graft.functions.PngCodec.decode(r.payload)
-          .orElse(graft.functions.JpegCodec.decode(r.payload))
-          .orElse(graft.functions.GifCodec.decode(r.payload))
-          .orElse(graft.functions.BmpCodec.decode(r.payload))
-          .orElse(graft.functions.WebpCodec.decode(r.payload)) match {
+        decodeImage(r.payload) match {
           case None => ImageHash(r.media_id, None, None, None)
           case Some(img) =>
             val l = Array.ofDim[Long](8, 9)
@@ -672,11 +676,7 @@ object Multimodal {
     require(targetW > 0 && targetH > 0)
     media.mapPartitions { rows =>
       rows.map { r =>
-        graft.functions.PngCodec.decode(r.payload)
-          .orElse(graft.functions.JpegCodec.decode(r.payload))
-          .orElse(graft.functions.GifCodec.decode(r.payload))
-          .orElse(graft.functions.BmpCodec.decode(r.payload))
-          .orElse(graft.functions.WebpCodec.decode(r.payload)) match {
+        decodeImage(r.payload) match {
           case None => r
           case Some(img) =>
             val out = new Array[Byte](targetW * targetH * img.channels)

@@ -2780,6 +2780,37 @@ object ExtQueries {
           col("sample_rate").cast("long").as("sample_rate"),
           col("n_pages").cast("long").as("n_pages"),
           col("n_samples"))
+    },
+
+    // ── REAL TIFF decode (the 6th still-image codec — the archival/
+    // scan format): q81's synthetic raster rides a TIFF encode→decode
+    // with ids rotating the compression arm (none / LZW with its
+    // early-change width quirk / PackBits), the horizontal predictor
+    // on the LZW arm, and multi-strip assembly (5-row strips) — all
+    // under the same arithmetic luma oracle as q81/q149. The JDK
+    // ImageIO cross-check lives in TiffCodecSpec.
+    "q164_tiff_pixel_stats" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val w = (id % 16 + 4).toInt
+          val h = (id % 12 + 4).toInt
+          val img = graft.functions.PngCodec.syntheticRgb(id, w, h)
+          val payload = (id % 3) match {
+            case 0 => graft.functions.TiffCodec.encode(img, 5,
+              rowsPerStrip = 5, predictor = true)
+            case 1 => graft.functions.TiffCodec.encode(img, 32773, rowsPerStrip = 5)
+            case _ => graft.functions.TiffCodec.encode(img, 1)
+          }
+          Multimodal.MediaRow(id, payload, "image/tiff", source)
+        }
+      Multimodal.pixelStats(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("luma_sum"))
     }
   )
 
@@ -4897,6 +4928,9 @@ object ExtQueries {
       // q161 recovers the SAME synthetic PCM as q82 through the FLAC
       // codec — identical arithmetic oracle
       ("q161_flac_pcm_stats" -> oracleBase("q82_wav_pcm_stats")) +
+      // q164 recovers the SAME synthetic raster as q81 through the
+      // TIFF codec — identical arithmetic oracle
+      ("q164_tiff_pixel_stats" -> oracleBase("q81_png_pixel_stats")) +
       ("q25_minhash_dups" -> oracleBase("q24_ngram_jaccard_dups")) +
       // q50 = the exact pair set restricted to pairs touching the
       // simulated new batch (doc_id ≡ 0 mod 10); same capture pinning
