@@ -27,7 +27,8 @@ object RobotsRules {
   /** allow=true for `Allow:`; `pattern` is the raw path pattern. */
   final case class Rule(allow: Boolean, pattern: String)
 
-  final case class Robots(groups: Vector[Group]) {
+  final case class Robots(groups: Vector[Group],
+      sitemaps: Vector[String] = Vector.empty) {
 
     /** The group governing `agent`, per RFC precedence. */
     def groupFor(agent: String): Option[Group] = {
@@ -64,6 +65,7 @@ object RobotsRules {
     */
   def parse(txt: String): Robots = {
     val groups = Vector.newBuilder[Group]
+    val sitemaps = Vector.newBuilder[String]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
     var delay: Option[Double] = None
@@ -94,12 +96,17 @@ object RobotsRules {
           case "crawl-delay" if open =>
             delay = try Some(value.toDouble) catch { case _: NumberFormatException => delay }
             inAgents = false
+          case "sitemap" =>
+            // RFC 9309 §2.3 "other records": group-independent — valid
+            // anywhere in the file, never attached to a User-agent
+            if (value.nonEmpty) sitemaps += value
+            inAgents = false
           case _ => inAgents = false
         }
       }
     }
     flush()
-    Robots(groups.result())
+    Robots(groups.result(), sitemaps.result())
   }
 
   /** RFC 9309 path-pattern match: `*` spans any octets, trailing `$`

@@ -207,6 +207,89 @@ object WarcCodec {
     bos.toByteArray
   }
 
+  // ── CDX-style random access ───────────────────────────────────────
+
+  /** Byte extents of each gzip member: (offset, compressedLength).
+    * This is what makes the one-member-per-record layout random-
+    * accessible — an index of these extents (the CDX model) lets a
+    * reader range-request exactly one record out of a ~1 GB archive.
+    * Walks headers manually (FEXTRA/FNAME/FCOMMENT/FHCRC) and measures
+    * each deflate stream with a raw Inflater; stops at the first
+    * malformed member, keeping the extents recovered.
+    */
+  def gzipMembers(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var pos = 0
+    try {
+      while (pos + 18 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b) {
+        val start = pos
+        val flg = bytes(pos + 3) & 0xff
+        var p = pos + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+          p += 2 + xlen
+        }
+        if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 }  // FNAME
+        if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+        if ((flg & 2) != 0) p += 2                                    // FHCRC
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, p, bytes.length - p)
+        val buf = new Array[Byte](65536)
+        while (!inf.finished()) {
+          if (inf.inflate(buf) == 0 && inf.needsInput())
+            throw new java.io.EOFException("truncated member")
+        }
+        val used = (bytes.length - p) - inf.getRemaining
+        inf.end()
+        pos = p + used + 8 // CRC32 + ISIZE trailer
+        if (pos > bytes.length) throw new java.io.EOFException("truncated trailer")
+        out += ((start.toLong, (pos - start).toLong))
+      }
+    } catch { case _: Exception => () } // keep recovered extents
+    out.result()
+  }
+
+  /** Records with their byte extents — the index builder's view. For
+    * gzip archives extents are whole members (range-requestable); for
+    * plain files they are record byte ranges.
+    */
+  def parseFileIndexed(bytes: Array[Byte]): Seq[(WarcRecord, Long, Long)] = {
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      var idx = 0
+      gzipMembers(bytes).flatMap { case (off, len) =>
+        val slice = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+        parsePlain(gunzipAll(slice)).headOption.map { r =>
+          val withIdx = r.copy(recordIndex = idx)
+          idx += 1
+          (withIdx, off, len)
+        }
+      }
+    } else {
+      // plain: reconstruct extents from the parse walk
+      val recs = parsePlain(bytes)
+      var pos = 0L
+      recs.map { r =>
+        // each serialized record = header + block + 2 CRLF; header size
+        // is not retained, so re-scan the boundary from `pos`
+        val start = pos
+        val hdrEnd = indexOfBlank(bytes, pos.toInt)
+        val end = hdrEnd + 4 + r.contentLength + 4
+        pos = end
+        (r, start, end - start)
+      }
+    }
+  }
+
+  /** Random-access one record given its extent (the range-request
+    * read path: at scale `bytes` here is the ranged slice itself).
+    */
+  def fetchRecord(bytes: Array[Byte], offset: Long, length: Long): Option[WarcRecord] = {
+    if (offset < 0 || length <= 0 || offset + length > bytes.length) return None
+    val slice = java.util.Arrays.copyOfRange(bytes, offset.toInt, (offset + length).toInt)
+    parseFile(slice).headOption
+  }
+
   /** Decompress an entire (possibly multi-member) gzip stream. */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(bytes.length * 4)

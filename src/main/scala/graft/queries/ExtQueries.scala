@@ -2811,6 +2811,52 @@ object ExtQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_pixels"), col("luma_sum"))
+    },
+
+    // ── WARC random-access index (the CDX model): per doc a 3-record
+    // archive — gzip one-member-per-record for even ids, plain for odd
+    // — is indexed (per-record byte extents from the gzip member walk
+    // or the plain record walk), then every record is re-fetched
+    // THROUGH its extent alone and compared field-for-field against
+    // the sequential parse; extents must tile the archive exactly.
+    // Invariant gate: all flags true, rows = documents.
+    "q165_warc_cdx" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val date = "2026-01-01T00:00:00Z"
+          val half = text.length / 2
+          val recs = Seq(
+            graft.functions.WarcCodec.warcinfoRecord(
+              s"<urn:uuid:i$id>", date, Seq("software" -> "graft")),
+            graft.functions.WarcCodec.responseRecord(
+              s"<urn:uuid:a$id>", s"https://example.org/a/$id", date,
+              200, "OK", "text/plain",
+              text.substring(0, half).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            graft.functions.WarcCodec.responseRecord(
+              s"<urn:uuid:b$id>", s"https://example.org/b/$id", date,
+              200, "OK", "text/plain",
+              text.substring(half).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val bytes = graft.functions.WarcCodec.file(recs, gzip = id % 2 == 0)
+          val idx = graft.functions.WarcCodec.parseFileIndexed(bytes)
+          val full = graft.functions.WarcCodec.parseFile(bytes)
+          val okRoundtrip = idx.length == full.length && idx.zip(full).forall {
+            case ((_, off, len), f) =>
+              graft.functions.WarcCodec.fetchRecord(bytes, off, len).exists { g =>
+                g.targetUri == f.targetUri && g.recordId == f.recordId &&
+                  java.util.Arrays.equals(g.payload, f.payload)
+              }
+          }
+          val okTiling = idx.nonEmpty && idx.head._2 == 0L &&
+            idx.sliding(2).forall {
+              case Seq((_, o1, l1), (_, o2, _)) => o1 + l1 == o2
+              case _ => true
+            } && (idx.last._2 + idx.last._3 == bytes.length)
+          (id, idx.length.toLong, okRoundtrip, okTiling)
+        }
+        .toDF("doc_id", "n_records", "ok_roundtrip", "ok_tiling")
     }
   )
 
@@ -4873,6 +4919,15 @@ object ExtQueries {
         |  END AS BIGINT) AS sample_rate,
         |  CAST(doc_id % 3 + 2 AS BIGINT) AS n_pages,
         |  CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples
+        |FROM documents""".stripMargin,
+
+    // index invariant: extent-only fetch ≡ sequential parse, extents
+    // tile the archive — all flags must hold on every document
+    "q165_warc_cdx" ->
+      """SELECT doc_id,
+        |  CAST(3 AS BIGINT) AS n_records,
+        |  true AS ok_roundtrip,
+        |  true AS ok_tiling
         |FROM documents""".stripMargin,
 
     // sniff-order identity: charset and decoded text per wire arm

@@ -70,4 +70,34 @@ object WarcSource {
     */
   def responses(records: Dataset[WarcRow]): Dataset[WarcRow] =
     records.filter(col("warc_type") === "response")
+
+  /** One CDX-style index row: where a record lives inside its archive. */
+  final case class WarcIndexRow(
+      warc_file: String,
+      record_index: Int,
+      warc_type: String,
+      record_id: String,
+      target_uri: String,
+      offset: Long,
+      length: Long)
+
+  /** Build the random-access index of a crawl (the CDX model): per
+    * record, the byte extent of its gzip member (or plain-file range).
+    * At 100 TB this table IS how single pages are retrieved — a keyed
+    * lookup + an `offset/length` range request into the archive,
+    * instead of re-scanning a 1 GB file per fetch. Same one-task-per-
+    * archive shape as [[fromBytes]]; the index itself is tiny
+    * (~100 bytes/record) and joins/sorts like any table.
+    */
+  def index(files: Dataset[(String, Array[Byte])]): Dataset[WarcIndexRow] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { rows =>
+      rows.flatMap { case (path, bytes) =>
+        WarcCodec.parseFileIndexed(bytes).iterator.map { case (r, off, len) =>
+          WarcIndexRow(path, r.recordIndex, r.warcType, r.recordId,
+            r.targetUri, off, len)
+        }
+      }
+    }
+  }
 }

@@ -64,6 +64,23 @@ class RobotsRulesSpec extends AnyFunSuite {
     assert(!rr.allows("graftbot", "/b"))
   }
 
+  test("sitemap directives are group-independent discovery seeds") {
+    val t =
+      """Sitemap: https://e.org/before-any-group.xml
+        |User-agent: a
+        |Disallow: /x
+        |Sitemap: https://e.org/inside.xml
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    val rr = RobotsRules.parse(t)
+    assert(rr.sitemaps ==
+      Vector("https://e.org/before-any-group.xml", "https://e.org/inside.xml"))
+    // the directive between rules must not have broken group parsing
+    assert(!rr.allows("a", "/x") && rr.allows("a", "/y"))
+  }
+
   test("lenient parsing: comments, stray rules, empty patterns, garbage") {
     val t =
       """Disallow: /ignored-no-group

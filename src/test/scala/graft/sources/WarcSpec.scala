@@ -115,6 +115,42 @@ class WarcSpec extends SparkSpec {
     assert(new String(parsed(1).payload, UTF_8) == "zstd body 1")
   }
 
+  test("CDX index: member extents are range-fetchable, tile exactly") {
+    val recs = (0 until 3).map(i =>
+      WarcCodec.responseRecord(s"<urn:uuid:c$i>", s"https://e.org/c/$i",
+        "2026-01-01T00:00:00Z", 200, "OK", "text/plain",
+        (s"body $i " * (i + 1)).getBytes(UTF_8)))
+    for (gz <- Seq(true, false)) {
+      val bytes = WarcCodec.file(recs, gzip = gz)
+      val idx = WarcCodec.parseFileIndexed(bytes)
+      assert(idx.length == 3, s"gz=$gz")
+      assert(idx.head._2 == 0L)
+      assert(idx.last._2 + idx.last._3 == bytes.length, s"gz=$gz extents must tile")
+      // a RANGED read (slice only!) recovers record 1 — the range-request model
+      val (r1, off, len) = idx(1)
+      val slice = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+      val fetched = WarcCodec.parseFile(slice).head
+      assert(fetched.targetUri == r1.targetUri && fetched.targetUri == "https://e.org/c/1")
+      assert(new String(fetched.payload, UTF_8) == "body 1 body 1 ")
+    }
+    // gzip member walk handles FNAME'd headers (foreign writers set it)
+    val bos = new java.io.ByteArrayOutputStream()
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val rec = recs(0)
+    deflater.setInput(rec); deflater.finish()
+    val buf = new Array[Byte](1 << 16)
+    val flg = 8 // FNAME
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, flg.toByte, 0, 0, 0, 0, 0, 0xff.toByte))
+    bos.write("a.warc".getBytes(UTF_8)); bos.write(0)
+    while (!deflater.finished()) { val n = deflater.deflate(buf); bos.write(buf, 0, n) }
+    val crc = new java.util.zip.CRC32(); crc.update(rec)
+    for (i <- 0 until 4) bos.write(((crc.getValue >> (8 * i)) & 0xff).toInt)
+    for (i <- 0 until 4) bos.write(((rec.length.toLong >> (8 * i)) & 0xff).toInt)
+    val withName = bos.toByteArray
+    val idx2 = WarcCodec.parseFileIndexed(withName)
+    assert(idx2.length == 1 && idx2.head._3 == withName.length.toLong)
+  }
+
   test("total on dirty input: truncated tail keeps recovered records") {
     val good = WarcCodec.responseRecord("<urn:uuid:g>", "https://e.org/1",
       "2026-01-01T00:00:00Z", 200, "OK", "text/plain", "ok".getBytes(UTF_8))
