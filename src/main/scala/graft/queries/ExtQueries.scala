@@ -2857,6 +2857,44 @@ object ExtQueries {
           (id, idx.length.toLong, okRoundtrip, okTiling)
         }
         .toDF("doc_id", "n_records", "ok_roundtrip", "ok_tiling")
+    },
+
+    // ── REAL PDF text extraction (the densest document format a crawl
+    // carries): each doc's text rides a spec-valid PDF encode→extract
+    // round trip, ids rotating the file shape — classic-xref/plain,
+    // classic-xref/Flate with kerned TJ arrays, and xref-stream +
+    // object-stream (the post-1.5 producer layout, PNG predictor 12 on
+    // the index) with two content streams per page; every 5th doc's
+    // last page arrives as an incremental update (/Prev chain). The
+    // extractor must reassemble the exact text through deflate, the
+    // object grammar, and the text operators. Per-page split points are
+    // JVM substring arithmetic, so the oracle only needs page count +
+    // full text; PdfCodecSpec pins the grammar corners (hex strings,
+    // octal escapes, indirect /Length, UTF-16BE titles).
+    "q166_pdf_text" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val nPages = (id % 4 + 1).toInt
+          val cuts = (0 to nPages).map(i => text.length * i / nPages)
+          val pages = (0 until nPages).map(i => text.substring(cuts(i), cuts(i + 1)))
+          val bytes = (id % 3) match {
+            case 0 if id % 5 == 0 && nPages >= 2 =>
+              graft.functions.PdfCodec.appendPage(
+                graft.functions.PdfCodec.encode(pages.init, flate = false),
+                pages.last)
+            case 0 => graft.functions.PdfCodec.encode(pages, flate = false)
+            case 1 => graft.functions.PdfCodec.encode(pages, flate = true,
+              kerned = true)
+            case _ => graft.functions.PdfCodec.encode(pages, flate = true,
+              xrefStream = true, twoStreamsPerPage = true)
+          }
+          val got = graft.functions.PdfCodec.extractText(bytes)
+          (id, got.nPages.toLong, got.pages.mkString)
+        }
+        .toDF("doc_id", "n_pages", "text_out")
     }
   )
 
@@ -4956,6 +4994,15 @@ object ExtQueries {
         |    ELSE '/doc.pdfx' END AS path,
         |  doc_id % 5 IN (1, 2, 4) AS allowed,
         |  CAST(doc_id % 7 + 1 AS BIGINT) AS crawl_delay
+        |FROM documents""".stripMargin,
+
+    // extraction identity: the text must come back byte-exact through
+    // the PDF encode→extract round trip; page splits are substring
+    // arithmetic, so concatenation restores the original exactly
+    "q166_pdf_text" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_pages,
+        |  text AS text_out
         |FROM documents""".stripMargin
   )
 

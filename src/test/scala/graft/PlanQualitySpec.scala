@@ -222,7 +222,8 @@ class PlanQualitySpec extends SparkSpec {
     for (q <- Seq("q154_warc_extract", "q155_main_content",
         "q156_robots_check", "q157_url_frontier", "q158_sitemap_entries",
         "q160_link_extract", "q161_flac_pcm_stats", "q162_charset_decode",
-        "q163_ogg_meta", "q164_tiff_pixel_stats", "q165_warc_cdx")) {
+        "q163_ogg_meta", "q164_tiff_pixel_stats", "q165_warc_cdx",
+        "q166_pdf_text")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }
