@@ -55,13 +55,17 @@ object WarcCodec {
       targetUri: Option[String],
       warcDate: String,
       contentType: String,
-      block: Array[Byte]): Array[Byte] = {
+      block: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0").append(CRLF)
     sb.append("WARC-Type: ").append(warcType).append(CRLF)
     sb.append("WARC-Record-ID: ").append(recordId).append(CRLF)
     sb.append("WARC-Date: ").append(warcDate).append(CRLF)
     targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(CRLF))
+    extraHeaders.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append(CRLF)
+    }
     sb.append("Content-Type: ").append(contentType).append(CRLF)
     sb.append("Content-Length: ").append(block.length).append(CRLF)
     sb.append(CRLF)

@@ -2895,6 +2895,72 @@ object ExtQueries {
           (id, got.nPages.toLong, got.pages.mkString)
         }
         .toDF("doc_id", "n_pages", "text_out")
+    },
+
+    // ── WET/WAT derivation (the crawl-distribution companions): each
+    // doc's text rides a full HTML page (title, script decoy carrying
+    // literal markup, k=id%4+1 root-relative links) through a WARC
+    // response — HTTP wire codings rotating as in q154 — then through
+    // the WET extraction rule (charset sniff → DOM → drop script →
+    // normalized visible text) and the WAT envelope (title, resolved
+    // outlinks, JSON block hash-gated as a string). ok_wet_roundtrip
+    // additionally re-serializes the WET+WAT rows as conversion/
+    // metadata WARC records (WARC-Refers-To linkage) and re-parses
+    // them — the publishable-artifact invariant.
+    "q167_wet_wat" -> { (s, dir) =>
+      import s.implicits._
+      val files = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val k = (id % 4 + 1).toInt
+          val anchors = (0 until k)
+            .map(j => s"""<a href="/l/$j">l$j</a>""").mkString(" ")
+          val html =
+            s"""<!DOCTYPE html><html><head>
+               |<title>T$id</title>
+               |<script>var decoy = "<p>no $id</p>";</script>
+               |</head>
+               |<body>
+               |<p>$text</p>
+               |<p>$anchors</p>
+               |</body></html>""".stripMargin
+          val recs = Seq(
+            graft.functions.WarcCodec.warcinfoRecord(
+              s"<urn:uuid:info-$id>", "2026-01-01T00:00:00Z",
+              Seq("software" -> "graft")),
+            graft.functions.WarcCodec.responseRecord(
+              s"<urn:uuid:resp-$id>", s"https://example.org/doc/$id",
+              "2026-01-01T00:00:00Z", 200, "OK",
+              "text/html; charset=utf-8",
+              html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              gzipBody = id % 2 == 0, chunked = id % 4 >= 2))
+          (s"doc-$id.warc", graft.functions.WarcCodec.file(recs, gzip = id % 2 == 1))
+        }
+      val responses = graft.sources.WarcSource.responses(
+        graft.sources.WarcSource.fromBytes(files))
+      responses.map { r =>
+        val we = graft.sources.WarcDerive.wetOf(r)
+        val wa = graft.sources.WarcDerive.watOf(r)
+        // publishable-artifact invariant: conversion/metadata records
+        // re-parse with the linkage and payloads intact
+        val wetBytes = graft.sources.WarcDerive.wetFile(Seq(we), gzip = true)
+        val watBytes = graft.sources.WarcDerive.watFile(Seq(wa), gzip = false)
+        val wetBack = graft.functions.WarcCodec.parseFile(wetBytes)
+        val watBack = graft.functions.WarcCodec.parseFile(watBytes)
+        val ok = wetBack.length == 1 && watBack.length == 1 &&
+          wetBack.head.warcType == "conversion" &&
+          watBack.head.warcType == "metadata" &&
+          wetBack.head.targetUri == we.target_uri &&
+          new String(wetBack.head.payload,
+            java.nio.charset.StandardCharsets.UTF_8) == we.text &&
+          new String(watBack.head.payload,
+            java.nio.charset.StandardCharsets.UTF_8) == wa.meta_json
+        (we.target_uri.replaceAll("^.*/doc/", "").toLong,
+          we.text, we.text_len, we.charset, wa.title.getOrElse(""),
+          wa.n_links, wa.links.headOption.getOrElse(""), wa.meta_json, ok)
+      }.toDF("doc_id", "text_out", "text_len", "charset", "title",
+        "n_links", "first_link", "meta_json", "ok_wet_roundtrip")
     }
   )
 
@@ -5003,7 +5069,33 @@ object ExtQueries {
       """SELECT doc_id,
         |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_pages,
         |  text AS text_out
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // WET/WAT identity: the oracle recomputes the normalized visible
+    // text (title + body + anchor texts, document order), the envelope
+    // fields, and the exact JSON string the WAT block must carry
+    "q167_wet_wat" ->
+      """WITH exp AS (
+        |  SELECT doc_id,
+        |    'T' || doc_id || ' ' || text || ' ' ||
+        |      CASE CAST(doc_id % 4 AS INT)
+        |        WHEN 0 THEN 'l0'
+        |        WHEN 1 THEN 'l0 l1'
+        |        WHEN 2 THEN 'l0 l1 l2'
+        |        ELSE 'l0 l1 l2 l3' END AS text_out
+        |  FROM documents)
+        |SELECT doc_id,
+        |  text_out,
+        |  CAST(length(text_out) AS BIGINT) AS text_len,
+        |  'utf-8' AS charset,
+        |  'T' || doc_id AS title,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_links,
+        |  'https://example.org/l/0' AS first_link,
+        |  '{"uri":"https://example.org/doc/' || doc_id ||
+        |    '","status":200,"content_type":"text/html; charset=utf-8","title":"T'
+        |    || doc_id || '","n_links":' || (doc_id % 4 + 1) || '}' AS meta_json,
+        |  true AS ok_wet_roundtrip
+        |FROM exp""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
