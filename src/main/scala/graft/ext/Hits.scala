@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration HITS (Kleinberg 1999) in PURE INTEGER ARITHMETIC —
+  * the hub/authority companion to [[PageRank]]: authority = "pointed
+  * at by good hubs", hub = "points at good authorities", the classic
+  * second axis of link analysis a crawl pipeline uses to separate
+  * directory/aggregator pages (hubs) from endorsed content
+  * (authorities) when weighting training data.
+  *
+  * Same reproducibility recipe as [[PageRank]]: scores are fixed-point
+  * longs at scale 10¹² and every operation is integer, so the result
+  * is bit-identical on any engine, partitioning, or merge order. The
+  * textbook L2 normalization is replaced by L1 (`x · 10¹² DIV Σx`) —
+  * same fixed point direction-wise, but expressible exactly in integer
+  * arithmetic; the wide multiply rides DECIMAL(38,0) (house rule after
+  * MarketBasket's lift: never let a 10²⁸ intermediate near an int64).
+  * Truncating divisions mean ΣX drifts DOWN from 10¹² by < N per
+  * round — bounded, deterministic, mirrored exactly in the oracle.
+  *
+  * Scale shape: per round, one hash shuffle keyed on src (hub pull)
+  * and one on dst (authority pull); the L1 total is a single-row
+  * aggregate broadcast back via crossJoin (the [[TfIdf]] scalar
+  * pattern — no driver collect), and scores are `localCheckpoint`ed
+  * on the [[PageRank]] cadence so lineage stays flat.
+  */
+object Hits {
+
+  val Scale = 1000000000000L // 10^12 fixed-point
+
+  /** (node, hub_e12, auth_e12) after `iters` full rounds (authority
+    * update then hub update) over `edges(srcCol, dstCol)`. Node set =
+    * every id appearing as src or dst. Parallel edges act as weights,
+    * exactly as in [[PageRank.run]].
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().cache()
+    val n = nodes.count() // eager, one driver scalar
+
+    // x·10¹² DIV Σx in exact integer arithmetic; the 1-row total is
+    // broadcast (scalar crossJoin), never collected to the driver
+    def l1Normalize(raw: DataFrame, valCol: String): DataFrame = {
+      val tot = raw.agg(sum(col(valCol)).as("l1_total"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST((CAST(coalesce($valCol, 0) AS DECIMAL(38,0)) * $Scale) " +
+            "DIV CAST(l1_total AS DECIMAL(38,0)) AS BIGINT)").as(valCol))
+    }
+
+    var hub = nodes.withColumn("hub_e12", lit(Scale / math.max(n, 1L)))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      // sums ride DECIMAL so a hub-heavy node set can never wrap an
+      // int64 (DuckDB's SUM widens to int128 — mirror it exactly)
+      val araw = e
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub_e12").cast("decimal(38,0)")).as("auth_e12"))
+      auth = l1Normalize(araw, "auth_e12")
+      val hraw = e
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth_e12").cast("decimal(38,0)")).as("hub_e12"))
+      hub = l1Normalize(hraw, "hub_e12")
+      if (i % checkpointEvery == 0 && i < iters) {
+        hub = hub.localCheckpoint()
+        auth = auth.localCheckpoint()
+      }
+    }
+    val out = hub.join(auth, Seq("node")).localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+}

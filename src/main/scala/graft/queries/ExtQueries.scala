@@ -2961,6 +2961,22 @@ object ExtQueries {
           wa.n_links, wa.links.headOption.getOrElse(""), wa.meta_json, ok)
       }.toDF("doc_id", "text_out", "text_len", "charset", "title",
         "n_links", "first_link", "meta_json", "ok_wet_roundtrip")
+    },
+
+    // ── HITS hubs/authorities (integer fixed-point, L1-normalized):
+    // the DIRECTED customer→supplier purchase graph, so the two score
+    // axes separate cleanly — customers are pure hubs (auth 0),
+    // suppliers pure authorities (hub 0) — and the oracle replays two
+    // full unrolled rounds in exact int128 arithmetic. Complements
+    // q71/q141's damped-endorsement axis.
+    "q168_hits" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ext.Hits.run(edges, "src", "dst", iters = 2)
     }
   )
 
@@ -5095,7 +5111,44 @@ object ExtQueries {
         |    '","status":200,"content_type":"text/html; charset=utf-8","title":"T'
         |    || doc_id || '","n_links":' || (doc_id % 4 + 1) || '}' AS meta_json,
         |  true AS ok_wet_roundtrip
-        |FROM exp""".stripMargin
+        |FROM exp""".stripMargin,
+
+    // two unrolled HITS rounds in exact integer arithmetic (HUGEINT
+    // wide multiplies, floor-div on non-negative operands = Spark DIV)
+    "q168_hits" ->
+      """WITH edges AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |h0 AS (SELECT node, 1000000000000 // n AS h FROM nodes CROSS JOIN nn),
+        |a1r AS (SELECT e.dst AS node, SUM(h0.h) AS s
+        |        FROM edges e JOIN h0 ON h0.node = e.src GROUP BY 1),
+        |a1t AS (SELECT SUM(s) AS t FROM a1r),
+        |a1 AS (SELECT nodes.node,
+        |         CAST(coalesce(a1r.s, 0) AS HUGEINT) * 1000000000000 // t AS a
+        |       FROM nodes LEFT JOIN a1r ON a1r.node = nodes.node CROSS JOIN a1t),
+        |h1r AS (SELECT e.src AS node, SUM(a1.a) AS s
+        |        FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1t AS (SELECT SUM(s) AS t FROM h1r),
+        |h1 AS (SELECT nodes.node,
+        |         CAST(coalesce(h1r.s, 0) AS HUGEINT) * 1000000000000 // t AS h
+        |       FROM nodes LEFT JOIN h1r ON h1r.node = nodes.node CROSS JOIN h1t),
+        |a2r AS (SELECT e.dst AS node, SUM(h1.h) AS s
+        |        FROM edges e JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2t AS (SELECT SUM(s) AS t FROM a2r),
+        |a2 AS (SELECT nodes.node,
+        |         CAST(coalesce(a2r.s, 0) AS HUGEINT) * 1000000000000 // t AS a
+        |       FROM nodes LEFT JOIN a2r ON a2r.node = nodes.node CROSS JOIN a2t),
+        |h2r AS (SELECT e.src AS node, SUM(a2.a) AS s
+        |        FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2t AS (SELECT SUM(s) AS t FROM h2r),
+        |h2 AS (SELECT nodes.node,
+        |         CAST(coalesce(h2r.s, 0) AS HUGEINT) * 1000000000000 // t AS h
+        |       FROM nodes LEFT JOIN h2r ON h2r.node = nodes.node CROSS JOIN h2t)
+        |SELECT h2.node, CAST(h2.h AS BIGINT) AS hub_e12,
+        |  CAST(a2.a AS BIGINT) AS auth_e12
+        |FROM h2 JOIN a2 ON a2.node = h2.node""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
