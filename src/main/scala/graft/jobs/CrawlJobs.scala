@@ -6,7 +6,7 @@ import graft.ext.{Frontier, LinkGraph}
 import graft.functions.{CharsetDetect, MainContent, RobotsRules, UrlFunctions,
   TextFunctions => T}
 import graft.orchestration.TaskGraph.Task
-import graft.sources.{ParquetTable, WarcSource}
+import graft.sources.{ParquetTable, WarcDerive, WarcSource}
 
 /** The crawl-ingest pipeline — the missing upstream of
   * [[CorpusJobs.buildTrainingSet]]: raw crawl archives in, a
@@ -118,5 +118,18 @@ object CrawlJobs {
         priority = lit(0), delayMs = lit(1000L), nShards = nShards)
       new ParquetTable(ctx.spark, s"$outRoot/frontier")
         .overwriteAtomic(plan, sortCols = Seq("shard", "seq"))
+    }),
+
+    // the distribution companions (Common Crawl's WET/WAT siblings):
+    // derived from ALL response records — unlike documents/, which
+    // keeps only status-200 main content, WET/WAT are faithful to the
+    // fetch (errors included) so downstream consumers can re-filter.
+    // Pure scan stage over the same per-archive tasks as parse_extract.
+    Task("wet_wat", Nil, run = ctx => {
+      val responses = WarcSource.responses(WarcSource.read(ctx.spark, warcGlob))
+      new ParquetTable(ctx.spark, s"$outRoot/wet")
+        .overwriteAtomic(WarcDerive.wet(responses).toDF())
+      new ParquetTable(ctx.spark, s"$outRoot/wat")
+        .overwriteAtomic(WarcDerive.wat(responses).toDF())
     }))
 }

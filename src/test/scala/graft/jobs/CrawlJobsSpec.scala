@@ -72,5 +72,23 @@ class CrawlJobsSpec extends SparkSpec {
     // link's site root (unfetched) are due — frontier discovery reads
     // the RAW page, not the extracted article
     assert(frontier == Set("https://a.com/p2", "https://a.com/"))
+
+    // WET/WAT companions: faithful to the fetch — the 404 IS included
+    val wet = spark.read.parquet(s"$out/wet").collect()
+      .map(row => row.getString(row.fieldIndex("target_uri")) ->
+        row.getString(row.fieldIndex("text"))).toMap
+    assert(wet.keySet == Set("https://a.com/p1", "https://a.com/gone",
+      "https://b.org/x"))
+    assert(wet("https://a.com/gone") == "gone")
+    // WET is the FULL visible text (chrome included), unlike documents
+    assert(wet("https://a.com/p1").startsWith("t home the first article"))
+    assert(wet("https://b.org/x").contains("café"))
+
+    val wat = spark.read.parquet(s"$out/wat")
+    val watRow = wat.filter(wat("target_uri") === "https://a.com/p1")
+      .collect().head
+    assert(watRow.getAs[Long]("n_links") == 5L) // nav + 4 body anchors
+    assert(watRow.getAs[String]("title") == "t")
+    assert(watRow.getAs[String]("meta_json").contains("\"n_links\":5"))
   }
 }
