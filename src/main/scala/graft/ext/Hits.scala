@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: per round, one hash shuffle keyed on src (hub pull)
   * and one on dst (authority pull); the L1 total is a single-row
   * aggregate broadcast back via crossJoin (the [[TfIdf]] scalar
-  * pattern — no driver collect), and scores are `localCheckpoint`ed
-  * on the [[PageRank]] cadence so lineage stays flat.
+  * pattern — no driver collect); each round's pull is
+  * `localCheckpoint`ed because it feeds two consumers (total + next
+  * pull) — per-round materialization, not PageRank's every-k cadence,
+  * is what keeps the plan linear in `iters`. Edge-less nodes stay out
+  * of the iteration entirely (their score is identically 0) and are
+  * zero-filled by one census join at the output.
   */
 object Hits {
 
@@ -39,10 +43,8 @@ object Hits {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int,
-      checkpointEvery: Int = 5): DataFrame = {
+      iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -50,13 +52,18 @@ object Hits {
     val n = nodes.count() // eager, one driver scalar
 
     // x·10¹² DIV Σx in exact integer arithmetic; the 1-row total is
-    // broadcast (scalar crossJoin), never collected to the driver
-    def l1Normalize(raw: DataFrame, valCol: String): DataFrame = {
+    // broadcast (scalar crossJoin), never collected to the driver.
+    // The raw frame feeds both the total and the projection —
+    // materialize it once. Nodes with no in-/out-edges stay ABSENT
+    // here (their score is exactly 0: they contribute nothing to the
+    // opposite pull), so the per-round nodes join is deferred to the
+    // single zero-fill at the output — two fewer shuffles per round.
+    def l1Normalize(rawLazy: DataFrame, valCol: String): DataFrame = {
+      val raw = rawLazy.localCheckpoint()
       val tot = raw.agg(sum(col(valCol)).as("l1_total"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(tot))
+      raw.crossJoin(broadcast(tot))
         .select(col("node"),
-          expr(s"CAST((CAST(coalesce($valCol, 0) AS DECIMAL(38,0)) * $Scale) " +
+          expr(s"CAST((CAST($valCol AS DECIMAL(38,0)) * $Scale) " +
             "DIV CAST(l1_total AS DECIMAL(38,0)) AS BIGINT)").as(valCol))
     }
 
@@ -69,18 +76,30 @@ object Hits {
         .join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub_e12").cast("decimal(38,0)")).as("auth_e12"))
-      auth = l1Normalize(araw, "auth_e12")
+      // l1Normalize materializes the pull result EVERY round (unlike
+      // PageRank's every-k cadence): each frame feeds both the L1
+      // total and the next pull, so a fully lazy chain re-executes
+      // prior rounds multiplicatively; the normalized score frame is
+      // ALSO checkpointed — node-count-sized, and the accurate post-
+      // checkpoint sizeInBytes is what lets the next pull broadcast it
+      // into the edge join instead of sort-merging 600k edges.
+      // Values are unaffected: integer arithmetic, spec-pinned
+      // partition invariance.
+      auth = l1Normalize(araw, "auth_e12").localCheckpoint()
       val hraw = e
         .join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth_e12").cast("decimal(38,0)")).as("hub_e12"))
-      hub = l1Normalize(hraw, "hub_e12")
-      if (i % checkpointEvery == 0 && i < iters) {
-        hub = hub.localCheckpoint()
-        auth = auth.localCheckpoint()
-      }
+      hub = l1Normalize(hraw, "hub_e12").localCheckpoint()
     }
-    val out = hub.join(auth, Seq("node")).localCheckpoint()
+    // one zero-fill join against the node census at the very end
+    val out = nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_e12"), lit(0L)).as("hub_e12"),
+        coalesce(col("auth_e12"), lit(0L)).as("auth_e12"))
+      .localCheckpoint()
     e.unpersist(); nodes.unpersist()
     out
   }
