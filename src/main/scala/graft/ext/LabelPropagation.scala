@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration synchronous label propagation (Raghavan et al.
+  * 2007) — community detection for the link-graph tier: after a few
+  * rounds, densely connected vertex groups converge onto one label,
+  * the standard cheap community signal a crawl pipeline uses to group
+  * mirror farms / template families before sampling.
+  *
+  * Classic async LPA is order-dependent; this is the DETERMINISTIC
+  * synchronous variant the oracle can replay: every round, each node
+  * adopts the most frequent label among its neighbors' previous-round
+  * labels, ties broken by SMALLEST label, isolated nodes keep their
+  * own. Fixed `iters` (no convergence probe — synchronous LPA can
+  * 2-cycle on bipartite structures, so a fixed horizon is the honest
+  * contract), all arithmetic integral ⇒ bit-identical on any engine or
+  * partitioning, like [[PageRank]]/[[Hits]].
+  *
+  * Scale shape: per round one (node,label) count aggregate and one
+  * node-keyed window for the argmax — both plain hash exchanges on
+  * frames bounded by the neighbor-label multiset; labels are
+  * `localCheckpoint`ed per round (flat lineage, [[ConnectedComponents]]
+  * recipe). Edges are taken as DIRECTED adjacency: pass a symmetrized
+  * frame for undirected semantics (the q169 gate does).
+  */
+object LabelPropagation {
+
+  /** (node, label) after `iters` synchronous rounds over
+    * `edges(srcCol, dstCol)`: node pulls labels from the dst of its
+    * out-edges. Node set = every id appearing as src or dst; initial
+    * label = own id. Parallel edges act as weights.
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().cache()
+
+    var labels = nodes.withColumn("label", col("node"))
+    val byCount = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      val picked = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byCount))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+      labels = nodes
+        .join(picked.withColumnRenamed("label", "new_label"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    e.unpersist(); nodes.unpersist()
+    labels
+  }
+}

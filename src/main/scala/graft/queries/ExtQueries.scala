@@ -2977,6 +2977,54 @@ object ExtQueries {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
       graft.ext.Hits.run(edges, "src", "dst", iters = 2)
+    },
+
+    // ── synchronous label propagation (2 rounds, symmetrized purchase
+    // graph): deterministic mode-label adoption with smallest-label
+    // ties, replayed exactly by the oracle's two unrolled rounds —
+    // the community-detection axis next to CC (q34) / PageRank (q71).
+    "q169_label_propagation" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ext.LabelPropagation.run(edges, "src", "dst", iters = 2)
+    },
+
+    // ── content-defined chunking (FastCDC) invariants: each doc's
+    // 4×-repeated text rides the gear chunker; the oracle-certain
+    // properties — exact tiling, [min,max] bounds off the final chunk,
+    // bit-determinism of a re-chunk, content-hash integrity — are
+    // flag-gated per doc (re-synchronization under edits is measured
+    // in ContentChunkingSpec, where a floor can be corpus-calibrated
+    // rather than sworn blind). Pure scan stage.
+    "q170_cdc_chunks" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload = Seq(text, text, text, text).mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val cs = graft.ext.ContentChunking.chunk(payload, 32, 64, 128)
+          val tile = cs.nonEmpty && cs.head.offset == 0 &&
+            cs.sliding(2).forall {
+              case Seq(a, b) => a.offset + a.length == b.offset
+              case _ => true
+            } && cs.last.offset + cs.last.length == payload.length
+          val bounds = cs.dropRight(1).forall(c =>
+              c.length >= 32 && c.length <= 128) &&
+            cs.last.length >= 1 && cs.last.length <= 128
+          val det = graft.ext.ContentChunking.chunk(payload, 32, 64, 128) == cs
+          val hashOk = cs.forall(c => c.hash ==
+            graft.ext.ContentChunking.contentHash(payload, c.offset, c.length))
+          (id, tile, bounds, det && hashOk)
+        }
+        .toDF("doc_id", "tile_ok", "bounds_ok", "det_ok")
     }
   )
 
@@ -5148,7 +5196,45 @@ object ExtQueries {
         |       FROM nodes LEFT JOIN h2r ON h2r.node = nodes.node CROSS JOIN h2t)
         |SELECT h2.node, CAST(h2.h AS BIGINT) AS hub_e12,
         |  CAST(a2.a AS BIGINT) AS auth_e12
-        |FROM h2 JOIN a2 ON a2.node = h2.node""".stripMargin
+        |FROM h2 JOIN a2 ON a2.node = h2.node""".stripMargin,
+
+    // two unrolled synchronous LPA rounds: per-node neighbor-label
+    // mode with (count DESC, label ASC) tie-break, isolated keep own
+    "q169_label_propagation" ->
+      """WITH pairs AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |l0 AS (SELECT node, node AS lab FROM nodes),
+        |n1 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c
+        |       FROM edges e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+        |p1 AS (SELECT node, lab FROM (
+        |         SELECT node, lab,
+        |           row_number() OVER (PARTITION BY node
+        |             ORDER BY c DESC, lab ASC) AS rn
+        |         FROM n1) WHERE rn = 1),
+        |l1 AS (SELECT n.node, coalesce(p.lab, n.node) AS lab
+        |       FROM nodes n LEFT JOIN p1 p ON p.node = n.node),
+        |n2 AS (SELECT e.src AS node, l.lab, COUNT(*) AS c
+        |       FROM edges e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+        |p2 AS (SELECT node, lab FROM (
+        |         SELECT node, lab,
+        |           row_number() OVER (PARTITION BY node
+        |             ORDER BY c DESC, lab ASC) AS rn
+        |         FROM n2) WHERE rn = 1),
+        |l2 AS (SELECT n.node, coalesce(p.lab, n.node) AS lab
+        |       FROM nodes n LEFT JOIN p2 p ON p.node = n.node)
+        |SELECT node, lab AS label FROM l2""".stripMargin,
+
+    // invariant gate: every oracle-certain CDC property must hold on
+    // every document (resync is spec-measured, not sworn here)
+    "q170_cdc_chunks" ->
+      """SELECT doc_id,
+        |  true AS tile_ok,
+        |  true AS bounds_ok,
+        |  true AS det_ok
+        |FROM documents""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
