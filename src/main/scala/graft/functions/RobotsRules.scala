@@ -136,4 +136,29 @@ object RobotsRules {
     }
     if (anchored) pos == path.length else true
   }
+
+  /** Page-level robots directives — the <meta name="robots"> channel
+    * (and, when the caller has response headers, `X-Robots-Tag`),
+    * which govern a PAGE after fetching, where robots.txt governed the
+    * FETCH: `noindex` (keep out of the corpus/index), `nofollow`
+    * (discard this page's outlinks), with `none` ≡ both and `all` ≡
+    * neither. Token match is case-insensitive on comma-separated
+    * values, multiple meta tags and header values union (the
+    * restrictive reading every engine applies).
+    */
+  final case class PageDirectives(noindex: Boolean, nofollow: Boolean)
+
+  def pageDirectives(html: String,
+      xRobotsTag: Option[String] = None): PageDirectives = {
+    val metas = HtmlDom.parse(html).findAll("meta", e =>
+        e.attrs.get("name").exists(_.equalsIgnoreCase("robots")))
+      .flatMap(_.attrs.get("content"))
+    val tokens = (metas ++ xRobotsTag.toSeq)
+      .flatMap(_.split(",")).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSet
+    val none = tokens.contains("none")
+    PageDirectives(
+      noindex = none || tokens.contains("noindex"),
+      nofollow = none || tokens.contains("nofollow"))
+  }
 }

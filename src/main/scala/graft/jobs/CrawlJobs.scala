@@ -56,10 +56,19 @@ object CrawlJobs {
         .filter(r => r.http_status.contains(200))
         .map { r =>
           val d = CharsetDetect.decode(r.payload, r.http_content_type)
-          (r.target_uri, d.charset, MainContent.extract(d.text), d.text)
+          val pd = RobotsRules.pageDirectives(d.text)
+          (r.target_uri, d.charset, MainContent.extract(d.text), d.text,
+            pd.noindex, pd.nofollow)
         }
-        .toDF("url", "charset", "main_text", "raw_html")
+        .toDF("url", "charset", "main_text", "raw_html",
+          "pg_noindex", "pg_nofollow")
+      // page-level robots: noindex pages never enter the pipeline —
+      // corpus, link graph, frontier; the conservative reading (search
+      // engines long-term demote noindex pages' links regardless). The
+      // nofollow FLAG rides along so the link/frontier tasks can drop
+      // those pages' endorsements without re-parsing.
       val docs = pages
+        .filter(!col("pg_noindex"))
         .withColumn("doc_id", xxhash64(col("url")))
         .withColumn("source",
           UrlFunctions.registrableDomain(UrlFunctions.host(col("url"))))
@@ -67,13 +76,14 @@ object CrawlJobs {
         .withColumn("quality", T.qualityScore(col("main_text")))
         .withColumn("n_tokens", T.tokenCount(col("main_text")))
         .select("doc_id", "url", "source", "charset", "lang", "quality",
-          "n_tokens", "main_text", "raw_html")
+          "n_tokens", "main_text", "raw_html", "pg_nofollow")
       new ParquetTable(ctx.spark, s"$outRoot/documents")
         .overwriteAtomic(docs, sortCols = Seq("source"))
     }),
 
     Task("link_graph", Seq("parse_extract"), run = ctx => {
       val docs = ctx.spark.read.parquet(s"$outRoot/documents")
+        .filter(!col("pg_nofollow")) // meta-nofollow: no endorsements
       val edges = LinkGraph.edges(docs, "url", "raw_html")
       new ParquetTable(ctx.spark, s"$outRoot/host_graph")
         .overwriteAtomic(LinkGraph.hostGraph(edges).toDF())
@@ -82,8 +92,10 @@ object CrawlJobs {
     Task("frontier", Seq("parse_extract"), run = ctx => {
       import ctx.spark.implicits._
       val docs = ctx.spark.read.parquet(s"$outRoot/documents")
-      // candidate URLs: followed links, de-duplicated, minus fetched
-      val links = LinkGraph.edges(docs, "url", "raw_html")
+      // candidate URLs: followed links from followable pages (meta
+      // nofollow drops the whole page's outlinks), minus fetched
+      val links = LinkGraph.edges(docs.filter(!col("pg_nofollow")),
+          "url", "raw_html")
         .filter(l => !l.nofollow)
         .map(_.dst_url)
         .toDF("url").dropDuplicates("url")

@@ -95,4 +95,32 @@ class RobotsRulesSpec extends AnyFunSuite {
     assert(RobotsRules.parse(null).groups.isEmpty)
     assert(RobotsRules.parse("::::\n\n##").groups.isEmpty)
   }
+
+  test("page directives: meta robots tokens, case, none, header union") {
+    import RobotsRules.{pageDirectives, PageDirectives}
+    def html(content: String) =
+      s"""<html><head><meta name="robots" content="$content"></head><body/></html>"""
+    assert(pageDirectives(html("noindex")) == PageDirectives(true, false))
+    assert(pageDirectives(html("nofollow")) == PageDirectives(false, true))
+    assert(pageDirectives(html("noindex, nofollow")) == PageDirectives(true, true))
+    assert(pageDirectives(html("NONE")) == PageDirectives(true, true))
+    assert(pageDirectives(html("all")) == PageDirectives(false, false))
+    assert(pageDirectives(html("noarchive, nosnippet")) == PageDirectives(false, false))
+    // no meta at all
+    assert(pageDirectives("<html><body><p>x</p></body></html>") ==
+      PageDirectives(false, false))
+    // other meta names don't count; NAME is case-insensitive
+    assert(pageDirectives(
+      """<meta name="viewport" content="noindex">""") ==
+      PageDirectives(false, false))
+    assert(pageDirectives(
+      """<meta name="ROBOTS" content="NoIndex">""") ==
+      PageDirectives(true, false))
+    // multiple metas union; X-Robots-Tag header unions in
+    assert(pageDirectives(html("noindex") +
+      """<meta name="robots" content="nofollow">""") ==
+      PageDirectives(true, true))
+    assert(pageDirectives("<html/>", Some("noindex, nofollow")) ==
+      PageDirectives(true, true))
+  }
 }

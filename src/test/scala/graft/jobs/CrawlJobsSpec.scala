@@ -43,6 +43,21 @@ class CrawlJobsSpec extends SparkSpec {
         gzipBody = true))
     Files.write(warcDir.resolve("a.warc.gz"), WarcCodec.file(recs1, gzip = true))
     Files.write(warcDir.resolve("b.warc"), WarcCodec.file(recs2, gzip = false))
+    // archive 3: page-level robots directives — a noindex page (kept
+    // out of the corpus, links still followed) and a nofollow page
+    // (kept, its outlinks dropped)
+    val recs3 = Seq(
+      WarcCodec.responseRecord("<urn:uuid:4>", "https://a.com/nx",
+        "2026-01-01T00:00:00Z", 200, "OK", "text/html; charset=utf-8",
+        ("""<html><head><meta name="robots" content="noindex"></head>""" +
+          """<body><article><p>hidden from the corpus</p></article>""" +
+          """<a href="/from-nx">follow me</a></body></html>""").getBytes(UTF_8)),
+      WarcCodec.responseRecord("<urn:uuid:5>", "https://a.com/nf",
+        "2026-01-01T00:00:00Z", 200, "OK", "text/html; charset=utf-8",
+        ("""<html><head><meta name="ROBOTS" content="NOFOLLOW"></head>""" +
+          """<body><article><p>indexed but unendorsing</p></article>""" +
+          """<a href="/from-nf">do not queue</a></body></html>""").getBytes(UTF_8)))
+    Files.write(warcDir.resolve("c.warc"), WarcCodec.file(recs3, gzip = false))
 
     // robots for a.com denies /secret/
     val robotsDir = dir.resolve("robots").toString
@@ -57,7 +72,9 @@ class CrawlJobsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$out/documents").collect()
       .map(row => row.getString(row.fieldIndex("url")) ->
         row.getString(row.fieldIndex("main_text"))).toMap
-    assert(docs.keySet == Set("https://a.com/p1", "https://b.org/x")) // 404 dropped
+    // 404 AND the meta-noindex page dropped; the nofollow page stays
+    assert(docs.keySet == Set("https://a.com/p1", "https://b.org/x",
+      "https://a.com/nf"))
     assert(docs("https://a.com/p1") ==
       "the first article body with enough words to pass") // chrome stripped
     assert(docs("https://b.org/x").contains("café")) // 1252 decoded
@@ -70,7 +87,10 @@ class CrawlJobsSpec extends SparkSpec {
       .select("url").collect().map(_.getString(0)).toSet
     // fetched urls and robots-denied /secret/ are out; /p2 and the nav
     // link's site root (unfetched) are due — frontier discovery reads
-    // the RAW page, not the extracted article
+    // the RAW page, not the extracted article. Neither directive page
+    // contributes links: noindex pages leave the pipeline entirely
+    // (the documented conservative reading — long-term noindex demotes
+    // links anyway), nofollow pages stay but keep their links.
     assert(frontier == Set("https://a.com/p2", "https://a.com/"))
 
     // WET/WAT companions: faithful to the fetch — the 404 IS included
@@ -78,7 +98,7 @@ class CrawlJobsSpec extends SparkSpec {
       .map(row => row.getString(row.fieldIndex("target_uri")) ->
         row.getString(row.fieldIndex("text"))).toMap
     assert(wet.keySet == Set("https://a.com/p1", "https://a.com/gone",
-      "https://b.org/x"))
+      "https://b.org/x", "https://a.com/nx", "https://a.com/nf"))
     assert(wet("https://a.com/gone") == "gone")
     // WET is the FULL visible text (chrome included), unlike documents
     assert(wet("https://a.com/p1").startsWith("t home the first article"))
