@@ -84,4 +84,66 @@ object CrawlStreams {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** Streaming WET/WAT derivation over the same landing directory —
+    * the distribution companions keep pace with ingest instead of
+    * waiting for a batch pass. One stream, one checkpoint, TWO txlog
+    * tables: `foreachBatch` derives both row shapes from the batch's
+    * archives and appends each under the SAME batch id, so the txlog
+    * replay-dedup marker makes the pair exactly-once together (a crash
+    * between the two appends replays the batch and the already-written
+    * side dedups).
+    */
+  def wetWatStream(
+      spark: SparkSession,
+      warcDir: String,
+      wetRoot: String,
+      watRoot: String,
+      checkpointDir: String,
+      maxFilesPerBatch: Int = 16,
+      availableNow: Boolean = true): StreamingQuery = {
+    import spark.implicits._
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerBatch)
+      .load(warcDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val writer = raw.writeStream
+      .queryName("crawl_wet_wat_stream")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Array[Byte])],
+          batchId: Long) =>
+        // per-table marker dedup, the TxLogAppendSink recipe: a crash
+        // between the two appends replays the batch; the side already
+        // carrying this batch id skips
+        def appendOnce(root: String,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val table = new graft.sources.TxLogTable(spark, root)
+          val done = table.marker(graft.sources.TxLogStream.SinkBatchMarker)
+            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+          if (batchId <= done) return
+          table.ensureExists(df.schema)
+          table.append(df, markers = Map(
+            graft.sources.TxLogStream.SinkBatchMarker -> batchId.toString))
+        }
+        val responses = graft.sources.WarcSource.responses(
+          graft.sources.WarcSource.fromBytes(batch))
+        appendOnce(wetRoot, graft.sources.WarcDerive.wet(responses).toDF())
+        appendOnce(watRoot, graft.sources.WarcDerive.wat(responses).toDF())
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
 }

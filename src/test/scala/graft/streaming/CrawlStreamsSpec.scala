@@ -51,4 +51,39 @@ class CrawlStreamsSpec extends SparkSpec {
     assert(row.getAs[Number](row.fieldIndex("n_tokens")).longValue() == 4L)
     assert(row.getString(row.fieldIndex("source")) == "c.net")
   }
+
+  test("WET/WAT companions stream into their txlog tables exactly once") {
+    val dir = Files.createTempDirectory("wetwat_stream")
+    val land = dir.resolve("landing"); Files.createDirectory(land)
+    val wetRoot = dir.resolve("wet").toString
+    val watRoot = dir.resolve("wat").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    warc(land.resolve("a.warc.gz"), "https://a.com/1", "alpha beta gamma")
+    warc(land.resolve("b.warc.gz"), "https://b.org/2", "delta words here")
+    CrawlStreams.wetWatStream(spark, land.toString, wetRoot, watRoot, ckpt)
+      .awaitTermination()
+    val wet = new TxLogTable(spark, wetRoot)
+    val wat = new TxLogTable(spark, watRoot)
+    assert(wet.read().count() == 2 && wat.read().count() == 2)
+    val texts = wet.read().collect()
+      .map(r => r.getString(r.fieldIndex("target_uri")) ->
+        r.getString(r.fieldIndex("text"))).toMap
+    assert(texts("https://a.com/1") == "alpha beta gamma")
+
+    // re-drain: offsets + marker dedup keep both tables fixed
+    CrawlStreams.wetWatStream(spark, land.toString, wetRoot, watRoot, ckpt)
+      .awaitTermination()
+    assert(wet.read().count() == 2 && wat.read().count() == 2)
+
+    // new archive appends one row to EACH side
+    warc(land.resolve("c.warc.gz"), "https://c.net/3", "third page body")
+    CrawlStreams.wetWatStream(spark, land.toString, wetRoot, watRoot, ckpt)
+      .awaitTermination()
+    assert(wet.read().count() == 3 && wat.read().count() == 3)
+    val wr = wat.read()
+      .filter(org.apache.spark.sql.functions.col("target_uri") === "https://c.net/3")
+      .collect()(0)
+    assert(wr.getString(wr.fieldIndex("meta_json")).contains("\"status\":200"))
+  }
 }
