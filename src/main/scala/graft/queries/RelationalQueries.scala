@@ -330,6 +330,38 @@ object RelationalQueries {
           col("`1-URGENT`").as("urgent"), col("`2-HIGH`").as("high"),
           col("`3-MEDIUM`").as("medium"),
           col("`4-NOT SPECIFIED`").as("notspec"), col("`5-LOW`").as("low"))
+    },
+
+    // ── string aggregation (LISTAGG / string_agg parity): per source,
+    // the sorted-distinct language roster as one delimited string.
+    // Deterministic by sorting BEFORE joining — collect_set order is
+    // partition-dependent, array_sort pins it (the only portable way;
+    // both engines' bare string_agg order is undefined).
+    "q171_string_agg" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("lang"))))
+            .as("langs"),
+          countDistinct(col("lang")).as("n_langs"))
+    },
+
+    // ── deterministic per-group mode: the most frequent order
+    // priority per order status, ties to the lexicographically
+    // smallest — built-in mode() is tie-arbitrary on BOTH engines, so
+    // the window argmax is the portable formulation (q169's recipe).
+    "q172_group_mode" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"))
+      counts
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("o_orderstatus")
+          .orderBy(col("c").desc, col("o_orderpriority").asc)))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("c").as("n_rows"))
     }
   )
 
@@ -520,6 +552,21 @@ object RelationalQueries {
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  MIN(ts_us) AS session_start_us,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q171_string_agg" ->
+      """SELECT source,
+        |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q172_group_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n_rows FROM (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    COUNT(*) AS n_rows,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1""".stripMargin
   )
 }

@@ -24,7 +24,13 @@ object ScalingBench {
     // round 9: the deletion-vector DML commit path, the MP3 frame
     // walk, and the WebP/VP8L decode scan stage (rotating its three
     // encoder paths)
-    "q151_dv_delete", "q152_mp3_headers", "q153_webp_pixel_stats")
+    "q151_dv_delete", "q152_mp3_headers", "q153_webp_pixel_stats",
+    // round-9 second session: the crawl tier's WARC walk and its one
+    // semantic shuffle, the PDF/WET-WAT scan stages, and the two new
+    // iterative graph ops (per-round-normalized HITS, windowed LPA)
+    "q154_warc_extract", "q159_frontier_schedule", "q166_pdf_text",
+    "q167_wet_wat", "q168_hits", "q169_label_propagation",
+    "q170_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sf1")
