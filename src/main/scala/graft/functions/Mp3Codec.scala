@@ -177,4 +177,100 @@ object Mp3Codec {
     }
     out.toByteArray
   }
+
+  // ── ID3v2 text frames (the metadata a real library actually wants:
+  // TIT2 title, TPE1 artist, TALB album, …) ──────────────────────────
+
+  /** Parse the leading ID3v2.3/2.4 tag's TEXT frames (IDs starting
+    * 'T') into id → decoded value. Handles both frame-size encodings
+    * (v2.3 plain 32-bit, v2.4 syncsafe), all four text encodings
+    * (0 Latin-1, 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8), trailing
+    * NULs, and stops at padding. Total: damage yields the frames
+    * parsed so far. Empty map when no tag.
+    */
+  def id3v2Frames(payload: Array[Byte]): Map[String, String] = {
+    val total = id3v2Size(payload)
+    if (total == 0) return Map.empty
+    val v24 = (payload(3) & 0xff) >= 4
+    val footer = if ((payload(5) & 0x10) != 0) 10 else 0
+    val end = total - footer
+    val out = Map.newBuilder[String, String]
+    var p = 10
+    var going = true
+    while (going && p + 10 <= end) {
+      val id = new String(payload, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!id.forall(c => c.isUpper || c.isDigit)) going = false // padding
+      else {
+        val sz =
+          if (v24)
+            ((payload(p + 4) & 0x7f) << 21) | ((payload(p + 5) & 0x7f) << 14) |
+              ((payload(p + 6) & 0x7f) << 7) | (payload(p + 7) & 0x7f)
+          else
+            ((payload(p + 4) & 0xff) << 24) | ((payload(p + 5) & 0xff) << 16) |
+              ((payload(p + 6) & 0xff) << 8) | (payload(p + 7) & 0xff)
+        val bodyAt = p + 10
+        if (sz <= 0 || bodyAt + sz > end) going = false
+        else {
+          if (id.startsWith("T") && sz >= 1) {
+            val enc = payload(bodyAt) & 0xff
+            val raw = java.util.Arrays.copyOfRange(payload, bodyAt + 1, bodyAt + sz)
+            val cs = enc match {
+              case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+              case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led
+              case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+              case _ => java.nio.charset.StandardCharsets.UTF_8
+            }
+            val s = new String(raw, cs).takeWhile(_ != '\u0000')
+            out += id -> s
+          }
+          p = bodyAt + sz
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Serialize an ID3v2 tag of text frames — v2.3 (plain frame sizes)
+    * or v2.4 (syncsafe); `encoding` per the spec byte (0 Latin-1,
+    * 1 UTF-16+BOM, 2 UTF-16BE v2.4-only, 3 UTF-8 v2.4-only).
+    * Prepend to any MP3 byte stream; [[meta]]/[[id3v2Frames]] skip or
+    * read it by its declared syncsafe size.
+    */
+  def id3v2TagBytes(frames: Seq[(String, String)], v24: Boolean = false,
+      encoding: Int = 3): Array[Byte] = {
+    require(encoding >= 0 && encoding <= 3, "encoding byte in [0,3]")
+    require(v24 || encoding < 2, s"encoding $encoding requires ID3v2.4")
+    val bodies = frames.map { case (id, value) =>
+      require(id.length == 4, s"frame id must be 4 chars: $id")
+      val text = encoding match {
+        case 0 => value.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 1 => // UTF-16 LE with explicit BOM
+          Array(0xff.toByte, 0xfe.toByte) ++
+            value.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        case 2 => value.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        case _ => value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+      (id, Array(encoding.toByte) ++ text)
+    }
+    val size = bodies.map(_._2.length + 10).sum
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(if (v24) 4 else 3); out.write(0); out.write(0)
+    out.write((size >>> 21) & 0x7f); out.write((size >>> 14) & 0x7f)
+    out.write((size >>> 7) & 0x7f); out.write(size & 0x7f)
+    bodies.foreach { case (id, body) =>
+      id.foreach(c => out.write(c))
+      val sz = body.length
+      if (v24) {
+        out.write((sz >>> 21) & 0x7f); out.write((sz >>> 14) & 0x7f)
+        out.write((sz >>> 7) & 0x7f); out.write(sz & 0x7f)
+      } else {
+        out.write((sz >>> 24) & 0xff); out.write((sz >>> 16) & 0xff)
+        out.write((sz >>> 8) & 0xff); out.write(sz & 0xff)
+      }
+      out.write(0); out.write(0) // frame flags
+      out.write(body)
+    }
+    out.toByteArray
+  }
 }

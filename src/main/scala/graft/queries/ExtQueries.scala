@@ -3025,6 +3025,43 @@ object ExtQueries {
           (id, tile, bounds, det && hashOk)
         }
         .toDF("doc_id", "tile_ok", "bounds_ok", "det_ok")
+    },
+
+    // ── ID3v2 text-frame metadata (TIT2/TPE1/TALB): per doc a real
+    // tag — ids rotating tag version × text encoding across all four
+    // spec arms (v2.3+Latin-1, v2.3+UTF-16 BOM, v2.4+UTF-16BE,
+    // v2.4+UTF-8, the two later encodings being v2.4-only) — fronting
+    // a q152-style Layer III frame walk; the parser must recover the
+    // exact strings THROUGH the tag grammar (plain vs syncsafe frame
+    // sizes, encoding bytes) and the frame walk must still count
+    // frames exactly past the tag it skips.
+    "q173_mp3_id3" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .map { case (id, text, source) =>
+          val title = "T" + text.take(20)
+          val album = "A" + (id % 7)
+          val (v24, enc) = (id % 4) match {
+            case 0 => (false, 0)
+            case 1 => (false, 1)
+            case 2 => (true, 2)
+            case _ => (true, 3)
+          }
+          val tag = graft.functions.Mp3Codec.id3v2TagBytes(
+            Seq("TIT2" -> title, "TPE1" -> source, "TALB" -> album),
+            v24 = v24, encoding = enc)
+          val body = graft.functions.Mp3Codec.mp3Bytes(
+            versionBits = 3, bitrateIdx = 9, rateIdx = 0,
+            mono = id % 2 == 0, nFrames = (id % 50 + 2).toInt)
+          val payload = tag ++ body
+          val frames = graft.functions.Mp3Codec.id3v2Frames(payload)
+          val m = graft.functions.Mp3Codec.meta(payload)
+          (id, frames.getOrElse("TIT2", ""), frames.getOrElse("TPE1", ""),
+            frames.getOrElse("TALB", ""), m.map(_.nFrames).getOrElse(-1L))
+        }
+        .toDF("doc_id", "title", "artist", "album", "n_frames")
     }
   )
 
@@ -5234,6 +5271,16 @@ object ExtQueries {
         |  true AS tile_ok,
         |  true AS bounds_ok,
         |  true AS det_ok
+        |FROM documents""".stripMargin,
+
+    // tag-grammar identity: the oracle recomputes the exact strings
+    // the ID3v2 frames must deliver and q152's frame-count arithmetic
+    "q173_mp3_id3" ->
+      """SELECT doc_id,
+        |  'T' || substring(text, 1, 20) AS title,
+        |  source AS artist,
+        |  'A' || (doc_id % 7) AS album,
+        |  CAST(doc_id % 50 + 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin
   )
 

@@ -223,7 +223,8 @@ class PlanQualitySpec extends SparkSpec {
         "q156_robots_check", "q157_url_frontier", "q158_sitemap_entries",
         "q160_link_extract", "q161_flac_pcm_stats", "q162_charset_decode",
         "q163_ogg_meta", "q164_tiff_pixel_stats", "q165_warc_cdx",
-        "q166_pdf_text", "q167_wet_wat", "q170_cdc_chunks")) {
+        "q166_pdf_text", "q167_wet_wat", "q170_cdc_chunks",
+        "q173_mp3_id3")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }

@@ -69,4 +69,43 @@ class Mp3CodecSpec extends AnyFunSuite {
       ((200 >> 7) & 0x7f).toByte, (200 & 0x7f).toByte) ++ body
     assert(meta(tag ++ clean) === meta(clean))
   }
+
+  test("ID3v2 text frames round trip through all four version×encoding arms") {
+    import Mp3Codec.{id3v2Frames, id3v2TagBytes}
+    val values = Seq("TIT2" -> "Plain Ascii Title", "TPE1" -> "Ünïcode — Ärtist",
+      "TALB" -> "中文专辑 €")
+    for ((v24, enc) <- Seq((false, 0), (false, 1), (true, 1), (true, 2), (true, 3))) {
+      val tag = id3v2TagBytes(values, v24 = v24, encoding = enc)
+      val got = id3v2Frames(tag ++ mp3Bytes(3, 9, 0, mono = true, nFrames = 3))
+      if (enc == 0) {
+        // Latin-1 can carry Ünïcode/€? — ï/Ä yes, — and 中 no: only
+        // assert the pure-ASCII frame
+        assert(got("TIT2") == "Plain Ascii Title", s"v24=$v24 enc=$enc")
+      } else {
+        assert(got == values.toMap, s"v24=$v24 enc=$enc")
+      }
+    }
+  }
+
+  test("ID3v2 frame parse coexists with the frame walk and ID3v1 tail") {
+    import Mp3Codec._
+    val tag = id3v2TagBytes(Seq("TIT2" -> "t", "TCON" -> "genre"), v24 = true)
+    val stream = tag ++ mp3Bytes(2, 4, 1, mono = false, nFrames = 7, id3v1 = true)
+    assert(id3v2Frames(stream) == Map("TIT2" -> "t", "TCON" -> "genre"))
+    assert(meta(stream).get.nFrames == 7)
+    // absent tag → empty map; truncated tag → total
+    assert(id3v2Frames(mp3Bytes(3, 5, 0, mono = true, nFrames = 2)).isEmpty)
+    (0 until tag.length by 7).foreach(n => id3v2Frames(tag.take(n)))
+  }
+
+  test("v2.3 frame sizes are plain 32-bit, v2.4 syncsafe (grammar, not luck)") {
+    import Mp3Codec._
+    // a 200-char value makes the size byte >= 0x80 in plain encoding
+    // but not in syncsafe — parsing each with the right rule succeeds
+    val long = "x" * 200
+    for (v24 <- Seq(false, true)) {
+      val tag = id3v2TagBytes(Seq("TIT2" -> long), v24 = v24, encoding = if (v24) 3 else 0)
+      assert(id3v2Frames(tag)("TIT2") == long, s"v24=$v24")
+    }
+  }
 }
