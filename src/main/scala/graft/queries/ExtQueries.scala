@@ -3062,6 +3062,47 @@ object ExtQueries {
             frames.getOrElse("TALB", ""), m.map(_.nFrames).getOrElse(-1L))
         }
         .toDF("doc_id", "title", "artist", "album", "n_frames")
+    },
+
+    // ── EXIF metadata through a real JPEG APP1 walk: per doc a full
+    // IFD0 + Exif sub-IFD (byte order rotating with doc parity,
+    // inline SHORT/LONG values, offset-stored ASCII and RATIONAL) is
+    // embedded after SOI of a real JpegCodec stream and recovered
+    // field-exact; rationals ship as num/den strings (NUMERICS
+    // numerator/denominator discipline — never divided).
+    "q174_exif_meta" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val meta = graft.functions.ExifCodec.ExifMeta(
+            byteOrderLittle = id % 2 == 0,
+            orientation = Some((id % 8 + 1).toInt),
+            make = Some("CamCo"),
+            model = Some("M" + (id % 5)),
+            dateTime = Some(s"2026:01:0${id % 9 + 1} 12:00:00"),
+            exifWidth = Some(id % 640 + 16),
+            exifHeight = Some(id % 480 + 16),
+            iso = Some((100 + (id % 8) * 100).toInt),
+            exposure = Some(graft.functions.ExifCodec.Rational(1, id % 500 + 1)),
+            fNumber = Some(graft.functions.ExifCodec.Rational(id % 10 + 10, 5)))
+          val jpeg = graft.functions.JpegCodec.encodeFlatGray(
+            16, 16, (_, _) => ((id % 200) + 28).toInt)
+          val got = graft.functions.ExifCodec
+            .fromJpeg(graft.functions.ExifCodec.withExif(jpeg, meta))
+            .getOrElse(graft.functions.ExifCodec.Empty)
+          (id,
+            got.orientation.map(_.toLong).getOrElse(-1L),
+            got.make.getOrElse(""), got.model.getOrElse(""),
+            got.dateTime.getOrElse(""),
+            got.exifWidth.getOrElse(-1L), got.exifHeight.getOrElse(-1L),
+            got.iso.map(_.toLong).getOrElse(-1L),
+            got.exposure.map(x => s"${x.num}/${x.den}").getOrElse(""),
+            got.fNumber.map(x => s"${x.num}/${x.den}").getOrElse(""))
+        }
+        .toDF("doc_id", "orientation", "make", "model", "date_time",
+          "exif_w", "exif_h", "iso", "exposure", "fnumber")
     }
   )
 
@@ -5281,6 +5322,20 @@ object ExtQueries {
         |  source AS artist,
         |  'A' || (doc_id % 7) AS album,
         |  CAST(doc_id % 50 + 2 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    // IFD-grammar identity: every field the APP1 walk must recover
+    "q174_exif_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+        |  'CamCo' AS make,
+        |  'M' || (doc_id % 5) AS model,
+        |  '2026:01:0' || (doc_id % 9 + 1) || ' 12:00:00' AS date_time,
+        |  CAST(doc_id % 640 + 16 AS BIGINT) AS exif_w,
+        |  CAST(doc_id % 480 + 16 AS BIGINT) AS exif_h,
+        |  CAST(100 + (doc_id % 8) * 100 AS BIGINT) AS iso,
+        |  '1/' || (doc_id % 500 + 1) AS exposure,
+        |  (doc_id % 10 + 10) || '/5' AS fnumber
         |FROM documents""".stripMargin
   )
 
