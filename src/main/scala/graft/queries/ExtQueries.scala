@@ -3103,6 +3103,54 @@ object ExtQueries {
         }
         .toDF("doc_id", "orientation", "make", "model", "date_time",
           "exif_w", "exif_h", "iso", "exposure", "fnumber")
+    },
+
+    // ── ZIP central-directory walk: each doc's text split over
+    // k=id%4+1 members (store arm on even ids, deflate on odd) and
+    // read back through OUR EOCD→central-directory→local-header parse
+    // with per-member CRC verification; total size must re-add to the
+    // text length and every member must verify.
+    "q175_zip_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val k = (id % 4 + 1).toInt
+          val cuts = (0 to k).map(i => text.length * i / k)
+          val members = (0 until k).map(i =>
+            s"m$i" -> text.substring(cuts(i), cuts(i + 1))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val zip = graft.functions.ZipCodec.zipBytes(members, store = id % 2 == 0)
+          val got = graft.functions.ZipCodec.readAll(zip)
+          val okCrc = got.length == k &&
+            got.zip(members).forall { case ((gn, gd), (mn, md)) =>
+              gn == mn && java.util.Arrays.equals(gd, md)
+            }
+          (id, got.length.toLong, got.map(_._1).mkString(","),
+            graft.functions.ZipCodec.entries(zip).map(_.size).sum, okCrc)
+        }
+        .toDF("doc_id", "n_entries", "names", "total_size", "ok_crc")
+    },
+
+    // ── DOCX text extraction: each doc's text rides a structurally
+    // valid OOXML package (content types, rels, document part) split
+    // into id%3+1 <w:p> paragraphs, and comes back newline-joined,
+    // byte-exact, through the ZIP walk + WordprocessingML text rule.
+    "q176_docx_text" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val n = (id % 3 + 1).toInt
+          val cuts = (0 to n).map(i => text.length * i / n)
+          val paras = (0 until n).map(i => text.substring(cuts(i), cuts(i + 1)))
+          val docx = graft.functions.OfficeText.docxBytes(paras)
+          (id, n.toLong,
+            graft.functions.OfficeText.docxText(docx).getOrElse(""))
+        }
+        .toDF("doc_id", "n_paras", "text_out")
     }
   )
 
@@ -5336,6 +5384,35 @@ object ExtQueries {
         |  CAST(100 + (doc_id % 8) * 100 AS BIGINT) AS iso,
         |  '1/' || (doc_id % 500 + 1) AS exposure,
         |  (doc_id % 10 + 10) || '/5' AS fnumber
+        |FROM documents""".stripMargin,
+
+    // central-directory identity: member census + exact size re-add
+    "q175_zip_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_entries,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'm0'
+        |    WHEN 1 THEN 'm0,m1'
+        |    WHEN 2 THEN 'm0,m1,m2'
+        |    ELSE 'm0,m1,m2,m3' END AS names,
+        |  CAST(length(text) AS BIGINT) AS total_size,
+        |  true AS ok_crc
+        |FROM documents""".stripMargin,
+
+    // OOXML identity: substring-arithmetic paragraph cuts rejoined
+    // with the newline the paragraph boundary maps to
+    "q176_docx_text" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_paras,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN text
+        |    WHEN 1 THEN substring(text, 1, length(text) // 2) || chr(10) ||
+        |      substring(text, length(text) // 2 + 1)
+        |    ELSE substring(text, 1, length(text) // 3) || chr(10) ||
+        |      substring(text, length(text) // 3 + 1,
+        |        (2 * length(text)) // 3 - length(text) // 3) || chr(10) ||
+        |      substring(text, (2 * length(text)) // 3 + 1)
+        |  END AS text_out
         |FROM documents""".stripMargin
   )
 

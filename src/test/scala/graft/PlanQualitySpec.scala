@@ -224,7 +224,8 @@ class PlanQualitySpec extends SparkSpec {
         "q160_link_extract", "q161_flac_pcm_stats", "q162_charset_decode",
         "q163_ogg_meta", "q164_tiff_pixel_stats", "q165_warc_cdx",
         "q166_pdf_text", "q167_wet_wat", "q170_cdc_chunks",
-        "q173_mp3_id3", "q174_exif_meta")) {
+        "q173_mp3_id3", "q174_exif_meta", "q175_zip_roundtrip",
+        "q176_docx_text")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZipOfficeSpec extends AnyFunSuite {
+
+  private val members = Seq(
+    "a.txt" -> "alpha beta gamma delta".getBytes(UTF_8),
+    "dir/b.bin" -> Array.tabulate[Byte](5000)(i => (i * 31).toByte),
+    "empty" -> Array.emptyByteArray,
+    "uni/ünïcode—名前.txt" -> "content".getBytes(UTF_8))
+
+  test("our writer → our reader: entries, sizes, CRCs, both methods") {
+    for (store <- Seq(false, true)) {
+      val zip = ZipCodec.zipBytes(members, store)
+      val got = ZipCodec.readAll(zip)
+      assert(got.map(_._1) == members.map(_._1), s"store=$store")
+      got.zip(members).foreach { case ((_, d), (_, e)) =>
+        assert(d.toSeq == e.toSeq, s"store=$store")
+      }
+      val es = ZipCodec.entries(zip)
+      assert(es.forall(e => e.size == members.toMap.apply(e.name).length))
+      if (store) assert(es.forall(_.method == 0))
+    }
+  }
+
+  test("our writer → JDK ZipInputStream (independent conformance check)") {
+    val zip = ZipCodec.zipBytes(members)
+    val zin = new ZipInputStream(new ByteArrayInputStream(zip), UTF_8)
+    val got = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null)
+      .map { e =>
+        val bo = new ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = zin.read(buf)
+        while (n >= 0) { bo.write(buf, 0, n); n = zin.read(buf) }
+        e.getName -> bo.toByteArray
+      }.toSeq
+    assert(got.map(_._1) == members.map(_._1))
+    got.zip(members).foreach { case ((_, d), (_, e)) => assert(d.toSeq == e.toSeq) }
+  }
+
+  test("JDK ZipOutputStream → our reader (the other direction)") {
+    val bo = new ByteArrayOutputStream()
+    val zout = new ZipOutputStream(bo, UTF_8)
+    members.foreach { case (name, data) =>
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(data)
+      zout.closeEntry()
+    }
+    zout.close()
+    val got = ZipCodec.readAll(bo.toByteArray)
+    assert(got.map(_._1) == members.map(_._1))
+    got.zip(members).foreach { case ((_, d), (_, e)) => assert(d.toSeq == e.toSeq) }
+  }
+
+  test("total on damage: truncation, flipped bytes, garbage") {
+    val zip = ZipCodec.zipBytes(members)
+    (0 until zip.length by 101).foreach(n => ZipCodec.readAll(zip.take(n)))
+    assert(ZipCodec.entries("not a zip at all".getBytes).isEmpty)
+    // flip a payload byte: that member's CRC rejects, others survive
+    val bad = zip.clone()
+    bad(40) = (bad(40) ^ 0x7f).toByte
+    val got = ZipCodec.readAll(bad)
+    assert(got.length < members.length)
+  }
+
+  test("docx round trip: paragraphs, entities, tabs, breaks, whitespace") {
+    val paras = Seq(
+      "plain paragraph",
+      "enti&ties < and > here",
+      "  leading and trailing  ",
+      "")
+    val docx = OfficeText.docxBytes(paras)
+    assert(OfficeText.docxText(docx).contains(paras.mkString("\n")))
+    // hand-authored document part with attributes, tab and break runs
+    val xml =
+      """<?xml version="1.0"?><w:document xmlns:w="x"><w:body>""" +
+        """<w:p w:rsidR="00AB"><w:pPr><w:jc w:val="left"/></w:pPr>""" +
+        """<w:r><w:t>first</w:t></w:r><w:r><w:tab/><w:t>after&#9;tab</w:t></w:r></w:p>""" +
+        """<w:p><w:r><w:t xml:space="preserve">a</w:t><w:br/><w:t>b</w:t></w:r></w:p>""" +
+        """</w:body></w:document>"""
+    val got = OfficeText.wordprocessingParagraphs(xml)
+    assert(got == Seq("first\tafter\ttab", "a\nb"))
+    assert(OfficeText.docxText("junk".getBytes).isEmpty)
+  }
+
+  test("epub: zipped xhtml members extract in archive order, scripts pruned") {
+    val epub = ZipCodec.zipBytes(Seq(
+      "mimetype" -> "application/epub+zip".getBytes(UTF_8),
+      "ch1.xhtml" -> "<html><head><script>no</script></head><body><p>one two</p></body></html>".getBytes(UTF_8),
+      "ch2.html" -> "<html><body><p>three</p></body></html>".getBytes(UTF_8),
+      "style.css" -> "p { }".getBytes(UTF_8)))
+    val got = OfficeText.epubText(epub)
+    assert(got == Seq("ch1.xhtml" -> "one two", "ch2.html" -> "three"))
+  }
+}
