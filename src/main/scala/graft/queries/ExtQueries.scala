@@ -3151,6 +3151,29 @@ object ExtQueries {
             graft.functions.OfficeText.docxText(docx).getOrElse(""))
         }
         .toDF("doc_id", "n_paras", "text_out")
+    },
+
+    // ── XLSX cell extraction: per doc a real SpreadsheetML package —
+    // k=id%3+1 rows × m=id%2+2 string columns through a REAL
+    // shared-string table plus one untyped numeric column — read back
+    // cell-exact through the zip walk + sheet/sst parse. One output
+    // row per cell; the oracle rebuilds the grid with range joins.
+    "q177_xlsx_cells" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .flatMap { id =>
+          val k = (id % 3 + 1).toInt
+          val m = (id % 2 + 2).toInt
+          val cells = for (r <- 0 until k; c <- 0 until m) yield
+            (r, c, s"c${r}_${c}_$id", false)
+          val numeric = (0 until k).map(r => (r, m, (id * 10 + r).toString, true))
+          val xlsx = graft.functions.OfficeText.xlsxBytes(cells ++ numeric)
+          graft.functions.OfficeText.xlsxCells(xlsx).map(cell =>
+            (id, cell.row.toLong, cell.col.toLong, cell.value))
+        }
+        .toDF("doc_id", "row", "col", "value")
     }
   )
 
@@ -5413,7 +5436,22 @@ object ExtQueries {
         |        (2 * length(text)) // 3 - length(text) // 3) || chr(10) ||
         |      substring(text, (2 * length(text)) // 3 + 1)
         |  END AS text_out
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // grid identity: string cells by formula, the extra numeric column
+    "q177_xlsx_cells" ->
+      """SELECT d.doc_id, CAST(r.i AS BIGINT) AS row,
+        |  CAST(c.i AS BIGINT) AS col,
+        |  'c' || r.i || '_' || c.i || '_' || d.doc_id AS value
+        |FROM documents d
+        |JOIN range(0, 3) r(i) ON r.i < d.doc_id % 3 + 1
+        |JOIN range(0, 3) c(i) ON c.i < d.doc_id % 2 + 2
+        |UNION ALL
+        |SELECT d.doc_id, CAST(r.i AS BIGINT) AS row,
+        |  CAST(d.doc_id % 2 + 2 AS BIGINT) AS col,
+        |  CAST(d.doc_id * 10 + r.i AS VARCHAR) AS value
+        |FROM documents d
+        |JOIN range(0, 3) r(i) ON r.i < d.doc_id % 3 + 1""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact

@@ -225,7 +225,7 @@ class PlanQualitySpec extends SparkSpec {
         "q163_ogg_meta", "q164_tiff_pixel_stats", "q165_warc_cdx",
         "q166_pdf_text", "q167_wet_wat", "q170_cdc_chunks",
         "q173_mp3_id3", "q174_exif_meta", "q175_zip_roundtrip",
-        "q176_docx_text")) {
+        "q176_docx_text", "q177_xlsx_cells")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
     }

@@ -89,6 +89,29 @@ class ZipOfficeSpec extends AnyFunSuite {
     assert(OfficeText.docxText("junk".getBytes).isEmpty)
   }
 
+  test("xlsx: shared strings (incl. rich runs), inline, numeric, A1 refs past Z") {
+    val cells = Seq(
+      (0, 0, "hello", false), (0, 1, "world & co", false),
+      (1, 0, "hello", false), // duplicate → one shared-string item
+      (2, 27, "wide", false), // column AB: two-letter reference
+      (1, 1, "42.5", true))
+    val xlsx = OfficeText.xlsxBytes(cells)
+    val got = OfficeText.xlsxCells(xlsx)
+      .map(c => (c.row, c.col, c.value)).toSet
+    assert(got == cells.map(c => (c._1, c._2, c._3)).toSet)
+    // shared-string table deduplicated
+    val sstXml = new String(ZipCodec.readAll(xlsx)
+      .find(_._1 == "xl/sharedStrings.xml").get._2, UTF_8)
+    assert(OfficeText.sharedStrings(sstXml) == Vector("hello", "world & co", "wide"))
+    // rich-text runs concatenate; inlineStr cells parse
+    assert(OfficeText.sharedStrings(
+      "<sst><si><r><t>a </t></r><r><t>b</t></r></si></sst>") == Vector("a b"))
+    val inline = """<sheetData><row r="1"><c r="B1" t="inlineStr"><is><t>in line</t></is></c></row></sheetData>"""
+    assert(OfficeText.sheetCells(inline, Vector.empty) ==
+      Seq(OfficeText.Cell(0, 1, "in line")))
+    assert(OfficeText.xlsxCells("junk".getBytes).isEmpty)
+  }
+
   test("epub: zipped xhtml members extract in archive order, scripts pruned") {
     val epub = ZipCodec.zipBytes(Seq(
       "mimetype" -> "application/epub+zip".getBytes(UTF_8),
