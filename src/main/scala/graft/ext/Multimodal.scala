@@ -499,6 +499,47 @@ object Multimodal {
       }
     }
 
+  /** ISO-BMFF (MP4) box-walk metadata, one row per file with the
+    * first video and first audio track flattened — the modern-web
+    * sibling of [[videoMeta]]'s AVI walk: [[graft.functions.Mp4Codec]]
+    * walks ftyp/moov/trak without touching mdat, so cost is
+    * O(metadata) regardless of media size. None columns on anything
+    * that fails the box grammar.
+    */
+  case class Mp4MetaRow(
+      media_id: Long,
+      n_bytes: Long,
+      major_brand: Option[String],
+      timescale: Option[Long],
+      duration: Option[Long],
+      n_tracks: Option[Int],
+      video_codec: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      v_samples: Option[Long],
+      audio_codec: Option[String],
+      channels: Option[Int],
+      sample_rate: Option[Int],
+      a_samples: Option[Long])
+
+  implicit private val mp4Enc: Encoder[Mp4MetaRow] = Encoders.product[Mp4MetaRow]
+
+  def mp4Meta(media: Dataset[MediaRow]): Dataset[Mp4MetaRow] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = graft.functions.Mp4Codec.meta(r.payload)
+        val vid = m.flatMap(_.tracks.find(_.handler == "vide"))
+        val aud = m.flatMap(_.tracks.find(_.handler == "soun"))
+        Mp4MetaRow(r.media_id, r.payload.length.toLong,
+          m.map(_.majorBrand), m.map(_.timescale), m.map(_.duration),
+          m.map(_.tracks.length),
+          vid.map(_.codec), vid.map(_.width), vid.map(_.height),
+          vid.map(_.nSamples),
+          aud.map(_.codec), aud.map(_.channels), aud.map(_.sampleRate),
+          aud.map(_.nSamples))
+      }
+    }
+
   /** Container-decoded video metadata — the video sibling of
     * [[imageMeta]]/[[audioMeta]]: [[graft.functions.AviCodec]] walks
     * the RIFF structure (avih/strh/strf headers, movi frame census)

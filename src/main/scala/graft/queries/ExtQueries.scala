@@ -3174,6 +3174,93 @@ object ExtQueries {
             (id, cell.row.toLong, cell.col.toLong, cell.value))
         }
         .toDF("doc_id", "row", "col", "value")
+    },
+
+    // ── ISO-BMFF (MP4) box-walk metadata: per doc a structurally real
+    // MP4 — ftyp + moov (mvhd, video trak id%5!=4, audio trak id%3!=0,
+    // full stbl chain) + free + mdat — is ENCODED and walked back.
+    // Ids rotate the grammar arms so every one is under the hash
+    // gate: id%5==0 writes version-1 (64-bit) mvhd/tkhd/mdhd,
+    // id%4==0 writes mdat in the size==1 largesize form.
+    "q178_mp4_meta" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .map { case (id, source) =>
+          val vid =
+            if (id % 5 != 4) Some(graft.functions.Mp4Codec.VideoSpec(
+              "avc1", (id % 320 + 16).toInt, (id % 240 + 16).toInt,
+              30000L, 1001L, id % 100 + 1))
+            else None
+          val aud =
+            if (id % 3 != 0) Some(graft.functions.Mp4Codec.AudioSpec(
+              "mp4a", (id % 2 + 1).toInt,
+              if (id % 3 == 1) 48000 else 32000, 1024L, id % 50 + 1))
+            else None
+          val payload = graft.functions.Mp4Codec.mp4Bytes(
+            if (id % 2 == 0) "isom" else "mp42", 1000L,
+            id % 5000 + 1000, vid, aud,
+            v1 = id % 5 == 0, largeMdat = id % 4 == 0)
+          Multimodal.MediaRow(id, payload, "video/mp4", source)
+        }
+      Multimodal.mp4Meta(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("major_brand"), col("timescale"), col("duration"),
+          col("n_tracks").cast("long").as("n_tracks"),
+          col("video_codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("v_samples"),
+          col("audio_codec"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("a_samples"))
+    },
+
+    // ── TAR/ustar archive walk: per doc a real tar of k=id%4+1 text
+    // slices (member 0 takes a >100-byte name when id%6==0, carried by
+    // the GNU 'L' longname arm when id%4==0 and the pax 'x' path arm
+    // otherwise), gzip-wrapped into a .tar.gz when id%2==0 — walked
+    // back through gunzip → checksum-verified block walk. Names,
+    // sizes, mtimes and a byte-exact payload roundtrip flag are under
+    // the hash gate.
+    "q179_tar_walk" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val k = (id % 4 + 1).toInt
+          val cuts = (0 to k).map(i => text.length * i / k)
+          val name0 = if (id % 6 == 0) ("p" * 104) + "/m0" else "m0"
+          val members = (0 until k).map { i =>
+            val nm = if (i == 0) name0 else s"m$i"
+            (nm, text.substring(cuts(i), cuts(i + 1))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              id * 100 + i)
+          }
+          val tar = graft.functions.TarCodec.tarBytes(members,
+            gnuLong = id % 4 == 0)
+          val payload =
+            if (id % 2 == 0) graft.functions.TarCodec.gzip(tar) else tar
+          val raw =
+            if (id % 2 == 0)
+              graft.functions.TarCodec.gunzip(payload)
+                .getOrElse(Array.emptyByteArray)
+            else payload
+          val es = graft.functions.TarCodec.entries(raw)
+            .getOrElse(Vector.empty)
+          val back = graft.functions.TarCodec.readAll(raw)
+          val ok = back.length == k &&
+            back.zip(members).forall { case ((gn, gd), (mn, md, _)) =>
+              gn == mn && java.util.Arrays.equals(gd, md)
+            }
+          (id, es.length.toLong, es.map(_.name).mkString(","),
+            es.map(_.size).sum, es.map(_.mtime).sum, ok)
+        }
+        .toDF("doc_id", "n_members", "names", "total_size",
+          "sum_mtime", "ok_roundtrip")
     }
   )
 
@@ -5451,7 +5538,53 @@ object ExtQueries {
         |  CAST(d.doc_id % 2 + 2 AS BIGINT) AS col,
         |  CAST(d.doc_id * 10 + r.i AS VARCHAR) AS value
         |FROM documents d
-        |JOIN range(0, 3) r(i) ON r.i < d.doc_id % 3 + 1""".stripMargin
+        |JOIN range(0, 3) r(i) ON r.i < d.doc_id % 3 + 1""".stripMargin,
+
+    // container identity: the oracle recomputes the track facts the
+    // Spark side ENCODED into a real ISO-BMFF box tree and WALKED back
+    "q178_mp4_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+        |    AS major_brand,
+        |  CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(doc_id % 5000 + 1000 AS BIGINT) AS duration,
+        |  CAST((CASE WHEN doc_id % 5 <> 4 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tracks,
+        |  CASE WHEN doc_id % 5 <> 4 THEN 'avc1' END AS video_codec,
+        |  CASE WHEN doc_id % 5 <> 4
+        |    THEN CAST(doc_id % 320 + 16 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 5 <> 4
+        |    THEN CAST(doc_id % 240 + 16 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 5 <> 4
+        |    THEN CAST(doc_id % 100 + 1 AS BIGINT) END AS v_samples,
+        |  CASE WHEN doc_id % 3 <> 0 THEN 'mp4a' END AS audio_codec,
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN CAST(doc_id % 2 + 1 AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN CAST(CASE WHEN doc_id % 3 = 1 THEN 48000 ELSE 32000
+        |      END AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN CAST(doc_id % 50 + 1 AS BIGINT) END AS a_samples
+        |FROM documents""".stripMargin,
+
+    // archive identity: names/sizes/mtimes recomputed arithmetically;
+    // the Spark side must recover them through a real ustar write →
+    // (gzip →) checksum-verified block walk
+    "q179_tar_walk" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_members,
+        |  (CASE WHEN doc_id % 6 = 0 THEN repeat('p', 104) || '/m0'
+        |        ELSE 'm0' END)
+        |  || (CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '' WHEN 1 THEN ',m1'
+        |      WHEN 2 THEN ',m1,m2' ELSE ',m1,m2,m3' END) AS names,
+        |  CAST(length(text) AS BIGINT) AS total_size,
+        |  CAST((doc_id % 4 + 1) * (doc_id * 100)
+        |     + ((doc_id % 4 + 1) * (doc_id % 4)) // 2 AS BIGINT)
+        |    AS sum_mtime,
+        |  true AS ok_roundtrip
+        |FROM documents""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
