@@ -3261,6 +3261,46 @@ object ExtQueries {
         }
         .toDF("doc_id", "n_members", "names", "total_size",
           "sum_mtime", "ok_roundtrip")
+    },
+
+    // ── Matroska/WebM (EBML) element walk: per doc a real metadata
+    // tree — EBML header, Segment > Info (TimestampScale, Duration)
+    // and Tracks — encoded and walked back. id%5==0 writes the
+    // Segment with the UNKNOWN-SIZE sentinel (the live-stream shape),
+    // so both termination rules are under the hash gate; durations are
+    // integers stored in the format's float element (exact in f64).
+    "q180_mkv_meta" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val vid =
+            if (id % 4 != 3) Some(graft.functions.EbmlCodec.VideoTrackSpec(
+              if (id % 3 == 0) "V_VP9"
+              else if (id % 3 == 1) "V_AV1" else "V_MPEG4/ISO/AVC",
+              id % 1920 + 16, id % 1080 + 16))
+            else None
+          val aud =
+            if (id % 2 == 0) Some(graft.functions.EbmlCodec.AudioTrackSpec(
+              "A_OPUS", id % 3 + 1, 48000.0))
+            else None
+          val b = graft.functions.EbmlCodec.mkvBytes(
+            if (id % 2 == 0) "webm" else "matroska", 1000000L,
+            (id % 100000 + 1000).toDouble, vid, aud,
+            unknownSegment = id % 5 == 0)
+          val m = graft.functions.EbmlCodec.meta(b)
+          val v = m.flatMap(_.tracks.find(_.trackType == 1L))
+          val a = m.flatMap(_.tracks.find(_.trackType == 2L))
+          (id, m.map(_.docType), m.map(_.timestampScale),
+            m.map(_.durationTicks.toLong), m.map(_.tracks.length.toLong),
+            v.map(_.codecId), v.map(_.width), v.map(_.height),
+            a.map(_.codecId), a.map(_.channels),
+            a.map(_.sampleRate.toLong))
+        }
+        .toDF("doc_id", "doc_type", "timestamp_scale", "duration_ticks",
+          "n_tracks", "video_codec", "width", "height", "audio_codec",
+          "channels", "sample_rate")
     }
   )
 
@@ -5584,6 +5624,33 @@ object ExtQueries {
         |     + ((doc_id % 4 + 1) * (doc_id % 4)) // 2 AS BIGINT)
         |    AS sum_mtime,
         |  true AS ok_roundtrip
+        |FROM documents""".stripMargin,
+
+    // container identity: the EBML tree's fields recomputed
+    // arithmetically; the Spark side recovers them through a real
+    // element write → VINT walk (incl. unknown-size segments)
+    "q180_mkv_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+        |    AS doc_type,
+        |  CAST(1000000 AS BIGINT) AS timestamp_scale,
+        |  CAST(doc_id % 100000 + 1000 AS BIGINT) AS duration_ticks,
+        |  CAST((CASE WHEN doc_id % 4 <> 3 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tracks,
+        |  CASE WHEN doc_id % 4 <> 3 THEN
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'V_VP9'
+        |      WHEN 1 THEN 'V_AV1' ELSE 'V_MPEG4/ISO/AVC' END
+        |  END AS video_codec,
+        |  CASE WHEN doc_id % 4 <> 3
+        |    THEN CAST(doc_id % 1920 + 16 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 4 <> 3
+        |    THEN CAST(doc_id % 1080 + 16 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS' END AS audio_codec,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN CAST(doc_id % 3 + 1 AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN CAST(48000 AS BIGINT) END AS sample_rate
         |FROM documents""".stripMargin
   )
 
