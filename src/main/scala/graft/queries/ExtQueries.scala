@@ -3301,6 +3301,48 @@ object ExtQueries {
         .toDF("doc_id", "doc_type", "timestamp_scale", "duration_ticks",
           "n_tracks", "video_codec", "width", "height", "audio_codec",
           "channels", "sample_rate")
+    },
+
+    // ── Parquet footer decode: Spark WRITES a real parquet file, then
+    // the raw bytes are walked back through our own Thrift
+    // compact-protocol FileMetaData parse — schema, per-chunk value
+    // counts, null counts, min/max statistics — and the oracle
+    // recomputes every one of those facts FROM THE DATA. parquet-mr's
+    // written statistics sit between the two, so a slip in the zigzag/
+    // varint/field-delta walk or the plain-encoded stat decode breaks
+    // the hash. This is the engine's data-skipping layer made
+    // inspectable: O(footer) per file, no column pages touched.
+    "q181_parquet_footer" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_pqf_q181").toString + "/t"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("doc_id") * 3 - 500).as("v"),
+          col("source").as("s"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      s.read.format("binaryFile").load(tmp + "/part-*.parquet")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          graft.functions.ParquetFooter.footer(bytes).toSeq.flatMap { fm =>
+            fm.rowGroups.flatMap(_.columns)
+              .groupBy(c => (c.path, c.physicalType))
+              .toSeq.map { case ((path, pt), chunks) =>
+                val mins = chunks.flatMap(c => c.minValue.flatMap(
+                  graft.functions.ParquetFooter.statAsLong(pt, _)))
+                val maxs = chunks.flatMap(c => c.maxValue.flatMap(
+                  graft.functions.ParquetFooter.statAsLong(pt, _)))
+                (path, pt, chunks.map(_.numValues).sum,
+                  chunks.flatMap(_.nullCount).sum,
+                  if (mins.nonEmpty) Some(mins.min) else None,
+                  if (maxs.nonEmpty) Some(maxs.max) else None)
+              }
+          }
+        }
+        .toDF("col_name", "physical_type", "num_values", "null_count",
+          "min_v", "max_v")
     }
   )
 
@@ -5651,7 +5693,30 @@ object ExtQueries {
         |    THEN CAST(doc_id % 3 + 1 AS BIGINT) END AS channels,
         |  CASE WHEN doc_id % 2 = 0
         |    THEN CAST(48000 AS BIGINT) END AS sample_rate
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // statistics identity: the footer's written stats vs the same
+    // facts recomputed from the data — the Spark side must recover
+    // them through a real Thrift compact-protocol decode
+    "q181_parquet_footer" ->
+      """WITH base AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE doc_id * 3 - 500 END AS v,
+        |  source AS s FROM documents)
+        |SELECT 'doc_id' AS col_name, 'INT64' AS physical_type,
+        |  CAST(COUNT(*) AS BIGINT) AS num_values,
+        |  CAST(0 AS BIGINT) AS null_count,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_v,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_v
+        |FROM base
+        |UNION ALL
+        |SELECT 'v', 'INT64', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(v) AS BIGINT),
+        |  CAST(MIN(v) AS BIGINT), CAST(MAX(v) AS BIGINT) FROM base
+        |UNION ALL
+        |SELECT 's', 'BYTE_ARRAY', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COUNT(*) - COUNT(s) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM base""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
