@@ -3343,6 +3343,121 @@ object ExtQueries {
         }
         .toDF("col_name", "physical_type", "num_values", "null_count",
           "min_v", "max_v")
+    },
+
+    // ── protobuf wire-format walk: per doc a real message — varint,
+    // zigzag sint, fixed64, string, PACKED repeated varints, and a
+    // nested message — encoded and schema-lessly decoded back. Every
+    // wire type is on the hash gate.
+    "q182_proto_fields" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.functions.ProtoWire._
+          val msg = encode(Seq(
+            Field(1, VInt(id)),
+            string(2, text.take((id % 20 + 5).toInt)),
+            sint(3, -(id + 1)),
+            Field(4, Fixed64(id * 1000 + 7)),
+            packed(5, Seq(id % 10, id % 100, id % 1000)),
+            message(6, Seq(Field(1, VInt(id % 256)),
+              string(2, "n" + (id % 7))))))
+          val fs = decode(msg).get
+          val byNo = fs.groupBy(_.number)
+          val title = utf8(byNo(2).head.value.asInstanceOf[Chunk])
+          val zz = zigzag(byNo(3).head.value.asInstanceOf[VInt].v)
+          val f4 = byNo(4).head.value.asInstanceOf[Fixed64].v
+          val psum = packedVarints(
+            byNo(5).head.value.asInstanceOf[Chunk]).get.sum
+          val inner = nested(byNo(6).head.value.asInstanceOf[Chunk]).get
+          (id, byNo(1).head.value.asInstanceOf[VInt].v, title, zz, f4,
+            psum, inner(0).value.asInstanceOf[VInt].v,
+            utf8(inner(1).value.asInstanceOf[Chunk]))
+        }
+        .toDF("doc_id", "v1", "title", "zz", "f4", "packed_sum",
+          "nested_v", "nested_s")
+    },
+
+    // ── CBOR document decode: per doc a real RFC 8949 item — map with
+    // int/negint/text/array/bool/float64 members — encoded
+    // deterministically; id%4==0 re-frames it through the
+    // INDEFINITE-LENGTH array arm (0x9f…0xff) so the streaming
+    // framing is on the oracled path too.
+    "q183_cbor_doc" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.functions.CborCodec._
+          val nTags = (id % 3 + 1).toInt
+          val doc = CMap(Vector(
+            CText("id") -> CInt(id),
+            CText("neg") -> CInt(-id - 1),
+            CText("title") -> CText(text.take((id % 15 + 3).toInt)),
+            CText("tags") -> CArr(Vector.tabulate(nTags)(i =>
+              CText("t" + ((id + i) % 5)))),
+            CText("flag") -> CBool(id % 2 == 0),
+            CText("score") -> CFloat((id % 1000) * 0.25)))
+          val payload =
+            if (id % 4 == 0) encodeIndefiniteArr(Seq(doc))
+            else encode(doc)
+          val back = decode(payload).get match {
+            case CArr(Vector(m: CMap)) => m
+            case m: CMap => m
+            case _ => CMap(Vector.empty)
+          }
+          val kv = back.v.collect { case (CText(k), v) => k -> v }.toMap
+          (id,
+            kv("id").asInstanceOf[CInt].v,
+            kv("neg").asInstanceOf[CInt].v,
+            kv("title").asInstanceOf[CText].v,
+            kv("tags").asInstanceOf[CArr].v.length.toLong,
+            kv("tags").asInstanceOf[CArr].v.collect {
+              case CText(t) => t }.mkString(","),
+            kv("flag").asInstanceOf[CBool].v,
+            kv("score").asInstanceOf[CFloat].v)
+        }
+        .toDF("doc_id", "id_v", "neg_v", "title", "n_tags", "tags",
+          "flag", "score")
+    },
+
+    // ── TFRecord framing: per doc a real record archive of k=id%3+1
+    // text slices, both CRC32Cs verified on the walk back; id%11==0
+    // additionally flips one payload byte in a COPY and the gate
+    // swears the damaged archive is rejected — the torn-write
+    // detection the format exists for, on the oracled path.
+    "q184_tfrecord" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val k = (id % 3 + 1).toInt
+          val cuts = (0 to k).map(i => text.length * i / k)
+          val recs = (0 until k).map(i =>
+            text.substring(cuts(i), cuts(i + 1))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val archive = graft.functions.TfRecordCodec.write(recs)
+          val back = graft.functions.TfRecordCodec.records(archive)
+            .getOrElse(Vector.empty)
+          val ok = back.length == k &&
+            back.zip(recs).forall { case (g, w) =>
+              java.util.Arrays.equals(g, w)
+            }
+          val rejected =
+            if (id % 11 == 0 && archive.length > 14) {
+              val bad = archive.clone()
+              bad(12) = (bad(12) ^ 0x01).toByte
+              graft.functions.TfRecordCodec.records(bad).isEmpty
+            } else false
+          (id, back.length.toLong, back.map(_.length.toLong).sum, ok,
+            rejected)
+        }
+        .toDF("doc_id", "n_records", "total_bytes", "ok_roundtrip",
+          "rejected_on_damage")
     }
   )
 
@@ -5716,7 +5831,45 @@ object ExtQueries {
         |UNION ALL
         |SELECT 's', 'BYTE_ARRAY', CAST(COUNT(*) AS BIGINT),
         |  CAST(COUNT(*) - COUNT(s) AS BIGINT),
-        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM base""".stripMargin
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM base""".stripMargin,
+
+    // wire identity: every field recomputed arithmetically; the Spark
+    // side recovers them through a real encode → schema-less walk
+    "q182_proto_fields" ->
+      """SELECT doc_id,
+        |  doc_id AS v1,
+        |  substring(text, 1, CAST(doc_id % 20 + 5 AS INT)) AS title,
+        |  -(doc_id + 1) AS zz,
+        |  doc_id * 1000 + 7 AS f4,
+        |  doc_id % 10 + doc_id % 100 + doc_id % 1000 AS packed_sum,
+        |  doc_id % 256 AS nested_v,
+        |  'n' || (doc_id % 7) AS nested_s
+        |FROM documents""".stripMargin,
+
+    "q183_cbor_doc" ->
+      """SELECT doc_id,
+        |  doc_id AS id_v,
+        |  -doc_id - 1 AS neg_v,
+        |  substring(text, 1, CAST(doc_id % 15 + 3 AS INT)) AS title,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_tags,
+        |  't' || (doc_id % 5) ||
+        |    CASE WHEN doc_id % 3 >= 1
+        |      THEN ',t' || ((doc_id + 1) % 5) ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 2
+        |      THEN ',t' || ((doc_id + 2) % 5) ELSE '' END AS tags,
+        |  doc_id % 2 = 0 AS flag,
+        |  CAST(doc_id % 1000 AS DOUBLE) * 0.25 AS score
+        |FROM documents""".stripMargin,
+
+    // framing identity incl. the NEGATIVE arm: a flipped payload byte
+    // must be rejected by the CRC walk on every 11th doc
+    "q184_tfrecord" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS n_records,
+        |  CAST(length(text) AS BIGINT) AS total_bytes,
+        |  true AS ok_roundtrip,
+        |  doc_id % 11 = 0 AS rejected_on_damage
+        |FROM documents""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
