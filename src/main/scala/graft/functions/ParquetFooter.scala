@@ -30,16 +30,21 @@ object ParquetFooter {
   final case class ColumnChunkMeta(path: String, physicalType: String,
       codec: String, numValues: Long, compressedSize: Long,
       uncompressedSize: Long, nullCount: Option[Long],
-      minValue: Option[Array[Byte]], maxValue: Option[Array[Byte]])
+      minValue: Option[Array[Byte]], maxValue: Option[Array[Byte]],
+      dataPageOffset: Long = -1L, dictPageOffset: Option[Long] = None)
 
   final case class RowGroupMeta(numRows: Long, totalByteSize: Long,
       columns: Vector[ColumnChunkMeta])
 
-  /** `schema` is the flattened element list as written: (name,
-    * physicalType or "GROUP", numChildren).
+  /** One flattened schema element as written. `repetition`:
+    * 0=REQUIRED, 1=OPTIONAL, 2=REPEATED (-1 on the root, which omits
+    * it). `physicalType` is "GROUP" for non-leaves.
     */
+  final case class SchemaField(name: String, physicalType: String,
+      numChildren: Int, repetition: Int)
+
   final case class FooterMeta(version: Int, numRows: Long,
-      createdBy: Option[String], schema: Vector[(String, String, Int)],
+      createdBy: Option[String], schema: Vector[SchemaField],
       rowGroups: Vector[RowGroupMeta])
 
   private val PhysicalTypes = Array("BOOLEAN", "INT32", "INT64",
@@ -54,8 +59,8 @@ object ParquetFooter {
     * the `footer()` boundary (totality without Option-threading every
     * varint).
     */
-  private final class Malformed extends RuntimeException
-  private final class Cur(val b: Array[Byte], var pos: Int, val end: Int) {
+  private[functions] final class Malformed extends RuntimeException
+  private[functions] final class Cur(val b: Array[Byte], var pos: Int, val end: Int) {
     def u8(): Int = {
       if (pos >= end) throw new Malformed
       val v = b(pos) & 0xff; pos += 1; v
@@ -95,7 +100,7 @@ object ParquetFooter {
   private val TMap = 11
   private val TStruct = 12
 
-  private def skip(c: Cur, tpe: Int): Unit = tpe match {
+  private[functions] def skip(c: Cur, tpe: Int): Unit = tpe match {
     case TBoolTrue | TBoolFalse => ()
     case TByte => c.u8()
     case TI16 | TI32 | TI64 => c.zigzag()
@@ -132,7 +137,7 @@ object ParquetFooter {
   /** Walk one struct: `f(fieldId, wireType)` must CONSUME the value
     * (or call `skip`).
     */
-  private def struct(c: Cur)(f: (Int, Int) => Unit): Unit = {
+  private[functions] def struct(c: Cur)(f: (Int, Int) => Unit): Unit = {
     var lastId = 0
     var going = true
     while (going) {
@@ -146,7 +151,7 @@ object ParquetFooter {
     }
   }
 
-  private def listOf[A](c: Cur)(read: () => A): Vector[A] = {
+  private[functions] def listOf[A](c: Cur)(read: () => A): Vector[A] = {
     val h = c.u8()
     val n = { val s = (h >>> 4) & 0x0f; if (s == 15) c.varint().toInt else s }
     if (n < 0 || n > c.end - c.pos) throw new Malformed // ≥1 byte/elem
@@ -161,13 +166,15 @@ object ParquetFooter {
 
   // ── FileMetaData extraction ──────────────────────────────────────
 
-  private def readSchemaElement(c: Cur): (String, String, Int) = {
+  private def readSchemaElement(c: Cur): SchemaField = {
     var tpe = -1
     var name: String = null
     var numChildren = 0
+    var repetition = -1
     struct(c) { (id, wt) =>
       id match {
         case 1 => tpe = c.zigzag().toInt
+        case 3 => repetition = c.zigzag().toInt
         case 4 => name = str(c.binary())
         case 5 => numChildren = c.zigzag().toInt
         case _ => skip(c, wt)
@@ -177,7 +184,7 @@ object ParquetFooter {
     val t =
       if (tpe >= 0 && tpe < PhysicalTypes.length) PhysicalTypes(tpe)
       else "GROUP"
-    (name, t, numChildren)
+    SchemaField(name, t, numChildren, repetition)
   }
 
   private def readStatistics(c: Cur): (Option[Long],
@@ -205,6 +212,8 @@ object ParquetFooter {
     var comp = -1L
     var stats: (Option[Long], Option[Array[Byte]], Option[Array[Byte]]) =
       (None, None, None)
+    var dataOff = -1L
+    var dictOff: Option[Long] = None
     struct(c) { (id, wt) =>
       id match {
         case 1 => tpe = c.zigzag().toInt
@@ -213,6 +222,8 @@ object ParquetFooter {
         case 5 => numValues = c.zigzag()
         case 6 => unc = c.zigzag()
         case 7 => comp = c.zigzag()
+        case 9 => dataOff = c.zigzag()
+        case 11 => dictOff = Some(c.zigzag())
         case 12 => stats = readStatistics(c)
         case _ => skip(c, wt)
       }
@@ -221,7 +232,8 @@ object ParquetFooter {
       tpe >= PhysicalTypes.length) throw new Malformed
     ColumnChunkMeta(path, PhysicalTypes(tpe),
       if (codec >= 0 && codec < Codecs.length) Codecs(codec) else "UNKNOWN",
-      numValues, comp, unc, stats._1, stats._2, stats._3)
+      numValues, comp, unc, stats._1, stats._2, stats._3,
+      dataOff, dictOff)
   }
 
   private def readColumnChunk(c: Cur): Option[ColumnChunkMeta] = {
@@ -268,7 +280,7 @@ object ParquetFooter {
       var version = -1
       var numRows = -1L
       var createdBy: Option[String] = None
-      var schema = Vector.empty[(String, String, Int)]
+      var schema = Vector.empty[SchemaField]
       var rowGroups = Vector.empty[RowGroupMeta]
       struct(c) { (id, wt) =>
         id match {

@@ -3458,6 +3458,42 @@ object ExtQueries {
         }
         .toDF("doc_id", "n_records", "total_bytes", "ok_roundtrip",
           "rejected_on_damage")
+    },
+
+    // ── parquet data-PAGE decode (the read path, not just the
+    // footer): Spark writes a gzip parquet file of (doc_id, v, flag)
+    // and the raw bytes are walked back to ROWS through our own page
+    // decode — Thrift page headers, gzip inflate per page, RLE/
+    // bit-packed definition levels on the OPTIONAL column, dictionary
+    // + PLAIN value encodings, bit-packed BOOLEAN — and the oracle is
+    // simply the source table. A slip anywhere in the page grammar
+    // changes rows and breaks the hash.
+    "q185_parquet_pages" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_pqp_q185").toString + "/t"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, lit(null).cast("long"))
+            .otherwise(col("doc_id") * 7 + 1).as("v"),
+          (col("doc_id") % 3 === 0).as("flag"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "gzip")
+        .parquet(tmp)
+      s.read.format("binaryFile").load(tmp + "/part-*.parquet")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val ids = graft.functions.ParquetPages
+            .readInt64Column(bytes, "doc_id").get
+          val vs = graft.functions.ParquetPages
+            .readInt64Column(bytes, "v").get
+          val fs = graft.functions.ParquetPages
+            .readColumn(bytes, "flag").get
+          ids.indices.map { i =>
+            (ids(i).get, vs(i), fs(i).map(_.asInstanceOf[Boolean]))
+          }
+        }
+        .toDF("doc_id", "v", "flag")
     }
   )
 
@@ -5869,6 +5905,15 @@ object ExtQueries {
         |  CAST(length(text) AS BIGINT) AS total_bytes,
         |  true AS ok_roundtrip,
         |  doc_id % 11 = 0 AS rejected_on_damage
+        |FROM documents""".stripMargin,
+
+    // read-path identity: rows decoded byte-level from a real parquet
+    // file must equal the source table
+    "q185_parquet_pages" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL
+        |       ELSE doc_id * 7 + 1 END AS v,
+        |  doc_id % 3 = 0 AS flag
         |FROM documents""".stripMargin
   )
 

@@ -10,7 +10,7 @@ class ParquetFooterSpec extends SparkSpec {
     val bytes = Files.readAllBytes(Paths.get(s"$sf0001/region.parquet"))
     val m = footer(bytes).get
     assert(m.numRows == 5L)
-    val leafNames = m.schema.filter(_._3 == 0).map(_._1)
+    val leafNames = m.schema.filter(_.numChildren == 0).map(_.name)
     assert(leafNames == Vector("r_regionkey", "r_name"))
     assert(m.rowGroups.map(_.numRows).sum == 5L)
     // every chunk accounts for every row (flat schema)

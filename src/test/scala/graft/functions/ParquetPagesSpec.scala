@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+class ParquetPagesSpec extends SparkSpec {
+  import ParquetPages._
+
+  private def writeAndRead(compression: String, dictionary: Boolean)
+      : (String, Array[Byte]) = {
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.enable.dictionary")
+    hc.set("parquet.enable.dictionary", dictionary.toString)
+    try {
+      val dir = Files.createTempDirectory("pqpages").toString + "/t"
+      (0L until 500L)
+        .map(i => (i, if (i % 7 == 0) None else Some(i * 3 - 100),
+          s"str${i % 50}", i % 3 == 0, (i % 10).toDouble / 4))
+        .toDF("id", "v", "s", "flag", "d")
+        .coalesce(1)
+        .write.option("compression", compression).parquet(dir)
+      val file = Files.list(Paths.get(dir)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      (dir, Files.readAllBytes(Paths.get(file)))
+    } finally {
+      if (prev == null) hc.unset("parquet.enable.dictionary")
+      else hc.set("parquet.enable.dictionary", prev)
+    }
+  }
+
+  private def check(bytes: Array[Byte]): Unit = {
+    val id = readInt64Column(bytes, "id").get
+    assert(id == (0L until 500L).map(i => Some(i)).toVector)
+    val v = readInt64Column(bytes, "v").get
+    assert(v == (0L until 500L)
+      .map(i => if (i % 7 == 0) None else Some(i * 3 - 100)).toVector)
+    val s = readColumn(bytes, "s").get
+    assert(s == (0L until 500L).map(i => Some(s"str${i % 50}")).toVector)
+    val flag = readColumn(bytes, "flag").get
+    assert(flag == (0L until 500L).map(i => Some(i % 3 == 0)).toVector)
+    val d = readColumn(bytes, "d").get
+    assert(d == (0L until 500L).map(i => Some((i % 10).toDouble / 4)).toVector)
+  }
+
+  test("uncompressed + dictionary: full column reconstruction") {
+    check(writeAndRead("none", dictionary = true)._2)
+  }
+
+  test("gzip pages + dictionary") {
+    check(writeAndRead("gzip", dictionary = true)._2)
+  }
+
+  test("PLAIN pages (dictionary disabled)") {
+    check(writeAndRead("none", dictionary = false)._2)
+  }
+
+  test("gzip + PLAIN") {
+    check(writeAndRead("gzip", dictionary = false)._2)
+  }
+
+  test("agrees with Spark's own reader on every cell") {
+    import spark.implicits._
+    val (dir, bytes) = writeAndRead("gzip", dictionary = true)
+    val fromSpark = spark.read.parquet(dir)
+      .select("id", "v").as[(Long, Option[Long])].collect()
+      .sortBy(_._1).toVector
+    val id = readInt64Column(bytes, "id").get.map(_.get)
+    val v = readInt64Column(bytes, "v").get
+    assert(id.zip(v).sortBy(_._1) == fromSpark.map { case (a, b) => (a, b) })
+  }
+
+  test("snappy pages are rejected, not mis-read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pqpagessnappy").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
+      .write.option("compression", "snappy").parquet(dir)
+    val file = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    assert(readInt64Column(Files.readAllBytes(Paths.get(file)), "id").isEmpty)
+  }
+
+  test("total on truncation and unknown column") {
+    val bytes = writeAndRead("none", dictionary = true)._2
+    assert(readColumn(bytes, "nope").isEmpty)
+    assert(readColumn(java.util.Arrays.copyOfRange(bytes, 0, 100), "id").isEmpty)
+  }
+}
