@@ -3494,6 +3494,38 @@ object ExtQueries {
           }
         }
         .toDF("doc_id", "v", "flag")
+    },
+
+    // ── ORC footer walk: Spark writes a zlib ORC file and the raw
+    // tail is decoded back through PostScript → chunked raw-deflate
+    // inflate → protobuf Footer — type tree, stripe rows, per-column
+    // statistics (ORC's non-null numberOfValues convention, zigzag
+    // sint64 min/max/sum incl. negatives) — all recomputed from the
+    // data by the oracle.
+    "q186_orc_footer" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc_q186").toString + "/t"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+            .otherwise(col("doc_id") * 2 - 300).as("v"),
+          col("source").as("s"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zlib").orc(tmp)
+      s.read.format("binaryFile").load(tmp + "/*.orc")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          graft.functions.OrcFooter.footer(bytes).toSeq.flatMap { m =>
+            m.columns.map { c =>
+              (c.name, c.kind, c.numValues, c.hasNull,
+                c.intMin, c.intMax, c.intSum, m.numRows,
+                m.stripeRows.sum)
+            }
+          }
+        }
+        .toDF("col_name", "kind", "num_values", "has_null", "int_min",
+          "int_max", "int_sum", "n_rows", "stripe_rows")
     }
   )
 
@@ -5914,7 +5946,36 @@ object ExtQueries {
         |  CASE WHEN doc_id % 9 = 0 THEN NULL
         |       ELSE doc_id * 7 + 1 END AS v,
         |  doc_id % 3 = 0 AS flag
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // statistics identity on the ORC side: footer stats vs the same
+    // facts recomputed from the data (numberOfValues = NON-null)
+    "q186_orc_footer" ->
+      """WITH base AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE doc_id * 2 - 300 END AS v,
+        |  source AS s FROM documents)
+        |SELECT 'doc_id' AS col_name, 'LONG' AS kind,
+        |  CAST(COUNT(*) AS BIGINT) AS num_values, false AS has_null,
+        |  CAST(MIN(doc_id) AS BIGINT) AS int_min,
+        |  CAST(MAX(doc_id) AS BIGINT) AS int_max,
+        |  CAST(SUM(doc_id) AS BIGINT) AS int_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS stripe_rows
+        |FROM base
+        |UNION ALL
+        |SELECT 'v', 'LONG', CAST(COUNT(v) AS BIGINT),
+        |  COUNT(*) > COUNT(v),
+        |  CAST(MIN(v) AS BIGINT), CAST(MAX(v) AS BIGINT),
+        |  CAST(SUM(v) AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM base
+        |UNION ALL
+        |SELECT 's', 'STRING', CAST(COUNT(s) AS BIGINT),
+        |  COUNT(*) > COUNT(s),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT),
+        |  CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        |FROM base""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
