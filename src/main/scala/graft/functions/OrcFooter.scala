@@ -47,11 +47,14 @@ object OrcFooter {
   private def chunks(fs: Vector[Field], no: Int): Vector[Array[Byte]] =
     fs.collect { case Field(`no`, Chunk(v)) => v }
 
-  /** ORC chunked-compression framing → plain bytes. */
+  /** ORC chunked-compression framing → plain bytes. ZLIB chunks are
+    * raw DEFLATE, SNAPPY chunks our own [[SnappyCodec]] raw blocks,
+    * ZSTD frames via zstd-jni (Spark-classpath precedent).
+    */
   private def inflate(kind: String, b: Array[Byte]): Option[Array[Byte]] =
     kind match {
       case "NONE" => Some(b)
-      case "ZLIB" =>
+      case "ZLIB" | "SNAPPY" | "ZSTD" =>
         val o = new ByteArrayOutputStream()
         var pos = 0
         while (pos < b.length) {
@@ -62,24 +65,42 @@ object OrcFooter {
           val len = h >>> 1
           if (len < 0 || pos + len > b.length) return None
           if ((h & 1) == 1) o.write(b, pos, len) // original chunk
-          else {
-            val inf = new java.util.zip.Inflater(true) // raw deflate
-            inf.setInput(b, pos, len)
-            val buf = new Array[Byte](8192)
-            try {
-              while (!inf.finished()) {
-                val n = inf.inflate(buf)
-                if (n == 0 && inf.needsInput()) return None
-                o.write(buf, 0, n)
+          else kind match {
+            case "ZLIB" =>
+              val inf = new java.util.zip.Inflater(true) // raw deflate
+              inf.setInput(b, pos, len)
+              val buf = new Array[Byte](8192)
+              try {
+                while (!inf.finished()) {
+                  val n = inf.inflate(buf)
+                  if (n == 0 && inf.needsInput()) return None
+                  o.write(buf, 0, n)
+                }
+              } catch {
+                case _: java.util.zip.DataFormatException => return None
+              } finally inf.end()
+            case "SNAPPY" =>
+              val chunk = java.util.Arrays.copyOfRange(b, pos, pos + len)
+              SnappyCodec.decode(chunk) match {
+                case Some(d) => o.write(d, 0, d.length)
+                case None => return None
               }
-            } catch {
-              case _: java.util.zip.DataFormatException => return None
-            } finally inf.end()
+            case _ => // ZSTD
+              val chunk = java.util.Arrays.copyOfRange(b, pos, pos + len)
+              try {
+                val size = com.github.luben.zstd.Zstd
+                  .getFrameContentSize(chunk)
+                if (size <= 0 || size > Int.MaxValue) return None
+                o.write(com.github.luben.zstd.Zstd
+                  .decompress(chunk, size.toInt))
+              } catch {
+                case _: com.github.luben.zstd.ZstdException => return None
+              }
           }
           pos += len
         }
         Some(o.toByteArray)
-      case _ => None // snappy/lzo/lz4/zstd not available here
+      case _ => None // lzo/lz4 not available here
     }
 
   def footer(file: Array[Byte]): Option[OrcMeta] = {

@@ -117,7 +117,18 @@ object ParquetPages {
       val out = o.toByteArray
       if (out.length != expect) throw new Malformed
       out
-    case _ => throw new Malformed // snappy/zstd/… not available here
+    case "SNAPPY" => // the default codec — our own raw-block decode
+      val out = SnappyCodec.decode(b).getOrElse(throw new Malformed)
+      if (out.length != expect) throw new Malformed
+      out
+    case "ZSTD" => // zstd-jni rides the Spark classpath (WARC leg precedent)
+      try {
+        val out = com.github.luben.zstd.Zstd.decompress(b, expect)
+        if (out.length != expect) throw new Malformed
+        out
+      } catch { case _: com.github.luben.zstd.ZstdException =>
+        throw new Malformed }
+    case _ => throw new Malformed // lzo/brotli/lz4 not available here
   }
 
   /** RLE/bit-packed hybrid run decode: `n` values of `bitWidth` bits

@@ -3461,13 +3461,14 @@ object ExtQueries {
     },
 
     // ── parquet data-PAGE decode (the read path, not just the
-    // footer): Spark writes a gzip parquet file of (doc_id, v, flag)
+    // footer): Spark writes a SNAPPY parquet file (the default codec,
+    // through our own raw-block decompressor) of (doc_id, v, flag)
     // and the raw bytes are walked back to ROWS through our own page
-    // decode — Thrift page headers, gzip inflate per page, RLE/
+    // decode — Thrift page headers, snappy inflate per page, RLE/
     // bit-packed definition levels on the OPTIONAL column, dictionary
     // + PLAIN value encodings, bit-packed BOOLEAN — and the oracle is
     // simply the source table. A slip anywhere in the page grammar
-    // changes rows and breaks the hash.
+    // or the snappy tag grammar changes rows and breaks the hash.
     "q185_parquet_pages" -> { (s, dir) =>
       import s.implicits._
       val tmp = java.nio.file.Files
@@ -3478,7 +3479,7 @@ object ExtQueries {
             .otherwise(col("doc_id") * 7 + 1).as("v"),
           (col("doc_id") % 3 === 0).as("flag"))
         .coalesce(1)
-        .write.mode("overwrite").option("compression", "gzip")
+        .write.mode("overwrite").option("compression", "snappy")
         .parquet(tmp)
       s.read.format("binaryFile").load(tmp + "/part-*.parquet")
         .select(col("content")).as[Array[Byte]]

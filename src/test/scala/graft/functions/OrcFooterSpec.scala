@@ -49,8 +49,16 @@ class OrcFooterSpec extends SparkSpec {
     check(m)
   }
 
-  test("snappy footer is rejected, not mis-read") {
-    assert(footer(writeOrc("snappy")).isEmpty)
+  test("snappy footer via our raw-block decode") {
+    val m = footer(writeOrc("snappy")).get
+    assert(m.compression == "SNAPPY")
+    check(m)
+  }
+
+  test("zstd footer via the classpath zstd-jni") {
+    val m = footer(writeOrc("zstd")).get
+    assert(m.compression == "ZSTD")
+    check(m)
   }
 
   test("total on garbage and truncation") {

@@ -70,14 +70,13 @@ class ParquetPagesSpec extends SparkSpec {
     assert(id.zip(v).sortBy(_._1) == fromSpark.map { case (a, b) => (a, b) })
   }
 
-  test("snappy pages are rejected, not mis-read") {
-    import spark.implicits._
-    val dir = Files.createTempDirectory("pqpagessnappy").toString + "/t"
-    Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1)
-      .write.option("compression", "snappy").parquet(dir)
-    val file = Files.list(Paths.get(dir)).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet")).head
-    assert(readInt64Column(Files.readAllBytes(Paths.get(file)), "id").isEmpty)
+  test("snappy pages (the default codec) via our raw-block decode") {
+    check(writeAndRead("snappy", dictionary = true)._2)
+    check(writeAndRead("snappy", dictionary = false)._2)
+  }
+
+  test("zstd pages via the classpath zstd-jni") {
+    check(writeAndRead("zstd", dictionary = true)._2)
   }
 
   test("total on truncation and unknown column") {
