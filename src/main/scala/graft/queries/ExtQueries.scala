@@ -3527,6 +3527,30 @@ object ExtQueries {
         }
         .toDF("col_name", "kind", "num_values", "has_null", "int_min",
           "int_max", "int_sum", "n_rows", "stripe_rows")
+    },
+
+    // ── IDN hostnames (RFC 3492 Punycode): per doc a Unicode host is
+    // encoded to its xn-- wire form and decoded back — the oracle
+    // rebuilds the Unicode host with chr() arithmetic, so the decode
+    // arm is hash-gated (and the encode arm feeds it; its RFC-sample
+    // conformance is spec-pinned). The frontier's politeness grouping
+    // is only correct if both spellings of a host collapse.
+    "q187_idn_host" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val uni = "h" + (0xE0 + id % 16).toChar + "st" + (id % 10) +
+            ".example"
+          val ascii = graft.functions.Punycode.hostToAscii(uni)
+            .getOrElse("")
+          val back = graft.functions.Punycode.hostToUnicode(ascii)
+            .getOrElse("")
+          (id, back, ascii.split('.').head.startsWith("xn--"),
+            back == uni)
+        }
+        .toDF("doc_id", "unicode_host", "is_idn", "roundtrip_ok")
     }
   )
 
@@ -5976,7 +6000,17 @@ object ExtQueries {
         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |  CAST(NULL AS BIGINT),
         |  CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
-        |FROM base""".stripMargin
+        |FROM base""".stripMargin,
+
+    // wire identity on the decode arm: the Unicode host rebuilt by
+    // chr() arithmetic must come back through encode → xn-- → decode
+    "q187_idn_host" ->
+      """SELECT doc_id,
+        |  'h' || chr(CAST(224 + doc_id % 16 AS INT)) || 'st' ||
+        |    (doc_id % 10) || '.example' AS unicode_host,
+        |  true AS is_idn,
+        |  true AS roundtrip_ok
+        |FROM documents""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
