@@ -30,7 +30,13 @@ object ScalingBench {
     // iterative graph ops (per-round-normalized HITS, windowed LPA)
     "q154_warc_extract", "q159_frontier_schedule", "q166_pdf_text",
     "q167_wet_wat", "q168_hits", "q169_label_propagation",
-    "q170_cdc_chunks")
+    "q170_cdc_chunks",
+    // round-9 third session: the container/interchange tier's heaviest
+    // scan stages (MP4 box walk, TAR with gzip, protobuf/CBOR/TFRecord
+    // encode+decode) and the native parquet read path (write + page
+    // decode, the one with real I/O in the loop)
+    "q178_mp4_meta", "q179_tar_walk", "q182_proto_fields",
+    "q183_cbor_doc", "q184_tfrecord", "q185_parquet_pages")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sf1")
