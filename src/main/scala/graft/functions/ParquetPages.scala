@@ -66,7 +66,9 @@ object ParquetPages {
   // ── page stream ──────────────────────────────────────────────────
 
   private final case class PageHeader(pageType: Int, uncompressed: Int,
-      compressed: Int, numValues: Int, encoding: Int, defEncoding: Int)
+      compressed: Int, numValues: Int, encoding: Int, defEncoding: Int,
+      defLevelsByteLen: Int = -1, repLevelsByteLen: Int = -1,
+      v2Compressed: Boolean = true)
 
   private def readPageHeader(c: Cur): PageHeader = {
     var pageType = -1
@@ -75,6 +77,9 @@ object ParquetPages {
     var numValues = -1
     var encoding = -1
     var defEnc = -1
+    var defLen = -1
+    var repLen = -1
+    var v2Comp = true
     struct(c) { (id, wt) =>
       id match {
         case 1 => pageType = c.zigzag().toInt
@@ -97,11 +102,23 @@ object ParquetPages {
               case _ => skip(c, wt2)
             }
           }
+        case 8 => // DataPageHeaderV2: levels OUTSIDE the compression
+          struct(c) { (id2, wt2) =>
+            id2 match {
+              case 1 => numValues = c.zigzag().toInt
+              case 4 => encoding = c.zigzag().toInt
+              case 5 => defLen = c.zigzag().toInt
+              case 6 => repLen = c.zigzag().toInt
+              case 7 => v2Comp = wt2 == 1 // compact bool rides the type
+              case _ => skip(c, wt2)
+            }
+          }
         case _ => skip(c, wt)
       }
     }
     if (pageType < 0 || unc < 0 || comp < 0) throw new Malformed
-    PageHeader(pageType, unc, comp, numValues, encoding, defEnc)
+    PageHeader(pageType, unc, comp, numValues, encoding, defEnc,
+      defLen, repLen, v2Comp)
   }
 
   private def inflate(codec: String, b: Array[Byte], expect: Int)
@@ -265,6 +282,160 @@ object ParquetPages {
     (out, pos)
   }
 
+  // ── DELTA encodings (the v2 writer's defaults) ───────────────────
+
+  /** LEB128 at a mutable offset holder; returns value. */
+  private def uvarint(b: Array[Byte], pos: Array[Int]): Long = {
+    var v = 0L
+    var shift = 0
+    while (shift <= 63) {
+      if (pos(0) >= b.length) throw new Malformed
+      val x = b(pos(0)) & 0xff
+      pos(0) += 1
+      v |= (x & 0x7fL) << shift
+      if ((x & 0x80) == 0) return v
+      shift += 7
+    }
+    throw new Malformed
+  }
+
+  private def zz(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  /** DELTA_BINARY_PACKED: block/miniblock zigzag-delta bit-packing.
+    * Returns exactly `expect` values and leaves `pos` past the LAST
+    * CONSUMED byte (miniblock padding included).
+    */
+  private def deltaBinaryPacked(b: Array[Byte], pos: Array[Int],
+      expect: Int): Array[Long] = {
+    val blockSize = uvarint(b, pos).toInt
+    val numMini = uvarint(b, pos).toInt
+    val total = uvarint(b, pos).toInt
+    if (blockSize <= 0 || numMini <= 0 || blockSize % numMini != 0 ||
+      total < 0 || total < expect) throw new Malformed
+    val perMini = blockSize / numMini
+    val out = new Array[Long](total)
+    var n = 0
+    if (total > 0) { out(0) = zz(uvarint(b, pos)); n = 1 }
+    while (n < total) {
+      val minDelta = zz(uvarint(b, pos))
+      val widths = new Array[Int](numMini)
+      var i = 0
+      while (i < numMini) {
+        if (pos(0) >= b.length) throw new Malformed
+        widths(i) = b(pos(0)) & 0xff
+        pos(0) += 1
+        i += 1
+      }
+      i = 0
+      while (i < numMini) {
+        val w = widths(i)
+        if (w > 64) throw new Malformed
+        // a miniblock with NO values occupies zero bytes on the wire
+        // (spec: "as if their bit widths were 0"), whatever its width
+        // byte says; a miniblock with ANY value is fully materialized
+        val byteLen = if (n >= total) 0 else (perMini * w + 7) / 8
+        if (pos(0) + byteLen > b.length) throw new Malformed
+        var j = 0
+        while (j < perMini) {
+          if (n < total) {
+            var v = 0L
+            var k = 0
+            val bitBase = j.toLong * w
+            while (k < w) {
+              val bit = bitBase + k
+              val by = pos(0) + (bit >>> 3).toInt
+              v |= ((b(by) >>> (bit & 7).toInt) & 1L) << k
+              k += 1
+            }
+            out(n) = out(n - 1) + minDelta + v
+            n += 1
+          }
+          j += 1
+        }
+        pos(0) += byteLen
+        i += 1
+      }
+    }
+    if (expect < total) java.util.Arrays.copyOfRange(out, 0, expect)
+    else out
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: packed lengths then concatenated data. */
+  private def deltaLengthByteArray(b: Array[Byte], pos: Array[Int],
+      expect: Int): Array[Any] = {
+    val lens = deltaBinaryPacked(b, pos, expect)
+    val out = new Array[Any](expect)
+    var i = 0
+    while (i < expect) {
+      val len = lens(i).toInt
+      if (len < 0 || pos(0) + len > b.length) throw new Malformed
+      out(i) = new String(b, pos(0), len, "UTF-8")
+      pos(0) += len
+      i += 1
+    }
+    out
+  }
+
+  /** DELTA_BYTE_ARRAY: packed prefix lengths + suffix DLBA — the
+    * front-coded string encoding.
+    */
+  private def deltaByteArray(b: Array[Byte], pos: Array[Int],
+      expect: Int): Array[Any] = {
+    val prefixes = deltaBinaryPacked(b, pos, expect)
+    val suffixes = deltaLengthByteArray(b, pos, expect)
+    val out = new Array[Any](expect)
+    var prev = ""
+    var i = 0
+    while (i < expect) {
+      val p = prefixes(i).toInt
+      if (p < 0 || p > prev.length) throw new Malformed
+      val s = prev.substring(0, p) + suffixes(i).asInstanceOf[String]
+      out(i) = s
+      prev = s
+      i += 1
+    }
+    out
+  }
+
+  /** Decode `present` non-null values at `off` for one page. */
+  private def decodeValues(pt: String, encoding: Int, body: Array[Byte],
+      off: Int, present: Int, dict: Array[Any]): Array[Any] =
+    encoding match {
+      case 0 => plainValues(pt, body, off, present)._1
+      case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY
+        if (dict == null) throw new Malformed
+        if (present == 0) new Array[Any](0)
+        else {
+          if (off >= body.length) throw new Malformed
+          val bw = body(off) & 0xff
+          if (bw > 32) throw new Malformed
+          val idx = hybrid(body, off + 1, body.length, present, bw)
+          idx.map { i =>
+            if (i < 0 || i >= dict.length) throw new Malformed
+            dict(i)
+          }
+        }
+      case 3 => // RLE (v2 BOOLEAN values): 4-byte length prefix
+        if (pt != "BOOLEAN") throw new Malformed
+        val (bits, _) = hybridPrefixed(body, off, present, 1)
+        bits.map(v => (v == 1): Any)
+      case 5 => // DELTA_BINARY_PACKED
+        val pos = Array(off)
+        val vs = deltaBinaryPacked(body, pos, present)
+        pt match {
+          case "INT64" => vs.map(v => v: Any)
+          case "INT32" => vs.map(v => v.toInt: Any)
+          case _ => throw new Malformed
+        }
+      case 6 =>
+        if (pt != "BYTE_ARRAY") throw new Malformed
+        deltaLengthByteArray(body, Array(off), present)
+      case 7 =>
+        if (pt != "BYTE_ARRAY") throw new Malformed
+        deltaByteArray(body, Array(off), present)
+      case _ => throw new Malformed
+    }
+
   private def readChunk(file: Array[Byte],
       chunk: ParquetFooter.ColumnChunkMeta, maxDef: Int)
       : Vector[Option[Any]] = {
@@ -281,13 +452,16 @@ object ParquetPages {
       val h = readPageHeader(c)
       val bodyAt = c.pos
       if (bodyAt + h.compressed > file.length) throw new Malformed
-      val raw = java.util.Arrays.copyOfRange(file, bodyAt,
-        bodyAt + h.compressed)
-      val body = inflate(chunk.codec, raw, h.uncompressed)
       h.pageType match {
         case 2 => // DICTIONARY_PAGE (PLAIN / PLAIN_DICTIONARY values)
+          val raw = java.util.Arrays.copyOfRange(file, bodyAt,
+            bodyAt + h.compressed)
+          val body = inflate(chunk.codec, raw, h.uncompressed)
           dict = plainValues(chunk.physicalType, body, 0, h.numValues)._1
-        case 0 => // DATA_PAGE v1
+        case 0 => // DATA_PAGE v1: levels inside the compressed body
+          val raw = java.util.Arrays.copyOfRange(file, bodyAt,
+            bodyAt + h.compressed)
+          val body = inflate(chunk.codec, raw, h.uncompressed)
           val n = h.numValues
           // definition levels: only present when the column is
           // OPTIONAL (max def = 1), RLE-encoded with a length prefix;
@@ -297,30 +471,40 @@ object ParquetPages {
             else if (h.defEncoding == 3) hybridPrefixed(body, 0, n, 1)
             else throw new Malformed
           val present = defs.count(_ == 1)
-          val vals: Array[Any] = h.encoding match {
-            case 0 => // PLAIN
-              plainValues(chunk.physicalType, body, valuesAt, present)._1
-            case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY
-              if (dict == null) throw new Malformed
-              if (valuesAt >= body.length) throw new Malformed
-              val bw = body(valuesAt) & 0xff
-              if (bw > 32) throw new Malformed
-              val idx =
-                if (present == 0) new Array[Int](0)
-                else hybrid(body, valuesAt + 1, body.length, present, bw)
-              idx.map { i =>
-                if (i < 0 || i >= dict.length) throw new Malformed
-                dict(i)
-              }
-            case _ => throw new Malformed
-          }
+          val vals = decodeValues(chunk.physicalType, h.encoding, body,
+            valuesAt, present, dict)
           var vi = 0
           defs.foreach { d =>
             if (d == 1) { out += Some(vals(vi)); vi += 1 }
             else out += None
           }
           remaining -= n
-        case _ => throw new Malformed // v2 pages, index pages: out of scope
+        case 3 => // DATA_PAGE_V2: levels OUTSIDE the compression
+          val n = h.numValues
+          val repLen = math.max(0, h.repLevelsByteLen)
+          val defLen = math.max(0, h.defLevelsByteLen)
+          if (repLen + defLen > h.compressed) throw new Malformed
+          val defs =
+            if (maxDef == 0 || defLen == 0) Array.fill(n)(1)
+            else hybrid(file, bodyAt + repLen,
+              bodyAt + repLen + defLen, n, 1)
+          val present = defs.count(_ == 1)
+          val rawVals = java.util.Arrays.copyOfRange(file,
+            bodyAt + repLen + defLen, bodyAt + h.compressed)
+          val body =
+            if (h.v2Compressed)
+              inflate(chunk.codec, rawVals,
+                h.uncompressed - repLen - defLen)
+            else rawVals
+          val vals = decodeValues(chunk.physicalType, h.encoding, body,
+            0, present, dict)
+          var vi = 0
+          defs.foreach { d =>
+            if (d == 1) { out += Some(vals(vi)); vi += 1 }
+            else out += None
+          }
+          remaining -= n
+        case _ => throw new Malformed // index pages: not value-bearing
       }
       pos = bodyAt + h.compressed
     }

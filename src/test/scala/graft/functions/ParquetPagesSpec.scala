@@ -6,12 +6,15 @@ import java.nio.file.{Files, Paths}
 class ParquetPagesSpec extends SparkSpec {
   import ParquetPages._
 
-  private def writeAndRead(compression: String, dictionary: Boolean)
-      : (String, Array[Byte]) = {
+  private def writeAndRead(compression: String, dictionary: Boolean,
+      v2: Boolean = false): (String, Array[Byte]) = {
     import spark.implicits._
     val hc = spark.sparkContext.hadoopConfiguration
     val prev = hc.get("parquet.enable.dictionary")
+    val prevVer = hc.get("parquet.writer.version")
     hc.set("parquet.enable.dictionary", dictionary.toString)
+    hc.set("parquet.writer.version",
+      if (v2) "PARQUET_2_0" else "PARQUET_1_0")
     try {
       val dir = Files.createTempDirectory("pqpages").toString + "/t"
       (0L until 500L)
@@ -26,6 +29,8 @@ class ParquetPagesSpec extends SparkSpec {
     } finally {
       if (prev == null) hc.unset("parquet.enable.dictionary")
       else hc.set("parquet.enable.dictionary", prev)
+      if (prevVer == null) hc.unset("parquet.writer.version")
+      else hc.set("parquet.writer.version", prevVer)
     }
   }
 
@@ -77,6 +82,15 @@ class ParquetPagesSpec extends SparkSpec {
 
   test("zstd pages via the classpath zstd-jni") {
     check(writeAndRead("zstd", dictionary = true)._2)
+  }
+
+  test("v2 pages, delta encodings (dictionary off): DBP ints, DBA strings, RLE bools") {
+    check(writeAndRead("none", dictionary = false, v2 = true)._2)
+    check(writeAndRead("snappy", dictionary = false, v2 = true)._2)
+  }
+
+  test("v2 pages with dictionary (levels outside compression)") {
+    check(writeAndRead("gzip", dictionary = true, v2 = true)._2)
   }
 
   test("total on truncation and unknown column") {
