@@ -3551,6 +3551,38 @@ object ExtQueries {
             back == uni)
         }
         .toDF("doc_id", "unicode_host", "is_idn", "roundtrip_ok")
+    },
+
+    // ── Avro OCF native read: the REFERENCE avro library writes the
+    // container (via sources.AvroTables); our dependency-free walk —
+    // metadata map, schema JSON parse, zigzag/length-prefixed binary
+    // records, per-block sync verification — decodes it back to ROWS,
+    // and the oracle is the source table. Cross-engine in the
+    // opposite direction from q185 (library writer, native reader).
+    "q188_avro_ocf" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_avro_q188").toString + "/t"
+      graft.sources.AvroTables.write(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(col("doc_id") % 6 === 0, lit(null).cast("long"))
+              .otherwise(col("doc_id") * 11 - 40).as("v"),
+            (col("doc_id") % 4 === 0).as("flag"))
+          .coalesce(1),
+        tmp)
+      s.read.format("binaryFile").load(tmp + "/*.avro")
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          graft.functions.AvroOcf.readRows(bytes)
+            .getOrElse(Vector.empty)
+            .map { r =>
+              (r(0).get.asInstanceOf[Long],
+                r(1).map(_.asInstanceOf[Long]),
+                r(2).map(_.asInstanceOf[Boolean]))
+            }
+        }
+        .toDF("doc_id", "v", "flag")
     }
   )
 
@@ -6010,6 +6042,14 @@ object ExtQueries {
         |    (doc_id % 10) || '.example' AS unicode_host,
         |  true AS is_idn,
         |  true AS roundtrip_ok
+        |FROM documents""".stripMargin,
+
+    // read-path identity, library writer → native reader
+    "q188_avro_ocf" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |       ELSE doc_id * 11 - 40 END AS v,
+        |  doc_id % 4 = 0 AS flag
         |FROM documents""".stripMargin
   )
 
