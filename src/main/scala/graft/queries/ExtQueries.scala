@@ -3583,6 +3583,69 @@ object ExtQueries {
             }
         }
         .toDF("doc_id", "v", "flag")
+    },
+
+    // ── Arrow IPC native read: per PARTITION the arrow reference
+    // library (arrow-java, the Spark classpath's pandas-UDF interop
+    // dependency) writes a real IPC file in memory, and our own
+    // flatbuffers walk — vtables, unions, Block index, validity
+    // bitmaps, offset+data Utf8 — decodes it back to rows inside the
+    // same scan stage. Library writer → native reader, the q188
+    // direction, for the format ML loaders actually exchange.
+    "q189_arrow_ipc" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 8 === 0, lit(null).cast("long"))
+            .otherwise(col("doc_id") * 13 + 5).as("v"),
+          concat(lit("t"), (col("doc_id") % 9).cast("string")).as("s"))
+        .as[(Long, Option[Long], String)]
+        .mapPartitions { rows =>
+          val buf = rows.toVector
+          if (buf.isEmpty) Iterator.empty
+          else {
+            import org.apache.arrow.vector._
+            import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+            import scala.jdk.CollectionConverters._
+            val alloc = new org.apache.arrow.memory.RootAllocator()
+            val schema = new Schema(List(
+              new Field("doc_id", FieldType.notNullable(
+                new ArrowType.Int(64, true)), null),
+              new Field("v", FieldType.nullable(
+                new ArrowType.Int(64, true)), null),
+              new Field("s", FieldType.nullable(
+                new ArrowType.Utf8()), null)).asJava)
+            val root = VectorSchemaRoot.create(schema, alloc)
+            val bos = new java.io.ByteArrayOutputStream()
+            val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+              root, null, java.nio.channels.Channels.newChannel(bos))
+            w.start()
+            root.allocateNew()
+            val idV = root.getVector("doc_id").asInstanceOf[BigIntVector]
+            val vV = root.getVector("v").asInstanceOf[BigIntVector]
+            val sV = root.getVector("s").asInstanceOf[VarCharVector]
+            buf.zipWithIndex.foreach { case ((id, v, str), r) =>
+              idV.setSafe(r, id)
+              v match {
+                case Some(x) => vV.setSafe(r, x)
+                case None => vV.setNull(r)
+              }
+              sV.setSafe(r, str.getBytes("UTF-8"))
+            }
+            root.setRowCount(buf.length)
+            w.writeBatch()
+            w.end(); w.close(); root.close(); alloc.close()
+            graft.functions.ArrowIpc.readRows(bos.toByteArray)
+              .getOrElse(Vector.empty)
+              .iterator
+              .map { r =>
+                (r(0).get.asInstanceOf[Long],
+                  r(1).map(_.asInstanceOf[Long]),
+                  r(2).map(_.asInstanceOf[String]))
+              }
+          }
+        }
+        .toDF("doc_id", "v", "s")
     }
   )
 
@@ -6050,6 +6113,13 @@ object ExtQueries {
         |  CASE WHEN doc_id % 6 = 0 THEN NULL
         |       ELSE doc_id * 11 - 40 END AS v,
         |  doc_id % 4 = 0 AS flag
+        |FROM documents""".stripMargin,
+
+    "q189_arrow_ipc" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 8 = 0 THEN NULL
+        |       ELSE doc_id * 13 + 5 END AS v,
+        |  't' || (doc_id % 9) AS s
         |FROM documents""".stripMargin
   )
 
