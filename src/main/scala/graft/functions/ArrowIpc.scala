@@ -200,85 +200,10 @@ object ArrowIpc {
         val msg = rootTable(file, fbAt, fbEnd)
         if (msg.byte(1, 0) != 3) return None // not a RecordBatch
         val rb = msg.table(2).getOrElse(return None)
-        // RecordBatch: 0 length, 1 nodes, 2 buffers, 3 compression
         if (rb.table(3).isDefined) return None // compressed body
-        val n = rb.long(0, -1L)
-        if (n < 0 || n > Int.MaxValue) return None
-        val bodyAt = (off + metaLen).toInt
-        // buffers: struct Buffer{offset i64, length i64} (16 bytes)
-        val nBuf = rb.vectorLen(2)
-        var bufIdx = 0
-        def nextBuf(): (Int, Long) = {
-          if (bufIdx >= nBuf) throw new Malformed
-          val be = rb.vectorElem(2, bufIdx, 16)
-          bufIdx += 1
-          val boff = i64(file, be)
-          val blen = i64(file, be + 8)
-          if (boff < 0 || blen < 0 ||
-            bodyAt + boff + blen > file.length) throw new Malformed
-          ((bodyAt + boff).toInt, blen)
-        }
-        val cols = schema.map { f =>
-          val (vAt, vLen) = nextBuf() // validity bitmap
-          def isSet(i: Int): Boolean =
-            vLen == 0 || ((file(vAt + (i >> 3)) >>> (i & 7)) & 1) == 1
-          f.tpe match {
-            case "utf8" =>
-              val (oAt, _) = nextBuf() // offsets: (n+1) × i32
-              val (dAt, _) = nextBuf() // data
-              Vector.tabulate(n.toInt) { i =>
-                if (!isSet(i)) None
-                else {
-                  val s = i32(file, oAt + 4 * i)
-                  val t = i32(file, oAt + 4 * (i + 1))
-                  if (s < 0 || t < s) throw new Malformed
-                  Some(new String(file, dAt + s, t - s,
-                    StandardCharsets.UTF_8): Any)
-                }
-              }
-            case "bool" =>
-              val (dAt, _) = nextBuf()
-              Vector.tabulate(n.toInt) { i =>
-                if (!isSet(i)) None
-                else Some((((file(dAt + (i >> 3)) >>> (i & 7)) & 1) == 1): Any)
-              }
-            case "float64" =>
-              val (dAt, _) = nextBuf()
-              Vector.tabulate(n.toInt) { i =>
-                if (!isSet(i)) None
-                else Some(java.lang.Double.longBitsToDouble(
-                  i64(file, dAt + 8 * i)): Any)
-              }
-            case "int64" =>
-              val (dAt, _) = nextBuf()
-              Vector.tabulate(n.toInt) { i =>
-                if (!isSet(i)) None else Some(i64(file, dAt + 8 * i): Any)
-              }
-            case "int32" =>
-              val (dAt, _) = nextBuf()
-              Vector.tabulate(n.toInt) { i =>
-                if (!isSet(i)) None else Some(i32(file, dAt + 4 * i): Any)
-              }
-            case "int16" =>
-              val (dAt, _) = nextBuf()
-              Vector.tabulate(n.toInt) { i =>
-                if (!isSet(i)) None
-                else Some(u16(file, dAt + 2 * i).toShort: Any)
-              }
-            case "int8" =>
-              val (dAt, _) = nextBuf()
-              Vector.tabulate(n.toInt) { i =>
-                if (!isSet(i)) None else Some(file(dAt + i): Any)
-              }
-            case _ => throw new Malformed
-          }
-        }
-        var r = 0
-        while (r < n.toInt) {
-          rows += cols.map(_(r))
-          r += 1
-        }
-        nRows += n
+        val batch = decodeBatch(file, rb, (off + metaLen).toInt, schema)
+        rows ++= batch
+        nRows += batch.length
         bi += 1
       }
       Some((ArrowMeta(schema, nBatches, nRows), rows.result()))
@@ -288,8 +213,135 @@ object ArrowIpc {
     }
   }
 
+  /** One RecordBatch's rows. `rb` is the RecordBatch table
+    * (0 length, 1 nodes, 2 buffers, 3 compression), `bodyAt` the
+    * absolute start of the batch body.
+    */
+  private def decodeBatch(file: Array[Byte], rb: Tbl, bodyAt: Int,
+      schema: Vector[ArrowField]): Vector[Vector[Option[Any]]] = {
+    val n = rb.long(0, -1L)
+    if (n < 0 || n > Int.MaxValue) throw new Malformed
+    // buffers: struct Buffer{offset i64, length i64} (16 bytes)
+    val nBuf = rb.vectorLen(2)
+    var bufIdx = 0
+    def nextBuf(): (Int, Long) = {
+      if (bufIdx >= nBuf) throw new Malformed
+      val be = rb.vectorElem(2, bufIdx, 16)
+      bufIdx += 1
+      val boff = i64(file, be)
+      val blen = i64(file, be + 8)
+      if (boff < 0 || blen < 0 ||
+        bodyAt + boff + blen > file.length) throw new Malformed
+      ((bodyAt + boff).toInt, blen)
+    }
+    val cols = schema.map { f =>
+      val (vAt, vLen) = nextBuf() // validity bitmap
+      def isSet(i: Int): Boolean =
+        vLen == 0 || ((file(vAt + (i >> 3)) >>> (i & 7)) & 1) == 1
+      f.tpe match {
+        case "utf8" =>
+          val (oAt, _) = nextBuf() // offsets: (n+1) × i32
+          val (dAt, _) = nextBuf() // data
+          Vector.tabulate(n.toInt) { i =>
+            if (!isSet(i)) None
+            else {
+              val s = i32(file, oAt + 4 * i)
+              val t = i32(file, oAt + 4 * (i + 1))
+              if (s < 0 || t < s) throw new Malformed
+              Some(new String(file, dAt + s, t - s,
+                StandardCharsets.UTF_8): Any)
+            }
+          }
+        case "bool" =>
+          val (dAt, _) = nextBuf()
+          Vector.tabulate(n.toInt) { i =>
+            if (!isSet(i)) None
+            else Some((((file(dAt + (i >> 3)) >>> (i & 7)) & 1) == 1): Any)
+          }
+        case "float64" =>
+          val (dAt, _) = nextBuf()
+          Vector.tabulate(n.toInt) { i =>
+            if (!isSet(i)) None
+            else Some(java.lang.Double.longBitsToDouble(
+              i64(file, dAt + 8 * i)): Any)
+          }
+        case "int64" =>
+          val (dAt, _) = nextBuf()
+          Vector.tabulate(n.toInt) { i =>
+            if (!isSet(i)) None else Some(i64(file, dAt + 8 * i): Any)
+          }
+        case "int32" =>
+          val (dAt, _) = nextBuf()
+          Vector.tabulate(n.toInt) { i =>
+            if (!isSet(i)) None else Some(i32(file, dAt + 4 * i): Any)
+          }
+        case "int16" =>
+          val (dAt, _) = nextBuf()
+          Vector.tabulate(n.toInt) { i =>
+            if (!isSet(i)) None
+            else Some(u16(file, dAt + 2 * i).toShort: Any)
+          }
+        case "int8" =>
+          val (dAt, _) = nextBuf()
+          Vector.tabulate(n.toInt) { i =>
+            if (!isSet(i)) None else Some(file(dAt + i): Any)
+          }
+        case _ => throw new Malformed
+      }
+    }
+    Vector.tabulate(n.toInt)(r => cols.map(_(r)))
+  }
+
   def meta(file: Array[Byte]): Option[ArrowMeta] = parse(file).map(_._1)
 
   def readRows(file: Array[Byte]): Option[Vector[Vector[Option[Any]]]] =
     parse(file).map(_._2)
+
+  /** The STREAM variant (no magic, no footer): a Schema message, then
+    * RecordBatch messages, terminated by the 0xFFFFFFFF/0 end-of-
+    * stream marker (or end of input). The wire shape of Arrow Flight
+    * and spark→pandas interop — same message grammar, schema arrives
+    * in-band instead of via the footer's Block index.
+    */
+  def readStreamRows(stream: Array[Byte])
+      : Option[Vector[Vector[Option[Any]]]] = {
+    if (stream == null || stream.length < 8) return None
+    try {
+      var pos = 0
+      var schema: Vector[ArrowField] = null
+      val rows = Vector.newBuilder[Vector[Option[Any]]]
+      var going = true
+      while (going && pos + 8 <= stream.length) {
+        val (metaLen, fbAt) =
+          if (i32(stream, pos) == -1) (i32(stream, pos + 4), pos + 8)
+          else (i32(stream, pos), pos + 4) // legacy framing
+        if (metaLen == 0) going = false // end-of-stream marker
+        else {
+          if (metaLen < 0 || fbAt + metaLen > stream.length)
+            throw new Malformed
+          val msg = rootTable(stream, fbAt, fbAt + metaLen)
+          val bodyLen = msg.long(3, 0L)
+          val bodyAt = fbAt + metaLen
+          if (bodyLen < 0 || bodyAt + bodyLen > stream.length)
+            throw new Malformed
+          msg.byte(1, 0) match {
+            case 1 => // Schema message
+              schema = parseSchema(msg.table(2).getOrElse(
+                throw new Malformed))
+            case 3 => // RecordBatch
+              if (schema == null) throw new Malformed
+              val rb = msg.table(2).getOrElse(throw new Malformed)
+              if (rb.table(3).isDefined) throw new Malformed
+              rows ++= decodeBatch(stream, rb, bodyAt, schema)
+            case _ => throw new Malformed // dictionaries, tensors …
+          }
+          pos = bodyAt + bodyLen.toInt
+        }
+      }
+      if (schema == null) None else Some(rows.result())
+    } catch {
+      case _: Malformed | _: ArrayIndexOutOfBoundsException |
+        _: NegativeArraySizeException => None
+    }
+  }
 }

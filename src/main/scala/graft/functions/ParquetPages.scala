@@ -145,7 +145,16 @@ object ParquetPages {
         out
       } catch { case _: com.github.luben.zstd.ZstdException =>
         throw new Malformed }
-    case _ => throw new Malformed // lzo/brotli/lz4 not available here
+    case "LZ4_RAW" => // one plain lz4 block; lz4-java on the classpath
+      try {
+        val out = new Array[Byte](expect)
+        val n = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+          .safeDecompressor().decompress(b, 0, b.length, out, 0)
+        if (n != expect) throw new Malformed
+        out
+      } catch { case _: net.jpountz.lz4.LZ4Exception =>
+        throw new Malformed }
+    case _ => throw new Malformed // lzo/brotli/legacy-lz4 not available
   }
 
   /** RLE/bit-packed hybrid run decode: `n` values of `bitWidth` bits

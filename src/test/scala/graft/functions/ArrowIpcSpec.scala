@@ -80,6 +80,40 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(rows.map(_(0)) == (0 until 260).map(i => Some(i.toLong)))
   }
 
+  test("stream format: in-band schema, batches, end-of-stream marker") {
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.arrow.vector.ipc.ArrowStreamWriter(root, null,
+      java.nio.channels.Channels.newChannel(bos))
+    w.start()
+    Seq(0 until 40, 40 until 95).foreach { range =>
+      root.allocateNew()
+      val id = root.getVector("id").asInstanceOf[BigIntVector]
+      val v = root.getVector("v").asInstanceOf[BigIntVector]
+      val s = root.getVector("s").asInstanceOf[VarCharVector]
+      val flag = root.getVector("flag").asInstanceOf[BitVector]
+      val d = root.getVector("d").asInstanceOf[Float8Vector]
+      val small = root.getVector("small").asInstanceOf[IntVector]
+      range.zipWithIndex.foreach { case (i, r) =>
+        id.setSafe(r, i.toLong)
+        if (i % 5 == 0) v.setNull(r) else v.setSafe(r, i * 3L - 9)
+        s.setSafe(r, s"x$i".getBytes("UTF-8"))
+        flag.setSafe(r, i % 2)
+        d.setSafe(r, i.toDouble)
+        small.setSafe(r, i)
+      }
+      root.setRowCount(range.length)
+      w.writeBatch()
+    }
+    w.end(); w.close(); root.close(); alloc.close()
+    val rows = readStreamRows(bos.toByteArray).get
+    assert(rows.length == 95)
+    assert(rows.map(_(0)) == (0 until 95).map(i => Some(i.toLong)))
+    assert(rows(5)(1) == None && rows(6)(1) == Some(9L))
+    assert(readStreamRows("no schema here".getBytes).isEmpty)
+  }
+
   test("total on garbage, truncation, and non-arrow magic") {
     assert(readRows(null).isEmpty)
     assert(readRows("ARROW1 but not really ARROW1".getBytes).isEmpty)

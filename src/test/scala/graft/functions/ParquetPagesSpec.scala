@@ -84,6 +84,10 @@ class ParquetPagesSpec extends SparkSpec {
     check(writeAndRead("zstd", dictionary = true)._2)
   }
 
+  test("lz4_raw pages via the classpath lz4-java") {
+    check(writeAndRead("lz4_raw", dictionary = true)._2)
+  }
+
   test("v2 pages, delta encodings (dictionary off): DBP ints, DBA strings, RLE bools") {
     check(writeAndRead("none", dictionary = false, v2 = true)._2)
     check(writeAndRead("snappy", dictionary = false, v2 = true)._2)
