@@ -3646,6 +3646,62 @@ object ExtQueries {
           }
         }
         .toDF("doc_id", "v", "s")
+    },
+
+    // ── Wikipedia dump walk (.xml.bz2): per doc a real MediaWiki
+    // export of k=id%3+1 pages is built, bzip2-compressed by the
+    // commons-compress reference writer (MULTISTREAM concatenation —
+    // the actual Wikipedia layout — when id%4==0), inflated back
+    // through our own bzip2 decoder (Huffman groups → MTF/RLE2 →
+    // inverse BWT → RLE1, block CRCs verified) and page-walked.
+    // Titles/ns/ids and the byte-exact wikitext (entities included:
+    // the doc text's '&'/'<' pass through escape→unescape) are under
+    // the hash gate.
+    "q190_wiki_dump" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val k = (id % 3 + 1).toInt
+          val cuts = (0 to k).map(i => text.length * i / k)
+          def esc(x: String) = x.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          def pageXml(i: Int): String = {
+            val body = text.substring(cuts(i), cuts(i + 1))
+            s"""<page>
+               |  <title>Doc $id part $i</title>
+               |  <ns>${(id + i) % 16}</ns>
+               |  <id>${id * 10 + i}</id>
+               |  <revision><id>${id * 100 + i}</id>
+               |  <text xml:space="preserve">${esc(body)}</text>
+               |  </revision>
+               |</page>""".stripMargin
+          }
+          val pagesXml = (0 until k).map(pageXml)
+          def bz(x: String): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val o = new org.apache.commons.compress.compressors.bzip2
+              .BZip2CompressorOutputStream(bos, 9)
+            o.write(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            o.close()
+            bos.toByteArray
+          }
+          val payload =
+            if (id % 4 == 0 && k > 1)
+              bz("<mediawiki>\n" + pagesXml.head) ++
+                bz(pagesXml.tail.mkString("\n") + "\n</mediawiki>")
+            else
+              bz("<mediawiki>\n" + pagesXml.mkString("\n") +
+                "\n</mediawiki>")
+          graft.functions.WikiDump.pagesFromBzip2(payload)
+            .getOrElse(Vector.empty)
+            .zipWithIndex
+            .map { case (p, i) =>
+              (id, i.toLong, p.title, p.ns.toLong, p.pageId, p.text)
+            }
+        }
+        .toDF("doc_id", "page_idx", "title", "ns", "page_id", "text")
     }
   )
 
@@ -6120,7 +6176,23 @@ object ExtQueries {
         |  CASE WHEN doc_id % 8 = 0 THEN NULL
         |       ELSE doc_id * 13 + 5 END AS v,
         |  't' || (doc_id % 9) AS s
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // corpus-drop identity: pages rebuilt arithmetically; the Spark
+    // side recovers them through bzip2 (our decoder) + the XML walk
+    "q190_wiki_dump" ->
+      """SELECT d.doc_id,
+        |  CAST(p.i AS BIGINT) AS page_idx,
+        |  'Doc ' || d.doc_id || ' part ' || p.i AS title,
+        |  CAST((d.doc_id + p.i) % 16 AS BIGINT) AS ns,
+        |  CAST(d.doc_id * 10 + p.i AS BIGINT) AS page_id,
+        |  substring(d.text,
+        |    CAST(length(d.text) * p.i // (d.doc_id % 3 + 1) + 1 AS INT),
+        |    CAST(length(d.text) * (p.i + 1) // (d.doc_id % 3 + 1)
+        |       - length(d.text) * p.i // (d.doc_id % 3 + 1) AS INT))
+        |    AS text
+        |FROM documents d
+        |JOIN range(0, 3) p(i) ON p.i < d.doc_id % 3 + 1""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
