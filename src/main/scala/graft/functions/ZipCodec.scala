@@ -32,6 +32,8 @@ object ZipCodec {
   private def u32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], off: Int): Long =
+    u32(b, off) | (u32(b, off + 4) << 32)
 
   /** Locate EOCD (scan backward past an optional comment) and list the
     * central directory. Empty on damage.
@@ -45,24 +47,64 @@ object ZipCodec {
       while (p >= floor && !(b(p) == 0x50 && b(p + 1) == 0x4b &&
           b(p + 2) == 0x05 && b(p + 3) == 0x06)) p -= 1
       if (p < floor) return Nil
-      val n = u16(b, p + 10)
-      val cdOff = u32(b, p + 16).toInt
+      var n: Long = u16(b, p + 10)
+      var cdOff: Long = u32(b, p + 16)
+      // ZIP64: sentinel fields defer to the ZIP64 EOCD record, found
+      // via the 20-byte locator (sig PK\x06\x07) directly before the
+      // EOCD — the shape every >4 GB / >65535-member archive has
+      if ((n == 0xffffL || cdOff == 0xffffffffL) && p >= 20 &&
+        b(p - 20) == 0x50 && b(p - 19) == 0x4b &&
+        b(p - 18) == 0x06 && b(p - 17) == 0x07) {
+        val z64 = u64(b, p - 12)
+        if (z64 >= 0 && z64 + 56 <= b.length &&
+          b(z64.toInt) == 0x50 && b(z64.toInt + 1) == 0x4b &&
+          b(z64.toInt + 2) == 0x06 && b(z64.toInt + 3) == 0x06) {
+          n = u64(b, z64.toInt + 32)
+          cdOff = u64(b, z64.toInt + 48)
+        }
+      }
+      if (cdOff < 0 || cdOff > b.length) return Nil
       val out = Seq.newBuilder[Entry]
-      var q = cdOff
-      var i = 0
+      var q = cdOff.toInt
+      var i = 0L
       while (i < n && q + 46 <= b.length) {
         if (!(b(q) == 0x50 && b(q + 1) == 0x4b && b(q + 2) == 0x01 &&
             b(q + 3) == 0x02)) return out.result()
         val method = u16(b, q + 10)
         val crc = u32(b, q + 16)
-        val csize = u32(b, q + 20)
-        val usize = u32(b, q + 24)
+        var csize = u32(b, q + 20)
+        var usize = u32(b, q + 24)
         val nameLen = u16(b, q + 28)
         val extraLen = u16(b, q + 30)
         val commentLen = u16(b, q + 32)
-        val lho = u32(b, q + 42)
-        if (q + 46 + nameLen > b.length) return out.result()
+        var lho = u32(b, q + 42)
+        if (q + 46 + nameLen + extraLen > b.length) return out.result()
         val name = new String(b, q + 46, nameLen, UTF_8)
+        // ZIP64 extended-information extra (id 0x0001): 8-byte values
+        // replace, IN DECLARED ORDER, exactly the header fields that
+        // carry the 0xffffffff sentinel
+        if (usize == 0xffffffffL || csize == 0xffffffffL ||
+          lho == 0xffffffffL) {
+          var x = q + 46 + nameLen
+          val xEnd = x + extraLen
+          while (x + 4 <= xEnd) {
+            val id = u16(b, x)
+            val len = u16(b, x + 2)
+            if (id == 1 && x + 4 + len <= xEnd) {
+              var v = x + 4
+              if (usize == 0xffffffffL && v + 8 <= x + 4 + len) {
+                usize = u64(b, v); v += 8
+              }
+              if (csize == 0xffffffffL && v + 8 <= x + 4 + len) {
+                csize = u64(b, v); v += 8
+              }
+              if (lho == 0xffffffffL && v + 8 <= x + 4 + len) {
+                lho = u64(b, v); v += 8
+              }
+            }
+            x += 4 + len
+          }
+        }
         out += Entry(name, method, csize, usize, crc, lho)
         q += 46 + nameLen + extraLen + commentLen
         i += 1

@@ -58,6 +58,37 @@ class ZipOfficeSpec extends AnyFunSuite {
     got.zip(members).foreach { case ((_, d), (_, e)) => assert(d.toSeq == e.toSeq) }
   }
 
+  test("ZIP64: >65535 members resolve via the EOCD locator + extras") {
+    // the JDK writer switches to ZIP64 EOCD + sentinel counts past
+    // 0xffff entries; our walk must follow the locator and the
+    // 0x0001 extended-information extras
+    val bo = new ByteArrayOutputStream()
+    val zout = new ZipOutputStream(bo, UTF_8)
+    zout.setMethod(ZipOutputStream.STORED)
+    val crc = new java.util.zip.CRC32()
+    val payload = "x".getBytes(UTF_8)
+    crc.update(payload)
+    (0 until 70000).foreach { i =>
+      val e = new ZipEntry(s"m$i")
+      e.setMethod(ZipEntry.STORED)
+      e.setSize(1)
+      e.setCrc(crc.getValue)
+      zout.putNextEntry(e)
+      zout.write(payload)
+      zout.closeEntry()
+    }
+    zout.close()
+    val bytes = bo.toByteArray
+    val es = ZipCodec.entries(bytes)
+    assert(es.length == 70000)
+    assert(es.head.name == "m0" && es.last.name == "m69999")
+    Seq(0, 1, 65535, 65536, 69999).foreach { i =>
+      val e = es(i)
+      assert(e.name == s"m$i" && e.size == 1L)
+      assert(ZipCodec.read(bytes, e).exists(_.sameElements(payload)))
+    }
+  }
+
   test("total on damage: truncation, flipped bytes, garbage") {
     val zip = ZipCodec.zipBytes(members)
     (0 until zip.length by 101).foreach(n => ZipCodec.readAll(zip.take(n)))
