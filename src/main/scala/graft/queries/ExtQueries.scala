@@ -3702,6 +3702,35 @@ object ExtQueries {
             }
         }
         .toDF("doc_id", "page_idx", "title", "ns", "page_id", "text")
+    },
+
+    // ── wikitext→text strip rule under the oracle (q61's decoration
+    // pattern): known markup — heading, nested template, comment,
+    // plain and piped links, a dropped File: link, emphasis, a list
+    // bullet — is wrapped around the doc text at arithmetic
+    // positions, and the oracle states the stripped result directly.
+    // A strip rule that eats content or leaks markers breaks the hash.
+    "q191_wikitext_strip" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val half = text.length / 2
+          val a = text.substring(0, half)
+          val b = text.substring(half)
+          val wikitext =
+            s"== Section $id ==\n" +
+              s"{{infobox|id=$id|inner={{nested|${id % 7}}}}}\n" +
+              s"$a<!-- note $id -->\n" +
+              s"''italic'' [[Target $id]] and [[P$id|alias ${id % 5}]] " +
+              s"[[File:F$id.png|thumb|cap]]\n" +
+              s"* item $id\n" +
+              b
+          val stripped = graft.functions.WikiDump.stripMarkup(wikitext)
+          (id, stripped)
+        }
+        .toDF("doc_id", "stripped")
     }
   )
 
@@ -6192,7 +6221,21 @@ object ExtQueries {
         |       - length(d.text) * p.i // (d.doc_id % 3 + 1) AS INT))
         |    AS text
         |FROM documents d
-        |JOIN range(0, 3) p(i) ON p.i < d.doc_id % 3 + 1""".stripMargin
+        |JOIN range(0, 3) p(i) ON p.i < d.doc_id % 3 + 1""".stripMargin,
+
+    // strip-rule identity: the oracle states the stripped text
+    // directly (heading text kept, template+comment+File link gone,
+    // links to anchors, emphasis markers off, bullet off)
+    "q191_wikitext_strip" ->
+      """SELECT doc_id,
+        |  'Section ' || doc_id || chr(10) || chr(10) ||
+        |  substring(text, 1, CAST(length(text) // 2 AS INT)) || chr(10) ||
+        |  'italic Target ' || doc_id || ' and alias ' ||
+        |    (doc_id % 5) || ' ' || chr(10) ||
+        |  'item ' || doc_id || chr(10) ||
+        |  substring(text, CAST(length(text) // 2 + 1 AS INT))
+        |    AS stripped
+        |FROM documents""".stripMargin
   )
 
   /** q25 (MinHash LSH near-dups) is oracled against the SAME exact
