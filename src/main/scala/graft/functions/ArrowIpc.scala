@@ -208,7 +208,7 @@ object ArrowIpc {
       }
       Some((ArrowMeta(schema, nBatches, nRows), rows.result()))
     } catch {
-      case _: Malformed | _: ArrayIndexOutOfBoundsException |
+      case _: Malformed | _: IndexOutOfBoundsException |
         _: NegativeArraySizeException => None
     }
   }
@@ -247,7 +247,8 @@ object ArrowIpc {
             else {
               val s = i32(file, oAt + 4 * i)
               val t = i32(file, oAt + 4 * (i + 1))
-              if (s < 0 || t < s) throw new Malformed
+              if (s < 0 || t < s || dAt.toLong + t > file.length)
+                throw new Malformed
               Some(new String(file, dAt + s, t - s,
                 StandardCharsets.UTF_8): Any)
             }
@@ -340,7 +341,7 @@ object ArrowIpc {
       }
       if (schema == null) None else Some(rows.result())
     } catch {
-      case _: Malformed | _: ArrayIndexOutOfBoundsException |
+      case _: Malformed | _: IndexOutOfBoundsException |
         _: NegativeArraySizeException => None
     }
   }

@@ -89,13 +89,16 @@ object CborCodec {
     val ai = ib & 0x1f
     major match {
       case 0 => CInt(arg(c, ai) match {
-        case -1L => throw new Malformed
+        // bit 63 set (uint ≥ 2^63) would wrap negative in CInt and
+        // re-encode as a negint: reject outside the Long domain so
+        // decode stays total and decode→encode round-trip-safe
+        case v if v < 0 => throw new Malformed
         case v => v
       })
       case 1 =>
         val v = arg(c, ai)
-        if (v == -1L) throw new Malformed
-        CInt(-1L - v) // note: v ≥ 2^63 would wrap; bounded fixtures
+        if (v < 0) throw new Malformed // negint ≤ -(2^63+1): out of Long
+        CInt(-1L - v)
       case 2 => CBytes(strBody(c, ai, depth, text = false).toVector)
       case 3 => CText(new String(strBody(c, ai, depth, text = true),
         StandardCharsets.UTF_8))

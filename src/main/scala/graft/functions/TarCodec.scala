@@ -130,13 +130,19 @@ object TarCodec {
         if (t == 0) '0' else t.toChar
       }
       val dataAt = pos + Block
-      val padded = ((size0 + Block - 1) / Block * Block).toInt
-      if (dataAt + padded > archive.length) return None
+      def paddedOf(sz: Long): Long = (sz + Block - 1) / Block * Block
+      // the walk advance follows the ACTUAL payload extent: a pax size
+      // override (the only reason writers emit one — >8 GiB members, or
+      // zeroed ustar size fields) replaces the header's size for the
+      // member it precedes, so the member arm advances by it too
+      var advance = paddedOf(size0)
       typeflag match {
         case 'L' => // GNU longname: payload is the next member's name
+          if (dataAt + advance > archive.length) return None
           pendingName =
             str(archive, dataAt, size0.toInt)
         case 'x' => // pax extended header for the next member
+          if (dataAt + advance > archive.length) return None
           val pax = paxRecords(
             java.util.Arrays.copyOfRange(archive, dataAt,
               dataAt + size0.toInt))
@@ -155,12 +161,14 @@ object TarCodec {
               prefix + "/" + short
             else short
           val size = if (pendingSize >= 0) pendingSize else size0
+          advance = paddedOf(size)
+          if (dataAt + advance > archive.length) return None
           out += TarEntry(name, size, octal(archive, pos + 136, 12),
             t, dataAt.toLong)
           pendingName = null
           pendingSize = -1L
       }
-      pos = dataAt + padded
+      pos = dataAt + advance.toInt
     }
     None // ran off the end without the terminator
   }

@@ -165,6 +165,13 @@ object ZipCodec {
     */
   def zipBytes(members: Seq[(String, Array[Byte])],
       store: Boolean = false): Array[Byte] = {
+    // classic (non-ZIP64) records only: 16-bit member count, 32-bit
+    // offsets/sizes. Fail loudly rather than silently truncating the
+    // EOCD fields into a corrupt archive (the reader side DOES accept
+    // ZIP64; the writer's domain is bounded fixtures).
+    require(members.length <= 0xffff,
+      s"zipBytes: ${members.length} members exceeds the classic EOCD " +
+        "16-bit count; ZIP64 writing is unsupported")
     val out = new ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = {
@@ -190,6 +197,9 @@ object ZipCodec {
       val (method, payload) =
         if (store || deflated.length >= data.length) (0, data) else (8, deflated)
       val lho = out.size().toLong
+      require(lho <= 0xffffffffL,
+        "zipBytes: local-header offset exceeds 32 bits; ZIP64 writing " +
+          "is unsupported")
       // local header
       w32(0x04034b50L); w16(20); w16(0x800 /* UTF-8 names */); w16(method)
       w16(0); w16(0) // time/date: fixed zeros — deterministic archives

@@ -16,6 +16,24 @@ object ExtQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Driver-local scratch dir for queries that exercise a write→read
+    * path (txlog, parquet/orc/avro footers). Registered for recursive
+    * delete at JVM exit so repeated bench/correctness runs don't leak
+    * files on the driver's disk.
+    */
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // ── image-header metadata decode: REAL container-format parsing
     // (PNG IHDR with CRC validation, JPEG SOF marker walk), no native
@@ -1502,7 +1520,7 @@ object ExtQueries {
     // exactly, not just "some rows survived".
     "q112_txlog_merge" -> { (s, dir) =>
       val t = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q112").toString)
+        scratchDir("graft_txlog_q112"))
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts_ns"))
@@ -1533,7 +1551,7 @@ object ExtQueries {
         col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_shipdate"))
       val t = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q117").toString)
+        scratchDir("graft_txlog_q117"))
       t.ensureExists(li.schema)
       Seq((0, 1994), (1994, 1996), (1996, 1997), (1997, 9999)).foreach {
         case (lo, hi) =>
@@ -1574,7 +1592,7 @@ object ExtQueries {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts_ns"))
       val t = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q118").toString)
+        scratchDir("graft_txlog_q118"))
       t.ensureExists(ev.schema)
       t.append(ev.filter(pmod(col("event_id"), lit(2)) === 0))
       val v2 = t.merge(ev.filter(pmod(col("event_id"), lit(2)) === 1),
@@ -1610,7 +1628,7 @@ object ExtQueries {
           col("o_orderstatus")), Seq("o_orderkey"))
         .withColumn("o_totalprice", col("new_price"))
       val t = new TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q119").toString)
+        scratchDir("graft_txlog_q119"))
       t.ensureExists(target.schema)
       t.append(target)
       t.mergeConditional(src, Seq("o_orderkey"),
@@ -1800,7 +1818,7 @@ object ExtQueries {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts_ns"))
       val t = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q125").toString)
+        scratchDir("graft_txlog_q125"))
       t.ensureExists(ev.schema)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ns").desc, col("event_id").desc)
@@ -1847,9 +1865,9 @@ object ExtQueries {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts_ns"))
       val t = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q126s").toString)
+        scratchDir("graft_txlog_q126s"))
       val mv = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q126v").toString)
+        scratchDir("graft_txlog_q126v"))
       t.ensureExists(ev.schema)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ns").desc, col("event_id").desc)
@@ -1958,7 +1976,7 @@ object ExtQueries {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val t = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q132").toString)
+        scratchDir("graft_txlog_q132"))
       t.ensureExists(docs.schema)
       t.append(docs.filter(col("doc_id") % 2 === 0).coalesce(1),
         statsCols = Seq("doc_id"), bloomCols = Seq("doc_id", "source"))
@@ -2011,7 +2029,7 @@ object ExtQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
       val t = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q135").toString)
+        scratchDir("graft_txlog_q135"))
       t.ensureExists(ev.schema)
       t.append(ev)
       t.update(col("event_type") === "click" && col("value").isNotNull,
@@ -2036,8 +2054,7 @@ object ExtQueries {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_txlog_q136").toString
+      val root = scratchDir("graft_txlog_q136")
       def put(tpe: String, mode: String): Unit =
         ev.filter(col("event_type") === tpe).write.format("txlog")
           .mode(mode).option("statsCols", "event_id")
@@ -2351,7 +2368,7 @@ object ExtQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
       val t = new graft.sources.TxLogTable(s,
-        java.nio.file.Files.createTempDirectory("graft_txlog_q151").toString)
+        scratchDir("graft_txlog_q151"))
       t.ensureExists(ev.schema)
       t.append(ev.repartition(4))
       val before = t.liveDataPaths(t.currentVersion).toSet
@@ -3314,8 +3331,7 @@ object ExtQueries {
     // inspectable: O(footer) per file, no column pages touched.
     "q181_parquet_footer" -> { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_pqf_q181").toString + "/t"
+      val tmp = scratchDir("graft_pqf_q181") + "/t"
       Tables.documents(s, dir)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, lit(null).cast("long"))
@@ -3471,8 +3487,7 @@ object ExtQueries {
     // or the snappy tag grammar changes rows and breaks the hash.
     "q185_parquet_pages" -> { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_pqp_q185").toString + "/t"
+      val tmp = scratchDir("graft_pqp_q185") + "/t"
       Tables.documents(s, dir)
         .select(col("doc_id"),
           when(col("doc_id") % 9 === 0, lit(null).cast("long"))
@@ -3505,8 +3520,7 @@ object ExtQueries {
     // data by the oracle.
     "q186_orc_footer" -> { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_orc_q186").toString + "/t"
+      val tmp = scratchDir("graft_orc_q186") + "/t"
       Tables.documents(s, dir)
         .select(col("doc_id"),
           when(col("doc_id") % 5 === 0, lit(null).cast("long"))
@@ -3561,8 +3575,7 @@ object ExtQueries {
     // opposite direction from q185 (library writer, native reader).
     "q188_avro_ocf" -> { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_avro_q188").toString + "/t"
+      val tmp = scratchDir("graft_avro_q188") + "/t"
       graft.sources.AvroTables.write(
         Tables.documents(s, dir)
           .select(col("doc_id"),

@@ -123,4 +123,22 @@ class ArrowIpcSpec extends AnyFunSuite {
     bad(bad.length - 8) = 0x7f // lie about footer length
     assert(readRows(bad).isEmpty)
   }
+
+  test("single-byte corruption fuzz never throws (utf8 offsets included)") {
+    // deterministic sweep: flip each of a spread of byte positions to
+    // extreme values and require parse to return (Some or None), never
+    // throw — the utf8 offset buffer is in range, so the lying-offset
+    // StringIndexOutOfBounds path is exercised
+    val good = writeFile(Seq(0 until 40))
+    var i = 8 // keep the leading magic so parsing proceeds
+    while (i < good.length - 10) {
+      for (v <- Seq(0x7f, 0xff, 0x80)) {
+        val mut = good.clone()
+        mut(i) = v.toByte
+        readRows(mut) // must not throw
+        readStreamRows(mut)
+      }
+      i += 7
+    }
+  }
 }

@@ -77,4 +77,17 @@ class CborCodecSpec extends AnyFunSuite {
     val bomb = Array.fill[Byte](200)(0x81.toByte) :+ 0x00.toByte
     assert(decode(bomb).isEmpty) // 200 deep > MaxDepth
   }
+
+  test("64-bit ints outside the Long domain are rejected, not wrapped") {
+    // uint 2^63 would wrap negative in CInt and re-encode as a negint
+    assert(decode(hex("1b8000000000000000")).isEmpty)
+    assert(decode(hex("1bffffffffffffffff")).isEmpty) // 2^64-1
+    // negint -(2^63)-1 is below Long.MinValue
+    assert(decode(hex("3b8000000000000000")).isEmpty)
+    // boundary values inside the domain still decode and round-trip
+    assert(decode(hex("1b7fffffffffffffff")).get == CInt(Long.MaxValue))
+    assert(decode(hex("3b7fffffffffffffff")).get == CInt(Long.MinValue))
+    assert(encode(CInt(Long.MaxValue)).sameElements(hex("1b7fffffffffffffff")))
+    assert(encode(CInt(Long.MinValue)).sameElements(hex("3b7fffffffffffffff")))
+  }
 }

@@ -40,6 +40,60 @@ class TarCodecSpec extends AnyFunSuite {
     assert(es.head.size == 2L)
   }
 
+  /** Hand-assembled ustar header (the writer only emits ustar members,
+    * so pax-size fixtures are built raw).
+    */
+  private def rawHeader(name: String, sizeField: Long,
+      typeflag: Char): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes(UTF_8)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    def oct(off: Int, len: Int, v: Long): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val p = ("0" * (len - 1 - s.length)) + s
+      for (i <- 0 until len - 1) h(off + i) = p(i).toByte
+    }
+    oct(100, 8, 420); oct(108, 8, 0); oct(116, 8, 0)
+    oct(124, 12, sizeField); oct(136, 12, 0)
+    h(156) = typeflag.toByte
+    System.arraycopy("ustar".getBytes(UTF_8), 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0'
+    val sum = h.zipWithIndex.map { case (b, i) =>
+      if (i >= 148 && i < 156) ' '.toInt else b & 0xff
+    }.sum
+    val cs = java.lang.Long.toOctalString(sum.toLong)
+    val p = ("0" * (6 - cs.length)) + cs
+    for (i <- 0 until 6) h(148 + i) = p(i).toByte
+    h(155) = ' '
+    h
+  }
+
+  private def padded(b: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOf(b, (b.length + 511) / 512 * 512)
+
+  test("pax size override drives the walk, not just the entry") {
+    // member whose ustar size field is ZERO (as writers emit when the
+    // pax record is authoritative); the real 12-byte payload extent
+    // must come from the pax size or the walk lands mid-payload
+    val body = "hello pax!!!".getBytes(UTF_8) // 12 bytes
+    val paxPayload = "11 size=12\n".getBytes(UTF_8)
+    val tar = padded(rawHeader("pax-size-hdr", paxPayload.length.toLong, 'x')) ++
+      padded(paxPayload) ++
+      padded(rawHeader("f.txt", 0L, '0')) ++
+      padded(body) ++
+      new Array[Byte](1024)
+    val es = entries(tar).get
+    assert(es.map(e => (e.name, e.size)) == Vector(("f.txt", 12L)))
+    assert(new String(readEntry(tar, es.head).get, UTF_8) == "hello pax!!!")
+    // and a pax size that overruns the blocks actually present → None
+    val paxBig = "13 size=2000\n".getBytes(UTF_8)
+    val lying = padded(rawHeader("pax-size-hdr", paxBig.length.toLong, 'x')) ++
+      padded(paxBig) ++
+      padded(rawHeader("f.txt", 0L, '0')) ++
+      new Array[Byte](1024)
+    assert(entries(lying).isEmpty)
+  }
+
   test("checksum tamper and truncation → None") {
     val tar = tarBytes(members)
     val bad = tar.clone()

@@ -89,6 +89,15 @@ class ZipOfficeSpec extends AnyFunSuite {
     }
   }
 
+  test("writer refuses >65535 members instead of truncating the EOCD") {
+    val many = (0 to 0xffff).map(i => (s"m$i", Array.emptyByteArray))
+    val e = intercept[IllegalArgumentException](ZipCodec.zipBytes(many))
+    assert(e.getMessage.contains("ZIP64"))
+    // exactly the classic limit still writes and reads back
+    val atCap = many.take(3)
+    assert(ZipCodec.entries(ZipCodec.zipBytes(atCap)).length == 3)
+  }
+
   test("total on damage: truncation, flipped bytes, garbage") {
     val zip = ZipCodec.zipBytes(members)
     (0 until zip.length by 101).foreach(n => ZipCodec.readAll(zip.take(n)))
