@@ -84,6 +84,34 @@ object Bzip2Codec {
   private val BlockMagic = 0x314159265359L
   private val EosMagic = 0x177245385090L
 
+  /** Positions (within `b`, from `from` until `until`) where a bzip2
+    * STREAM starts: the 4-byte `BZh[1-9]` header immediately followed
+    * by the 48-bit block magic (streams are byte-aligned, so the
+    * 10-byte signature is byte-aligned too — unlike intra-stream
+    * blocks, which float at bit granularity). A 10-byte match inside
+    * compressed payload has probability ~2⁻⁸⁰ per offset: this is the
+    * split rule that lets a multistream archive (the Wikipedia dump
+    * layout) fan out to one task per stream WITHOUT decoding anything,
+    * which is exactly why the foundation publishes dumps multistream.
+    */
+  def signatureOffsets(b: Array[Byte], from: Int = 0,
+      until: Int = Int.MaxValue): Vector[Int] = {
+    val out = Vector.newBuilder[Int]
+    val end = math.min(b.length, until)
+    var i = math.max(0, from)
+    while (i + 10 <= end) {
+      if (b(i) == 'B' && b(i + 1) == 'Z' && b(i + 2) == 'h' &&
+        b(i + 3) >= '1' && b(i + 3) <= '9' &&
+        (b(i + 4) & 0xff) == 0x31 && (b(i + 5) & 0xff) == 0x41 &&
+        (b(i + 6) & 0xff) == 0x59 && (b(i + 7) & 0xff) == 0x26 &&
+        (b(i + 8) & 0xff) == 0x53 && (b(i + 9) & 0xff) == 0x59) {
+        out += i
+        i += 10
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** Decompress a (possibly multistream) bzip2 payload. */
   def decode(payload: Array[Byte]): Option[Array[Byte]] = {
     if (payload == null || payload.length < 10) return None

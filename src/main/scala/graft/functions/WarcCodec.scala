@@ -187,6 +187,134 @@ object WarcCodec {
     parsePlain(plain)
   }
 
+  /** STREAMING parse — the scale path: records are decoded
+    * incrementally off an `InputStream` (plain, gzip member chain, or
+    * zstd frames, sniffed from the leading magic), so task memory is
+    * bounded by ONE record, never the archive. This is what removes
+    * the 2 GiB whole-file-array ceiling for >2 GiB `.warc.gz` files
+    * while keeping the one-task-per-archive granularity (gzip member
+    * chains are not seekable — the sequential walk IS the correct
+    * read). Totality as [[parseFile]]: the walk stops at the first
+    * unreadable boundary, keeping what was recovered, and closes the
+    * stream when it finishes.
+    */
+  def parseStream(raw: java.io.InputStream): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(raw, 4)
+    val sniff = new Array[Byte](4)
+    var n = 0
+    try {
+      var r = pb.read(sniff, 0, 4)
+      while (r > 0 && n + r <= 4) { n += r; r = if (n < 4) pb.read(sniff, n, 4 - n) else 0 }
+      pb.unread(sniff, 0, n)
+    } catch { case _: java.io.IOException => () }
+    val in: java.io.InputStream =
+      if (n >= 2 && (sniff(0) & 0xff) == 0x1f && (sniff(1) & 0xff) == 0x8b)
+        new GZIPInputStream(pb, 65536)
+      else if (n >= 4 && (sniff(0) & 0xff) == 0x28 && (sniff(1) & 0xff) == 0xb5 &&
+        (sniff(2) & 0xff) == 0x2f && (sniff(3) & 0xff) == 0xfd) {
+        val z = new com.github.luben.zstd.ZstdInputStream(pb)
+        z.setContinuous(true)
+        z
+      } else pb
+    recordIterator(in)
+  }
+
+  /** Max WARC header region the streaming walk will buffer before
+    * declaring the record malformed (headers are ~300 bytes in real
+    * crawls; 1 MiB is far past any conformant writer).
+    */
+  private val MaxStreamHeader = 1 << 20
+
+  private def recordIterator(in: java.io.InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var idx = 0
+      private var done = false
+
+      private def close(): Unit = {
+        done = true
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+
+      /** Read the header region (through CRLFCRLF) + block + trailing
+        * separator of one record; null at a clean end or the first
+        * malformed boundary.
+        */
+      private def readOne(): WarcRecord = {
+        try {
+          // skip inter-record CRLFs; detect EOF
+          var c = in.read()
+          while (c == '\r') {
+            val c2 = in.read()
+            if (c2 != '\n') return null
+            c = in.read()
+          }
+          if (c < 0) return null
+          val hdr = new ByteArrayOutputStream(512)
+          hdr.write(c)
+          // accumulate until CRLFCRLF
+          var tail = 0 // how much of \r\n\r\n is matched
+          while (tail < 4) {
+            val b = in.read()
+            if (b < 0 || hdr.size > MaxStreamHeader) return null
+            hdr.write(b)
+            tail = (tail, b) match {
+              case (0, '\r') => 1
+              case (1, '\n') => 2
+              case (2, '\r') => 3
+              case (3, '\n') => 4
+              case (_, '\r') => 1
+              case _ => 0
+            }
+          }
+          val headerBytes = hdr.toByteArray
+          // reuse the byte-array record parser on header + block: first
+          // parse Content-Length out of the header region alone
+          val header = new String(headerBytes, 0, headerBytes.length - 4, UTF_8)
+          val lines = header.split("\r\n", -1)
+          if (lines.isEmpty || !lines(0).startsWith("WARC/")) return null
+          val lenLine = lines.iterator.drop(1).find(
+            _.toLowerCase.startsWith("content-length"))
+          val contentLength = lenLine.flatMap { ln =>
+            val i = ln.indexOf(':')
+            if (i < 0) None
+            else try Some(ln.substring(i + 1).trim.toLong)
+            catch { case _: NumberFormatException => None }
+          }.getOrElse(-1L)
+          if (contentLength < 0 || contentLength > Int.MaxValue - 8) return null
+          val block = in.readNBytes(contentLength.toInt)
+          if (block.length != contentLength.toInt) return null
+          // assemble the full record bytes and delegate to parseOne so
+          // streaming and whole-array parses share one grammar
+          val rec = new Array[Byte](headerBytes.length + block.length + 4)
+          System.arraycopy(headerBytes, 0, rec, 0, headerBytes.length)
+          System.arraycopy(block, 0, rec, headerBytes.length, block.length)
+          rec(rec.length - 4) = '\r'; rec(rec.length - 3) = '\n'
+          rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
+          parseOne(rec, 0, idx) match {
+            case Some((r, _)) => r
+            case None => null
+          }
+        } catch { case _: java.io.IOException => null }
+      }
+
+      override def hasNext: Boolean = {
+        if (done) return nextRec != null
+        if (nextRec == null) {
+          nextRec = readOne()
+          if (nextRec == null) close() else idx += 1
+        }
+        nextRec != null
+      }
+
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec
+        nextRec = null
+        r
+      }
+    }
+
   /** Decompress a (possibly multi-frame) zstd stream. */
   private def unzstdAll(bytes: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(bytes.length * 4)

@@ -125,11 +125,35 @@ object WikiDump {
     Bzip2Codec.decode(payload).map(b =>
       pages(new String(b, StandardCharsets.UTF_8)))
 
-  /** Conservative wikitext→text: drop {{templates}} (nested) and
-    * <!--comments-->, reduce [[target|anchor]]/[[page]] links to
-    * their visible text (dropping File:/Category: links entirely),
-    * strip ''emphasis'' and ==heading== markers and leading list
-    * bullets. Never invents content.
+  /** Parse the published multistream companion index
+    * (`…-multistream-index.txt`, one `offset:pageId:title` line per
+    * page, offsets repeating for the ~100 pages sharing a stream) to
+    * the DISTINCT sorted stream offsets — the authoritative split
+    * points the foundation ships precisely so readers can parallelize
+    * a 20 GB dump without scanning it. Malformed lines are skipped
+    * (titles may themselves contain ':'; only the first two fields
+    * are positional).
+    */
+  def parseMultistreamIndex(text: String): Vector[Long] = {
+    val seen = scala.collection.mutable.SortedSet.empty[Long]
+    text.linesIterator.foreach { line =>
+      val c1 = line.indexOf(':')
+      if (c1 > 0) {
+        line.substring(0, c1).toLongOption.foreach { off =>
+          if (off >= 0) seen += off
+        }
+      }
+    }
+    seen.toVector
+  }
+
+  /** Conservative wikitext→text: drop {{templates}} (nested),
+    * <!--comments-->, <ref> footnote spans (paired and self-closing),
+    * and {| tables |} (nested — tables are data, not prose); reduce
+    * [[target|anchor]]/[[page]] links to their visible text (dropping
+    * File:/Category: links and un-piped interwiki/language links
+    * entirely); strip ''emphasis'' and ==heading== markers and
+    * leading list bullets. Never invents content.
     */
   def stripMarkup(wikitext: String): String = {
     val noComments = {
@@ -143,39 +167,86 @@ object WikiDump {
       }
       sb.toString
     }
+    // <ref name=..>…</ref> and <ref … /> footnote spans drop whole —
+    // before template strip, so {{cite}} bodies inside refs go with
+    // them; an unterminated ref drops to end of text (same stance as
+    // comments)
+    val noRefs = {
+      val s = noComments
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.startsWith("<ref", i) &&
+          (i + 4 >= s.length || !Character.isLetterOrDigit(s(i + 4)))) {
+          val gt = s.indexOf('>', i + 4)
+          if (gt < 0) i = s.length
+          else if (s(gt - 1) == '/') i = gt + 1 // self-closing
+          else {
+            val close = s.indexOf("</ref>", gt + 1)
+            i = if (close < 0) s.length else close + 6
+          }
+        } else { sb.append(s(i)); i += 1 }
+      }
+      sb.toString
+    }
     val noTemplates = {
+      val s = noRefs
       val sb = new StringBuilder
       var depth = 0
       var i = 0
-      while (i < noComments.length) {
-        if (noComments.startsWith("{{", i)) { depth += 1; i += 2 }
-        else if (depth > 0 && noComments.startsWith("}}", i)) {
+      while (i < s.length) {
+        if (s.startsWith("{{", i)) { depth += 1; i += 2 }
+        else if (depth > 0 && s.startsWith("}}", i)) {
           depth -= 1; i += 2
         } else {
-          if (depth == 0) sb.append(noComments(i))
+          if (depth == 0) sb.append(s(i))
+          i += 1
+        }
+      }
+      sb.toString
+    }
+    // {| tables |} drop whole (nested): wikitables are layout/data,
+    // not running prose — the conservative call for a text corpus
+    val noTables = {
+      val s = noTemplates
+      val sb = new StringBuilder
+      var depth = 0
+      var i = 0
+      while (i < s.length) {
+        if (s.startsWith("{|", i)) { depth += 1; i += 2 }
+        else if (depth > 0 && s.startsWith("|}", i)) { depth -= 1; i += 2 }
+        else {
+          if (depth == 0) sb.append(s(i))
           i += 1
         }
       }
       sb.toString
     }
     val noLinks = {
+      val s = noTables
       val sb = new StringBuilder
       var i = 0
-      while (i < noTemplates.length) {
-        if (noTemplates.startsWith("[[", i)) {
-          val e = noTemplates.indexOf("]]", i + 2)
-          if (e < 0) { sb.append(noTemplates(i)); i += 1 }
+      while (i < s.length) {
+        if (s.startsWith("[[", i)) {
+          val e = s.indexOf("]]", i + 2)
+          if (e < 0) { sb.append(s(i)); i += 1 }
           else {
-            val inner = noTemplates.substring(i + 2, e)
+            val inner = s.substring(i + 2, e)
             val colon = inner.indexOf(':')
             val pipe = inner.lastIndexOf('|')
-            if (colon >= 0 && (colon < pipe || pipe < 0) &&
+            val mediaOrCat = colon >= 0 && (colon < pipe || pipe < 0) &&
               (inner.startsWith("File:") || inner.startsWith("Image:") ||
-                inner.startsWith("Category:"))) () // dropped entirely
+                inner.startsWith("Category:"))
+            // un-piped [[xx:Title]] is a language/interwiki link (a
+            // sidebar pointer, not article text); piped ones render
+            // their anchor and keep it
+            val interwiki = pipe < 0 &&
+              inner.matches("[a-z]{2,3}(-[a-z]+)?:.+")
+            if (mediaOrCat || interwiki) () // dropped entirely
             else sb.append(if (pipe >= 0) inner.substring(pipe + 1) else inner)
             i = e + 2
           }
-        } else { sb.append(noTemplates(i)); i += 1 }
+        } else { sb.append(s(i)); i += 1 }
       }
       sb.toString
     }

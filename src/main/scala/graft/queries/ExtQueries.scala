@@ -3735,10 +3735,16 @@ object ExtQueries {
           val wikitext =
             s"== Section $id ==\n" +
               s"{{infobox|id=$id|inner={{nested|${id % 7}}}}}\n" +
+              "{| class=\"wikitable\"\n|-\n! h\n" +
+              s"| cell $id || v${id % 3}\n|}\n" +
               s"$a<!-- note $id -->\n" +
               s"''italic'' [[Target $id]] and [[P$id|alias ${id % 5}]] " +
               s"[[File:F$id.png|thumb|cap]]\n" +
+              s"fact $id<ref name=\"n$id\">{{cite|web $id}}</ref>" +
+              s" tail<ref group=g$id />\n" +
               s"* item $id\n" +
+              s"[[Category:C${id % 11}]][[fr:Article $id]]" +
+              s"[[de:Artikel $id|shown ${id % 9}]]\n" +
               b
           val stripped = graft.functions.WikiDump.stripMarkup(wikitext)
           (id, stripped)
@@ -6241,11 +6247,13 @@ object ExtQueries {
     // links to anchors, emphasis markers off, bullet off)
     "q191_wikitext_strip" ->
       """SELECT doc_id,
-        |  'Section ' || doc_id || chr(10) || chr(10) ||
+        |  'Section ' || doc_id || chr(10) || chr(10) || chr(10) ||
         |  substring(text, 1, CAST(length(text) // 2 AS INT)) || chr(10) ||
         |  'italic Target ' || doc_id || ' and alias ' ||
         |    (doc_id % 5) || ' ' || chr(10) ||
+        |  'fact ' || doc_id || ' tail' || chr(10) ||
         |  'item ' || doc_id || chr(10) ||
+        |  'shown ' || (doc_id % 9) || chr(10) ||
         |  substring(text, CAST(length(text) // 2 + 1 AS INT))
         |    AS stripped
         |FROM documents""".stripMargin

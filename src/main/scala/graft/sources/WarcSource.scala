@@ -12,11 +12,18 @@ import graft.functions.WarcCodec
   * one-member-per-record and therefore NOT block-splittable — the unit
   * of parallelism is the FILE, one task per archive, which at 100 TB is
   * ~100k tasks: exactly the right granularity for a 1000-executor
-  * cluster. `spark.read.format("binaryFile")` provides the per-file
-  * rows (and pushes a path-glob filter into the listing); record
-  * parsing is a per-partition flatMap through [[WarcCodec.parseFile]],
-  * so a file's records never materialize anywhere except the one task
-  * that owns the file.
+  * cluster. Two scale properties hold everywhere:
+  *
+  *   - [[read]] walks each archive as a STREAM
+  *     ([[WarcCodec.parseStream]]): task memory is bounded by one
+  *     record, never the file, so a >2 GiB archive is a slow task,
+  *     not a crash (the JVM's 2 GiB array cap never applies).
+  *   - [[readIndexed]] skips the sequential walk entirely when a CDX
+  *     index exists (built once by [[index]]): contiguous member
+  *     extents coalesce into ranged splits, so ONE archive fans out
+  *     to many tasks and a filtered index (one domain, one URL
+  *     pattern) reads only the bytes it names — the 100 TB retrieval
+  *     path.
   *
   * Parsing is total on dirty archives (truncated members, malformed
   * records stop that file's walk, keeping what was recovered) — at
@@ -39,13 +46,27 @@ object WarcSource {
       http_content_type: Option[String],
       payload: Array[Byte])
 
-  /** Read `.warc` / `.warc.gz` archives under a path glob. */
+  /** Read `.warc` / `.warc.gz` / `.warc.zst` archives under a path
+    * glob: one task per archive, each walked incrementally off the
+    * filesystem stream (record-bounded memory).
+    */
   def read(spark: SparkSession, pathGlob: String): Dataset[WarcRow] = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    fromBytes(files)
+    val paths = RangedIo.listFiles(spark, pathGlob).map(_._1)
+    val conf = RangedIo.confBroadcast(spark)
+    spark.createDataset(paths)
+      .repartition(math.max(1, math.min(paths.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        it.flatMap { path =>
+          val in = RangedIo.openStream(conf.value.value, path)
+          WarcCodec.parseStream(in).map { r =>
+            WarcRow(path, r.recordIndex, r.warcType, r.recordId,
+              r.targetUri, r.warcDate, r.contentType, r.contentLength,
+              r.httpStatus, r.httpContentType, r.payload)
+          }
+        }
+      }
   }
 
   /** Parse WARC archives already materialized as (fileName, bytes) —
@@ -99,5 +120,41 @@ object WarcSource {
         }
       }
     }
+  }
+
+  /** Extent-driven read: fetch exactly the records a CDX index names,
+    * as ranged reads against the archives — no sequential walk, no
+    * whole-file materialization. Extents are banded by
+    * `offset / splitBytes` per file, so one archive fans out to
+    * ~size/splitBytes tasks and each task's read is one contiguous
+    * [min(offset), max(offset+length)) window covering its band —
+    * per-task memory ≤ splitBytes + one member overshoot. Records are
+    * then sliced out of the window by their exact extents, so a
+    * FILTERED index (one host, one URL pattern) pays only for the
+    * bytes it names plus band padding.
+    */
+  def readIndexed(index: Dataset[WarcIndexRow],
+      splitBytes: Long = 128L << 20): Dataset[WarcRow] = {
+    require(splitBytes > 0 && splitBytes <= Int.MaxValue.toLong / 2,
+      s"splitBytes $splitBytes out of (0, 1 GiB]")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val conf = RangedIo.confBroadcast(spark)
+    index
+      .groupByKey(r => (r.warc_file, r.offset / splitBytes))
+      .flatMapGroups { (key: (String, Long), rows: Iterator[WarcIndexRow]) =>
+        val path = key._1
+        val es = rows.toVector.sortBy(_.offset)
+        val start = es.head.offset
+        val end = es.iterator.map(e => e.offset + e.length).max
+        val buf = RangedIo.readRange(conf.value.value, path, start, end - start)
+        es.iterator.flatMap { e =>
+          WarcCodec.fetchRecord(buf, e.offset - start, e.length).map { r =>
+            WarcRow(path, e.record_index, r.warcType, r.recordId,
+              r.targetUri, r.warcDate, r.contentType, r.contentLength,
+              r.httpStatus, r.httpContentType, r.payload)
+          }
+        }
+      }
   }
 }

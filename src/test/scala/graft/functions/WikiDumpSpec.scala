@@ -78,4 +78,40 @@ class WikiDumpSpec extends AnyFunSuite {
     assert(t.contains("item one") && t.contains("item two"))
     assert(!t.contains("* item") && !t.contains("# item"))
   }
+
+  test("stripMarkup: tables, ref spans, category and interwiki links") {
+    val w =
+      """Before the table.
+        |{| class="wikitable"
+        ||-
+        |! header !! h2
+        || cell {{tmpl}} || [[Link]]
+        ||}
+        |After the table.
+        |A fact<ref name="a">{{cite web|url=x}}</ref> and more<ref group=n />.
+        |An unclosed ref is dropped to EOT policy only when unterminated.
+        |[[Category:Things]][[fr:Chose]] kept [[de:Ding|the thing]]
+        |[[zh-min:x]] gone, [[NotALang:Title]] stays as text""".stripMargin
+    val t = stripMarkup(w)
+    assert(t.contains("Before the table."))
+    assert(t.contains("After the table."))
+    assert(!t.contains("wikitable") && !t.contains("header") &&
+      !t.contains("cell"))
+    assert(t.contains("A fact and more."))
+    assert(!t.contains("cite web"))
+    assert(!t.contains("Category") && !t.contains("Things"))
+    assert(!t.contains("Chose") && !t.contains("fr:"))
+    assert(t.contains("kept the thing")) // piped interwiki keeps anchor
+    assert(!t.contains("zh-min"))
+    assert(t.contains("NotALang:Title")) // uppercase prefix: a real page
+    // nested table
+    val nested = "x{| outer {| inner |} still outer |}y"
+    assert(stripMarkup(nested) == "xy")
+    // unterminated ref drops to end (comment stance), table too
+    assert(stripMarkup("keep<ref>lost forever") == "keep")
+    // self-closing ref with no space
+    assert(stripMarkup("a<ref/>b") == "ab")
+    // '<reference>' is NOT a ref tag (word boundary)
+    assert(stripMarkup("<references />") == "<references />")
+  }
 }

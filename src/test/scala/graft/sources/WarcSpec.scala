@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
 import graft.functions.WarcCodec
+import org.apache.spark.sql.functions.col
 
 class WarcSpec extends SparkSpec {
 
@@ -163,6 +164,74 @@ class WarcSpec extends SparkSpec {
     // garbage is zero records, not an exception
     assert(WarcCodec.parseFile("not a warc".getBytes(UTF_8)).isEmpty)
     assert(WarcCodec.parseFile(Array[Byte](0x1f, 0x8b.toByte, 1, 2)).isEmpty)
+  }
+
+  test("streaming parse ≡ whole-array parse on plain, gzip, and zstd") {
+    val recs = (0 until 5).map(i =>
+      WarcCodec.responseRecord(s"<urn:uuid:s$i>", s"https://e.org/s/$i",
+        "2026-01-01T00:00:00Z", 200, "OK", "text/plain",
+        (s"stream body $i " * (i + 1)).getBytes(UTF_8)))
+    val layouts = Seq(
+      "plain" -> WarcCodec.file(recs, gzip = false),
+      "gzip" -> WarcCodec.file(recs, gzip = true),
+      "zstd" -> WarcCodec.fileZstd(recs))
+    for ((name, bytes) <- layouts) {
+      val whole = WarcCodec.parseFile(bytes)
+      val streamed = WarcCodec.parseStream(
+        new java.io.ByteArrayInputStream(bytes)).toVector
+      assert(streamed.length == whole.length, name)
+      streamed.zip(whole).foreach { case (s, w) =>
+        assert(s.recordIndex == w.recordIndex, name)
+        assert(s.targetUri == w.targetUri, name)
+        assert(s.httpStatus == w.httpStatus, name)
+        assert(java.util.Arrays.equals(s.payload, w.payload), name)
+      }
+    }
+    // totality: a cut mid-block keeps the recovered prefix, no throw
+    val plain = WarcCodec.file(recs, gzip = false)
+    val cut = java.util.Arrays.copyOfRange(plain, 0, plain.length - 10)
+    val got = WarcCodec.parseStream(new java.io.ByteArrayInputStream(cut)).toVector
+    assert(got.length == 4)
+    assert(WarcCodec.parseStream(new java.io.ByteArrayInputStream(
+      "not a warc".getBytes(UTF_8))).isEmpty)
+  }
+
+  test("readIndexed: CDX extents fan one archive out to ranged splits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warc_idx_spec").toFile
+    try {
+      val recs = (0 until 12).map(i =>
+        WarcCodec.responseRecord(s"<urn:uuid:x$i>", s"https://e.org/x/$i",
+          "2026-01-01T00:00:00Z", 200, "OK", "text/plain",
+          (s"indexed body $i | " * 40).getBytes(UTF_8)))
+      val bytes = WarcCodec.file(recs, gzip = true)
+      val path = Paths.get(dir.toString, "big.warc.gz")
+      Files.write(path, bytes)
+      val fileDs = spark.createDataset(Seq((path.toString, bytes)))
+      val idx = WarcSource.index(fileDs)
+      val idxRows = idx.collect()
+      assert(idxRows.length == 12)
+      // splitBytes far below the archive size → MANY bands (>1 task
+      // per archive — the scale contract the whole-file walk lacked)
+      val split = 1024L
+      val bands = idxRows.map(_.offset / split).distinct
+      assert(bands.length > 1, s"want >1 ranged split, got ${bands.length}")
+      val got = WarcSource.readIndexed(idx, splitBytes = split)
+        .collect().sortBy(_.record_index)
+      assert(got.length == 12)
+      got.zipWithIndex.foreach { case (r, i) =>
+        assert(r.record_index == i)
+        assert(r.target_uri == s"https://e.org/x/$i")
+        assert(new String(r.payload, UTF_8).startsWith(s"indexed body $i |"))
+      }
+      // a FILTERED index reads only what it names
+      val some = WarcSource.readIndexed(
+        idx.filter(col("record_index") % 3 === 0), splitBytes = split)
+        .collect().map(_.record_index).sorted
+      assert(some.toSeq == Seq(0, 3, 6, 9))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 
   test("distributed read: binaryFile → one task per archive → typed rows") {
