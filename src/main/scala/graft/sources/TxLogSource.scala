@@ -301,11 +301,10 @@ final class TxLogRelation(val sqlContext: SQLContext,
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], schema)
         // deletion vectors apply on the pruned scan exactly as in
-        // readAt — the path-pruned frame bypasses it, so anti-join
-        // here (no-op when the snapshot carries no vectors)
-        else table.applyDv(
-          spark.read.schema(schema).parquet(paths: _*),
-          table.dvDirsAt(version))
+        // readAt; the physical/logical column mapping is the table's
+        // concern (readPathsAt reads what the files store and
+        // surfaces this version's logical names)
+        else table.readPathsAt(version, paths)
       // Re-apply the exact predicate: manifest pruning is file-level
       // (may-match), and these filters were reported HANDLED.
       df.filter(pred)

@@ -24,7 +24,14 @@ import org.apache.spark.sql.types.StructType
   * source's schema is FIXED into the query plan at stream start, so a
   * column added by a later evolved append cannot appear as a real
   * column without a restart (the Delta CDF streaming contract too).
-  * Three behaviors, per the `onSchemaEvolution` option:
+  * RENAMES are the exception: with column mapping
+  * ([[TxLogTable.renameColumn]]) the physical name is stable, so a
+  * renamed column is recognized as its stream-schema twin and keeps
+  * flowing under the stream-start name — no restart, no mode, no
+  * nulls. A mid-stream [[TxLogTable.widenColumn]] keeps flowing at
+  * the stream-start (narrow) type until a restart adopts the wide
+  * one. Genuinely NEW columns follow three behaviors, per the
+  * `onSchemaEvolution` option:
   *   - `"ignore"` (default) — post-start columns are invisible until
   *     the stream restarts;
   *   - `"fail"` — the first batch containing an unknown column stops
@@ -61,6 +68,12 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
   // first getBatch re-seeds it from the checkpointed start offset.
   @volatile private var lastEnd: Long = startExclusive
 
+  // the mapping in force when this source instance fixed its schema —
+  // what makes mid-stream RENAMES transparent below (physical names
+  // are stable, so a renamed column is recognized, not "new")
+  private val startVersion: Long = table.currentVersion
+  private val startMap: Map[String, String] = table.colMapAt(startVersion)
+
   override val schema: StructType = {
     val base = TxLogStream.changeSchema(table)
     if (onSchemaEvolution == "evolved")
@@ -90,10 +103,22 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
     val raw = table.changes(from, to)
     val have = raw.columns.toSet
     val known = schema.fieldNames.toSet
-    // columns the stream schema does NOT know: added by evolution
-    // after stream start (never _evolved itself — the feed writer
-    // could not have produced it)
-    val unknown = raw.columns.toIndexedSeq.filterNot(known)
+    // columns the stream schema does NOT know, split two ways:
+    // a RENAMED column shares its stable physical name with a known
+    // column (column mapping) — it is the same data under a new
+    // logical name and folds back into its stream-schema column below,
+    // NO restart, NO mode needed; only genuinely NEW columns follow
+    // the onSchemaEvolution modes
+    val unknown0 = raw.columns.toIndexedSeq.filterNot(known)
+    val endMap = table.colMapAt(to)
+    val physToStream: Map[String, String] =
+      schema.fieldNames.iterator
+        .map(k => startMap.getOrElse(k, k) -> k).toMap
+    val renamedTwin: Map[String, String] = unknown0.flatMap { u =>
+      physToStream.get(endMap.getOrElse(u, u)).map(u -> _)
+    }.toMap
+    val twinOf: Map[String, String] = renamedTwin.map(_.swap) // stream name -> new name
+    val unknown = unknown0.filterNot(renamedTwin.contains)
     if (unknown.nonEmpty && onSchemaEvolution == "fail")
       throw new IllegalStateException(
         s"txlog CDC stream on $root: schema evolved mid-stream " +
@@ -117,8 +142,21 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
           array(unknown.map(c => col(c).cast("string")): _*))
           .as("_evolved")
       }
-      else if (have(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      else twinOf.get(f.name) match {
+        // a rename inside the range union-pads both names with nulls
+        // over disjoint version sub-ranges; coalescing them under the
+        // stream-schema name reconstructs the continuous column
+        case Some(u) if have(f.name) =>
+          org.apache.spark.sql.functions
+            .coalesce(col(f.name), col(u).cast(f.dataType)).as(f.name)
+        case Some(u) => col(u).cast(f.dataType).as(f.name)
+        // the cast also absorbs a mid-stream widenColumn: the batch
+        // arrives wide, the fixed stream schema is still narrow — the
+        // stream keeps running at the narrow type until a restart
+        // adopts the wide one
+        case None if have(f.name) => col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     val changes = raw.select(cols: _*)
     org.apache.spark.sql.graft.bridge.replanned(changes, isStreaming = true)

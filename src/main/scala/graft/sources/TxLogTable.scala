@@ -80,13 +80,23 @@ object TxLogTable {
     * overwrite resets to empty unless it says otherwise (rewritten
     * files carry no ghosts).
     */
+  /** `colMap` is the COLUMN-MAPPING manifest field (the Delta answer
+    * to renames without rewrites): a partial map LOGICAL name →
+    * PHYSICAL name, where physical names are what data files store
+    * and NEVER change once assigned. Absent/empty = identity. A
+    * rename updates only the logical side; every later commit carries
+    * the full map forward (injected at the commit layer, like
+    * `schemaJson`), so time travel reads each snapshot under the
+    * mapping it was committed with.
+    */
   private[sources] case class Manifest(version: Long, action: String,
       add: Seq[String], schemaJson: String, tsMillis: Long,
       markers: Option[Map[String, String]] = None,
       stats: Option[Map[String, FileStats]] = None,
       cdc: Option[Seq[String]] = None,
       statsFile: Option[String] = None,
-      dv: Option[Seq[String]] = None)
+      dv: Option[Seq[String]] = None,
+      colMap: Option[Map[String, String]] = None)
 
   /** One row of a PARQUET stats checkpoint (`_log/ckpt-*.parquet`,
     * referenced by [[Manifest.statsFile]]) — the Delta
@@ -208,6 +218,149 @@ final class TxLogTable(spark: SparkSession, root: String) {
     (chain.flatMap(_.add), schema)
   }
 
+  // ── column mapping (rename / widen without rewrites) ──────────────
+
+  /** Mapping in effect for a chain: the newest manifest carries the
+    * full map (commit-layer injection), so the chain's LAST entry is
+    * authoritative; pre-feature manifests read as identity.
+    */
+  private def colMapOf(chain: List[Manifest]): Map[String, String] =
+    chain.last.colMap.getOrElse(Map.empty)
+
+  /** Physical read of explicit paths at a version's mapping, logical
+    * names surfaced, deletion vectors NOT applied (the caller owns
+    * that ordering) — the [[TxLogRelation]] pruned-scan seam.
+    */
+  private[sources] def readPathsAt(version: Long,
+      paths: Seq[String]): DataFrame = {
+    val (chain, schema) = manifestChainAt(version)
+    val cmap = colMapOf(chain)
+    val base = applyDv(
+      spark.read.schema(physSchema(schema, cmap)).parquet(paths: _*),
+      dvDirsOf(chain))
+    if (cmap.isEmpty) base else base.toDF(schema.fieldNames: _*)
+  }
+
+  private[sources] def colMapAt(v: Long): Map[String, String] =
+    if (v < 0) Map.empty else manifestAt(v).colMap.getOrElse(Map.empty)
+
+  private def currentColMap: Map[String, String] = colMapAt(currentVersion)
+
+  /** The physical (on-file) twin of a logical schema. */
+  private def physSchema(schema: StructType,
+      cmap: Map[String, String]): StructType =
+    if (cmap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+
+  /** Read data dirs under the physical schema and surface LOGICAL
+    * names — the one choke point every snapshot/CDC/staged-readback
+    * path funnels through. The rename is positional (`toDF`), a bare
+    * Project that predicate pushdown crosses freely.
+    */
+  private def readPhysical(paths: Seq[String], schema: StructType,
+      cmap: Map[String, String]): DataFrame = {
+    val df = spark.read.schema(physSchema(schema, cmap))
+      .parquet(paths: _*)
+    if (cmap.isEmpty) df else df.toDF(schema.fieldNames: _*)
+  }
+
+  /** Rewrite LOGICAL column references in a pushdown/skipping
+    * expression to their physical names (stats and checkpoint rows
+    * are keyed by what the files store).
+    */
+  private def toPhysicalExpr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      cmap: Map[String, String]): org.apache.spark.sql.catalyst.expressions.Expression =
+    if (cmap.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 && cmap.contains(a.name) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(cmap(a.name)))
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if cmap.contains(a.name) =>
+        a.withName(cmap(a.name))
+    }
+
+  /** Rename a column WITHOUT rewriting data (metadata-only commit):
+    * the column keeps its stable physical name in every file; only
+    * the logical schema and the mapping change. Old snapshots time-
+    * travel under their own mapping. The retired logical name may be
+    * reused by a later rename but a NEW column may not shadow a
+    * retired physical name (files could no longer tell them apart) —
+    * [[evolveSchema]] rejects that loudly.
+    */
+  def renameColumn(oldName: String, newName: String,
+      maxRetries: Int = 20): Long = {
+    commitLoop(maxRetries) { v =>
+      require(v >= 0, s"cannot rename on an uncommitted table $root")
+      val (chain, schema) = manifestChainAt(v)
+      val cmap = colMapOf(chain)
+      val field = schema.fields.find(_.name == oldName).getOrElse(
+        throw new IllegalArgumentException(
+          s"rename: no column '$oldName' in ${schema.fieldNames.mkString(",")}"))
+      require(!schema.fieldNames.contains(newName),
+        s"rename: column '$newName' already exists")
+      val physical = cmap.getOrElse(oldName, oldName)
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val newMap = (cmap - oldName) + (newName -> physical)
+      Some(Manifest(0L, "append", Nil, newSchema.json,
+        System.currentTimeMillis(),
+        markers = Some(Map("alter" -> s"rename $oldName -> $newName")),
+        cdc = Some(Nil), colMap = Some(newMap)))
+    }
+  }
+
+  /** Widening type changes a real store must survive (Delta's type
+    * widening): the declared order admits byte→short→int→long,
+    * float→double, and integral→double.
+    */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    (from, to) match {
+      case (f, t) if integral.contains(f) && integral.contains(t) =>
+        integral.indexOf(f) < integral.indexOf(t)
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if integral.contains(f) => true
+      case _ => false
+    }
+  }
+
+  /** Widen a column's type WITHOUT rewriting data (metadata-only
+    * commit). Old files keep the narrow physical type; Spark's
+    * parquet reader up-casts them under the wider read schema (native
+    * in 4.x), and new files are written wide. Narrowing or unrelated
+    * changes are rejected — silent coercion is how a corpus store
+    * rots.
+    */
+  def widenColumn(name: String,
+      to: org.apache.spark.sql.types.DataType,
+      maxRetries: Int = 20): Long = {
+    commitLoop(maxRetries) { v =>
+      require(v >= 0, s"cannot widen on an uncommitted table $root")
+      val (chain, schema) = manifestChainAt(v)
+      val field = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"widen: no column '$name' in ${schema.fieldNames.mkString(",")}"))
+      require(widens(field.dataType, to),
+        s"widen: ${field.dataType.simpleString} -> ${to.simpleString} " +
+          "is not a widening")
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f))
+      Some(Manifest(0L, "append", Nil, newSchema.json,
+        System.currentTimeMillis(),
+        markers = Some(Map("alter" ->
+          s"widen $name ${field.dataType.simpleString} -> ${to.simpleString}")),
+        cdc = Some(Nil), colMap = colMapOf(chain) match {
+          case m if m.isEmpty => None
+          case m => Some(m)
+        }))
+    }
+  }
+
   // ── deletion vectors ──────────────────────────────────────────────
 
   private def dvReadSchema: StructType = StructType(Seq(
@@ -261,12 +414,15 @@ final class TxLogTable(spark: SparkSession, root: String) {
   def readAt(version: Long): DataFrame = {
     val (chain, schema) = manifestChainAt(version)
     val dirs = chain.flatMap(_.add)
+    val cmap = colMapOf(chain)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      applyDv(spark.read.schema(schema)
+    else {
+      val base = applyDv(spark.read.schema(physSchema(schema, cmap))
         .parquet(dirs.map(d => dataDir.resolve(d).toString): _*),
         dvDirsOf(chain))
+      if (cmap.isEmpty) base else base.toDF(schema.fieldNames: _*)
+    }
   }
 
   /** Snapshot read at the latest version. */
@@ -305,11 +461,14 @@ final class TxLogTable(spark: SparkSession, root: String) {
     */
   private[sources] def scanPathsAt(version: Long,
       filter: Column): Seq[String] = {
-    val (chain, schema) = manifestChainAt(version)
+    val (chain, schema0) = manifestChainAt(version)
+    val cmap = colMapOf(chain)
+    val schema = physSchema(schema0, cmap) // stats are keyed physically
     val stats: Map[String, FileStats] =
       chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
     val live = chain.flatMap(_.add)
-    val filterExpr = org.apache.spark.sql.graft.bridge.catalystExpression(filter)
+    val filterExpr = toPhysicalExpr(
+      org.apache.spark.sql.graft.bridge.catalystExpression(filter), cmap)
     // dirs whose stats live in a parquet checkpoint prune DISTRIBUTED
     // (one small Spark job over the stat rows); the driver sees only
     // the covered-dir census and the surviving file names. Lazy: a
@@ -342,13 +501,18 @@ final class TxLogTable(spark: SparkSession, root: String) {
     */
   def readWhereAt(version: Long, filter: Column): DataFrame = {
     val (chain, schema) = manifestChainAt(version)
+    val cmap = colMapOf(chain)
     val paths = scanPathsAt(version, filter)
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .filter(filter)
-    else
-      applyDv(spark.read.schema(schema).parquet(paths: _*).filter(filter),
+    else {
+      val base = applyDv(
+        spark.read.schema(physSchema(schema, cmap)).parquet(paths: _*),
         dvDirsOf(chain))
+      (if (cmap.isEmpty) base else base.toDF(schema.fieldNames: _*))
+        .filter(filter)
+    }
   }
 
   /** Stats-pruned read at the latest version. */
@@ -402,11 +566,21 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * an orphan for [[vacuum]], never a half-visible table state.
     */
   private[sources] def stageData(df: DataFrame,
-      sortCols: Seq[String] = Nil): String = {
+      sortCols: Seq[String] = Nil,
+      cmapOverride: Option[Map[String, String]] = None): String = {
     val name = UUID.randomUUID().toString
-    val out =
+    val sorted =
       if (sortCols.isEmpty) df
       else df.sortWithinPartitions(sortCols.map(df.col): _*)
+    // files always store PHYSICAL names: a single simultaneous select
+    // (no intermediate collisions), identity when no mapping is live.
+    // Metadata columns (_change_type, _dv_*) never appear in the map.
+    // restore() overrides with the mapping its commit will carry.
+    val cmap = cmapOverride.getOrElse(currentColMap)
+    val out =
+      if (cmap.isEmpty) sorted
+      else sorted.select(sorted.columns.map(c =>
+        sorted.col(c).as(cmap.getOrElse(c, c))).toIndexedSeq: _*)
     out.write.parquet(dataDir.resolve(name).toString)
     name
   }
@@ -532,7 +706,12 @@ final class TxLogTable(spark: SparkSession, root: String) {
       bloomCols: Seq[String] = Nil): Option[Map[String, FileStats]] =
     if (statsCols.isEmpty && bloomCols.isEmpty) None
     else {
-      val m = collectStats(dirName, schema, statsCols, bloomCols)
+      // staged files store PHYSICAL names; stats are keyed by them too
+      // (scanPathsAt consults them under the physical filter rewrite)
+      val cmap = currentColMap
+      val m = collectStats(dirName, physSchema(schema, cmap),
+        statsCols.map(c => cmap.getOrElse(c, c)),
+        bloomCols.map(c => cmap.getOrElse(c, c)))
       if (m.isEmpty) None else Some(m)
     }
 
@@ -572,7 +751,17 @@ final class TxLogTable(spark: SparkSession, root: String) {
       val next = v + 1
       attempt(v) match {
         case None => return v // no-op commit (e.g. empty append)
-        case Some(m) => if (tryCommit(next, m)) return next
+        case Some(m) =>
+          // commit-layer injection: every manifest carries the full
+          // column mapping forward (as with schemaJson), so any chain's
+          // newest entry is authoritative and time travel is exact
+          val stamped =
+            if (m.colMap.isDefined) m
+            else colMapAt(v) match {
+              case cm if cm.isEmpty => m
+              case cm => m.copy(colMap = Some(cm))
+            }
+          if (tryCommit(next, stamped)) return next
       }
       tries += 1
     }
@@ -589,7 +778,8 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * as new fields read as null from old files).
     */
   private def evolveSchema(current: StructType,
-      incoming: StructType): StructType = {
+      incoming: StructType,
+      cmap: Map[String, String] = Map.empty): StructType = {
     incoming.fields.foreach { f =>
       current.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { c =>
         require(c.dataType == f.dataType,
@@ -599,6 +789,13 @@ final class TxLogTable(spark: SparkSession, root: String) {
     }
     val novel = incoming.fields.filterNot(f =>
       current.fields.exists(_.name.equalsIgnoreCase(f.name)))
+    // a NEW column must not shadow a renamed column's stable physical
+    // name — files could no longer tell the two apart
+    novel.foreach { f =>
+      require(!cmap.values.exists(_.equalsIgnoreCase(f.name)),
+        s"schema evolution cannot add '${f.name}': the name is the " +
+          "physical identity of a renamed column (pick another name)")
+    }
     val widened = current.fields.map { c =>
       val in = incoming.fields.find(_.name.equalsIgnoreCase(c.name))
       // a column absent from ANY contributing file must admit nulls
@@ -620,12 +817,19 @@ final class TxLogTable(spark: SparkSession, root: String) {
       markers: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
+    // pre-validate against the current snapshot so an invalid batch
+    // (type change, retired-physical shadow) fails with ITS error
+    // before any data is staged; the in-loop evolve stays authoritative
+    locally {
+      val v0 = currentVersion
+      if (v0 >= 0) evolveSchema(manifestChainAt(v0)._2, df.schema, colMapAt(v0))
+    }
     val staged = stageData(df, sortCols)
     val stats = statsOpt(staged, df.schema, statsCols, bloomCols)
     commitLoop(maxRetries) { v =>
       val schema =
         if (v < 0) df.schema
-        else evolveSchema(manifestChainAt(v)._2, df.schema)
+        else evolveSchema(manifestChainAt(v)._2, df.schema, colMapAt(v))
       Some(Manifest(0L, "append", Seq(staged), schema.json,
         System.currentTimeMillis(), wrap(markers), stats))
     }
@@ -667,8 +871,8 @@ final class TxLogTable(spark: SparkSession, root: String) {
       // CDC: full change rows (pre/post images, typed) — read back
       // from the staged dir (already materialized) so the change set
       // is BY CONSTRUCTION consistent with the commit
-      val stagedDf = spark.read.schema(merged.schema)
-        .parquet(dataDir.resolve(staged).toString)
+      val stagedDf = readPhysical(
+        Seq(dataDir.resolve(staged).toString), merged.schema, currentColMap)
       val touched = updates.select(key.map(updates.col): _*).distinct()
       val cdcDir = stageCdc(target, stagedDf, touched, key)
       Some(Manifest(0L, "overwrite", Seq(staged),
@@ -740,12 +944,21 @@ final class TxLogTable(spark: SparkSession, root: String) {
           System.currentTimeMillis(), wrap(markers), None, Some(Nil)))
       else {
         val prevDv = dvDirsOf(chain)
+        val cmap = colMapOf(chain)
         val cond = coalesce(condition, lit(false))
-        val tagged = spark.read.schema(schema)
+        // tag positions on the PHYSICAL scan (metadata columns don't
+        // survive a Project), then surface logical names for `cond`
+        val taggedPhys = spark.read.schema(physSchema(schema, cmap))
           .parquet(live.map(d => dataDir.resolve(d).toString): _*)
           .withColumn("_dv_file",
             regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
           .withColumn("_dv_pos", col("_metadata.row_index"))
+        val tagged =
+          if (cmap.isEmpty) taggedPhys
+          else taggedPhys.select(
+            (schema.fieldNames.map(n =>
+              col(cmap.getOrElse(n, n)).as(n)).toIndexedSeq :+
+              col("_dv_file") :+ col("_dv_pos")): _*)
         val alive =
           if (prevDv.isEmpty) tagged
           else {
@@ -881,8 +1094,8 @@ final class TxLogTable(spark: SparkSession, root: String) {
           when(col("__action") === USE_SRC, col(s"s.$c"))
             .otherwise(col(s"t.$c")).as(c)): _*)
       val staged = stageData(merged, sortCols)
-      val stagedDf = spark.read.schema(merged.schema)
-        .parquet(dataDir.resolve(staged).toString)
+      val stagedDf = readPhysical(
+        Seq(dataDir.resolve(staged).toString), merged.schema, currentColMap)
       // CDC: typed change rows; the delete arm surfaces as explicit
       // `delete` pre-images (not as absence); touched = source keys
       val touched = source.select(key.map(source.col): _*).distinct()
@@ -1178,8 +1391,12 @@ final class TxLogTable(spark: SparkSession, root: String) {
           val readSchema =
             if (typed) schema.add("_change_type", "string", nullable = true)
             else schema
-          val df = spark.read.schema(readSchema)
-            .parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+          // change dirs were staged under version v's mapping; read
+          // them physically and surface v's LOGICAL names (renames
+          // surface live in the feed from their commit on)
+          val df = readPhysical(
+            dirs.map(d => dataDir.resolve(d).toString), readSchema,
+            m.colMap.getOrElse(Map.empty))
           // pre-CDC cdc dirs (older tables) lack the column → their
           // rows were post-images by the old contract
           val tagged =
@@ -1247,12 +1464,24 @@ final class TxLogTable(spark: SparkSession, root: String) {
       val dropped = preDirs.filterNot(restoredSet)
       val gained = dirs.filterNot(preDirs.toSet)
       val shared = preDirs.filter(restoredSet).distinct
+      // every leg reads PHYSICALLY and surfaces the TARGET version's
+      // logical names (physical names are stable across renames, so a
+      // rename between the two snapshots must not fork the union into
+      // two columns); a physical with no target-logical keeps its own
+      // name — it only arises for columns the restore drops
+      val cmapT = colMapOf(chain)
+      val revT = cmapT.map(_.swap)
+      val cmapPre = colMapOf(preChain)
+      def toTargetLogical(df: DataFrame): DataFrame =
+        df.select(df.columns.map(p =>
+          org.apache.spark.sql.functions.col(p)
+            .as(revT.getOrElse(p, p))).toIndexedSeq: _*)
       // whole-dir legs, each under ITS snapshot's deletion vectors
-      def side(ds: Seq[String], sch: StructType, dvs: Seq[String],
+      def side(ds: Seq[String], schPhys: StructType, dvs: Seq[String],
           tag: String) =
         if (ds.isEmpty) None
-        else Some(applyDv(spark.read.schema(sch)
-            .parquet(ds.map(d => dataDir.resolve(d).toString): _*), dvs)
+        else Some(toTargetLogical(applyDv(spark.read.schema(schPhys)
+            .parquet(ds.map(d => dataDir.resolve(d).toString): _*), dvs))
           .withColumn("_change_type", lit(tag)))
       // shared-dir legs: dirs live in BOTH snapshots but under
       // different deletion vectors — positions deleted pre-restore and
@@ -1270,12 +1499,12 @@ final class TxLogTable(spark: SparkSession, root: String) {
           .isin(shared: _*))
       }
       def fetch(keys: DataFrame, tag: String): DataFrame =
-        spark.read.schema(schema)
+        toTargetLogical(spark.read.schema(physSchema(schema, cmapT))
           .parquet(shared.map(d => dataDir.resolve(d).toString): _*)
           .withColumn("_dv_file", regexp_extract(
             col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
           .withColumn("_dv_pos", col("_metadata.row_index"))
-          .join(keys, Seq("_dv_file", "_dv_pos"), "left_semi")
+          .join(keys, Seq("_dv_file", "_dv_pos"), "left_semi"))
           .withColumn("_change_type", lit(tag))
       val dvDelta = shared.nonEmpty && preDv.toSet != targetDv.toSet
       val deltaSides =
@@ -1286,17 +1515,24 @@ final class TxLogTable(spark: SparkSession, root: String) {
           Seq(fetch(preK.exceptAll(tgtK), "insert"),
             fetch(tgtK.exceptAll(preK), "delete"))
         }
-      val sides = (side(dropped, preSchema, preDv, "delete") ++
-        side(gained, schema, targetDv, "insert")).toSeq ++ deltaSides
+      val sides =
+        (side(dropped, physSchema(preSchema, cmapPre), preDv, "delete") ++
+          side(gained, physSchema(schema, cmapT), targetDv, "insert"))
+          .toSeq ++ deltaSides
       val cdc =
         if (sides.isEmpty) Some(Nil) // no-op restore
         else Some(Seq(stageData(
-          sides.reduce(_.unionByName(_, allowMissingColumns = true)))))
+          sides.reduce(_.unionByName(_, allowMissingColumns = true)),
+          cmapOverride = Some(cmapT))))
       Some(Manifest(0L, "overwrite", dirs, schema.json,
         System.currentTimeMillis(),
         wrap(markers + ("restoredFrom" -> version.toString)), wrap2(stats),
         cdc, chain.flatMap(_.statsFile).lastOption,
-        if (targetDv.isEmpty) None else Some(targetDv)))
+        if (targetDv.isEmpty) None else Some(targetDv),
+        // schema rolls back, so the mapping rolls back WITH it —
+        // Some(empty) pins "explicitly none" past the commit-layer
+        // inheritance of the pre-restore map
+        colMap = Some(cmapT)))
     }
   }
 
