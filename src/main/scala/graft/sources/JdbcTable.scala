@@ -159,21 +159,12 @@ final class JdbcTable(
       .jdbc(url, staging, props)
     val conn = DriverManager.getConnection(url, props)
     try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      try {
-        dialect.swapStatements(staging, table).foreach { case (sql, mayFail) =>
-          if (mayFail)
-            try st.execute(sql) catch { case _: java.sql.SQLException => () }
-          else st.execute(sql)
-        }
-        conn.commit()
-      } catch {
+      try JdbcTable.runSwap(conn, dialect, staging, table)
+      catch {
         case e: Throwable =>
-          conn.rollback()
           dropQuietly(conn, staging)
           throw e
-      } finally st.close()
+      }
     } finally conn.close()
   }
 
@@ -184,5 +175,35 @@ final class JdbcTable(
       try st.execute(s"DROP TABLE $t")
       finally st.close()
     } catch { case _: Throwable => () }
+  }
+}
+
+object JdbcTable {
+
+  /** The one-transaction staged swap, factored so the spec can drive a
+    * dialect's statements through a connection with THAT database's
+    * transaction semantics (the PG arm is exercised against an
+    * embedded PG-semantics connection: any failed statement poisons
+    * the transaction — the exact property [[JdbcSwapDialect.Postgres]]
+    * exists to survive). `mayFail` statements swallow their own
+    * SQLException; whether the transaction survives that failure is
+    * the DIALECT's bet, which this method does not paper over.
+    */
+  private[sources] def runSwap(conn: java.sql.Connection,
+      dialect: JdbcSwapDialect, staging: String, target: String): Unit = {
+    conn.setAutoCommit(false)
+    val st = conn.createStatement()
+    try {
+      dialect.swapStatements(staging, target).foreach { case (sql, mayFail) =>
+        if (mayFail)
+          try st.execute(sql) catch { case _: java.sql.SQLException => () }
+        else st.execute(sql)
+      }
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        conn.rollback()
+        throw e
+    } finally st.close()
   }
 }
