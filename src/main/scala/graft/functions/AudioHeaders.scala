@@ -15,12 +15,17 @@ package graft.functions
   */
 object AudioHeaders {
 
-  /** Parsed audio metadata. `nFrames` = data bytes / block align. */
+  /** Parsed audio metadata. `nFrames` = data bytes / block align.
+    * `formatCode` is the fmt chunk's wFormatTag with
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved to its SubFormat code:
+    * 1 = integer PCM, 3 = IEEE float, 6 = A-law, 7 = µ-law.
+    */
   final case class AudioMeta(
       channels: Int,
       sampleRate: Int,
       bitsPerSample: Int,
-      nFrames: Long)
+      nFrames: Long,
+      formatCode: Int = 1)
 
   private def le16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -39,20 +44,27 @@ object AudioHeaders {
     if (payload == null || payload.length < 36) return None
     if (tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE") return None
     var i = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // ch, rate, bits, blockAlign, code
     var dataBytes = -1L
     while (i + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
       val id = tag(payload, i)
       val size = le32(payload, i + 4)
       if (id == "fmt ") {
         if (size < 16 || i + 8 + 16 > payload.length) return None
+        val code0 = le16(payload, i + 8)
         val channels = le16(payload, i + 10)
         val rate = le32(payload, i + 12).toInt
         val blockAlign = le16(payload, i + 20)
         val bits = le16(payload, i + 22)
+        // WAVE_FORMAT_EXTENSIBLE: the real tag is the SubFormat GUID's
+        // leading 16 bits (fmt body offset 24 = chunk offset i+8+24)
+        val code =
+          if (code0 == 0xfffe && size >= 40 && i + 8 + 26 <= payload.length)
+            le16(payload, i + 8 + 24)
+          else code0
         if (channels <= 0 || rate <= 0 || bits <= 0 || blockAlign <= 0)
           return None
-        fmt = Some((channels, rate, bits, blockAlign))
+        fmt = Some((channels, rate, bits, blockAlign, code))
       } else if (id == "data") {
         dataBytes = size // declared size counts even when body is truncated
       }
@@ -64,9 +76,9 @@ object AudioHeaders {
       val next = i.toLong + 8L + size + (size & 1L)
       i = if (next > payload.length) payload.length else next.toInt
     }
-    fmt.flatMap { case (channels, rate, bits, blockAlign) =>
+    fmt.flatMap { case (channels, rate, bits, blockAlign, code) =>
       if (dataBytes < 0) None
-      else Some(AudioMeta(channels, rate, bits, dataBytes / blockAlign))
+      else Some(AudioMeta(channels, rate, bits, dataBytes / blockAlign, code))
     }
   }
 
@@ -161,6 +173,99 @@ object AudioHeaders {
       s += 1
     }
     Some(WavPcm(meta.channels, meta.sampleRate, out))
+  }
+
+  /** Multi-format sample decode to the canonical int16 intermediate —
+    * the formats real speech/audio corpora actually carry:
+    * integer PCM at 8 (unsigned), 16, 24, and 32 bits (high 16 bits
+    * kept for the wide depths), IEEE float32 (format 3; clamped to
+    * [-1,1] and scaled to ±32767), and the G.711 telephony codings
+    * µ-law (7) / A-law (6) via [[G711]]. WAVE_FORMAT_EXTENSIBLE
+    * resolves through its SubFormat. Same whole-frame truncation
+    * tolerance as [[wavSamples]]; unsupported codings → None, never
+    * misread samples.
+    */
+  def wavSamples16(payload: Array[Byte]): Option[WavPcm] = {
+    val meta = wavMeta(payload).getOrElse(return None)
+    var i = 12
+    var dataOff = -1
+    while (i + 8 <= payload.length && dataOff < 0) {
+      val size = le32(payload, i + 4)
+      if (tag(payload, i) == "data") dataOff = i + 8
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > payload.length) payload.length else next.toInt
+    }
+    if (dataOff < 0) return None
+    val avail = payload.length - dataOff
+    val bytesPer = meta.bitsPerSample / 8
+    if (bytesPer <= 0) return None
+    val nWhole = avail / bytesPer / meta.channels * meta.channels
+    def decodeWith(f: Int => Int): Option[WavPcm] = {
+      val out = new Array[Short](nWhole)
+      var s = 0
+      while (s < nWhole) {
+        out(s) = f(dataOff + bytesPer * s).toShort
+        s += 1
+      }
+      Some(WavPcm(meta.channels, meta.sampleRate, out))
+    }
+    (meta.formatCode, meta.bitsPerSample) match {
+      case (1, 16) => decodeWith(o => (le16(payload, o) << 16) >> 16)
+      case (1, 8) => decodeWith(o => ((payload(o) & 0xff) - 128) << 8)
+      case (1, 24) => decodeWith { o =>
+        val v = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          (payload(o + 2) << 16) // top byte sign-extends
+        v >> 8
+      }
+      case (1, 32) => decodeWith(o => le32(payload, o).toInt >> 16)
+      case (3, 32) => decodeWith { o =>
+        val f = java.lang.Float.intBitsToFloat(le32(payload, o).toInt)
+        val c = if (f.isNaN) 0f else math.max(-1f, math.min(1f, f))
+        math.round(c * 32767f)
+      }
+      case (6, 8) => decodeWith(o => G711.alawDecode(payload(o)).toInt)
+      case (7, 8) => decodeWith(o => G711.mulawDecode(payload(o)).toInt)
+      case _ => None
+    }
+  }
+
+  /** Non-PCM (or wide-PCM) WAV writer: fmt chunk with the given
+    * wFormatTag (18-byte body, cbSize 0, for non-PCM tags per the
+    * spec, plus the mandatory `fact` frame-count chunk), then the raw
+    * coded body as given. The µ-law/A-law/float fixtures the decode
+    * gates read back.
+    */
+  def wavBytesFmt(formatCode: Int, channels: Int, sampleRate: Int,
+      bitsPerSample: Int, body: Array[Byte]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && bitsPerSample % 8 == 0)
+    val blockAlign = channels * bitsPerSample / 8
+    val pcm = formatCode == 1
+    val fmtBody = if (pcm) 16 else 18
+    val factLen = if (pcm) 0 else 12
+    val total = 12 + (8 + fmtBody) + factLen + 8 + body.length
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+    out.putInt(total - 8)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII"))
+    out.putInt(fmtBody)
+    out.putShort(formatCode.toShort)
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * blockAlign)
+    out.putShort(blockAlign.toShort)
+    out.putShort(bitsPerSample.toShort)
+    if (!pcm) {
+      out.putShort(0) // cbSize
+      out.put("fact".getBytes("US-ASCII"))
+      out.putInt(4)
+      out.putInt(body.length / blockAlign)
+    }
+    out.put("data".getBytes("US-ASCII"))
+    out.putInt(body.length)
+    out.put(body)
+    out.array()
   }
 
   /** Real 16-bit PCM WAV: [[wavHeaderBytes]]' layout plus the actual

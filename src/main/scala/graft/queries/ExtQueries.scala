@@ -3750,6 +3750,124 @@ object ExtQueries {
           (id, stripped)
         }
         .toDF("doc_id", "stripped")
+    },
+
+    // ── the RANGED-SPLIT Wikipedia read under the oracle: a real
+    // multistream archive (8 bzip2 streams × 5 pages, commons-compress
+    // reference writer) is assembled on disk from docs 0-39 (a
+    // CONSTANT 40-row driver assembly at every SF — fixture scaffolding
+    // in the q181 write-path tradition), then read back through
+    // WikiSource.pages — the production path: distributed signature
+    // scan → lead()-window extents → one ranged decode task per
+    // stream. `n_streams` rides every row, so the oracle hashes the
+    // FAN-OUT contract (8 extents, not 1) along with every page's
+    // id/title/body round trip.
+    "q192_wiki_split_read" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1) // constant 40 rows
+      def esc(x: String) = x.replace("&", "&amp;")
+        .replace("<", "&lt;").replace(">", "&gt;")
+      def pageXml(id: Long, text: String): String =
+        s"""<page>
+           |  <title>Doc $id</title>
+           |  <ns>0</ns>
+           |  <id>${id * 10 + 1}</id>
+           |  <revision><id>${id * 100 + 1}</id>
+           |  <text xml:space="preserve">${esc(text)}</text>
+           |  </revision>
+           |</page>""".stripMargin
+      def bz(x: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val o = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorOutputStream(bos, 1)
+        o.write(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        o.close()
+        bos.toByteArray
+      }
+      val streams = docs.grouped(5).zipWithIndex.map { case (g, i) =>
+        bz((if (i == 0) "<mediawiki>\n" else "") +
+          g.map { case (id, t) => pageXml(id, t) }.mkString("\n") +
+          (if (i == 7) "\n</mediawiki>" else ""))
+      }.toSeq
+      val file = java.nio.file.Paths
+        .get(scratchDir("graft_wiki_q192"), "multi.xml.bz2")
+      java.nio.file.Files.write(file, streams.reduce(_ ++ _))
+      val nStreams = graft.sources.WikiSource
+        .streamExtents(s, file.toString).count()
+      graft.sources.WikiSource.pages(s, file.toString)
+        .select((col("page_id") / 10).cast("long").as("doc_id"),
+          col("title"), col("text").as("body"),
+          lit(nStreams).as("n_streams"))
+    },
+
+    // ── the CDX-extent ranged WARC read under the oracle: a real
+    // one-member-per-record .warc.gz (24 responses from docs 0-23,
+    // constant-size driver assembly) lands on disk, its index is built
+    // by the production indexer, and readIndexed fans the ONE archive
+    // out across offset bands of 2 KiB — many ranged reads, never the
+    // whole file. The oracle hashes every record's identity + entity
+    // round trip and the >1-band fan-out flag.
+    "q193_warc_ranged_read" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 24)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1) // constant 24 rows
+      val records = docs.map { case (id, t) =>
+        graft.functions.WarcCodec.responseRecord(
+          s"<urn:uuid:q193-$id>", s"https://example.org/doc/$id",
+          "2026-01-01T00:00:00Z", 200, "OK", "text/plain",
+          t.substring(0, math.min(64, t.length))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toSeq
+      val bytes = graft.functions.WarcCodec.file(records, gzip = true)
+      val file = java.nio.file.Paths
+        .get(scratchDir("graft_warc_q193"), "crawl.warc.gz")
+      java.nio.file.Files.write(file, bytes)
+      val split = 2048L
+      val index = graft.sources.WarcSource.index(
+        s.createDataset(Seq((file.toString, bytes))))
+      val fanout = index.select((col("offset") / split).cast("long"))
+        .distinct().count() > 1
+      graft.sources.WarcSource.readIndexed(index, splitBytes = split)
+        .select(col("record_index").cast("long").as("record_index"),
+          col("target_uri"), col("http_status").cast("long").as("status"),
+          col("payload").cast("string").as("body"),
+          lit(if (fanout) 1L else 0L).as("fanout"))
+    },
+
+    // ── G.711 µ-law/A-law WAV decode under the oracle (q82's
+    // arithmetic-oracle family): per doc, 48 coded bytes are built by
+    // arithmetic, wrapped as REAL format-7 and format-6 WAV files
+    // (fact chunk and all), and decoded through the production
+    // wavSamples16 path. The ORACLE restates both ITU-T G.711 segment
+    // expansions as DuckDB integer bit arithmetic — so the Spark-side
+    // decode is pinned twice over: byte-exact vs the JDK converters in
+    // the spec, and formula-exact vs an independent SQL restatement
+    // here. Integer-only stats, no floats under the hash.
+    "q194_g711_wav_decode" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val coded = Array.tabulate[Byte](48)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          val mu = graft.functions.AudioHeaders.wavSamples16(
+            graft.functions.AudioHeaders.wavBytesFmt(7, 1, 8000, 8, coded))
+            .get.samples
+          val al = graft.functions.AudioHeaders.wavSamples16(
+            graft.functions.AudioHeaders.wavBytesFmt(6, 1, 8000, 8, coded))
+            .get.samples
+          def sum(a: Array[Short]) = a.iterator.map(_.toLong).sum
+          def sumSq(a: Array[Short]) = a.iterator.map(v => v.toLong * v).sum
+          def peak(a: Array[Short]) = a.iterator.map(v => math.abs(v.toLong)).max
+          (id, sum(mu), sumSq(mu), peak(mu), sum(al), peak(al))
+        }
+        .toDF("doc_id", "mu_sum", "mu_sumsq", "mu_peak", "a_sum", "a_peak")
     }
   )
 
@@ -6245,6 +6363,42 @@ object ExtQueries {
     // strip-rule identity: the oracle states the stripped text
     // directly (heading text kept, template+comment+File link gone,
     // links to anchors, emphasis markers off, bullet off)
+    "q192_wiki_split_read" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  text AS body,
+        |  CAST(8 AS BIGINT) AS n_streams
+        |FROM documents WHERE doc_id < 40""".stripMargin,
+    "q194_g711_wav_decode" ->
+      """WITH bytes AS (
+        |  SELECT d.doc_id, (d.doc_id*31 + t.i*7) % 256 AS v
+        |  FROM documents d, generate_series(0, 47) AS t(i)
+        |), pre AS (
+        |  SELECT doc_id, 255 - v AS u, xor(v, 85) AS a FROM bytes
+        |), dec AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN u >= 128 THEN -1 ELSE 1 END) *
+        |      ((((u & 15)*8 + 132) << ((u >> 4) & 7)) - 132) AS mu,
+        |    (CASE WHEN (a & 128) <> 0 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN ((a >> 4) & 7) = 0 THEN (a & 15)*16 + 8
+        |            ELSE ((a & 15)*16 + 264) << (((a >> 4) & 7) - 1)
+        |       END) AS al
+        |  FROM pre
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(mu) AS BIGINT) AS mu_sum,
+        |  CAST(sum(mu*mu) AS BIGINT) AS mu_sumsq,
+        |  CAST(max(abs(mu)) AS BIGINT) AS mu_peak,
+        |  CAST(sum(al) AS BIGINT) AS a_sum,
+        |  CAST(max(abs(al)) AS BIGINT) AS a_peak
+        |FROM dec GROUP BY doc_id""".stripMargin,
+    "q193_warc_ranged_read" ->
+      """SELECT doc_id AS record_index,
+        |  'https://example.org/doc/' || doc_id AS target_uri,
+        |  CAST(200 AS BIGINT) AS status,
+        |  substring(text, 1, 64) AS body,
+        |  CAST(1 AS BIGINT) AS fanout
+        |FROM documents WHERE doc_id < 24""".stripMargin,
     "q191_wikitext_strip" ->
       """SELECT doc_id,
         |  'Section ' || doc_id || chr(10) || chr(10) || chr(10) ||

@@ -108,4 +108,101 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(wavSamples(wavHeaderBytes(1, 8000, 8, 10)).isEmpty) // 8-bit
     assert(wavSamples(null).isEmpty)
   }
+
+  test("G.711 decode is BYTE-EXACT against the JDK converters, both laws") {
+    import javax.sound.sampled._
+    def jdk(enc: AudioFormat.Encoding): Array[Short] = {
+      val all = Array.tabulate[Byte](256)(i => i.toByte)
+      val srcFmt = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dstFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(all), srcFmt, 256)
+      val out = AudioSystem.getAudioInputStream(dstFmt, src).readAllBytes()
+      Array.tabulate(256)(i =>
+        ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort)
+    }
+    val muJdk = jdk(AudioFormat.Encoding.ULAW)
+    val aJdk = jdk(AudioFormat.Encoding.ALAW)
+    (0 until 256).foreach { i =>
+      assert(G711.mulawDecode(i.toByte) == muJdk(i), s"mu byte $i")
+      assert(G711.alawDecode(i.toByte) == aJdk(i), s"a byte $i")
+    }
+    // encode∘decode: every decoded value re-encodes to its own byte
+    // (codewords are fixed points of the companding quantizer)
+    (0 until 256).foreach { i =>
+      assert(G711.mulawEncode(G711.mulawDecode(i.toByte)) == i.toByte ||
+        // +0/-0 share a magnitude: 0x7f/0xff both decode to ±0
+        math.abs(G711.mulawDecode(i.toByte).toInt) == 0, s"mu fix $i")
+      assert(G711.alawEncode(G711.alawDecode(i.toByte)) == i.toByte, s"a fix $i")
+    }
+  }
+
+  test("wavSamples16: every supported coding decodes; unsupported → None") {
+    // µ-law / A-law WAVs (format 6/7, fact chunk) decode to the same
+    // int16 values the JDK would produce
+    val coded = Array.tabulate[Byte](64)(i => ((i * 37 + 5) % 256).toByte)
+    val mu = wavSamples16(wavBytesFmt(7, 1, 8000, 8, coded)).get
+    assert(mu.samples.toSeq == coded.toSeq.map(G711.mulawDecode))
+    val al = wavSamples16(wavBytesFmt(6, 1, 8000, 8, coded)).get
+    assert(al.samples.toSeq == coded.toSeq.map(G711.alawDecode))
+    // 8-bit unsigned PCM: 128 is silence
+    val u8 = Array[Byte](0, 128.toByte, 255.toByte)
+    assert(wavSamples16(wavBytesFmt(1, 1, 8000, 8, u8)).get.samples.toSeq ==
+      Seq[Short](-32768, 0, 32512))
+    // 24-bit PCM keeps the high 16 bits
+    val s24 = java.nio.ByteBuffer.allocate(6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    s24.put(0x56.toByte).put(0x34.toByte).put(0x12.toByte) // 0x123456
+    s24.put(0xaa.toByte).put(0xcb.toByte).put(0xed.toByte) // 0xedcbaa (neg)
+    assert(wavSamples16(wavBytesFmt(1, 1, 8000, 24, s24.array())).get
+      .samples.toSeq == Seq[Short](0x1234, 0xedcb.toShort))
+    // 32-bit PCM keeps the high 16 bits
+    val s32 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x7fff0000).putInt(0x80010000)
+    assert(wavSamples16(wavBytesFmt(1, 1, 8000, 32, s32.array())).get
+      .samples.toSeq == Seq[Short](32767, -32767))
+    // float32 clamps and scales; NaN → 0
+    val f32 = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putFloat(0.5f).putFloat(-2.0f).putFloat(1.0f).putFloat(Float.NaN)
+    assert(wavSamples16(wavBytesFmt(3, 1, 48000, 32, f32.array())).get
+      .samples.toSeq ==
+      Seq[Short](math.round(0.5f * 32767).toShort, -32767, 32767, 0))
+    // WAVE_FORMAT_EXTENSIBLE resolves through the SubFormat tag
+    val ext = {
+      val b = wavBytesFmt(0xfffe, 1, 8000, 8, coded)
+      // grow the fmt body to 40 with a SubFormat whose leading 16 bits
+      // say µ-law; rebuild by hand from the plain layout
+      val pre = java.util.Arrays.copyOfRange(b, 0, 20) // through fmt size
+      val fmtBody = java.util.Arrays.copyOfRange(b, 20, 38) // 18-byte body
+      // extension: cbSize(2)=22, validBits(2), channelMask(4), GUID(16)
+      val sub = new Array[Byte](24)
+      sub(0) = 22 // cbSize
+      sub(2) = 8 // valid bits
+      sub(8) = 7 // SubFormat GUID leading 16 bits: µ-law
+      val rest = java.util.Arrays.copyOfRange(b, 38, b.length)
+      val out = java.nio.ByteBuffer
+        .allocate(pre.length + 16 + sub.length + rest.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(pre, 0, 16)
+      out.putInt(40) // fmt chunk size
+      out.put(fmtBody, 0, 16) // wFormatTag..wBitsPerSample
+      out.put(sub)
+      out.put(rest)
+      // fix riff size
+      val arr = out.array()
+      val riff = arr.length - 8
+      arr(4) = (riff & 0xff).toByte; arr(5) = ((riff >> 8) & 0xff).toByte
+      arr(6) = ((riff >> 16) & 0xff).toByte; arr(7) = ((riff >> 24) & 0xff).toByte
+      arr
+    }
+    val viaExt = wavSamples16(ext).get
+    assert(viaExt.samples.toSeq == coded.toSeq.map(G711.mulawDecode))
+    assert(wavMeta(ext).get.formatCode == 7)
+    // unsupported: 8-bit float nonsense → None, never misread
+    assert(wavSamples16(wavBytesFmt(3, 1, 8000, 8, u8)).isEmpty)
+    assert(wavSamples16(wavBytesFmt(2, 1, 8000, 8, u8)).isEmpty) // ADPCM
+  }
 }
