@@ -207,16 +207,25 @@ object WarcCodec {
       while (r > 0 && n + r <= 4) { n += r; r = if (n < 4) pb.read(sniff, n, 4 - n) else 0 }
       pb.unread(sniff, 0, n)
     } catch { case _: java.io.IOException => () }
-    val in: java.io.InputStream =
-      if (n >= 2 && (sniff(0) & 0xff) == 0x1f && (sniff(1) & 0xff) == 0x8b)
-        new GZIPInputStream(pb, 65536)
-      else if (n >= 4 && (sniff(0) & 0xff) == 0x28 && (sniff(1) & 0xff) == 0xb5 &&
-        (sniff(2) & 0xff) == 0x2f && (sniff(3) & 0xff) == 0xfd) {
-        val z = new com.github.luben.zstd.ZstdInputStream(pb)
-        z.setContinuous(true)
-        z
-      } else pb
-    recordIterator(in)
+    // decompressor construction itself reads the stream header — a
+    // truncated 2-byte gzip stub throws HERE, and totality demands an
+    // empty walk, not a failed task
+    val in: Option[java.io.InputStream] =
+      try {
+        if (n >= 2 && (sniff(0) & 0xff) == 0x1f && (sniff(1) & 0xff) == 0x8b)
+          Some(new GZIPInputStream(pb, 65536))
+        else if (n >= 4 && (sniff(0) & 0xff) == 0x28 && (sniff(1) & 0xff) == 0xb5 &&
+          (sniff(2) & 0xff) == 0x2f && (sniff(3) & 0xff) == 0xfd) {
+          val z = new com.github.luben.zstd.ZstdInputStream(pb)
+          z.setContinuous(true)
+          Some(z)
+        } else Some(pb)
+      } catch {
+        case _: java.io.IOException =>
+          try pb.close() catch { case _: java.io.IOException => () }
+          None
+      }
+    in.map(recordIterator).getOrElse(Iterator.empty)
   }
 
   /** Max WARC header region the streaming walk will buffer before

@@ -3868,6 +3868,37 @@ object ExtQueries {
           (id, sum(mu), sumSq(mu), peak(mu), sum(al), peak(al))
         }
         .toDF("doc_id", "mu_sum", "mu_sumsq", "mu_peak", "a_sum", "a_peak")
+    },
+
+    // ── IEEE-float32 WAV decode under the oracle: per doc, 32 float
+    // samples on the odd/32 grid x_i = (2i + (doc_id % 9)*2 - 39)/32
+    // (odd numerators ⇒ x·32767 never lands on an exact .5, so
+    // half-up and half-away rounding agree across engines; the grid
+    // also crosses ±1 so the clamp arm is under the hash). The floats
+    // ride a real format-3 WAV (fact chunk and all) through
+    // wavSamples16; the oracle recomputes round(clamp(x)·32767) in
+    // plain SQL. Deterministic: i/32 and the products are exact in
+    // float64 and the float32 payload values are exactly
+    // representable (n/32 with |n| < 2^24).
+    "q195_float_wav_decode" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val off = (id % 9).toInt * 2 - 39
+          val floats = Array.tabulate(32)(i => (2 * i + off) / 32.0f)
+          val body = java.nio.ByteBuffer.allocate(4 * floats.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          floats.foreach(body.putFloat)
+          val pcm = graft.functions.AudioHeaders.wavSamples16(
+            graft.functions.AudioHeaders.wavBytesFmt(3, 1, 48000, 32,
+              body.array())).get.samples
+          (id, pcm.iterator.map(_.toLong).sum,
+            pcm.iterator.map(v => math.abs(v.toLong)).max,
+            pcm.iterator.map(_.toLong).min)
+        }
+        .toDF("doc_id", "f_sum", "f_peak", "f_min")
     }
   )
 
@@ -6369,6 +6400,21 @@ object ExtQueries {
         |  text AS body,
         |  CAST(8 AS BIGINT) AS n_streams
         |FROM documents WHERE doc_id < 40""".stripMargin,
+    "q195_float_wav_decode" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, (2*t.i + (d.doc_id % 9)*2 - 39) AS n
+        |  FROM documents d, generate_series(0, 31) AS t(i)
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(round(greatest(-1.0, least(1.0, n / 32.0)) * 32767)
+        |      AS BIGINT) AS v
+        |  FROM g
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(v) AS BIGINT) AS f_sum,
+        |  CAST(max(abs(v)) AS BIGINT) AS f_peak,
+        |  CAST(min(v) AS BIGINT) AS f_min
+        |FROM s GROUP BY doc_id""".stripMargin,
     "q194_g711_wav_decode" ->
       """WITH bytes AS (
         |  SELECT d.doc_id, (d.doc_id*31 + t.i*7) % 256 AS v

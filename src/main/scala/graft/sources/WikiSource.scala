@@ -128,6 +128,9 @@ object WikiSource {
       }
       .distinct()
     val extents = offsets.toDF("offset")
+      // a lying index (offset at/past EOF) must cost its own rows, not
+      // the job: clamp to the dump's real extent before the ranged read
+      .filter(col("offset") >= 0 && col("offset") < dumpLen)
       .withColumn("end", coalesce(
         lead(col("offset"), 1).over(Window.orderBy(col("offset"))),
         lit(dumpLen)))

@@ -194,6 +194,12 @@ class WarcSpec extends SparkSpec {
     assert(got.length == 4)
     assert(WarcCodec.parseStream(new java.io.ByteArrayInputStream(
       "not a warc".getBytes(UTF_8))).isEmpty)
+    // gzip magic with a truncated header: the decompressor constructor
+    // itself throws — must surface as an empty walk, not a failed task
+    assert(WarcCodec.parseStream(new java.io.ByteArrayInputStream(
+      Array[Byte](0x1f, 0x8b.toByte, 1, 2))).isEmpty)
+    assert(WarcCodec.parseStream(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray)).isEmpty)
   }
 
   test("readIndexed: CDX extents fan one archive out to ranged splits") {
