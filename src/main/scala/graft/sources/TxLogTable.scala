@@ -89,6 +89,12 @@ object TxLogTable {
     * `schemaJson`), so time travel reads each snapshot under the
     * mapping it was committed with.
     */
+  /** `constraints` are the table's CHECK constraints (name → SQL
+    * boolean expression over logical column names), carried forward on
+    * every manifest like `colMap`; enforced inside the staging write
+    * of every data-changing commit (SQL CHECK semantics: only FALSE
+    * violates, NULL passes).
+    */
   private[sources] case class Manifest(version: Long, action: String,
       add: Seq[String], schemaJson: String, tsMillis: Long,
       markers: Option[Map[String, String]] = None,
@@ -96,7 +102,9 @@ object TxLogTable {
       cdc: Option[Seq[String]] = None,
       statsFile: Option[String] = None,
       dv: Option[Seq[String]] = None,
-      colMap: Option[Map[String, String]] = None)
+      colMap: Option[Map[String, String]] = None,
+      constraints: Option[Map[String, String]] = None,
+      copyFiles: Option[Seq[String]] = None)
 
   /** One row of a PARQUET stats checkpoint (`_log/ckpt-*.parquet`,
     * referenced by [[Manifest.statsFile]]) — the Delta
@@ -239,6 +247,125 @@ final class TxLogTable(spark: SparkSession, root: String) {
       spark.read.schema(physSchema(schema, cmap)).parquet(paths: _*),
       dvDirsOf(chain))
     if (cmap.isEmpty) base else base.toDF(schema.fieldNames: _*)
+  }
+
+  // ── COPY INTO (exactly-once file ingest) ──────────────────────────
+
+  /** COPY INTO: ingest `format` files under `glob`, skipping every
+    * file a prior copyInto already committed — the exactly-once
+    * landing-zone pattern (re-running the same COPY after a crash, a
+    * partial upload, or on a schedule never duplicates rows). Each
+    * commit records its ingested file NAMES in the manifest
+    * (`copyFiles`); the ingested set is the union across ALL versions,
+    * so it survives overwrites, checkpoints, and restores (file-level
+    * idempotency is about the files, not the table state). Data is
+    * read under the TABLE's schema (missing columns land as null) and
+    * rides the normal constraint-checked staged append. Returns the
+    * new version (or the current one when every file was already in).
+    *
+    * Concurrency: two racing copyIntos serialize through the version
+    * protocol — the loser recomputes the ingested set including the
+    * winner's files and skips them.
+    */
+  def copyInto(glob: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      maxRetries: Int = 20): Long = {
+    val files = RangedIo.listFiles(spark, glob).map(_._1)
+    commitLoop(maxRetries) { v =>
+      require(v >= 0,
+        s"copyInto needs an existing table (ensureExists first): $root")
+      val done: Set[String] = (0L to v).iterator
+        .flatMap(i => manifestAt(i).copyFiles.getOrElse(Nil)).toSet
+      val fresh = files.filterNot(done)
+      if (fresh.isEmpty) None // pure replay: no-op commit
+      else {
+        val schema = manifestChainAt(v)._2
+        val df = spark.read.format(format).options(options)
+          .schema(schema).load(fresh: _*)
+        val staged = stageData(df, checkConstraints = true)
+        Some(Manifest(0L, "append", Seq(staged), schema.json,
+          System.currentTimeMillis(),
+          markers = Some(Map("copy_into" -> fresh.size.toString)),
+          copyFiles = Some(fresh)))
+      }
+    }
+  }
+
+  /** The ingested-file census — what a re-run of copyInto would skip. */
+  def copiedFiles: Set[String] = {
+    val v = currentVersion
+    if (v < 0) Set.empty
+    else (0L to v).iterator
+      .flatMap(i => manifestAt(i).copyFiles.getOrElse(Nil)).toSet
+  }
+
+  // ── CHECK constraints ─────────────────────────────────────────────
+
+  private[sources] def constraintsAt(v: Long): Map[String, String] =
+    if (v < 0) Map.empty
+    else manifestAt(v).constraints.getOrElse(Map.empty)
+
+  /** ADD CONSTRAINT name CHECK (expr) — metadata-only commit. The
+    * EXISTING table must already satisfy the constraint (one
+    * fail-fast scan), matching Delta's contract: a constraint never
+    * lies about the rows behind it.
+    */
+  def addConstraint(name: String, sqlExpr: String,
+      maxRetries: Int = 20): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be a plain identifier")
+    commitLoop(maxRetries) { v =>
+      require(v >= 0, s"cannot add a constraint on an uncommitted table $root")
+      val (chain, schema) = manifestChainAt(v)
+      val existing = chain.last.constraints.getOrElse(Map.empty)
+      require(!existing.contains(name), s"constraint '$name' already exists")
+      // validate the expression parses AND the current rows pass
+      val cur = readAt(v)
+      enforce(cur, Map(name -> sqlExpr)).foreach(_ => ())
+      Some(Manifest(0L, "append", Nil, schema.json,
+        System.currentTimeMillis(),
+        markers = Some(Map("alter" -> s"add constraint $name")),
+        cdc = Some(Nil),
+        constraints = Some(existing + (name -> sqlExpr))))
+    }
+  }
+
+  /** DROP CONSTRAINT — metadata-only commit; unknown names reject. */
+  def dropConstraint(name: String, maxRetries: Int = 20): Long =
+    commitLoop(maxRetries) { v =>
+      require(v >= 0, s"no committed version in $root")
+      val (chain, schema) = manifestChainAt(v)
+      val existing = chain.last.constraints.getOrElse(Map.empty)
+      require(existing.contains(name), s"no constraint '$name'")
+      Some(Manifest(0L, "append", Nil, schema.json,
+        System.currentTimeMillis(),
+        markers = Some(Map("alter" -> s"drop constraint $name")),
+        cdc = Some(Nil),
+        constraints = Some(existing - name)))
+    }
+
+  /** Weave fail-fast CHECK enforcement into a frame: each row
+    * evaluates every constraint inside the SAME job that writes it
+    * (single pass, no extra action) — `assert_true` throws with the
+    * constraint's name and expression on the first FALSE; NULL passes
+    * (SQL CHECK semantics). Returns the frame unchanged when no
+    * constraints are live.
+    */
+  private def enforce(df: DataFrame,
+      constraints: Map[String, String]): DataFrame = {
+    if (constraints.isEmpty) return df
+    import org.apache.spark.sql.functions.{assert_true, coalesce => sqlCoalesce, expr, lit}
+    val checked = constraints.foldLeft(df) { case (d, (name, sql)) =>
+      d.withColumn(s"__check_$name",
+        assert_true(sqlCoalesce(expr(sql), lit(true)),
+          lit(s"CHECK constraint '$name' violated: $sql")))
+    }
+    // the filter keeps every row (assert_true yields NULL on pass) and
+    // pins the check columns into the executed plan
+    val kept = constraints.keys.foldLeft(checked) { (d, name) =>
+      d.filter(d.col(s"__check_$name").isNull)
+    }
+    kept.select(df.columns.map(kept.col).toIndexedSeq: _*)
   }
 
   private[sources] def colMapAt(v: Long): Map[String, String] =
@@ -567,11 +694,19 @@ final class TxLogTable(spark: SparkSession, root: String) {
     */
   private[sources] def stageData(df: DataFrame,
       sortCols: Seq[String] = Nil,
-      cmapOverride: Option[Map[String, String]] = None): String = {
+      cmapOverride: Option[Map[String, String]] = None,
+      checkConstraints: Boolean = false): String = {
     val name = UUID.randomUUID().toString
+    // CHECK constraints ride inside this same write job (fail-fast per
+    // row, no second pass). Only DATA-changing public writers opt in —
+    // CDC/DV/compaction stages carry rows already validated (or
+    // metadata rows a later, stricter constraint must not veto).
+    val input =
+      if (checkConstraints) enforce(df, constraintsAt(currentVersion))
+      else df
     val sorted =
-      if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(sortCols.map(df.col): _*)
+      if (sortCols.isEmpty) input
+      else input.sortWithinPartitions(sortCols.map(input.col): _*)
     // files always store PHYSICAL names: a single simultaneous select
     // (no intermediate collisions), identity when no mapping is live.
     // Metadata columns (_change_type, _dv_*) never appear in the map.
@@ -753,13 +888,20 @@ final class TxLogTable(spark: SparkSession, root: String) {
         case None => return v // no-op commit (e.g. empty append)
         case Some(m) =>
           // commit-layer injection: every manifest carries the full
-          // column mapping forward (as with schemaJson), so any chain's
-          // newest entry is authoritative and time travel is exact
-          val stamped =
+          // column mapping AND constraint set forward (as with
+          // schemaJson), so any chain's newest entry is authoritative
+          // and time travel is exact
+          val withMap =
             if (m.colMap.isDefined) m
             else colMapAt(v) match {
               case cm if cm.isEmpty => m
               case cm => m.copy(colMap = Some(cm))
+            }
+          val stamped =
+            if (withMap.constraints.isDefined) withMap
+            else constraintsAt(v) match {
+              case cs if cs.isEmpty => withMap
+              case cs => withMap.copy(constraints = Some(cs))
             }
           if (tryCommit(next, stamped)) return next
       }
@@ -824,7 +966,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
       val v0 = currentVersion
       if (v0 >= 0) evolveSchema(manifestChainAt(v0)._2, df.schema, colMapAt(v0))
     }
-    val staged = stageData(df, sortCols)
+    val staged = stageData(df, sortCols, checkConstraints = true)
     val stats = statsOpt(staged, df.schema, statsCols, bloomCols)
     commitLoop(maxRetries) { v =>
       val schema =
@@ -843,7 +985,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
       markers: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
-    val staged = stageData(df, sortCols)
+    val staged = stageData(df, sortCols, checkConstraints = true)
     val schemaJson = df.schema.json
     val stats = statsOpt(staged, df.schema, statsCols, bloomCols)
     commitLoop(maxRetries) { _ =>
@@ -867,7 +1009,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
     commitLoop(maxRetries) { v =>
       val target = readAt(v)
       val merged = Upsert.mergeByKey(target, updates, key, precedence)
-      val staged = stageData(merged, sortCols)
+      val staged = stageData(merged, sortCols, checkConstraints = true)
       // CDC: full change rows (pre/post images, typed) — read back
       // from the staged dir (already materialized) so the change set
       // is BY CONSTRUCTION consistent with the commit
@@ -1004,7 +1146,8 @@ final class TxLogTable(spark: SparkSession, root: String) {
             case None => col(f.name)
           }
         }.toSeq: _*)
-      val staged = stageData(applied(target), sortCols)
+      val staged = stageData(applied(target), sortCols,
+        checkConstraints = true)
       val cdcDir = stageData(
         target.filter(cond)
           .withColumn("_change_type", lit("update_preimage"))
@@ -1093,7 +1236,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
         .select(tgtCols.map(c =>
           when(col("__action") === USE_SRC, col(s"s.$c"))
             .otherwise(col(s"t.$c")).as(c)): _*)
-      val staged = stageData(merged, sortCols)
+      val staged = stageData(merged, sortCols, checkConstraints = true)
       val stagedDf = readPhysical(
         Seq(dataDir.resolve(staged).toString), merged.schema, currentColMap)
       // CDC: typed change rows; the delete arm surfaces as explicit
@@ -1124,7 +1267,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
         .select(snap.columns.map(updates.col).toIndexedSeq: _*)
       // empty appends still commit: idempotent-replay markers rely on
       // the version advancing even when every row was a duplicate
-      val staged = stageData(newRows)
+      val staged = stageData(newRows, checkConstraints = true)
       Some(Manifest(0L, "append", Seq(staged),
         snap.schema.json, System.currentTimeMillis(), wrap(markers),
         statsOpt(staged, snap.schema, statsCols)))
@@ -1529,10 +1672,11 @@ final class TxLogTable(spark: SparkSession, root: String) {
         wrap(markers + ("restoredFrom" -> version.toString)), wrap2(stats),
         cdc, chain.flatMap(_.statsFile).lastOption,
         if (targetDv.isEmpty) None else Some(targetDv),
-        // schema rolls back, so the mapping rolls back WITH it —
-        // Some(empty) pins "explicitly none" past the commit-layer
-        // inheritance of the pre-restore map
-        colMap = Some(cmapT)))
+        // schema rolls back, so the mapping and constraint set roll
+        // back WITH it — Some(empty) pins "explicitly none" past the
+        // commit-layer inheritance of the pre-restore state
+        colMap = Some(cmapT),
+        constraints = Some(chain.last.constraints.getOrElse(Map.empty))))
     }
   }
 
