@@ -3695,7 +3695,7 @@ object ExtQueries {
           def bz(x: String): Array[Byte] = {
             val bos = new java.io.ByteArrayOutputStream()
             val o = new org.apache.commons.compress.compressors.bzip2
-              .BZip2CompressorOutputStream(bos, 9)
+              .BZip2CompressorOutputStream(bos, 1)
             o.write(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             o.close()
             bos.toByteArray
