@@ -3899,6 +3899,58 @@ object ExtQueries {
             pcm.iterator.map(_.toLong).min)
         }
         .toDF("doc_id", "f_sum", "f_peak", "f_min")
+    },
+
+    // ── CHECK constraints under the oracle (invariant form): a txlog
+    // table takes a valid leg, gains a constraint, REJECTS a violating
+    // append (the table must be byte-identical after the veto — caught
+    // exception + version check, q142-style: a missed veto poisons the
+    // `enforced` column so the hash goes red loudly), accepts a valid
+    // leg under the constraint, then drops it and accepts the formerly
+    // vetoed leg. The oracle restates the surviving row set in SQL.
+    "q196_txlog_constraint_gate" -> { (s, dir) =>
+      val t = new graft.sources.TxLogTable(s,
+        scratchDir("graft_txlog_q196"))
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      t.ensureExists(ev.schema)
+      t.append(ev.filter(pmod(col("event_id"), lit(3)) === 0))
+      t.addConstraint("id_mod3", "event_id % 3 = 0")
+      val vPre = t.currentVersion
+      val vetoed =
+        try { t.append(ev.filter(pmod(col("event_id"), lit(3)) === 1)); false }
+        catch { case _: Exception => t.currentVersion == vPre }
+      // a valid leg under the live constraint (ids ≡2 mod 3, shifted +1)
+      t.append(ev.filter(pmod(col("event_id"), lit(3)) === 2)
+        .withColumn("event_id", col("event_id") + 1))
+      t.dropConstraint("id_mod3")
+      t.append(ev.filter(pmod(col("event_id"), lit(3)) === 1))
+      t.read().withColumn("enforced", lit(if (vetoed) 1L else 0L))
+    },
+
+    // ── COPY INTO under the oracle (idempotency form): three landing
+    // files arrive in two waves; copyInto runs FOUR times (two exact
+    // replays among them) and the final table must hold every landed
+    // row EXACTLY once, with the ingested-file census on each row.
+    "q197_txlog_copy_into" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q197")
+      val land = root + "/land"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+      docs.filter(col("doc_id") < 20).coalesce(1)
+        .write.parquet(land + "/f1")
+      docs.filter(col("doc_id") >= 20 && col("doc_id") < 40).coalesce(1)
+        .write.parquet(land + "/f2")
+      val t = new graft.sources.TxLogTable(s, root + "/table")
+      t.ensureExists(docs.schema)
+      val glob = land + "/f*/part-*.parquet"
+      t.copyInto(glob)
+      t.copyInto(glob) // exact replay: must be a no-op
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 60).coalesce(1)
+        .write.parquet(land + "/f3")
+      t.copyInto(glob) // only f3 is fresh
+      t.copyInto(glob) // replay again
+      t.read().withColumn("n_files", lit(t.copiedFiles.size.toLong))
     }
   )
 
@@ -6400,6 +6452,18 @@ object ExtQueries {
         |  text AS body,
         |  CAST(8 AS BIGINT) AS n_streams
         |FROM documents WHERE doc_id < 40""".stripMargin,
+    "q196_txlog_constraint_gate" ->
+      """SELECT event_id, user_id, event_type, CAST(1 AS BIGINT) AS enforced
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT event_id + 1, user_id, event_type, CAST(1 AS BIGINT)
+        |FROM events WHERE event_id % 3 = 2
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, CAST(1 AS BIGINT)
+        |FROM events WHERE event_id % 3 = 1""".stripMargin,
+    "q197_txlog_copy_into" ->
+      """SELECT doc_id, source, CAST(3 AS BIGINT) AS n_files
+        |FROM documents WHERE doc_id < 60""".stripMargin,
     "q195_float_wav_decode" ->
       """WITH g AS (
         |  SELECT d.doc_id, (2*t.i + (d.doc_id % 9)*2 - 39) AS n
