@@ -157,14 +157,17 @@ object AudioHeaders {
     // re-walk for the data offset (wavMeta only keeps the size)
     var i = 12
     var dataOff = -1
+    var dataLen = -1L
     while (i + 8 <= payload.length && dataOff < 0) {
       val size = le32(payload, i + 4)
-      if (tag(payload, i) == "data") dataOff = i + 8
+      if (tag(payload, i) == "data") { dataOff = i + 8; dataLen = size }
       val next = i.toLong + 8L + size + (size & 1L)
       i = if (next > payload.length) payload.length else next.toInt
     }
     if (dataOff < 0) return None
-    val avail = payload.length - dataOff
+    // declared chunk size bounds the decode (trailing LIST/id3 chunks
+    // must never read as samples); truncated bodies keep their prefix
+    val avail = math.min(dataLen, (payload.length - dataOff).toLong).toInt
     val nWhole = avail / 2 / meta.channels * meta.channels
     val out = new Array[Short](nWhole)
     var s = 0
@@ -189,14 +192,18 @@ object AudioHeaders {
     val meta = wavMeta(payload).getOrElse(return None)
     var i = 12
     var dataOff = -1
+    var dataLen = -1L
     while (i + 8 <= payload.length && dataOff < 0) {
       val size = le32(payload, i + 4)
-      if (tag(payload, i) == "data") dataOff = i + 8
+      if (tag(payload, i) == "data") { dataOff = i + 8; dataLen = size }
       val next = i.toLong + 8L + size + (size & 1L)
       i = if (next > payload.length) payload.length else next.toInt
     }
     if (dataOff < 0) return None
-    val avail = payload.length - dataOff
+    // the DECLARED chunk size bounds the decode — real-corpus WAVs
+    // carry LIST/INFO or id3 chunks after `data`, which must never be
+    // decoded as samples; a truncated body still decodes its prefix
+    val avail = math.min(dataLen, (payload.length - dataOff).toLong).toInt
     val bytesPer = meta.bitsPerSample / 8
     if (bytesPer <= 0) return None
     val nWhole = avail / bytesPer / meta.channels * meta.channels
@@ -237,7 +244,8 @@ object AudioHeaders {
     */
   def wavBytesFmt(formatCode: Int, channels: Int, sampleRate: Int,
       bitsPerSample: Int, body: Array[Byte]): Array[Byte] = {
-    require(channels > 0 && sampleRate > 0 && bitsPerSample % 8 == 0)
+    require(channels > 0 && sampleRate > 0 &&
+      bitsPerSample > 0 && bitsPerSample % 8 == 0)
     val blockAlign = channels * bitsPerSample / 8
     val pcm = formatCode == 1
     val fmtBody = if (pcm) 16 else 18

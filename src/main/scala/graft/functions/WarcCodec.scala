@@ -290,7 +290,15 @@ object WarcCodec {
             else try Some(ln.substring(i + 1).trim.toLong)
             catch { case _: NumberFormatException => None }
           }.getOrElse(-1L)
-          if (contentLength < 0 || contentLength > Int.MaxValue - 8) return null
+          if (contentLength < 0) return null
+          if (contentLength > Int.MaxValue - 8) {
+            // a single >2 GiB record must cost ITSELF, not the rest of
+            // the archive: skip its block and keep walking (this is the
+            // designated big-archive path — whole-file loss here would
+            // recreate the exact failure mode the streaming walk removes)
+            in.skipNBytes(contentLength)
+            return readOne()
+          }
           val block = in.readNBytes(contentLength.toInt)
           if (block.length != contentLength.toInt) return null
           // assemble the full record bytes and delegate to parseOne so

@@ -21,16 +21,26 @@ object ExtQueries {
     * delete at JVM exit so repeated bench/correctness runs don't leak
     * files on the driver's disk.
     */
-  private[graft] def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val scratchPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  // ONE shutdown hook draining the queue — per-call hooks would pin a
+  // Thread per query execution for the JVM's lifetime
+  private lazy val scratchHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(p.toFile)
+      var p = scratchPaths.poll()
+      while (p != null) { rm(p.toFile); p = scratchPaths.poll() }
     }))
+
+  private[graft] def scratchDir(prefix: String): String = {
+    scratchHookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchPaths.add(p)
     p.toString
   }
 

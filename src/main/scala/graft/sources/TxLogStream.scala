@@ -110,14 +110,28 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
     // NO restart, NO mode needed; only genuinely NEW columns follow
     // the onSchemaEvolution modes
     val unknown0 = raw.columns.toIndexedSeq.filterNot(known)
-    val endMap = table.colMapAt(to)
     val physToStream: Map[String, String] =
       schema.fieldNames.iterator
         .map(k => startMap.getOrElse(k, k) -> k).toMap
+    // resolve each unknown through the mapping of a version IN THIS
+    // RANGE whose schema carries it — the batch-end map alone would
+    // miss an intermediate name when the same column renamed twice
+    // inside one catch-up range (its rows would silently null out).
+    // The walk is bounded by the admission cap (maxVersionsPerBatch).
+    lazy val rangeMaps: Seq[(Set[String], Map[String, String])] =
+      ((from + 1) to to).map(vv =>
+        (table.schemaAt(vv).fieldNames.toSet, table.colMapAt(vv)))
     val renamedTwin: Map[String, String] = unknown0.flatMap { u =>
-      physToStream.get(endMap.getOrElse(u, u)).map(u -> _)
+      val phys = rangeMaps
+        .collectFirst { case (names, cm) if names(u) => cm.getOrElse(u, u) }
+        .getOrElse(table.colMapAt(to).getOrElse(u, u))
+      physToStream.get(phys).map(u -> _)
     }.toMap
-    val twinOf: Map[String, String] = renamedTwin.map(_.swap) // stream name -> new name
+    // stream name -> ALL its renamed twins in this range (a double
+    // rename inside one range yields two), ordered as raw's columns
+    val twinsOf: Map[String, Seq[String]] =
+      renamedTwin.toSeq.groupMap(_._2)(_._1)
+        .view.mapValues(_.sortBy(u => raw.columns.indexOf(u))).toMap
     val unknown = unknown0.filterNot(renamedTwin.contains)
     if (unknown.nonEmpty && onSchemaEvolution == "fail")
       throw new IllegalStateException(
@@ -142,14 +156,15 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
           array(unknown.map(c => col(c).cast("string")): _*))
           .as("_evolved")
       }
-      else twinOf.get(f.name) match {
-        // a rename inside the range union-pads both names with nulls
-        // over disjoint version sub-ranges; coalescing them under the
-        // stream-schema name reconstructs the continuous column
-        case Some(u) if have(f.name) =>
-          org.apache.spark.sql.functions
-            .coalesce(col(f.name), col(u).cast(f.dataType)).as(f.name)
-        case Some(u) => col(u).cast(f.dataType).as(f.name)
+      else twinsOf.get(f.name) match {
+        // a rename inside the range union-pads each name with nulls
+        // over disjoint version sub-ranges; coalescing ALL twins under
+        // the stream-schema name reconstructs the continuous column
+        // (a double rename in one range yields two twins)
+        case Some(us) =>
+          val legs = (if (have(f.name)) Seq(col(f.name)) else Nil) ++
+            us.map(u => col(u).cast(f.dataType))
+          org.apache.spark.sql.functions.coalesce(legs: _*).as(f.name)
         // the cast also absorbs a mid-stream widenColumn: the batch
         // arrives wide, the fixed stream schema is still narrow — the
         // stream keeps running at the narrow type until a restart

@@ -355,7 +355,19 @@ final class TxLogTable(spark: SparkSession, root: String) {
       constraints: Map[String, String]): DataFrame = {
     if (constraints.isEmpty) return df
     import org.apache.spark.sql.functions.{assert_true, coalesce => sqlCoalesce, expr, lit}
-    val checked = constraints.foldLeft(df) { case (d, (name, sql)) =>
+    // an evolved batch may legally OMIT columns a constraint references
+    // (they land as null, and SQL CHECK passes on NULL) — null-pad them
+    // so the expression resolves instead of failing analysis
+    val referenced: Set[String] = constraints.values.flatMap { sql =>
+      try spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 => a.name
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }.toSet
+    val missing = referenced.filterNot(c =>
+      df.columns.exists(_.equalsIgnoreCase(c)))
+    val base = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+    val checked = constraints.foldLeft(base) { case (d, (name, sql)) =>
       d.withColumn(s"__check_$name",
         assert_true(sqlCoalesce(expr(sql), lit(true)),
           lit(s"CHECK constraint '$name' violated: $sql")))
@@ -541,15 +553,10 @@ final class TxLogTable(spark: SparkSession, root: String) {
   def readAt(version: Long): DataFrame = {
     val (chain, schema) = manifestChainAt(version)
     val dirs = chain.flatMap(_.add)
-    val cmap = colMapOf(chain)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else {
-      val base = applyDv(spark.read.schema(physSchema(schema, cmap))
-        .parquet(dirs.map(d => dataDir.resolve(d).toString): _*),
-        dvDirsOf(chain))
-      if (cmap.isEmpty) base else base.toDF(schema.fieldNames: _*)
-    }
+    else
+      readPathsAt(version, dirs.map(d => dataDir.resolve(d).toString))
   }
 
   /** Snapshot read at the latest version. */
@@ -627,19 +634,13 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * Files from commits without stats are scanned normally.
     */
   def readWhereAt(version: Long, filter: Column): DataFrame = {
-    val (chain, schema) = manifestChainAt(version)
-    val cmap = colMapOf(chain)
+    val (_, schema) = manifestChainAt(version)
     val paths = scanPathsAt(version, filter)
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         .filter(filter)
-    else {
-      val base = applyDv(
-        spark.read.schema(physSchema(schema, cmap)).parquet(paths: _*),
-        dvDirsOf(chain))
-      (if (cmap.isEmpty) base else base.toDF(schema.fieldNames: _*))
-        .filter(filter)
-    }
+    else
+      readPathsAt(version, paths).filter(filter)
   }
 
   /** Stats-pruned read at the latest version. */
@@ -966,9 +967,17 @@ final class TxLogTable(spark: SparkSession, root: String) {
       val v0 = currentVersion
       if (v0 >= 0) evolveSchema(manifestChainAt(v0)._2, df.schema, colMapAt(v0))
     }
+    val cs0 = constraintsAt(currentVersion)
     val staged = stageData(df, sortCols, checkConstraints = true)
     val stats = statsOpt(staged, df.schema, statsCols, bloomCols)
     commitLoop(maxRetries) { v =>
+      // staging enforced the constraints live at STAGING time; a
+      // concurrent addConstraint would otherwise slip violating rows
+      // under a live CHECK — when the set moved, re-validate the
+      // already-staged data against the set this commit will assert
+      if (v >= 0 && constraintsAt(v) != cs0)
+        enforce(readPhysical(Seq(dataDir.resolve(staged).toString),
+          df.schema, colMapAt(v)), constraintsAt(v)).foreach(_ => ())
       val schema =
         if (v < 0) df.schema
         else evolveSchema(manifestChainAt(v)._2, df.schema, colMapAt(v))
@@ -985,10 +994,14 @@ final class TxLogTable(spark: SparkSession, root: String) {
       markers: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
+    val cs0 = constraintsAt(currentVersion)
     val staged = stageData(df, sortCols, checkConstraints = true)
     val schemaJson = df.schema.json
     val stats = statsOpt(staged, df.schema, statsCols, bloomCols)
-    commitLoop(maxRetries) { _ =>
+    commitLoop(maxRetries) { v =>
+      if (v >= 0 && constraintsAt(v) != cs0)
+        enforce(readPhysical(Seq(dataDir.resolve(staged).toString),
+          df.schema, colMapAt(v)), constraintsAt(v)).foreach(_ => ())
       Some(Manifest(0L, "overwrite", Seq(staged), schemaJson,
         System.currentTimeMillis(), wrap(markers), stats))
     }

@@ -58,8 +58,20 @@ object WarcSource {
       .repartition(math.max(1, math.min(paths.size,
         spark.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
+        // parseStream closes its stream at clean exhaustion, but an
+        // early-terminated consumer (LIMIT, take, failed stage)
+        // abandons the iterator mid-archive — the task-completion
+        // listener sweeps whatever is still open so handles never
+        // outlive the task (S3A connections included)
+        val open = new java.util.concurrent.ConcurrentLinkedQueue[java.io.InputStream]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            open.forEach(s =>
+              try s.close() catch { case _: java.io.IOException => () })
+          })
         it.flatMap { path =>
           val in = RangedIo.openStream(conf.value.value, path)
+          open.add(in)
           WarcCodec.parseStream(in).map { r =>
             WarcRow(path, r.recordIndex, r.warcType, r.recordId,
               r.targetUri, r.warcDate, r.contentType, r.contentLength,
@@ -144,15 +156,44 @@ object WarcSource {
       .groupByKey(r => (r.warc_file, r.offset / splitBytes))
       .flatMapGroups { (key: (String, Long), rows: Iterator[WarcIndexRow]) =>
         val path = key._1
-        val es = rows.toVector.sortBy(_.offset)
-        val start = es.head.offset
-        val end = es.iterator.map(e => e.offset + e.length).max
-        val buf = RangedIo.readRange(conf.value.value, path, start, end - start)
-        es.iterator.flatMap { e =>
-          WarcCodec.fetchRecord(buf, e.offset - start, e.length).map { r =>
-            WarcRow(path, e.record_index, r.warcType, r.recordId,
-              r.targetUri, r.warcDate, r.contentType, r.contentLength,
-              r.httpStatus, r.httpContentType, r.payload)
+        // a LYING index row (offset past EOF, runaway length) must cost
+        // its own records, never the job — clamp every extent to the
+        // file's real length before the ranged read (same stance as
+        // WikiSource.pagesIndexed)
+        val hConf = conf.value.value
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fileLen =
+          try p.getFileSystem(hConf).getFileStatus(p).getLen
+          catch { case _: java.io.IOException => -1L }
+        val es = rows.toVector
+          .filter(e => fileLen >= 0 && e.offset >= 0 && e.length > 0 &&
+            e.offset < fileLen)
+          .map(e => if (e.offset + e.length <= fileLen) e
+            else e.copy(length = fileLen - e.offset))
+          .filter(_.length <= Int.MaxValue.toLong - 16) // a JVM slice must exist
+          .sortBy(_.offset)
+        def row(e: WarcIndexRow, r: WarcCodec.WarcRecord): WarcRow =
+          WarcRow(path, e.record_index, r.warcType, r.recordId,
+            r.targetUri, r.warcDate, r.contentType, r.contentLength,
+            r.httpStatus, r.httpContentType, r.payload)
+        if (es.isEmpty) Iterator.empty
+        else {
+          val start = es.head.offset
+          val end = es.iterator.map(e => e.offset + e.length).max
+          if (end - start <= Int.MaxValue.toLong - 16) {
+            val buf = RangedIo.readRange(hConf, path, start, end - start)
+            es.iterator.flatMap { e =>
+              WarcCodec.fetchRecord(buf, e.offset - start, e.length)
+                .map(row(e, _))
+            }
+          } else {
+            // a clamped-but-huge extent stretched the band past the
+            // 2 GiB slice bound: fall back to one ranged read per
+            // extent (each individually bounded above)
+            es.iterator.flatMap { e =>
+              val buf = RangedIo.readRange(hConf, path, e.offset, e.length)
+              WarcCodec.fetchRecord(buf, 0, e.length).map(row(e, _))
+            }
           }
         }
       }

@@ -35,4 +35,23 @@ object bridge {
     val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming)
   }
+
+  /** The inverse seam for SPECS that drive a V1 `Source.getBatch`
+    * directly: the returned frame's `LogicalRDD` is flagged streaming
+    * (so any batch action on it is rejected by the analyzer); rewrap
+    * its already-computed RDD as a plain batch frame. Never used by
+    * production paths — real streams execute through
+    * `MicroBatchExecution`.
+    */
+  def debatched(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val lr = df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.getOrElse(throw new IllegalArgumentException(
+      "debatched expects a frame built on a LogicalRDD (a V1 getBatch result)"))
+    cs.internalCreateDataFrame(
+      lr.rdd.asInstanceOf[org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]],
+      df.schema, isStreaming = false)
+  }
 }

@@ -109,6 +109,27 @@ class AudioHeadersSpec extends AnyFunSuite {
     assert(wavSamples(null).isEmpty)
   }
 
+  test("trailing chunks after `data` are never decoded as samples") {
+    // real-corpus shape: ffmpeg/lame append LIST/INFO or id3 chunks
+    val stereo = Array[Short](100, -200, 300, -400)
+    val wav = wavBytes(2, 44100, stereo)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](8, 0, 0, 0) ++ "INFOxxxx".getBytes("US-ASCII")
+    val withTail = {
+      val out = java.util.Arrays.copyOf(wav, wav.length + listChunk.length)
+      System.arraycopy(listChunk, 0, out, wav.length, listChunk.length)
+      // fix the RIFF size to cover the new chunk
+      val riff = out.length - 8
+      out(4) = (riff & 0xff).toByte; out(5) = ((riff >> 8) & 0xff).toByte
+      out(6) = ((riff >> 16) & 0xff).toByte
+      out(7) = ((riff >> 24) & 0xff).toByte
+      out
+    }
+    assert(wavSamples(withTail).get.samples.toSeq == stereo.toSeq)
+    assert(wavSamples16(withTail).get.samples.toSeq == stereo.toSeq)
+    assert(pcmStats(withTail).get.nSamples == 4L)
+  }
+
   test("G.711 decode is BYTE-EXACT against the JDK converters, both laws") {
     import javax.sound.sampled._
     def jdk(enc: AudioFormat.Encoding): Array[Short] = {

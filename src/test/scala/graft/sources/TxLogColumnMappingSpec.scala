@@ -149,6 +149,32 @@ class TxLogColumnMappingSpec extends SparkSpec {
       Seq(1L, 3L))
   }
 
+  test("double rename inside ONE batch range: every leg folds back") {
+    val root = Files.createTempDirectory("txcmap_double").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1)))
+    // fix the stream schema NOW (column v), then rename twice with an
+    // append under each intermediate name — one catch-up batch covers
+    // all of it
+    val src = new TxLogChangeSource(spark, root, startExclusive = 0L,
+      onSchemaEvolution = "fail")
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    t.renameColumn("v", "b")
+    t.append(df((2L, "from-b", 2)).toDF("k", "b", "n"))
+    t.renameColumn("b", "c")
+    t.append(df((3L, "from-c", 3)).toDF("k", "c", "n"))
+    val batch = org.apache.spark.sql.graft.bridge.debatched(
+      src.getBatch(None, LongOffset(t.currentVersion)))
+    assert(batch.columns.contains("v") &&
+      !batch.columns.contains("b") && !batch.columns.contains("c"))
+    val inserts = batch.filter(col("_change_type") === "insert")
+      .select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the intermediate-name leg (v6 under 'b') must NOT null out
+    assert(inserts == Set((1L, "a"), (2L, "from-b"), (3L, "from-c")))
+  }
+
   test("CDC stream keeps flowing through a mid-stream rename") {
     val root = Files.createTempDirectory("txcmap_stream").toString
     val t = new TxLogTable(spark, root)

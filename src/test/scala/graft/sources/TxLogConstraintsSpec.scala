@@ -68,6 +68,24 @@ class TxLogConstraintsSpec extends SparkSpec {
     m
   }
 
+  test("a batch OMITTING a constrained column passes (null-pad, SQL CHECK)") {
+    val root = Files.createTempDirectory("txcheck_missing").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", L(5))))
+    t.addConstraint("n_positive", "n > 0")
+    // legal evolved batch without `n`: rows land with n = null, and
+    // NULL passes a CHECK — enforcement must not fail analysis
+    val partial = spark.createDataFrame(
+      java.util.List.of(Row(2L, "b")),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("v", StringType, nullable = true))))
+    t.append(partial)
+    val got = t.read().orderBy("k").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got(1).isNullAt(2))
+  }
+
   test("constraints survive checkpoint folding and roll back with restore") {
     val root = Files.createTempDirectory("txcheck_ckpt").toString
     val t = new TxLogTable(spark, root)

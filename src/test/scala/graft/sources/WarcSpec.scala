@@ -200,6 +200,17 @@ class WarcSpec extends SparkSpec {
       Array[Byte](0x1f, 0x8b.toByte, 1, 2))).isEmpty)
     assert(WarcCodec.parseStream(
       new java.io.ByteArrayInputStream(Array.emptyByteArray)).isEmpty)
+    // a record CLAIMING a >2 GiB block: the skip attempt hits EOF on
+    // this fixture — the good prefix survives, no throw (with real
+    // bytes present, the walk would skip the block and continue)
+    val huge = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Record-ID: <urn:uuid:huge>\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      "Content-Type: text/plain\r\nContent-Length: 3000000000\r\n\r\n")
+      .getBytes(UTF_8)
+    val mixed = WarcCodec.file(recs.take(2), gzip = false) ++ huge
+    val got2 = WarcCodec.parseStream(
+      new java.io.ByteArrayInputStream(mixed)).toVector
+    assert(got2.length == 2)
   }
 
   test("readIndexed: CDX extents fan one archive out to ranged splits") {
