@@ -152,6 +152,28 @@ class PropertiesSpec extends AnyFunSuite {
       val p = java.util.Arrays.copyOf(src, i)
       ImageHeaders.dims(p); AudioHeaders.wavMeta(p); ()
     }
+    // the sample decoders share the totality bar: valid-magic + junk
+    // tails, every truncation of real G.711/float/extensible WAVs, and
+    // single-byte corruptions must all return (Some|None), never throw
+    val coded = Array.tabulate[Byte](32)(i => (i * 11 + 3).toByte)
+    val realWavs = Seq(
+      AudioHeaders.wavBytesFmt(7, 1, 8000, 8, coded),
+      AudioHeaders.wavBytesFmt(6, 2, 8000, 8, coded),
+      AudioHeaders.wavBytesFmt(3, 1, 48000, 32, coded),
+      AudioHeaders.wavBytesFmt(1, 1, 8000, 24, coded.take(24)))
+    forAll(junk, n = 200) { bs =>
+      AudioHeaders.wavSamples16(wavSig ++ bs.toArray); ()
+    }
+    for (src <- realWavs) {
+      for (i <- 0 to src.length)
+        AudioHeaders.wavSamples16(java.util.Arrays.copyOf(src, i))
+      var i = 0
+      while (i < src.length) {
+        val mut = src.clone(); mut(i) = (mut(i) ^ 0x5f).toByte
+        AudioHeaders.wavSamples16(mut)
+        i += 3
+      }
+    }
   }
 
   test("png: EVERY single-bit corruption across the signed region is rejected") {
