@@ -3961,6 +3961,56 @@ object ExtQueries {
       t.copyInto(glob) // only f3 is fresh
       t.copyInto(glob) // replay again
       t.read().withColumn("n_files", lit(t.copiedFiles.size.toLong))
+    },
+
+    // ── TIME TRAVEL under the oracle: three appends land as three
+    // versions; the query reads the table AS OF the middle one (by
+    // version AND by its commit timestamp — both must agree), so the
+    // oracle pins that later commits cannot disturb an old snapshot.
+    // The third leg rides a DELETE too, proving the pre-delete
+    // snapshot still shows the deleted rows.
+    "q198_txlog_time_travel" -> { (s, dir) =>
+      val t = new graft.sources.TxLogTable(s,
+        scratchDir("graft_txlog_q198"))
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      t.ensureExists(ev.schema)
+      t.append(ev.filter(pmod(col("event_id"), lit(4)) === 0)) // v1
+      val v2 = t.append(ev.filter(pmod(col("event_id"), lit(4)) === 1))
+      val ts2 = t.history().find(_._1 == v2).get._3
+      // make v3's commit millisecond strictly later so the as-of read
+      // of ts2 is unambiguous
+      while (System.currentTimeMillis() <= ts2) Thread.sleep(1)
+      t.append(ev.filter(pmod(col("event_id"), lit(4)) === 2)) // v3
+      t.delete(col("event_id") % 4 === 0) // v4: wipes the v1 leg
+      val byVersion = t.readAt(v2)
+      val byTime = t.readAsOf(ts2)
+      // both reads must agree — union the version read with the
+      // timestamp read's anti-diff (empty when equal), so a divergence
+      // poisons the row count
+      byVersion.unionAll(byTime.exceptAll(byVersion))
+        .select(col("event_id"), col("user_id"),
+          col("value").cast("double").as("value"))
+    },
+
+    // ── SCHEMA EVOLUTION reads under the oracle: three appends with
+    // three different column sets (base, +value, −user_id). The final
+    // read surfaces the UNION schema with nulls exactly where each
+    // leg's files lack the column — the additive-evolution contract
+    // restated row-for-row in SQL.
+    "q199_txlog_schema_evolution" -> { (s, dir) =>
+      val t = new graft.sources.TxLogTable(s,
+        scratchDir("graft_txlog_q199"))
+      val ev = Tables.events(s, dir)
+      val base = ev.select(col("event_id"), col("user_id"))
+      t.ensureExists(base.schema)
+      t.append(base.filter(pmod(col("event_id"), lit(3)) === 0))
+      t.append(ev.filter(pmod(col("event_id"), lit(3)) === 1)
+        .select(col("event_id"), col("user_id"), col("value")))
+      t.append(ev.filter(pmod(col("event_id"), lit(3)) === 2)
+        .select(col("event_id"), col("value")))
+      t.read().select(col("event_id"), col("user_id"),
+        col("value").cast("double").as("value"))
     }
   )
 
@@ -6462,6 +6512,18 @@ object ExtQueries {
         |  text AS body,
         |  CAST(8 AS BIGINT) AS n_streams
         |FROM documents WHERE doc_id < 40""".stripMargin,
+    "q198_txlog_time_travel" ->
+      """SELECT event_id, user_id, value
+        |FROM events WHERE event_id % 4 IN (0, 1)""".stripMargin,
+    "q199_txlog_schema_evolution" ->
+      """SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+        |FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, value
+        |FROM events WHERE event_id % 3 = 1
+        |UNION ALL
+        |SELECT event_id, CAST(NULL AS BIGINT), value
+        |FROM events WHERE event_id % 3 = 2""".stripMargin,
     "q196_txlog_constraint_gate" ->
       """SELECT event_id, user_id, event_type, CAST(1 AS BIGINT) AS enforced
         |FROM events WHERE event_id % 3 = 0
