@@ -4011,6 +4011,58 @@ object ExtQueries {
         .select(col("event_id"), col("value")))
       t.read().select(col("event_id"), col("user_id"),
         col("value").cast("double").as("value"))
+    },
+
+    // ── the CAPSTONE composition gate: crawl container → extract →
+    // quality gate → exact dedup → constrained transactional store →
+    // snapshot read, end to end under ONE oracle. Every doc becomes a
+    // single-record .warc.gz whose body is text(doc_id % 400) — so
+    // bodies repeat by construction and the dedup leg has real work —
+    // parsed back through WarcSource, UTF-8 round-tripped, gated on
+    // length, deduped to min(doc_id) per body, appended into a txlog
+    // table under a CHECK constraint, and read back as the snapshot.
+    // All stages are the production operators; the oracle restates the
+    // surviving set from the documents table alone.
+    "q200_corpus_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bodies = docs.as("d")
+        .join(docs.as("b"),
+          col("d.doc_id") % 400 === col("b.doc_id"), "inner")
+        .select(col("d.doc_id").as("doc_id"), col("b.text").as("body"))
+      // crawl leg: one single-record gzip WARC per doc, parsed back
+      val archives = bodies.as[(Long, String)].map { case (id, body) =>
+        (s"mem://w$id.warc.gz",
+          graft.functions.WarcCodec.file(Seq(
+            graft.functions.WarcCodec.responseRecord(
+              s"<urn:uuid:q200-$id>", s"https://example.org/p/$id",
+              "2026-01-01T00:00:00Z", 200, "OK", "text/plain",
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+            gzip = true))
+      }
+      val fetched = graft.sources.WarcSource.responses(
+        graft.sources.WarcSource.fromBytes(archives))
+        .select(
+          regexp_extract(col("target_uri"), "/p/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("payload").cast("string").as("body"))
+      // quality gate + exact dedup (min doc_id wins per body)
+      val kept = fetched
+        .filter(length(col("body")) >= 64)
+        .groupBy(col("body"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"),
+          length(col("body")).cast("long").as("body_len"),
+          size(regexp_extract_all(col("body"), lit("\\S+"), lit(0)))
+            .cast("long").as("n_tokens"),
+          col("body"))
+      // constrained transactional store, then the snapshot IS the result
+      val t = new graft.sources.TxLogTable(s,
+        scratchDir("graft_txlog_q200"))
+      t.ensureExists(kept.drop("body").schema)
+      t.addConstraint("tokens_positive", "n_tokens > 0")
+      t.append(kept.drop("body"))
+      t.read()
     }
   )
 
@@ -6515,6 +6567,19 @@ object ExtQueries {
     "q198_txlog_time_travel" ->
       """SELECT event_id, user_id, value
         |FROM events WHERE event_id % 4 IN (0, 1)""".stripMargin,
+    "q200_corpus_pipeline" ->
+      """WITH src AS (
+        |  SELECT d.doc_id, b.text AS body
+        |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id % 400
+        |), ok AS (
+        |  SELECT * FROM src WHERE length(body) >= 64
+        |), ded AS (
+        |  SELECT min(doc_id) AS keep_id, body FROM ok GROUP BY body
+        |)
+        |SELECT keep_id,
+        |  CAST(length(body) AS BIGINT) AS body_len,
+        |  CAST(len(regexp_extract_all(body, '\S+')) AS BIGINT) AS n_tokens
+        |FROM ded""".stripMargin,
     "q199_txlog_schema_evolution" ->
       """SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
         |FROM events WHERE event_id % 3 = 0
