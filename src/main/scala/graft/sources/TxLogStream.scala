@@ -28,9 +28,12 @@ import org.apache.spark.sql.types.StructType
   * ([[TxLogTable.renameColumn]]) the physical name is stable, so a
   * renamed column is recognized as its stream-schema twin and keeps
   * flowing under the stream-start name — no restart, no mode, no
-  * nulls. A mid-stream [[TxLogTable.widenColumn]] keeps flowing at
-  * the stream-start (narrow) type until a restart adopts the wide
-  * one. Genuinely NEW columns follow three behaviors, per the
+  * nulls. A mid-stream [[TxLogTable.widenColumn]] STOPS the stream
+  * with a restart-required error on the first batch carrying the wide
+  * type: the fixed stream schema is still narrow, and a silent
+  * down-cast would wrap out-of-range values into corrupted change
+  * rows (the Delta CDF contract — restart to adopt the wide type).
+  * Genuinely NEW columns follow three behaviors, per the
   * `onSchemaEvolution` option:
   *   - `"ignore"` (default) — post-start columns are invisible until
   *     the stream restarts;
@@ -165,11 +168,22 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
           val legs = (if (have(f.name)) Seq(col(f.name)) else Nil) ++
             us.map(u => col(u).cast(f.dataType))
           org.apache.spark.sql.functions.coalesce(legs: _*).as(f.name)
-        // the cast also absorbs a mid-stream widenColumn: the batch
-        // arrives wide, the fixed stream schema is still narrow — the
-        // stream keeps running at the narrow type until a restart
-        // adopts the wide one
-        case None if have(f.name) => col(f.name).cast(f.dataType).as(f.name)
+        // a mid-stream widenColumn means the batch arrives WIDER than
+        // the fixed stream schema; the default non-ANSI cast would
+        // silently WRAP out-of-range values into corrupted change rows
+        // — fail the batch with a restart-required error instead (the
+        // Delta CDF contract: a schema change the fixed stream schema
+        // cannot represent faithfully stops the stream)
+        case None if have(f.name) =>
+          val rawType = raw.schema(f.name).dataType
+          if (TxLogTable.widens(f.dataType, rawType))
+            throw new IllegalStateException(
+              s"txlog CDC stream on $root: column '${f.name}' was " +
+                s"widened mid-stream (${f.dataType.simpleString} -> " +
+                s"${rawType.simpleString}); restart the stream to adopt " +
+                "the wide type — casting down could silently corrupt " +
+                "out-of-range values")
+          col(f.name).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }

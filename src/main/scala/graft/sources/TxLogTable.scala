@@ -104,7 +104,25 @@ object TxLogTable {
       dv: Option[Seq[String]] = None,
       colMap: Option[Map[String, String]] = None,
       constraints: Option[Map[String, String]] = None,
-      copyFiles: Option[Seq[String]] = None)
+      copyFiles: Option[Seq[String]] = None,
+      minReader: Option[Int] = None)
+
+  /** Protocol versioning (the Delta minReaderVersion idea): a manifest
+    * whose correct interpretation REQUIRES a feature declares the
+    * minimum reader protocol, and a reader that doesn't speak it
+    * refuses loudly instead of silently mis-reading data (a pre-DV
+    * reader would resurrect deleted rows; a pre-mapping reader would
+    * read physical column names as if logical). Absent = 1 (base).
+    * Version 2 adds deletion vectors; version 3 adds column mapping.
+    * Write-side stamping is automatic at the [[tryCommit]] choke point
+    * — feature presence, not caller discipline, decides the floor.
+    */
+  private[sources] val SupportedReaderVersion: Int = 3
+
+  private[sources] def requiredReader(m: Manifest): Int =
+    Seq(1,
+      if (m.dv.exists(_.nonEmpty)) 2 else 1,
+      if (m.colMap.exists(_.nonEmpty)) 3 else 1).max
 
   /** One row of a PARQUET stats checkpoint (`_log/ckpt-*.parquet`,
     * referenced by [[Manifest.statsFile]]) — the Delta
@@ -133,6 +151,23 @@ object TxLogTable {
         c -> ColRange(r.mins.get(c), r.maxs.get(c), n)
       },
       r.blooms)
+
+  /** Widening type changes a real store must survive (Delta's type
+    * widening): the declared order admits byte→short→int→long,
+    * float→double, and integral→double.
+    */
+  private[sources] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    (from, to) match {
+      case (f, t) if integral.contains(f) && integral.contains(t) =>
+        integral.indexOf(f) < integral.indexOf(t)
+      case (FloatType, DoubleType) => true
+      case (f, DoubleType) if integral.contains(f) => true
+      case _ => false
+    }
+  }
 
   /** One WHEN MATCHED clause of [[TxLogTable.mergeConditional]], in
     * evaluation order (first whose condition holds wins — the public
@@ -195,8 +230,18 @@ final class TxLogTable(spark: SparkSession, root: String) {
   private def manifestAt(v: Long): Manifest = {
     val p = manifestPath(v)
     require(Files.exists(p), s"version $v does not exist in $root")
-    Serialization.read[Manifest](
+    val m = Serialization.read[Manifest](
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    // protocol guard: refuse loudly on a manifest requiring a feature
+    // this reader doesn't speak — silent mis-reads (ghost rows, wrong
+    // column identity) are the failure mode versioning exists to kill
+    m.minReader.filter(_ > TxLogTable.SupportedReaderVersion).foreach { r =>
+      throw new IllegalStateException(
+        s"txlog table $root version $v requires reader protocol $r; " +
+          s"this reader supports <= ${TxLogTable.SupportedReaderVersion}. " +
+          "Upgrade the library to read this table.")
+    }
+    m
   }
 
   /** Manifests contributing to snapshot `v`, oldest-first: walk
@@ -274,8 +319,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
     commitLoop(maxRetries) { v =>
       require(v >= 0,
         s"copyInto needs an existing table (ensureExists first): $root")
-      val done: Set[String] = (0L to v).iterator
-        .flatMap(i => manifestAt(i).copyFiles.getOrElse(Nil)).toSet
+      val done: Set[String] = copiedFilesAt(v)
       val fresh = files.filterNot(done)
       if (fresh.isEmpty) None // pure replay: no-op commit
       else {
@@ -294,9 +338,32 @@ final class TxLogTable(spark: SparkSession, root: String) {
   /** The ingested-file census — what a re-run of copyInto would skip. */
   def copiedFiles: Set[String] = {
     val v = currentVersion
-    if (v < 0) Set.empty
-    else (0L to v).iterator
-      .flatMap(i => manifestAt(i).copyFiles.getOrElse(Nil)).toSet
+    if (v < 0) Set.empty else copiedFilesAt(v)
+  }
+
+  /** Ingested-file union at version `v`: walk BACKWARD accumulating
+    * each manifest's `copyFiles` until the newest fold point — a
+    * [[checkpoint]] carries the accumulated union forward (marker
+    * `copy_fold`, like `colMap`/`constraints` carry their state) — so
+    * the driver cost is O(commits-since-last-checkpoint), not
+    * O(history), and old manifests may be archived once a checkpoint
+    * covers them. Pre-fold tables walk to version 0, the original
+    * semantics (the union is over ALL versions: file-level idempotency
+    * survives overwrites, restores, and replays by design).
+    */
+  private def copiedFilesAt(v: Long): Set[String] = {
+    val out = Set.newBuilder[String]
+    var cur = v
+    var done = false
+    while (!done && cur >= 0) {
+      if (Files.exists(manifestPath(cur))) {
+        val m = manifestAt(cur)
+        out ++= m.copyFiles.getOrElse(Nil)
+        if (m.markers.exists(_.contains("copy_fold"))) done = true
+      }
+      cur -= 1
+    }
+    out.result()
   }
 
   // ── CHECK constraints ─────────────────────────────────────────────
@@ -319,6 +386,16 @@ final class TxLogTable(spark: SparkSession, root: String) {
       val (chain, schema) = manifestChainAt(v)
       val existing = chain.last.constraints.getOrElse(Map.empty)
       require(!existing.contains(name), s"constraint '$name' already exists")
+      // every referenced column must exist in the CURRENT logical
+      // schema — without this, enforce()'s null-padding (which exists
+      // for legally-evolved batches) would let a typo'd column name
+      // create a constraint that never enforces anything, silently
+      val unknown = referencedColumns(sqlExpr).filterNot(c =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(unknown.isEmpty,
+        s"constraint '$name' references unknown column(s) " +
+          s"${unknown.toSeq.sorted.mkString(", ")} — schema is " +
+          schema.fieldNames.mkString(", "))
       // validate the expression parses AND the current rows pass
       val cur = readAt(v)
       enforce(cur, Map(name -> sqlExpr)).foreach(_ => ())
@@ -344,6 +421,18 @@ final class TxLogTable(spark: SparkSession, root: String) {
         constraints = Some(existing - name)))
     }
 
+  /** Single-part column names a constraint expression references —
+    * what [[addConstraint]] validates against the schema and
+    * [[renameColumn]] guards (a rename must not silently orphan a
+    * live CHECK: the null-padding in [[enforce]] would otherwise
+    * disable it forever while it still looked active).
+    */
+  private def referencedColumns(sqlExpr: String): Set[String] =
+    (try spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => a.name
+    } catch { case scala.util.control.NonFatal(_) => Nil }).toSet
+
   /** Weave fail-fast CHECK enforcement into a frame: each row
     * evaluates every constraint inside the SAME job that writes it
     * (single pass, no extra action) — `assert_true` throws with the
@@ -358,12 +447,8 @@ final class TxLogTable(spark: SparkSession, root: String) {
     // an evolved batch may legally OMIT columns a constraint references
     // (they land as null, and SQL CHECK passes on NULL) — null-pad them
     // so the expression resolves instead of failing analysis
-    val referenced: Set[String] = constraints.values.flatMap { sql =>
-      try spark.sessionState.sqlParser.parseExpression(sql).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if a.nameParts.length == 1 => a.name
-      } catch { case scala.util.control.NonFatal(_) => Nil }
-    }.toSet
+    val referenced: Set[String] =
+      constraints.values.flatMap(referencedColumns).toSet
     val missing = referenced.filterNot(c =>
       df.columns.exists(_.equalsIgnoreCase(c)))
     val base = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
@@ -440,6 +525,18 @@ final class TxLogTable(spark: SparkSession, root: String) {
           s"rename: no column '$oldName' in ${schema.fieldNames.mkString(",")}"))
       require(!schema.fieldNames.contains(newName),
         s"rename: column '$newName' already exists")
+      // a live CHECK constraint referencing the old name must block the
+      // rename (Delta's behavior): after it, enforce() would null-pad
+      // the vanished name and NULL passes SQL CHECK — the constraint
+      // would be silently disabled while still looking active
+      val blocking = chain.last.constraints.getOrElse(Map.empty).filter {
+        case (_, sql) =>
+          referencedColumns(sql).exists(_.equalsIgnoreCase(oldName))
+      }
+      require(blocking.isEmpty,
+        s"cannot rename '$oldName': CHECK constraint(s) " +
+          s"${blocking.keys.toSeq.sorted.mkString(", ")} reference it — " +
+          "drop and re-add them under the new name in separate commits")
       val physical = cmap.getOrElse(oldName, oldName)
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -448,23 +545,6 @@ final class TxLogTable(spark: SparkSession, root: String) {
         System.currentTimeMillis(),
         markers = Some(Map("alter" -> s"rename $oldName -> $newName")),
         cdc = Some(Nil), colMap = Some(newMap)))
-    }
-  }
-
-  /** Widening type changes a real store must survive (Delta's type
-    * widening): the declared order admits byte→short→int→long,
-    * float→double, and integral→double.
-    */
-  private def widens(from: org.apache.spark.sql.types.DataType,
-      to: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
-    (from, to) match {
-      case (f, t) if integral.contains(f) && integral.contains(t) =>
-        integral.indexOf(f) < integral.indexOf(t)
-      case (FloatType, DoubleType) => true
-      case (f, DoubleType) if integral.contains(f) => true
-      case _ => false
     }
   }
 
@@ -484,7 +564,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
       val field = schema.fields.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"widen: no column '$name' in ${schema.fieldNames.mkString(",")}"))
-      require(widens(field.dataType, to),
+      require(TxLogTable.widens(field.dataType, to),
         s"widen: ${field.dataType.simpleString} -> ${to.simpleString} " +
           "is not a widening")
       val newSchema = StructType(schema.fields.map(f =>
@@ -857,9 +937,15 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * story reduces to this one primitive. Returns false on collision.
     */
   private[sources] def tryCommit(version: Long, m: Manifest): Boolean = {
+    // protocol stamping: the floor is derived from FEATURE PRESENCE at
+    // the single choke point every commit funnels through — a manifest
+    // carrying DVs or a column mapping declares the reader version
+    // those features need, and base manifests stay version-1-readable
+    val req = TxLogTable.requiredReader(m)
+    val stamped = if (req > 1) m.copy(minReader = Some(req)) else m
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp,
-      Serialization.write(m.copy(version = version))
+      Serialization.write(stamped.copy(version = version))
         .getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(manifestPath(version), tmp)
@@ -1391,9 +1477,16 @@ final class TxLogTable(spark: SparkSession, root: String) {
       // a checkpoint folds METADATA only — live deletion vectors must
       // ride along or the fold would resurrect deleted rows
       val dvs = dvDirsOf(chain)
+      // fold the COPY INTO ingested-file union forward too (marker
+      // `copy_fold` = the walk stop for copiedFilesAt), so the
+      // exactly-once census is O(chain) to recompute, not O(history)
+      val copied = copiedFilesAt(v)
       Some(Manifest(0L, "overwrite", chain.flatMap(_.add), schema.json,
-        System.currentTimeMillis(), None, None, Some(Nil), staged,
-        if (dvs.isEmpty) None else Some(dvs)))
+        System.currentTimeMillis(), Some(Map("copy_fold" -> "1")), None,
+        Some(Nil), staged,
+        if (dvs.isEmpty) None else Some(dvs),
+        copyFiles = if (copied.isEmpty) None
+          else Some(copied.toSeq.sorted)))
     }
     writeLastCheckpoint(v, staged)
     v

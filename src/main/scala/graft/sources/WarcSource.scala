@@ -159,14 +159,15 @@ object WarcSource {
         // a LYING index row (offset past EOF, runaway length) must cost
         // its own records, never the job — clamp every extent to the
         // file's real length before the ranged read (same stance as
-        // WikiSource.pagesIndexed)
+        // WikiSource.pagesIndexed). A FAILED stat is a different case:
+        // it propagates so Spark retries the task — mapping it to "no
+        // records" would silently drop every indexed record of the
+        // archive and the result would look complete while missing data.
         val hConf = conf.value.value
         val p = new org.apache.hadoop.fs.Path(path)
-        val fileLen =
-          try p.getFileSystem(hConf).getFileStatus(p).getLen
-          catch { case _: java.io.IOException => -1L }
+        val fileLen = p.getFileSystem(hConf).getFileStatus(p).getLen
         val es = rows.toVector
-          .filter(e => fileLen >= 0 && e.offset >= 0 && e.length > 0 &&
+          .filter(e => e.offset >= 0 && e.length > 0 &&
             e.offset < fileLen)
           .map(e => if (e.offset + e.length <= fileLen) e
             else e.copy(length = fileLen - e.offset))
