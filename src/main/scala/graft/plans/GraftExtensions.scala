@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.types.DoubleType))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL DML + time travel for the transactional table: MERGE INTO /
+    // UPDATE / DELETE / VERSION AS OF / TIMESTAMP AS OF over
+    // `txlog.`path`` targets route to the TxLogTable primitives; all
+    // other statements parse through the delegate untouched.
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
     ext.injectFunction((
       new FunctionIdentifier("graft_extract_json"),
       new ExpressionInfo(classOf[ExtractBalancedJsonExpr].getName,

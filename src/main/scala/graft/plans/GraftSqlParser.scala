@@ -1,0 +1,364 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType, TimestampType}
+
+import graft.sources.TxLogTable
+
+/** SQL surface for the transactional (txlog) table — the parser
+  * extension the `.withExtensions` seam injects
+  * ([[GraftExtensions]]), so a SQL-first user (the reference's own
+  * idiom is SQL strings: monthly_price_paid_data.py:147-156,
+  * pull_new_sales_list.py:252-264 run `ON CONFLICT` upserts as text)
+  * drives the table without touching the Scala API:
+  *
+  * {{{
+  * spark.sql("MERGE INTO txlog.`/data/t` t USING (SELECT ...) s " +
+  *   "ON t.k = s.k " +
+  *   "WHEN MATCHED AND s.flag THEN DELETE " +
+  *   "WHEN MATCHED THEN UPDATE SET * " +
+  *   "WHEN NOT MATCHED THEN INSERT *")
+  * spark.sql("UPDATE txlog.`/data/t` SET v = v * 2 WHERE k = 1")
+  * spark.sql("DELETE FROM txlog.`/data/t` WHERE k = 2")
+  * spark.sql("SELECT * FROM txlog.`/data/t` VERSION AS OF 3")
+  * spark.sql("SELECT * FROM txlog.`/data/t` TIMESTAMP AS OF '...'")
+  * }}}
+  *
+  * Design: Spark's OWN grammar already parses every one of these
+  * statements (MergeIntoTable / UpdateTable / DeleteFromTable /
+  * RelationTimeTravel catalyst nodes) — it only lacks an execution
+  * path for a V1 path-based table. So the extension delegates ALL
+  * parsing to the built-in parser and REWRITES the returned tree:
+  * nodes whose target is a `txlog.`path`` relation become runnable
+  * commands routed to the already-oracled [[TxLogTable]] primitives
+  * (`mergeConditional` / `update` / `delete` / `readAt`); everything
+  * else passes through untouched, including plain
+  * `SELECT ... FROM txlog.`path`` (Spark's file-relation resolution
+  * handles that natively via the registered DataSource).
+  *
+  * Supported MERGE shape = exactly [[TxLogTable.mergeConditional]]'s
+  * contract: equi-key ON conjunction, ordered `WHEN MATCHED [AND c]
+  * THEN UPDATE SET * | DELETE` clauses, one optional `WHEN NOT
+  * MATCHED [AND c] THEN INSERT *`. Column-level assignment clauses
+  * and NOT MATCHED BY SOURCE are rejected with a clear error rather
+  * than silently approximated.
+  */
+final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlRewrite(session, delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    GraftSqlRewrite(session, delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** The tree rewrite behind [[GraftSqlParser]] — exposed separately so
+  * [[GraftSql.sql]] can offer the same statements on a session built
+  * WITHOUT extensions (the Verify/Bench drivers).
+  */
+object GraftSqlRewrite {
+
+  /** `txlog.`path`` target (possibly aliased) → (path, alias). */
+  private def txlogTarget(plan: LogicalPlan): Option[(String, Option[String])] =
+    plan match {
+      case SubqueryAlias(id, child) =>
+        txlogTarget(child).map { case (p, _) => (p, Some(id.name)) }
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("txlog") =>
+        Some((u.multipartIdentifier(1), None))
+      case _ => None
+    }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"txlog SQL: $msg")
+
+  /** Requalify `alias.col` references to the canonical `t`/`s`
+    * aliases [[TxLogTable.mergeConditional]] evaluates clause
+    * conditions under, then render back to SQL text.
+    */
+  private def clauseSql(e: Expression, tAlias: Option[String],
+      sAlias: Option[String]): String =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          tAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(Seq("t", a.nameParts.last))
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          sAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(Seq("s", a.nameParts.last))
+    }.sql
+
+  /** Drop the target qualifier from single-table DML expressions
+    * (UPDATE/DELETE conditions and assignment values run over the
+    * bare snapshot frame).
+    */
+  private def bareSql(e: Expression, alias: Option[String]): String =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          alias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }.sql
+
+  /** Equi-key columns of a MERGE ON condition: a conjunction of
+    * `t.k = s.k` (either order; bare `k = k` accepted too). Anything
+    * else is not expressible as the key-join merge and fails loudly.
+    */
+  private def keysOf(cond: Expression, tAlias: Option[String],
+      sAlias: Option[String]): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def side(a: UnresolvedAttribute): Option[String] =
+      if (a.nameParts.length >= 2) {
+        if (tAlias.exists(_.equalsIgnoreCase(a.nameParts.head))) Some("t")
+        else if (sAlias.exists(_.equalsIgnoreCase(a.nameParts.head))) Some("s")
+        else None
+      } else None
+    conjuncts(cond).map {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) &&
+            ((side(l), side(r)) match {
+              case (Some(a), Some(b)) => a != b
+              case (None, None) =>
+                l.nameParts.length == 1 && r.nameParts.length == 1
+              case _ => false
+            }) =>
+        l.nameParts.last
+      case other => fail(
+        s"MERGE ON must be a conjunction of t.key = s.key equalities; " +
+          s"got: ${other.sql}")
+    }
+  }
+
+  /** Resolve a TIMESTAMP AS OF expression to epoch millis. */
+  private def tsMillis(e: Expression): Long = e match {
+    case Literal(v, StringType) =>
+      val s = v.toString
+      if (s.matches("-?\\d+")) s.toLong
+      else try java.time.Instant.parse(s).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    case Literal(v, TimestampType) => v.asInstanceOf[Long] / 1000L
+    case other => fail(
+      s"TIMESTAMP AS OF needs a literal timestamp, got ${other.sql}")
+  }
+
+  /** Pass 2: plain `txlog.`path`` references in any SELECT context
+    * become the current snapshot's analyzed read plan. Spark's own
+    * SQL-on-file resolution (`parquet.`path``) covers only FileFormat
+    * sources — a V1 RelationProvider is rejected with
+    * UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY — so the substitution
+    * happens here, at the same place the snapshot-pinning DataFrame
+    * API does it. Runs AFTER the command pass: DML/insert targets were
+    * already lifted into commands, so every surviving reference is a
+    * read.
+    */
+  private def rewriteReads(session: SparkSession,
+      plan: LogicalPlan): LogicalPlan =
+    plan transformUp {
+      case u: UnresolvedRelation
+          if !u.isStreaming && txlogTarget(u).isDefined =>
+        val (root, _) = txlogTarget(u).get
+        val table = new TxLogTable(session, root)
+        require(table.exists, s"txlog table does not exist at $root")
+        table.read().queryExecution.analyzed
+    }
+
+  def apply(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    rewriteReads(session, plan transformUp {
+      // INSERT INTO / INSERT OVERWRITE txlog.`p` <query> — positional
+      // (or byName) column semantics, routed to append/overwrite; the
+      // command captures the query BEFORE read-rewriting so its own
+      // txlog references still resolve through rewriteReads below.
+      case i: InsertIntoStatement if txlogTarget(i.table).isDefined =>
+        val (root, _) = txlogTarget(i.table).get
+        if (i.partitionSpec.nonEmpty)
+          fail("INSERT ... PARTITION is not supported (use sortCols)")
+        if (i.userSpecifiedCols.nonEmpty)
+          fail("INSERT with an explicit column list is not supported")
+        GraftInsertCommand(root, rewriteReads(session, i.query),
+          i.overwrite, i.byName)
+      // time travel: SELECT ... FROM txlog.`p` VERSION/TIMESTAMP AS OF x
+      case tt @ RelationTimeTravel(rel, ts, ver) if txlogTarget(rel).isDefined =>
+        val (root, _) = txlogTarget(rel).get
+        val table = new TxLogTable(session, root)
+        val version = ver match {
+          case Some(v) => v.toLong
+          case None => table.versionAsOf(tsMillis(ts.getOrElse(
+            fail("time travel needs VERSION AS OF or TIMESTAMP AS OF"))))
+        }
+        table.readAt(version).queryExecution.analyzed
+
+      case m: MergeIntoTable if txlogTarget(m.targetTable).isDefined =>
+        val (root, tAlias) = txlogTarget(m.targetTable).get
+        val (srcPlan, sAlias) = m.sourceTable match {
+          case SubqueryAlias(id, child) => (child, Some(id.name))
+          case other => (other, None)
+        }
+        if (m.notMatchedBySourceActions.nonEmpty)
+          fail("WHEN NOT MATCHED BY SOURCE is not supported")
+        val keys = keysOf(m.mergeCondition, tAlias, sAlias)
+        if (keys.isEmpty) fail("MERGE ON produced no key columns")
+        def cSql(c: Option[Expression]): Option[String] =
+          c.map(clauseSql(_, tAlias, sAlias))
+        val matched: Seq[TxLogTable.MergeClause] = m.matchedActions.map {
+          case UpdateStarAction(c) => TxLogTable.MatchedUpdate(cSql(c))
+          case u: UpdateAction if u.fromStar =>
+            TxLogTable.MatchedUpdate(cSql(u.condition))
+          case DeleteAction(c) => TxLogTable.MatchedDelete(cSql(c))
+          case other => fail(
+            s"unsupported WHEN MATCHED action $other — use UPDATE SET * or DELETE")
+        }
+        val (insert, insertCond) = m.notMatchedActions match {
+          case Nil => (false, None)
+          case Seq(InsertStarAction(c)) => (true, cSql(c))
+          case Seq(i: InsertAction) if i.assignments.isEmpty => (true, cSql(i.condition))
+          case other => fail(
+            s"unsupported WHEN NOT MATCHED action(s) $other — use INSERT *")
+        }
+        GraftMergeCommand(root, rewriteReads(session, srcPlan), keys,
+          matched, insert, insertCond)
+
+      case u: UpdateTable if txlogTarget(u.table).isDefined =>
+        val (root, alias) = txlogTarget(u.table).get
+        val sets = u.assignments.map { a =>
+          val name = a.key match {
+            case k: UnresolvedAttribute => k.nameParts.last
+            case other => fail(s"unsupported assignment target ${other.sql}")
+          }
+          name -> bareSql(a.value, alias)
+        }
+        GraftUpdateCommand(root, sets,
+          u.condition.map(bareSql(_, alias)))
+
+      case d: DeleteFromTable if txlogTarget(d.table).isDefined =>
+        val (root, alias) = txlogTarget(d.table).get
+        GraftDeleteCommand(root, Option(d.condition)
+          .filterNot(_ == Literal.TrueLiteral).map(bareSql(_, alias)))
+    })
+}
+
+/** Shared bits of the three DML commands: each `run` is one
+  * optimistic commit through the already-oracled TxLogTable primitive
+  * and returns the committed version (the statement's result row).
+  * All plan/expression payload is carried as PLAIN DATA (SQL strings,
+  * names) so the analyzer treats the command as a resolved leaf — the
+  * expressions resolve at run time against the frames they actually
+  * apply to, exactly as the Scala API does.
+  */
+sealed trait GraftTxLogCommand extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+}
+
+/** MERGE INTO txlog.`root` routed to [[TxLogTable.mergeConditional]]. */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+    keys: Seq[String], matched: Seq[TxLogTable.MergeClause],
+    insert: Boolean, insertCond: Option[String])
+    extends GraftTxLogCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val t = new TxLogTable(sparkSession, root)
+    val src = bridge.ofRows(sparkSession, source)
+    val v = t.mergeConditional(src, keys, whenMatched = matched,
+      insertWhenNotMatched = insert, notMatchedCondition = insertCond)
+    Seq(Row(v))
+  }
+}
+
+/** UPDATE txlog.`root` routed to [[TxLogTable.update]]. */
+case class GraftUpdateCommand(root: String, sets: Seq[(String, String)],
+    condition: Option[String]) extends GraftTxLogCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val t = new TxLogTable(sparkSession, root)
+    val v = t.update(condition.map(expr).getOrElse(lit(true)),
+      sets.map { case (k, sql) => k -> expr(sql) }.toMap)
+    Seq(Row(v))
+  }
+}
+
+/** INSERT INTO / INSERT OVERWRITE txlog.`root` routed to
+  * [[TxLogTable.append]] / [[TxLogTable.overwrite]]. Positional
+  * semantics (SQL INSERT): the query's columns map to the table
+  * schema by position and cast to its types; `byName` maps by name
+  * instead (INSERT INTO ... BY NAME).
+  */
+case class GraftInsertCommand(root: String, query: LogicalPlan,
+    overwrite: Boolean, byName: Boolean) extends GraftTxLogCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val t = new TxLogTable(sparkSession, root)
+    require(t.exists, s"txlog table does not exist at $root")
+    val src = bridge.ofRows(sparkSession, query)
+    val schema = t.schemaAt(t.currentVersion)
+    val conformed =
+      if (byName) {
+        val missing = schema.fieldNames.filterNot(f =>
+          src.columns.exists(_.equalsIgnoreCase(f)))
+        require(missing.isEmpty,
+          s"INSERT BY NAME lacks column(s): ${missing.mkString(", ")}")
+        src.select(schema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      } else {
+        require(src.columns.length == schema.length,
+          s"INSERT arity mismatch: query has ${src.columns.length} " +
+            s"columns, table has ${schema.length}")
+        src.select(src.columns.toIndexedSeq.zip(schema.fields).map {
+          case (c, f) => src.col(s"`$c`").cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    val v = if (overwrite) t.overwrite(conformed) else t.append(conformed)
+    Seq(Row(v))
+  }
+}
+
+/** DELETE FROM txlog.`root` routed to [[TxLogTable.delete]]. */
+case class GraftDeleteCommand(root: String, condition: Option[String])
+    extends GraftTxLogCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val t = new TxLogTable(sparkSession, root)
+    val v = t.delete(condition.map(expr).getOrElse(lit(true)))
+    Seq(Row(v))
+  }
+}
+
+/** The same SQL surface for sessions built WITHOUT extensions: parse
+  * with the session's own parser, apply [[GraftSqlRewrite]], execute.
+  * This is byte-identical routing to the injected-parser path — the
+  * production seam is spec-pinned on a `.withExtensions` session, and
+  * the oracle gates drive this entry so they run under any session.
+  */
+object GraftSql {
+  def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame =
+    bridge.ofRows(spark,
+      GraftSqlRewrite(spark, spark.sessionState.sqlParser.parsePlan(text)))
+}

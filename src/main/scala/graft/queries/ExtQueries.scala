@@ -4063,6 +4063,122 @@ object ExtQueries {
       t.addConstraint("tokens_positive", "n_tokens > 0")
       t.append(kept.drop("body"))
       t.read()
+    },
+
+    // ── the SQL-DML surface, gate 1 of 4: MERGE INTO as a STATEMENT
+    // (the reference's own idiom — its upserts are SQL strings,
+    // pull_new_sales_list.py:252-264) routed through the parser
+    // extension to the same oracled mergeConditional as q119. Same
+    // seed, same clauses, same oracle — a routing slip anywhere in
+    // parse → clause mapping → key extraction → execution breaks the
+    // hash against q119's replay.
+    "q201_sql_txlog_merge" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val target = ord.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val src = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double").as("new_price"),
+          (max(when(col("l_returnflag") === "R", 1).otherwise(0)) === 1)
+            .as("has_return"))
+        .join(ord.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")), Seq("o_orderkey"))
+        .withColumn("o_totalprice", col("new_price"))
+      val root = scratchDir("graft_txlog_q201")
+      val t = new graft.sources.TxLogTable(s, root)
+      t.ensureExists(target.schema)
+      t.append(target)
+      src.createOrReplaceTempView("q201_merge_src")
+      graft.plans.GraftSql.sql(s,
+        s"""MERGE INTO txlog.`$root` AS tgt USING q201_merge_src AS src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.has_return THEN DELETE
+           |WHEN MATCHED AND src.new_price > tgt.o_totalprice
+           |  THEN UPDATE SET *
+           |WHEN NOT MATCHED AND NOT src.has_return THEN INSERT *
+           |""".stripMargin).collect()
+      graft.plans.GraftSql.sql(s,
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM txlog.`$root`""".stripMargin)
+    },
+
+    // ── SQL-DML gate 2: UPDATE + DELETE statements (q135's twin), the
+    // final aggregate ALSO through SQL over the `txlog.`path`` read
+    // substitution — statement-only end to end.
+    "q202_sql_txlog_dml" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val root = scratchDir("graft_txlog_q202")
+      val t = new graft.sources.TxLogTable(s, root)
+      t.ensureExists(ev.schema)
+      t.append(ev)
+      graft.plans.GraftSql.sql(s,
+        s"""UPDATE txlog.`$root` SET value = value * 2 + 1
+           |WHERE event_type = 'click' AND value IS NOT NULL""".stripMargin)
+        .collect()
+      graft.plans.GraftSql.sql(s,
+        s"DELETE FROM txlog.`$root` WHERE event_type = 'error'").collect()
+      graft.plans.GraftSql.sql(s,
+        s"""SELECT event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           |FROM txlog.`$root` GROUP BY event_type""".stripMargin)
+    },
+
+    // ── SQL-DML gate 3: time travel as SQL (q198's twin) — VERSION AS
+    // OF and TIMESTAMP AS OF must agree, pinned by the same
+    // union+except construction, all expressed as one statement.
+    "q203_sql_txlog_time_travel" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q203")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      t.ensureExists(ev.schema)
+      t.append(ev.filter(pmod(col("event_id"), lit(4)) === 0)) // v1
+      val v2 = t.append(ev.filter(pmod(col("event_id"), lit(4)) === 1))
+      val ts2 = t.history().find(_._1 == v2).get._3
+      while (System.currentTimeMillis() <= ts2) Thread.sleep(1)
+      t.append(ev.filter(pmod(col("event_id"), lit(4)) === 2)) // v3
+      graft.plans.GraftSql.sql(s,
+        s"DELETE FROM txlog.`$root` WHERE event_id % 4 = 0").collect()
+      val iso = java.time.Instant.ofEpochMilli(ts2).toString
+      graft.plans.GraftSql.sql(s,
+        s"""SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+           |FROM txlog.`$root` VERSION AS OF $v2
+           |UNION ALL
+           |(SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+           | FROM txlog.`$root` TIMESTAMP AS OF '$iso'
+           | EXCEPT ALL
+           | SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+           | FROM txlog.`$root` VERSION AS OF $v2)""".stripMargin)
+    },
+
+    // ── SQL-DML gate 4: INSERT INTO / INSERT OVERWRITE statements —
+    // positional-cast semantics onto the table schema, overwrite
+    // resetting the live set, appends landing after it.
+    "q204_sql_txlog_insert" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q204")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      t.ensureExists(ev.schema)
+      ev.createOrReplaceTempView("q204_events")
+      def run(sql: String): Unit =
+        { graft.plans.GraftSql.sql(s, sql).collect(); () }
+      run(s"""INSERT INTO txlog.`$root`
+             |SELECT event_id, user_id, value FROM q204_events
+             |WHERE event_id % 2 = 0""".stripMargin)
+      run(s"""INSERT OVERWRITE txlog.`$root`
+             |SELECT event_id, user_id, value FROM q204_events
+             |WHERE event_id % 3 = 0""".stripMargin)
+      run(s"""INSERT INTO txlog.`$root`
+             |SELECT event_id, user_id, value FROM q204_events
+             |WHERE event_id % 3 = 1""".stripMargin)
+      graft.plans.GraftSql.sql(s,
+        s"""SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+           |FROM txlog.`$root`""".stripMargin)
     }
   )
 
@@ -6704,6 +6820,17 @@ object ExtQueries {
       // a CTE) with q18's rounded quality as the ranking key: survivors
       // are each component's argmax-quality member (ties → lowest id),
       // singletons always survive.
+      // the SQL-statement twins replay the exact oracles of the API
+      // queries they route to — parse/rewrite/execute must be
+      // result-identical to the direct TxLogTable calls
+      ("q201_sql_txlog_merge" ->
+        oracleBase("q119_txlog_merge_conditional")) +
+      ("q202_sql_txlog_dml" -> oracleBase("q135_txlog_dml")) +
+      ("q203_sql_txlog_time_travel" ->
+        oracleBase("q198_txlog_time_travel")) +
+      ("q204_sql_txlog_insert" ->
+        """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+          |FROM events WHERE event_id % 3 IN (0, 1)""".stripMargin) +
       ("q79_canonical_by_quality" -> {
         val ccAsCte = oracleBase("q34_dedup_closure").replace(
           "SELECT src AS vertex, least(src, MIN(dst)) AS component\nFROM reach GROUP BY src",

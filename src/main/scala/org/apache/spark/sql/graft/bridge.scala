@@ -23,6 +23,18 @@ object bridge {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Execute a logical plan as a DataFrame — `Dataset.ofRows` is
+    * `private[sql]` in Spark 4. The SQL-DML command layer
+    * ([[graft.plans.GraftSqlParser]]) needs it to run a MERGE source
+    * subquery plan and to hand rewritten statements back to the
+    * session.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Re-plan a batch DataFrame's rows as a (non-)streaming frame —
     * `internalCreateDataFrame` is `private[sql]` in Spark 4. Streaming
     * V1 sources must hand `MicroBatchExecution` a plan flagged

@@ -1,0 +1,173 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sources.TxLogTable
+
+/** SQL DML + time travel over the txlog table: the parser extension
+  * routes MERGE INTO / UPDATE / DELETE / VERSION AS OF statements on
+  * `txlog.`path`` targets to the oracled TxLogTable primitives. The
+  * production seam (a session built `.withExtensions`, plain
+  * `spark.sql(...)`) and the extension-less helper ([[GraftSql.sql]])
+  * share the same rewrite — both are pinned here, including result
+  * equality against the Scala-API calls they route to.
+  */
+class GraftSqlDmlSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true),
+    StructField("n", LongType, nullable = true)))
+
+  private def df(rows: (Long, String, java.lang.Long)*) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (k, v, n) => Row(k, v, n) }.asJava, schema)
+  }
+
+  private def L(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+
+  private def seed(prefix: String): (String, TxLogTable) = {
+    val root = Files.createTempDirectory(prefix).toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", L(10)), (2L, "b", L(20)), (3L, "c", L(30))))
+    (root, t)
+  }
+
+  test("UPDATE and DELETE statements route to the transactional DML") {
+    val (root, t) = seed("sqldml_ud")
+    GraftSql.sql(spark,
+      s"UPDATE txlog.`$root` SET n = n * 2, v = upper(v) WHERE k <= 2")
+      .collect()
+    GraftSql.sql(spark, s"DELETE FROM txlog.`$root` WHERE n = 40").collect()
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "A", 20L), (3L, "c", 30L)))
+    // WHERE-less forms touch every row (SQL semantics)
+    GraftSql.sql(spark, s"UPDATE txlog.`$root` SET n = 0").collect()
+    assert(t.read().filter(col("n") =!= 0L).isEmpty)
+    GraftSql.sql(spark, s"DELETE FROM txlog.`$root`").collect()
+    assert(t.read().isEmpty)
+  }
+
+  test("MERGE INTO with ordered clauses matches the Scala-API merge") {
+    val (root, t) = seed("sqldml_merge")
+    val (root2, t2) = seed("sqldml_merge_api")
+    df((2L, "B2", L(99)), (3L, "C2", L(5)), (4L, "D2", L(44)),
+      (5L, "E2", null))
+      .createOrReplaceTempView("updates_sqldml")
+    // delete high-n matches, update the rest; insert only non-null n
+    GraftSql.sql(spark,
+      s"""MERGE INTO txlog.`$root` AS tgt USING updates_sqldml AS src
+         |ON tgt.k = src.k
+         |WHEN MATCHED AND src.n > 50 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND src.n IS NOT NULL THEN INSERT *
+         |""".stripMargin).collect()
+    t2.mergeConditional(spark.table("updates_sqldml"), Seq("k"),
+      whenMatched = Seq(
+        TxLogTable.MatchedDelete(Some("s.n > 50")),
+        TxLogTable.MatchedUpdate(None)),
+      notMatchedCondition = Some("s.n IS NOT NULL"))
+    val sqlGot = t.read().orderBy("k").collect().toSeq
+    val apiGot = t2.read().orderBy("k").collect().toSeq
+    assert(sqlGot == apiGot)
+    assert(sqlGot.map(_.getLong(0)) == Seq(1L, 3L, 4L)) // k=2 deleted, k=5 null-gated
+    assert(sqlGot.find(_.getLong(0) == 3L).get.getString(1) == "C2")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF read exact snapshots in SELECT") {
+    val (root, t) = seed("sqldml_tt")
+    val v1 = t.currentVersion
+    val ts1 = t.history().find(_._1 == v1).get._3
+    while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+    t.append(df((9L, "z", L(90))))
+    t.delete(col("k") === 1L)
+    // current state differs from v1 in both directions
+    val byVer = GraftSql.sql(spark,
+      s"SELECT k, v, n FROM txlog.`$root` VERSION AS OF $v1 ORDER BY k")
+      .collect().toSeq
+    assert(byVer.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    val byTs = GraftSql.sql(spark,
+      s"SELECT count(*) AS c FROM txlog.`$root` TIMESTAMP AS OF '" +
+        java.time.Instant.ofEpochMilli(ts1).toString + "'")
+      .collect().head.getLong(0)
+    assert(byTs == 3L)
+    // time travel composes inside a bigger statement (join + agg)
+    val joined = GraftSql.sql(spark,
+      s"""SELECT cur.k FROM txlog.`$root` cur
+         |LEFT ANTI JOIN txlog.`$root` VERSION AS OF $v1 old
+         |ON cur.k = old.k""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(joined == Seq(9L))
+  }
+
+  test("production seam: spark.sql on a withExtensions session") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne base)
+      val root = Files.createTempDirectory("sqldml_ext").toString
+      val t = new TxLogTable(s2, root)
+      t.ensureExists(schema)
+      t.append(df((1L, "a", L(10)), (2L, "b", L(20))))
+      val v1 = t.currentVersion
+      s2.sql(s"UPDATE txlog.`$root` SET n = n + 1 WHERE k = 1").collect()
+      s2.sql(s"DELETE FROM txlog.`$root` WHERE k = 2").collect()
+      // the view must live in s2's catalog (temp views are per-session)
+      s2.createDataFrame(java.util.List.of(
+        Row(1L, "A", L(100)), Row(7L, "g", L(70))), schema)
+        .createOrReplaceTempView("ext_updates")
+      val ver = s2.sql(
+        s"""MERGE INTO txlog.`$root` t USING ext_updates s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .collect().head.getLong(0)
+      assert(ver == t.currentVersion)
+      val cur = t.read().orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(cur == Seq((1L, "A", 100L), (7L, "g", 70L)))
+      // time travel through plain spark.sql too
+      assert(s2.sql(
+        s"SELECT * FROM txlog.`$root` VERSION AS OF $v1").count() == 2)
+      // and non-txlog SQL is untouched by the injected parser
+      assert(s2.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("unsupported MERGE shapes fail loudly, not approximately") {
+    val (root, _) = seed("sqldml_unsupported")
+    df((2L, "x", L(1))).createOrReplaceTempView("u_sqldml")
+    def bad(sql: String, needle: String): Unit = {
+      val e = intercept[UnsupportedOperationException](
+        GraftSql.sql(spark, sql).collect())
+      assert(e.getMessage.contains(needle), e.getMessage)
+    }
+    bad(
+      s"""MERGE INTO txlog.`$root` t USING u_sqldml s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin,
+      "UPDATE SET *")
+    bad(
+      s"""MERGE INTO txlog.`$root` t USING u_sqldml s ON t.k < s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin,
+      "conjunction")
+    bad(
+      s"""MERGE INTO txlog.`$root` t USING u_sqldml s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+      "NOT MATCHED BY SOURCE")
+  }
+}
