@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // other statements parse through the delegate untouched.
     ext.injectParser((session, delegate) =>
       new GraftSqlParser(session, delegate))
+    // Dynamic file pruning for txlog joins: one pass after operator
+    // optimization (preCBO), so the IN-set it derives sees the final
+    // filtered dim side and the swap happens before join planning.
+    ext.injectPreCBORule(session => new TxLogDynamicFilePruning(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_extract_json"),
       new ExpressionInfo(classOf[ExtractBalancedJsonExpr].getName,

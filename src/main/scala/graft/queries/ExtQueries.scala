@@ -4179,6 +4179,39 @@ object ExtQueries {
       graft.plans.GraftSql.sql(s,
         s"""SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
            |FROM txlog.`$root`""".stripMargin)
+    },
+
+    // ── DYNAMIC FILE PRUNING under the oracle: a range-clustered
+    // txlog fact (lineitem, 16 files with per-file l_orderkey ranges +
+    // blooms) joined to a 3-ROW dimension. No static predicate exists
+    // on the join key, so without the rewrite every file is scanned;
+    // the rule executes the dim's keys at planning time and prunes the
+    // file list through the manifest stats. The oracle replays the
+    // join exactly — pruning must be invisible to the result — and
+    // TxLogDfpSpec pins the files-skipped effectiveness on the same
+    // construction.
+    "q205_txlog_dynamic_pruning" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q205")
+      val t = new graft.sources.TxLogTable(s, root)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      t.ensureExists(li.schema)
+      t.append(li)
+      t.compactClustered(Seq("l_orderkey"), numFiles = 16,
+        statsCols = Seq("l_orderkey"))
+      val fact = s.read.format("txlog").load(root)
+      // deterministic handful-of-rows dim (no static fact predicate)
+      val dimKeys = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 997 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val joined = fact.join(dimKeys,
+          fact("l_orderkey") === dimKeys("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+      graft.plans.TxLogDynamicFilePruning.prune(joined)
     }
   )
 
@@ -6831,6 +6864,15 @@ object ExtQueries {
       ("q204_sql_txlog_insert" ->
         """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
           |FROM events WHERE event_id % 3 IN (0, 1)""".stripMargin) +
+      // dynamic file pruning must be invisible to the join result
+      ("q205_txlog_dynamic_pruning" ->
+        """SELECT o.o_orderkey, o.o_custkey,
+          |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_orderkey % 997 = 1
+          |GROUP BY 1, 2""".stripMargin) +
       ("q79_canonical_by_quality" -> {
         val ccAsCte = oracleBase("q34_dedup_closure").replace(
           "SELECT src AS vertex, least(src, MIN(dst)) AS component\nFROM reach GROUP BY src",

@@ -206,7 +206,7 @@ object TxLogRelation {
     * recent `buildScan` — lets specs pin pruning EFFECTIVENESS (fewer
     * files opened), not just result correctness.
     */
-  @volatile private[sources] var lastScan: (Int, Int) = (0, 0)
+  @volatile private[graft] var lastScan: (Int, Int) = (0, 0)
 
   /** Source `Filter` → `Column`, for the subset with exact Column
     * semantics. `None` marks the filter unhandled: Spark keeps its own
@@ -240,10 +240,25 @@ object TxLogRelation {
   * construction — the version is fixed at planning time, and later
   * commits never touch a published snapshot's files — so a cached or
   * re-executed plan always re-reads identical data.
+  *
+  * `pathsOverride` is the DYNAMIC FILE PRUNING seam
+  * ([[graft.plans.TxLogDynamicFilePruning]]): a join-time rewrite may
+  * hand the relation the subset of snapshot paths that can possibly
+  * match the join keys — the scan then reads only those, and any
+  * further pushed-filter pruning intersects with it. `None` = the
+  * full snapshot (normal reads).
   */
 final class TxLogRelation(val sqlContext: SQLContext,
-    table: TxLogTable, version: Long)
+    private[graft] val table: TxLogTable,
+    private[graft] val version: Long,
+    private[graft] val pathsOverride: Option[Seq[String]] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** The dynamically-pruned twin of this relation (same snapshot, same
+    * schema/output semantics, restricted file list).
+    */
+  private[graft] def withPathsOverride(paths: Seq[String]): TxLogRelation =
+    new TxLogRelation(sqlContext, table, version, Some(paths))
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a `USING txlog` table:
     * one optimistic commit through the version protocol. The relation
@@ -270,7 +285,7 @@ final class TxLogRelation(val sqlContext: SQLContext,
     * tuned.
     */
   override def sizeInBytes: Long = {
-    val paths = table.scanPathsAt(version, lit(true))
+    val paths = pathsOverride.getOrElse(table.scanPathsAt(version, lit(true)))
     paths.iterator.map { p =>
       val f = new java.io.File(p)
       if (f.isDirectory)
@@ -289,25 +304,33 @@ final class TxLogRelation(val sqlContext: SQLContext,
     val spark = sqlContext.sparkSession
     val pushed = filters.toIndexedSeq.flatMap(TxLogRelation.toColumn)
     val allPaths = table.scanPathsAt(version, lit(true))
+    // dynamic file pruning intersects with static pruning: both sets
+    // come from scanPathsAt at the SAME version, so their granularity
+    // (dir vs per-file) agrees per dir and set intersection is exact
+    def restricted(paths: Seq[String]): Seq[String] =
+      pathsOverride match {
+        case Some(ov) => val keep = ov.toSet; paths.filter(keep)
+        case None => paths
+      }
+    def readOf(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      // deletion vectors apply on the pruned scan exactly as in
+      // readAt; the physical/logical column mapping is the table's
+      // concern (readPathsAt reads what the files store and
+      // surfaces this version's logical names)
+      else table.readPathsAt(version, paths)
     val base: DataFrame = if (pushed.isEmpty) {
-      TxLogRelation.lastScan = (allPaths.size, allPaths.size)
-      table.readAt(version)
+      val paths = restricted(allPaths)
+      TxLogRelation.lastScan = (paths.size, allPaths.size)
+      if (pathsOverride.isEmpty) table.readAt(version) else readOf(paths)
     } else {
       val pred = pushed.reduce(_ && _)
-      val paths = table.scanPathsAt(version, pred)
+      val paths = restricted(table.scanPathsAt(version, pred))
       TxLogRelation.lastScan = (paths.size, allPaths.size)
-      val df =
-        if (paths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], schema)
-        // deletion vectors apply on the pruned scan exactly as in
-        // readAt; the physical/logical column mapping is the table's
-        // concern (readPathsAt reads what the files store and
-        // surfaces this version's logical names)
-        else table.readPathsAt(version, paths)
       // Re-apply the exact predicate: manifest pruning is file-level
       // (may-match), and these filters were reported HANDLED.
-      df.filter(pred)
+      readOf(paths).filter(pred)
     }
     base.select(requiredColumns.toIndexedSeq.map(c => col(s"`$c`")): _*).rdd
   }

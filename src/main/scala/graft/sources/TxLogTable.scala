@@ -673,7 +673,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * ranges could satisfy the predicate. Exposed to the spec so
     * pruning EFFECTIVENESS (not just correctness) is pinned.
     */
-  private[sources] def scanPathsAt(version: Long,
+  private[graft] def scanPathsAt(version: Long,
       filter: Column): Seq[String] = {
     val (chain, schema0) = manifestChainAt(version)
     val cmap = colMapOf(chain)
