@@ -28,6 +28,18 @@ object Sessions {
     // Parquet vectorized reads + pushdown are defaults, pinned for clarity.
     "spark.sql.parquet.filterPushdown" -> "true",
     "spark.sql.parquet.aggregatePushdown" -> "true",
+    // RocksDB state store for stateful streaming (bundled in Spark 4):
+    // the default HDFSBackedStateStoreProvider keeps EVERY key's state
+    // on the executor heap — at production keyspaces (per-user funnel/
+    // retention state over 100 TB of events) heap state is the first
+    // thing to die. RocksDB spills to local disk with bounded memory,
+    // and changelog checkpointing uploads per-batch deltas instead of
+    // full snapshots. Stream==batch equality on this provider is
+    // pinned by RocksDbStateSpec.
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true",
     // Generated-class cache (static conf; default 100). A driver cycling
     // through >100 distinct codegen'd plans — this engine's own 91-query
     // registry, or any long-lived production session — silently evicts
