@@ -109,6 +109,36 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] =
     trainFromWords(wordFreq(docs, textCol), nMerges)
 
+  /** Greedy non-overlapping selection from a ranked candidate list:
+    * take pairs in rank order, skipping any that shares a symbol with
+    * an already-taken pair. Symbol-disjoint pairs have EXACTLY
+    * invariant counts under each other's application (a merge only
+    * creates/destroys pairs involving its own operands or product),
+    * so applying a disjoint batch in rank order equals running the
+    * classic one-merge loop whenever no skip occurred — and is a
+    * documented rank-order approximation when one did.
+    */
+  private[ext] def pickDisjoint(ranked: Seq[(String, String)],
+      want: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = Seq.newBuilder[(String, String)]
+    var taken = 0
+    val it = ranked.iterator
+    while (taken < want && it.hasNext) {
+      val (l, r) = it.next()
+      if (!used(l) && !used(r)) {
+        out += ((l, r)); used += l; used += r; taken += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Test hook: training rounds (= Spark job waves) of the most recent
+    * trainFromWords call — lets the batching spec pin
+    * rounds ≤ ⌈nMerges / batchMerges⌉ without instrumenting Spark.
+    */
+  @volatile private[ext] var lastTrainRounds: Int = 0
+
   /** [[train]] from a prebuilt `(word, freq)` table — callers that
     * also tokenize should build the vocab table ONCE (checkpointed)
     * and share it: the corpus pass happens a single time, and
@@ -118,25 +148,44 @@ object Bpe {
     * AQE re-optimization of the nested merge-fold expression —
     * measured 14 s of driver time on a 31-word vocab; from the
     * checkpointed table the same tokenize runs in 0.15 s).
+    *
+    * `batchMerges` caps how many SYMBOL-DISJOINT merges one round may
+    * take (top-m by the same deterministic rank). 1 = the classic
+    * exact loop. m>1 cuts the sequential-round count ~m× — the fix
+    * for a production 32k-merge vocabulary being 32k sequential Spark
+    * jobs — at the cost of rank-order approximation ONLY when ranked
+    * pairs overlap inside one batch (disjoint pairs' counts are
+    * invariant under each other, so skip-free batches reproduce the
+    * classic sequence exactly; BpeBatchSpec pins this).
     */
-  def trainFromWords(words: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  def trainFromWords(words: DataFrame, nMerges: Int,
+      batchMerges: Int = 1): Seq[(String, String)] = {
     require(nMerges >= 0)
+    require(batchMerges >= 1, "batchMerges must be >= 1")
     var syms = initialSymbols(words).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
     var done = false
-    var i = 0
-    while (i < nMerges && !done) {
+    var count = 0
+    var rounds = 0
+    while (count < nMerges && !done) {
+      val want = math.min(batchMerges, nMerges - count)
+      // fetch enough ranked candidates to survive overlap skips; the
+      // driver rows stay bounded by the batch size, never the vocab
       val top = pairCounts(syms)
         .orderBy(col("pair_count").desc, col("left"), col("right"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true // every word fused to one symbol
+        .limit(want * 4 + 8).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val picked = pickDisjoint(top, want)
+      if (picked.isEmpty) done = true // every word fused to one symbol
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((l, r))
-        syms = applyMerge(syms, l, r).localCheckpoint()
+        merges ++= picked
+        count += picked.size
+        syms = syms.withColumn("syms", foldMerges(col("syms"), picked))
+          .localCheckpoint()
       }
-      i += 1
+      rounds += 1
     }
+    lastTrainRounds = rounds
     merges.result()
   }
 

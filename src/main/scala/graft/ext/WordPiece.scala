@@ -90,33 +90,50 @@ object WordPiece {
           .otherwise(concat(out, array(s)))))
   }
 
+  /** Test hook mirroring [[Bpe.lastTrainRounds]]. */
+  @volatile private[ext] var lastTrainRounds: Int = 0
+
   /** Train `nMerges` likelihood-scored merges from a `(word, freq)`
     * table; returns the model (merges + vocabulary). The alphabet
     * (every initial symbol of the corpus) is always in the vocab, so
     * greedy encoding can only UNK on out-of-alphabet characters.
+    *
+    * `batchMerges` = [[Bpe.trainFromWords]]'s contract: top-m
+    * symbol-disjoint merges per round (1 = classic exact loop).
+    * Disjoint pairs leave each other's pair counts AND symbol counts
+    * untouched — the WordPiece score of (c,d) reads only count(cd),
+    * count(c), count(d), none of which a disjoint merge (a,b) can
+    * change — so skip-free batches reproduce the classic sequence.
     */
-  def trainFromWords(words: DataFrame, nMerges: Int): Model = {
+  def trainFromWords(words: DataFrame, nMerges: Int,
+      batchMerges: Int = 1): Model = {
     require(nMerges >= 0)
+    require(batchMerges >= 1, "batchMerges must be >= 1")
     var syms = initialSymbols(words).localCheckpoint()
     val alphabet = initialSymbols(words)
       .select(explode(col("syms")).as("sym"))
       .distinct().collect().map(_.getString(0)).toSet
     val merges = Seq.newBuilder[(String, String)]
     var done = false
-    var i = 0
-    while (i < nMerges && !done) {
+    var count = 0
+    var rounds = 0
+    while (count < nMerges && !done) {
+      val want = math.min(batchMerges, nMerges - count)
       val top = pairScores(syms)
         .orderBy(col("score").desc, col("left"), col("right"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+        .limit(want * 4 + 8).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val picked = Bpe.pickDisjoint(top, want)
+      if (picked.isEmpty) done = true
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((l, r))
+        merges ++= picked
+        count += picked.size
         syms = syms.withColumn("syms",
-          foldMerges(col("syms"), Seq((l, r)))).localCheckpoint()
+          foldMerges(col("syms"), picked)).localCheckpoint()
       }
-      i += 1
+      rounds += 1
     }
+    lastTrainRounds = rounds
     val ms = merges.result()
     Model(ms, alphabet ++ ms.map { case (l, r) => joined(l, r) })
   }
