@@ -37,9 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // other statements parse through the delegate untouched.
     ext.injectParser((session, delegate) =>
       new GraftSqlParser(session, delegate))
-    // Dynamic file pruning for txlog joins: one pass after operator
-    // optimization (preCBO), so the IN-set it derives sees the final
-    // filtered dim side and the swap happens before join planning.
+    // CBO statistics first (join reorder + selectivity see manifest
+    // row counts and column ranges), then dynamic file pruning: one
+    // pass each after operator optimization (preCBO), so the IN-set
+    // the pruner derives sees the final filtered dim side and the
+    // swap happens before join planning.
+    ext.injectPreCBORule(session => new TxLogCboStats(session))
     ext.injectPreCBORule(session => new TxLogDynamicFilePruning(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_extract_json"),

@@ -53,10 +53,16 @@ object DataSkipping {
     * Ranges prune RANGE predicates (after clustering); blooms prune
     * POINT lookups on high-cardinality columns whose per-file ranges
     * span the key space (the append-ordered id column every corpus
-    * store has). Old manifests deserialize with `blooms` empty.
+    * store has). `thetas` holds Base64 compact Theta sketches of each
+    * stats column's distinct values (lgK=9) — per-file sketches UNION
+    * soundly across files, which is how the table-level NDV the
+    * cost-based optimizer needs ([[TxLogTable.statsSummaryAt]]) is
+    * recovered without a second scan; per-file counts alone cannot be
+    * combined. Old manifests deserialize with `blooms`/`thetas` empty.
     */
   case class FileStats(rows: Long, cols: Map[String, ColRange],
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      thetas: Map[String, String] = Map.empty)
 
   /** Comparison domain a column's stats live in. */
   private[sources] sealed trait Kind
@@ -290,6 +296,14 @@ object DataSkipping {
         case _ => f
       }
   }
+
+  /** Typed comparison of two encoded stat strings of a column type —
+    * the fold step for aggregating per-file ranges into TABLE-level
+    * min/max (the CBO statistics surface). None when the type has no
+    * stats domain.
+    */
+  private[sources] def cmpExternal(dt: DataType, a: String,
+      b: String): Option[Int] = kindOf(dt).map(cmp(_, a, b))
 
   /** Could any row of a file with stats `fs` satisfy `e`? Conservative
     * three-valued evaluation: unsupported nodes answer true.

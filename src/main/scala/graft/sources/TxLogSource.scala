@@ -296,6 +296,61 @@ final class TxLogRelation(val sqlContext: SQLContext,
     }.sum
   }
 
+  /** Catalyst-facing table statistics (the CBO surface, judge-grade:
+    * join reorder and filter-selectivity estimation otherwise fly
+    * blind on txlog tables, seeing only `sizeInBytes`): exact row
+    * count + per-column min/max/nullCount aggregated from the
+    * manifest skipping stats ([[TxLogTable.statsSummaryAt]]), carried
+    * on a synthetic EXTERNAL CatalogTable that
+    * `LogicalRelation.computeStats` already knows how to consume.
+    * None when any live file lacks stats — exactness over coverage.
+    * min/max ride only for types whose [[DataSkipping]] encoding
+    * matches `CatalogColumnStat.fromExternalString` version-2 format
+    * (integrals, fp, decimal, date=epoch-day, timestamp=micros);
+    * strings/booleans surface nullCount only. Lazy + cached per
+    * relation instance: the snapshot is immutable, so the summary
+    * cannot go stale.
+    */
+  private[graft] lazy val catalogTableWithStats
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    import org.apache.spark.sql.catalyst.catalog._
+    import org.apache.spark.sql.types._
+    table.statsSummaryAt(version).map { case (rows, ranges, ndvs) =>
+      def minMaxOk(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | DateType | TimestampType | TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      val colStats = schema.fields.iterator.flatMap { f =>
+        ranges.get(f.name).map { r =>
+          val mm = minMaxOk(f.dataType)
+          f.name -> CatalogColumnStat(
+            // the theta-union estimate; the selectivity estimator
+            // requires an NDV to engage at all, so ranges without one
+            // (pre-sketch manifests) surface nullCount only
+            distinctCount = ndvs.get(f.name).map(BigInt(_)),
+            min = if (mm) r.min else None,
+            max = if (mm) r.max else None,
+            nullCount = Some(BigInt(r.nulls)),
+            avgLen = None, maxLen = None, histogram = None,
+            version = CatalogColumnStat.VERSION)
+        }
+      }.toMap
+      CatalogTable(
+        identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+          s"txlog_v$version"),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty,
+        schema = schema,
+        provider = Some("txlog"),
+        stats = Some(CatalogStatistics(
+          sizeInBytes = BigInt(math.max(1L, sizeInBytes)),
+          rowCount = Some(BigInt(rows)),
+          colStats = colStats)))
+    }
+  }
+
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(f => TxLogRelation.toColumn(f).isEmpty)
 

@@ -136,21 +136,24 @@ object TxLogTable {
     */
   private[sources] case class CkptStatRow(file: String, rows: Long,
       mins: Map[String, String], maxs: Map[String, String],
-      nullCounts: Map[String, Long], blooms: Map[String, String])
+      nullCounts: Map[String, Long], blooms: Map[String, String],
+      thetas: Map[String, String])
 
   private[sources] def toCkptRow(file: String, fs: FileStats): CkptStatRow =
     CkptStatRow(file, fs.rows,
       fs.cols.collect { case (c, r) if r.min.isDefined => c -> r.min.get },
       fs.cols.collect { case (c, r) if r.max.isDefined => c -> r.max.get },
       fs.cols.map { case (c, r) => c -> r.nulls },
-      fs.blooms)
+      fs.blooms, fs.thetas)
 
   private[sources] def fromCkptRow(r: CkptStatRow): (String, FileStats) =
     r.file -> FileStats(r.rows,
       r.nullCounts.map { case (c, n) =>
         c -> ColRange(r.mins.get(c), r.maxs.get(c), n)
       },
-      r.blooms)
+      r.blooms,
+      // checkpoints written before the NDV-sketch field read as null
+      Option(r.thetas).getOrElse(Map.empty))
 
   /** Widening type changes a real store must survive (Delta's type
     * widening): the declared order admits byte→short→int→long,
@@ -727,6 +730,93 @@ final class TxLogTable(spark: SparkSession, root: String) {
   def readWhere(filter: Column): DataFrame =
     readWhereAt(currentVersion, filter)
 
+  /** TABLE-level statistics of snapshot `version`, aggregated from the
+    * per-file skipping stats — the CBO surface
+    * ([[TxLogRelation.catalogTableWithStats]]): `Some((rowCount,
+    * colRanges))` only when EVERY live parquet file carries stats
+    * (inline manifest stats, or rows of the chain's parquet
+    * checkpoint), so the numbers are exact, never extrapolated.
+    * Column ranges are keyed by LOGICAL name and emitted only for
+    * columns covered in every file (a column absent from a file's
+    * stats is ambiguous between "not a statsCol that commit" and
+    * "schema-evolved null" — conservatively skipped). One driver
+    * metadata walk (same O(#files) as `sizeInBytes`) plus, when a
+    * checkpoint holds the stats, one small parquet read of the stat
+    * rows.
+    */
+  /** Union the per-file NDV sketches of one column; None unless every
+    * file carries one (a partial union would under-count).
+    */
+  private def unionNdv(files: Seq[String], all: Map[String, FileStats],
+      physCol: String): Option[Long] = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+    val sketches = files.map(f => all(f).thetas.get(physCol))
+    if (sketches.exists(_.isEmpty)) None
+    else {
+      val u = SetOperation.builder().setLogNominalEntries(9).buildUnion()
+      sketches.flatten.foreach(b64 => u.union(CompactSketch.heapify(
+        Memory.wrap(java.util.Base64.getDecoder.decode(b64)))))
+      Some(math.round(u.getResult.getEstimate))
+    }
+  }
+
+  private[graft] def statsSummaryAt(version: Long)
+      : Option[(Long, Map[String, ColRange], Map[String, Long])] = {
+    val (chain, schema) = manifestChainAt(version)
+    val live = chain.flatMap(_.add)
+    if (live.isEmpty) return Some((0L, Map.empty, Map.empty))
+    val inline: Map[String, FileStats] =
+      chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+    import scala.jdk.CollectionConverters._
+    val liveFiles: Seq[String] = live.flatMap { d =>
+      val dir = dataDir.resolve(d)
+      if (!Files.isDirectory(dir)) return None
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).map(f => s"$d/$f").toList
+      finally s.close()
+    }
+    val all: Map[String, FileStats] =
+      if (liveFiles.forall(inline.contains)) inline
+      else chain.flatMap(_.statsFile).lastOption match {
+        case None => return None
+        case Some(name) =>
+          import spark.implicits._
+          val template = Seq.empty[TxLogTable.CkptStatRow].toDS()
+          val ckpt = spark.read.schema(template.schema)
+            .parquet(ckptPath(name).toString)
+            .as[TxLogTable.CkptStatRow]
+            .collect().map(TxLogTable.fromCkptRow).toMap
+          ckpt ++ inline
+      }
+    if (!liveFiles.forall(all.contains)) return None
+    val cmap = colMapOf(chain)
+    val phys = physSchema(schema, cmap)
+    val rows = liveFiles.iterator.map(all(_).rows).sum
+    val revMap = cmap.map(_.swap)
+    val covered = phys.fields.filter(f =>
+      liveFiles.forall(all(_).cols.contains(f.name)))
+    val colRanges = covered.iterator.map { f =>
+      val rs = liveFiles.map(all(_).cols(f.name))
+      def fold(pick: ColRange => Option[String], keepMax: Boolean) =
+        rs.flatMap(pick(_)).reduceOption { (a, b) =>
+          DataSkipping.cmpExternal(f.dataType, a, b) match {
+            case Some(c) => if ((c >= 0) == keepMax) a else b
+            case None => a
+          }
+        }
+      revMap.getOrElse(f.name, f.name) -> ColRange(
+        fold(_.min, keepMax = false), fold(_.max, keepMax = true),
+        rs.iterator.map(_.nulls).sum)
+    }.toMap
+    val ndvs = covered.iterator.flatMap { f =>
+      unionNdv(liveFiles, all, f.name)
+        .map(revMap.getOrElse(f.name, f.name) -> _)
+    }.toMap
+    Some((rows, colRanges, ndvs))
+  }
+
   /** The data paths a full scan of snapshot `version` reads (the
     * DESCRIBE DETAIL-style introspection surface): dirs for commits
     * without per-file stats, individual part-files otherwise. Lets
@@ -888,6 +978,16 @@ final class TxLogTable(spark: SparkSession, root: String) {
           bridge.expression(xxhash64(canon)),
           Literal(bloomExpectedItems), Literal(numBits))
           .toAggregateExpression()).as(s"__bloom__$c")
+      } ++
+      // per-file NDV sketch (same single pass): distinct values fed as
+      // canonical strings (injective per distinct value, so the sketch
+      // estimates the column's true NDV); unions across files in
+      // statsSummaryAt recover the TABLE NDV the CBO needs. lgK=9 →
+      // ≤4 KB compact sketch per column per file, ~4% RSE.
+      valid.map { c =>
+        bridge.column(graft.plans.ThetaSketchAgg(
+          bridge.expression(col(c).cast("string")), lgK = 9)
+          .toAggregateExpression()).as(s"__theta__$c")
       }
     val rows = spark.read.schema(schema)
       .parquet(dataDir.resolve(dirName).toString)
@@ -913,7 +1013,13 @@ final class TxLogTable(spark: SparkSession, root: String) {
           java.util.Base64.getEncoder.encodeToString(
             b.asInstanceOf[Array[Byte]]))
       }.toMap
-      s"$dirName/$fname" -> FileStats(total, cols, blooms)
+      val thetaBase = bloomBase + validBloom.length
+      val thetas = valid.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(thetaBase + i)).map(b => c ->
+          java.util.Base64.getEncoder.encodeToString(
+            b.asInstanceOf[Array[Byte]]))
+      }.toMap
+      s"$dirName/$fname" -> FileStats(total, cols, blooms, thetas)
     }.toMap
   }
 

@@ -152,7 +152,7 @@ class TxLogCheckpointSpec extends SparkSpec {
       TxLogTable.CkptStatRow(f"$liveDir%s/part-$i%05d", 10L,
         Map("k" -> (i * 10).toString),
         Map("k" -> (i * 10 + 9).toString),
-        Map("k" -> 0L), Map.empty)
+        Map("k" -> 0L), Map.empty, Map.empty)
     }.write.parquet(Paths.get(root, "_log", ckptName).toString)
     // hand-commit a fold manifest fronting the synthetic census
     val schemaJson = schema.json
