@@ -36,7 +36,14 @@ object ScalingBench {
     // encode+decode) and the native parquet read path (write + page
     // decode, the one with real I/O in the loop)
     "q178_mp4_meta", "q179_tar_walk", "q182_proto_fields",
-    "q183_cbor_doc", "q184_tfrecord", "q185_parquet_pages")
+    "q183_cbor_doc", "q184_tfrecord", "q185_parquet_pages",
+    // round 11 (verdict item 5 — post-r8 tiers): the transactional
+    // table's optimistic MERGE and stats-pruned read, the crawl
+    // tier's intra-file ranged reads (bzip2 multistream wiki split,
+    // CDX-banded WARC), and the PQ/IVFADC ANN recall gates
+    "q112_txlog_merge", "q117_txlog_skipping_read",
+    "q192_wiki_split_read", "q193_warc_ranged_read",
+    "q95_ann_pq_recall_floor", "q100_ann_ivfadc_recall_floor")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sf1")
