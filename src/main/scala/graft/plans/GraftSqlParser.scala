@@ -54,7 +54,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlRewrite(session, delegate.parsePlan(sqlText))
+    GraftSqlRewrite.maintenance(sqlText).getOrElse(
+      GraftSqlRewrite(session, delegate.parsePlan(sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     GraftSqlRewrite(session, delegate.parseQuery(sqlText))
@@ -80,6 +81,34 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   * WITHOUT extensions (the Verify/Bench drivers).
   */
 object GraftSqlRewrite {
+
+  // Maintenance statements Spark's grammar does NOT parse (the Delta
+  // SQL idioms), intercepted textually before delegation:
+  //   DESCRIBE HISTORY txlog.`p`
+  //   VACUUM txlog.`p` [FULL]          (FULL = retainHistory=false)
+  //   OPTIMIZE txlog.`p` [ZORDER BY (c1, c2)] [INTO n FILES]
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+txlog\.`([^`]+)`\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+txlog\.`([^`]+)`(\s+FULL)?\s*;?\s*""".r
+  private val OptimizeRe =
+    ("""(?is)\s*OPTIMIZE\s+txlog\.`([^`]+)`""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""").r
+
+  /** Parse a maintenance statement, or None to delegate to Spark. */
+  def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case HistoryRe(root) => Some(GraftHistoryCommand(root))
+    case VacuumRe(root, full) =>
+      Some(GraftVacuumCommand(root, full = full != null))
+    case OptimizeRe(root, zorder, files) =>
+      val cols = Option(zorder).toSeq
+        .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)
+      Some(GraftOptimizeCommand(root, cols,
+        Option(files).map(_.trim.toInt)))
+    case _ => None
+  }
 
   /** `txlog.`path`` target (possibly aliased) → (path, alias). */
   private def txlogTarget(plan: LogicalPlan): Option[(String, Option[String])] =
@@ -351,6 +380,54 @@ case class GraftDeleteCommand(root: String, condition: Option[String])
   }
 }
 
+/** DESCRIBE HISTORY txlog.`root` — the commit log, newest first. */
+case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("timestamp_millis", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    new TxLogTable(sparkSession, root).history().reverse.map {
+      case (v, action, ts) => Row(v, action, ts)
+    }
+}
+
+/** VACUUM txlog.`root` [FULL] — orphan sweep; FULL also collects dirs
+  * only pre-checkpoint/overwrite history references.
+  */
+case class GraftVacuumCommand(root: String, full: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("removed", StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    new TxLogTable(sparkSession, root)
+      .vacuum(retainHistory = !full).map(Row(_))
+}
+
+/** OPTIMIZE txlog.`root` [ZORDER BY (cols)] [INTO n FILES] — the
+  * compaction pass as a statement: plain → row-balanced [[
+  * TxLogTable.compact]]; ZORDER → [[TxLogTable.compactZOrdered]] with
+  * per-file stats on the cluster columns (what makes readWhere
+  * pruning bite afterwards). Default file count = the session's
+  * default parallelism.
+  */
+case class GraftOptimizeCommand(root: String, zorderCols: Seq[String],
+    numFiles: Option[Int]) extends GraftTxLogCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val t = new TxLogTable(sparkSession, root)
+    val n = numFiles.getOrElse(
+      sparkSession.sparkContext.defaultParallelism)
+    val v =
+      if (zorderCols.nonEmpty)
+        t.compactZOrdered(zorderCols, numFiles = n, statsCols = zorderCols)
+      else {
+        val rows = t.read().count()
+        t.compact(targetRowsPerFile = math.max(1L, (rows + n - 1) / n))
+      }
+    Seq(Row(v))
+  }
+}
+
 /** The same SQL surface for sessions built WITHOUT extensions: parse
   * with the session's own parser, apply [[GraftSqlRewrite]], execute.
   * This is byte-identical routing to the injected-parser path — the
@@ -360,5 +437,6 @@ case class GraftDeleteCommand(root: String, condition: Option[String])
 object GraftSql {
   def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame =
     bridge.ofRows(spark,
-      GraftSqlRewrite(spark, spark.sessionState.sqlParser.parsePlan(text)))
+      GraftSqlRewrite.maintenance(text).getOrElse(
+        GraftSqlRewrite(spark, spark.sessionState.sqlParser.parsePlan(text))))
 }

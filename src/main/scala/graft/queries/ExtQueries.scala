@@ -4212,6 +4212,64 @@ object ExtQueries {
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
             .as("sum_qty"))
       graft.plans.TxLogDynamicFilePruning.prune(joined)
+    },
+
+    // ── the CBO statistics census under the oracle: the manifest-
+    // aggregated table stats (exact row count, typed min/max fold,
+    // null counts — what TxLogCboStats hands Catalyst) restated by
+    // DuckDB directly from the raw table. Stats ride two commits (one
+    // plain, one clustered overwrite with its own sidecars), so the
+    // chain fold is under the hash, not just a single commit's
+    // numbers. NDV is sketch-estimated (±4%) and therefore gated by
+    // TxLogCboStatsSpec's error band, not a value oracle.
+    "q206_txlog_stats_census" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q206")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      t.ensureExists(ev.schema)
+      t.append(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        statsCols = Seq("event_id", "value"))
+      t.append(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        statsCols = Seq("event_id", "value"))
+      val (rows, ranges, _) = t.statsSummaryAt(t.currentVersion).get
+      val r = ranges("event_id")
+      val v = ranges("value")
+      import s.implicits._
+      Seq((rows, r.min.get.toLong, r.max.get.toLong, r.nulls,
+        v.nulls)).toDF("n_rows", "min_event", "max_event",
+        "event_nulls", "value_nulls")
+    },
+
+    // ── maintenance SQL statements (the Delta idioms Spark's grammar
+    // lacks): OPTIMIZE ... ZORDER BY rewrites the two-append table
+    // into 8 stat-carrying z-clustered files; VACUUM FULL then
+    // collects exactly the two pre-optimize dirs (deterministic — one
+    // staged dir per append); DESCRIBE HISTORY counts the four
+    // commits (create + 2 appends + optimize). The data aggregate
+    // rides the post-optimize snapshot, so the zorder rewrite is
+    // under the value hash and the maintenance counts pin the
+    // statement semantics.
+    "q207_sql_txlog_maintenance" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q207")
+      val t = new graft.sources.TxLogTable(s, root)
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      t.ensureExists(li.schema)
+      t.append(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+      t.append(li.filter(pmod(col("l_orderkey"), lit(2)) === 1))
+      def sql(q: String) = graft.plans.GraftSql.sql(s, q)
+      sql(s"OPTIMIZE txlog.`$root` ZORDER BY (l_orderkey, l_partkey) " +
+        "INTO 8 FILES").collect()
+      val removed = sql(s"VACUUM txlog.`$root` FULL").count()
+      val commits = sql(s"DESCRIBE HISTORY txlog.`$root`").count()
+      sql(s"""SELECT l_orderkey % 100 AS okey_bucket,
+             |  count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM txlog.`$root` GROUP BY l_orderkey % 100""".stripMargin)
+        .withColumn("n_removed", lit(removed))
+        .withColumn("n_commits", lit(commits))
     }
   )
 
@@ -6864,6 +6922,27 @@ object ExtQueries {
       ("q204_sql_txlog_insert" ->
         """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
           |FROM events WHERE event_id % 3 IN (0, 1)""".stripMargin) +
+      // the stats census Catalyst consumes, recomputed from the raw
+      // table: exact rows, min/max, null counts through a 2-commit fold
+      ("q206_txlog_stats_census" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(MIN(event_id) AS BIGINT) AS min_event,
+          |  CAST(MAX(event_id) AS BIGINT) AS max_event,
+          |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS event_nulls,
+          |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS value_nulls
+          |FROM events""".stripMargin) +
+      // maintenance statements: zorder rewrite invisible to values;
+      // vacuum count = the 2 pre-optimize dirs; history = 4 commits
+      ("q207_sql_txlog_maintenance" ->
+        """SELECT l_orderkey % 100 AS okey_bucket,
+          |  CAST(COUNT(*) AS BIGINT) AS n_items,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_qty,
+          |  CAST(2 AS BIGINT) AS n_removed,
+          |  CAST(4 AS BIGINT) AS n_commits
+          |FROM lineitem GROUP BY 1""".stripMargin) +
       // dynamic file pruning must be invisible to the join result
       ("q205_txlog_dynamic_pruning" ->
         """SELECT o.o_orderkey, o.o_custkey,

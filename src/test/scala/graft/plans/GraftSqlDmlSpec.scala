@@ -148,6 +148,44 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("maintenance statements: DESCRIBE HISTORY, OPTIMIZE, VACUUM") {
+    val (root, t) = seed("sqldml_maint")
+    t.append(df((9L, "z", L(90))))
+    // history: create + 2 appends, newest first
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY txlog.`$root`")
+      .collect()
+    assert(hist.length == 3)
+    assert(hist.head.getLong(0) == 2L && hist.last.getLong(0) == 0L)
+    assert(hist.map(_.getString(1)).toSeq ==
+      Seq("append", "append", "overwrite"))
+    // OPTIMIZE: one overwrite commit, values invisible
+    val before = t.read().orderBy("k").collect().toSeq
+    val ver = GraftSql.sql(spark,
+      s"OPTIMIZE txlog.`$root` INTO 2 FILES").collect().head.getLong(0)
+    assert(ver == t.currentVersion)
+    assert(t.read().orderBy("k").collect().toSeq == before)
+    // VACUUM FULL collects the two pre-optimize append dirs
+    val removed = GraftSql.sql(spark, s"VACUUM txlog.`$root` FULL")
+      .collect().map(_.getString(0)).toSeq
+    assert(removed.size == 2, s"removed=$removed")
+    assert(t.read().orderBy("k").collect().toSeq == before)
+    // ZORDER arm requires numeric cluster columns and records stats
+    GraftSql.sql(spark,
+      s"OPTIMIZE txlog.`$root` ZORDER BY (k) INTO 2 FILES").collect()
+    assert(t.read().orderBy("k").collect().toSeq == before)
+    // and the statements also run through the injected-parser seam
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try assert(s2.sql(s"DESCRIBE HISTORY txlog.`$root`").count() >= 5)
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("unsupported MERGE shapes fail loudly, not approximately") {
     val (root, _) = seed("sqldml_unsupported")
     df((2L, "x", L(1))).createOrReplaceTempView("u_sqldml")
