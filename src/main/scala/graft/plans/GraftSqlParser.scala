@@ -85,12 +85,16 @@ object GraftSqlRewrite {
   // Maintenance statements Spark's grammar does NOT parse (the Delta
   // SQL idioms), intercepted textually before delegation:
   //   DESCRIBE HISTORY txlog.`p`
-  //   VACUUM txlog.`p` [FULL]          (FULL = retainHistory=false)
+  //   VACUUM txlog.`p` [FULL] [RETAIN n HOURS]
+  //     (FULL = retainHistory=false; RETAIN overrides the 1-hour
+  //      concurrent-writer age guard — RETAIN 0 HOURS only when no
+  //      writer can be in flight)
   //   OPTIMIZE txlog.`p` [ZORDER BY (c1, c2)] [INTO n FILES]
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+txlog\.`([^`]+)`\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+txlog\.`([^`]+)`(\s+FULL)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+txlog\.`([^`]+)`(\s+FULL)?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+txlog\.`([^`]+)`""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
@@ -99,8 +103,9 @@ object GraftSqlRewrite {
   /** Parse a maintenance statement, or None to delegate to Spark. */
   def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case HistoryRe(root) => Some(GraftHistoryCommand(root))
-    case VacuumRe(root, full) =>
-      Some(GraftVacuumCommand(root, full = full != null))
+    case VacuumRe(root, full, retain) =>
+      Some(GraftVacuumCommand(root, full = full != null,
+        retainHours = Option(retain).map(_.toLong)))
     case OptimizeRe(root, zorder, files) =>
       val cols = Option(zorder).toSeq
         .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -392,16 +397,21 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
     }
 }
 
-/** VACUUM txlog.`root` [FULL] — orphan sweep; FULL also collects dirs
-  * only pre-checkpoint/overwrite history references.
+/** VACUUM txlog.`root` [FULL] [RETAIN n HOURS] — orphan sweep; FULL
+  * also collects dirs only pre-checkpoint/overwrite history
+  * references; RETAIN overrides the default 1-hour concurrent-writer
+  * age guard.
   */
-case class GraftVacuumCommand(root: String, full: Boolean)
-    extends LeafRunnableCommand {
+case class GraftVacuumCommand(root: String, full: Boolean,
+    retainHours: Option[Long]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("removed", StringType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     new TxLogTable(sparkSession, root)
-      .vacuum(retainHistory = !full).map(Row(_))
+      .vacuum(retainHistory = !full,
+        minAgeMillis = retainHours.map(_ * 3600L * 1000L)
+          .getOrElse(3600L * 1000L))
+      .map(Row(_))
 }
 
 /** OPTIMIZE txlog.`root` [ZORDER BY (cols)] [INTO n FILES] — the

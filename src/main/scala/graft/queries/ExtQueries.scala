@@ -4261,7 +4261,7 @@ object ExtQueries {
       def sql(q: String) = graft.plans.GraftSql.sql(s, q)
       sql(s"OPTIMIZE txlog.`$root` ZORDER BY (l_orderkey, l_partkey) " +
         "INTO 8 FILES").collect()
-      val removed = sql(s"VACUUM txlog.`$root` FULL").count()
+      val removed = sql(s"VACUUM txlog.`$root` FULL RETAIN 0 HOURS").count()
       val commits = sql(s"DESCRIBE HISTORY txlog.`$root`").count()
       sql(s"""SELECT l_orderkey % 100 AS okey_bucket,
              |  count(*) AS n_items,

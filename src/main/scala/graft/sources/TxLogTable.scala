@@ -1900,10 +1900,22 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * false, dirs referenced only by versions strictly before the last
     * overwrite/checkpoint (unreachable from any still-replayable read).
     * Never touches the current live set. Returns removed dir names.
+    *
+    * `minAgeMillis` is the concurrent-writer guard (Delta's retention
+    * threshold, default 1 hour): a dir younger than it is NEVER
+    * collected even when unreferenced, because an in-flight commit
+    * stages its data dir BEFORE publishing the manifest — an
+    * age-blind sweep racing that window would delete the dir out from
+    * under the winning commit. Orphans from genuinely dead writers
+    * are collected by the next vacuum after they age past the
+    * threshold. Pass 0 only when no concurrent writer can exist
+    * (tests, single-process maintenance windows).
     */
-  def vacuum(retainHistory: Boolean = true): Seq[String] = {
+  def vacuum(retainHistory: Boolean = true,
+      minAgeMillis: Long = 3600L * 1000L): Seq[String] = {
     val v = currentVersion
     if (v < 0) return Nil
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     val manifests: Seq[Manifest] =
       if (retainHistory)
         (0L to v).flatMap(i =>
@@ -1930,14 +1942,19 @@ final class TxLogTable(spark: SparkSession, root: String) {
       try s.iterator().asScala.map(_.getFileName.toString).toList
       finally s.close()
     }
-    val doomedData = sweep(dataDir, ls(dataDir).filterNot(referenced))
+    def agedPast(dir: Path, name: String): Boolean =
+      try Files.getLastModifiedTime(dir.resolve(name)).toMillis <= cutoff
+      catch { case _: java.io.IOException => false } // vanished: skip
+    val doomedData = sweep(dataDir,
+      ls(dataDir).filterNot(referenced).filter(agedPast(dataDir, _)))
     // stats-checkpoint GC: a ckpt parquet is garbage once no surviving
     // manifest references it (lost checkpoint races, or — with
     // retainHistory=false — checkpoints of no-longer-replayable
     // versions)
     val refCkpt: Set[String] = manifests.flatMap(_.statsFile).toSet
     val doomedCkpt = sweep(logDir,
-      ls(logDir).filter(n => n.startsWith("ckpt-") && !refCkpt(n)))
+      ls(logDir).filter(n => n.startsWith("ckpt-") && !refCkpt(n) &&
+        agedPast(logDir, n)))
     (doomedData ++ doomedCkpt).sorted
   }
 }

@@ -165,7 +165,10 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(ver == t.currentVersion)
     assert(t.read().orderBy("k").collect().toSeq == before)
     // VACUUM FULL collects the two pre-optimize append dirs
-    val removed = GraftSql.sql(spark, s"VACUUM txlog.`$root` FULL")
+    // without RETAIN 0 the age guard protects the young dirs
+    assert(GraftSql.sql(spark, s"VACUUM txlog.`$root` FULL").count() == 0)
+    val removed = GraftSql.sql(spark,
+      s"VACUUM txlog.`$root` FULL RETAIN 0 HOURS")
       .collect().map(_.getString(0)).toSeq
     assert(removed.size == 2, s"removed=$removed")
     assert(t.read().orderBy("k").collect().toSeq == before)

@@ -91,7 +91,7 @@ class TxLogCheckpointSpec extends SparkSpec {
     // the first); dropping history GCs the superseded checkpoint
     t.vacuum(retainHistory = true)
     assert(ckptFiles().size === 2)
-    t.vacuum(retainHistory = false)
+    t.vacuum(retainHistory = false, minAgeMillis = 0L)
     assert(ckptFiles().size === 1)
     assert(t.scanPathsAt(t.currentVersion, col("k") === 1005L).size === 1)
     val _ = cv1

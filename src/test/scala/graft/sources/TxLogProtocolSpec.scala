@@ -145,6 +145,27 @@ class TxLogProtocolSpec extends SparkSpec {
     assert(b2.filter(col("n") === (Int.MaxValue.toLong + 42L)).count() == 1)
   }
 
+  test("vacuum's age guard protects an in-flight writer's staged dir") {
+    val root = Files.createTempDirectory("txproto_vacuum").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", L(1))))
+    // simulate a concurrent writer mid-commit: data staged, manifest
+    // not yet published — the dir is unreferenced but MUST survive
+    val staged = t.stageData(df((2L, "b", L(2))))
+    assert(t.vacuum(retainHistory = false) === Nil,
+      "age-guarded vacuum must not collect a fresh staged dir")
+    // the writer's commit still lands on intact data
+    assert(t.tryCommitForTest(t.currentVersion + 1, staged, schema.json))
+    assert(t.read().count() == 1) // overwrite replaced the live set
+    assert(t.read().collect().head.getLong(0) == 2L)
+    // a genuinely dead orphan is collected once it ages past the bar
+    val orphan = t.stageData(df((3L, "c", L(3))))
+    assert(t.vacuum(retainHistory = true) === Nil)
+    val removed = t.vacuum(retainHistory = true, minAgeMillis = 0L)
+    assert(removed == Seq(orphan))
+  }
+
   test("checkpoint folds the COPY INTO census; the walk stops there") {
     val root = Files.createTempDirectory("txproto_copyfold").toString
     val land = Files.createTempDirectory("txproto_land")

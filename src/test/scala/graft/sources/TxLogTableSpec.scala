@@ -175,7 +175,7 @@ class TxLogTableSpec extends SparkSpec {
     // history (and time travel to it) survives until vacuumed
     assert(t.history().last === ((cv, "overwrite", t.history().last._3)))
     assert(asMap(t, cv - 1) === before)
-    val removed = t.vacuum(retainHistory = false)
+    val removed = t.vacuum(retainHistory = false, minAgeMillis = 0L)
     assert(removed.length >= 6, s"expected the six pre-compaction dirs, got $removed")
     assert(asMap(t) === before)
   }
@@ -191,8 +191,11 @@ class TxLogTableSpec extends SparkSpec {
     assert(asMap(t, cv) === before)
     // full-history vacuum keeps everything still referenced by a manifest
     assert(t.vacuum(retainHistory = true) === Nil)
+    // the concurrent-writer age guard protects young dirs even when
+    // unreferenced; RETAIN-0 (tests only) collects immediately
+    assert(t.vacuum(retainHistory = false) === Nil)
     // dropping history removes the pre-merge dirs; current state intact
-    val removed = t.vacuum(retainHistory = false)
+    val removed = t.vacuum(retainHistory = false, minAgeMillis = 0L)
     assert(removed.nonEmpty)
     assert(asMap(t) === before)
   }
