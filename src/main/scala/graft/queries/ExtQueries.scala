@@ -4270,6 +4270,37 @@ object ExtQueries {
              |FROM txlog.`$root` GROUP BY l_orderkey % 100""".stripMargin)
         .withColumn("n_removed", lit(removed))
         .withColumn("n_commits", lit(commits))
+    },
+
+    // ── the CATALOG path: `CREATE TABLE ... USING txlog` then INSERT
+    // INTO / INSERT OVERWRITE / SELECT by TABLE NAME — Spark's own
+    // catalog resolution over the registered DataSource (no graft
+    // parser involved), exercising the V1 InsertableRelation seam the
+    // reference's SQL-first user would hit. refreshTable between
+    // writes pins that the catalog cache never serves a stale
+    // snapshot.
+    "q208_sql_txlog_catalog" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q208")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      new graft.sources.TxLogTable(s, root).ensureExists(ev.schema)
+      s.sql("DROP TABLE IF EXISTS q208_cat")
+      s.sql(s"CREATE TABLE q208_cat USING txlog OPTIONS (path '$root')")
+      ev.createOrReplaceTempView("q208_ev")
+      s.sql("""INSERT INTO q208_cat
+              |SELECT event_id, user_id, value FROM q208_ev
+              |WHERE event_id % 2 = 0""".stripMargin)
+      s.catalog.refreshTable("q208_cat")
+      s.sql("""INSERT OVERWRITE TABLE q208_cat
+              |SELECT event_id, user_id, value FROM q208_ev
+              |WHERE event_id % 3 = 0""".stripMargin)
+      s.catalog.refreshTable("q208_cat")
+      s.sql("""INSERT INTO q208_cat
+              |SELECT event_id, user_id, value FROM q208_ev
+              |WHERE event_id % 3 = 1""".stripMargin)
+      s.catalog.refreshTable("q208_cat")
+      s.sql("""SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+              |FROM q208_cat""".stripMargin)
     }
   )
 
@@ -6933,6 +6964,11 @@ object ExtQueries {
           |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
           |    AS value_nulls
           |FROM events""".stripMargin) +
+      // catalog path: same final set as q204 (overwrite resets, then
+      // the %3=1 append lands)
+      ("q208_sql_txlog_catalog" ->
+        """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+          |FROM events WHERE event_id % 3 IN (0, 1)""".stripMargin) +
       // maintenance statements: zorder rewrite invisible to values;
       // vacuum count = the 2 pre-optimize dirs; history = 4 commits
       ("q207_sql_txlog_maintenance" ->

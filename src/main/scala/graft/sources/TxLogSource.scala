@@ -42,10 +42,21 @@ final class TxLogSourceProvider extends RelationProvider
 
   override def shortName(): String = "txlog"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
+  private def rootOf(parameters: Map[String, String]): String = {
+    val raw = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "txlog source requires a path: spark.read.format(\"txlog\").load(root)"))
+    // catalog tables (CREATE TABLE ... USING txlog) hand the location
+    // as a QUALIFIED URI (`file:/...`); the table layer wants a plain
+    // local path
+    val uri = try java.net.URI.create(raw) catch { case _: Exception => null }
+    if (uri == null || uri.getScheme == null) raw
+    else {
+      require(uri.getScheme == "file",
+        s"txlog tables live on a local/posix filesystem; got $raw")
+      uri.getPath
+    }
+  }
 
   /** `timestampAsOf` accepts epoch millis, ISO-8601 instants, or the
     * SQL `yyyy-MM-dd HH:mm:ss[.fff]` form (interpreted in UTC, the
