@@ -57,6 +57,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // the engine's full session surface: SQL functions, the txlog
+      // DML/time-travel/maintenance statements, dynamic file pruning,
+      // and CBO statistics — one seam, on by default (getOrCreate
+      // applies extensions only when it actually creates the session)
+      .withExtensions(new graft.plans.GraftExtensions)
     engineConfs.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }

@@ -189,6 +189,30 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("Sessions.local ships the SQL surface by default") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = graft.core.Sessions.local(4)
+    try {
+      assert(s2 ne base)
+      val root = Files.createTempDirectory("sqldml_sessions").toString
+      val t = new TxLogTable(s2, root)
+      t.ensureExists(schema)
+      t.append(df((1L, "a", L(1))))
+      // parser injected: maintenance + DML statements just work
+      assert(s2.sql(s"DESCRIBE HISTORY txlog.`$root`").count() == 2)
+      s2.sql(s"UPDATE txlog.`$root` SET n = 7 WHERE k = 1").collect()
+      assert(t.read().collect().head.getLong(2) == 7L)
+      // functions injected too
+      assert(s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d")
+        .collect().head.getDouble(0) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("unsupported MERGE shapes fail loudly, not approximately") {
     val (root, _) = seed("sqldml_unsupported")
     df((2L, "x", L(1))).createOrReplaceTempView("u_sqldml")
