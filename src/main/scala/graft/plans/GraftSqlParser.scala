@@ -127,6 +127,53 @@ object GraftSqlRewrite {
       case _ => None
     }
 
+  /** Catalog-table root: a 1-/2-part identifier registered as
+    * `CREATE TABLE ... USING txlog` resolves to its location, so DML
+    * and time travel work on NAMED tables too. Temp views shadow
+    * catalog names (Spark's own precedence), and anything that isn't
+    * a txlog catalog table answers None — the statement then follows
+    * Spark's normal path.
+    */
+  private def catalogRoot(session: SparkSession,
+      parts: Seq[String]): Option[String] = {
+    val ident = parts match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) if !db.equalsIgnoreCase("txlog") =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    try {
+      val cat = session.sessionState.catalog
+      if (cat.isTempView(parts) || !cat.tableExists(ident)) None
+      else {
+        val meta = cat.getTableMetadata(ident)
+        if (!meta.provider.exists(_.equalsIgnoreCase("txlog"))) None
+        else meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.toString))
+          .map { raw =>
+            val uri = try java.net.URI.create(raw)
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (uri == null || uri.getScheme == null) raw else uri.getPath
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[txlogTarget]] extended with catalog-name resolution — used for
+    * the statements Spark CANNOT execute natively on a V1 table
+    * (MERGE/UPDATE/DELETE/time travel). Plain reads and INSERT INTO on
+    * named tables stay on Spark's own resolution (they already work).
+    */
+  private def dmlTarget(session: SparkSession,
+      plan: LogicalPlan): Option[(String, Option[String])] =
+    txlogTarget(plan).orElse(plan match {
+      case SubqueryAlias(id, child) =>
+        dmlTarget(session, child).map { case (p, _) => (p, Some(id.name)) }
+      case u: UnresolvedRelation =>
+        catalogRoot(session, u.multipartIdentifier).map((_, None))
+      case _ => None
+    })
+
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"txlog SQL: $msg")
 
@@ -241,8 +288,9 @@ object GraftSqlRewrite {
         GraftInsertCommand(root, rewriteReads(session, i.query),
           i.overwrite, i.byName)
       // time travel: SELECT ... FROM txlog.`p` VERSION/TIMESTAMP AS OF x
-      case tt @ RelationTimeTravel(rel, ts, ver) if txlogTarget(rel).isDefined =>
-        val (root, _) = txlogTarget(rel).get
+      case tt @ RelationTimeTravel(rel, ts, ver)
+          if dmlTarget(session, rel).isDefined =>
+        val (root, _) = dmlTarget(session, rel).get
         val table = new TxLogTable(session, root)
         val version = ver match {
           case Some(v) => v.toLong
@@ -251,8 +299,8 @@ object GraftSqlRewrite {
         }
         table.readAt(version).queryExecution.analyzed
 
-      case m: MergeIntoTable if txlogTarget(m.targetTable).isDefined =>
-        val (root, tAlias) = txlogTarget(m.targetTable).get
+      case m: MergeIntoTable if dmlTarget(session, m.targetTable).isDefined =>
+        val (root, tAlias) = dmlTarget(session, m.targetTable).get
         val (srcPlan, sAlias) = m.sourceTable match {
           case SubqueryAlias(id, child) => (child, Some(id.name))
           case other => (other, None)
@@ -281,8 +329,8 @@ object GraftSqlRewrite {
         GraftMergeCommand(root, rewriteReads(session, srcPlan), keys,
           matched, insert, insertCond)
 
-      case u: UpdateTable if txlogTarget(u.table).isDefined =>
-        val (root, alias) = txlogTarget(u.table).get
+      case u: UpdateTable if dmlTarget(session, u.table).isDefined =>
+        val (root, alias) = dmlTarget(session, u.table).get
         val sets = u.assignments.map { a =>
           val name = a.key match {
             case k: UnresolvedAttribute => k.nameParts.last
@@ -293,8 +341,8 @@ object GraftSqlRewrite {
         GraftUpdateCommand(root, sets,
           u.condition.map(bareSql(_, alias)))
 
-      case d: DeleteFromTable if txlogTarget(d.table).isDefined =>
-        val (root, alias) = txlogTarget(d.table).get
+      case d: DeleteFromTable if dmlTarget(session, d.table).isDefined =>
+        val (root, alias) = dmlTarget(session, d.table).get
         GraftDeleteCommand(root, Option(d.condition)
           .filterNot(_ == Literal.TrueLiteral).map(bareSql(_, alias)))
     })

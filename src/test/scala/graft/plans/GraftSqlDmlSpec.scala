@@ -189,6 +189,37 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("DML and time travel work on NAMED catalog tables (USING txlog)") {
+    val (root, t) = seed("sqldml_cat")
+    spark.sql("DROP TABLE IF EXISTS sqldml_cat_t")
+    spark.sql(s"CREATE TABLE sqldml_cat_t USING txlog OPTIONS (path '$root')")
+    try {
+      val v1 = t.currentVersion
+      GraftSql.sql(spark,
+        "UPDATE sqldml_cat_t SET n = n + 100 WHERE k = 1").collect()
+      GraftSql.sql(spark, "DELETE FROM sqldml_cat_t WHERE k = 3").collect()
+      df((2L, "B", L(999)), (8L, "h", L(80)))
+        .createOrReplaceTempView("cat_updates")
+      GraftSql.sql(spark,
+        """MERGE INTO sqldml_cat_t t USING cat_updates s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val got = t.read().orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(got == Seq((1L, 110L), (2L, 999L), (8L, 80L)))
+      // time travel by NAME
+      assert(GraftSql.sql(spark,
+        s"SELECT * FROM sqldml_cat_t VERSION AS OF $v1").count() == 3)
+      // a temp view with the same name shadows the catalog table:
+      // DML on the shadowed name must NOT touch the txlog table
+      df((42L, "x", L(0))).createOrReplaceTempView("sqldml_cat_shadow")
+      spark.sql("DROP TABLE IF EXISTS sqldml_cat_shadow")
+      intercept[Exception](GraftSql.sql(spark,
+        "DELETE FROM sqldml_cat_shadow WHERE k = 42").collect())
+      assert(t.read().count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS sqldml_cat_t")
+  }
+
   test("Sessions.local ships the SQL surface by default") {
     val base = spark
     SparkSession.clearActiveSession()
