@@ -92,6 +92,8 @@ object GraftSqlRewrite {
   //   OPTIMIZE txlog.`p` [ZORDER BY (c1, c2)] [INTO n FILES]
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+txlog\.`([^`]+)`\s*;?\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+txlog\.`([^`]+)`\s*;?\s*""".r
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+txlog\.`([^`]+)`(\s+FULL)?""" +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
@@ -103,6 +105,7 @@ object GraftSqlRewrite {
   /** Parse a maintenance statement, or None to delegate to Spark. */
   def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case HistoryRe(root) => Some(GraftHistoryCommand(root))
+    case DetailRe(root) => Some(GraftDetailCommand(root))
     case VacuumRe(root, full, retain) =>
       Some(GraftVacuumCommand(root, full = full != null,
         retainHours = Option(retain).map(_.toLong)))
@@ -443,6 +446,43 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
     new TxLogTable(sparkSession, root).history().reverse.map {
       case (v, action, ts) => Row(v, action, ts)
     }
+}
+
+/** DESCRIBE DETAIL txlog.`root` — one snapshot-summary row (the Delta
+  * idiom): current version, live file count, on-disk bytes, exact row
+  * count when every file carries stats (else null), and the reader
+  * protocol this snapshot requires.
+  */
+case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("min_reader", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val t = new TxLogTable(sparkSession, root)
+    require(t.exists, s"txlog table does not exist at $root")
+    val v = t.currentVersion
+    val paths = t.scanPathsAt(v, org.apache.spark.sql.functions.lit(true))
+    def filesOf(p: String): Seq[java.io.File] = {
+      val f = new java.io.File(p)
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
+          _.toSeq.filter(_.getName.endsWith(".parquet")))
+      else Seq(f)
+    }
+    val files = paths.flatMap(filesOf)
+    val rows = t.statsSummaryAt(v).map(_._1)
+    // the protocol in force = what the snapshot's features require
+    val reader =
+      if (t.colMapAt(v).nonEmpty) 3
+      else if (t.dvDirsAt(v).nonEmpty) 2
+      else 1
+    Seq(Row(v, files.size.toLong, files.map(_.length()).sum,
+      rows.map(java.lang.Long.valueOf).orNull, reader))
+  }
 }
 
 /** VACUUM txlog.`root` [FULL] [RETAIN n HOURS] — orphan sweep; FULL

@@ -41,9 +41,11 @@ import graft.sources.TxLogRelation
   *     nondeterministic plan could yield a non-superset key set) and
   *     must not be streaming;
   *   - dim-side planning stats ≤ `spark.graft.txlog.dfp.maxDimBytes`
-  *     (default 32 MB) and ≤ `....maxKeys` distinct keys (default
-  *     10 000) — over either bound the rule backs off to the normal
-  *     full scan (correct, just unpruned);
+  *     (default 32 MB) — over it the rule backs off to the normal
+  *     full scan (correct, just unpruned); over `....maxKeys`
+  *     distinct keys (default 10 000) the predicate degrades from an
+  *     IN-set to the dim's per-column [min, max] range — coarser
+  *     pruning, never more work;
   *   - a relation already pruned is never re-pruned (idempotent under
   *     repeated optimization), and the rewrite only lands when it
   *     strictly shrinks the file list.
@@ -124,21 +126,42 @@ class TxLogDynamicFilePruning(session: SparkSession)
         .select(keyPairs.map(p => bridge.column(p._2)): _*)
         .distinct().limit(maxKeys + 1).collect()
     } finally inProgress.set(false)
-    if (rows.length > maxKeys) return fact // too many keys: back off
-
-    // per-column IN predicates (a superset of exact tuple matching —
-    // file pruning only needs may-match)
-    val valsPerKey = keyPairs.indices.map(i =>
-      rows.iterator.map(_.get(i)).filter(_ != null).toSet.toSeq)
-    val allPaths = rel.table.scanPathsAt(rel.version, lit(true))
-    // a key column with ONLY null dim values matches nothing (SQL
-    // equi-join): prune to the empty scan without consulting stats
-    val pruned =
-      if (valsPerKey.exists(_.isEmpty)) Nil
-      else rel.table.scanPathsAt(rel.version,
-        keyPairs.zip(valsPerKey).map { case ((a, _), vals) =>
+    // per-column predicates (a superset of exact tuple matching — file
+    // pruning only needs may-match). A key column with ONLY null dim
+    // values matches nothing (SQL equi-join) → empty scan. Over the
+    // IN-set cap, degrade to the dim's [min, max] RANGE per key column
+    // (one more bounded 2-values-per-column job) instead of giving up:
+    // a 100k-key dim still prunes a range-clustered fact, just coarser.
+    val preds: Option[Seq[org.apache.spark.sql.Column]] =
+      if (rows.length <= maxKeys) {
+        val valsPerKey = keyPairs.indices.map(i =>
+          rows.iterator.map(_.get(i)).filter(_ != null).toSet.toSeq)
+        if (valsPerKey.exists(_.isEmpty)) None // null-only: empty scan
+        else Some(keyPairs.zip(valsPerKey).map { case ((a, _), vals) =>
           col(s"`${a.name}`").isin(vals.map(lit): _*)
-        }.reduce(_ && _))
+        })
+      } else {
+        import org.apache.spark.sql.functions.{max => smax, min => smin}
+        val agg = try {
+          inProgress.set(true)
+          bridge.ofRows(session, dim)
+            .select(keyPairs.zipWithIndex.flatMap { case ((_, b), i) =>
+              Seq(smin(bridge.column(b)).as(s"__mn$i"),
+                smax(bridge.column(b)).as(s"__mx$i"))
+            }: _*).collect().head
+        } finally inProgress.set(false)
+        if (keyPairs.indices.exists(i => agg.isNullAt(2 * i))) None
+        else Some(keyPairs.zipWithIndex.map { case ((a, _), i) =>
+          col(s"`${a.name}`")
+            .between(lit(agg.get(2 * i)), lit(agg.get(2 * i + 1)))
+        })
+      }
+    val allPaths = rel.table.scanPathsAt(rel.version, lit(true))
+    val pruned = preds match {
+      case None => Nil
+      case Some(ps) =>
+        rel.table.scanPathsAt(rel.version, ps.reduce(_ && _))
+    }
     lastPrune = Some((pruned.size, allPaths.size))
     if (pruned.size >= allPaths.size) return fact // no reduction: keep as-is
     fact transformUp {

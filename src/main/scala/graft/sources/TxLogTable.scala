@@ -468,7 +468,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
     kept.select(df.columns.map(kept.col).toIndexedSeq: _*)
   }
 
-  private[sources] def colMapAt(v: Long): Map[String, String] =
+  private[graft] def colMapAt(v: Long): Map[String, String] =
     if (v < 0) Map.empty else manifestAt(v).colMap.getOrElse(Map.empty)
 
   private def currentColMap: Map[String, String] = colMapAt(currentVersion)
@@ -599,7 +599,7 @@ final class TxLogTable(spark: SparkSession, root: String) {
     chain.reverse.collectFirst { case m if m.dv.isDefined => m.dv.get }
       .getOrElse(Nil)
 
-  private[sources] def dvDirsAt(version: Long): Seq[String] =
+  private[graft] def dvDirsAt(version: Long): Seq[String] =
     dvDirsOf(manifestChainAt(version)._1)
 
   /** The merge-on-read half of [[deleteVectored]]: anti-join a

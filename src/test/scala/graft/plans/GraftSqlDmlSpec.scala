@@ -176,6 +176,15 @@ class GraftSqlDmlSpec extends SparkSpec {
     GraftSql.sql(spark,
       s"OPTIMIZE txlog.`$root` ZORDER BY (k) INTO 2 FILES").collect()
     assert(t.read().orderBy("k").collect().toSeq == before)
+    // DESCRIBE DETAIL: the snapshot summary row — post-zorder the live
+    // set is 2 stat-carrying files, exact rows known, base protocol
+    val detail = GraftSql.sql(spark, s"DESCRIBE DETAIL txlog.`$root`")
+      .collect().head
+    assert(detail.getLong(0) == t.currentVersion)
+    assert(detail.getLong(1) == 2L, s"num_files=${detail.getLong(1)}")
+    assert(detail.getLong(2) > 0L)
+    assert(detail.getLong(3) == 4L, s"num_rows=${detail.get(3)}")
+    assert(detail.getInt(4) == 1)
     // and the statements also run through the injected-parser seam
     val base = spark
     SparkSession.clearActiveSession()

@@ -76,6 +76,24 @@ class TxLogDfpSpec extends SparkSpec {
       s"lastPrune=${TxLogDynamicFilePruning.lastPrune}")
   }
 
+  test("over the IN-set cap the predicate degrades to a range, not a full scan") {
+    val (root, _) = seedFact("dfp_range")
+    val fact = spark.read.format("txlog").load(root)
+    // 20 contiguous keys inside file 3's range [300, 399]
+    val d = dim((300L until 320L): _*)
+    spark.conf.set("spark.graft.txlog.dfp.maxKeys", "5")
+    try {
+      TxLogDynamicFilePruning.lastPrune = None
+      val pruned = TxLogDynamicFilePruning.prune(
+        fact.join(d, fact("k") === col("dk"))
+          .select(col("k"), col("payload")))
+      assert(pruned.count() == 20)
+      // range [300, 319] proves only file 3 can match
+      assert(TxLogDynamicFilePruning.lastPrune.contains((1, 10)),
+        s"lastPrune=${TxLogDynamicFilePruning.lastPrune}")
+    } finally spark.conf.unset("spark.graft.txlog.dfp.maxKeys")
+  }
+
   test("backoffs: outer joins, computed keys, nondeterministic dims stay unpruned") {
     val (root, _) = seedFact("dfp_backoff")
     val fact = spark.read.format("txlog").load(root)
