@@ -1672,8 +1672,9 @@ final class TxLogTable(spark: SparkSession, root: String) {
     * clusters its first column; z-order makes [[readWhere]] prune on
     * any of them (the Delta/Iceberg OPTIMIZE ZORDER decomposition:
     * one arithmetic projection + one range shuffle + manifest stats).
-    * Cluster columns must be numeric (bucketed by observed min/max)
-    * and the snapshot non-empty.
+    * Cluster columns may be numeric or STRING (strings bucket via an
+    * order-preserving UTF-8 prefix key — [[ZOrder.orderKey]]); the
+    * snapshot must be non-empty.
     */
   def compactZOrdered(clusterCols: Seq[String], numFiles: Int,
       bits: Int = 8, statsCols: Seq[String] = Nil,

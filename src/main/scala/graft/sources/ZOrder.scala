@@ -44,19 +44,39 @@ object ZOrder {
       (lit(max) - lit(min) + 1L).cast("double")).cast("long")
   }
 
-  /** Append a `zval` column interleaving `cols` (numeric), bucketed to
-    * `bits` each by their observed min/max.
+  /** Order-preserving long key of a cluster column: numerics cast;
+    * STRINGS map through their first-7-bytes UTF-8 prefix read as a
+    * base-16 integer, zero-padded on the right — numeric order of the
+    * key equals UTF-8 byte order of the string (= Spark's binary
+    * string ordering), so range bucketing (and therefore z-range
+    * pruning on parquet min/max) works for string dimensions exactly
+    * as for numeric ones. Nulls key to 0 (parquet min/max treats
+    * nulls separately anyway — IsNull pruning is the nulls path).
+    */
+  private[graft] def orderKey(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case _: org.apache.spark.sql.types.StringType =>
+      coalesce(
+        conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0"),
+          16, 10).cast("long"),
+        lit(0L))
+    case _ => coalesce(c.cast("long"), lit(0L))
+  }
+
+  /** Append a `zval` column interleaving `cols` (numeric or string),
+    * bucketed to `bits` each by their observed min/max.
     */
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"__min_$c"),
-        max(col(c)).cast("long").as(s"__max_$c")))
+    val keys = cols.map(c => orderKey(col(c), df.schema(c).dataType))
+    val aggs = keys.zipWithIndex.flatMap { case (k, i) =>
+      Seq(min(k).as(s"__min_$i"), max(k).as(s"__max_$i"))
+    }
     val mm = df.agg(aggs.head, aggs.tail: _*).collect().head
     require(!mm.anyNull,
-      "ZOrder.withZValue: input has no rows (or an all-null cluster " +
-        "column) — min/max bucketing is undefined on an empty frame")
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
-      rangeBucket(col(c).cast("long"), mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
+      "ZOrder.withZValue: input has no rows — min/max bucketing is " +
+        "undefined on an empty frame")
+    val buckets = keys.zipWithIndex.map { case (k, i) =>
+      rangeBucket(k, mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
     }
     df.withColumn("zval", interleave(buckets, bits))
   }

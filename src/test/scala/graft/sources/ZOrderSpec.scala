@@ -55,6 +55,42 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("string dimensions: orderKey preserves UTF-8 order; z-layout prunes string ranges") {
+    // order preservation across lengths, prefixes, and code points
+    val words = Seq("", "a", "ab", "b", "ba", "zz", "zzz", "é")
+    val keyed = words.toDF("s")
+      .select(col("s"), ZOrder.orderKey(col("s"),
+        org.apache.spark.sql.types.StringType).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sortedByKey = words.sortBy(keyed)
+    val sortedBinary = words.sorted // JVM String order = code-point order
+    assert(sortedByKey == sortedBinary,
+      s"key order $sortedByKey != binary order $sortedBinary")
+
+    // end-to-end: a txlog table z-ordered on (string source, numeric id)
+    // prunes BOTH dimensions through manifest stats
+    val root = Files.createTempDirectory("zorder_str").toString
+    val t = new TxLogTable(spark, root)
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("lang"))
+    t.ensureExists(docs.schema)
+    t.append(docs)
+    t.compactZOrdered(Seq("source", "doc_id"), numFiles = 8)
+    val all = t.scanPathsAt(t.currentVersion, lit(true)).size
+    assert(all == 8)
+    val srcs = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val oneSrc = t.scanPathsAt(t.currentVersion,
+      col("source") === srcs.head).size
+    val oneId = t.scanPathsAt(t.currentVersion,
+      col("doc_id") === 7L).size
+    assert(oneSrc < all, s"string dim did not prune: $oneSrc/$all")
+    assert(oneId < all, s"numeric dim did not prune: $oneId/$all")
+    // soundness: pruned read == full filter
+    assert(t.readWhere(col("source") === srcs.head).count() ==
+      docs.filter(col("source") === srcs.head).count())
+  }
+
   test("withZValue on an empty frame raises a clear error, not an NPE") {
     val li = Tables.lineitem(spark, sf0001).filter($"l_partkey" < 0)
     val e = intercept[IllegalArgumentException] {
