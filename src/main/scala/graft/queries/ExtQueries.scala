@@ -4301,6 +4301,27 @@ object ExtQueries {
       s.catalog.refreshTable("q208_cat")
       s.sql("""SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
               |FROM q208_cat""".stripMargin)
+    },
+
+    // ── DESCRIBE DETAIL under the oracle: the snapshot-summary row
+    // (version, live file count, exact stats-covered row count,
+    // required reader protocol) with every field deterministic by
+    // construction — two single-file stats-bearing appends — and
+    // restated by DuckDB from the raw table. Pins that the summary
+    // the CBO/introspection surface reports is the truth, not an
+    // estimate.
+    "q209_sql_txlog_detail" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q209")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+      t.ensureExists(ev.schema)
+      t.append(ev.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(1),
+        statsCols = Seq("event_id"))
+      t.append(ev.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1),
+        statsCols = Seq("event_id"))
+      graft.plans.GraftSql.sql(s, s"DESCRIBE DETAIL txlog.`$root`")
+        .select(col("version"), col("num_files"), col("num_rows"),
+          col("min_reader").cast("long").as("min_reader"))
     }
   )
 
@@ -6969,6 +6990,14 @@ object ExtQueries {
       ("q208_sql_txlog_catalog" ->
         """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
           |FROM events WHERE event_id % 3 IN (0, 1)""".stripMargin) +
+      // DESCRIBE DETAIL restated: v0 create + 2 appends = version 2,
+      // two coalesce(1) appends = 2 files, exact rows, base protocol
+      ("q209_sql_txlog_detail" ->
+        """SELECT CAST(2 AS BIGINT) AS version,
+          |  CAST(2 AS BIGINT) AS num_files,
+          |  CAST(COUNT(*) AS BIGINT) AS num_rows,
+          |  CAST(1 AS BIGINT) AS min_reader
+          |FROM events""".stripMargin) +
       // maintenance statements: zorder rewrite invisible to values;
       // vacuum count = the 2 pre-optimize dirs; history = 4 commits
       ("q207_sql_txlog_maintenance" ->
