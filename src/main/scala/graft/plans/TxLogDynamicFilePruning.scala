@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, OneRowRelation, Project, Range, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.bridge
 
@@ -46,6 +46,20 @@ import graft.sources.TxLogRelation
   *     distinct keys (default 10 000) the predicate degrades from an
   *     IN-set to the dim's per-column [min, max] range — coarser
   *     pruning, never more work;
+  *   - the fact-side lineage between the join and the relation must be
+  *     deterministic Project/Filter only (PhysicalOperation shape).
+  *     Row-SET-sensitive operators — Window, Limit, Sample, Sort-limit,
+  *     Aggregate — compute values that depend on which rows reach them,
+  *     so pruning beneath one would silently change its output; the
+  *     descent refuses to cross anything but per-row nodes;
+  *   - every dim-side leaf must be snapshot-pinned for the duration of
+  *     the query — a [[TxLogRelation]] (version-pinned), a file-based
+  *     relation (file list captured in its FileIndex at analysis),
+  *     LocalRelation/Range/OneRowRelation (literal data). A mutable
+  *     source (JDBC, a changing temp view) could surface NEW keys
+  *     between the planning-time key collect and the join's own
+  *     execution-time build, matching fact rows whose files were
+  *     already pruned — those leaves disqualify the rewrite;
   *   - a relation already pruned is never re-pruned (idempotent under
   *     repeated optimization), and the rewrite only lands when it
   *     strictly shrinks the file list.
@@ -89,12 +103,26 @@ class TxLogDynamicFilePruning(session: SparkSession)
     */
   private def pruneSide(fact: LogicalPlan, dim: LogicalPlan,
       cond: Expression): LogicalPlan = {
-    val rels = fact.collect {
+    // strict descent: only deterministic per-row nodes may sit between
+    // the join and the relation. Crossing a Window/Limit/Sample/Sort/
+    // Aggregate would change THAT operator's input row set, so its
+    // output (row_number, running sums, which-N-rows) would silently
+    // differ from the unpruned plan even though the join re-checks
+    // equality.
+    @annotation.tailrec
+    def descend(p: LogicalPlan): Option[LogicalRelation] = p match {
       case lr @ LogicalRelation(r: TxLogRelation, _, _, _, _)
-          if r.pathsOverride.isEmpty => lr
+          if r.pathsOverride.isEmpty => Some(lr)
+      case Project(exprs, child) if exprs.forall(_.deterministic) =>
+        descend(child)
+      case Filter(c, child) if c.deterministic => descend(child)
+      case SubqueryAlias(_, child) => descend(child)
+      case _ => None
     }
-    if (rels.size != 1) return fact
-    val lr = rels.head
+    val lr = descend(fact) match {
+      case Some(l) => l
+      case None => return fact
+    }
     val rel = lr.relation.asInstanceOf[TxLogRelation]
     // equi-key pairs: relation attribute = dim-side attribute
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -114,6 +142,19 @@ class TxLogDynamicFilePruning(session: SparkSession)
     if (dim.isStreaming) return fact
     if (dim.exists(_.expressions.exists(e =>
       e.exists(!_.deterministic)))) return fact
+    // snapshot-pinned dim leaves only: the key set is collected at
+    // planning time but the join re-executes the dim at run time, so
+    // a mutable leaf (JDBC, changing view) could grow new keys whose
+    // fact files were already pruned
+    val dimPinned = dim.collectLeaves().forall {
+      case LogicalRelation(_: TxLogRelation, _, _, _, _) => true
+      case LogicalRelation(_: HadoopFsRelation, _, _, _, _) => true
+      case _: LocalRelation => true
+      case _: Range => true
+      case _: OneRowRelation => true
+      case _ => false
+    }
+    if (!dimPinned) return fact
     val maxDimBytes = conf("spark.graft.txlog.dfp.maxDimBytes", 32L << 20)
     if (dim.stats.sizeInBytes > maxDimBytes) return fact
     val maxKeys = conf("spark.graft.txlog.dfp.maxKeys", 10000L).toInt

@@ -115,6 +115,31 @@ class TxLogDfpSpec extends SparkSpec {
     // nondeterministic dim: re-execution could under-cover
     assert(overrideCount(
       fact.join(d.filter(rand(7) >= -1), fact("k") === d("dk"))) == 0)
+    // row-set-sensitive operator between scan and join: a Window's
+    // output (rn) depends on which rows reach it, so pruning beneath
+    // it would silently change values — the descent must refuse
+    val w = org.apache.spark.sql.expressions.Window.orderBy("payload")
+    assert(overrideCount(
+      fact.withColumn("rn", row_number().over(w))
+        .join(d, fact("k") === d("dk"))) == 0)
+    // LIMIT between scan and join: which-500-rows changes under pruning
+    assert(overrideCount(
+      fact.limit(500).join(d, fact("k") === d("dk"))) == 0)
+    // SAMPLE between scan and join: sampled row set is position-derived
+    assert(overrideCount(
+      fact.sample(0.9, 7L).join(d, fact("k") === d("dk"))) == 0)
+    // non-snapshot dim leaf (RDD-backed — not provably pinned between
+    // the planning-time key collect and the execution-time build)
+    val rddDim = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(5L, "d5"))),
+      StructType(Seq(StructField("dk", LongType, nullable = false),
+        StructField("tag", StringType, nullable = true))))
+    assert(overrideCount(
+      fact.join(rddDim, fact("k") === col("dk"))) == 0)
+    // but per-row nodes (Filter/Project) on the fact side still prune
+    assert(overrideCount(
+      fact.filter(col("payload") >= 0).select(col("k"))
+        .join(d, col("k") === d("dk"))) == 1)
     // inner equi-join DOES rewrite (the positive control)
     assert(overrideCount(fact.join(d, fact("k") === d("dk"))) == 1)
     // disabled by conf: no rewrite
