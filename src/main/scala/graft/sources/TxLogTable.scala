@@ -188,7 +188,8 @@ object TxLogTable {
       extends MergeClause
 }
 
-final class TxLogTable(spark: SparkSession, root: String) {
+final class TxLogTable(spark: SparkSession, root: String,
+    owner: CommitOwner = PosixCommitOwner) {
 
   import TxLogTable.Manifest
 
@@ -232,6 +233,9 @@ final class TxLogTable(spark: SparkSession, root: String) {
 
   private def manifestAt(v: Long): Manifest = {
     val p = manifestPath(v)
+    // read-repair: a CAS-owned store may hold a claimed version whose
+    // object copy didn't land (winner crash) — finish it before read
+    if (!Files.exists(p)) owner.recover(p)
     require(Files.exists(p), s"version $v does not exist in $root")
     val m = Serialization.read[Manifest](
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
@@ -1037,10 +1041,11 @@ final class TxLogTable(spark: SparkSession, root: String) {
       if (m.isEmpty) None else Some(m)
     }
 
-  /** The atomic publish: temp-write the manifest, then hard-link it to
-    * its version slot. `link(2)` fails with EEXIST atomically when a
-    * concurrent writer already owns the version — the whole concurrency
-    * story reduces to this one primitive. Returns false on collision.
+  /** The atomic publish, delegated to the [[CommitOwner]] seam: the
+    * whole concurrency story reduces to put-if-absent with exactly one
+    * winner. On POSIX that's `link(2)` (EEXIST is atomic); on an
+    * object store it's an [[ExternalCasCommitOwner]] over the
+    * deployment's CAS service. Returns false on collision.
     */
   private[sources] def tryCommit(version: Long, m: Manifest): Boolean = {
     // protocol stamping: the floor is derived from FEATURE PRESENCE at
@@ -1049,17 +1054,9 @@ final class TxLogTable(spark: SparkSession, root: String) {
     // those features need, and base manifests stay version-1-readable
     val req = TxLogTable.requiredReader(m)
     val stamped = if (req > 1) m.copy(minReader = Some(req)) else m
-    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp,
+    owner.putIfAbsent(manifestPath(version),
       Serialization.write(stamped.copy(version = version))
         .getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(manifestPath(version), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case NonFatal(e) => throw e
-    } finally Files.deleteIfExists(tmp)
   }
 
   /** Spec hook: bid for `version` with an already-staged overwrite —
@@ -1551,13 +1548,11 @@ final class TxLogTable(spark: SparkSession, root: String) {
   }
 
   private def writeLastCheckpoint(version: Long, statsFile: Option[String]): Unit = {
-    val tmp = logDir.resolve(s".tmp-lc-${UUID.randomUUID()}")
     val sf = statsFile.fold("")(s => s""","statsFile":"$s"""")
-    Files.write(tmp, s"""{"version":$version$sf}"""
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, logDir.resolve("_last_checkpoint"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // LWW pointer, never correctness-bearing: the owner picks atomic
+    // swap (POSIX) or plain PUT (object store) as the store allows
+    owner.overwrite(logDir.resolve("_last_checkpoint"),
+      s"""{"version":$version$sf}""".getBytes(StandardCharsets.UTF_8))
   }
 
   /** Metadata-only history fold: commit an `overwrite` manifest listing

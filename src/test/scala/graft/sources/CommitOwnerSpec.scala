@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The object-store commit seam: put-if-absent must yield exactly one
+  * winner even when the underlying store offers NO atomic primitive.
+  * Pinned here: (1) the control — a naive check-then-write owner on a
+  * non-atomic store loses an update under a forced interleaving;
+  * (2) the CAS owner serializes the SAME interleaving; (3) a threaded
+  * race of full TxLogTable commits through the CAS owner lands both
+  * writers' rows at distinct versions; (4) winner-crash between claim
+  * and copy is repaired by the next reader/writer; (5) the POSIX owner
+  * keeps the original link(2) behavior.
+  */
+class CommitOwnerSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  /** A store whose `exists` answers can be held at a latch — forces
+    * the textbook TOCTOU interleaving (both writers observe "absent"
+    * before either writes).
+    */
+  private final class InterleavedStore extends ObjectStoreOps {
+    val bothChecked = new CountDownLatch(2)
+    override def exists(p: Path): Boolean = {
+      val r = Files.exists(p)
+      if (p.getFileName.toString.endsWith(".json")) {
+        bothChecked.countDown()
+        bothChecked.await(5, TimeUnit.SECONDS) // hold until both looked
+      }
+      r
+    }
+    override def put(p: Path, bytes: Array[Byte]): Unit = {
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+  }
+
+  private def race2(f: Int => Boolean): (Boolean, Boolean) = {
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val a = pool.submit(() => f(0))
+      val b = pool.submit(() => f(1))
+      (a.get(20, TimeUnit.SECONDS), b.get(20, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+  }
+
+  test("control: naive check-then-write on a non-atomic store admits two winners") {
+    val dir = Files.createTempDirectory("owner_naive")
+    val store = new InterleavedStore
+    val dest = dir.resolve("00000000000000000001.json")
+    val (a, b) = race2 { i =>
+      new NaiveCheckThenWriteOwner(store)
+        .putIfAbsent(dest, CommitOwner.utf8(s"writer$i"))
+    }
+    // the forced interleaving makes BOTH believe they won — the lost
+    // update the CAS protocol exists to prevent
+    assert(a && b, s"expected the broken owner to double-win, got ($a,$b)")
+  }
+
+  test("CAS owner serializes maximally-overlapped writers to one winner") {
+    val dir = Files.createTempDirectory("owner_cas")
+    // force FULL overlap: both writers must have staged their temp
+    // object before either reaches the claim — the worst-case timing
+    // for any protocol that isn't genuinely atomic at the CAS
+    val bothStaged = new CountDownLatch(2)
+    val store = new ObjectStoreOps {
+      override def exists(p: Path): Boolean = Files.exists(p)
+      override def put(p: Path, bytes: Array[Byte]): Unit = {
+        Files.createDirectories(p.getParent)
+        Files.write(p, bytes)
+        if (p.getFileName.toString.startsWith(".tmp-cas")) {
+          bothStaged.countDown()
+          bothStaged.await(5, TimeUnit.SECONDS)
+        }
+      }
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+    }
+    val registry = new InMemoryCasRegistry
+    val dest = dir.resolve("00000000000000000001.json")
+    val (a, b) = race2 { i =>
+      new ExternalCasCommitOwner(registry, store, s"w$i")
+        .putIfAbsent(dest, CommitOwner.utf8(s"writer$i"))
+    }
+    assert(a ^ b, s"exactly one winner expected, got ($a,$b)")
+    // the published bytes are the winner's, and the claim is complete
+    val winner = if (a) "writer0" else "writer1"
+    assert(new String(Files.readAllBytes(dest), "UTF-8") == winner)
+    assert(registry.get(dest.toString).exists(_.complete))
+  }
+
+  test("two TxLogTable appends racing through the CAS owner both land, serialized") {
+    val root = Files.createTempDirectory("txlog_cas").toString
+    val store = LocalObjectStoreOps
+    val registry = new InMemoryCasRegistry
+    def table(id: String) =
+      new TxLogTable(spark, root, new ExternalCasCommitOwner(registry, store, id))
+    table("init").ensureExists(schema)
+    import spark.implicits._
+    val landed = new AtomicInteger(0)
+    val (a, b) = race2 { i =>
+      table(s"w$i").append(
+        Seq((i.toLong, s"from$i")).toDF("k", "v"))
+      landed.incrementAndGet() > 0
+    }
+    assert(a && b)
+    val t = table("reader")
+    assert(t.currentVersion == 2L) // v0 create + two serialized appends
+    val rows = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((0L, "from0"), (1L, "from1")),
+      "a lost update would drop one writer's row")
+  }
+
+  test("winner crash between claim and copy is repaired on next access") {
+    val root = Files.createTempDirectory("txlog_crash").toString
+    val registry = new InMemoryCasRegistry
+    /** put() to a destination .json key throws ONCE — simulating the
+      * winner dying after its claim (tmp bytes durable) but before the
+      * destination copy landed.
+      */
+    val crashing = new ObjectStoreOps {
+      @volatile var armed = true
+      override def exists(p: Path): Boolean = Files.exists(p)
+      override def put(p: Path, bytes: Array[Byte]): Unit = {
+        val name = p.getFileName.toString
+        if (armed && name.endsWith(".json") && !name.startsWith(".tmp")) {
+          armed = false
+          throw new RuntimeException("simulated writer death")
+        }
+        Files.createDirectories(p.getParent)
+        Files.write(p, bytes)
+      }
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+    }
+    def table(id: String) =
+      new TxLogTable(spark, root, new ExternalCasCommitOwner(registry, crashing, id))
+    // the create "crashes" mid-publish: claim recorded, object missing
+    intercept[RuntimeException](table("victim").ensureExists(schema))
+    assert(registry.get(
+      java.nio.file.Paths.get(root, "_log", f"${0L}%020d.json").toString)
+      .exists(!_.complete))
+    // a later writer repairs v0 while losing its bid for it, then
+    // commits its own append at v1 — the log self-heals
+    val t2 = table("survivor")
+    t2.ensureExists(schema)
+    import spark.implicits._
+    t2.append(Seq((9L, "after")).toDF("k", "v"))
+    assert(t2.currentVersion == 1L)
+    assert(t2.read().count() == 1L)
+  }
+
+  test("POSIX owner: link(2) publish keeps exactly-one-winner on a real fs") {
+    val dir = Files.createTempDirectory("owner_posix")
+    val dest = dir.resolve("00000000000000000007.json")
+    val (a, b) = race2 { i =>
+      PosixCommitOwner.putIfAbsent(dest, CommitOwner.utf8(s"p$i"))
+    }
+    assert(a ^ b)
+    // and no temp litter survives
+    val leftovers = Files.list(dir).iterator()
+    var names = List.empty[String]
+    while (leftovers.hasNext)
+      names ::= leftovers.next().getFileName.toString
+    assert(names == List(dest.getFileName.toString), s"litter: $names")
+  }
+}
