@@ -157,14 +157,26 @@ object AvroOcf {
                 f.get("type") match {
                   case Some(t: String) if isPrimitive(t) =>
                     out += OcfField(name, t, nullable = false)
+                  case Some(tm: Map[_, _]) =>
+                    val t = logicalName(tm.asInstanceOf[Map[String, Any]])
+                      .getOrElse(return None)
+                    out += OcfField(name, t, nullable = false)
                   case Some(u: Vector[_]) if u.length == 2 =>
-                    val branches = u.collect { case s: String => s }
-                    if (branches.length != 2 ||
-                      !branches.contains("null")) return None
-                    val t = branches.find(_ != "null").get
+                    // each branch: "null", a primitive name, or a
+                    // logical-type object — resolve to the extended name
+                    val branches = u.map {
+                      case s: String => Some(s)
+                      case m: Map[_, _] =>
+                        logicalName(m.asInstanceOf[Map[String, Any]])
+                      case _ => None
+                    }
+                    if (branches.exists(_.isEmpty)) return None
+                    val names = branches.map(_.get)
+                    if (!names.contains("null")) return None
+                    val t = names.find(_ != "null").get
                     if (!isPrimitive(t)) return None
                     out += OcfField(name, t, nullable = true,
-                      nullBranch = branches.indexOf("null"))
+                      nullBranch = names.indexOf("null"))
                   case _ => return None // nested/array/map → out of scope
                 }
               case _ => return None
@@ -178,7 +190,39 @@ object AvroOcf {
 
   private def isPrimitive(t: String): Boolean =
     t == "long" || t == "int" || t == "string" || t == "boolean" ||
-      t == "double" || t == "float" || t == "bytes"
+      t == "double" || t == "float" || t == "bytes" ||
+      t == "date" || t == "timestamp-millis" || t == "timestamp-micros" ||
+      t.startsWith("decimal:")
+
+  /** Resolve a JSON type OBJECT ({"type":"bytes","logicalType":
+    * "decimal","scale":2,...}) to the extended type name the decoder
+    * speaks: the logical name when it's one we decode (carried on the
+    * carrier the spec assigns), the bare carrier when no logicalType
+    * rides it, None otherwise. Decimal keeps its scale in the name —
+    * the one parameter the binary decode needs.
+    */
+  private def logicalName(m: Map[String, Any]): Option[String] = {
+    val carrier = m.get("type") match {
+      case Some(s: String) => s
+      case _ => return None
+    }
+    m.get("logicalType") match {
+      case None => Some(carrier).filter(isPrimitive)
+      case Some("date") if carrier == "int" => Some("date")
+      case Some("timestamp-millis") if carrier == "long" =>
+        Some("timestamp-millis")
+      case Some("timestamp-micros") if carrier == "long" =>
+        Some("timestamp-micros")
+      case Some("decimal") if carrier == "bytes" =>
+        m.get("scale") match {
+          case Some(d: java.lang.Double) if d.doubleValue.isValidInt =>
+            Some(s"decimal:${d.intValue}")
+          case None => Some("decimal:0") // spec default scale = 0
+          case _ => None
+        }
+      case _ => None // unknown logical type → out of scope, not misread
+    }
+  }
 
   // ── binary decode ────────────────────────────────────────────────
 
@@ -226,6 +270,21 @@ object AvroOcf {
       var i = 0
       while (i < 4) { v |= c.u8() << (8 * i); i += 1 }
       java.lang.Float.intBitsToFloat(v).toDouble
+    // logical types, decoded to their java.time / BigDecimal meaning
+    // (the raw carrier value alone would be a silent misread)
+    case "date" =>
+      java.time.LocalDate.ofEpochDay(c.zigzag())
+    case "timestamp-millis" =>
+      java.time.Instant.ofEpochMilli(c.zigzag())
+    case "timestamp-micros" =>
+      val us = c.zigzag()
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    case t if t.startsWith("decimal:") =>
+      val scale = t.substring("decimal:".length).toInt
+      val raw = c.take(c.zigzag().toInt)
+      if (raw.isEmpty) throw new Malformed // zero-length two's complement
+      new java.math.BigDecimal(new java.math.BigInteger(raw), scale)
     case _ => throw new Malformed
   }
 

@@ -33,10 +33,12 @@ import org.apache.spark.util.SerializableConfiguration
   * Type surface (stated, not silently coerced): boolean/int/long/
   * float/double/string/binary, plus NESTED structs (Avro records,
   * path-named for Avro's unique-name rule), arrays, and string-keyed
-  * maps — each recursively, nullable or not at every level. Decimals,
-  * dates/timestamps, and non-string map keys still fail fast with the
-  * field path; convert upstream or use the spark-avro module, which
-  * maps logical types properly.
+  * maps — each recursively, nullable or not at every level. Logical
+  * types, both directions: decimal (bytes on write; bytes OR fixed on
+  * read) ↔ DecimalType, date (int) ↔ DateType, timestamp-micros ↔
+  * TimestampType (timestamp-millis also read). Remaining gaps
+  * (time-*, duration, uuid, non-string map keys) still fail fast with
+  * the field path rather than coerce silently.
   */
 object AvroTables {
 
@@ -53,6 +55,19 @@ object AvroTables {
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
     case StringType => Schema.create(Schema.Type.STRING)
     case BinaryType => Schema.create(Schema.Type.BYTES)
+    // logical types, per the Avro spec's annotations: decimal rides
+    // bytes (two's-complement unscaled big-endian), date is epoch-day
+    // on int, timestamp-micros is epoch-micros on long — the same
+    // physical encodings spark-avro emits, so files interoperate
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case DateType =>
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
     case st: StructType => toAvroSchema(st, path)
     case ArrayType(elem, containsNull) =>
       Schema.createArray(nullableIf(toAvroType(elem, path + "_item"), containsNull))
@@ -86,23 +101,40 @@ object AvroTables {
       (nonNull.head, nonNull.size < s.getTypes.size())
     } else (s, false)
 
-  private def toSparkType(s: Schema): DataType = s.getType match {
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => LongType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.STRING => StringType
-    case Schema.Type.BYTES => BinaryType
-    case Schema.Type.RECORD => toSparkSchema(s)
-    case Schema.Type.ARRAY =>
-      val (elem, n) = unwrap(s.getElementType)
-      ArrayType(toSparkType(elem), containsNull = n)
-    case Schema.Type.MAP =>
-      val (v, n) = unwrap(s.getValueType)
-      MapType(StringType, toSparkType(v), valueContainsNull = n)
-    case other => throw new IllegalArgumentException(
-      s"avro type $other has no bridge mapping")
+  private def toSparkType(s: Schema): DataType = (s.getLogicalType, s.getType) match {
+    case (d: org.apache.avro.LogicalTypes.Decimal, _) =>
+      DecimalType(d.getPrecision, d.getScale) // bytes or fixed carrier
+    case (_: org.apache.avro.LogicalTypes.Date, Schema.Type.INT) =>
+      DateType
+    case (_: org.apache.avro.LogicalTypes.TimestampMicros, Schema.Type.LONG) =>
+      TimestampType
+    case (_: org.apache.avro.LogicalTypes.TimestampMillis, Schema.Type.LONG) =>
+      TimestampType
+    case (lt, t) if lt != null &&
+        (t == Schema.Type.INT || t == Schema.Type.LONG ||
+          t == Schema.Type.BYTES || t == Schema.Type.FIXED ||
+          t == Schema.Type.STRING) &&
+        !lt.getName.startsWith("uuid") => // uuid reads fine as string
+      throw new IllegalArgumentException(
+        s"avro logical type ${lt.getName} on $t has no bridge mapping")
+    case (_, tpe) => tpe match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.LONG => LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BYTES => BinaryType
+      case Schema.Type.RECORD => toSparkSchema(s)
+      case Schema.Type.ARRAY =>
+        val (elem, n) = unwrap(s.getElementType)
+        ArrayType(toSparkType(elem), containsNull = n)
+      case Schema.Type.MAP =>
+        val (v, n) = unwrap(s.getValueType)
+        MapType(StringType, toSparkType(v), valueContainsNull = n)
+      case other => throw new IllegalArgumentException(
+        s"avro type $other has no bridge mapping")
+    }
   }
 
   def toSparkSchema(schema: Schema): StructType =
@@ -171,6 +203,29 @@ object AvroTables {
   private def toAvroValue(v: Any, schema: Schema): AnyRef = {
     if (v == null) return null
     val (s, _) = unwrap(schema)
+    s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        // exact-scale unscaled big-endian bytes; a scale mismatch is a
+        // bug upstream, so UNNECESSARY rounding throws rather than rounds
+        val bd = v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.getScale, java.math.RoundingMode.UNNECESSARY)
+        return java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+      case _: org.apache.avro.LogicalTypes.Date =>
+        val days = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        return Int.box(Math.toIntExact(days))
+      case _: org.apache.avro.LogicalTypes.TimestampMicros =>
+        val inst = v match {
+          case t: java.sql.Timestamp => t.toInstant
+          case t: java.time.Instant => t
+        }
+        return Long.box(Math.addExact(
+          Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L))
+      case _ => ()
+    }
     s.getType match {
       case Schema.Type.RECORD => rowToRecord(v.asInstanceOf[Row], s)
       case Schema.Type.ARRAY =>
@@ -220,6 +275,8 @@ object AvroTables {
           val reader = new DataFileReader[GenericRecord](
             new FsInput(new Path(p), conf.value),
             new GenericDatumReader[GenericRecord](schema))
+          val fieldSchemas =
+            schema.getFields.asScala.map(_.schema()).toArray
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = reader.hasNext
@@ -231,7 +288,7 @@ object AvroTables {
               val vals = new Array[Any](nFields)
               var i = 0
               while (i < nFields) {
-                vals(i) = fromAvroValue(rec.get(i))
+                vals(i) = fromAvroValue(rec.get(i), fieldSchemas(i))
                 i += 1
               }
               Row.fromSeq(vals.toIndexedSeq)
@@ -242,26 +299,57 @@ object AvroTables {
     spark.createDataFrame(rows, sparkSchema)
   }
 
-  /** Avro→Spark value conversion, structural (the Avro runtime types
-    * carry enough shape: records, arrays, maps recurse; Utf8 and
-    * ByteBuffer normalize to String / Array[Byte]).
+  /** Avro→Spark value conversion — SCHEMA-directed, because logical
+    * types are invisible in the runtime value (a decimal is just a
+    * ByteBuffer, a date just an int): the reader schema says what the
+    * raw carrier means. Structural shapes (records, arrays, maps,
+    * Utf8→String, ByteBuffer→Array[Byte]) recurse with their child
+    * schemas.
     */
-  private def fromAvroValue(v: Any): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case bb: java.nio.ByteBuffer =>
-      val out = new Array[Byte](bb.remaining())
-      bb.duplicate().get(out)
-      out
-    case rec: GenericRecord =>
-      val n = rec.getSchema.getFields.size()
-      Row.fromSeq((0 until n).map(i => fromAvroValue(rec.get(i))))
-    case list: java.util.List[_] =>
-      list.asScala.map(fromAvroValue).toSeq
-    case map: java.util.Map[_, _] =>
-      map.asScala.map { case (k, x) =>
-        fromAvroValue(k).asInstanceOf[String] -> fromAvroValue(x)
-      }.toMap
-    case other => other
+  private def fromAvroValue(v: Any, schema: Schema): Any = {
+    if (v == null) return null
+    val (s, _) = unwrap(schema)
+    s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        val bytes = v match {
+          case bb: java.nio.ByteBuffer =>
+            val out = new Array[Byte](bb.remaining())
+            bb.duplicate().get(out)
+            out
+          case f: GenericData.Fixed => f.bytes()
+        }
+        return new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), d.getScale)
+      case _: org.apache.avro.LogicalTypes.Date =>
+        return java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case _: org.apache.avro.LogicalTypes.TimestampMicros =>
+        val us = v.asInstanceOf[Long]
+        return java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case _: org.apache.avro.LogicalTypes.TimestampMillis =>
+        return java.sql.Timestamp.from(
+          java.time.Instant.ofEpochMilli(v.asInstanceOf[Long]))
+      case _ => ()
+    }
+    v match {
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case str: String => str
+      case bb: java.nio.ByteBuffer =>
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out)
+        out
+      case rec: GenericRecord =>
+        val fs = s.getFields
+        Row.fromSeq((0 until fs.size()).map(i =>
+          fromAvroValue(rec.get(i), fs.get(i).schema())))
+      case list: java.util.List[_] =>
+        list.asScala.map(fromAvroValue(_, s.getElementType)).toSeq
+      case map: java.util.Map[_, _] =>
+        map.asScala.map { case (k, x) =>
+          k.toString -> fromAvroValue(x, s.getValueType)
+        }.toMap
+      case other => other
+    }
   }
 }

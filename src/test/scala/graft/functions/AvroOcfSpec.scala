@@ -107,4 +107,61 @@ class AvroOcfSpec extends AnyFunSuite {
     w.close()
     assert(readRows(bos.toByteArray).isEmpty)
   }
+
+  test("logical types decode to their meaning; unknown ones fence out") {
+    // library-written file with decimal(12,2)/date/timestamp-micros —
+    // the schema shapes AvroTables.write emits
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"row","fields":[
+        |{"name":"amt","type":{"type":"bytes","logicalType":"decimal",
+        | "precision":12,"scale":2}},
+        |{"name":"d","type":["null",{"type":"int","logicalType":"date"}]},
+        |{"name":"ts","type":{"type":"long",
+        | "logicalType":"timestamp-micros"}}]}""".stripMargin)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, bos)
+    val r = new GenericData.Record(schema)
+    // -0.01 → unscaled -1: the sign-extension path
+    r.put("amt", java.nio.ByteBuffer.wrap(
+      new java.math.BigDecimal("-0.01").unscaledValue().toByteArray))
+    r.put("d", java.lang.Integer.valueOf(
+      java.time.LocalDate.of(2020, 1, 2).toEpochDay.toInt))
+    r.put("ts", java.lang.Long.valueOf(-999999L)) // pre-epoch micros
+    w.append(r)
+    val r2 = new GenericData.Record(schema)
+    r2.put("amt", java.nio.ByteBuffer.wrap(
+      new java.math.BigDecimal("12345.67").unscaledValue().toByteArray))
+    r2.put("d", null)
+    r2.put("ts", java.lang.Long.valueOf(1577934245123456L))
+    w.append(r2)
+    w.close()
+    val bytes = bos.toByteArray
+    val m = meta(bytes).get
+    assert(m.fields.map(f => (f.name, f.tpe, f.nullable)) == Vector(
+      ("amt", "decimal:2", false), ("d", "date", true),
+      ("ts", "timestamp-micros", false)))
+    val rows = readRows(bytes).get
+    assert(rows(0) == Vector(
+      Some(new java.math.BigDecimal("-0.01")),
+      Some(java.time.LocalDate.of(2020, 1, 2)),
+      Some(java.time.Instant.ofEpochSecond(-1L, 1000L))))
+    assert(rows(1)(0) == Some(new java.math.BigDecimal("12345.67")))
+    assert(rows(1)(1) == None)
+    assert(rows(1)(2) ==
+      Some(java.time.Instant.ofEpochSecond(1577934245L, 123456000L)))
+    // an unknown logical type is out of scope — None, never a misread
+    val unknown = new Schema.Parser().parse(
+      """{"type":"record","name":"row","fields":[
+        |{"name":"t","type":{"type":"int","logicalType":"time-millis"}}]}"""
+        .stripMargin)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val w2 = new DataFileWriter(new GenericDatumWriter[GenericRecord](unknown))
+    w2.create(unknown, bos2)
+    val ur = new GenericData.Record(unknown)
+    ur.put("t", java.lang.Integer.valueOf(1234))
+    w2.append(ur)
+    w2.close()
+    assert(readRows(bos2.toByteArray).isEmpty)
+  }
 }

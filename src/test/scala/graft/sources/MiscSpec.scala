@@ -65,12 +65,47 @@ class MiscSpec extends SparkSpec {
     AvroTables.write(df.limit(0), s"$work/empty")
     val emptyBack = AvroTables.read(spark, s"$work/empty")
     assert(emptyBack.count() == 0 && emptyBack.schema.length == 5)
-    // unsupported logical types name the field instead of corrupting it
+    // unsupported types still name the field instead of corrupting it
     val e = intercept[IllegalArgumentException] {
-      AvroTables.write(Seq(Tuple1(java.sql.Date.valueOf("2020-01-02")))
-        .toDF("d"), s"$work/bad")
+      AvroTables.write(Seq(Tuple1(1.toShort)).toDF("d"), s"$work/bad")
     }
     assert(e.getMessage.contains("'d'"))
+  }
+
+  test("avro bridge: decimal/date/timestamp logical types round-trip exactly") {
+    val work = Files.createTempDirectory("avrological").toString
+    // negative decimal and pre-epoch instants on purpose: they exercise
+    // the two's-complement unscaled-bytes path and floorDiv micros
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, CAST('12345.67' AS DECIMAL(12,2)), DATE'2020-01-02',
+        |   TIMESTAMP'2020-01-02 03:04:05.123456'),
+        |  (2L, CAST('-0.01' AS DECIMAL(12,2)), DATE'1969-12-31',
+        |   TIMESTAMP'1969-12-31 23:59:59.000001'),
+        |  (3L, CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS DATE),
+        |   CAST(NULL AS TIMESTAMP))
+        |AS t(id, amt, d, ts)""".stripMargin)
+    AvroTables.write(df, s"$work/t")
+    val back = AvroTables.read(spark, s"$work/t")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(df).count() == 0 &&
+      df.exceptAll(back).count() == 0)
+    // the written schema carries the spec's logical-type annotations
+    // (interop: spark-avro and any other reader sees the same types)
+    val json = AvroTables.toAvroSchema(df.schema).toString
+    assert(json.contains("\"logicalType\":\"decimal\"") &&
+      json.contains("\"logicalType\":\"date\"") &&
+      json.contains("\"logicalType\":\"timestamp-micros\""))
+    // a logical type we DON'T map still fails fast on read
+    val bad = org.apache.avro.SchemaBuilder.record("r").fields()
+      .name("t").`type`(org.apache.avro.LogicalTypes.timeMillis()
+        .addToSchema(org.apache.avro.Schema.create(
+          org.apache.avro.Schema.Type.INT))).noDefault().endRecord()
+    val e = intercept[IllegalArgumentException] {
+      AvroTables.toSparkSchema(bad)
+    }
+    assert(e.getMessage.contains("time-millis"))
   }
 
   test("avro bridge: nested structs, arrays, and maps round-trip exactly") {
