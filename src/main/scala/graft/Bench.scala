@@ -275,30 +275,42 @@ object Bench {
     // ("isolated_reruns") so a cleared flag stays auditable.
     val prelimFlags = (regsOf(results).map(_._1) ++
       anchorsOf(results).map(_._1)).distinct.sorted
-    val isolatedMin: Map[String, Double] =
+    // A rerun that THROWS must not arbitrate: its elapsed-until-failure
+    // time is not a measurement, and letting it through would both
+    // clear the flag and pollute the committed baseline with a phantom
+    // fast time. Failed reruns are discarded; if all three fail, the
+    // suite time and its flag stand, and the failure is recorded in
+    // the artifact.
+    val isolatedMin: Map[String, Option[Double]] =
       if (prelimFlags.isEmpty) Map.empty
       else {
         System.gc()
         Thread.sleep(1000)
         prelimFlags.map { n =>
           val fn = SparkEntry.queries(n)
-          val times = (1 to 3).map { _ =>
+          val times = (1 to 3).flatMap { _ =>
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).count() catch { case _: Throwable => () }
+            val ok =
+              try { fn(spark, sfDir).count(); true }
+              catch { case _: Throwable => false }
             val dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
-            dt
+            if (ok) Some(dt) else None
           }
-          n -> times.min
+          n -> (if (times.nonEmpty) Some(times.min) else None)
         }.toMap
       }
     val finalResults = results.map { case (n, s) =>
-      (n, math.min(s, isolatedMin.getOrElse(n, s)))
+      (n, isolatedMin.get(n).flatten.fold(s)(math.min(s, _)))
     }
     val regressions = regsOf(finalResults)
     val anchorViolations = anchorsOf(finalResults)
     val isolatedJson = prelimFlags.map { n =>
-      s"""\"$n\":{\"suite\":${results.toMap.apply(n)},\"isolated\":${isolatedMin(n)}}"""
+      val iso = isolatedMin(n) match {
+        case Some(t) => s"$t"
+        case None    => "null" // all isolated reruns failed — flag stands
+      }
+      s"""\"$n\":{\"suite\":${results.toMap.apply(n)},\"isolated\":$iso}"""
     }.mkString("{", ",", "}")
 
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }

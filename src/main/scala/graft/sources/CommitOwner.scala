@@ -83,6 +83,12 @@ trait ObjectStoreOps {
   def exists(p: Path): Boolean
   def put(p: Path, bytes: Array[Byte]): Unit
   def get(p: Path): Array[Byte]
+
+  /** Idempotent delete (S3 DELETE semantics: deleting a missing key
+    * succeeds). Used only for temp-object GC — never for published
+    * versions.
+    */
+  def delete(p: Path): Unit
 }
 
 /** Pass-through impl over the local filesystem, restricted to the
@@ -95,6 +101,7 @@ object LocalObjectStoreOps extends ObjectStoreOps {
     Files.write(p, bytes) // plain overwriting write — no atomicity
   }
   override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+  override def delete(p: Path): Unit = Files.deleteIfExists(p)
 }
 
 /** One registry entry: who claimed the key, where the winner's
@@ -157,9 +164,24 @@ final class ExternalCasCommitOwner(registry: CasRegistry,
 
   private def repair(dest: Path, e: ClaimEntry): Unit =
     if (!e.complete) {
-      if (!store.exists(dest))
-        store.put(dest, store.get(dest.getParent.resolve(e.tmpKey)))
-      registry.markComplete(dest.toString)
+      val tmp = dest.getParent.resolve(e.tmpKey)
+      try {
+        // Unconditional re-copy: `exists(dest)` proves nothing on a
+        // store whose PUTs are non-atomic — a winner dying mid-copy
+        // leaves a torn object that exists. Re-putting the winner's
+        // temp bytes is idempotent (only winner content is ever
+        // written to dest, by anyone) and heals a torn destination.
+        store.put(dest, store.get(tmp))
+        registry.markComplete(dest.toString)
+        store.delete(tmp) // claim complete — the staged copy is garbage
+      } catch {
+        case err: Exception =>
+          // Benign race: the winner (or another repairer) finished and
+          // GC'd its temp between our registry read and the get. If the
+          // claim is now complete the publish is durable; otherwise the
+          // failure is real and must surface.
+          if (!registry.get(dest.toString).exists(_.complete)) throw err
+      }
     }
 
   override def putIfAbsent(dest: Path, bytes: Array[Byte]): Boolean = {
@@ -168,13 +190,18 @@ final class ExternalCasCommitOwner(registry: CasRegistry,
       case Some(e) => repair(dest, e); false
       case None =>
         val tmpKey = s".tmp-cas-${UUID.randomUUID()}"
-        store.put(dest.getParent.resolve(tmpKey), bytes) // durable first
+        val tmp = dest.getParent.resolve(tmpKey)
+        store.put(tmp, bytes) // durable first
         registry.claim(key, ClaimEntry(ownerId, tmpKey,
           complete = false)) match {
-          case Some(existing) => repair(dest, existing); false
+          case Some(existing) =>
+            repair(dest, existing)
+            store.delete(tmp) // lost the claim — our staged bytes are garbage
+            false
           case None =>
             store.put(dest, bytes)
             registry.markComplete(key)
+            store.delete(tmp) // complete — repairers no longer need it
             true
         }
     }

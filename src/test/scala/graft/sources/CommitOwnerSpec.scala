@@ -43,6 +43,7 @@ class CommitOwnerSpec extends SparkSpec {
       Files.write(p, bytes)
     }
     override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+    override def delete(p: Path): Unit = Files.deleteIfExists(p)
   }
 
   private def race2(f: Int => Boolean): (Boolean, Boolean) = {
@@ -84,6 +85,7 @@ class CommitOwnerSpec extends SparkSpec {
         }
       }
       override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+      override def delete(p: Path): Unit = Files.deleteIfExists(p)
     }
     val registry = new InMemoryCasRegistry
     val dest = dir.resolve("00000000000000000001.json")
@@ -141,6 +143,7 @@ class CommitOwnerSpec extends SparkSpec {
         Files.write(p, bytes)
       }
       override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+      override def delete(p: Path): Unit = Files.deleteIfExists(p)
     }
     def table(id: String) =
       new TxLogTable(spark, root, new ExternalCasCommitOwner(registry, crashing, id))
@@ -157,6 +160,62 @@ class CommitOwnerSpec extends SparkSpec {
     t2.append(Seq((9L, "after")).toDF("k", "v"))
     assert(t2.currentVersion == 1L)
     assert(t2.read().count() == 1L)
+  }
+
+  test("winner crash MID-copy (torn destination object) is healed by repair") {
+    val root = Files.createTempDirectory("txlog_torn")
+    val registry = new InMemoryCasRegistry
+    val full = CommitOwner.utf8("""{"v":0,"complete":"commit-record"}""")
+    /** put() to a destination .json key writes HALF the bytes then
+      * dies — the non-atomic-PUT failure mode the ObjectStoreOps
+      * contract explicitly allows. `exists(dest)` is TRUE afterwards,
+      * so a repair that trusts exists() would bless the torn object.
+      */
+    val tearing = new ObjectStoreOps {
+      @volatile var armed = true
+      override def exists(p: Path): Boolean = Files.exists(p)
+      override def put(p: Path, bytes: Array[Byte]): Unit = {
+        Files.createDirectories(p.getParent)
+        val name = p.getFileName.toString
+        if (armed && name.endsWith(".json") && !name.startsWith(".tmp")) {
+          armed = false
+          Files.write(p, bytes.take(bytes.length / 2)) // torn object lands
+          throw new RuntimeException("simulated death mid-copy")
+        }
+        Files.write(p, bytes)
+      }
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+      override def delete(p: Path): Unit = Files.deleteIfExists(p)
+    }
+    val dest = root.resolve("00000000000000000000.json")
+    intercept[RuntimeException](
+      new ExternalCasCommitOwner(registry, tearing, "victim")
+        .putIfAbsent(dest, full))
+    assert(Files.exists(dest) && Files.size(dest) < full.length,
+      "precondition: the crash must leave a torn destination object")
+    // a later writer's losing bid repairs the torn object from the
+    // winner's durable temp — full content, claim complete
+    val late = new ExternalCasCommitOwner(registry, tearing, "late")
+    assert(!late.putIfAbsent(dest, CommitOwner.utf8("other")))
+    assert(java.util.Arrays.equals(Files.readAllBytes(dest), full),
+      "repair must restore the winner's full bytes over the torn object")
+    assert(registry.get(dest.toString).exists(_.complete))
+  }
+
+  test("CAS owner leaves no temp objects behind (winner, loser, repairer)") {
+    val dir = Files.createTempDirectory("owner_gc")
+    val registry = new InMemoryCasRegistry
+    val dest = dir.resolve("00000000000000000003.json")
+    val (a, b) = race2 { i =>
+      new ExternalCasCommitOwner(registry, LocalObjectStoreOps, s"g$i")
+        .putIfAbsent(dest, CommitOwner.utf8(s"g$i"))
+    }
+    assert(a ^ b)
+    val litter = Files.list(dir).iterator()
+    var names = List.empty[String]
+    while (litter.hasNext) names ::= litter.next().getFileName.toString
+    assert(names == List(dest.getFileName.toString),
+      s"contended commit must GC both writers' temp objects, got: $names")
   }
 
   test("POSIX owner: link(2) publish keeps exactly-one-winner on a real fs") {
