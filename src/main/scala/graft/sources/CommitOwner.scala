@@ -162,25 +162,48 @@ final class ExternalCasCommitOwner(registry: CasRegistry,
     store: ObjectStoreOps, ownerId: String = UUID.randomUUID().toString)
     extends CommitOwner {
 
+  /** Best-effort GC of a staged temp object. Once the publish outcome
+    * is decided the temp is pure garbage, so a transient delete failure
+    * (an S3 throttle, say) must never change the outcome the caller
+    * observes — a retry after a spurious throw would see the complete
+    * claim, return false, and make a durably-committed writer believe
+    * it lost its own commit.
+    */
+  private def gcTemp(tmp: Path): Unit =
+    try store.delete(tmp) catch { case _: Exception => () }
+
   private def repair(dest: Path, e: ClaimEntry): Unit =
     if (!e.complete) {
       val tmp = dest.getParent.resolve(e.tmpKey)
-      try {
-        // Unconditional re-copy: `exists(dest)` proves nothing on a
-        // store whose PUTs are non-atomic — a winner dying mid-copy
-        // leaves a torn object that exists. Re-putting the winner's
-        // temp bytes is idempotent (only winner content is ever
-        // written to dest, by anyone) and heals a torn destination.
-        store.put(dest, store.get(tmp))
-        registry.markComplete(dest.toString)
-        store.delete(tmp) // claim complete — the staged copy is garbage
-      } catch {
-        case err: Exception =>
-          // Benign race: the winner (or another repairer) finished and
-          // GC'd its temp between our registry read and the get. If the
-          // claim is now complete the publish is durable; otherwise the
-          // failure is real and must surface.
-          if (!registry.get(dest.toString).exists(_.complete)) throw err
+      // Fetch the winner's staged bytes FIRST. A failed get is the only
+      // benign failure in repair: the winner (or another repairer)
+      // finished and GC'd its temp between our registry read and this
+      // get — benign IFF the claim is now complete. Any other failure
+      // (in particular our own put(dest) tearing mid-write) must
+      // surface, or a torn destination could be left behind a
+      // complete=true claim with no error reported.
+      val staged =
+        try Some(store.get(tmp))
+        catch {
+          case err: Exception =>
+            if (registry.get(dest.toString).exists(_.complete)) None
+            else throw err
+        }
+      staged.foreach { bytes =>
+        // Re-check completeness immediately before writing: if the
+        // winner finished while we held the bytes, dest is already
+        // durable and re-putting would only reopen a torn-write window
+        // over a good object.
+        if (!registry.get(dest.toString).exists(_.complete)) {
+          // Unconditional re-copy otherwise: `exists(dest)` proves
+          // nothing on a store whose PUTs are non-atomic — a winner
+          // dying mid-copy leaves a torn object that exists. Re-putting
+          // the winner's temp bytes is idempotent (only winner content
+          // is ever written to dest, by anyone) and heals the tear.
+          store.put(dest, bytes)
+          registry.markComplete(dest.toString)
+        }
+        gcTemp(tmp) // claim complete — the staged copy is garbage
       }
     }
 
@@ -195,13 +218,14 @@ final class ExternalCasCommitOwner(registry: CasRegistry,
         registry.claim(key, ClaimEntry(ownerId, tmpKey,
           complete = false)) match {
           case Some(existing) =>
-            repair(dest, existing)
-            store.delete(tmp) // lost the claim — our staged bytes are garbage
+            // Lost the claim: our staged bytes are garbage whether or
+            // not repairing the winner's publish succeeds.
+            try repair(dest, existing) finally gcTemp(tmp)
             false
           case None =>
             store.put(dest, bytes)
             registry.markComplete(key)
-            store.delete(tmp) // complete — repairers no longer need it
+            gcTemp(tmp) // complete — repairers no longer need it
             true
         }
     }

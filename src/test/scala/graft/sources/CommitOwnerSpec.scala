@@ -218,6 +218,84 @@ class CommitOwnerSpec extends SparkSpec {
       s"contended commit must GC both writers' temp objects, got: $names")
   }
 
+  test("winner's post-completion temp GC failure does not fake a lost race") {
+    val dir = Files.createTempDirectory("owner_gcfail")
+    val registry = new InMemoryCasRegistry
+    // delete() throws on the winner's own temp — an S3 throttle after
+    // the commit is already durably published and marked complete
+    val throttled = new ObjectStoreOps {
+      override def exists(p: Path): Boolean = Files.exists(p)
+      override def put(p: Path, bytes: Array[Byte]): Unit = {
+        Files.createDirectories(p.getParent)
+        Files.write(p, bytes)
+      }
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+      override def delete(p: Path): Unit =
+        throw new RuntimeException("simulated DELETE throttle")
+    }
+    val dest = dir.resolve("00000000000000000011.json")
+    val owner = new ExternalCasCommitOwner(registry, throttled, "w")
+    // GC failure must be invisible: the publish IS durable, so the
+    // caller must see true (a throw → retry → false would convince a
+    // committed writer it lost its own commit)
+    assert(owner.putIfAbsent(dest, CommitOwner.utf8("payload")))
+    assert(registry.get(dest.toString).exists(_.complete))
+    assert(new String(Files.readAllBytes(dest), "UTF-8") == "payload")
+  }
+
+  test("loser's temp is GC'd even when repairing the winner's publish fails") {
+    val dir = Files.createTempDirectory("owner_losergc")
+    val registry = new InMemoryCasRegistry
+    // Seed an incomplete claim whose temp object is MISSING and will
+    // never complete — repair() must throw (real failure, not the
+    // benign GC race). The loser's own temp must still be GC'd.
+    val deadTmp = ".tmp-cas-dead"
+    registry.claim(dir.resolve("00000000000000000012.json").toString,
+      ClaimEntry("ghost", deadTmp, complete = false))
+    val dest = dir.resolve("00000000000000000012.json")
+    val owner = new ExternalCasCommitOwner(registry, LocalObjectStoreOps, "l")
+    intercept[Exception](owner.putIfAbsent(dest, CommitOwner.utf8("mine")))
+    val litter = Files.list(dir).iterator()
+    var names = List.empty[String]
+    while (litter.hasNext) names ::= litter.next().getFileName.toString
+    assert(names.isEmpty,
+      s"loser's staged temp must be GC'd despite the repair failure: $names")
+  }
+
+  test("repairer's own torn put(dest) surfaces even if the claim completes concurrently") {
+    val dir = Files.createTempDirectory("owner_repairtear")
+    val registry = new InMemoryCasRegistry
+    val dest = dir.resolve("00000000000000000013.json")
+    val winnerBytes = CommitOwner.utf8("winner-full-payload")
+    // durable temp from a claimed-but-incomplete winner
+    val tmpKey = ".tmp-cas-winner"
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(tmpKey), winnerBytes)
+    registry.claim(dest.toString, ClaimEntry("w", tmpKey, complete = false))
+    // the repairer's put(dest) tears mid-write and throws, and the
+    // "winner" concurrently marks the claim complete — the failure must
+    // STILL surface (old behavior: swallowed because complete=true,
+    // leaving a torn dest behind a blessed claim)
+    val tearing = new ObjectStoreOps {
+      override def exists(p: Path): Boolean = Files.exists(p)
+      override def put(p: Path, bytes: Array[Byte]): Unit = {
+        Files.createDirectories(p.getParent)
+        if (!p.getFileName.toString.startsWith(".tmp")) {
+          Files.write(p, bytes.take(bytes.length / 2))
+          registry.markComplete(dest.toString) // concurrent completion
+          throw new RuntimeException("torn PUT")
+        }
+        Files.write(p, bytes)
+      }
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+      override def delete(p: Path): Unit = Files.deleteIfExists(p)
+    }
+    val repairer = new ExternalCasCommitOwner(registry, tearing, "r")
+    val err = intercept[RuntimeException](repairer.recover(dest))
+    assert(err.getMessage == "torn PUT",
+      "a put(dest) failure in repair must never be swallowed")
+  }
+
   test("POSIX owner: link(2) publish keeps exactly-one-winner on a real fs") {
     val dir = Files.createTempDirectory("owner_posix")
     val dest = dir.resolve("00000000000000000007.json")
