@@ -36,6 +36,23 @@ object Sessions {
     // and changelog checkpointing uploads per-batch deltas instead of
     // full snapshots. Stream==batch equality on this provider is
     // pinned by RocksDbStateSpec.
+    //
+    // MIGRATION NOTE — pre-existing checkpoints: the provider class is
+    // baked into a streaming checkpoint's state format; a checkpoint
+    // written by HDFSBackedStateStoreProvider will NOT restore under
+    // RocksDB (Spark fails the query with a state-format mismatch
+    // rather than corrupting state). To adopt these defaults for a
+    // stream with an existing heap-provider checkpoint, either
+    //   (a) keep that stream on its original provider by overriding
+    //       spark.sql.streaming.stateStore.providerClass back to
+    //       org.apache.spark.sql.execution.streaming.state
+    //       .HDFSBackedStateStoreProvider for that session, or
+    //   (b) re-bootstrap: point the query at a NEW checkpointLocation
+    //       and replay the source from a position that rebuilds state
+    //       (the txlog/file sources here retain full history, so a
+    //       fresh start reproduces identical state downstream).
+    // New checkpoints created under these defaults are RocksDB-format
+    // and symmetrically will not restore under the heap provider.
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->

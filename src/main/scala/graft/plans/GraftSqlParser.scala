@@ -118,15 +118,37 @@ object GraftSqlRewrite {
     case _ => None
   }
 
-  /** `txlog.`path`` target (possibly aliased) → (path, alias). */
-  private def txlogTarget(plan: LogicalPlan): Option[(String, Option[String])] =
+  /** Does a REAL catalog table `txlog`.`name` exist? If a user has a
+    * genuine database named `txlog`, its tables must keep resolving
+    * through Spark's own path — the path-table shorthand only claims
+    * identifiers the catalog cannot resolve.
+    */
+  private def resolvesInTxlogDb(session: SparkSession,
+      name: String): Boolean =
+    try {
+      val cat = session.sessionState.catalog
+      cat.databaseExists("txlog") && cat.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(name, Some("txlog")))
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** `txlog.`path`` target (possibly aliased) → (path, alias).
+    * Hijacks ONLY identifiers that are path-shaped (contain `/` —
+    * no catalog table name can) or that the catalog cannot resolve;
+    * a real table in a real database named `txlog` passes through to
+    * the delegate untouched.
+    */
+  private def txlogTarget(session: SparkSession,
+      plan: LogicalPlan): Option[(String, Option[String])] =
     plan match {
       case SubqueryAlias(id, child) =>
-        txlogTarget(child).map { case (p, _) => (p, Some(id.name)) }
+        txlogTarget(session, child).map { case (p, _) => (p, Some(id.name)) }
       case u: UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("txlog") =>
-        Some((u.multipartIdentifier(1), None))
+        val name = u.multipartIdentifier(1)
+        if (name.contains("/") || !resolvesInTxlogDb(session, name))
+          Some((name, None))
+        else None
       case _ => None
     }
 
@@ -141,7 +163,11 @@ object GraftSqlRewrite {
       parts: Seq[String]): Option[String] = {
     val ident = parts match {
       case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
-      case Seq(db, t) if !db.equalsIgnoreCase("txlog") =>
+      // db may legitimately BE `txlog`: txlogTarget already ceded any
+      // identifier that resolves to a real catalog table there, so a
+      // txlog-provider table inside a database named txlog gets its
+      // DML routed like any other named table.
+      case Seq(db, t) =>
         org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
       case _ => return None
     }
@@ -169,7 +195,7 @@ object GraftSqlRewrite {
     */
   private def dmlTarget(session: SparkSession,
       plan: LogicalPlan): Option[(String, Option[String])] =
-    txlogTarget(plan).orElse(plan match {
+    txlogTarget(session, plan).orElse(plan match {
       case SubqueryAlias(id, child) =>
         dmlTarget(session, child).map { case (p, _) => (p, Some(id.name)) }
       case u: UnresolvedRelation =>
@@ -269,8 +295,8 @@ object GraftSqlRewrite {
       plan: LogicalPlan): LogicalPlan =
     plan transformUp {
       case u: UnresolvedRelation
-          if !u.isStreaming && txlogTarget(u).isDefined =>
-        val (root, _) = txlogTarget(u).get
+          if !u.isStreaming && txlogTarget(session, u).isDefined =>
+        val (root, _) = txlogTarget(session, u).get
         val table = new TxLogTable(session, root)
         require(table.exists, s"txlog table does not exist at $root")
         table.read().queryExecution.analyzed
@@ -282,8 +308,8 @@ object GraftSqlRewrite {
       // (or byName) column semantics, routed to append/overwrite; the
       // command captures the query BEFORE read-rewriting so its own
       // txlog references still resolve through rewriteReads below.
-      case i: InsertIntoStatement if txlogTarget(i.table).isDefined =>
-        val (root, _) = txlogTarget(i.table).get
+      case i: InsertIntoStatement if txlogTarget(session, i.table).isDefined =>
+        val (root, _) = txlogTarget(session, i.table).get
         if (i.partitionSpec.nonEmpty)
           fail("INSERT ... PARTITION is not supported (use sortCols)")
         if (i.userSpecifiedCols.nonEmpty)
@@ -395,29 +421,57 @@ case class GraftUpdateCommand(root: String, sets: Seq[(String, String)],
   * semantics (SQL INSERT): the query's columns map to the table
   * schema by position and cast to its types; `byName` maps by name
   * instead (INSERT INTO ... BY NAME).
+  *
+  * Conformance honors `spark.sql.storeAssignmentPolicy` exactly like
+  * a native INSERT: ANSI (the default) fails at runtime on
+  * overflow/malformed values instead of silently wrapping/nulling;
+  * LEGACY keeps the permissive cast; STRICT rejects any potentially
+  * lossy cast at planning. Source columns are referenced by their
+  * analyzed output ATTRIBUTES, not by name, so duplicate and
+  * backtick-containing column names conform correctly.
   */
 case class GraftInsertCommand(root: String, query: LogicalPlan,
     overwrite: Boolean, byName: Boolean) extends GraftTxLogCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
     val t = new TxLogTable(sparkSession, root)
     require(t.exists, s"txlog table does not exist at $root")
     val src = bridge.ofRows(sparkSession, query)
     val schema = t.schemaAt(t.currentVersion)
+    val attrs = src.queryExecution.analyzed.output
+    val policy = sparkSession.conf
+      .get("spark.sql.storeAssignmentPolicy", "ANSI").toUpperCase
+    def conform(a: Attribute,
+        f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+      if (policy == "STRICT" && !Cast.canUpCast(a.dataType, f.dataType))
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_3065",
+          messageParameters = Map("clazz" -> "GraftInsertCommand",
+            "msg" -> (s"cannot safely cast ${a.name}: " +
+              s"${a.dataType.simpleString} to ${f.dataType.simpleString} " +
+              "under STRICT store assignment")))
+      val mode =
+        if (policy == "LEGACY") EvalMode.LEGACY else EvalMode.ANSI
+      bridge.column(Cast(a, f.dataType, None, mode)).as(f.name)
+    }
     val conformed =
       if (byName) {
-        val missing = schema.fieldNames.filterNot(f =>
-          src.columns.exists(_.equalsIgnoreCase(f)))
-        require(missing.isEmpty,
-          s"INSERT BY NAME lacks column(s): ${missing.mkString(", ")}")
-        src.select(schema.fields.toIndexedSeq.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*)
+        val cols = schema.fields.toIndexedSeq.map { f =>
+          attrs.filter(_.name.equalsIgnoreCase(f.name)) match {
+            case Seq(a) => conform(a, f)
+            case Seq() => throw new IllegalArgumentException(
+              s"INSERT BY NAME lacks column: ${f.name}")
+            case _ => throw new IllegalArgumentException(
+              s"INSERT BY NAME source has ambiguous column: ${f.name}")
+          }
+        }
+        src.select(cols: _*)
       } else {
-        require(src.columns.length == schema.length,
-          s"INSERT arity mismatch: query has ${src.columns.length} " +
+        require(attrs.length == schema.length,
+          s"INSERT arity mismatch: query has ${attrs.length} " +
             s"columns, table has ${schema.length}")
-        src.select(src.columns.toIndexedSeq.zip(schema.fields).map {
-          case (c, f) => src.col(s"`$c`").cast(f.dataType).as(f.name)
+        src.select(attrs.toIndexedSeq.zip(schema.fields).map {
+          case (a, f) => conform(a, f)
         }: _*)
       }
     val v = if (overwrite) t.overwrite(conformed) else t.append(conformed)

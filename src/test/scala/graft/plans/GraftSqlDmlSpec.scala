@@ -253,6 +253,88 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("a genuine database named txlog resolves through the delegate") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS txlog")
+    try {
+      spark.sql("DROP TABLE IF EXISTS txlog.realtab")
+      spark.sql("CREATE TABLE txlog.realtab (k BIGINT, v STRING) USING parquet")
+      spark.sql("INSERT INTO txlog.realtab VALUES (1, 'plain'), (2, 'spark')")
+      // SELECT on the real catalog table must NOT be hijacked into a
+      // path-table read (the old behavior failed with "txlog table
+      // does not exist at realtab")
+      val got = GraftSql.sql(spark,
+        "SELECT v FROM txlog.realtab ORDER BY k")
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("plain", "spark"))
+      // and DELETE on it follows Spark's own path (parquet tables
+      // reject DML — the correct delegate behavior, not txlog routing)
+      intercept[Exception](GraftSql.sql(spark,
+        "DELETE FROM txlog.realtab WHERE k = 1").collect())
+      assert(spark.table("txlog.realtab").count() == 2)
+      // path-shaped identifiers still route to path tables even while
+      // the txlog database exists
+      val (root, t) = seed("sqldml_dbcoexist")
+      GraftSql.sql(spark,
+        s"UPDATE txlog.`$root` SET n = 0 WHERE k = 1").collect()
+      assert(t.read().filter(col("k") === 1L)
+        .collect().head.getLong(2) == 0L)
+      // a txlog-PROVIDER table living inside the txlog database gets
+      // its DML routed by catalog resolution, like any named table
+      val (root2, t2) = seed("sqldml_dbtx")
+      spark.sql("DROP TABLE IF EXISTS txlog.owntab")
+      spark.sql(
+        s"CREATE TABLE txlog.owntab USING txlog OPTIONS (path '$root2')")
+      GraftSql.sql(spark,
+        "DELETE FROM txlog.owntab WHERE k = 2").collect()
+      assert(t2.read().count() == 2)
+      spark.sql("DROP TABLE IF EXISTS txlog.owntab")
+      spark.sql("DROP TABLE IF EXISTS txlog.realtab")
+    } finally spark.sql("DROP DATABASE IF EXISTS txlog CASCADE")
+  }
+
+  test("INSERT conformance honors spark.sql.storeAssignmentPolicy") {
+    val intSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("small", IntegerType, nullable = true)))
+    val root = Files.createTempDirectory("sqldml_ansi").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(intSchema)
+    // ANSI (the default): an out-of-range value must FAIL the INSERT,
+    // not silently wrap (the native store-assignment behavior)
+    spark.conf.set("spark.sql.storeAssignmentPolicy", "ANSI")
+    try {
+      val e = intercept[Exception](GraftSql.sql(spark,
+        s"INSERT INTO txlog.`$root` SELECT 1L, 3000000000L").collect())
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(m =>
+          m.contains("CAST_OVERFLOW") || m.contains("overflow"))),
+        s"expected an ANSI overflow failure, got: ${e.getMessage}")
+      assert(t.read().isEmpty, "a failed INSERT must commit nothing")
+      // in-range values insert fine under ANSI
+      GraftSql.sql(spark,
+        s"INSERT INTO txlog.`$root` SELECT 2L, 42L").collect()
+      assert(t.read().collect().map(_.getInt(1)).toSeq == Seq(42))
+      // LEGACY: the permissive cast wraps (pre-3.0 behavior, opt-in)
+      spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+      GraftSql.sql(spark,
+        s"INSERT INTO txlog.`$root` SELECT 3L, 3000000000L").collect()
+      val wrapped = t.read().filter(col("k") === 3L)
+        .collect().head.getInt(1)
+      assert(wrapped == 3000000000L.toInt) // wrapped, not failed
+      // STRICT: the lossy long→int cast is rejected at planning
+      spark.conf.set("spark.sql.storeAssignmentPolicy", "STRICT")
+      intercept[Exception](GraftSql.sql(spark,
+        s"INSERT INTO txlog.`$root` SELECT 4L, 1L").collect())
+    } finally spark.conf.unset("spark.sql.storeAssignmentPolicy")
+    // duplicate source column names conform positionally (attribute
+    // refs, not name lookups — `src.col("`x`")` used to throw here)
+    GraftSql.sql(spark,
+      s"INSERT INTO txlog.`$root` SELECT 9L AS x, 7 AS x").collect()
+    assert(t.read().filter(col("k") === 9L).collect().head.getInt(1) == 7)
+  }
+
   test("unsupported MERGE shapes fail loudly, not approximately") {
     val (root, _) = seed("sqldml_unsupported")
     df((2L, "x", L(1))).createOrReplaceTempView("u_sqldml")
