@@ -37,13 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // other statements parse through the delegate untouched.
     ext.injectParser((session, delegate) =>
       new GraftSqlParser(session, delegate))
-    // CBO statistics first (join reorder + selectivity see manifest
-    // row counts and column ranges), then dynamic file pruning: one
-    // pass each after operator optimization (preCBO), so the IN-set
-    // the pruner derives sees the final filtered dim side and the
-    // swap happens before join planning.
+    // CBO statistics for the V1 relation surfaces that remain after
+    // the DSv2 migration (CREATE TEMPORARY VIEW ... USING txlog, the
+    // useV1SourceList escape hatch). V2 reads report statistics
+    // natively through SupportsReportStatistics, and dynamic file
+    // pruning is Spark's own runtime filtering on the V2 scan — no
+    // injected rule needed for either.
     ext.injectPreCBORule(session => new TxLogCboStats(session))
-    ext.injectPreCBORule(session => new TxLogDynamicFilePruning(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_extract_json"),
       new ExpressionInfo(classOf[ExtractBalancedJsonExpr].getName,

@@ -590,12 +590,14 @@ object ExtTxLogQueries {
     // ── DYNAMIC FILE PRUNING under the oracle: a range-clustered
     // txlog fact (lineitem, 16 files with per-file l_orderkey ranges +
     // blooms) joined to a 3-ROW dimension. No static predicate exists
-    // on the join key, so without the rewrite every file is scanned;
-    // the rule executes the dim's keys at planning time and prunes the
-    // file list through the manifest stats. The oracle replays the
-    // join exactly — pruning must be invisible to the result — and
-    // TxLogDfpSpec pins the files-skipped effectiveness on the same
-    // construction.
+    // on the join key, so without runtime filtering every file is
+    // scanned; Spark's own dynamic-pruning subquery (inserted by the
+    // default optimizer — no extension) reaches the V2 scan through
+    // SupportsRuntimeFiltering and prunes the file list through the
+    // manifest stats at execution time. The oracle replays the join
+    // exactly — pruning must be invisible to the result — and
+    // TxLogRuntimeFilterSpec pins the files-skipped effectiveness on
+    // the same construction.
     "q205_txlog_dynamic_pruning" -> { (s, dir) =>
       val root = scratchDir("graft_txlog_q205")
       val t = new graft.sources.TxLogTable(s, root)
@@ -617,7 +619,7 @@ object ExtTxLogQueries {
         .agg(count(lit(1)).as("n_lines"),
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
             .as("sum_qty"))
-      graft.plans.TxLogDynamicFilePruning.prune(joined)
+      joined
     },
 
     // ── the CBO statistics census under the oracle: the manifest-
@@ -729,6 +731,7 @@ object ExtTxLogQueries {
         .select(col("version"), col("num_files"), col("num_rows"),
           col("min_reader").cast("long").as("min_reader"))
     },
+
   )
 
   private[queries] val oracleBase: Map[String, String] = Map(

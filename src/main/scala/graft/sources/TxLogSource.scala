@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `spark.read.format("txlog")` / `df.write.format("txlog")` — the
   * [[TxLogTable]] surfaced through Spark's stable DataSource API, so
@@ -38,9 +39,63 @@ import org.apache.spark.sql.types.StructType
   */
 final class TxLogSourceProvider extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "txlog"
+
+  // ── DataSource V2: batch READS resolve through TxLogV2Table ───────
+  // (one snapshot pinned per getTable; scans push columns/predicates
+  // and runtime filters through the V2 seams — see TxLogV2.scala).
+  // Batch writes, streaming, and SaveMode semantics intentionally keep
+  // their V1 paths: the table exposes V1_BATCH_WRITE but not
+  // BATCH_WRITE / MICRO_BATCH_READ / STREAMING_WRITE, so Spark falls
+  // back to the V1 seams below for exactly those surfaces.
+
+  /** Writers hand their query schema straight to [[getTable]] (so a
+    * first write may CREATE the table without a schema-inference
+    * round-trip that would fail on a not-yet-existing root).
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def resolveVersion(table: TxLogTable,
+      parameters: Map[String, String]): Long =
+    parameters.get("versionAsOf") match {
+      case Some(v) => v.toLong
+      case None => parameters.get("timestampAsOf") match {
+        case Some(ts) => table.versionAsOf(parseTs(ts))
+        case None => table.currentVersion
+      }
+    }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val params = ciParams(options)
+    val root = rootOf(params)
+    val table = new TxLogTable(
+      org.apache.spark.sql.SparkSession.active, root)
+    require(table.exists, s"txlog table does not exist at $root")
+    TxLogV2.asNullable(table.schemaAt(resolveVersion(table, params)))
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    import scala.jdk.CollectionConverters._
+    val params = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
+      properties.asScala.toMap): Map[String, String]
+    val root = rootOf(params)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val table = new TxLogTable(spark, root)
+    val version = if (table.exists) resolveVersion(table, params) else -1L
+    new TxLogV2Table(spark, root, version, Option(schema))
+  }
+
+  private def ciParams(options: CaseInsensitiveStringMap): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
+      options.asCaseSensitiveMap().asScala.toMap)
+  }
 
   private def rootOf(parameters: Map[String, String]): String = {
     val raw = parameters.getOrElse("path",
@@ -62,7 +117,7 @@ final class TxLogSourceProvider extends RelationProvider
     * SQL `yyyy-MM-dd HH:mm:ss[.fff]` form (interpreted in UTC, the
     * session zone the engine pins).
     */
-  private def parseTs(s: String): Long = {
+  private[sources] def parseTs(s: String): Long = {
     val t = s.trim
     if (t.matches("-?\\d+")) t.toLong
     else try java.time.Instant.parse(t).toEpochMilli
@@ -252,24 +307,17 @@ object TxLogRelation {
   * commits never touch a published snapshot's files — so a cached or
   * re-executed plan always re-reads identical data.
   *
-  * `pathsOverride` is the DYNAMIC FILE PRUNING seam
-  * ([[graft.plans.TxLogDynamicFilePruning]]): a join-time rewrite may
-  * hand the relation the subset of snapshot paths that can possibly
-  * match the join keys — the scan then reads only those, and any
-  * further pushed-filter pruning intersects with it. `None` = the
-  * full snapshot (normal reads).
+  * Since the DSv2 migration ([[TxLogV2Table]]) this V1 relation backs
+  * only the surfaces Spark still routes through V1: `CREATE TEMPORARY
+  * VIEW ... USING txlog`, the `spark.sql.sources.useV1SourceList`
+  * escape hatch, and the [[TxLogDvScan]] V1-bridge execution of
+  * DV-bearing snapshots. Dynamic file pruning now happens Spark-native
+  * through [[TxLogBatchScan]]'s runtime filtering.
   */
 final class TxLogRelation(val sqlContext: SQLContext,
     private[graft] val table: TxLogTable,
-    private[graft] val version: Long,
-    private[graft] val pathsOverride: Option[Seq[String]] = None)
+    private[graft] val version: Long)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
-
-  /** The dynamically-pruned twin of this relation (same snapshot, same
-    * schema/output semantics, restricted file list).
-    */
-  private[graft] def withPathsOverride(paths: Seq[String]): TxLogRelation =
-    new TxLogRelation(sqlContext, table, version, Some(paths))
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a `USING txlog` table:
     * one optimistic commit through the version protocol. The relation
@@ -295,17 +343,8 @@ final class TxLogRelation(val sqlContext: SQLContext,
     * sources do — consistent with how the broadcast threshold is
     * tuned.
     */
-  override def sizeInBytes: Long = {
-    val paths = pathsOverride.getOrElse(table.scanPathsAt(version, lit(true)))
-    paths.iterator.map { p =>
-      val f = new java.io.File(p)
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.iterator
-          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
-          .getOrElse(0L)
-      else f.length()
-    }.sum
-  }
+  override def sizeInBytes: Long =
+    TxLogBatchScan.onDiskBytes(table.scanPathsAt(version, lit(true)))
 
   /** Catalyst-facing table statistics (the CBO surface, judge-grade:
     * join reorder and filter-selectivity estimation otherwise fly
@@ -370,14 +409,6 @@ final class TxLogRelation(val sqlContext: SQLContext,
     val spark = sqlContext.sparkSession
     val pushed = filters.toIndexedSeq.flatMap(TxLogRelation.toColumn)
     val allPaths = table.scanPathsAt(version, lit(true))
-    // dynamic file pruning intersects with static pruning: both sets
-    // come from scanPathsAt at the SAME version, so their granularity
-    // (dir vs per-file) agrees per dir and set intersection is exact
-    def restricted(paths: Seq[String]): Seq[String] =
-      pathsOverride match {
-        case Some(ov) => val keep = ov.toSet; paths.filter(keep)
-        case None => paths
-      }
     def readOf(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -387,12 +418,11 @@ final class TxLogRelation(val sqlContext: SQLContext,
       // surfaces this version's logical names)
       else table.readPathsAt(version, paths)
     val base: DataFrame = if (pushed.isEmpty) {
-      val paths = restricted(allPaths)
-      TxLogRelation.lastScan = (paths.size, allPaths.size)
-      if (pathsOverride.isEmpty) table.readAt(version) else readOf(paths)
+      TxLogRelation.lastScan = (allPaths.size, allPaths.size)
+      table.readAt(version)
     } else {
       val pred = pushed.reduce(_ && _)
-      val paths = restricted(table.scanPathsAt(version, pred))
+      val paths = table.scanPathsAt(version, pred)
       TxLogRelation.lastScan = (paths.size, allPaths.size)
       // Re-apply the exact predicate: manifest pruning is file-level
       // (may-match), and these filters were reported HANDLED.

@@ -188,7 +188,8 @@ object TxLogTable {
       extends MergeClause
 }
 
-final class TxLogTable(spark: SparkSession, root: String,
+final class TxLogTable(spark: SparkSession,
+    private[graft] val root: String,
     owner: CommitOwner = PosixCommitOwner) {
 
   import TxLogTable.Manifest

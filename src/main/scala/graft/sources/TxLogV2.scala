@@ -1,0 +1,382 @@
+package graft.sources
+
+import java.util.{Optional, OptionalLong}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering, V1Scan}
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.v2bridge
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 surface of the transactional table — the Spark-4-
+  * native half of the `txlog` format. Reads resolve through
+  * [[TxLogV2Table]] (one snapshot pinned per analysis), push columns
+  * and predicates through the V2 ScanBuilder, and execute as a real
+  * `Batch` whose file list is the manifest-pruned snapshot
+  * (min/max + Bloom data skipping) INTERSECTED with Spark's own
+  * runtime filters ([[SupportsRuntimeFiltering]] — dynamic file
+  * pruning happens where Spark 4 wants it, inside `BatchScanExec`,
+  * with broadcast-exchange reuse and AQE composition for free; no
+  * injected optimizer rule, no planning-time job).
+  *
+  * Division of labor, by design:
+  *   - batch WRITES keep the V1 path: the table exposes
+  *     `V1_BATCH_WRITE` (catalog `INSERT INTO`/`INSERT OVERWRITE` run
+  *     through [[V1Write]]→[[InsertableRelation]]) but NOT
+  *     `BATCH_WRITE`, so `df.write.format("txlog").mode(...)` falls
+  *     back to [[TxLogSourceProvider.createRelation]] and ALL FOUR
+  *     SaveModes keep their existing commit semantics;
+  *   - STREAMING keeps the V1 source/sink (no MICRO_BATCH_READ /
+  *     STREAMING_WRITE capability → Spark falls back to the
+  *     StreamSourceProvider/StreamSinkProvider seams unchanged);
+  *   - snapshots with live DELETION VECTORS scan through a [[V1Scan]]
+  *     bridge ([[TxLogDvScan]]) so the DV anti-join stays a
+  *     DISTRIBUTED join (deleted-rows-sized side, AQE-broadcast) —
+  *     per-task DV loading would regress the 100 TB design. DV-free
+  *     snapshots (the steady state: OPTIMIZE/checkpoint fold DVs
+  *     away) get the native Batch with runtime filtering.
+  *
+  * Escape hatch: `spark.sql.sources.useV1SourceList=txlog` restores
+  * the pure-V1 behavior end to end (Spark-native kill switch).
+  */
+object TxLogV2 {
+  /** Test hook: (files planned, live files in the snapshot) at the
+    * most recent `planInputPartitions` — pins pruning EFFECTIVENESS
+    * (static and runtime), not just result correctness.
+    */
+  @volatile var lastScan: (Int, Int) = (0, 0)
+
+  /** Test hook: true iff the most recent replan was triggered by a
+    * RUNTIME filter (Spark's dynamic file pruning reaching the scan).
+    */
+  @volatile var lastRuntimeFiltered: Boolean = false
+
+  private[sources] def asNullable(s: StructType): StructType =
+    TxLogRelation.asNullable(s).asInstanceOf[StructType]
+}
+
+/** One txlog table (root + snapshot version pinned at `getTable`
+  * time) as a V2 [[Table]]. The manifest is the source of truth for
+  * the schema whenever the table exists on disk — the catalog may
+  * have stored a stale (or, for `CREATE TABLE ... USING txlog
+  * OPTIONS(path ...)`, an empty) schema; serving the manifest schema
+  * makes catalog resolution track schema evolution exactly like the
+  * path-based reader. `externalSchema` is used only for the
+  * not-yet-existing-table write case.
+  */
+final class TxLogV2Table(spark: SparkSession, root: String,
+    version: Long, externalSchema: Option[StructType])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private[sources] val table = new TxLogTable(spark, root)
+
+  override def name(): String =
+    if (version >= 0) s"txlog.`$root` @v$version" else s"txlog.`$root`"
+
+  override def schema(): StructType =
+    if (version >= 0) TxLogV2.asNullable(table.schemaAt(version))
+    else externalSchema.getOrElse(new StructType())
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(version >= 0, s"txlog table does not exist at $root")
+    new TxLogScanBuilder(spark, table, version)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TxLogWriteBuilder(root, info)
+}
+
+/** Catalog `INSERT INTO` / `INSERT OVERWRITE` on a V2-resolved txlog
+  * table: Spark's analysis already conformed the query to the table
+  * schema under `spark.sql.storeAssignmentPolicy`
+  * (TableOutputResolver), so the write side is exactly one optimistic
+  * commit through the existing table primitives — the same
+  * [[InsertableRelation]] contract the V1 relation honored.
+  */
+final class TxLogWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  @volatile private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val t = new TxLogTable(data.sparkSession, root)
+          val opts = info.options()
+          def csv(k: String): Seq[String] =
+            Option(opts.get(k)).toSeq.flatMap(_.split(","))
+              .map(_.trim).filter(_.nonEmpty)
+          t.ensureExists(data.schema)
+          if (doTruncate || overwrite)
+            t.overwrite(data, sortCols = csv("sortCols"),
+              statsCols = csv("statsCols"), bloomCols = csv("bloomCols"))
+          else
+            t.append(data, sortCols = csv("sortCols"),
+              statsCols = csv("statsCols"), bloomCols = csv("bloomCols"))
+        }
+      }
+  }
+}
+
+/** V2 pushdown for one snapshot scan. Predicates are pushed for
+  * PRUNING (manifest file skipping + parquet row-group stats) but all
+  * reported back as post-scan filters — manifest pruning is file-level
+  * MAY-MATCH, so Spark keeps exact evaluation above the scan and
+  * correctness never depends on translation coverage.
+  */
+final class TxLogScanBuilder(spark: SparkSession,
+    private[sources] val table: TxLogTable, version: Long)
+    extends ScanBuilder with SupportsPushDownV2Filters
+    with SupportsPushDownRequiredColumns {
+
+  private val fullSchema = TxLogV2.asNullable(table.schemaAt(version))
+  private var required: StructType = fullSchema
+  private var pushedV2: Array[Predicate] = Array.empty
+  private var pushedV1: Array[Filter] = Array.empty
+  private var pushedCols: Seq[Column] = Nil
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val converted = predicates.map { p =>
+      val leg = for {
+        f <- v2bridge.toV1Filter(p)
+        c <- TxLogRelation.toColumn(f)
+      } yield (f, c)
+      (p, leg)
+    }
+    pushedV2 = converted.collect { case (p, Some(_)) => p }
+    pushedV1 = converted.collect { case (_, Some((f, _))) => f }
+    pushedCols = converted.collect { case (_, Some((_, c))) => c }.toSeq
+    predicates // every predicate re-evaluated exactly above the scan
+  }
+
+  override def pushedPredicates(): Array[Predicate] = pushedV2
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    if (table.dvDirsAt(version).nonEmpty)
+      new TxLogDvScan(table, version, required, pushedV1)
+    else
+      new TxLogBatchScan(spark, table, version, fullSchema, required,
+        pushedCols, pushedV1)
+}
+
+/** The native Batch scan of a DV-free snapshot: the manifest decides
+  * WHICH files (static pushdown ∩ runtime filters), Spark's own
+  * parquet V2 machinery decides HOW to read them (vectorized columnar
+  * batches, maxPartitionBytes splits, row-group pushdown) — see
+  * [[v2bridge.parquetScan]]. Runtime `filter(...)` invalidates the
+  * planned file list; `BatchScanExec` then replans partitions against
+  * the intersected predicate, which is Spark-native dynamic FILE
+  * pruning over the manifest stats.
+  *
+  * Column mapping: the scan's public `readSchema` speaks LOGICAL
+  * names; files store PHYSICAL names (rename-without-rewrite). The
+  * inner parquet scan reads under physical names at identical
+  * positions/types — `InternalRow`s are positional, so the rename is
+  * schema-only and free.
+  */
+final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
+    version: Long, logicalFull: StructType, logicalRead: StructType,
+    staticCols: Seq[Column], staticV1: Array[Filter])
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  private val cmap: Map[String, String] = table.colMapAt(version)
+  private def physName(n: String): String = cmap.getOrElse(n, n)
+  private def phys(s: StructType): StructType =
+    if (cmap.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = physName(f.name))))
+
+  /** Logical→physical rename of a V1 filter tree (for parquet
+    * row-group pushdown); None drops the filter from pushdown (it is
+    * still evaluated exactly above the scan).
+    */
+  private def renameV1(f: Filter): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(physName(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(physName(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(physName(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(physName(a), v))
+    case LessThan(a, v) => Some(LessThan(physName(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(physName(a), v))
+    case In(a, vs) => Some(In(physName(a), vs))
+    case IsNull(a) => Some(IsNull(physName(a)))
+    case IsNotNull(a) => Some(IsNotNull(physName(a)))
+    case StringStartsWith(a, p) => Some(StringStartsWith(physName(a), p))
+    case StringEndsWith(a, s) => Some(StringEndsWith(physName(a), s))
+    case StringContains(a, s) => Some(StringContains(physName(a), s))
+    case And(l, r) => for (x <- renameV1(l); y <- renameV1(r)) yield And(x, y)
+    case Or(l, r) => for (x <- renameV1(l); y <- renameV1(r)) yield Or(x, y)
+    case Not(c) => renameV1(c).map(Not)
+    case _ => None
+  }
+
+  @volatile private var runtimeCols: Seq[Column] = Nil
+  @volatile private var inner: Option[Scan] = None
+
+  override def readSchema(): StructType = logicalRead
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"txlog v$version ${table.root} " +
+      s"PushedFilters: ${staticV1.mkString("[", ", ", "]")}"
+
+  private def innerScan(): Scan = synchronized {
+    inner match {
+      case Some(s) => s
+      case None =>
+        val pred = (staticCols ++ runtimeCols)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val paths = table.scanPathsAt(version, pred)
+        val all =
+          if (staticCols.isEmpty && runtimeCols.isEmpty) paths
+          else table.scanPathsAt(version, lit(true))
+        TxLogV2.lastScan = (paths.size, all.size)
+        val s = v2bridge.parquetScan(spark, paths, phys(logicalFull),
+          phys(logicalRead),
+          (if (cmap.isEmpty) staticV1.toSeq
+           else staticV1.toSeq.flatMap(renameV1)).toArray)
+        inner = Some(s)
+        s
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    innerScan().toBatch.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    innerScan().toBatch.createReaderFactory()
+
+  // ── runtime filtering (Spark-native dynamic file pruning) ─────────
+
+  // resolved against the scan OUTPUT, so only read-schema columns may
+  // be named (a pruned-away column would fail resolveRefs)
+  override def filterAttributes(): Array[NamedReference] =
+    logicalRead.fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = synchronized {
+    val converted = filters.toIndexedSeq.flatMap(TxLogRelation.toColumn)
+    if (converted.nonEmpty) {
+      runtimeCols = converted
+      TxLogV2.lastRuntimeFiltered = true
+      inner = None
+    }
+  }
+
+  // ── CBO statistics (exact manifest aggregation) ───────────────────
+
+  /** Exact row count + per-column min/max/nullCount/NDV from the
+    * manifest skipping stats ([[TxLogTable.statsSummaryAt]] — present
+    * only when every live file carries stats, exactness over
+    * coverage). Pushed filters are reported as post-scan Filter nodes,
+    * so Catalyst's FilterEstimation applies selectivity ON TOP of
+    * these unfiltered-snapshot numbers — the same shape the V1
+    * CBO-stats rule produced, now through the V2-native
+    * [[SupportsReportStatistics]] seam.
+    */
+  override def estimateStatistics(): Statistics = {
+    val sizeBytes = math.max(1L, TxLogBatchScan.onDiskBytes(
+      table.scanPathsAt(version, lit(true))))
+    val summary = table.statsSummaryAt(version)
+    def minMaxOk(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val colStats: java.util.Map[NamedReference, ColumnStatistics] =
+      summary match {
+        case None => java.util.Collections.emptyMap()
+        case Some((_, ranges, ndvs)) =>
+          logicalFull.fields.iterator.flatMap { f =>
+            ranges.get(f.name).map { r =>
+              val mm = minMaxOk(f.dataType)
+              def cat(v: Option[String]): Optional[Object] =
+                if (!mm) Optional.empty()
+                else v.map(s => v2bridge
+                    .statFromExternalString(s, f.name, f.dataType)
+                    .asInstanceOf[Object])
+                  .map(Optional.of[Object]).getOrElse(Optional.empty())
+              val stat: ColumnStatistics = new ColumnStatistics {
+                override def distinctCount(): OptionalLong =
+                  ndvs.get(f.name).map(OptionalLong.of)
+                    .getOrElse(OptionalLong.empty())
+                override def min(): Optional[Object] = cat(r.min)
+                override def max(): Optional[Object] = cat(r.max)
+                override def nullCount(): OptionalLong =
+                  OptionalLong.of(r.nulls)
+              }
+              (Expressions.column(f.name): NamedReference) -> stat
+            }
+          }.toMap.asJava
+      }
+    val rowCount: OptionalLong = summary.map(s => OptionalLong.of(s._1))
+      .getOrElse(OptionalLong.empty())
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(sizeBytes)
+      override def numRows(): OptionalLong = rowCount
+      override def columnStats()
+          : java.util.Map[NamedReference, ColumnStatistics] = colStats
+    }
+  }
+}
+
+object TxLogBatchScan {
+  /** True on-disk bytes of a path list (dirs expand to their parquet
+    * files) — same accounting as [[TxLogRelation.sizeInBytes]], so a
+    * small txlog dimension still auto-broadcasts under the V2 path.
+    */
+  private[sources] def onDiskBytes(paths: Seq[String]): Long =
+    paths.iterator.map { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.iterator
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
+          .getOrElse(0L)
+      else f.length()
+    }.sum
+}
+
+/** Snapshots with live deletion vectors scan through the V1 bridge:
+  * [[TxLogRelation.buildScan]] applies the DV anti-join as a
+  * DISTRIBUTED join on (file, row position) — the deleted-rows-sized
+  * side broadcasts under AQE, which is the point-delete case the
+  * mechanism exists for. Runtime file filtering is deliberately NOT
+  * offered here (the V1 physical node has no replan seam); DVs are
+  * transient state that OPTIMIZE/checkpoint fold away, after which
+  * scans return to [[TxLogBatchScan]].
+  */
+final class TxLogDvScan(table: TxLogTable, version: Long,
+    logicalRead: StructType, pushedV1: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = logicalRead
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new TxLogRelation(context, table, version)
+    val cols = logicalRead.fieldNames
+    val filters = pushedV1
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = logicalRead
+      override def buildScan(): RDD[Row] = rel.buildScan(cols, filters)
+    }.asInstanceOf[T]
+  }
+}

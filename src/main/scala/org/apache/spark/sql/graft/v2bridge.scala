@@ -1,0 +1,56 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.internal.connector.PredicateUtils
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `private[sql]` seams the DataSource-V2 txlog path needs (same
+  * pattern as [[bridge]]): Spark's parquet V2 scan machinery reused as
+  * the execution half of a custom `Batch`, V2→V1 predicate
+  * conversion, and catalog-stat string decoding. Everything here is a
+  * thin re-export — no logic — so the engine's own code stays in the
+  * `graft` namespace.
+  */
+object v2bridge {
+
+  /** Spark's own parquet V2 scan over an EXPLICIT file list — the
+    * execution half of the txlog DSv2 `Batch`
+    * ([[graft.sources.TxLogBatchScan]]): the manifest layer decides
+    * WHICH files (static manifest pruning ∩ runtime filters), this
+    * scan turns them into vectorized, split-aware `InputPartition`s
+    * exactly as a native parquet read would (maxPartitionBytes
+    * splitting, columnar batches, row-group pushdown of `filters`).
+    *
+    * `dataSchema`/`readSchema`/`filters` are all in PHYSICAL (on-file)
+    * column names; the caller owns the logical↔physical mapping.
+    */
+  def parquetScan(spark: SparkSession, paths: Seq[String],
+      dataSchema: StructType, readSchema: StructType,
+      filters: Array[Filter]): Scan = {
+    val index = new InMemoryFileIndex(spark, paths.map(new Path(_)),
+      Map.empty[String, String], Some(dataSchema),
+      FileStatusCache.getOrCreate(spark), None, None)
+    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+      dataSchema, readSchema, new StructType(), filters,
+      CaseInsensitiveStringMap.empty(), None, Nil, Nil)
+  }
+
+  /** V2 `Predicate` → V1 `Filter`, when an exact translation exists. */
+  def toV1Filter(p: Predicate): Option[Filter] = PredicateUtils.toV1(p)
+
+  /** Decode a stats string in `CatalogColumnStat.fromExternalString`
+    * version-2 format (the encoding the txlog manifest stores) into
+    * the CATALYST value the V2 `ColumnStatistics` interface expects
+    * for min/max.
+    */
+  def statFromExternalString(s: String, name: String, dt: DataType): Any =
+    org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+      .fromExternalString(s, name, dt, 2)
+}

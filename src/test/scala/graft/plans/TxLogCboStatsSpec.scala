@@ -58,7 +58,17 @@ class TxLogCboStatsSpec extends SparkSpec {
   }
 
   test("column stats flip a filtered-fact join to broadcast under CBO") {
-    val (root, _) = seed("cbostats_flip", 60000)
+    // two otherwise-identical facts: one committed WITH skipping stats
+    // (→ the V2 scan reports exact rowCount + column ranges through
+    // SupportsReportStatistics), one WITHOUT (→ sizeInBytes only).
+    val (rootStats, _) = seed("cbostats_flip_s", 60000)
+    val rootBare = Files.createTempDirectory("cbostats_flip_b").toString
+    val tBare = new TxLogTable(spark, rootBare)
+    val bare = (0 until 60000).map(i =>
+      (i.toLong, "x" * 60, if (i % 10 == 0) null else s"v$i"))
+      .toDF("k", "pad", "v")
+    tBare.ensureExists(bare.schema)
+    tBare.append(bare) // no statsCols
     // the dim must ALSO exceed the broadcast threshold, or it gets
     // broadcast in both arms and no flip is observable
     val dimDir = Files.createTempDirectory("cbostats_dim")
@@ -66,24 +76,18 @@ class TxLogCboStatsSpec extends SparkSpec {
     (0 until 100000).map(i =>
       (i.toLong * 3, s"dim-$i-${i * 2654435761L}")).toDF("j", "tag")
       .write.parquet(dimDir)
-    def planOf(cboStats: Boolean): SparkPlan = {
+    def planOf(root: String): SparkPlan = {
       spark.conf.set("spark.sql.cbo.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (100L << 10).toString)
-      spark.conf.set("spark.graft.txlog.dfp.enabled", "false") // isolate CBO
       try {
         val fact0 = spark.read.format("txlog").load(root)
           .filter(col("k") < 600)
         val dim = spark.read.parquet(dimDir)
-        val joined = fact0.join(dim, col("k") === col("j"))
-        val analyzed = joined.queryExecution.analyzed
-        val rewritten =
-          if (cboStats) new TxLogCboStats(spark).apply(analyzed) else analyzed
-        org.apache.spark.sql.graft.bridge.ofRows(spark, rewritten)
+        fact0.join(dim, col("k") === col("j"))
           .queryExecution.sparkPlan
       } finally {
         spark.conf.unset("spark.sql.cbo.enabled")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset("spark.graft.txlog.dfp.enabled")
       }
     }
     def hasBroadcast(p: SparkPlan): Boolean =
@@ -91,16 +95,27 @@ class TxLogCboStatsSpec extends SparkSpec {
         .BroadcastHashJoinExec => b }.nonEmpty
     // raw fact parquet is well past 100 KB: without column stats the
     // filter keeps the full size estimate and the join shuffles…
-    assert(!hasBroadcast(planOf(cboStats = false)),
+    assert(!hasBroadcast(planOf(rootBare)),
       "control arm must NOT broadcast (raw size over threshold)")
     // …with stats, k∈[0,59999] + k<600 estimates ~1% → broadcast
-    assert(hasBroadcast(planOf(cboStats = true)),
+    assert(hasBroadcast(planOf(rootStats)),
       "stats arm must broadcast the filtered fact")
   }
 
-  test("withExtensions session: injected rule surfaces exact rowCount to plans") {
+  test("V2 scan surfaces exact rowCount natively; injected rule covers the V1 temp-view seam") {
     val base = spark
     val (root, _) = seed("cbostats_ext", 5000)
+    // V2 (the default read path): SupportsReportStatistics carries the
+    // manifest row count into plan stats with NO extension installed
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("txlog").load(root).filter(col("k") >= 0)
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(5000)),
+        s"V2 rowCount=${stats.rowCount}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // V1 seam (CREATE TEMPORARY VIEW ... USING resolves through the V1
+    // relation): the injected TxLogCboStats rule still supplies stats
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder()
@@ -109,10 +124,13 @@ class TxLogCboStatsSpec extends SparkSpec {
       .getOrCreate()
     try {
       s2.conf.set("spark.sql.cbo.enabled", "true")
-      val df = s2.read.format("txlog").load(root).filter(col("k") >= 0)
+      s2.sql(s"CREATE OR REPLACE TEMPORARY VIEW cbostats_ext_v " +
+        s"USING txlog OPTIONS (path '$root')")
+      val df = s2.sql("SELECT * FROM cbostats_ext_v WHERE k >= 0")
       val stats = df.queryExecution.optimizedPlan.stats
       assert(stats.rowCount.contains(BigInt(5000)),
-        s"rowCount=${stats.rowCount}")
+        s"V1 temp-view rowCount=${stats.rowCount}")
+      s2.sql("DROP VIEW cbostats_ext_v")
     } finally {
       s2.conf.unset("spark.sql.cbo.enabled")
       SparkSession.setDefaultSession(base)

@@ -61,7 +61,7 @@ class TxLogSourceSpec extends SparkSpec {
       .filter(col("k") >= 100L && col("k") < 150L)
       .groupBy(col("grp")).agg(sum(col("v")).as("sv"))
     assert(sortedRows(q) === sortedRows(expect))
-    val (scanned, live) = TxLogRelation.lastScan
+    val (scanned, live) = TxLogV2.lastScan
     assert(live === 4, s"expected 4 live files, saw $live")
     assert(scanned === 1, s"k-range predicate should prune to 1 file, scanned $scanned")
     // the handled predicates surface in the physical plan
@@ -78,7 +78,7 @@ class TxLogSourceSpec extends SparkSpec {
     val miss = spark.read.format("txlog").load(root)
       .filter(col("grp") === "nope")
     assert(miss.count() === 0L)
-    val (scanned, _) = TxLogRelation.lastScan
+    val (scanned, _) = TxLogV2.lastScan
     assert(scanned === 0, s"bloom should prune all files, scanned $scanned")
     assert(t.read().filter(col("grp") === "nope").count() === 0L)
   }
@@ -91,7 +91,7 @@ class TxLogSourceSpec extends SparkSpec {
     val q = spark.read.format("txlog").load(root)
       .filter((col("k") % 10L === 3L) && col("k") < 100L)
     assert(q.count() === 5L) // k ∈ {3,13,23,33,43}
-    val (scanned, live) = TxLogRelation.lastScan
+    val (scanned, live) = TxLogV2.lastScan
     assert(scanned === 1 && live === 4,
       s"convertible half should still prune: $scanned/$live")
     assert(rel.unhandledFilters(Array(
