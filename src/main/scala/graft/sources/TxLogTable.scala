@@ -1291,10 +1291,22 @@ final class TxLogTable(spark: SparkSession,
         val prevDv = dvDirsOf(chain)
         val cmap = colMapOf(chain)
         val cond = coalesce(condition, lit(false))
+        // scan only the files the manifest stats cannot rule out for
+        // `condition` — a point delete on a stats-covered 100 TB table
+        // tags ~one file, not the whole snapshot. Skipped files prove
+        // no row matches, so they contribute nothing to the sidecar.
+        val mayMatch = scanPathsAt(v, cond)
+        if (mayMatch.isEmpty)
+          // stats prove no row matches: a no-op delete commit (marker
+          // parity), inheriting the existing vectors unchanged
+          Some(Manifest(0L, "append", Nil, schema.json,
+            System.currentTimeMillis(), wrap(markers), None, Some(Nil),
+            None, Some(prevDv)))
+        else {
         // tag positions on the PHYSICAL scan (metadata columns don't
         // survive a Project), then surface logical names for `cond`
         val taggedPhys = spark.read.schema(physSchema(schema, cmap))
-          .parquet(live.map(d => dataDir.resolve(d).toString): _*)
+          .parquet(mayMatch: _*)
           .withColumn("_dv_file",
             regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
           .withColumn("_dv_pos", col("_metadata.row_index"))
@@ -1313,11 +1325,17 @@ final class TxLogTable(spark: SparkSession,
             tagged.join(dv, tagged("_dv_file") === dv("__pf") &&
               tagged("_dv_pos") === dv("__pp"), "left_anti")
           }
+        // rebalance the sidecar: the shuffle carries DELETED ROWS ONLY
+        // (scan parallelism untouched), and AQE coalesces it — a point
+        // delete stages one small file instead of one near-empty file
+        // per surviving scan task; a bulk delete still writes parallel
         val staged = stageData(
-          alive.filter(cond).withColumn("_change_type", lit("delete")))
+          alive.filter(cond).withColumn("_change_type", lit("delete"))
+            .hint("rebalance"))
         Some(Manifest(0L, "append", Nil, schema.json,
           System.currentTimeMillis(), wrap(markers), None,
           Some(Seq(staged)), None, Some(prevDv :+ staged)))
+        }
       }
     }
   }
