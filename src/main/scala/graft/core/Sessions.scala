@@ -57,6 +57,14 @@ object Sessions {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
       "true",
+    // Persistent NAME catalog for txlog tables (names as a directory
+    // tree — survives the session/JVM; see graft.sources.TxLogCatalog).
+    // `graft.db.t` resolves in any session carrying these two confs;
+    // override spark.sql.catalog.graft.root to relocate the warehouse.
+    "spark.sql.catalog.graft" -> "graft.sources.TxLogCatalog",
+    "spark.sql.catalog.graft.root" ->
+      sys.env.getOrElse("GRAFT_CATALOG_ROOT",
+        s"${sys.props.getOrElse("user.dir", ".")}/spark-warehouse/graft"),
     // Generated-class cache (static conf; default 100). A driver cycling
     // through >100 distinct codegen'd plans — this engine's own 91-query
     // registry, or any long-lived production session — silently evicts

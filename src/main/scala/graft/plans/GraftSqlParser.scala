@@ -199,9 +199,27 @@ object GraftSqlRewrite {
       case SubqueryAlias(id, child) =>
         dmlTarget(session, child).map { case (p, _) => (p, Some(id.name)) }
       case u: UnresolvedRelation =>
-        catalogRoot(session, u.multipartIdentifier).map((_, None))
+        catalogRoot(session, u.multipartIdentifier)
+          .orElse(v2CatalogRoot(session, u.multipartIdentifier))
+          .map((_, None))
       case _ => None
     })
+
+  /** `catalog.ns….table` identifiers whose HEAD names a registered
+    * [[graft.sources.TxLogCatalog]] resolve to the table's directory —
+    * MERGE/UPDATE/DELETE/time travel work on persistent-catalog names
+    * exactly like on session-catalog ones. Temp views cannot shadow a
+    * multi-part catalog-qualified name, and a head that isn't a
+    * TxLogCatalog answers None (Spark's normal path).
+    */
+  private def v2CatalogRoot(session: SparkSession,
+      parts: Seq[String]): Option[String] =
+    if (parts.length < 2) None
+    else org.apache.spark.sql.graft.bridge
+      .catalogPlugin(session, parts.head) match {
+      case Some(c: graft.sources.TxLogCatalog) => c.tableDir(parts.tail)
+      case _ => None
+    }
 
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"txlog SQL: $msg")

@@ -115,6 +115,14 @@ object ExtQueries {
           |  CAST(COUNT(*) AS BIGINT) AS num_rows,
           |  CAST(1 AS BIGINT) AS min_reader
           |FROM events""".stripMargin) +
+      // the persistent catalog path: evens + odd multiples of 3 land
+      // as inserted; the MERGE doubles odd non-multiples of 3 (all
+      // event_ids are distinct, so latest-wins collapses nothing)
+      ("q211_txlog_catalog" ->
+        """SELECT event_id, user_id,
+          |  CAST(CASE WHEN event_id % 2 = 1 AND event_id % 3 <> 0
+          |       THEN value * 2 ELSE value END AS DOUBLE) AS value
+          |FROM events""".stripMargin) +
       // avro logical-type round-trip must be invisible to the rollup
       ("q210_avro_logical_types" ->
         """SELECT CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS BIGINT)

@@ -1,0 +1,226 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A PERSISTENT catalog for txlog tables — names survive the session
+  * because the catalog IS a directory tree (the Iceberg-HadoopCatalog
+  * pattern, which is how a 1000-executor deployment names lakehouse
+  * tables without a metastore service): `root/<namespace…>/<table>`
+  * holds the table's transaction log, and any session configured with
+  *
+  * {{{
+  * spark.sql.catalog.lake      = graft.sources.TxLogCatalog
+  * spark.sql.catalog.lake.root = /shared/warehouse
+  * }}}
+  *
+  * resolves `lake.db.t` to the SAME table — `CREATE TABLE` /
+  * `CREATE TABLE AS SELECT` / `INSERT INTO` / `INSERT OVERWRITE` /
+  * `SELECT` / `DROP` / `SHOW TABLES` run through Spark's own V2
+  * catalog exec nodes; MERGE/UPDATE/DELETE/time travel route through
+  * [[graft.plans.GraftSqlParser]], which resolves catalog-qualified
+  * names to the table directory. No Derby/Hive service dependency; an
+  * atomic-rename filesystem (posix/HDFS) gives create/drop the same
+  * guarantees commits already rely on. Unlike the in-memory session
+  * catalog (`CREATE TABLE ... USING txlog OPTIONS(path ...)`), names
+  * registered here are durable across JVMs.
+  *
+  * Identifier hygiene: every name part must be a plain identifier
+  * (letters/digits/_/-) — the part IS a directory name, so path
+  * separators or dot-dots must never smuggle a table outside `root`.
+  */
+class TxLogCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = Option(options.get("root")).getOrElse(throw
+      new IllegalArgumentException(
+        s"TxLogCatalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
+    root = Paths.get(r).toAbsolutePath.normalize()
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def checkPart(p: String): String = {
+    require(p.nonEmpty && p.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"catalog name part '$p' must be a plain identifier")
+    p
+  }
+
+  private def dirOf(ident: Identifier): Path =
+    ident.namespace().foldLeft(root)((d, p) => d.resolve(checkPart(p)))
+      .resolve(checkPart(ident.name()))
+
+  /** Directory of a catalog-relative name — the
+    * [[graft.plans.GraftSqlParser]] seam that routes MERGE / UPDATE /
+    * DELETE / time travel on `catalog.ns.table` identifiers to the
+    * table primitives. Returns None (never throws) when the name
+    * doesn't hold a txlog table.
+    */
+  private[graft] def tableDir(parts: Seq[String]): Option[String] =
+    try {
+      val d = parts.foldLeft(root)((acc, p) => acc.resolve(checkPart(p)))
+      if (isTableDir(d)) Some(d.toString) else None
+    } catch { case _: IllegalArgumentException => None }
+
+  private def dirOf(ns: Array[String]): Path =
+    ns.foldLeft(root)((d, p) => d.resolve(checkPart(p)))
+
+  private def isTableDir(d: Path): Boolean =
+    Files.isDirectory(d.resolve("_log"))
+
+  private def spark: SparkSession = SparkSession.active
+
+  // ── tables ─────────────────────────────────────────────────────────
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toSeq).toArray)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTableDir(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val t = new TxLogTable(spark, d.toString)
+    new TxLogV2Table(spark, d.toString, t.currentVersion, None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "txlog tables take no PARTITIONED BY (use sortCols/OPTIMIZE ZORDER)")
+    val provider = properties.get(TableCatalog.PROP_PROVIDER)
+    require(provider == null || provider.equalsIgnoreCase("txlog"),
+      s"catalog '$catalogName' stores txlog tables only, got USING $provider")
+    val d = dirOf(ident)
+    if (isTableDir(d)) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(d.getParent)
+    val t = new TxLogTable(spark, d.toString)
+    t.ensureExists(schema)
+    new TxLogV2Table(spark, d.toString, t.currentVersion, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use the engine's schema evolution " +
+        "(TxLogTable.renameColumn/widenColumn/evolveSchema)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) return false
+    // delete children before parents; the _log dir goes LAST so a
+    // crashed drop leaves a still-recognizable (re-droppable) table
+    // rather than an orphaned data tree that re-CREATE would trip on
+    def walk(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        val kids = try s.iterator().asScala.toList finally s.close()
+        val (log, rest) = kids.partition(_.getFileName.toString == "_log")
+        (rest ++ log).foreach(walk)
+      }
+      Files.deleteIfExists(p)
+    }
+    walk(d)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    val to = dirOf(newIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ── namespaces (plain directories) ─────────────────────────────────
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toSeq).toArray)
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally s.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = dirOf(namespace)
+    namespace.isEmpty || (Files.isDirectory(d) && !isTableDir(d))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace.toSeq).toArray)
+    java.util.Collections.singletonMap(
+      SupportsNamespaces.PROP_LOCATION, dirOf(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val d = dirOf(namespace)
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(
+        (catalogName +: namespace.toSeq).toArray)
+    Files.createDirectories(d)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "txlog catalog namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = dirOf(namespace)
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val s = Files.list(d)
+    val empty = try !s.iterator().hasNext finally s.close()
+    if (!empty && !cascade) throw new NonEmptyNamespaceException(
+      (catalogName +: namespace.toSeq).toArray)
+    def walk(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s2 = Files.list(p)
+        try s2.iterator().asScala.toList.foreach(walk) finally s2.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    walk(d)
+    true
+  }
+}

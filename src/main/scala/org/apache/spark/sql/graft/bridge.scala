@@ -23,6 +23,18 @@ object bridge {
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Look up a registered V2 catalog plugin by name — `CatalogManager`
+    * is `private[sql]` in Spark 4. The SQL-DML layer uses it to route
+    * MERGE/UPDATE/DELETE on `catalog.ns.table` identifiers whose head
+    * names a [[graft.sources.TxLogCatalog]]. None when no such catalog
+    * is registered (the statement then follows Spark's normal path).
+    */
+  def catalogPlugin(spark: org.apache.spark.sql.SparkSession,
+      name: String): Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    try Some(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name))
+    catch { case _: Exception => None }
+
   /** Execute a logical plan as a DataFrame — `Dataset.ofRows` is
     * `private[sql]` in Spark 4. The SQL-DML command layer
     * ([[graft.plans.GraftSqlParser]]) needs it to run a MERGE source

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persistent name catalog ([[TxLogCatalog]]): `catalog.ns.table`
+  * names live as a directory tree, so they survive the session — a
+  * NEW session (fresh session state, fresh catalog instance) pointed
+  * at the same root resolves the same tables. Pinned: DDL/DML through
+  * Spark's own V2 exec nodes (CREATE/CTAS/INSERT/SELECT/SHOW/DROP/
+  * RENAME), MERGE by catalog-qualified name through the SQL-DML
+  * layer, cross-session resolution, and identifier hygiene (a name
+  * part can never escape the catalog root).
+  */
+class TxLogCatalogSpec extends SparkSpec {
+
+  private def freshCatalog(name: String): String = {
+    val root = Files.createTempDirectory(s"txcat_$name").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[TxLogCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    root
+  }
+
+  test("CREATE / INSERT / SELECT / SHOW / DROP through the V2 catalog") {
+    freshCatalog("lake1")
+    spark.sql("CREATE NAMESPACE lake1.db")
+    spark.sql("CREATE TABLE lake1.db.ev (k BIGINT, tag STRING) USING txlog")
+    spark.sql("INSERT INTO lake1.db.ev VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO lake1.db.ev VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM lake1.db.ev").count() === 3L)
+    assert(spark.sql("SHOW TABLES IN lake1.db").collect()
+      .map(_.getString(1)).toSeq === Seq("ev"))
+    // INSERT OVERWRITE resets the live set through the commit protocol
+    spark.sql("INSERT OVERWRITE lake1.db.ev VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM lake1.db.ev").collect()
+      .map(_.getLong(0)).toSeq === Seq(9L))
+    // RENAME TO takes the new name relative to the table's catalog
+    // (Spark passes it verbatim — no catalog qualifier)
+    spark.sql("ALTER TABLE lake1.db.ev RENAME TO db.ev2")
+    assert(spark.sql("SELECT * FROM lake1.db.ev2").count() === 1L)
+    assert(spark.sql("DROP TABLE lake1.db.ev2").collect().isEmpty)
+    assert(!spark.catalog.tableExists("lake1.db.ev2"))
+  }
+
+  test("CTAS lands data through the same commit path") {
+    freshCatalog("lake2")
+    import spark.implicits._
+    (1L to 10L).map(k => (k, k * 2)).toDF("k", "v")
+      .createOrReplaceTempView("txcat_src")
+    spark.sql("CREATE TABLE lake2.agg USING txlog AS " +
+      "SELECT k, v FROM txcat_src WHERE k <= 4")
+    assert(spark.sql("SELECT sum(v) FROM lake2.agg").collect()
+      .head.getLong(0) === 20L)
+  }
+
+  test("names survive the session: a NEW session resolves and MERGEs by name") {
+    val root = freshCatalog("lake3")
+    spark.sql("CREATE TABLE lake3.users (id BIGINT, name STRING) USING txlog")
+    spark.sql("INSERT INTO lake3.users VALUES (1, 'ann'), (2, 'bob')")
+
+    // a NEW session: fresh session state, fresh catalog INSTANCE —
+    // only the directory tree carries the name across
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.lake3", classOf[TxLogCatalog].getName)
+    s2.conf.set("spark.sql.catalog.lake3.root", root)
+    assert(s2.sql("SELECT name FROM lake3.users ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("ann", "bob"))
+
+    // MERGE by catalog-qualified name through the SQL-DML layer
+    import s2.implicits._
+    Seq((2L, "bobby"), (3L, "cal")).toDF("id", "name")
+      .createOrReplaceTempView("txcat_upd")
+    graft.plans.GraftSql.sql(s2,
+      """MERGE INTO lake3.users t USING txcat_upd s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(s2.sql("SELECT name FROM lake3.users ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("ann", "bobby", "cal"))
+    // time travel by NAME sees the pre-merge snapshot
+    assert(graft.plans.GraftSql.sql(s2,
+      "SELECT count(*) AS n FROM lake3.users VERSION AS OF 1")
+      .collect().head.getLong(0) === 2L)
+    // and the FIRST session observes the merge (same directory)
+    assert(spark.sql("SELECT count(*) FROM lake3.users").collect()
+      .head.getLong(0) === 3L)
+  }
+
+  test("identifier hygiene: a name part can never escape the root") {
+    freshCatalog("lake4")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE lake4.`../evil` (k BIGINT) USING txlog")
+    }
+    assert(e.getMessage.contains("plain identifier"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM lake4.`a/b`")
+    }
+    assert(e2.getMessage.contains("plain identifier") ||
+      e2.getMessage.toLowerCase.contains("table or view not found") ||
+      e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e2.getMessage)
+  }
+
+  test("a foreign provider is rejected; namespaces list and drop") {
+    freshCatalog("lake5")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE lake5.p (k BIGINT) USING parquet")
+    }
+    assert(e.getMessage.contains("txlog tables only"), e.getMessage)
+    spark.sql("CREATE NAMESPACE lake5.ns1")
+    spark.sql("CREATE TABLE lake5.ns1.t1 (k BIGINT) USING txlog")
+    assert(spark.sql("SHOW NAMESPACES IN lake5").collect()
+      .map(_.getString(0)).toSeq === Seq("ns1"))
+    intercept[Exception] { // non-empty without CASCADE
+      spark.sql("DROP NAMESPACE lake5.ns1")
+    }
+    spark.sql("DROP NAMESPACE lake5.ns1 CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN lake5").collect().isEmpty)
+  }
+}
