@@ -140,6 +140,62 @@ final class InMemoryCasRegistry extends CasRegistry {
     m.computeIfPresent(key, (_, e) => e.copy(complete = true))
 }
 
+/** File-backed CAS registry: the cross-PROCESS coordinator for
+  * deployments (and specs) where writers are separate JVMs sharing a
+  * posix/NFS path but the DATA store has no atomic primitive — the
+  * registry file is tiny and created with `CREATE_NEW`, which the
+  * filesystem makes atomic, standing in for a DynamoDB conditional
+  * put exactly like [[InMemoryCasRegistry]] does in-process.
+  * `markComplete` rewrites via temp + atomic move; concurrent
+  * completers write identical content, so the race is harmless.
+  */
+final class FileCasRegistry(dir: Path) extends CasRegistry {
+  Files.createDirectories(dir)
+
+  private def fileOf(key: String): Path =
+    // keys are destination paths; encode to one flat name
+    dir.resolve(java.util.Base64.getUrlEncoder.withoutPadding()
+      .encodeToString(key.getBytes(StandardCharsets.UTF_8)))
+
+  private def write(e: ClaimEntry): Array[Byte] =
+    s"${e.owner}\n${e.tmpKey}\n${e.complete}"
+      .getBytes(StandardCharsets.UTF_8)
+
+  private def read(p: Path): ClaimEntry = {
+    val Array(o, t, c) = new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).split("\n", 3)
+    ClaimEntry(o, t, c.toBoolean)
+  }
+
+  override def claim(key: String, entry: ClaimEntry): Option[ClaimEntry] = {
+    val f = fileOf(key)
+    try {
+      Files.write(f, write(entry),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      None
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => Some(read(f))
+    }
+  }
+
+  override def get(key: String): Option[ClaimEntry] = {
+    val f = fileOf(key)
+    if (Files.exists(f)) Some(read(f)) else None
+  }
+
+  override def markComplete(key: String): Unit = {
+    val f = fileOf(key)
+    if (Files.exists(f)) {
+      val e = read(f).copy(complete = true)
+      val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+      Files.write(tmp, write(e))
+      Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+}
+
 /** Put-if-absent over a store with NO atomic primitive, serialized by
   * an external CAS (the Delta `BaseExternalLogStore` protocol, public
   * design):
