@@ -197,4 +197,90 @@ class TxLogProtocolSpec extends SparkSpec {
     assert(t.read().count() == 3)
     assert(t.copiedFiles.size == 3)
   }
+
+  // ── round-14: maintenance vs concurrent writers ────────────────────
+
+  test("OPTIMIZE racing concurrent appends loses no rows and keeps history consistent") {
+    val root = Files.createTempDirectory("txmaint_opt").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((0L until 200L).map(k => (k, s"seed$k", L(k))): _*))
+    // one thread OPTIMIZEs (clustered rewrite, overwrite-class commit)
+    // while another lands 5 appends; the optimistic loop must make the
+    // compactor recompute over any append that beats it — never drop it
+    val appender = new Thread(() => (1 to 5).foreach { i =>
+      new TxLogTable(spark, root)
+        .append(df((1000L + i, s"late$i", L(i))))
+    })
+    val optimizer = new Thread(() =>
+      new TxLogTable(spark, root)
+        .compactClustered(Seq("k"), numFiles = 4, statsCols = Seq("k")))
+    appender.start(); optimizer.start()
+    appender.join(120000); optimizer.join(120000)
+    val live = t.read()
+    assert(live.count() === 205L, "a racing append was lost")
+    assert(live.filter(col("k") >= 1000L).count() === 5L)
+    // every version in the chain is readable (no torn history)
+    (0L to t.currentVersion).foreach(v => t.readAt(v).count())
+  }
+
+  test("VACUUM under the default age bar never sweeps a concurrent writer's staged dir") {
+    val root = Files.createTempDirectory("txmaint_vac").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", L(1))))
+    t.append(df((2L, "b", L(2))))
+    t.compact(targetRowsPerFile = 1000L) // makes the append dirs dead
+    // a writer mid-flight: its staged dir exists but its commit hasn't
+    // landed yet (simulated by staging through a slow thread while
+    // vacuum runs with the DEFAULT retention bar)
+    val writer = new Thread(() =>
+      new TxLogTable(spark, root).append(df((3L, "c", L(3)))))
+    writer.start()
+    val removed = t.vacuum(retainHistory = false) // default 1h age bar
+    writer.join(120000)
+    // the age bar protects BOTH the dead-but-young dirs and any
+    // concurrent writer's staging: nothing young is swept, and the
+    // racing append must land intact
+    assert(removed.isEmpty, s"swept young dirs: $removed")
+    assert(t.read().count() === 3L)
+    // with the bar explicitly zeroed AFTER the writer finished, the
+    // dead pre-compaction dirs sweep and the table stays intact
+    val removed2 = t.vacuum(retainHistory = false, minAgeMillis = 0L)
+    assert(removed2.nonEmpty)
+    assert(t.read().count() === 3L)
+  }
+
+  test("OPTIMIZE under a LIVE CDC stream contributes nothing to the feed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("txmaint_cdc").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", L(1)), (2L, "b", L(2))))
+    val out = Files.createTempDirectory("txmaint_cdc_out").toString
+    val ck = Files.createTempDirectory("txmaint_cdc_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("startingVersion", "earliest").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+    drain() // the seed append flows
+    // maintenance + a concurrent append while the stream is between
+    // drains (checkpointed mid-log — exactly a live stream's position)
+    t.compactClustered(Seq("k"), numFiles = 2, statsCols = Seq("k"))
+    t.append(df((3L, "c", L(3))))
+    t.compact(targetRowsPerFile = 1000L)
+    drain() // the feed resumes OVER the compaction commits
+    val changes = spark.read.parquet(out)
+    val got = changes.select(col("k"), col("_change_type"),
+        col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    // only the three real inserts — neither compaction emitted a row
+    assert(got === Seq((1L, "insert"), (2L, "insert"), (3L, "insert")),
+      s"compaction leaked into the change feed: $got")
+  }
 }
