@@ -54,6 +54,17 @@ import graft.sources.DataSkipping.{ColRange, FileStats}
   * here as serialized optimistic commits over object storage.
   */
 object TxLogTable {
+  /** The deletion-vector FILE KEY of a scanned row: the last two path
+    * segments ("dir/part-file") of `_metadata.file_path` — what the
+    * sidecars store in `_dv_file`. `substring_index` (a backward char
+    * scan) instead of a per-row regex: on a 10× DV-read sweep the
+    * regex was a measurable per-row constant on every tag and
+    * merge-on-read pass.
+    */
+  private[sources] def dvFileKey: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.substring_index(
+      org.apache.spark.sql.functions.col("_metadata.file_path"), "/", -2)
+
   /** One log entry. `add` holds data-dir names relative to `data/`;
     * `action` is "overwrite" (live set := add) or "append" (live set
     * ++= add). `schemaJson` rides on every manifest so an empty or
@@ -618,14 +629,13 @@ final class TxLogTable(spark: SparkSession,
   private[sources] def applyDv(base: DataFrame,
       dvDirs: Seq[String]): DataFrame = {
     if (dvDirs.isEmpty) return base
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.col
     val dv = spark.read.schema(dvReadSchema)
       .parquet(dvDirs.map(d => dataDir.resolve(d).toString): _*)
       .select(col("_dv_file").as("__del_file"),
         col("_dv_pos").as("__del_pos"))
     val tagged = base
-      .withColumn("__row_file",
-        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("__row_file", TxLogTable.dvFileKey)
       .withColumn("__row_pos", col("_metadata.row_index"))
     tagged.join(dv,
         tagged("__row_file") === dv("__del_file") &&
@@ -1307,8 +1317,7 @@ final class TxLogTable(spark: SparkSession,
         // survive a Project), then surface logical names for `cond`
         val taggedPhys = spark.read.schema(physSchema(schema, cmap))
           .parquet(mayMatch: _*)
-          .withColumn("_dv_file",
-            regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+          .withColumn("_dv_file", TxLogTable.dvFileKey)
           .withColumn("_dv_pos", col("_metadata.row_index"))
         val tagged =
           if (cmap.isEmpty) taggedPhys
