@@ -90,30 +90,54 @@ object GraftSqlRewrite {
   //      concurrent-writer age guard — RETAIN 0 HOURS only when no
   //      writer can be in flight)
   //   OPTIMIZE txlog.`p` [ZORDER BY (c1, c2)] [INTO n FILES]
+  // A maintenance target is either the path spelling (txlog.`/p`) or
+  // a dotted table NAME — a session-catalog `USING txlog` table or a
+  // `TxLogCatalog`-qualified name (resolved at RUN time, when the
+  // command has a session).
+  private val Target =
+    """(?:txlog\.`([^`]+)`|([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))"""
   private val HistoryRe =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+txlog\.`([^`]+)`\s*;?\s*""".r
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$Target\\s*;?\\s*""".r
   private val DetailRe =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+txlog\.`([^`]+)`\s*;?\s*""".r
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$Target\\s*;?\\s*""".r
   private val VacuumRe =
-    ("""(?is)\s*VACUUM\s+txlog\.`([^`]+)`(\s+FULL)?""" +
+    (s"""(?is)\\s*VACUUM\\s+$Target(\\s+FULL)?""" +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val OptimizeRe =
-    ("""(?is)\s*OPTIMIZE\s+txlog\.`([^`]+)`""" +
+    (s"""(?is)\\s*OPTIMIZE\\s+$Target""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""").r
 
+  private def targetOf(path: String, name: String): Either[String, Seq[String]] =
+    if (path != null) Left(path) else Right(name.split("\\.").toSeq)
+
+  /** Resolve a maintenance target to the table's root directory —
+    * paths verbatim; names through the session catalog
+    * ([[catalogRoot]]) or a registered [[graft.sources.TxLogCatalog]]
+    * ([[v2CatalogRoot]]).
+    */
+  private[plans] def resolveTarget(session: SparkSession,
+      target: Either[String, Seq[String]]): String = target match {
+    case Left(path) => path
+    case Right(parts) =>
+      catalogRoot(session, parts)
+        .orElse(v2CatalogRoot(session, parts))
+        .getOrElse(fail(
+          s"${parts.mkString(".")} does not resolve to a txlog table"))
+  }
+
   /** Parse a maintenance statement, or None to delegate to Spark. */
   def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case HistoryRe(root) => Some(GraftHistoryCommand(root))
-    case DetailRe(root) => Some(GraftDetailCommand(root))
-    case VacuumRe(root, full, retain) =>
-      Some(GraftVacuumCommand(root, full = full != null,
+    case HistoryRe(p, n) => Some(GraftHistoryCommand(targetOf(p, n)))
+    case DetailRe(p, n) => Some(GraftDetailCommand(targetOf(p, n)))
+    case VacuumRe(p, n, full, retain) =>
+      Some(GraftVacuumCommand(targetOf(p, n), full = full != null,
         retainHours = Option(retain).map(_.toLong)))
-    case OptimizeRe(root, zorder, files) =>
+    case OptimizeRe(p, n, zorder, files) =>
       val cols = Option(zorder).toSeq
         .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)
-      Some(GraftOptimizeCommand(root, cols,
+      Some(GraftOptimizeCommand(targetOf(p, n), cols,
         Option(files).map(_.trim.toInt)))
     case _ => None
   }
@@ -509,15 +533,18 @@ case class GraftDeleteCommand(root: String, condition: Option[String])
 }
 
 /** DESCRIBE HISTORY txlog.`root` — the commit log, newest first. */
-case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
+case class GraftHistoryCommand(target: Either[String, Seq[String]])
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("action", StringType, nullable = false)(),
     AttributeReference("timestamp_millis", LongType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
-    new TxLogTable(sparkSession, root).history().reverse.map {
-      case (v, action, ts) => Row(v, action, ts)
-    }
+    new TxLogTable(sparkSession,
+      GraftSqlRewrite.resolveTarget(sparkSession, target))
+      .history().reverse.map {
+        case (v, action, ts) => Row(v, action, ts)
+      }
 }
 
 /** DESCRIBE DETAIL txlog.`root` — one snapshot-summary row (the Delta
@@ -525,7 +552,8 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
   * count when every file carries stats (else null), and the reader
   * protocol this snapshot requires.
   */
-case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
+case class GraftDetailCommand(target: Either[String, Seq[String]])
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("num_files", LongType, nullable = false)(),
@@ -534,6 +562,7 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("min_reader", org.apache.spark.sql.types.IntegerType,
       nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    val root = GraftSqlRewrite.resolveTarget(sparkSession, target)
     val t = new TxLogTable(sparkSession, root)
     require(t.exists, s"txlog table does not exist at $root")
     val v = t.currentVersion
@@ -562,12 +591,14 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
   * references; RETAIN overrides the default 1-hour concurrent-writer
   * age guard.
   */
-case class GraftVacuumCommand(root: String, full: Boolean,
+case class GraftVacuumCommand(target: Either[String, Seq[String]],
+    full: Boolean,
     retainHours: Option[Long]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("removed", StringType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
-    new TxLogTable(sparkSession, root)
+    new TxLogTable(sparkSession,
+        GraftSqlRewrite.resolveTarget(sparkSession, target))
       .vacuum(retainHistory = !full,
         minAgeMillis = retainHours.map(_ * 3600L * 1000L)
           .getOrElse(3600L * 1000L))
@@ -581,10 +612,12 @@ case class GraftVacuumCommand(root: String, full: Boolean,
   * pruning bite afterwards). Default file count = the session's
   * default parallelism.
   */
-case class GraftOptimizeCommand(root: String, zorderCols: Seq[String],
+case class GraftOptimizeCommand(target: Either[String, Seq[String]],
+    zorderCols: Seq[String],
     numFiles: Option[Int]) extends GraftTxLogCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    val t = new TxLogTable(sparkSession, root)
+    val t = new TxLogTable(sparkSession,
+      GraftSqlRewrite.resolveTarget(sparkSession, target))
     val n = numFiles.getOrElse(
       sparkSession.sparkContext.defaultParallelism)
     val v =

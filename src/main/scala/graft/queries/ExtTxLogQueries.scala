@@ -741,37 +741,39 @@ object ExtTxLogQueries {
     // the value hash, not just a spec.
     "q211_txlog_catalog" -> { (s, dir) =>
       val root = scratchDir("graft_txlog_q211")
-      s.conf.set("spark.sql.catalog.q211lake",
-        "graft.sources.TxLogCatalog")
-      s.conf.set("spark.sql.catalog.q211lake.root", root)
-      s.sql("DROP TABLE IF EXISTS q211lake.ev")
+      // catalog name derived from the root: a session's CatalogManager
+      // caches a catalog INSTANCE at first use, so a re-run (bench
+      // warmup + measured passes share one session) must register a
+      // fresh name or the cached instance would keep the old root
+      val cat = s"q211lake_${root.hashCode.toHexString}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.TxLogCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("value"))
       ev.createOrReplaceTempView("q211_ev")
-      s.sql("CREATE TABLE q211lake.ev " +
+      s.sql(s"CREATE TABLE $cat.ev " +
         "(event_id BIGINT, user_id BIGINT, value DOUBLE) USING txlog")
-      s.sql("""INSERT INTO q211lake.ev
-              |SELECT event_id, user_id, value FROM q211_ev
-              |WHERE event_id % 2 = 0""".stripMargin)
-      s.sql("""INSERT INTO q211lake.ev
-              |SELECT event_id, user_id, value FROM q211_ev
-              |WHERE event_id % 2 = 1 AND event_id % 3 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.ev
+               |SELECT event_id, user_id, value FROM q211_ev
+               |WHERE event_id % 2 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.ev
+               |SELECT event_id, user_id, value FROM q211_ev
+               |WHERE event_id % 2 = 1 AND event_id % 3 = 0""".stripMargin)
       // MERGE by NAME: odd non-multiples-of-3 arrive, value doubled
       ev.filter(col("event_id") % 2 === 1 && col("event_id") % 3 =!= 0)
         .withColumn("value", col("value") * 2)
         .createOrReplaceTempView("q211_upd")
       graft.plans.GraftSql.sql(s,
-        """MERGE INTO q211lake.ev t USING q211_upd s
-          |ON t.event_id = s.event_id
-          |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        s"""MERGE INTO $cat.ev t USING q211_upd s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
       // a SECOND session resolves the name purely from the directory
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.catalog.q211lake",
-        "graft.sources.TxLogCatalog")
-      s2.conf.set("spark.sql.catalog.q211lake.root", root)
-      s2.sql("""SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
-               |FROM q211lake.ev""".stripMargin)
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.TxLogCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s2.sql(s"""SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+                |FROM $cat.ev""".stripMargin)
     },
 
   )

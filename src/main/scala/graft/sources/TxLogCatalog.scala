@@ -125,11 +125,34 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     new TxLogV2Table(spark, d.toString, t.currentVersion, None)
   }
 
+  /** ALTER TABLE column changes route to the engine's METADATA-ONLY
+    * evolution commits: RENAME COLUMN → [[TxLogTable.renameColumn]]
+    * (files keep their stable physical names), ALTER COLUMN TYPE →
+    * [[TxLogTable.widenColumn]] (lossless widenings only — the table
+    * rejects narrowing). Anything else (ADD/DROP COLUMN, nested
+    * fields, comments) throws: additive columns arrive through an
+    * evolved append, which is the transactional path.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use the engine's schema evolution " +
-        "(TxLogTable.renameColumn/widenColumn/evolveSchema)")
+      changes: TableChange*): Table = {
+    val d = dirOf(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val t = new TxLogTable(spark, d.toString)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "RENAME COLUMN supports top-level columns only")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only")
+        t.widenColumn(u.fieldNames()(0), u.newDataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on txlog tables " +
+          "(additive columns evolve through appends)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirOf(ident)

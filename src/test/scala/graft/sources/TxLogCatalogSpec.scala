@@ -103,6 +103,43 @@ class TxLogCatalogSpec extends SparkSpec {
       e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e2.getMessage)
   }
 
+  test("ALTER TABLE routes column changes to metadata-only evolution; maintenance SQL by name") {
+    freshCatalog("lake6")
+    spark.sql("CREATE TABLE lake6.t (k INT, v STRING) USING txlog")
+    spark.sql("INSERT INTO lake6.t VALUES (1, 'a'), (2, 'b')")
+    // RENAME COLUMN → TxLogTable.renameColumn (metadata-only)
+    spark.sql("ALTER TABLE lake6.t RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM lake6.t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b"))
+    // ALTER COLUMN TYPE → TxLogTable.widenColumn (lossless widening)
+    spark.sql("ALTER TABLE lake6.t ALTER COLUMN k TYPE BIGINT")
+    assert(spark.sql("SELECT sum(k) FROM lake6.t").collect()
+      .head.getLong(0) === 3L)
+    // narrowing and unsupported shapes fail loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lake6.t ALTER COLUMN k TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lake6.t ADD COLUMN extra STRING")
+    }
+    // maintenance statements accept catalog-qualified NAMES too
+    import graft.plans.GraftSql
+    spark.sql("INSERT INTO lake6.t VALUES (3, 'c')")
+    assert(GraftSql.sql(spark, "DESCRIBE HISTORY lake6.t").count() >= 4L)
+    GraftSql.sql(spark, "OPTIMIZE lake6.t INTO 1 FILES").collect()
+    val det = GraftSql.sql(spark, "DESCRIBE DETAIL lake6.t").collect().head
+    assert(det.getLong(1) === 1L, s"post-optimize file count: $det")
+    GraftSql.sql(spark, "VACUUM lake6.t FULL RETAIN 0 HOURS").collect()
+    assert(spark.sql("SELECT count(*) FROM lake6.t").collect()
+      .head.getLong(0) === 3L)
+    // an unresolvable name fails loudly, not as a path
+    val e = intercept[Exception] {
+      GraftSql.sql(spark, "DESCRIBE HISTORY lake6.nope").collect()
+    }
+    assert(e.getMessage.contains("does not resolve to a txlog table"),
+      e.getMessage)
+  }
+
   test("a foreign provider is rejected; namespaces list and drop") {
     freshCatalog("lake5")
     val e = intercept[Exception] {
