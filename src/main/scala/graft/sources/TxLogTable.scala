@@ -776,11 +776,16 @@ final class TxLogTable(spark: SparkSession,
     }
   }
 
-  private[graft] def statsSummaryAt(version: Long)
-      : Option[(Long, Map[String, ColRange], Map[String, Long])] = {
-    val (chain, schema) = manifestChainAt(version)
+  /** Live part-files of a snapshot with their per-file skipping stats
+    * — Some only when EVERY live file is covered (inline manifest
+    * stats or checkpoint-folded rows): exactness over coverage, the
+    * same refusal contract [[statsSummaryAt]] has always had.
+    */
+  private def liveFileStatsAt(version: Long)
+      : Option[(Seq[String], Map[String, FileStats])] = {
+    val (chain, _) = manifestChainAt(version)
     val live = chain.flatMap(_.add)
-    if (live.isEmpty) return Some((0L, Map.empty, Map.empty))
+    if (live.isEmpty) return Some((Nil, Map.empty))
     val inline: Map[String, FileStats] =
       chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
     import scala.jdk.CollectionConverters._
@@ -805,7 +810,40 @@ final class TxLogTable(spark: SparkSession,
             .collect().map(TxLogTable.fromCkptRow).toMap
           ckpt ++ inline
       }
-    if (!liveFiles.forall(all.contains)) return None
+    if (!liveFiles.forall(all.contains)) None
+    else Some((liveFiles, all))
+  }
+
+  /** A file subset whose EXACT stats-known row count covers `n` — the
+    * LIMIT-pushdown seam ([[TxLogBatchScan]]): an unordered LIMIT may
+    * return ANY n rows, so planning only enough files to hold them is
+    * semantics-preserving (Spark re-applies the limit above). None
+    * when any live file lacks stats — then the scan must plan
+    * everything.
+    */
+  private[sources] def limitPaths(version: Long,
+      n: Long): Option[Seq[String]] =
+    liveFileStatsAt(version).map { case (files, all) =>
+      val out = Seq.newBuilder[String]
+      var acc = 0L
+      val it = files.iterator
+      while (acc < n && it.hasNext) {
+        val f = it.next()
+        acc += all(f).rows
+        out += dataDir.resolve(f).toString
+      }
+      out.result()
+    }
+
+  private[graft] def statsSummaryAt(version: Long)
+      : Option[(Long, Map[String, ColRange], Map[String, Long])] = {
+    val (chain, schema) = manifestChainAt(version)
+    val live = chain.flatMap(_.add)
+    if (live.isEmpty) return Some((0L, Map.empty, Map.empty))
+    val (liveFiles, all) = liveFileStatsAt(version) match {
+      case Some(x) => x
+      case None => return None
+    }
     val cmap = colMapOf(chain)
     val phys = physSchema(schema, cmap)
     val rows = liveFiles.iterator.map(all(_).rows).sum

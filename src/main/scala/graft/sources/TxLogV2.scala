@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering, V1Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering, V1Scan}
 import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.lit
@@ -144,13 +144,22 @@ final class TxLogWriteBuilder(root: String, info: LogicalWriteInfo)
 final class TxLogScanBuilder(spark: SparkSession,
     private[sources] val table: TxLogTable, version: Long)
     extends ScanBuilder with SupportsPushDownV2Filters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private val fullSchema = TxLogV2.asNullable(table.schemaAt(version))
   private var required: StructType = fullSchema
   private var pushedV2: Array[Predicate] = Array.empty
   private var pushedV1: Array[Filter] = Array.empty
   private var pushedCols: Seq[Column] = Nil
+  private var limit: Option[Int] = None
+
+  /** Unordered LIMIT: plan only enough stats-covered files to hold n
+    * rows (partial push — Spark keeps its own limit above, so a
+    * stats-less snapshot that plans everything is merely unpruned,
+    * never wrong). Offered by Spark only when nothing row-reducing
+    * sits between the limit and the scan.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
     val converted = predicates.map { p =>
@@ -176,7 +185,7 @@ final class TxLogScanBuilder(spark: SparkSession,
       new TxLogDvScan(table, version, required, pushedV1)
     else
       new TxLogBatchScan(spark, table, version, fullSchema, required,
-        pushedCols, pushedV1)
+        pushedCols, pushedV1, limit)
 }
 
 /** The native Batch scan of a DV-free snapshot: the manifest decides
@@ -196,7 +205,8 @@ final class TxLogScanBuilder(spark: SparkSession,
   */
 final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
     version: Long, logicalFull: StructType, logicalRead: StructType,
-    staticCols: Seq[Column], staticV1: Array[Filter])
+    staticCols: Seq[Column], staticV1: Array[Filter],
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -244,9 +254,17 @@ final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
       case None =>
         val pred = (staticCols ++ runtimeCols)
           .reduceOption(_ && _).getOrElse(lit(true))
-        val paths = table.scanPathsAt(version, pred)
+        // an unfiltered LIMIT plans just enough stats-covered files to
+        // hold n rows; with predicates (static or runtime) the normal
+        // pruned path applies and Spark's limit stays above
+        val limited: Option[Seq[String]] =
+          if (staticCols.isEmpty && runtimeCols.isEmpty)
+            limit.flatMap(n => table.limitPaths(version, n.toLong))
+          else None
+        val paths = limited.getOrElse(table.scanPathsAt(version, pred))
         val all =
-          if (staticCols.isEmpty && runtimeCols.isEmpty) paths
+          if (staticCols.isEmpty && runtimeCols.isEmpty && limited.isEmpty)
+            paths
           else table.scanPathsAt(version, lit(true))
         TxLogV2.lastScan = (paths.size, all.size)
         val s = v2bridge.parquetScan(spark, paths, phys(logicalFull),
@@ -291,7 +309,11 @@ final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
     * CBO-stats rule produced, now through the V2-native
     * [[SupportsReportStatistics]] seam.
     */
-  override def estimateStatistics(): Statistics = {
+  override def estimateStatistics(): Statistics = memoStats
+
+  // one metadata walk (and possibly one checkpoint-parquet read) per
+  // scan, however many times Catalyst asks
+  private lazy val memoStats: Statistics = {
     val sizeBytes = math.max(1L, TxLogBatchScan.onDiskBytes(
       table.scanPathsAt(version, lit(true))))
     val summary = table.statsSummaryAt(version)

@@ -98,6 +98,22 @@ class TxLogSourceSpec extends SparkSpec {
       org.apache.spark.sql.sources.EqualTo("k", 3L))).isEmpty)
   }
 
+  test("LIMIT pushdown plans only enough stats-covered files to hold n rows") {
+    val (root, t) = seeded() // 4 files x 50 rows, stats on k
+    val limited = spark.read.format("txlog").load(root).limit(60)
+    assert(limited.collect().length === 60)
+    // 60 rows fit in 2 of the 4 files; the other 2 are never planned
+    assert(TxLogV2.lastScan === (2, 4), s"lastScan=${TxLogV2.lastScan}")
+    assert(spark.read.format("txlog").load(root).limit(10).count() === 10L)
+    assert(TxLogV2.lastScan === (1, 4), s"lastScan=${TxLogV2.lastScan}")
+    // a limit UNDER a filter does not engage (the filter is post-scan
+    // and row-reducing): full pruned-path semantics stay exact
+    val q = spark.read.format("txlog").load(root)
+      .filter(col("k") >= 100L).limit(5)
+    assert(q.count() === 5L)
+    assert(t.read().count() === 200L)
+  }
+
   test("time travel via versionAsOf and timestampAsOf options") {
     val (root, t) = seeded()
     val v2 = spark.read.format("txlog")
