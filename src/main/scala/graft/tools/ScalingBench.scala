@@ -43,7 +43,10 @@ object ScalingBench {
     // CDX-banded WARC), and the PQ/IVFADC ANN recall gates
     "q112_txlog_merge", "q117_txlog_skipping_read",
     "q192_wiki_split_read", "q193_warc_ranged_read",
-    "q95_ann_pq_recall_floor", "q100_ann_ivfadc_recall_floor")
+    "q95_ann_pq_recall_floor", "q100_ann_ivfadc_recall_floor",
+    // round 14 (DSv2 migration): Spark-native runtime file pruning on
+    // the V2 scan — the join-time scan-killer measured at scale
+    "q205_txlog_dynamic_pruning")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sf1")
