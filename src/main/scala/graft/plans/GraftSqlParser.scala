@@ -341,7 +341,11 @@ object GraftSqlRewrite {
         val (root, _) = txlogTarget(session, u).get
         val table = new TxLogTable(session, root)
         require(table.exists, s"txlog table does not exist at $root")
-        table.read().queryExecution.analyzed
+        // route through the registered V2 source, not a raw snapshot
+        // read: SQL readers then get the same manifest file skipping,
+        // Spark-native runtime filtering, CBO statistics, and LIMIT
+        // pushdown the DataFrame path has
+        session.read.format("txlog").load(root).queryExecution.analyzed
     }
 
   def apply(session: SparkSession, plan: LogicalPlan): LogicalPlan =
@@ -368,7 +372,11 @@ object GraftSqlRewrite {
           case None => table.versionAsOf(tsMillis(ts.getOrElse(
             fail("time travel needs VERSION AS OF or TIMESTAMP AS OF"))))
         }
-        table.readAt(version).queryExecution.analyzed
+        // the V2 source pins the snapshot via the versionAsOf option —
+        // same pruned/filterable scan shape as current-version reads
+        session.read.format("txlog")
+          .option("versionAsOf", version.toString).load(root)
+          .queryExecution.analyzed
 
       case m: MergeIntoTable if dmlTarget(session, m.targetTable).isDefined =>
         val (root, tAlias) = dmlTarget(session, m.targetTable).get

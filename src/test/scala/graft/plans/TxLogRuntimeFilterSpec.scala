@@ -114,6 +114,16 @@ class TxLogRuntimeFilterSpec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("SQL reads route through the V2 scan: manifest pruning applies to SELECT") {
+    val (root, _) = seedFact("rtf_sql")
+    val got = graft.plans.GraftSql.sql(spark,
+      s"SELECT sum(payload) AS s FROM txlog.`$root` " +
+        "WHERE k >= 300 AND k < 400").collect().head.getLong(0)
+    assert(got === (300L until 400L).map(_ * 7).sum)
+    assert(TxLogV2.lastScan === (1, 10),
+      s"SQL read should prune through the manifest: ${TxLogV2.lastScan}")
+  }
+
   test("useV1SourceList escape hatch routes reads through the V1 relation") {
     val (root, t) = seedFact("rtf_v1")
     spark.conf.set("spark.sql.sources.useV1SourceList", "txlog")
