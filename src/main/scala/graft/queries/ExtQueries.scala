@@ -123,6 +123,17 @@ object ExtQueries {
           |  CAST(CASE WHEN event_id % 2 = 1 AND event_id % 3 <> 0
           |       THEN value * 2 ELSE value END AS DOUBLE) AS value
           |FROM events""".stripMargin) +
+      // manifest-stats aggregates: exact census values recomputed by
+      // DuckDB from the raw rows (value doubles round-trip the stats
+      // encoding exactly)
+      ("q212_txlog_stats_agg" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(value) AS BIGINT) AS n_values,
+          |  CAST(MIN(event_id) AS BIGINT) AS min_event,
+          |  CAST(MAX(event_id) AS BIGINT) AS max_event,
+          |  CAST(MIN(value) AS DOUBLE) AS min_value,
+          |  CAST(MAX(value) AS DOUBLE) AS max_value
+          |FROM events""".stripMargin) +
       // avro logical-type round-trip must be invisible to the rollup
       ("q210_avro_logical_types" ->
         """SELECT CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS BIGINT)

@@ -776,6 +776,33 @@ object ExtTxLogQueries {
                 |FROM $cat.ev""".stripMargin)
     },
 
+    // ── MANIFEST-STATS AGGREGATE PUSHDOWN under the oracle: ungrouped
+    // count(*)/count(col)/min/max over a stats-covered snapshot answer
+    // from the transaction log alone — a metadata walk and one
+    // driver-local row, zero files opened (the 100 TB census query).
+    // Exactness is the whole point, so the values ride the hash
+    // against DuckDB recomputing them from the raw rows. The SQL read
+    // routes through the V2 source, where the pushdown lives;
+    // TxLogSourceSpec pins the LocalTableScan plan shape.
+    "q212_txlog_stats_agg" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q212")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      t.ensureExists(ev.schema)
+      t.append(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        statsCols = Seq("event_id", "user_id", "value"))
+      t.append(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        statsCols = Seq("event_id", "user_id", "value"))
+      graft.plans.GraftSql.sql(s,
+        s"""SELECT count(*) AS n_rows,
+           |  count(value) AS n_values,
+           |  min(event_id) AS min_event, max(event_id) AS max_event,
+           |  CAST(min(value) AS DOUBLE) AS min_value,
+           |  CAST(max(value) AS DOUBLE) AS max_value
+           |FROM txlog.`$root`""".stripMargin)
+    },
+
   )
 
   private[queries] val oracleBase: Map[String, String] = Map(

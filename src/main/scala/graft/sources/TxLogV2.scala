@@ -9,7 +9,9 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering, V1Scan}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering, V1Scan}
 import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.lit
@@ -144,7 +146,8 @@ final class TxLogWriteBuilder(root: String, info: LogicalWriteInfo)
 final class TxLogScanBuilder(spark: SparkSession,
     private[sources] val table: TxLogTable, version: Long)
     extends ScanBuilder with SupportsPushDownV2Filters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private val fullSchema = TxLogV2.asNullable(table.schemaAt(version))
   private var required: StructType = fullSchema
@@ -180,12 +183,91 @@ final class TxLogScanBuilder(spark: SparkSession,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    if (table.dvDirsAt(version).nonEmpty)
-      new TxLogDvScan(table, version, required, pushedV1)
-    else
-      new TxLogBatchScan(spark, table, version, fullSchema, required,
-        pushedCols, pushedV1, limit)
+  // ── aggregate pushdown: answer count(*)/count(col)/min/max from the
+  // MANIFEST stats alone — a metadata walk and a driver-local row, no
+  // file opened, no Spark job. Accepted only when the snapshot is
+  // DV-free, ungrouped, unfiltered (Spark offers aggregation only when
+  // no residual filter sits above the scan — every predicate here is
+  // residual by design), every live file carries stats, and min/max
+  // types are in the exactly-decodable set. The manifest numbers are
+  // EXACT by the statsSummaryAt contract, so the pushdown is complete.
+
+  private var pushedAgg: Option[(StructType, InternalRow)] = None
+
+  private def minMaxOk(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  // one manifest-stats walk per builder, shared by
+  // supportCompletePushDown and pushAggregation (Spark calls both)
+  private lazy val statsSummary = table.statsSummaryAt(version)
+
+  private def serveAggregation(agg: Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (table.dvDirsAt(version).nonEmpty) return None
+    val schema = v2bridge.pushedAggSchema(agg, fullSchema) match {
+      case Some(sc) => sc
+      case None => return None
+    }
+    val (rows, ranges) = statsSummary match {
+      case Some((r, rg, _)) => (r, rg)
+      case None => return None
+    }
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference
+          if n.fieldNames().length == 1 =>
+        fullSchema.fields.find(_.name == n.fieldNames()(0))
+      case _ => None
+    }
+    val values = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => java.lang.Long.valueOf(rows)
+      case c: Count if !c.isDistinct =>
+        val f = colOf(c.column()).getOrElse(return None)
+        val r = ranges.getOrElse(f.name, return None)
+        java.lang.Long.valueOf(rows - r.nulls)
+      case m: Min =>
+        val f = colOf(m.column()).getOrElse(return None)
+        if (!minMaxOk(f.dataType)) return None
+        val r = ranges.getOrElse(f.name, return None)
+        val v = r.min.getOrElse(return None)
+        v2bridge.statFromExternalString(v, f.name, f.dataType)
+          .asInstanceOf[AnyRef]
+      case m: Max =>
+        val f = colOf(m.column()).getOrElse(return None)
+        if (!minMaxOk(f.dataType)) return None
+        val r = ranges.getOrElse(f.name, return None)
+        val v = r.max.getOrElse(return None)
+        v2bridge.statFromExternalString(v, f.name, f.dataType)
+          .asInstanceOf[AnyRef]
+      case _ => return None
+    }
+    Some((schema,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        values.toArray[Any])))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    serveAggregation(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = serveAggregation(agg)
+    pushedAgg.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) => new TxLogAggScan(schema, row)
+    case None =>
+      if (table.dvDirsAt(version).nonEmpty)
+        new TxLogDvScan(table, version, required, pushedV1)
+      else
+        new TxLogBatchScan(spark, table, version, fullSchema, required,
+          pushedCols, pushedV1, limit)
+  }
 }
 
 /** The native Batch scan of a DV-free snapshot: the manifest decides
@@ -401,4 +483,15 @@ final class TxLogDvScan(table: TxLogTable, version: Long,
       override def buildScan(): RDD[Row] = rel.buildScan(cols, filters)
     }.asInstanceOf[T]
   }
+}
+
+/** A pushed aggregation answered entirely from the manifest: one
+  * driver-local row — Spark plans a LocalTableScan, no job runs. The
+  * 100 TB shape of `SELECT count(*), min(ts), max(ts) FROM corpus`.
+  */
+final class TxLogAggScan(schema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String = "txlog manifest-stats aggregate"
 }

@@ -45,6 +45,17 @@ object v2bridge {
   /** V2 `Predicate` → V1 `Filter`, when an exact translation exists. */
   def toV1Filter(p: Predicate): Option[Filter] = PredicateUtils.toV1(p)
 
+  /** The output schema Spark expects for a pushed aggregation — the
+    * same contract the built-in parquet/ORC aggregate pushdown uses
+    * (`AggregatePushDownUtils`); None when the aggregation shape is
+    * unsupported by that contract.
+    */
+  def pushedAggSchema(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      schema: StructType): Option[StructType] =
+    org.apache.spark.sql.execution.datasources.AggregatePushDownUtils
+      .getSchemaForPushedAggregation(agg, schema, Set.empty, Nil)
+
   /** Decode a stats string in `CatalogColumnStat.fromExternalString`
     * version-2 format (the encoding the txlog manifest stores) into
     * the CATALYST value the V2 `ColumnStatistics` interface expects

@@ -114,6 +114,40 @@ class TxLogSourceSpec extends SparkSpec {
     assert(t.read().count() === 200L)
   }
 
+  test("ungrouped count/min/max answer from the manifest with no file read") {
+    val (root, t) = seeded() // stats on k, blooms on grp
+    val df = spark.read.format("txlog").load(root)
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+        max(col("k")).as("mx"), count(col("k")).as("nk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("BatchScan"),
+      s"pushed aggregate must not scan files:\n$plan")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((200L, 0L, 349L, 200L)))
+    // a WHERE blocks the pushdown (filters are residual) — real scan,
+    // same exactness
+    val filtered = spark.read.format("txlog").load(root)
+      .filter(col("k") >= 100L).agg(count(lit(1)))
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+    // k ∈ [0,50)∪[100,150)∪[200,250)∪[300,350): k>=100 matches 150
+    assert(filtered.collect().head.getLong(0) === 150L)
+    // min/max over a column WITHOUT stats coverage (grp) falls back
+    val viaScan = spark.read.format("txlog").load(root)
+      .agg(min(col("grp")).as("g"))
+    assert(viaScan.queryExecution.executedPlan.toString
+      .contains("BatchScan"))
+    assert(viaScan.collect().head.getString(0) === "g0")
+    // a DV-bearing snapshot must not serve manifest counts
+    t.deleteVectored(col("k") === 0L)
+    val postDv = spark.read.format("txlog").load(root).agg(count(lit(1)))
+    assert(!postDv.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(postDv.collect().head.getLong(0) === 199L)
+  }
+
   test("time travel via versionAsOf and timestampAsOf options") {
     val (root, t) = seeded()
     val v2 = spark.read.format("txlog")
