@@ -129,9 +129,9 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     * evolution commits: RENAME COLUMN → [[TxLogTable.renameColumn]]
     * (files keep their stable physical names), ALTER COLUMN TYPE →
     * [[TxLogTable.widenColumn]] (lossless widenings only — the table
-    * rejects narrowing). Anything else (ADD/DROP COLUMN, nested
-    * fields, comments) throws: additive columns arrive through an
-    * evolved append, which is the transactional path.
+    * rejects narrowing), ADD COLUMN → [[TxLogTable.addColumn]]
+    * (nullable, existing rows read null, no file touched). Anything
+    * else (DROP COLUMN, nested fields, comments) throws.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -147,9 +147,14 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
         require(u.fieldNames.length == 1,
           "ALTER COLUMN TYPE supports top-level columns only")
         t.widenColumn(u.fieldNames()(0), u.newDataType())
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ADD COLUMN supports top-level columns only")
+        require(a.isNullable,
+          "ADD COLUMN must be nullable (existing rows read null)")
+        t.addColumn(a.fieldNames()(0), a.dataType())
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE change $other is not supported on txlog tables " +
-          "(additive columns evolve through appends)")
+        s"ALTER TABLE change $other is not supported on txlog tables")
     }
     loadTable(ident)
   }

@@ -599,6 +599,40 @@ final class TxLogTable(spark: SparkSession,
     }
   }
 
+  /** ADD COLUMN as a METADATA-ONLY commit (the ALTER TABLE twin of
+    * append-time additive evolution): the schema gains a nullable
+    * column, no file is touched, existing rows read it as null — the
+    * same null-padding every evolved append already relies on. Same
+    * guards as [[evolveSchema]]: no collision with a live logical
+    * name, and never shadowing a renamed column's stable physical
+    * name (files could no longer tell the two apart).
+    */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      maxRetries: Int = 20): Long = {
+    commitLoop(maxRetries) { v =>
+      require(v >= 0, s"cannot add a column on an uncommitted table $root")
+      val (chain, schema) = manifestChainAt(v)
+      require(!schema.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"add column: '$name' already exists")
+      val cmap = colMapOf(chain)
+      require(!cmap.values.exists(_.equalsIgnoreCase(name)),
+        s"add column: '$name' is the physical identity of a renamed " +
+          "column (pick another name)")
+      val newSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true))
+      Some(Manifest(0L, "append", Nil, newSchema.json,
+        System.currentTimeMillis(),
+        markers = Some(Map("alter" ->
+          s"add $name ${dataType.simpleString}")),
+        cdc = Some(Nil), colMap = cmap match {
+          case m if m.isEmpty => None
+          case m => Some(m)
+        }))
+    }
+  }
+
   // ── deletion vectors ──────────────────────────────────────────────
 
   private def dvReadSchema: StructType = StructType(Seq(

@@ -115,23 +115,32 @@ class TxLogCatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE lake6.t ALTER COLUMN k TYPE BIGINT")
     assert(spark.sql("SELECT sum(k) FROM lake6.t").collect()
       .head.getLong(0) === 3L)
+    // ADD COLUMN → TxLogTable.addColumn: metadata-only, nullable,
+    // existing rows read null, new appends may fill it
+    spark.sql("ALTER TABLE lake6.t ADD COLUMN extra STRING")
+    assert(spark.sql("SELECT extra FROM lake6.t").collect()
+      .forall(_.isNullAt(0)), "pre-existing rows must read null")
+    spark.sql("INSERT INTO lake6.t VALUES (9, 'z', 'filled')")
+    assert(spark.sql(
+      "SELECT count(*) FROM lake6.t WHERE extra = 'filled'").collect()
+      .head.getLong(0) === 1L)
     // narrowing and unsupported shapes fail loudly
     intercept[Exception] {
       spark.sql("ALTER TABLE lake6.t ALTER COLUMN k TYPE INT")
     }
     intercept[Exception] {
-      spark.sql("ALTER TABLE lake6.t ADD COLUMN extra STRING")
+      spark.sql("ALTER TABLE lake6.t DROP COLUMN extra")
     }
     // maintenance statements accept catalog-qualified NAMES too
     import graft.plans.GraftSql
-    spark.sql("INSERT INTO lake6.t VALUES (3, 'c')")
-    assert(GraftSql.sql(spark, "DESCRIBE HISTORY lake6.t").count() >= 4L)
+    spark.sql("INSERT INTO lake6.t VALUES (3, 'c', NULL)")
+    assert(GraftSql.sql(spark, "DESCRIBE HISTORY lake6.t").count() >= 6L)
     GraftSql.sql(spark, "OPTIMIZE lake6.t INTO 1 FILES").collect()
     val det = GraftSql.sql(spark, "DESCRIBE DETAIL lake6.t").collect().head
     assert(det.getLong(1) === 1L, s"post-optimize file count: $det")
     GraftSql.sql(spark, "VACUUM lake6.t FULL RETAIN 0 HOURS").collect()
     assert(spark.sql("SELECT count(*) FROM lake6.t").collect()
-      .head.getLong(0) === 3L)
+      .head.getLong(0) === 4L)
     // an unresolvable name fails loudly, not as a path
     val e = intercept[Exception] {
       GraftSql.sql(spark, "DESCRIBE HISTORY lake6.nope").collect()
