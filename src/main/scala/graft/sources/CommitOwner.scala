@@ -169,13 +169,20 @@ final class FileCasRegistry(dir: Path) extends CasRegistry {
 
   override def claim(key: String, entry: ClaimEntry): Option[ClaimEntry] = {
     val f = fileOf(key)
+    // Stage the full 3-line payload to a unique temp file and publish
+    // with link(2) (the PosixCommitOwner pattern): a claim file is
+    // FULLY WRITTEN the instant it becomes visible, so a concurrent
+    // loser's read() never sees a partial entry, and a crash before
+    // the link leaves only an orphan temp — never a wedged,
+    // unparseable claim with no recoverable tmpKey.
+    val tmp = dir.resolve(s".tmp-claim-${UUID.randomUUID()}")
+    Files.write(tmp, write(entry))
     try {
-      Files.write(f, write(entry),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+      Files.createLink(f, tmp)
       None
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => Some(read(f))
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   override def get(key: String): Option[ClaimEntry] = {

@@ -152,6 +152,18 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
           "ADD COLUMN supports top-level columns only")
         require(a.isNullable,
           "ADD COLUMN must be nullable (existing rows read null)")
+        // loud-failure policy: clauses the metadata-only commit cannot
+        // honor must REJECT, not silently produce a different schema
+        // than requested (FIRST/AFTER would reorder, COMMENT/DEFAULT
+        // would be dropped)
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN FIRST/AFTER is not supported on txlog tables " +
+            "(columns append at the end of the schema)")
+        if (a.comment() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... COMMENT is not supported on txlog tables")
+        if (a.defaultValue() != null) throw new UnsupportedOperationException(
+          "ADD COLUMN ... DEFAULT is not supported on txlog tables " +
+            "(existing rows read null)")
         t.addColumn(a.fieldNames()(0), a.dataType())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on txlog tables")

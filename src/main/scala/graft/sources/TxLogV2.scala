@@ -54,9 +54,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object TxLogV2 {
   /** Test hook: (files planned, live files in the snapshot) at the
     * most recent `planInputPartitions` — pins pruning EFFECTIVENESS
-    * (static and runtime), not just result correctness.
+    * (static and runtime), not just result correctness. The live-file
+    * DENOMINATOR costs a second full-manifest walk on every filtered
+    * (re)plan, so it is computed only while [[captureScans]] is on
+    * (the test harness enables it); production scans record -1 and
+    * never pay metadata work for a diagnostic.
     */
   @volatile var lastScan: (Int, Int) = (0, 0)
+
+  /** Enables the [[lastScan]] denominator walk (specs only). */
+  @volatile var captureScans: Boolean = false
 
   /** Test hook: true iff the most recent replan was triggered by a
     * RUNTIME filter (Spark's dynamic file pruning reaching the scan).
@@ -95,6 +102,21 @@ final class TxLogV2Table(spark: SparkSession, root: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(version >= 0, s"txlog table does not exist at $root")
+    // A user-supplied read schema must not be SILENTLY dropped (the V1
+    // relation rejected it loudly): reads of an existing table always
+    // serve the manifest schema, so an external schema is honored iff
+    // it EQUALS it. Checked here, not in getTable — the write path
+    // legitimately hands an evolved (different) df schema to getTable
+    // and never builds a scan. The plain-read echo (Spark calls
+    // getTable with inferSchema's own result) passes trivially.
+    externalSchema.filter(_.nonEmpty)
+      .filter(s => TxLogV2.asNullable(s) != schema()).foreach { s =>
+        throw new IllegalArgumentException(
+          s"user-specified schema ${s.simpleString} does not match " +
+            s"txlog table schema ${schema().simpleString} at $root; " +
+            "txlog reads serve the manifest schema — drop .schema(...) " +
+            "or make it identical")
+      }
     new TxLogScanBuilder(spark, table, version)
   }
 
@@ -344,11 +366,17 @@ final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
             limit.flatMap(n => table.limitPaths(version, n.toLong))
           else None
         val paths = limited.getOrElse(table.scanPathsAt(version, pred))
-        val all =
+        // the unpruned-live-file denominator is diagnostic-only: one
+        // manifest walk per filtered (re)plan that production scans
+        // must not pay — computed only under the captureScans test flag
+        // (free when the scan was unfiltered: paths IS the live set)
+        val live =
           if (staticCols.isEmpty && runtimeCols.isEmpty && limited.isEmpty)
-            paths
-          else table.scanPathsAt(version, lit(true))
-        TxLogV2.lastScan = (paths.size, all.size)
+            paths.size
+          else if (TxLogV2.captureScans)
+            table.scanPathsAt(version, lit(true)).size
+          else -1
+        TxLogV2.lastScan = (paths.size, live)
         val s = v2bridge.parquetScan(spark, paths, phys(logicalFull),
           phys(logicalRead),
           (if (cmap.isEmpty) staticV1.toSeq

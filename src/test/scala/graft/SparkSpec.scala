@@ -16,6 +16,9 @@ object TestSession {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // pruning-effectiveness hooks: specs assert exact (planned, live)
+    // tuples, and the live-file denominator walk is test-gated
+    graft.sources.TxLogV2.captureScans = true
     s
   }
 }

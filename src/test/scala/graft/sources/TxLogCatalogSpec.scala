@@ -128,9 +128,19 @@ class TxLogCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE lake6.t ALTER COLUMN k TYPE INT")
     }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE lake6.t DROP COLUMN extra")
+    // ADD COLUMN clauses the metadata-only commit cannot honor reject
+    // loudly instead of producing a different schema than requested
+    val posErr = intercept[Exception] {
+      spark.sql("ALTER TABLE lake6.t ADD COLUMN early STRING FIRST")
     }
+    assert(posErr.getMessage.contains("FIRST/AFTER"), posErr.getMessage)
+    val cmtErr = intercept[Exception] {
+      spark.sql("ALTER TABLE lake6.t ADD COLUMN noted STRING COMMENT 'x'")
+    }
+    assert(cmtErr.getMessage.contains("COMMENT"), cmtErr.getMessage)
+    assert(!spark.table("lake6.t").columns.contains("early") &&
+      !spark.table("lake6.t").columns.contains("noted"),
+      "rejected ADD COLUMN must leave the schema untouched")
     // maintenance statements accept catalog-qualified NAMES too
     import graft.plans.GraftSql
     spark.sql("INSERT INTO lake6.t VALUES (3, 'c', NULL)")

@@ -238,4 +238,41 @@ class TxLogSourceSpec extends SparkSpec {
     assert(t.read().filter(col("k") === 9999L).count() === 1L)
     spark.sql("DROP VIEW txsrc_sql")
   }
+
+  test("a user read schema is honored iff identical; mismatch throws") {
+    val (root, t) = seeded()
+    // identical schema (modulo nullability) reads fine
+    val same = spark.read.schema(TxLogV2.asNullable(t.schemaAt(
+      t.currentVersion))).format("txlog").load(root)
+    assert(same.count() === t.read().count())
+    // a different schema must FAIL LOUDLY, never be silently dropped
+    val wrong = StructType(Seq(StructField("k", LongType)))
+    val err = intercept[Exception] {
+      spark.read.schema(wrong).format("txlog").load(root).collect()
+    }
+    assert(err.getMessage.contains("does not match"), err.getMessage)
+    // ...while an evolved WRITE schema stays legal (the write path
+    // hands its df schema to getTable too — must not trip the check)
+    val wide = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7777L, "g0", 1L, "x")),
+      schema.add("note", StringType))
+    wide.write.format("txlog").mode(SaveMode.Append).save(root)
+    assert(spark.read.format("txlog").load(root)
+      .filter(col("k") === 7777L).count() === 1L)
+  }
+
+  test("production scans skip the diagnostic denominator walk") {
+    val (root, _) = seeded()
+    val prev = TxLogV2.captureScans
+    try {
+      TxLogV2.captureScans = false
+      val n = spark.read.format("txlog").load(root)
+        .filter(col("k") >= 100L && col("k") < 150L).count()
+      assert(n === 50L)
+      val (scanned, live) = TxLogV2.lastScan
+      assert(scanned === 1, s"pruning itself must still run, got $scanned")
+      assert(live === -1,
+        s"denominator walk must be test-gated, got $live")
+    } finally TxLogV2.captureScans = prev
+  }
 }
