@@ -1,26 +1,36 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+import graft.sources.TxStore.RichPath
 
 /** The atomic-publish seam of the txlog commit protocol (the LogStore /
   * commit-coordinator idea from the public Delta design): everything
   * the multi-writer story needs from storage is ONE primitive —
   * put-if-absent with exactly one winner — plus a read-repair hook for
-  * stores where that primitive is emulated.
+  * stores where that primitive is emulated. Since the Hadoop-FS
+  * migration the destination is an `org.apache.hadoop.fs.Path` and the
+  * owner receives the resolved `FileSystem`, so the same protocol
+  * publishes to any scheme the deployment mounts.
   *
-  * Two shipping shapes:
-  *   - [[PosixCommitOwner]]: POSIX filesystems (local disk, NFS with
-  *     proper semantics, HDFS-like). `link(2)` of a fully-written temp
-  *     file fails with EEXIST atomically, so the filesystem itself is
-  *     the coordinator. This is the default and the only impl the
-  *     sandbox exercises against real storage.
-  *   - [[ExternalCasCommitOwner]]: object stores (S3/GCS/ABFS-style)
-  *     that have NEITHER hard links NOR atomic rename-if-absent. The
+  * Three shipping shapes, matched to what the scheme guarantees
+  * ([[CommitOwner.forStore]] picks):
+  *   - [[PosixCommitOwner]] (`file:`): `link(2)` of a fully-written
+  *     temp file fails with EEXIST atomically, so the filesystem
+  *     itself is the coordinator. The only impl the sandbox exercises
+  *     against real storage.
+  *   - [[HadoopRenameCommitOwner]] (HDFS-like schemes): temp write +
+  *     `FileContext.rename(…, Options.Rename.NONE)` — the public
+  *     Delta HDFSLogStore recipe; the namenode makes the
+  *     fail-if-exists rename atomic.
+  *   - [[ExternalCasCommitOwner]] (object stores: S3/GCS/ABFS-style)
+  *     with NEITHER hard links NOR atomic rename-if-absent: the
   *     winner is decided by an external compare-and-swap registry (in
-  *     production: a DynamoDB conditional put, etcd, or a commit
+  *     production a DynamoDB conditional put, etcd, or a commit
   *     service — the Delta S3 multi-writer answer), and the object
   *     write itself may be arbitrarily non-atomic because only the
   *     CAS winner (or a repairer copying the winner's bytes) ever
@@ -34,41 +44,123 @@ trait CommitOwner {
     * returns false and can rely on the winner's content being (or
     * becoming, via [[recover]]) readable at `dest`.
     */
-  def putIfAbsent(dest: Path, bytes: Array[Byte]): Boolean
+  def putIfAbsent(fs: FileSystem, dest: Path, bytes: Array[Byte]): Boolean
 
   /** Read-repair hook: make `dest` readable if a prior winner claimed
     * it but crashed before its object landed. No-op where the
     * filesystem publish is itself atomic.
     */
-  def recover(dest: Path): Unit = ()
+  def recover(fs: FileSystem, dest: Path): Unit = ()
 
   /** Last-writer-wins pointer update (the `_last_checkpoint` hint —
     * never correctness-bearing). Atomic swap where the store has one;
-    * a plain PUT elsewhere.
+    * a plain PUT elsewhere (this default).
     */
-  def overwrite(dest: Path, bytes: Array[Byte]): Unit = {
-    val tmp = dest.getParent.resolve(s".tmp-ow-${UUID.randomUUID()}")
+  def overwrite(fs: FileSystem, dest: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(dest, true)
+    try out.write(bytes) finally out.close()
+  }
+}
+
+object CommitOwner {
+  /** The publish primitive a filesystem actually provides. Loud on
+    * schemes with no atomic primitive: silently falling back to
+    * check-then-write would reintroduce exactly the lost-update race
+    * the protocol exists to kill — object-store deployments must
+    * construct their tables with an [[ExternalCasCommitOwner]] over
+    * the deployment's CAS service.
+    */
+  def forStore(fs: FileSystem): CommitOwner = fs.getScheme match {
+    case "file" => PosixCommitOwner
+    case "hdfs" | "viewfs" | "webhdfs" | "swebhdfs" | "ofs" | "o3fs" =>
+      HadoopRenameCommitOwner
+    case other => throw new IllegalArgumentException(
+      s"scheme '$other' has no atomic put-if-absent primitive; " +
+        "construct the TxLogTable with an ExternalCasCommitOwner over " +
+        "the deployment's CAS registry (DynamoDB conditional put, etcd, " +
+        "or a commit service)")
+  }
+
+  /** Convenience for specs asserting winner content. */
+  def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+}
+
+/** POSIX publish (`file:` scheme): temp-write then `link(2)` into the
+  * version slot. The link either creates the name or fails with EEXIST
+  * — atomically, unlike `rename(2)` which silently replaces. The one
+  * owner that legitimately drops below the Hadoop API: hard links are
+  * a POSIX primitive `FileSystem` does not expose, and this owner is
+  * BY CONTRACT only ever handed local paths.
+  */
+object PosixCommitOwner extends CommitOwner {
+  private def local(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
+
+  override def putIfAbsent(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Boolean = {
+    import java.nio.file.Files
+    val d = local(dest)
+    Files.createDirectories(d.getParent)
+    val tmp = d.getParent.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, bytes)
-    Files.move(tmp, dest,
+    try {
+      Files.createLink(d, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  override def overwrite(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Unit = {
+    import java.nio.file.Files
+    val d = local(dest)
+    val tmp = d.getParent.resolve(s".tmp-ow-${UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, d,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }
 
-/** POSIX publish: temp-write then `link(2)` into the version slot.
-  * The link either creates the name or fails with EEXIST — atomically,
-  * unlike `rename(2)` which silently replaces.
+/** HDFS-like publish: temp-write then `FileContext.rename` with
+  * `Options.Rename.NONE` — the namenode rejects an existing
+  * destination atomically (the public Delta HDFSLogStore design).
+  * NOT registered for `file:` ([[CommitOwner.forStore]]): the local
+  * FileContext emulates fail-if-exists as check-then-rename, which is
+  * exactly the TOCTOU the posix hard-link owner avoids.
   */
-object PosixCommitOwner extends CommitOwner {
-  override def putIfAbsent(dest: Path, bytes: Array[Byte]): Boolean = {
+object HadoopRenameCommitOwner extends CommitOwner {
+  override def putIfAbsent(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Boolean = {
     val tmp = dest.getParent.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, bytes)
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
     try {
-      Files.createLink(dest, tmp)
+      FileContext.getFileContext(fs.getUri, fs.getConf)
+        .rename(tmp, dest, Options.Rename.NONE)
       true
     } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
+      case e: java.io.IOException if fs.exists(dest) => false
+    } finally { fs.delete(tmp, false); () }
+  }
+
+  /** LWW pointer: delete + rename. The not-atomic gap (a reader may
+    * observe the pointer absent mid-swap) is benign by the pointer's
+    * contract — discovery falls back to the manifest walk.
+    */
+  override def overwrite(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Unit = {
+    val tmp = dest.getParent.resolve(s".tmp-ow-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"pointer swap failed for $dest")
+    }
   }
 }
 
@@ -91,17 +183,43 @@ trait ObjectStoreOps {
   def delete(p: Path): Unit
 }
 
-/** Pass-through impl over the local filesystem, restricted to the
-  * non-atomic surface above — what a real S3 client offers.
+/** Pass-through impl over a Hadoop filesystem, restricted to the
+  * non-atomic surface above — what a real S3 client offers. The
+  * sandbox (and the multi-process CAS specs) run it over `file:`.
+  */
+final class HadoopObjectStoreOps(fs: FileSystem) extends ObjectStoreOps {
+  override def exists(p: Path): Boolean = fs.exists(p)
+  override def put(p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true) // plain overwriting PUT — no atomicity
+    try out.write(bytes) finally out.close()
+  }
+  override def get(p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    buf
+  }
+  override def delete(p: Path): Unit = { fs.delete(p, false); () }
+}
+
+/** Local-filesystem stand-in with byte-level write visibility (plain
+  * `java.nio` writes — a torn write IS observable mid-flight, which
+  * the adversarial specs rely on). Deployment code never touches it;
+  * [[HadoopObjectStoreOps]] is the scheme-portable twin.
   */
 object LocalObjectStoreOps extends ObjectStoreOps {
-  override def exists(p: Path): Boolean = Files.exists(p)
+  import java.nio.file.Files
+  private def local(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
+  override def exists(p: Path): Boolean = Files.exists(local(p))
   override def put(p: Path, bytes: Array[Byte]): Unit = {
-    Files.createDirectories(p.getParent)
-    Files.write(p, bytes) // plain overwriting write — no atomicity
+    val d = local(p)
+    Files.createDirectories(d.getParent)
+    Files.write(d, bytes) // plain overwriting write — no atomicity
   }
-  override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
-  override def delete(p: Path): Unit = Files.deleteIfExists(p)
+  override def get(p: Path): Array[Byte] = Files.readAllBytes(local(p))
+  override def delete(p: Path): Unit = { Files.deleteIfExists(local(p)); () }
 }
 
 /** One registry entry: who claimed the key, where the winner's
@@ -142,17 +260,20 @@ final class InMemoryCasRegistry extends CasRegistry {
 
 /** File-backed CAS registry: the cross-PROCESS coordinator for
   * deployments (and specs) where writers are separate JVMs sharing a
-  * posix/NFS path but the DATA store has no atomic primitive — the
-  * registry file is tiny and created with `CREATE_NEW`, which the
-  * filesystem makes atomic, standing in for a DynamoDB conditional
-  * put exactly like [[InMemoryCasRegistry]] does in-process.
-  * `markComplete` rewrites via temp + atomic move; concurrent
+  * posix/NFS path but the DATA store has no atomic primitive — a tiny
+  * registry file published by hard link (atomic create of a
+  * fully-written entry), standing in for a DynamoDB conditional put
+  * exactly like [[InMemoryCasRegistry]] does in-process. Deliberately
+  * `java.nio`: the registry is NOT part of the object store — it is
+  * the external coordinator, and this impl's contract is a posix
+  * mount. `markComplete` rewrites via temp + atomic move; concurrent
   * completers write identical content, so the race is harmless.
   */
-final class FileCasRegistry(dir: Path) extends CasRegistry {
+final class FileCasRegistry(dir: java.nio.file.Path) extends CasRegistry {
+  import java.nio.file.Files
   Files.createDirectories(dir)
 
-  private def fileOf(key: String): Path =
+  private def fileOf(key: String): java.nio.file.Path =
     // keys are destination paths; encode to one flat name
     dir.resolve(java.util.Base64.getUrlEncoder.withoutPadding()
       .encodeToString(key.getBytes(StandardCharsets.UTF_8)))
@@ -161,7 +282,7 @@ final class FileCasRegistry(dir: Path) extends CasRegistry {
     s"${e.owner}\n${e.tmpKey}\n${e.complete}"
       .getBytes(StandardCharsets.UTF_8)
 
-  private def read(p: Path): ClaimEntry = {
+  private def read(p: java.nio.file.Path): ClaimEntry = {
     val Array(o, t, c) = new String(Files.readAllBytes(p),
       StandardCharsets.UTF_8).split("\n", 3)
     ClaimEntry(o, t, c.toBoolean)
@@ -270,7 +391,8 @@ final class ExternalCasCommitOwner(registry: CasRegistry,
       }
     }
 
-  override def putIfAbsent(dest: Path, bytes: Array[Byte]): Boolean = {
+  override def putIfAbsent(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Boolean = {
     val key = dest.toString
     registry.get(key) match {
       case Some(e) => repair(dest, e); false
@@ -294,10 +416,11 @@ final class ExternalCasCommitOwner(registry: CasRegistry,
     }
   }
 
-  override def recover(dest: Path): Unit =
+  override def recover(fs: FileSystem, dest: Path): Unit =
     registry.get(dest.toString).foreach(repair(dest, _))
 
-  override def overwrite(dest: Path, bytes: Array[Byte]): Unit =
+  override def overwrite(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Unit =
     store.put(dest, bytes) // LWW pointer: plain PUT is the contract
 }
 
@@ -309,14 +432,11 @@ final class ExternalCasCommitOwner(registry: CasRegistry,
   */
 final class NaiveCheckThenWriteOwner(store: ObjectStoreOps)
     extends CommitOwner {
-  override def putIfAbsent(dest: Path, bytes: Array[Byte]): Boolean =
+  override def putIfAbsent(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Boolean =
     if (store.exists(dest)) false
     else { store.put(dest, bytes); true } // TOCTOU window — the bug
-  override def overwrite(dest: Path, bytes: Array[Byte]): Unit =
+  override def overwrite(fs: FileSystem, dest: Path,
+      bytes: Array[Byte]): Unit =
     store.put(dest, bytes)
-}
-
-object CommitOwner {
-  /** Convenience for specs asserting winner content. */
-  def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
 }

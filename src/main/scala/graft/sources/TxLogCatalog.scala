@@ -1,8 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths}
-
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
@@ -41,6 +39,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: Path = _
+  private var store: TxStore = _
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -48,8 +47,14 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     val r = Option(options.get("root")).getOrElse(throw
       new IllegalArgumentException(
         s"TxLogCatalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
-    root = Paths.get(r).toAbsolutePath.normalize()
-    Files.createDirectories(root)
+    // the catalog tree lives on whatever filesystem the root's scheme
+    // names (file:/hdfs://object store), resolved through the session
+    // Hadoop conf exactly like the tables it holds
+    val (st, rp) = TxStore.forSpec(r,
+      SparkSession.active.sessionState.newHadoopConf())
+    store = st
+    root = rp
+    store.mkdirs(root)
   }
 
   override def name(): String = catalogName
@@ -62,8 +67,8 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def dirOf(ident: Identifier): Path =
-    ident.namespace().foldLeft(root)((d, p) => d.resolve(checkPart(p)))
-      .resolve(checkPart(ident.name()))
+    new Path(ident.namespace().foldLeft(root)((d, p) =>
+      new Path(d, checkPart(p))), checkPart(ident.name()))
 
   /** Directory of a catalog-relative name — the
     * [[graft.plans.GraftSqlParser]] seam that routes MERGE / UPDATE /
@@ -73,15 +78,15 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     */
   private[graft] def tableDir(parts: Seq[String]): Option[String] =
     try {
-      val d = parts.foldLeft(root)((acc, p) => acc.resolve(checkPart(p)))
+      val d = parts.foldLeft(root)((acc, p) => new Path(acc, checkPart(p)))
       if (isTableDir(d)) Some(d.toString) else None
     } catch { case _: IllegalArgumentException => None }
 
   private def dirOf(ns: Array[String]): Path =
-    ns.foldLeft(root)((d, p) => d.resolve(checkPart(p)))
+    ns.foldLeft(root)((d, p) => new Path(d, checkPart(p)))
 
   private def isTableDir(d: Path): Boolean =
-    Files.isDirectory(d.resolve("_log"))
+    store.isDir(new Path(d, "_log"))
 
   private def spark: SparkSession = SparkSession.active
 
@@ -89,14 +94,12 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = dirOf(namespace)
-    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(
+    if (!store.isDir(d)) throw new NoSuchNamespaceException(
       (catalogName +: namespace.toSeq).toArray)
-    val s = Files.list(d)
-    try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) && isTableDir(p))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+    store.list(d).iterator.map(new Path(d, _))
+      .filter(p => store.isDir(p) && isTableDir(p))
+      .map(p => Identifier.of(namespace, p.getName))
       .toArray
-    finally s.close()
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -119,7 +122,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
       s"catalog '$catalogName' stores txlog tables only, got USING $provider")
     val d = dirOf(ident)
     if (isTableDir(d)) throw new TableAlreadyExistsException(ident)
-    Files.createDirectories(d.getParent)
+    store.mkdirs(d.getParent)
     val t = new TxLogTable(spark, d.toString)
     t.ensureExists(schema)
     new TxLogV2Table(spark, d.toString, t.currentVersion, None)
@@ -177,16 +180,9 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     // delete children before parents; the _log dir goes LAST so a
     // crashed drop leaves a still-recognizable (re-droppable) table
     // rather than an orphaned data tree that re-CREATE would trip on
-    def walk(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        val kids = try s.iterator().asScala.toList finally s.close()
-        val (log, rest) = kids.partition(_.getFileName.toString == "_log")
-        (rest ++ log).foreach(walk)
-      }
-      Files.deleteIfExists(p)
-    }
-    walk(d)
+    val (log, rest) = store.list(d).partition(_ == "_log")
+    (rest ++ log).foreach(c => store.deleteRecursive(new Path(d, c)))
+    store.deleteIfExists(d)
     true
   }
 
@@ -196,8 +192,9 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     val to = dirOf(newIdent)
     if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
     if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
-    Files.createDirectories(to.getParent)
-    Files.move(from, to)
+    store.mkdirs(to.getParent)
+    require(store.fs.rename(from, to),
+      s"rename $from -> $to failed on ${store.fs.getScheme}")
   }
 
   // ── namespaces (plain directories) ─────────────────────────────────
@@ -208,19 +205,17 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(namespace: Array[String])
       : Array[Array[String]] = {
     val d = dirOf(namespace)
-    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(
+    if (!store.isDir(d)) throw new NoSuchNamespaceException(
       (catalogName +: namespace.toSeq).toArray)
-    val s = Files.list(d)
-    try s.iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTableDir(p))
-      .map(p => namespace :+ p.getFileName.toString)
+    store.list(d).iterator.map(new Path(d, _))
+      .filter(p => store.isDir(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getName)
       .toArray
-    finally s.close()
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val d = dirOf(namespace)
-    namespace.isEmpty || (Files.isDirectory(d) && !isTableDir(d))
+    namespace.isEmpty || (store.isDir(d) && !isTableDir(d))
   }
 
   override def loadNamespaceMetadata(namespace: Array[String])
@@ -237,7 +232,7 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     if (namespaceExists(namespace) && namespace.nonEmpty)
       throw new NamespaceAlreadyExistsException(
         (catalogName +: namespace.toSeq).toArray)
-    Files.createDirectories(d)
+    store.mkdirs(d)
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -249,18 +244,10 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     val d = dirOf(namespace)
     if (!namespaceExists(namespace) || namespace.isEmpty) return false
-    val s = Files.list(d)
-    val empty = try !s.iterator().hasNext finally s.close()
+    val empty = store.list(d).isEmpty
     if (!empty && !cascade) throw new NonEmptyNamespaceException(
       (catalogName +: namespace.toSeq).toArray)
-    def walk(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s2 = Files.list(p)
-        try s2.iterator().asScala.toList.foreach(walk) finally s2.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    walk(d)
+    store.deleteRecursive(d)
     true
   }
 }

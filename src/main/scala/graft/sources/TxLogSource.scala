@@ -101,16 +101,14 @@ final class TxLogSourceProvider extends RelationProvider
     val raw = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "txlog source requires a path: spark.read.format(\"txlog\").load(root)"))
-    // catalog tables (CREATE TABLE ... USING txlog) hand the location
-    // as a QUALIFIED URI (`file:/...`); the table layer wants a plain
-    // local path
+    // Any Hadoop scheme resolves through the table's TxStore (the
+    // session Hadoop conf picks the FileSystem). `file:` URIs — what
+    // catalog tables hand as locations — normalize to plain local
+    // paths so one table has ONE canonical root string regardless of
+    // which surface referenced it.
     val uri = try java.net.URI.create(raw) catch { case _: Exception => null }
-    if (uri == null || uri.getScheme == null) raw
-    else {
-      require(uri.getScheme == "file",
-        s"txlog tables live on a local/posix filesystem; got $raw")
-      uri.getPath
-    }
+    if (uri == null || uri.getScheme == null || uri.getScheme != "file") raw
+    else uri.getPath
   }
 
   /** `timestampAsOf` accepts epoch millis, ISO-8601 instants, or the
@@ -208,36 +206,21 @@ final class TxLogSourceProvider extends RelationProvider
     // "after every restart" — otherwise a restart with no committed
     // batch yet would silently skip the commits in between.
     // metadataPath arrives as a Hadoop URI string (`file:/ckpt/...`);
-    // strip the scheme or Paths.get treats it as a RELATIVE literal
-    // and the anchor lands in a `file:` directory under the cwd.
-    val metaDir = {
-      val uri = java.net.URI.create(metadataPath)
-      if (uri.getScheme == null) metadataPath
-      else {
-        require(uri.getScheme == "file",
-          s"txlog stream anchor needs a local checkpoint, got $metadataPath")
-        uri.getPath
+    // the anchor rides the CHECKPOINT's filesystem (any scheme) with
+    // the commit-owner put-if-absent supplying first-writer-wins.
+    val (ckStore, metaDir) = TxStore.forSpec(metadataPath,
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    val anchorPath = new org.apache.hadoop.fs.Path(metaDir, "graft-start")
+    val startExclusive = {
+      if (!ckStore.exists(anchorPath)) {
+        ckStore.mkdirs(metaDir)
+        CommitOwner.forStore(ckStore.fs).putIfAbsent(ckStore.fs,
+          anchorPath, configured.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
       }
+      new String(ckStore.readAllBytes(anchorPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
     }
-    val anchorPath = java.nio.file.Paths.get(metaDir, "graft-start")
-    val startExclusive =
-      if (java.nio.file.Files.exists(anchorPath))
-        new String(java.nio.file.Files.readAllBytes(anchorPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      else {
-        java.nio.file.Files.createDirectories(anchorPath.getParent)
-        val tmp = java.nio.file.Files.createTempFile(
-          anchorPath.getParent, ".graft-start", ".tmp")
-        java.nio.file.Files.write(tmp, configured.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        try java.nio.file.Files.move(tmp, anchorPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp)
-        }
-        new String(java.nio.file.Files.readAllBytes(anchorPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      }
     new TxLogChangeSource(sqlContext.sparkSession, root, startExclusive,
       parameters.get("maxVersionsPerBatch").map(_.toLong),
       parameters.getOrElse("onSchemaEvolution", "ignore"))
@@ -344,7 +327,7 @@ final class TxLogRelation(val sqlContext: SQLContext,
     * tuned.
     */
   override def sizeInBytes: Long =
-    TxLogBatchScan.onDiskBytes(table.scanPathsAt(version, lit(true)))
+    table.onDiskBytes(table.scanPathsAt(version, lit(true)))
 
   /** Catalyst-facing table statistics (the CBO surface, judge-grade:
     * join reorder and filter-selectivity estimation otherwise fly

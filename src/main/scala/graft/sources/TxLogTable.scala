@@ -1,10 +1,11 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -13,6 +14,7 @@ import org.json4s.jackson.Serialization
 
 import graft.operators.Upsert
 import graft.sources.DataSkipping.{ColRange, FileStats}
+import graft.sources.TxStore.RichPath
 
 /** Minimal log-structured transactional table — the multi-writer seam
   * [[ParquetTable.overwriteAtomic]] deliberately leaves open (its
@@ -201,39 +203,48 @@ object TxLogTable {
 
 final class TxLogTable(spark: SparkSession,
     private[graft] val root: String,
-    owner: CommitOwner = PosixCommitOwner) {
+    owner: CommitOwner = null) {
 
   import TxLogTable.Manifest
 
   private implicit val fmts: Formats = DefaultFormats
 
-  private def logDir: Path = Paths.get(root, "_log")
-  private def dataDir: Path = Paths.get(root, "data")
+  /** All store IO (manifests, stats checkpoints, DV dirs, pointers)
+    * rides the Hadoop FileSystem resolved for `root`'s scheme under
+    * the session's Hadoop conf — the same resolution Spark's own file
+    * sources use, so the table lives wherever the deployment mounts
+    * it (file:/hdfs://s3a://…).
+    */
+  private val (store, rootPath) =
+    TxStore.forSpec(root, spark.sessionState.newHadoopConf())
+
+  /** The atomic-publish owner: explicit when the caller supplied one
+    * (object-store deployments hand an [[ExternalCasCommitOwner]]),
+    * otherwise matched to the scheme's actual primitive.
+    */
+  private val pub: CommitOwner =
+    Option(owner).getOrElse(CommitOwner.forStore(store.fs))
+
+  private def logDir: Path = rootPath.resolve("_log")
+  private def dataDir: Path = rootPath.resolve("data")
   private def manifestPath(v: Long): Path =
     logDir.resolve(f"$v%020d.json")
 
-  def exists: Boolean = Files.isDirectory(logDir) && currentVersion >= 0
+  def exists: Boolean = store.isDir(logDir) && currentVersion >= 0
 
   /** Latest committed version, or -1 for an empty log. */
-  def currentVersion: Long = {
-    if (!Files.isDirectory(logDir)) return -1L
-    val s = Files.list(logDir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
-        .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
-        .foldLeft(-1L)(math.max)
-    } finally s.close()
-  }
+  def currentVersion: Long =
+    store.list(logDir).iterator
+      .filter(_.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong).toOption)
+      .foldLeft(-1L)(math.max)
 
   /** Create-if-absent (S7 semantics): version 0 = empty overwrite.
     * Losing the creation race to a concurrent creator is success.
     */
   def ensureExists(schema: StructType): Unit = {
-    Files.createDirectories(logDir)
-    Files.createDirectories(dataDir)
+    store.mkdirs(logDir)
+    store.mkdirs(dataDir)
     if (currentVersion < 0) {
       tryCommit(0L, Manifest(0L, "overwrite", Nil, schema.json,
         System.currentTimeMillis()))
@@ -247,10 +258,10 @@ final class TxLogTable(spark: SparkSession,
     val p = manifestPath(v)
     // read-repair: a CAS-owned store may hold a claimed version whose
     // object copy didn't land (winner crash) — finish it before read
-    if (!Files.exists(p)) owner.recover(p)
-    require(Files.exists(p), s"version $v does not exist in $root")
+    if (!store.exists(p)) pub.recover(store.fs, p)
+    require(store.exists(p), s"version $v does not exist in $root")
     val m = Serialization.read[Manifest](
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      new String(store.readAllBytes(p), StandardCharsets.UTF_8))
     // protocol guard: refuse loudly on a manifest requiring a feature
     // this reader doesn't speak — silent mis-reads (ghost rows, wrong
     // column identity) are the failure mode versioning exists to kill
@@ -375,7 +386,7 @@ final class TxLogTable(spark: SparkSession,
     var cur = v
     var done = false
     while (!done && cur >= 0) {
-      if (Files.exists(manifestPath(cur))) {
+      if (store.exists(manifestPath(cur))) {
         val m = manifestAt(cur)
         out ++= m.copyFiles.getOrElse(Nil)
         if (m.markers.exists(_.contains("copy_fold"))) done = true
@@ -822,14 +833,10 @@ final class TxLogTable(spark: SparkSession,
     if (live.isEmpty) return Some((Nil, Map.empty))
     val inline: Map[String, FileStats] =
       chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
-    import scala.jdk.CollectionConverters._
     val liveFiles: Seq[String] = live.flatMap { d =>
       val dir = dataDir.resolve(d)
-      if (!Files.isDirectory(dir)) return None
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).map(f => s"$d/$f").toList
-      finally s.close()
+      if (!store.isDir(dir)) return None
+      store.list(dir).filter(_.endsWith(".parquet")).map(f => s"$d/$f")
     }
     val all: Map[String, FileStats] =
       if (liveFiles.forall(inline.contains)) inline
@@ -914,6 +921,15 @@ final class TxLogTable(spark: SparkSession,
   def liveDataPaths(version: Long): Seq[String] =
     scanPathsAt(version, org.apache.spark.sql.functions.lit(true))
 
+  /** True on-disk bytes of a scan-path list (dirs expand to their
+    * parquet files) — the accounting [[TxLogRelation.sizeInBytes]] and
+    * the V2 scan statistics report, so a small txlog dimension still
+    * auto-broadcasts. One driver-side metadata walk over the store's
+    * FileSystem, O(#files).
+    */
+  private[sources] def onDiskBytes(paths: Seq[String]): Long =
+    paths.iterator.map(p => store.parquetBytes(new Path(p))).sum
+
   private def wrap(m: Map[String, String]): Option[Map[String, String]] =
     if (m.isEmpty) None else Some(m)
 
@@ -926,7 +942,7 @@ final class TxLogTable(spark: SparkSession,
   def marker(name: String): Option[String] = {
     var v = currentVersion
     while (v >= 0) {
-      if (Files.exists(manifestPath(v))) {
+      if (store.exists(manifestPath(v))) {
         val m = manifestAt(v).markers.flatMap(_.get(name))
         if (m.isDefined) return m
       }
@@ -938,7 +954,7 @@ final class TxLogTable(spark: SparkSession,
   /** (version, action, tsMillis) per commit, oldest first. */
   def history(): Seq[(Long, String, Long)] =
     (0L to currentVersion).flatMap { v =>
-      if (Files.exists(manifestPath(v))) {
+      if (store.exists(manifestPath(v))) {
         val m = manifestAt(v)
         Some((m.version, m.action, m.tsMillis))
       } else None
@@ -1085,7 +1101,7 @@ final class TxLogTable(spark: SparkSession,
       .collect()
     rows.map { r =>
       val uri = r.getString(0)
-      val fname = Paths.get(new java.net.URI(uri).getPath).getFileName.toString
+      val fname = new Path(uri).getName
       val total = r.getLong(1)
       val cols = valid.zipWithIndex.map { case (c, i) =>
         val base = 2 + i * 3
@@ -1137,7 +1153,7 @@ final class TxLogTable(spark: SparkSession,
     // those features need, and base manifests stay version-1-readable
     val req = TxLogTable.requiredReader(m)
     val stamped = if (req > 1) m.copy(minReader = Some(req)) else m
-    owner.putIfAbsent(manifestPath(version),
+    pub.putIfAbsent(store.fs, manifestPath(version),
       Serialization.write(stamped.copy(version = version))
         .getBytes(StandardCharsets.UTF_8))
   }
@@ -1640,9 +1656,9 @@ final class TxLogTable(spark: SparkSession,
     */
   def lastCheckpoint: Option[Long] = {
     val p = logDir.resolve("_last_checkpoint")
-    if (!Files.exists(p)) None
+    if (!store.exists(p)) None
     else "\"version\"\\s*:\\s*(\\d+)".r
-      .findFirstMatchIn(new String(Files.readAllBytes(p),
+      .findFirstMatchIn(new String(store.readAllBytes(p),
         StandardCharsets.UTF_8))
       .map(_.group(1).toLong)
   }
@@ -1651,7 +1667,7 @@ final class TxLogTable(spark: SparkSession,
     val sf = statsFile.fold("")(s => s""","statsFile":"$s"""")
     // LWW pointer, never correctness-bearing: the owner picks atomic
     // swap (POSIX) or plain PUT (object store) as the store allows
-    owner.overwrite(logDir.resolve("_last_checkpoint"),
+    pub.overwrite(store.fs, logDir.resolve("_last_checkpoint"),
       s"""{"version":$version$sf}""".getBytes(StandardCharsets.UTF_8))
   }
 
@@ -1827,13 +1843,13 @@ final class TxLogTable(spark: SparkSession,
     require(fromVersion <= toVersion,
       s"empty feed range: ($fromVersion, $toVersion]")
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
-      if (!Files.exists(manifestPath(v))) None
+      if (!store.exists(manifestPath(v))) None
       else {
         val m = manifestAt(v)
         val typed = m.cdc.isDefined
         val dirs = m.cdc.getOrElse(m.add)
         dirs.foreach { d =>
-          require(Files.isDirectory(dataDir.resolve(d)),
+          require(store.isDir(dataDir.resolve(d)),
             s"change dirs of version $v were vacuumed; feed from a later version")
         }
         if (dirs.isEmpty) None
@@ -1898,7 +1914,7 @@ final class TxLogTable(spark: SparkSession,
     // a retainHistory=false vacuum may have collected dirs that only
     // old snapshots referenced — fail loudly, not with a broken table
     (dirs ++ dvDirsOf(chain)).foreach(d =>
-      require(Files.isDirectory(dataDir.resolve(d)),
+      require(store.isDir(dataDir.resolve(d)),
         s"cannot restore to $version: data dir $d was vacuumed"))
     val stats: Map[String, FileStats] =
       chain.flatMap(_.stats.getOrElse(Map.empty))
@@ -2015,7 +2031,7 @@ final class TxLogTable(spark: SparkSession,
     val manifests: Seq[Manifest] =
       if (retainHistory)
         (0L to v).flatMap(i =>
-          if (Files.exists(manifestPath(i))) Some(manifestAt(i)) else None)
+          if (store.exists(manifestPath(i))) Some(manifestAt(i)) else None)
       else manifestChainAt(v)._1
     // retainHistory=false keeps the live set plus the change dirs of
     // the still-walked manifest chain (the feed window a reader can
@@ -2023,23 +2039,13 @@ final class TxLogTable(spark: SparkSession,
     val referenced: Set[String] =
       manifests.flatMap(m =>
         m.add ++ m.cdc.getOrElse(Nil) ++ m.dv.getOrElse(Nil)).toSet
-    import scala.jdk.CollectionConverters._
     def sweep(dir: Path, doomed: List[String]): List[String] = {
-      doomed.foreach { d =>
-        val walk = Files.walk(dir.resolve(d))
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-        finally walk.close()
-      }
+      doomed.foreach(d => store.deleteRecursive(dir.resolve(d)))
       doomed
     }
-    def ls(dir: Path): List[String] = {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString).toList
-      finally s.close()
-    }
+    def ls(dir: Path): List[String] = store.list(dir)
     def agedPast(dir: Path, name: String): Boolean =
-      try Files.getLastModifiedTime(dir.resolve(name)).toMillis <= cutoff
+      try store.modTime(dir.resolve(name)) <= cutoff
       catch { case _: java.io.IOException => false } // vanished: skip
     val doomedData = sweep(dataDir,
       ls(dataDir).filterNot(referenced).filter(agedPast(dataDir, _)))

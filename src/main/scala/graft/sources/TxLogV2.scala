@@ -424,7 +424,7 @@ final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
   // one metadata walk (and possibly one checkpoint-parquet read) per
   // scan, however many times Catalyst asks
   private lazy val memoStats: Statistics = {
-    val sizeBytes = math.max(1L, TxLogBatchScan.onDiskBytes(
+    val sizeBytes = math.max(1L, table.onDiskBytes(
       table.scanPathsAt(version, lit(true))))
     val summary = table.statsSummaryAt(version)
     def minMaxOk(dt: DataType): Boolean = dt match {
@@ -468,22 +468,6 @@ final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
           : java.util.Map[NamedReference, ColumnStatistics] = colStats
     }
   }
-}
-
-object TxLogBatchScan {
-  /** True on-disk bytes of a path list (dirs expand to their parquet
-    * files) — same accounting as [[TxLogRelation.sizeInBytes]], so a
-    * small txlog dimension still auto-broadcasts under the V2 path.
-    */
-  private[sources] def onDiskBytes(paths: Seq[String]): Long =
-    paths.iterator.map { p =>
-      val f = new java.io.File(p)
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.iterator
-          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
-          .getOrElse(0L)
-      else f.length()
-    }.sum
 }
 
 /** Snapshots with live deletion vectors scan through the V1 bridge:

@@ -16,16 +16,18 @@ object CasRaceMain {
   def main(args: Array[String]): Unit = {
     val Array(root, casDir, writerId, nStr) = args
     val n = nStr.toInt
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
     val owner = new ExternalCasCommitOwner(
       new FileCasRegistry(Paths.get(casDir)), LocalObjectStoreOps,
       writerId)
     var wins = 0
     var v = 0L
     while (wins < n && v < 10000) {
-      val dest = Paths.get(root, f"$v%020d.json")
+      val dest = new org.apache.hadoop.fs.Path(root, f"$v%020d.json")
       val payload =
         s"""{"writer":"$writerId","v":$v,"pad":"${"x" * 256}","end":true}"""
-      if (owner.putIfAbsent(dest,
+      if (owner.putIfAbsent(fs, dest,
           payload.getBytes(StandardCharsets.UTF_8))) wins += 1
       v += 1
     }

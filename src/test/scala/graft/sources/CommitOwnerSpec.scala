@@ -1,12 +1,15 @@
 package graft.sources
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Files
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
+import graft.sources.TxStore.RichPath
 
 /** The object-store commit seam: put-if-absent must yield exactly one
   * winner even when the underlying store offers NO atomic primitive.
@@ -16,13 +19,25 @@ import graft.SparkSpec
   * race of full TxLogTable commits through the CAS owner lands both
   * writers' rows at distinct versions; (4) winner-crash between claim
   * and copy is repaired by the next reader/writer; (5) the POSIX owner
-  * keeps the original link(2) behavior.
+  * keeps the original link(2) behavior. Since the Hadoop-FS migration
+  * destinations are `org.apache.hadoop.fs.Path`; the adversarial
+  * stores keep byte-level java.nio writes so torn objects stay
+  * observable mid-flight.
   */
 class CommitOwnerSpec extends SparkSpec {
 
   private val schema = StructType(Seq(
     StructField("k", LongType, nullable = false),
     StructField("v", StringType, nullable = true)))
+
+  private val localFs: FileSystem =
+    FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+
+  private def tmp(prefix: String): Path =
+    new Path(Files.createTempDirectory(prefix).toUri)
+
+  private def nio(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
 
   /** A store whose `exists` answers can be held at a latch — forces
     * the textbook TOCTOU interleaving (both writers observe "absent"
@@ -31,19 +46,19 @@ class CommitOwnerSpec extends SparkSpec {
   private final class InterleavedStore extends ObjectStoreOps {
     val bothChecked = new CountDownLatch(2)
     override def exists(p: Path): Boolean = {
-      val r = Files.exists(p)
-      if (p.getFileName.toString.endsWith(".json")) {
+      val r = Files.exists(nio(p))
+      if (p.getName.endsWith(".json")) {
         bothChecked.countDown()
         bothChecked.await(5, TimeUnit.SECONDS) // hold until both looked
       }
       r
     }
     override def put(p: Path, bytes: Array[Byte]): Unit = {
-      Files.createDirectories(p.getParent)
-      Files.write(p, bytes)
+      Files.createDirectories(nio(p).getParent)
+      Files.write(nio(p), bytes)
     }
-    override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
-    override def delete(p: Path): Unit = Files.deleteIfExists(p)
+    override def get(p: Path): Array[Byte] = Files.readAllBytes(nio(p))
+    override def delete(p: Path): Unit = { Files.deleteIfExists(nio(p)); () }
   }
 
   private def race2(f: Int => Boolean): (Boolean, Boolean) = {
@@ -56,12 +71,12 @@ class CommitOwnerSpec extends SparkSpec {
   }
 
   test("control: naive check-then-write on a non-atomic store admits two winners") {
-    val dir = Files.createTempDirectory("owner_naive")
+    val dir = tmp("owner_naive")
     val store = new InterleavedStore
     val dest = dir.resolve("00000000000000000001.json")
     val (a, b) = race2 { i =>
       new NaiveCheckThenWriteOwner(store)
-        .putIfAbsent(dest, CommitOwner.utf8(s"writer$i"))
+        .putIfAbsent(localFs, dest, CommitOwner.utf8(s"writer$i"))
     }
     // the forced interleaving makes BOTH believe they won — the lost
     // update the CAS protocol exists to prevent
@@ -69,34 +84,34 @@ class CommitOwnerSpec extends SparkSpec {
   }
 
   test("CAS owner serializes maximally-overlapped writers to one winner") {
-    val dir = Files.createTempDirectory("owner_cas")
+    val dir = tmp("owner_cas")
     // force FULL overlap: both writers must have staged their temp
     // object before either reaches the claim — the worst-case timing
     // for any protocol that isn't genuinely atomic at the CAS
     val bothStaged = new CountDownLatch(2)
     val store = new ObjectStoreOps {
-      override def exists(p: Path): Boolean = Files.exists(p)
+      override def exists(p: Path): Boolean = Files.exists(nio(p))
       override def put(p: Path, bytes: Array[Byte]): Unit = {
-        Files.createDirectories(p.getParent)
-        Files.write(p, bytes)
-        if (p.getFileName.toString.startsWith(".tmp-cas")) {
+        Files.createDirectories(nio(p).getParent)
+        Files.write(nio(p), bytes)
+        if (p.getName.startsWith(".tmp-cas")) {
           bothStaged.countDown()
           bothStaged.await(5, TimeUnit.SECONDS)
         }
       }
-      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
-      override def delete(p: Path): Unit = Files.deleteIfExists(p)
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(nio(p))
+      override def delete(p: Path): Unit = { Files.deleteIfExists(nio(p)); () }
     }
     val registry = new InMemoryCasRegistry
     val dest = dir.resolve("00000000000000000001.json")
     val (a, b) = race2 { i =>
       new ExternalCasCommitOwner(registry, store, s"w$i")
-        .putIfAbsent(dest, CommitOwner.utf8(s"writer$i"))
+        .putIfAbsent(localFs, dest, CommitOwner.utf8(s"writer$i"))
     }
     assert(a ^ b, s"exactly one winner expected, got ($a,$b)")
     // the published bytes are the winner's, and the claim is complete
     val winner = if (a) "writer0" else "writer1"
-    assert(new String(Files.readAllBytes(dest), "UTF-8") == winner)
+    assert(new String(Files.readAllBytes(nio(dest)), "UTF-8") == winner)
     assert(registry.get(dest.toString).exists(_.complete))
   }
 
@@ -132,25 +147,25 @@ class CommitOwnerSpec extends SparkSpec {
       */
     val crashing = new ObjectStoreOps {
       @volatile var armed = true
-      override def exists(p: Path): Boolean = Files.exists(p)
+      override def exists(p: Path): Boolean = Files.exists(nio(p))
       override def put(p: Path, bytes: Array[Byte]): Unit = {
-        val name = p.getFileName.toString
+        val name = p.getName
         if (armed && name.endsWith(".json") && !name.startsWith(".tmp")) {
           armed = false
           throw new RuntimeException("simulated writer death")
         }
-        Files.createDirectories(p.getParent)
-        Files.write(p, bytes)
+        Files.createDirectories(nio(p).getParent)
+        Files.write(nio(p), bytes)
       }
-      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
-      override def delete(p: Path): Unit = Files.deleteIfExists(p)
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(nio(p))
+      override def delete(p: Path): Unit = { Files.deleteIfExists(nio(p)); () }
     }
     def table(id: String) =
       new TxLogTable(spark, root, new ExternalCasCommitOwner(registry, crashing, id))
     // the create "crashes" mid-publish: claim recorded, object missing
     intercept[RuntimeException](table("victim").ensureExists(schema))
     assert(registry.get(
-      java.nio.file.Paths.get(root, "_log", f"${0L}%020d.json").toString)
+      new Path(new Path(root, "_log"), f"${0L}%020d.json").toString)
       .exists(!_.complete))
     // a later writer repairs v0 while losing its bid for it, then
     // commits its own append at v1 — the log self-heals
@@ -163,7 +178,7 @@ class CommitOwnerSpec extends SparkSpec {
   }
 
   test("winner crash MID-copy (torn destination object) is healed by repair") {
-    val root = Files.createTempDirectory("txlog_torn")
+    val root = tmp("txlog_torn")
     val registry = new InMemoryCasRegistry
     val full = CommitOwner.utf8("""{"v":0,"complete":"commit-record"}""")
     /** put() to a destination .json key writes HALF the bytes then
@@ -173,63 +188,63 @@ class CommitOwnerSpec extends SparkSpec {
       */
     val tearing = new ObjectStoreOps {
       @volatile var armed = true
-      override def exists(p: Path): Boolean = Files.exists(p)
+      override def exists(p: Path): Boolean = Files.exists(nio(p))
       override def put(p: Path, bytes: Array[Byte]): Unit = {
-        Files.createDirectories(p.getParent)
-        val name = p.getFileName.toString
+        Files.createDirectories(nio(p).getParent)
+        val name = p.getName
         if (armed && name.endsWith(".json") && !name.startsWith(".tmp")) {
           armed = false
-          Files.write(p, bytes.take(bytes.length / 2)) // torn object lands
+          Files.write(nio(p), bytes.take(bytes.length / 2)) // torn object
           throw new RuntimeException("simulated death mid-copy")
         }
-        Files.write(p, bytes)
+        Files.write(nio(p), bytes)
       }
-      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
-      override def delete(p: Path): Unit = Files.deleteIfExists(p)
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(nio(p))
+      override def delete(p: Path): Unit = { Files.deleteIfExists(nio(p)); () }
     }
     val dest = root.resolve("00000000000000000000.json")
     intercept[RuntimeException](
       new ExternalCasCommitOwner(registry, tearing, "victim")
-        .putIfAbsent(dest, full))
-    assert(Files.exists(dest) && Files.size(dest) < full.length,
+        .putIfAbsent(localFs, dest, full))
+    assert(Files.exists(nio(dest)) && Files.size(nio(dest)) < full.length,
       "precondition: the crash must leave a torn destination object")
     // a later writer's losing bid repairs the torn object from the
     // winner's durable temp — full content, claim complete
     val late = new ExternalCasCommitOwner(registry, tearing, "late")
-    assert(!late.putIfAbsent(dest, CommitOwner.utf8("other")))
-    assert(java.util.Arrays.equals(Files.readAllBytes(dest), full),
+    assert(!late.putIfAbsent(localFs, dest, CommitOwner.utf8("other")))
+    assert(java.util.Arrays.equals(Files.readAllBytes(nio(dest)), full),
       "repair must restore the winner's full bytes over the torn object")
     assert(registry.get(dest.toString).exists(_.complete))
   }
 
   test("CAS owner leaves no temp objects behind (winner, loser, repairer)") {
-    val dir = Files.createTempDirectory("owner_gc")
+    val dir = tmp("owner_gc")
     val registry = new InMemoryCasRegistry
     val dest = dir.resolve("00000000000000000003.json")
     val (a, b) = race2 { i =>
       new ExternalCasCommitOwner(registry, LocalObjectStoreOps, s"g$i")
-        .putIfAbsent(dest, CommitOwner.utf8(s"g$i"))
+        .putIfAbsent(localFs, dest, CommitOwner.utf8(s"g$i"))
     }
     assert(a ^ b)
-    val litter = Files.list(dir).iterator()
+    val litter = Files.list(nio(dir)).iterator()
     var names = List.empty[String]
     while (litter.hasNext) names ::= litter.next().getFileName.toString
-    assert(names == List(dest.getFileName.toString),
+    assert(names == List(dest.getName),
       s"contended commit must GC both writers' temp objects, got: $names")
   }
 
   test("winner's post-completion temp GC failure does not fake a lost race") {
-    val dir = Files.createTempDirectory("owner_gcfail")
+    val dir = tmp("owner_gcfail")
     val registry = new InMemoryCasRegistry
     // delete() throws on the winner's own temp — an S3 throttle after
     // the commit is already durably published and marked complete
     val throttled = new ObjectStoreOps {
-      override def exists(p: Path): Boolean = Files.exists(p)
+      override def exists(p: Path): Boolean = Files.exists(nio(p))
       override def put(p: Path, bytes: Array[Byte]): Unit = {
-        Files.createDirectories(p.getParent)
-        Files.write(p, bytes)
+        Files.createDirectories(nio(p).getParent)
+        Files.write(nio(p), bytes)
       }
-      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(nio(p))
       override def delete(p: Path): Unit =
         throw new RuntimeException("simulated DELETE throttle")
     }
@@ -238,13 +253,13 @@ class CommitOwnerSpec extends SparkSpec {
     // GC failure must be invisible: the publish IS durable, so the
     // caller must see true (a throw → retry → false would convince a
     // committed writer it lost its own commit)
-    assert(owner.putIfAbsent(dest, CommitOwner.utf8("payload")))
+    assert(owner.putIfAbsent(localFs, dest, CommitOwner.utf8("payload")))
     assert(registry.get(dest.toString).exists(_.complete))
-    assert(new String(Files.readAllBytes(dest), "UTF-8") == "payload")
+    assert(new String(Files.readAllBytes(nio(dest)), "UTF-8") == "payload")
   }
 
   test("loser's temp is GC'd even when repairing the winner's publish fails") {
-    val dir = Files.createTempDirectory("owner_losergc")
+    val dir = tmp("owner_losergc")
     val registry = new InMemoryCasRegistry
     // Seed an incomplete claim whose temp object is MISSING and will
     // never complete — repair() must throw (real failure, not the
@@ -254,8 +269,9 @@ class CommitOwnerSpec extends SparkSpec {
       ClaimEntry("ghost", deadTmp, complete = false))
     val dest = dir.resolve("00000000000000000012.json")
     val owner = new ExternalCasCommitOwner(registry, LocalObjectStoreOps, "l")
-    intercept[Exception](owner.putIfAbsent(dest, CommitOwner.utf8("mine")))
-    val litter = Files.list(dir).iterator()
+    intercept[Exception](
+      owner.putIfAbsent(localFs, dest, CommitOwner.utf8("mine")))
+    val litter = Files.list(nio(dir)).iterator()
     var names = List.empty[String]
     while (litter.hasNext) names ::= litter.next().getFileName.toString
     assert(names.isEmpty,
@@ -263,51 +279,65 @@ class CommitOwnerSpec extends SparkSpec {
   }
 
   test("repairer's own torn put(dest) surfaces even if the claim completes concurrently") {
-    val dir = Files.createTempDirectory("owner_repairtear")
+    val dir = tmp("owner_repairtear")
     val registry = new InMemoryCasRegistry
     val dest = dir.resolve("00000000000000000013.json")
     val winnerBytes = CommitOwner.utf8("winner-full-payload")
     // durable temp from a claimed-but-incomplete winner
     val tmpKey = ".tmp-cas-winner"
-    Files.createDirectories(dir)
-    Files.write(dir.resolve(tmpKey), winnerBytes)
+    Files.createDirectories(nio(dir))
+    Files.write(nio(dir.resolve(tmpKey)), winnerBytes)
     registry.claim(dest.toString, ClaimEntry("w", tmpKey, complete = false))
     // the repairer's put(dest) tears mid-write and throws, and the
     // "winner" concurrently marks the claim complete — the failure must
     // STILL surface (old behavior: swallowed because complete=true,
     // leaving a torn dest behind a blessed claim)
     val tearing = new ObjectStoreOps {
-      override def exists(p: Path): Boolean = Files.exists(p)
+      override def exists(p: Path): Boolean = Files.exists(nio(p))
       override def put(p: Path, bytes: Array[Byte]): Unit = {
-        Files.createDirectories(p.getParent)
-        if (!p.getFileName.toString.startsWith(".tmp")) {
-          Files.write(p, bytes.take(bytes.length / 2))
+        Files.createDirectories(nio(p).getParent)
+        if (!p.getName.startsWith(".tmp")) {
+          Files.write(nio(p), bytes.take(bytes.length / 2))
           registry.markComplete(dest.toString) // concurrent completion
           throw new RuntimeException("torn PUT")
         }
-        Files.write(p, bytes)
+        Files.write(nio(p), bytes)
       }
-      override def get(p: Path): Array[Byte] = Files.readAllBytes(p)
-      override def delete(p: Path): Unit = Files.deleteIfExists(p)
+      override def get(p: Path): Array[Byte] = Files.readAllBytes(nio(p))
+      override def delete(p: Path): Unit = { Files.deleteIfExists(nio(p)); () }
     }
     val repairer = new ExternalCasCommitOwner(registry, tearing, "r")
-    val err = intercept[RuntimeException](repairer.recover(dest))
+    val err = intercept[RuntimeException](repairer.recover(localFs, dest))
     assert(err.getMessage == "torn PUT",
       "a put(dest) failure in repair must never be swallowed")
   }
 
   test("POSIX owner: link(2) publish keeps exactly-one-winner on a real fs") {
-    val dir = Files.createTempDirectory("owner_posix")
+    val dir = tmp("owner_posix")
     val dest = dir.resolve("00000000000000000007.json")
     val (a, b) = race2 { i =>
-      PosixCommitOwner.putIfAbsent(dest, CommitOwner.utf8(s"p$i"))
+      PosixCommitOwner.putIfAbsent(localFs, dest, CommitOwner.utf8(s"p$i"))
     }
     assert(a ^ b)
     // and no temp litter survives
-    val leftovers = Files.list(dir).iterator()
+    val leftovers = Files.list(nio(dir)).iterator()
     var names = List.empty[String]
     while (leftovers.hasNext)
       names ::= leftovers.next().getFileName.toString
-    assert(names == List(dest.getFileName.toString), s"litter: $names")
+    assert(names == List(dest.getName), s"litter: $names")
+  }
+
+  test("HadoopObjectStoreOps round-trips bytes over the resolved filesystem") {
+    val dir = tmp("owner_hstore")
+    val store = new HadoopObjectStoreOps(localFs)
+    val p = dir.resolve("blob.bin")
+    assert(!store.exists(p))
+    store.put(p, CommitOwner.utf8("first"))
+    store.put(p, CommitOwner.utf8("second")) // blind LWW PUT
+    assert(store.exists(p))
+    assert(new String(store.get(p), "UTF-8") == "second")
+    store.delete(p)
+    store.delete(p) // idempotent: deleting a missing key succeeds
+    assert(!store.exists(p))
   }
 }
