@@ -133,8 +133,10 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     * (files keep their stable physical names), ALTER COLUMN TYPE →
     * [[TxLogTable.widenColumn]] (lossless widenings only — the table
     * rejects narrowing), ADD COLUMN → [[TxLogTable.addColumn]]
-    * (nullable, existing rows read null, no file touched). Anything
-    * else (DROP COLUMN, nested fields, comments) throws.
+    * (nullable, existing rows read null, no file touched), DROP
+    * COLUMN → [[TxLogTable.dropColumn]] (schema-only commit, physical
+    * name tombstoned). Anything else (nested fields, comments)
+    * throws.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -168,6 +170,14 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
           "ADD COLUMN ... DEFAULT is not supported on txlog tables " +
             "(existing rows read null)")
         t.addColumn(a.fieldNames()(0), a.dataType())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "DROP COLUMN supports top-level columns only")
+        val name = del.fieldNames()(0)
+        val missing = !t.schemaAt(t.currentVersion)
+          .fieldNames.contains(name)
+        if (missing && java.lang.Boolean.TRUE.equals(del.ifExists())) ()
+        else t.dropColumn(name)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on txlog tables")
     }

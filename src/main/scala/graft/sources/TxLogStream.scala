@@ -150,6 +150,9 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
     // the _evolved map from this batch on instead of waiting for a
     // restart.
     import org.apache.spark.sql.functions.{lit, map_from_arrays, array}
+    // one manifest read for the whole batch, consulted only when a
+    // stream-schema column is absent from the frame
+    lazy val droppedAtEnd = table.droppedColsAt(to)
     val cols = schema.fields.toIndexedSeq.map { f =>
       if (f.name == "_evolved" && onSchemaEvolution == "evolved") {
         if (unknown.isEmpty)
@@ -184,6 +187,20 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
                 "the wide type — casting down could silently corrupt " +
                 "out-of-range values")
           col(f.name).cast(f.dataType).as(f.name)
+        // a mid-stream dropColumn: the fixed stream schema still
+        // carries the column but the table no longer does — null-
+        // filling would silently feed data loss to the consumer, so
+        // stop with a restart-required error (the same contract as
+        // widen). Distinguished from a column that does not exist YET
+        // (capped pre-evolution catch-up: null-fill is correct) by the
+        // tombstone set at the batch-end version.
+        case None if droppedAtEnd.contains(
+            startMap.getOrElse(f.name, f.name)) =>
+          throw new IllegalStateException(
+            s"txlog CDC stream on $root: column '${f.name}' was " +
+              "DROPPED mid-stream; restart the stream to adopt the " +
+              "narrowed schema — null-filling would silently hide the " +
+              "drop from the consumer")
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }

@@ -118,7 +118,8 @@ object TxLogTable {
       colMap: Option[Map[String, String]] = None,
       constraints: Option[Map[String, String]] = None,
       copyFiles: Option[Seq[String]] = None,
-      minReader: Option[Int] = None)
+      minReader: Option[Int] = None,
+      droppedCols: Option[Seq[String]] = None)
 
   /** Protocol versioning (the Delta minReaderVersion idea): a manifest
     * whose correct interpretation REQUIRES a feature declares the
@@ -129,13 +130,21 @@ object TxLogTable {
     * Version 2 adds deletion vectors; version 3 adds column mapping.
     * Write-side stamping is automatic at the [[tryCommit]] choke point
     * — feature presence, not caller discipline, decides the floor.
+    * Version 4 adds dropped-column tombstones: an older LIBRARY could
+    * read a dropped-column snapshot safely (the manifest schema no
+    * longer names the column), but as a WRITER it would not know the
+    * retired physical names and could commit a new column that
+    * shadows one — old files would then resurrect the dropped data
+    * under the new column. Readers and writers are the same library
+    * here, so the reader floor is the guard.
     */
-  private[sources] val SupportedReaderVersion: Int = 3
+  private[sources] val SupportedReaderVersion: Int = 4
 
   private[sources] def requiredReader(m: Manifest): Int =
     Seq(1,
       if (m.dv.exists(_.nonEmpty)) 2 else 1,
-      if (m.colMap.exists(_.nonEmpty)) 3 else 1).max
+      if (m.colMap.exists(_.nonEmpty)) 3 else 1,
+      if (m.droppedCols.exists(_.nonEmpty)) 4 else 1).max
 
   /** One row of a PARQUET stats checkpoint (`_log/ckpt-*.parquet`,
     * referenced by [[Manifest.statsFile]]) — the Delta
@@ -309,6 +318,18 @@ final class TxLogTable(spark: SparkSession,
     */
   private def colMapOf(chain: List[Manifest]): Map[String, String] =
     chain.last.colMap.getOrElse(Map.empty)
+
+  /** Retired PHYSICAL names of dropped columns (commit-layer
+    * carry-forward like `colMap`): data files still store them, so no
+    * new logical column may ever claim one — old files would
+    * resurrect the dropped data under the new column.
+    */
+  private def droppedOf(chain: List[Manifest]): Seq[String] =
+    chain.last.droppedCols.getOrElse(Nil)
+
+  private[graft] def droppedColsAt(v: Long): Set[String] =
+    if (v < 0) Set.empty
+    else manifestAt(v).droppedCols.getOrElse(Nil).toSet
 
   /** Physical read of explicit paths at a version's mapping, logical
     * names surfaced, deletion vectors NOT applied (the caller owns
@@ -567,6 +588,9 @@ final class TxLogTable(spark: SparkSession,
         s"cannot rename '$oldName': CHECK constraint(s) " +
           s"${blocking.keys.toSeq.sorted.mkString(", ")} reference it — " +
           "drop and re-add them under the new name in separate commits")
+      require(!droppedOf(chain).exists(_.equalsIgnoreCase(newName)),
+        s"rename: '$newName' is the retired physical name of a DROPPED " +
+          "column still stored in data files (pick another name)")
       val physical = cmap.getOrElse(oldName, oldName)
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
@@ -630,6 +654,9 @@ final class TxLogTable(spark: SparkSession,
       require(!cmap.values.exists(_.equalsIgnoreCase(name)),
         s"add column: '$name' is the physical identity of a renamed " +
           "column (pick another name)")
+      require(!droppedOf(chain).exists(_.equalsIgnoreCase(name)),
+        s"add column: '$name' is the retired physical name of a " +
+          "DROPPED column still stored in data files (pick another name)")
       val newSchema = StructType(schema.fields :+
         org.apache.spark.sql.types.StructField(name, dataType,
           nullable = true))
@@ -641,6 +668,51 @@ final class TxLogTable(spark: SparkSession,
           case m if m.isEmpty => None
           case m => Some(m)
         }))
+    }
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit (the column-mapping twin of
+    * [[renameColumn]]): the logical schema loses the field, no file is
+    * rewritten — old files keep the physical column, but no current
+    * read ever requests it ([[readPhysical]] projects only live
+    * logical fields). Time travel still serves pre-drop snapshots
+    * with the column (each manifest carries its own schema). The
+    * retired PHYSICAL name is tombstoned in the manifest
+    * (`droppedCols`, carried forward like `colMap`): a later ADD
+    * COLUMN / evolved append / rename may never claim it, or old
+    * files would resurrect the dropped data under the new column.
+    * Guards mirror [[renameColumn]]: a live CHECK constraint
+    * referencing the column blocks the drop (enforce()'s null-padding
+    * would silently disable it), and the last column cannot be
+    * dropped. Manifests carrying tombstones require reader protocol 4
+    * — older library versions refuse the table instead of committing
+    * a shadowing column they cannot know about.
+    */
+  def dropColumn(name: String, maxRetries: Int = 20): Long = {
+    commitLoop(maxRetries) { v =>
+      require(v >= 0, s"cannot drop a column on an uncommitted table $root")
+      val (chain, schema) = manifestChainAt(v)
+      require(schema.fields.exists(_.name == name),
+        s"drop: no column '$name' in ${schema.fieldNames.mkString(",")}")
+      require(schema.fields.length > 1,
+        s"cannot drop '$name': a table must keep at least one column")
+      val blocking = chain.last.constraints.getOrElse(Map.empty).filter {
+        case (_, sql) =>
+          referencedColumns(sql).exists(_.equalsIgnoreCase(name))
+      }
+      require(blocking.isEmpty,
+        s"cannot drop '$name': CHECK constraint(s) " +
+          s"${blocking.keys.toSeq.sorted.mkString(", ")} reference it — " +
+          "drop them first in separate commits")
+      val cmap = colMapOf(chain)
+      val physical = cmap.getOrElse(name, name)
+      val newSchema = StructType(schema.fields.filterNot(_.name == name))
+      Some(Manifest(0L, "append", Nil, newSchema.json,
+        System.currentTimeMillis(),
+        markers = Some(Map("alter" -> s"drop $name")),
+        cdc = Some(Nil),
+        colMap = Some(cmap - name),
+        droppedCols = Some((droppedOf(chain) :+ physical).distinct.sorted)))
     }
   }
 
@@ -930,6 +1002,39 @@ final class TxLogTable(spark: SparkSession,
   private[sources] def onDiskBytes(paths: Seq[String]): Long =
     paths.iterator.map(p => store.parquetBytes(new Path(p))).sum
 
+  /** Expand a scan-path list (mixed dirs and part-files — the
+    * [[scanPathsAt]] shape) to individual parquet FILE paths — the
+    * granularity the DV-aware V2 scan needs to split clean files from
+    * deletion-touched ones. One store metadata walk per listed dir.
+    */
+  private[sources] def expandToFiles(paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      if (!store.isDir(hp)) Seq(p)
+      else store.list(hp).filter(_.endsWith(".parquet"))
+        .map(f => hp.resolve(f).toString)
+    }
+
+  /** Store paths of the deletion-vector dirs live at `version`. */
+  private[sources] def dvDirPaths(version: Long): Seq[String] =
+    dvDirsAt(version).map(d => dataDir.resolve(d).toString)
+
+  /** The snapshot's deletion vectors materialized driver-side: file
+    * key ("dir/part-file") → SORTED deleted row positions. Bounded by
+    * the caller ([[TxLogScanBuilder]] gates on the DV dirs' on-disk
+    * bytes before choosing the inline path); a bulk delete falls back
+    * to the distributed anti-join instead of this map.
+    */
+  private[sources] def loadDvMap(version: Long): Map[String, Array[Long]] = {
+    val dirs = dvDirPaths(version)
+    if (dirs.isEmpty) Map.empty
+    else spark.read.schema(dvReadSchema).parquet(dirs: _*)
+      .collect().iterator
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1)
+      .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
+  }
+
   private def wrap(m: Map[String, String]): Option[Map[String, String]] =
     if (m.isEmpty) None else Some(m)
 
@@ -1186,11 +1291,17 @@ final class TxLogTable(spark: SparkSession,
               case cm if cm.isEmpty => m
               case cm => m.copy(colMap = Some(cm))
             }
-          val stamped =
+          val withCs =
             if (withMap.constraints.isDefined) withMap
             else constraintsAt(v) match {
               case cs if cs.isEmpty => withMap
               case cs => withMap.copy(constraints = Some(cs))
+            }
+          val stamped =
+            if (withCs.droppedCols.isDefined) withCs
+            else droppedColsAt(v) match {
+              case dc if dc.isEmpty => withCs
+              case dc => withCs.copy(droppedCols = Some(dc.toSeq.sorted))
             }
           if (tryCommit(next, stamped)) return next
       }
@@ -1210,7 +1321,8 @@ final class TxLogTable(spark: SparkSession,
     */
   private def evolveSchema(current: StructType,
       incoming: StructType,
-      cmap: Map[String, String] = Map.empty): StructType = {
+      cmap: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Nil): StructType = {
     incoming.fields.foreach { f =>
       current.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { c =>
         require(c.dataType == f.dataType,
@@ -1226,6 +1338,10 @@ final class TxLogTable(spark: SparkSession,
       require(!cmap.values.exists(_.equalsIgnoreCase(f.name)),
         s"schema evolution cannot add '${f.name}': the name is the " +
           "physical identity of a renamed column (pick another name)")
+      require(!dropped.exists(_.equalsIgnoreCase(f.name)),
+        s"schema evolution cannot add '${f.name}': the name is the " +
+          "retired physical identity of a DROPPED column still stored " +
+          "in data files (pick another name)")
     }
     val widened = current.fields.map { c =>
       val in = incoming.fields.find(_.name.equalsIgnoreCase(c.name))
@@ -1253,7 +1369,8 @@ final class TxLogTable(spark: SparkSession,
     // before any data is staged; the in-loop evolve stays authoritative
     locally {
       val v0 = currentVersion
-      if (v0 >= 0) evolveSchema(manifestChainAt(v0)._2, df.schema, colMapAt(v0))
+      if (v0 >= 0) evolveSchema(manifestChainAt(v0)._2, df.schema,
+        colMapAt(v0), droppedColsAt(v0).toSeq)
     }
     val cs0 = constraintsAt(currentVersion)
     val staged = stageData(df, sortCols, checkConstraints = true)
@@ -1268,7 +1385,8 @@ final class TxLogTable(spark: SparkSession,
           df.schema, colMapAt(v)), constraintsAt(v)).foreach(_ => ())
       val schema =
         if (v < 0) df.schema
-        else evolveSchema(manifestChainAt(v)._2, df.schema, colMapAt(v))
+        else evolveSchema(manifestChainAt(v)._2, df.schema, colMapAt(v),
+          droppedColsAt(v).toSeq)
       Some(Manifest(0L, "append", Seq(staged), schema.json,
         System.currentTimeMillis(), wrap(markers), stats))
     }
@@ -2000,7 +2118,8 @@ final class TxLogTable(spark: SparkSession,
         // back WITH it — Some(empty) pins "explicitly none" past the
         // commit-layer inheritance of the pre-restore state
         colMap = Some(cmapT),
-        constraints = Some(chain.last.constraints.getOrElse(Map.empty))))
+        constraints = Some(chain.last.constraints.getOrElse(Map.empty)),
+        droppedCols = Some(droppedOf(chain))))
     }
   }
 

@@ -141,6 +141,17 @@ class TxLogCatalogSpec extends SparkSpec {
     assert(!spark.table("lake6.t").columns.contains("early") &&
       !spark.table("lake6.t").columns.contains("noted"),
       "rejected ADD COLUMN must leave the schema untouched")
+    // DROP COLUMN → TxLogTable.dropColumn: metadata-only, values of
+    // the remaining columns untouched, IF EXISTS tolerated
+    spark.sql("ALTER TABLE lake6.t ADD COLUMN doomed INT")
+    spark.sql("ALTER TABLE lake6.t DROP COLUMN doomed")
+    assert(!spark.table("lake6.t").columns.contains("doomed"))
+    spark.sql("ALTER TABLE lake6.t DROP COLUMN IF EXISTS never_was")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lake6.t DROP COLUMN never_was")
+    }
+    assert(spark.sql("SELECT sum(k) FROM lake6.t").collect()
+      .head.getLong(0) === 12L, "drops must not disturb surviving data")
     // maintenance statements accept catalog-qualified NAMES too
     import graft.plans.GraftSql
     spark.sql("INSERT INTO lake6.t VALUES (3, 'c', NULL)")

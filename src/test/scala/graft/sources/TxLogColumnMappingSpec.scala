@@ -208,4 +208,108 @@ class TxLogColumnMappingSpec extends SparkSpec {
       .toSet
     assert(inserts == Set((1L, "a"), (2L, "b")))
   }
+
+  test("dropColumn is metadata-only; time travel keeps the column") {
+    val root = Files.createTempDirectory("txdrop").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    val v1 = t.append(df((1L, "a", 10), (2L, "b", 20)))
+    val dirsBefore = Files.list(Paths.get(root, "data")).count()
+    t.dropColumn("v")
+    // metadata-only: not one new data dir, no file rewritten
+    assert(Files.list(Paths.get(root, "data")).count() == dirsBefore)
+    assert(t.read().columns.toSeq == Seq("k", "n"))
+    assert(t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 10), (2L, 20)))
+    // the pre-drop snapshot still serves the column (time travel)
+    assert(t.readAt(v1).columns.toSeq == Seq("k", "v", "n"))
+    assert(t.readAt(v1).orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b"))
+    // appends after the drop conform to the narrowed schema
+    t.append(df((3L, "ignored", 30)).select("k", "n"))
+    assert(t.read().count() == 3L)
+  }
+
+  test("a dropped column's physical name is tombstoned against reuse") {
+    val root = Files.createTempDirectory("txdrop_tomb").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 10)))
+    // rename v -> label first: the DROP must tombstone the PHYSICAL
+    // name (v), which is what the files store
+    t.renameColumn("v", "label")
+    t.dropColumn("label")
+    assert(t.droppedColsAt(t.currentVersion) == Set("v"))
+    // a new column may not claim the retired physical name by ANY door
+    val e1 = intercept[IllegalArgumentException](t.addColumn("v", StringType))
+    assert(e1.getMessage.contains("DROPPED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      t.append(df((5L, "x", 5)).toDF("k", "v", "n"))
+    }
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](t.renameColumn("n", "v"))
+    assert(e3.getMessage.contains("DROPPED"), e3.getMessage)
+    // an unrelated new name is fine, and old rows read it as null
+    t.addColumn("fresh", StringType)
+    assert(t.read().columns.toSeq == Seq("k", "n", "fresh"))
+    assert(t.read().collect().forall(_.isNullAt(2)))
+  }
+
+  test("dropColumn guards: live CHECK blocks, last column blocks") {
+    val root = Files.createTempDirectory("txdrop_guard").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 10)))
+    t.addConstraint("n_pos", "n > 0")
+    val e = intercept[IllegalArgumentException](t.dropColumn("n"))
+    assert(e.getMessage.contains("n_pos"), e.getMessage)
+    t.dropConstraint("n_pos")
+    t.dropColumn("n")
+    t.dropColumn("v")
+    val last = intercept[IllegalArgumentException](t.dropColumn("k"))
+    assert(last.getMessage.contains("at least one column"), last.getMessage)
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+  }
+
+  test("restore to a pre-drop snapshot resurrects the column and clears its tombstone") {
+    val root = Files.createTempDirectory("txdrop_restore").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    val v1 = t.append(df((1L, "a", 10), (2L, "b", 20)))
+    t.dropColumn("v")
+    assert(t.droppedColsAt(t.currentVersion) == Set("v"))
+    t.restore(v1)
+    // schema, values, AND the tombstone state roll back together —
+    // files were never rewritten, so the data is simply visible again
+    assert(t.read().columns.toSeq == Seq("k", "v", "n"))
+    assert(t.read().orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b"))
+    assert(t.droppedColsAt(t.currentVersion).isEmpty)
+  }
+
+  test("CDC stream stops restart-required on a mid-stream drop") {
+    val root = Files.createTempDirectory("txdrop_stream").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", 1)))
+    val out = Files.createTempDirectory("txdrop_stream_out").toString
+    val ck = Files.createTempDirectory("txdrop_stream_ck").toString
+    val q = spark.readStream.format("txlog")
+      .option("startingVersion", "earliest").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      t.dropColumn("v")
+      t.append(df((2L, "ignored", 2)).select("k", "n"))
+      val err = intercept[Exception](q.processAllAvailable())
+      assert((err.getMessage + Option(q.exception.map(_.toString))
+          .getOrElse("")).contains("DROPPED mid-stream"),
+        s"expected restart-required drop error, got: $err / ${q.exception}")
+    } finally q.stop()
+  }
 }

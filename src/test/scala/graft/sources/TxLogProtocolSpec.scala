@@ -283,4 +283,36 @@ class TxLogProtocolSpec extends SparkSpec {
     assert(got === Seq((1L, "insert"), (2L, "insert"), (3L, "insert")),
       s"compaction leaked into the change feed: $got")
   }
+
+  test("maintenance flows run clean over a dropped-column table") {
+    val root = Files.createTempDirectory("txproto_drop").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    t.append(df((1L, "a", L(10)), (2L, "b", L(20))), statsCols = Seq("k"))
+    t.append(df((3L, "c", L(30)), (4L, "d", L(40))), statsCols = Seq("k"))
+    t.dropColumn("v")
+    // OPTIMIZE rewrites under the NARROWED schema: the physical column
+    // leaves the rewritten files entirely
+    t.compactClustered(Seq("k"), numFiles = 2, statsCols = Seq("k"))
+    val dirs = t.liveDataPaths(t.currentVersion)
+    dirs.foreach { p =>
+      val cols = spark.read.parquet(p).columns.toSeq
+      assert(!cols.contains("v"), s"rewritten file still stores v: $p")
+    }
+    // checkpoint + vacuum keep the tombstone and the data intact
+    t.checkpoint()
+    t.vacuum(retainHistory = false, minAgeMillis = 0L)
+    val t2 = new TxLogTable(spark, root) // fresh instance, fresh walk
+    assert(t2.read().columns.toSeq == Seq("k", "n"))
+    assert(t2.read().orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      Seq(10L, 20L, 30L, 40L))
+    assert(t2.droppedColsAt(t2.currentVersion) == Set("v"),
+      "the checkpoint fold must carry the tombstone forward")
+    // stats-pruned reads still engage on the surviving columns
+    val pruned = t2.scanPathsAt(t2.currentVersion, col("k") === 1L)
+    val all = t2.scanPathsAt(t2.currentVersion, lit(true))
+    assert(pruned.size < all.size, s"${pruned.size}/${all.size}")
+    // and the manifest records the drop for the audit trail
+    assert(manifestText(root, 3L).contains("droppedCols"))
+  }
 }
