@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering, V1Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters, SupportsReportStatistics, SupportsRuntimeFiltering, V1Scan}
 import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.lit
@@ -41,12 +41,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - STREAMING keeps the V1 source/sink (no MICRO_BATCH_READ /
   *     STREAMING_WRITE capability → Spark falls back to the
   *     StreamSourceProvider/StreamSinkProvider seams unchanged);
-  *   - snapshots with live DELETION VECTORS scan through a [[V1Scan]]
-  *     bridge ([[TxLogDvScan]]) so the DV anti-join stays a
-  *     DISTRIBUTED join (deleted-rows-sized side, AQE-broadcast) —
-  *     per-task DV loading would regress the 100 TB design. DV-free
+  *   - snapshots with live DELETION VECTORS split by vector size:
+  *     SMALL vectors (the point-delete case) keep the NATIVE batch
+  *     ([[TxLogDvAwareBatchScan]]) — clean files vectorized, touched
+  *     files read whole with inline per-file skip sets, runtime file
+  *     pruning preserved; BULK vectors scan through a [[V1Scan]]
+  *     bridge ([[TxLogDvScan]]) so the anti-join stays a DISTRIBUTED
+  *     join (deleted-rows-sized side, AQE-broadcast). DV-free
   *     snapshots (the steady state: OPTIMIZE/checkpoint fold DVs
-  *     away) get the native Batch with runtime filtering.
+  *     away) are the plain native Batch.
   *
   * Escape hatch: `spark.sql.sources.useV1SourceList=txlog` restores
   * the pure-V1 behavior end to end (Spark-native kill switch).
@@ -72,6 +75,34 @@ object TxLogV2 {
 
   private[sources] def asNullable(s: StructType): StructType =
     TxLogRelation.asNullable(s).asInstanceOf[StructType]
+
+  /** Logical→physical rename of a V1 filter tree (for parquet
+    * row-group pushdown); None drops the filter from pushdown (it is
+    * still evaluated exactly above the scan).
+    */
+  private[sources] def renameV1(f: Filter,
+      physName: String => String): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(physName(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(physName(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(physName(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(physName(a), v))
+    case LessThan(a, v) => Some(LessThan(physName(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(physName(a), v))
+    case In(a, vs) => Some(In(physName(a), vs))
+    case IsNull(a) => Some(IsNull(physName(a)))
+    case IsNotNull(a) => Some(IsNotNull(physName(a)))
+    case StringStartsWith(a, p) => Some(StringStartsWith(physName(a), p))
+    case StringEndsWith(a, sx) => Some(StringEndsWith(physName(a), sx))
+    case StringContains(a, sx) => Some(StringContains(physName(a), sx))
+    case And(l, r) =>
+      for (x <- renameV1(l, physName); y <- renameV1(r, physName))
+        yield And(x, y)
+    case Or(l, r) =>
+      for (x <- renameV1(l, physName); y <- renameV1(r, physName))
+        yield Or(x, y)
+    case Not(c) => renameV1(c, physName).map(Not)
+    case _ => None
+  }
 }
 
 /** One txlog table (root + snapshot version pinned at `getTable`
@@ -284,12 +315,35 @@ final class TxLogScanBuilder(spark: SparkSession,
   override def build(): Scan = pushedAgg match {
     case Some((schema, row)) => new TxLogAggScan(schema, row)
     case None =>
-      if (table.dvDirsAt(version).nonEmpty)
-        new TxLogDvScan(table, version, required, pushedV1)
-      else
+      if (table.dvDirsAt(version).isEmpty)
         new TxLogBatchScan(spark, table, version, fullSchema, required,
           pushedCols, pushedV1, limit)
+      else {
+        // DV-bearing snapshot: when the vectors are small (the point-
+        // delete case the mechanism exists for), serve the NATIVE
+        // batch with per-file inline skip sets — runtime file pruning
+        // and vectorized clean-file reads are preserved. A bulk
+        // delete (vectors past the inline cap) falls back to the V1
+        // bridge's distributed anti-join, which is the right plan for
+        // deleted-rows-sized state that large. Gated on the DV dirs'
+        // on-disk BYTES — a driver metadata walk, no job.
+        val cap = spark.conf.getOption("spark.graft.txlog.dvInlineBytes")
+          .map(_.toLong).getOrElse(TxLogScanBuilder.DefaultDvInlineBytes)
+        if (table.onDiskBytes(table.dvDirPaths(version)) <= cap)
+          new TxLogDvAwareBatchScan(spark, table, version, fullSchema,
+            required, pushedCols, pushedV1)
+        else
+          new TxLogDvScan(table, version, required, pushedV1)
+      }
   }
+}
+
+object TxLogScanBuilder {
+  /** Inline-DV cap: vectors at most this many on-disk bytes ride the
+    * native batch as per-file skip sets (similar order to Spark's
+    * broadcast threshold — the same "small enough to ship" judgment).
+    */
+  private[sources] val DefaultDvInlineBytes: Long = 16L * 1024 * 1024
 }
 
 /** The native Batch scan of a DV-free snapshot: the manifest decides
@@ -320,28 +374,6 @@ final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
     if (cmap.isEmpty) s
     else StructType(s.fields.map(f => f.copy(name = physName(f.name))))
 
-  /** Logical→physical rename of a V1 filter tree (for parquet
-    * row-group pushdown); None drops the filter from pushdown (it is
-    * still evaluated exactly above the scan).
-    */
-  private def renameV1(f: Filter): Option[Filter] = f match {
-    case EqualTo(a, v) => Some(EqualTo(physName(a), v))
-    case EqualNullSafe(a, v) => Some(EqualNullSafe(physName(a), v))
-    case GreaterThan(a, v) => Some(GreaterThan(physName(a), v))
-    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(physName(a), v))
-    case LessThan(a, v) => Some(LessThan(physName(a), v))
-    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(physName(a), v))
-    case In(a, vs) => Some(In(physName(a), vs))
-    case IsNull(a) => Some(IsNull(physName(a)))
-    case IsNotNull(a) => Some(IsNotNull(physName(a)))
-    case StringStartsWith(a, p) => Some(StringStartsWith(physName(a), p))
-    case StringEndsWith(a, s) => Some(StringEndsWith(physName(a), s))
-    case StringContains(a, s) => Some(StringContains(physName(a), s))
-    case And(l, r) => for (x <- renameV1(l); y <- renameV1(r)) yield And(x, y)
-    case Or(l, r) => for (x <- renameV1(l); y <- renameV1(r)) yield Or(x, y)
-    case Not(c) => renameV1(c).map(Not)
-    case _ => None
-  }
 
   @volatile private var runtimeCols: Seq[Column] = Nil
   @volatile private var inner: Option[Scan] = None
@@ -380,7 +412,8 @@ final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
         val s = v2bridge.parquetScan(spark, paths, phys(logicalFull),
           phys(logicalRead),
           (if (cmap.isEmpty) staticV1.toSeq
-           else staticV1.toSeq.flatMap(renameV1)).toArray)
+           else staticV1.toSeq.flatMap(TxLogV2.renameV1(_, physName)))
+            .toArray)
         inner = Some(s)
         s
     }
@@ -470,14 +503,212 @@ final class TxLogBatchScan(spark: SparkSession, table: TxLogTable,
   }
 }
 
-/** Snapshots with live deletion vectors scan through the V1 bridge:
+/** The native Batch scan of a DV-bearing snapshot with SMALL vectors
+  * (under the [[TxLogScanBuilder.DefaultDvInlineBytes]] cap): clean
+  * files — the overwhelming majority of a 100 TB snapshot after a
+  * point delete — ride exactly the [[TxLogBatchScan]] machinery
+  * (vectorized parquet, split-aware, row-group pushdown), and files
+  * the vectors actually touch are planned as WHOLE-FILE partitions
+  * whose reader skips the deleted positions inline (each partition
+  * carries only ITS file's sorted positions — tasks never load the
+  * full vector set). Because this is a real `Batch`,
+  * [[SupportsRuntimeFiltering]] works: Spark's dynamic file pruning
+  * replans the file list mid-execution exactly as on a DV-free
+  * snapshot — the capability the V1-bridge join path cannot offer.
+  *
+  * Row-position correctness: the DV leg passes NO pushed filters (no
+  * row group or page is ever skipped) and reads each file as one
+  * unsplit partition, so the reader's running row count IS
+  * `_metadata.row_index` — the key the sidecars store. Exact
+  * predicates still apply above the scan (every pushed predicate is
+  * reported residual by design).
+  */
+final class TxLogDvAwareBatchScan(spark: SparkSession, table: TxLogTable,
+    version: Long, logicalFull: StructType, logicalRead: StructType,
+    staticCols: Seq[Column], staticV1: Array[Filter])
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  private val cmap: Map[String, String] = table.colMapAt(version)
+  private def physName(n: String): String = cmap.getOrElse(n, n)
+  private def phys(sc: StructType): StructType =
+    if (cmap.isEmpty) sc
+    else StructType(sc.fields.map(f => f.copy(name = physName(f.name))))
+
+  @volatile private var runtimeCols: Seq[Column] = Nil
+  @volatile private var planned
+      : Option[(Array[InputPartition], PartitionReaderFactory)] = None
+
+  // one driver-side load per scan, reused across runtime-filter
+  // replans (positions don't change within a pinned snapshot)
+  private lazy val dvMap: Map[String, Array[Long]] =
+    table.loadDvMap(version)
+
+  /** BatchScanExec requires EVERY partition row-based or EVERY
+    * partition columnar, decided once at physical planning — so the
+    * scan is columnar iff no DV-touched file survives STATIC pruning
+    * (runtime filters only shrink that set, never grow it, keeping
+    * the decision consistent across replans). With DV files in play
+    * the whole scan reads row-based: still strictly better than the
+    * V1 bridge this path replaces (no Row conversion, no join, and
+    * runtime pruning works), and OPTIMIZE folds the vectors away back
+    * to the fully-vectorized plan.
+    */
+  private lazy val columnarOk: Boolean = {
+    val staticPred = staticCols.reduceOption(_ && _).getOrElse(lit(true))
+    !table.expandToFiles(table.scanPathsAt(version, staticPred))
+      .exists(f => dvMap.contains(fileKey(f)))
+  }
+
+  private def fileKey(path: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    s"${hp.getParent.getName}/${hp.getName}"
+  }
+
+  override def readSchema(): StructType = logicalRead
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"txlog v$version ${table.root} DV-inline " +
+      s"PushedFilters: ${staticV1.mkString("[", ", ", "]")}"
+
+  private def ensurePlanned()
+      : (Array[InputPartition], PartitionReaderFactory) = synchronized {
+    planned match {
+      case Some(x) => x
+      case None =>
+        val pred = (staticCols ++ runtimeCols)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val files = table.expandToFiles(table.scanPathsAt(version, pred))
+        val live =
+          if (staticCols.isEmpty && runtimeCols.isEmpty) files.size
+          else if (TxLogV2.captureScans)
+            table.expandToFiles(table.scanPathsAt(version, lit(true))).size
+          else -1
+        TxLogV2.lastScan = (files.size, live)
+        val (dvFiles, cleanFiles) =
+          files.partition(f => dvMap.contains(fileKey(f)))
+        val cleanScan = v2bridge.parquetScan(spark, cleanFiles,
+          phys(logicalFull), phys(logicalRead),
+          (if (cmap.isEmpty) staticV1.toSeq
+           else staticV1.toSeq.flatMap(TxLogV2.renameV1(_, physName)))
+            .toArray)
+        val cleanBatch = cleanScan.toBatch
+        val dvLeg: Option[(Array[InputPartition], PartitionReaderFactory)] =
+          if (dvFiles.isEmpty) None
+          else {
+            val sc = v2bridge.parquetScan(spark, dvFiles,
+              phys(logicalFull), phys(logicalRead), Array.empty)
+            val parts = v2bridge.wholeFilePartitions(sc).map {
+              case (path, part) =>
+                TxLogDvInput(part, dvMap(fileKey(path))): InputPartition
+            }.toArray
+            Some((parts, sc.toBatch.createReaderFactory()))
+          }
+        val parts = cleanBatch.planInputPartitions() ++
+          dvLeg.map(_._1).getOrElse(Array.empty[InputPartition])
+        val factory: PartitionReaderFactory = new TxLogDvSplitFactory(
+          cleanBatch.createReaderFactory(), dvLeg.map(_._2).orNull,
+          columnarOk)
+        val out = (parts, factory)
+        planned = Some(out)
+        out
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ensurePlanned()._1
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ensurePlanned()._2
+
+  override def filterAttributes(): Array[NamedReference] =
+    logicalRead.fieldNames.map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = synchronized {
+    val converted = filters.toIndexedSeq.flatMap(TxLogRelation.toColumn)
+    if (converted.nonEmpty) {
+      runtimeCols = converted
+      TxLogV2.lastRuntimeFiltered = true
+      planned = None
+    }
+  }
+
+  /** Size only (rows would overcount the deleted positions; exactness
+    * over coverage) — enough for the broadcast-threshold decision the
+    * V1 bridge used to fly blind on.
+    */
+  override def estimateStatistics(): Statistics = memoStats
+  private lazy val memoStats: Statistics = {
+    val size = math.max(1L,
+      table.onDiskBytes(table.scanPathsAt(version, lit(true))))
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
+}
+
+/** One DV-touched file as an unsplit input partition, carrying ONLY
+  * its own sorted deleted positions — what the task deserializes.
+  */
+private[sources] final case class TxLogDvInput(inner: InputPartition,
+    deleted: Array[Long]) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Routes clean partitions to Spark's own parquet reader factory
+  * (columnar) and DV partitions to a row reader wrapped with the
+  * inline skip set.
+  */
+private[sources] final class TxLogDvSplitFactory(
+    clean: PartitionReaderFactory, dv: PartitionReaderFactory,
+    columnar: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case d: TxLogDvInput =>
+        new TxLogDvSkipReader(dv.createReader(d.inner), d.deleted)
+      case other => clean.createReader(other)
+    }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    clean.createColumnarReader(p)
+  // uniform across ALL partitions (the BatchScanExec contract): the
+  // scan-level columnar decision, not a per-partition one
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && clean.supportColumnarReads(p)
+}
+
+/** Skips the deleted positions of one whole, filter-free file scan:
+  * the running row count equals `_metadata.row_index` by the
+  * [[TxLogDvAwareBatchScan]] planning contract.
+  */
+private final class TxLogDvSkipReader(
+    inner: PartitionReader[InternalRow], deleted: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private var idx = -1L
+  private var di = 0
+  override def next(): Boolean = {
+    while (inner.next()) {
+      idx += 1
+      while (di < deleted.length && deleted(di) < idx) di += 1
+      if (di >= deleted.length || deleted(di) != idx) return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/** BULK-vector fallback: snapshots whose live deletion vectors exceed
+  * the inline cap scan through the V1 bridge —
   * [[TxLogRelation.buildScan]] applies the DV anti-join as a
-  * DISTRIBUTED join on (file, row position) — the deleted-rows-sized
-  * side broadcasts under AQE, which is the point-delete case the
-  * mechanism exists for. Runtime file filtering is deliberately NOT
-  * offered here (the V1 physical node has no replan seam); DVs are
-  * transient state that OPTIMIZE/checkpoint fold away, after which
-  * scans return to [[TxLogBatchScan]].
+  * DISTRIBUTED join on (file, row position), the right plan when the
+  * deleted-rows-sized side is too big to ship per task. Runtime file
+  * filtering is not offered here (the V1 physical node has no replan
+  * seam); small vectors take [[TxLogDvAwareBatchScan]] instead, and
+  * OPTIMIZE/checkpoint fold vectors away entirely.
   */
 final class TxLogDvScan(table: TxLogTable, version: Long,
     logicalRead: StructType, pushedV1: Array[Filter]) extends V1Scan {

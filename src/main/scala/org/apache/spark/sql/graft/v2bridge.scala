@@ -45,6 +45,30 @@ object v2bridge {
   /** V2 `Predicate` → V1 `Filter`, when an exact translation exists. */
   def toV1Filter(p: Predicate): Option[Filter] = PredicateUtils.toV1(p)
 
+  /** Re-group a file scan's planned partitions into WHOLE-FILE
+    * partitions, one per file — the shape the DV-aware txlog scan
+    * needs: its reader counts rows to recover `row_index`, which is
+    * only the running count when each task reads one complete file in
+    * order (no splits, and the caller passes no pushed filters so no
+    * row group is skipped). Returns (file path, partition) pairs;
+    * split metadata (size, locations, partition values) carries over
+    * from the scan's own planning.
+    */
+  def wholeFilePartitions(scan: Scan)
+      : Seq[(String, org.apache.spark.sql.connector.read.InputPartition)] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val splits = scan.toBatch.planInputPartitions().iterator.flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"expected FilePartition from a parquet scan, got $other")
+    }.toSeq
+    splits.groupBy(_.filePath.toString).toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((path, pfs), i) =>
+        val whole = pfs.head.copy(start = 0L, length = pfs.head.fileSize)
+        (path, FilePartition(i, Array(whole)))
+      }
+  }
+
   /** The output schema Spark expects for a pushed aggregation — the
     * same contract the built-in parquet/ORC aggregate pushdown uses
     * (`AggregatePushDownUtils`); None when the aggregation shape is

@@ -141,21 +141,57 @@ class TxLogRuntimeFilterSpec extends SparkSpec {
     assert(t.read().count() == 1000L)
   }
 
-  test("DV-bearing snapshots scan through the V1 bridge and stay exact") {
+  test("small-vector DV snapshots keep the native batch: inline skips, runtime pruning") {
+    val (root, t) = seedFact("rtf_dvnative")
+    t.deleteVectored(col("k") % 100L === 5L) // 10 rows, one per file
+    val fact = spark.read.format("txlog").load(root)
+    // native BatchScan, not the V1 bridge — the point of the inline path
+    val plan = fact.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") && !plan.contains("TxLogDvScan"),
+      plan)
+    // merge-on-read stays exact through the per-file skip sets
+    assert(fact.count() == 990L)
+    assert(fact.filter(col("k") === 5L).count() == 0L)
+    assert(fact.filter(col("k") === 6L).count() == 1L)
+    // static manifest pruning still engages (every file is DV-touched
+    // here, so the whole-file no-filter leg serves the one survivor)
+    fact.filter(col("k") >= 900L && col("k") < 1000L).count()
+    assert(TxLogV2.lastScan == (1, 10), s"${TxLogV2.lastScan}")
+    // RUNTIME file pruning reaches the DV-bearing scan — the
+    // capability the V1-bridge join path could not offer
+    TxLogV2.lastRuntimeFiltered = false
+    val joined = fact.join(dim(7L, 907L), fact("k") === col("dk"))
+      .select(col("k"), col("payload"))
+    val rows = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq((7L, 49L), (907L, 6349L)))
+    assert(TxLogV2.lastRuntimeFiltered,
+      "runtime filter never reached the DV-bearing scan")
+    assert(TxLogV2.lastScan == (2, 10), s"${TxLogV2.lastScan}")
+    // a deleted key joins to NOTHING even when its file is planned
+    val delJoin = fact.join(dim(5L, 6L), fact("k") === col("dk"))
+    assert(delJoin.collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("bulk-vector DV snapshots fall back to the V1-bridge distributed anti-join") {
     val (root, t) = seedFact("rtf_dv")
     t.deleteVectored(col("k") % 100L === 5L) // 10 rows, one per file
-    val viaV2 = spark.read.format("txlog").load(root)
-    assert(viaV2.count() == 990L)
-    assert(viaV2.filter(col("k") === 5L).count() == 0L)
-    assert(viaV2.filter(col("k") === 6L).count() == 1L)
-    // the DV fallback is a V1-bridge scan, not a BatchScan
-    val plan = viaV2.queryExecution.executedPlan.toString
-    assert(plan.contains("Scan graft.sources.TxLogDvScan"), plan)
-    // pushed filters still prune the file list inside the bridge
-    viaV2.filter(col("k") >= 900L).count()
-    assert(graft.sources.TxLogRelation.lastScan == (1, 10),
-      s"lastScan=${graft.sources.TxLogRelation.lastScan}")
-    // OPTIMIZE folds the DVs away; scans return to the native Batch
+    // force the bulk path: an inline cap of zero bytes
+    spark.conf.set("spark.graft.txlog.dvInlineBytes", "0")
+    try {
+      val viaV2 = spark.read.format("txlog").load(root)
+      assert(viaV2.count() == 990L)
+      assert(viaV2.filter(col("k") === 5L).count() == 0L)
+      assert(viaV2.filter(col("k") === 6L).count() == 1L)
+      // the bulk fallback is a V1-bridge scan, not a BatchScan
+      val plan = viaV2.queryExecution.executedPlan.toString
+      assert(plan.contains("Scan graft.sources.TxLogDvScan"), plan)
+      // pushed filters still prune the file list inside the bridge
+      viaV2.filter(col("k") >= 900L).count()
+      assert(graft.sources.TxLogRelation.lastScan == (1, 10),
+        s"lastScan=${graft.sources.TxLogRelation.lastScan}")
+    } finally spark.conf.unset("spark.graft.txlog.dvInlineBytes")
+    // OPTIMIZE folds the DVs away; scans return to the plain native Batch
     t.compactClustered(Seq("k"), numFiles = 4, statsCols = Seq("k"))
     val back = spark.read.format("txlog").load(root)
     assert(back.count() == 990L)
