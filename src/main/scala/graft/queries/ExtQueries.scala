@@ -134,6 +134,17 @@ object ExtQueries {
           |  CAST(MIN(value) AS DOUBLE) AS min_value,
           |  CAST(MAX(value) AS DOUBLE) AS max_value
           |FROM events""".stripMargin) +
+      // grouped manifest census: per-group exact values recomputed by
+      // DuckDB from the raw rows (the engine folds them from per-file
+      // stats of group-constant files, zero files opened)
+      ("q213_txlog_grouped_census" ->
+        """SELECT user_id % 4 AS grp,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(value) AS BIGINT) AS n_values,
+          |  CAST(MIN(event_id) AS BIGINT) AS min_event,
+          |  CAST(MAX(event_id) AS BIGINT) AS max_event,
+          |  CAST(MIN(value) AS DOUBLE) AS min_value
+          |FROM events GROUP BY 1""".stripMargin) +
       // avro logical-type round-trip must be invisible to the rollup
       ("q210_avro_logical_types" ->
         """SELECT CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS BIGINT)

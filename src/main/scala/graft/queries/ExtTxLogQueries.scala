@@ -803,6 +803,36 @@ object ExtTxLogQueries {
            |FROM txlog.`$root`""".stripMargin)
     },
 
+    // ── GROUPED manifest census: GROUP BY over a FILE-CONSTANT
+    // column (per-file min == max, zero nulls — what per-group
+    // ingestion and the clustered layout produce, the engine's
+    // stand-in for hive partition values). Each file belongs to
+    // exactly one group, so grouped count/count(col)/min/max fold
+    // exactly from the per-file manifest stats: one driver metadata
+    // walk, zero files opened, zero jobs — the other half of the
+    // 100 TB census family (`GROUP BY date` over a partitioned
+    // corpus). Values ride the hash against DuckDB recomputing them
+    // from the raw rows; TxLogSourceSpec pins the LocalTableScan plan
+    // and every decline arm (non-constant files fall back to a real
+    // scan).
+    "q213_txlog_grouped_census" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q213")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("grp", pmod(col("user_id"), lit(4L)))
+      t.ensureExists(ev.schema)
+      (0L until 4L).foreach { g =>
+        t.append(ev.filter(col("grp") === g),
+          statsCols = Seq("grp", "event_id", "value"))
+      }
+      graft.plans.GraftSql.sql(s,
+        s"""SELECT grp, count(*) AS n_rows, count(value) AS n_values,
+           |  min(event_id) AS min_event, max(event_id) AS max_event,
+           |  CAST(min(value) AS DOUBLE) AS min_value
+           |FROM txlog.`$root` GROUP BY grp""".stripMargin)
+    },
+
   )
 
   private[queries] val oracleBase: Map[String, String] = Map(

@@ -109,7 +109,8 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     val d = dirOf(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val t = new TxLogTable(spark, d.toString)
-    new TxLogV2Table(spark, d.toString, t.currentVersion, None)
+    new TxLogV2Table(spark, d.toString, t.currentVersion, None,
+      nativeWrite = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -125,7 +126,8 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     store.mkdirs(d.getParent)
     val t = new TxLogTable(spark, d.toString)
     t.ensureExists(schema)
-    new TxLogV2Table(spark, d.toString, t.currentVersion, None)
+    new TxLogV2Table(spark, d.toString, t.currentVersion, None,
+      nativeWrite = true)
   }
 
   /** ALTER TABLE column changes route to the engine's METADATA-ONLY

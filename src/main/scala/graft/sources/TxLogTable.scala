@@ -948,6 +948,27 @@ final class TxLogTable(spark: SparkSession,
       out.result()
     }
 
+  /** Per-file skipping stats of the snapshot under LOGICAL column
+    * names: `(file, rows, ranges)` for every live part-file, or None
+    * unless EVERY live file is covered (the [[statsSummaryAt]]
+    * exactness contract). The grouped manifest census reads these to
+    * recognize FILE-CONSTANT columns (per-file min == max, zero
+    * nulls) — the clustered-layout pattern that stands in for hive
+    * partition values.
+    */
+  private[graft] def perFileStatsAt(version: Long)
+      : Option[Seq[(String, Long, Map[String, ColRange])]] = {
+    val (chain, _) = manifestChainAt(version)
+    val revMap = colMapOf(chain).map(_.swap)
+    liveFileStatsAt(version).map { case (files, all) =>
+      files.map { f =>
+        val fs = all(f)
+        (f, fs.rows,
+          fs.cols.map { case (c, r) => revMap.getOrElse(c, c) -> r })
+      }
+    }
+  }
+
   private[graft] def statsSummaryAt(version: Long)
       : Option[(Long, Map[String, ColRange], Map[String, Long])] = {
     val (chain, schema) = manifestChainAt(version)
@@ -1018,6 +1039,67 @@ final class TxLogTable(spark: SparkSession,
   /** Store paths of the deletion-vector dirs live at `version`. */
   private[sources] def dvDirPaths(version: Long): Seq[String] =
     dvDirsAt(version).map(d => dataDir.resolve(d).toString)
+
+  // ── native V2 write seams ([[TxLogBatchWrite]]) ───────────────────
+
+  /** The PHYSICAL write schema for a batch arriving under logical
+    * names — what executor-side staged writers stamp into parquet
+    * metadata (files always store physical names; identity when no
+    * mapping is live).
+    */
+  private[sources] def physicalWriteSchema(s: StructType): StructType =
+    physSchema(s, currentColMap)
+
+  private[sources] def stagedDirPath(name: String): String =
+    dataDir.resolve(name).toString
+
+  private[sources] def mkStagedDir(name: String): Unit =
+    store.mkdirs(dataDir.resolve(name))
+
+  private[sources] def dropStagedDir(name: String): Unit =
+    store.deleteRecursive(dataDir.resolve(name))
+
+  /** Commit a dir the V2 writers already staged (the driver half of
+    * [[TxLogBatchWrite]]): same optimistic loop and commit shape as
+    * [[append]]/[[overwrite]], with CHECK constraints enforced by one
+    * batch-sized validation read (the V1 path enforces inside its
+    * staging write; here the rows are already on disk) and additive
+    * schema evolution applied on append. Stats collect off the staged
+    * dir exactly as the V1 path's do.
+    */
+  private[sources] def commitStagedV2(dirName: String,
+      batchSchema: StructType, overwrite: Boolean,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      maxRetries: Int = 20): Long = {
+    val stats = statsOpt(dirName, batchSchema, statsCols, bloomCols)
+    commitLoop(maxRetries) { v =>
+      val cs = constraintsAt(v)
+      if (cs.nonEmpty)
+        enforce(readPhysical(Seq(stagedDirPath(dirName)), batchSchema,
+          colMapAt(v)), cs).foreach(_ => ())
+      val schema =
+        if (v < 0 || overwrite) batchSchema
+        else evolveSchema(manifestChainAt(v)._2, batchSchema, colMapAt(v),
+          droppedColsAt(v).toSeq)
+      Some(Manifest(0L, if (overwrite) "overwrite" else "append",
+        Seq(dirName), schema.json, System.currentTimeMillis(), None, stats))
+    }
+  }
+
+  /** Reader protocol the snapshot's manifest actually requires —
+    * the DESCRIBE DETAIL surface (derived from feature presence at
+    * the commit choke point, so it tracks DVs, column mapping, and
+    * dropped-column tombstones automatically).
+    */
+  private[graft] def requiredReaderAt(v: Long): Int =
+    TxLogTable.requiredReader(manifestAt(v))
+
+  /** `(path, bytes)` of every live part-file at `v` — the DESCRIBE
+    * DETAIL census, walked through the store's FileSystem.
+    */
+  private[graft] def detailFileBytes(v: Long): Seq[(String, Long)] =
+    expandToFiles(scanPathsAt(v, org.apache.spark.sql.functions.lit(true)))
+      .map(p => (p, store.parquetBytes(new Path(p))))
 
   /** The snapshot's deletion vectors materialized driver-side: file
     * key ("dir/part-file") → SORTED deleted row positions. Bounded by
@@ -2143,7 +2225,8 @@ final class TxLogTable(spark: SparkSession,
     * (tests, single-process maintenance windows).
     */
   def vacuum(retainHistory: Boolean = true,
-      minAgeMillis: Long = 3600L * 1000L): Seq[String] = {
+      minAgeMillis: Long = 3600L * 1000L,
+      dryRun: Boolean = false): Seq[String] = {
     val v = currentVersion
     if (v < 0) return Nil
     val cutoff = System.currentTimeMillis() - minAgeMillis
@@ -2159,7 +2242,8 @@ final class TxLogTable(spark: SparkSession,
       manifests.flatMap(m =>
         m.add ++ m.cdc.getOrElse(Nil) ++ m.dv.getOrElse(Nil)).toSet
     def sweep(dir: Path, doomed: List[String]): List[String] = {
-      doomed.foreach(d => store.deleteRecursive(dir.resolve(d)))
+      // DRY RUN: report what a real vacuum would remove, touch nothing
+      if (!dryRun) doomed.foreach(d => store.deleteRecursive(dir.resolve(d)))
       doomed
     }
     def ls(dir: Path): List[String] = store.list(dir)

@@ -115,7 +115,8 @@ object TxLogV2 {
   * not-yet-existing-table write case.
   */
 final class TxLogV2Table(spark: SparkSession, root: String,
-    version: Long, externalSchema: Option[StructType])
+    version: Long, externalSchema: Option[StructType],
+    nativeWrite: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
 
   private[sources] val table = new TxLogTable(spark, root)
@@ -127,9 +128,24 @@ final class TxLogV2Table(spark: SparkSession, root: String,
     if (version >= 0) TxLogV2.asNullable(table.schemaAt(version))
     else externalSchema.getOrElse(new StructType())
 
+  /** Catalog-resolved tables (`nativeWrite`) expose the V2 BATCH_WRITE
+    * surface: `df.writeTo(cat.ns.t).append()/overwritePartitions()`
+    * and catalog INSERTs run the staged-commit [[TxLogBatchWrite]].
+    * PATH-based tables keep V1_BATCH_WRITE + the
+    * CreatableRelationProvider fallback on purpose —
+    * `df.write.format("txlog").save(path)` keeps all four SaveModes
+    * AND additive schema evolution (a V2 AppendData conforms the
+    * query to the table schema and would reject an evolved batch).
+    * The capability set is per-table, so both coexist.
+    */
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    if (nativeWrite)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_DYNAMIC)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(version >= 0, s"txlog table does not exist at $root")
@@ -152,7 +168,8 @@ final class TxLogV2Table(spark: SparkSession, root: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new TxLogWriteBuilder(root, info)
+    if (nativeWrite) new TxLogNativeWriteBuilder(spark, root, info)
+    else new TxLogWriteBuilder(root, info)
 }
 
 /** Catalog `INSERT INTO` / `INSERT OVERWRITE` on a V2-resolved txlog
@@ -188,6 +205,145 @@ final class TxLogWriteBuilder(root: String, info: LogicalWriteInfo)
         }
       }
   }
+}
+
+/** The NATIVE V2 write surface of catalog-resolved txlog tables:
+  * `df.writeTo(cat.ns.t).append()` / `.overwritePartitions()` /
+  * catalog `INSERT INTO/OVERWRITE` plan a real `BatchWrite`. Options
+  * `statsCols`/`bloomCols` declare skipping sidecars exactly as the
+  * V1 writer's do; `sortCols` maps onto the V2
+  * [[RequiresDistributionAndOrdering]] seam, so Spark itself sorts
+  * within partitions before a row reaches a writer (the
+  * `sortWithinPartitions` the V1 staging path applies). Dynamic
+  * partition overwrite on an unpartitioned txlog table replaces the
+  * full snapshot — Spark's own semantics for unpartitioned tables.
+  */
+final class TxLogNativeWriteBuilder(spark: SparkSession, root: String,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  @volatile private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwriteAll = true; this
+  }
+
+  private def csv(k: String): Seq[String] =
+    Option(info.options().get(k)).toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+
+  override def build(): Write =
+    new org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        csv("sortCols").map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING)).toArray
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new TxLogBatchWrite(spark, root, info.schema(), overwriteAll,
+          csv("statsCols"), csv("bloomCols"))
+      override def description(): String =
+        s"txlog native ${if (overwriteAll) "overwrite" else "append"} $root"
+    }
+}
+
+/** Staged-commit batch write: executors write parquet part files
+  * directly into a fresh `data/<uuid>/` dir — INERT until the driver
+  * commit publishes a manifest referencing it, so a crashed write
+  * leaks an orphan for vacuum, never a half-visible state. Task
+  * attempts write DOT-PREFIXED (reader-invisible) files and rename
+  * them visible only in their task COMMIT, so a speculative or
+  * crashed attempt can never smuggle duplicate rows into the staged
+  * dir. The driver commit is one optimistic manifest bid
+  * ([[TxLogTable.commitStagedV2]]) — CHECK constraints enforced,
+  * schema evolved, stats collected, the same shape every other
+  * commit has.
+  */
+final class TxLogBatchWrite(spark: SparkSession, root: String,
+    logicalSchema: StructType, overwriteAll: Boolean,
+    statsCols: Seq[String], bloomCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val table = new TxLogTable(spark, root)
+  private val dirName = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(
+      pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    table.ensureExists(logicalSchema)
+    table.mkStagedDir(dirName)
+    TxLogDataWriterFactory(table.stagedDirPath(dirName),
+      v2bridge.stagedParquetWriters(spark,
+        table.physicalWriteSchema(logicalSchema)))
+  }
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    table.ensureExists(logicalSchema)
+    table.commitStagedV2(dirName, TxLogV2.asNullable(logicalSchema),
+      overwriteAll, statsCols, bloomCols)
+    ()
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    table.dropStagedDir(dirName)
+}
+
+private[sources] final case class TxLogWriteDone(file: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] final case class TxLogDataWriterFactory(dir: String,
+    writers: v2bridge.StagedParquetWriters)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TxLogDataWriter(dir, writers, partitionId, taskId)
+}
+
+/** One task attempt's writer: rows stream to a hidden in-progress
+  * file; task commit renames it visible; abort deletes it. Empty
+  * partitions never open a file.
+  */
+private final class TxLogDataWriter(dir: String,
+    writers: v2bridge.StagedParquetWriters, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val finalPath = f"$dir/part-$partitionId%05d-$taskId.parquet"
+  private val tmpPath = f"$dir/.inprogress-$partitionId%05d-$taskId.parquet"
+  private var writer: v2bridge.StagedRowWriter = null
+  private var rows = 0L
+
+  override def write(r: InternalRow): Unit = {
+    if (writer == null) writer = writers.open(tmpPath, partitionId, taskId)
+    writer.write(r)
+    rows += 1
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer != null) {
+      writer.close()
+      writer = null
+      require(writers.rename(tmpPath, finalPath),
+        s"staged-file publish failed: $tmpPath -> $finalPath")
+    }
+    TxLogWriteDone(finalPath, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    writers.delete(tmpPath)
+  }
+
+  override def close(): Unit =
+    if (writer != null) { writer.close(); writer = null }
 }
 
 /** V2 pushdown for one snapshot scan. Predicates are pushed for
@@ -245,7 +401,7 @@ final class TxLogScanBuilder(spark: SparkSession,
   // types are in the exactly-decodable set. The manifest numbers are
   // EXACT by the statsSummaryAt contract, so the pushdown is complete.
 
-  private var pushedAgg: Option[(StructType, InternalRow)] = None
+  private var pushedAgg: Option[(StructType, Seq[InternalRow])] = None
 
   private def minMaxOk(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -258,10 +414,18 @@ final class TxLogScanBuilder(spark: SparkSession,
   // supportCompletePushDown and pushAggregation (Spark calls both)
   private lazy val statsSummary = table.statsSummaryAt(version)
 
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case n: org.apache.spark.sql.connector.expressions.NamedReference
+        if n.fieldNames().length == 1 =>
+      fullSchema.fields.find(_.name == n.fieldNames()(0))
+    case _ => None
+  }
+
   private def serveAggregation(agg: Aggregation)
-      : Option[(StructType, InternalRow)] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      : Option[(StructType, Seq[InternalRow])] = {
     if (table.dvDirsAt(version).nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return serveGrouped(agg)
     val schema = v2bridge.pushedAggSchema(agg, fullSchema) match {
       case Some(sc) => sc
       case None => return None
@@ -269,13 +433,6 @@ final class TxLogScanBuilder(spark: SparkSession,
     val (rows, ranges) = statsSummary match {
       case Some((r, rg, _)) => (r, rg)
       case None => return None
-    }
-    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[StructField] = e match {
-      case n: org.apache.spark.sql.connector.expressions.NamedReference
-          if n.fieldNames().length == 1 =>
-        fullSchema.fields.find(_.name == n.fieldNames()(0))
-      case _ => None
     }
     val values = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => java.lang.Long.valueOf(rows)
@@ -299,9 +456,102 @@ final class TxLogScanBuilder(spark: SparkSession,
           .asInstanceOf[AnyRef]
       case _ => return None
     }
-    Some((schema,
+    Some((schema, Seq(
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        values.toArray[Any])))
+        values.toArray[Any]))))
+  }
+
+  /** GROUPED manifest census: `GROUP BY` over columns that are
+    * FILE-CONSTANT in every live file (per-file min == max, zero
+    * nulls — exactly what the range/z-order clustered layout
+    * produces, the engine's stand-in for hive partition values). Each
+    * file then belongs to exactly one group, so grouped
+    * count/count(col)/min/max fold EXACTLY from the per-file stats —
+    * one driver metadata walk, zero files opened, zero jobs. Any file
+    * breaking the constancy precondition (or missing stats) declines
+    * the pushdown and the real scan runs.
+    */
+  private def serveGrouped(agg: Aggregation)
+      : Option[(StructType, Seq[InternalRow])] = {
+    val groupFields: Seq[StructField] =
+      agg.groupByExpressions.toSeq.map(e =>
+        colOf(e).filter(f => minMaxOk(f.dataType)).getOrElse(return None))
+    val schema = v2bridge.pushedAggSchema(agg, fullSchema,
+      groupFields.map(_.name).toSet) match {
+      case Some(sc) => sc
+      case None => return None
+    }
+    val per = table.perFileStatsAt(version).getOrElse(return None)
+    // every file must be constant in every group column
+    val keyed: Seq[(Seq[String], Long, Map[String, DataSkipping.ColRange])] =
+      per.map { case (_, rows, cols) =>
+        val key = groupFields.map { f =>
+          val r = cols.getOrElse(f.name, return None)
+          if (r.nulls != 0L) return None
+          val mn = r.min.getOrElse(return None)
+          val mx = r.max.getOrElse(return None)
+          if (mn != mx) return None
+          mn
+        }
+        (key, rows, cols)
+      }
+    val out = keyed.groupBy(_._1).toSeq.sortBy(_._1.mkString("\u0000"))
+      .map { case (key, files) =>
+        val gvals: Seq[Any] = groupFields.zip(key).map { case (f, v) =>
+          v2bridge.statFromExternalString(v, f.name, f.dataType)
+        }
+        val avals: Seq[Any] = agg.aggregateExpressions().toSeq.map {
+          case _: CountStar =>
+            java.lang.Long.valueOf(files.iterator.map(_._2).sum)
+          case c: Count if !c.isDistinct =>
+            val f = colOf(c.column()).getOrElse(return None)
+            java.lang.Long.valueOf(files.iterator.map { case (_, rows, cols) =>
+              rows - cols.getOrElse(f.name, return None).nulls
+            }.sum)
+          case m: Min =>
+            val f = colOf(m.column()).getOrElse(return None)
+            if (!minMaxOk(f.dataType)) return None
+            foldRange(files, f, _.min, keepMax = false)
+              .getOrElse(return None)
+          case m: Max =>
+            val f = colOf(m.column()).getOrElse(return None)
+            if (!minMaxOk(f.dataType)) return None
+            foldRange(files, f, _.max, keepMax = true)
+              .getOrElse(return None)
+          case _ => return None
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          (gvals ++ avals).toArray[Any]): InternalRow
+      }
+    Some((schema, out))
+  }
+
+  /** Exact min/max fold over one group's files: None declines the
+    * pushdown (a file missing the column's stats — exactness over
+    * coverage); Some(null) is a legitimate SQL NULL (every file's
+    * values all null); an all-null FILE contributes nothing to the
+    * fold but does not decline it.
+    */
+  private def foldRange(
+      files: Seq[(Seq[String], Long, Map[String, DataSkipping.ColRange])],
+      f: StructField,
+      pick: DataSkipping.ColRange => Option[String],
+      keepMax: Boolean): Option[Any] = {
+    val ext = files.map { case (_, _, cols) =>
+      cols.get(f.name) match {
+        case None => return None
+        case Some(r) => pick(r)
+      }
+    }
+    val best = ext.flatten.reduceOption { (a, b) =>
+      DataSkipping.cmpExternal(f.dataType, a, b) match {
+        case Some(c) => if ((c >= 0) == keepMax) a else b
+        case None => a
+      }
+    }
+    Some(best
+      .map(v => v2bridge.statFromExternalString(v, f.name, f.dataType))
+      .orNull)
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -313,7 +563,7 @@ final class TxLogScanBuilder(spark: SparkSession,
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, row)) => new TxLogAggScan(schema, row)
+    case Some((schema, rows)) => new TxLogAggScan(schema, rows.toArray)
     case None =>
       if (table.dvDirsAt(version).isEmpty)
         new TxLogBatchScan(spark, table, version, fullSchema, required,
@@ -732,9 +982,9 @@ final class TxLogDvScan(table: TxLogTable, version: Long,
   * driver-local row — Spark plans a LocalTableScan, no job runs. The
   * 100 TB shape of `SELECT count(*), min(ts), max(ts) FROM corpus`.
   */
-final class TxLogAggScan(schema: StructType, row: InternalRow)
+final class TxLogAggScan(schema: StructType, data: Array[InternalRow])
     extends LocalScan {
   override def readSchema(): StructType = schema
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = data
   override def description(): String = "txlog manifest-stats aggregate"
 }

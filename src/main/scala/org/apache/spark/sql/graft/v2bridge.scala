@@ -76,9 +76,71 @@ object v2bridge {
     */
   def pushedAggSchema(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
-      schema: StructType): Option[StructType] =
+      schema: StructType,
+      groupableCols: Set[String] = Set.empty): Option[StructType] =
     org.apache.spark.sql.execution.datasources.AggregatePushDownUtils
-      .getSchemaForPushedAggregation(agg, schema, Set.empty, Nil)
+      .getSchemaForPushedAggregation(agg, schema, groupableCols, Nil)
+
+  /** One executor-side staged-file writer (see
+    * [[StagedParquetWriters.open]]).
+    */
+  trait StagedRowWriter {
+    def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit
+    def close(): Unit
+  }
+
+  /** Serializable provider of executor-side parquet writers — the
+    * execution half of the txlog NATIVE V2 write: Spark's own
+    * `ParquetFileFormat.prepareWrite` output factory (compression,
+    * writer version, all session parquet confs honored) opened
+    * directly at staged-file paths. The commit protocol above it is
+    * the txlog manifest commit, not a Hadoop committer — staged files
+    * are invisible (dot-prefixed) until the task commit renames them,
+    * and the dir is inert until a manifest references it.
+    */
+  final class StagedParquetWriters private[graft] (
+      factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      schema: StructType) extends Serializable {
+
+    def open(path: String, partitionId: Int, taskId: Long): StagedRowWriter = {
+      import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+      val attempt = new TaskAttemptID(
+        new TaskID(new JobID("graft-txlog-write", 0), TaskType.MAP,
+          partitionId),
+        (taskId % Int.MaxValue).toInt)
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf.value, attempt)
+      val w = factory.newInstance(path, schema, ctx)
+      new StagedRowWriter {
+        override def write(r: org.apache.spark.sql.catalyst.InternalRow)
+            : Unit = w.write(r)
+        override def close(): Unit = w.close()
+      }
+    }
+
+    def rename(from: String, to: String): Boolean = {
+      val p = new Path(from)
+      p.getFileSystem(conf.value).rename(p, new Path(to))
+    }
+
+    def delete(path: String): Unit = {
+      val p = new Path(path)
+      p.getFileSystem(conf.value).delete(p, false)
+      ()
+    }
+  }
+
+  def stagedParquetWriters(spark: SparkSession,
+      schema: StructType): StagedParquetWriters = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    new StagedParquetWriters(factory,
+      new org.apache.spark.util.SerializableConfiguration(
+        job.getConfiguration), schema)
+  }
 
   /** Decode a stats string in `CatalogColumnStat.fromExternalString`
     * version-2 format (the encoding the txlog manifest stores) into

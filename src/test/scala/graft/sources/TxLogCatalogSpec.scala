@@ -186,4 +186,85 @@ class TxLogCatalogSpec extends SparkSpec {
     spark.sql("DROP NAMESPACE lake5.ns1 CASCADE")
     assert(spark.sql("SHOW NAMESPACES IN lake5").collect().isEmpty)
   }
+
+  test("writeTo: the native V2 BATCH_WRITE surface (append / overwrite / options)") {
+    freshCatalog("lakew")
+    spark.sql("CREATE NAMESPACE lakew.db")
+    spark.sql("CREATE TABLE lakew.db.w (k BIGINT, v STRING) USING txlog")
+    import spark.implicits._
+
+    // the plan must be a native V2 append, not the V1 fallback
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    df1.writeTo("lakew.db.w").append()
+    assert(spark.table("lakew.db.w").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // a second append accumulates (append, not replace)
+    Seq((3L, "c")).toDF("k", "v").writeTo("lakew.db.w").append()
+    assert(spark.table("lakew.db.w").count() === 3L)
+
+    // overwritePartitions on an unpartitioned table replaces the snapshot
+    Seq((9L, "z")).toDF("k", "v").writeTo("lakew.db.w").overwritePartitions()
+    assert(spark.table("lakew.db.w").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "z")))
+
+    // INSERT INTO rides the same staged-commit write and serializes
+    spark.sql("INSERT INTO lakew.db.w VALUES (10, 'y')")
+    assert(spark.table("lakew.db.w").count() === 2L)
+
+    // time travel across the native commits still works by version
+    val root = spark.conf.get("spark.sql.catalog.lakew.root")
+    val t = new TxLogTable(spark, s"$root/db/w")
+    assert(t.readAt(t.currentVersion - 2).count() === 3L,
+      "the pre-overwrite snapshot must still be reachable")
+  }
+
+  test("writeTo options: statsCols sidecars collect and prune; sortCols orders rows") {
+    freshCatalog("lakews")
+    spark.sql("CREATE NAMESPACE lakews.db")
+    spark.sql("CREATE TABLE lakews.db.s (k BIGINT, v BIGINT) USING txlog")
+    import spark.implicits._
+    // 4 shuffle partitions (SparkSpec) -> multiple staged part files
+    (0L until 400L).map(k => (k, k * 3)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .writeTo("lakews.db.s")
+      .option("statsCols", "k").option("sortCols", "k")
+      .append()
+    val root = spark.conf.get("spark.sql.catalog.lakews.root")
+    val t = new TxLogTable(spark, s"$root/db/s")
+    // the manifest carries per-file ranges and a point read prunes
+    val pruned = t.scanPathsAt(t.currentVersion, col("k") === 5L)
+    val all = t.scanPathsAt(t.currentVersion, lit(true))
+    assert(all.size >= 4, s"expected >=4 staged part files, got ${all.size}")
+    assert(pruned.size < all.size,
+      s"statsCols option must enable pruning: ${pruned.size}/${all.size}")
+    // sortCols flowed through RequiresDistributionAndOrdering: each
+    // staged file holds a contiguous sorted run
+    all.foreach { f =>
+      val ks = spark.read.parquet(f).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"file $f is not sorted by k")
+    }
+    assert(spark.table("lakews.db.s").count() === 400L)
+  }
+
+  test("native writes enforce CHECK constraints; a violating batch commits nothing") {
+    freshCatalog("lakewc")
+    spark.sql("CREATE NAMESPACE lakewc.db")
+    spark.sql("CREATE TABLE lakewc.db.c (k BIGINT, v BIGINT) USING txlog")
+    import spark.implicits._
+    Seq((1L, 5L)).toDF("k", "v").writeTo("lakewc.db.c").append()
+    val root = spark.conf.get("spark.sql.catalog.lakewc.root")
+    val t = new TxLogTable(spark, s"$root/db/c")
+    t.addConstraint("v_pos", "v > 0")
+    val before = t.currentVersion
+    val err = intercept[Exception] {
+      Seq((2L, -7L)).toDF("k", "v").writeTo("lakewc.db.c").append()
+    }
+    assert((err.getMessage + Option(err.getCause).fold("")(_.getMessage))
+      .contains("v_pos") ||
+      err.toString.contains("v_pos"), err.toString)
+    assert(t.currentVersion === before,
+      "a violating native write must commit nothing")
+    assert(spark.table("lakewc.db.c").count() === 1L)
+  }
 }

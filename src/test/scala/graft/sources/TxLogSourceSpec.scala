@@ -148,6 +148,54 @@ class TxLogSourceSpec extends SparkSpec {
     assert(postDv.collect().head.getLong(0) === 199L)
   }
 
+  test("grouped census answers from the manifest when files are group-constant") {
+    val root = Files.createTempDirectory("txgrp").toString
+    val t = new TxLogTable(spark, root)
+    val sch = StructType(Seq(
+      StructField("bucket", LongType, nullable = true),
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    t.ensureExists(sch)
+    // per-group ingestion: each append's files are constant in bucket
+    (0L until 3L).foreach { b =>
+      import scala.jdk.CollectionConverters._
+      val rows = (0L until 40L).map(i =>
+        Row(java.lang.Long.valueOf(b), b * 1000L + i, i * 2L)).asJava
+      t.append(spark.createDataFrame(rows, sch),
+        statsCols = Seq("bucket", "k", "v"))
+    }
+    val q = spark.read.format("txlog").load(root)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+        max(col("k")).as("mx"), count(col("v")).as("nv"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"grouped census must not open a file:\n$plan")
+    val got = q.orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === (0L until 3L).map(b =>
+      (b, 40L, b * 1000L, b * 1000L + 39L, 40L)))
+    // decline arm: grouping by a NON-file-constant column (k varies
+    // within every file) falls back to a real scan, same values
+    val byK = spark.read.format("txlog").load(root)
+      .groupBy(col("k") <= 10L).agg(count(lit(1)))
+    assert(byK.queryExecution.executedPlan.toString.contains("BatchScan"))
+    // decline arm: a later append that BREAKS group-constancy (mixed
+    // buckets in one file) turns the same census into a real scan
+    import scala.jdk.CollectionConverters._
+    t.append(spark.createDataFrame(
+      Seq(Row(java.lang.Long.valueOf(0L), 7777L, 1L),
+        Row(java.lang.Long.valueOf(2L), 8888L, 1L)).asJava, sch)
+      .coalesce(1), statsCols = Seq("bucket", "k", "v"))
+    val mixed = spark.read.format("txlog").load(root)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    assert(mixed.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "non-constant files must decline the grouped pushdown")
+    assert(mixed.orderBy("bucket").collect().map(_.getLong(1)).toSeq ===
+      Seq(41L, 40L, 41L))
+  }
+
   test("time travel via versionAsOf and timestampAsOf options") {
     val (root, t) = seeded()
     val v2 = spark.read.format("txlog")
