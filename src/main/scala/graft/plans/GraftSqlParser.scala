@@ -102,7 +102,7 @@ object GraftSqlRewrite {
     s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$Target\\s*;?\\s*""".r
   private val VacuumRe =
     (s"""(?is)\\s*VACUUM\\s+$Target(\\s+FULL)?""" +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val OptimizeRe =
     (s"""(?is)\\s*OPTIMIZE\\s+$Target""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
@@ -130,9 +130,10 @@ object GraftSqlRewrite {
   def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case HistoryRe(p, n) => Some(GraftHistoryCommand(targetOf(p, n)))
     case DetailRe(p, n) => Some(GraftDetailCommand(targetOf(p, n)))
-    case VacuumRe(p, n, full, retain) =>
+    case VacuumRe(p, n, full, retain, dry) =>
       Some(GraftVacuumCommand(targetOf(p, n), full = full != null,
-        retainHours = Option(retain).map(_.toLong)))
+        retainHours = Option(retain).map(_.toLong),
+        dryRun = dry != null))
     case OptimizeRe(p, n, zorder, files) =>
       val cols = Option(zorder).toSeq
         .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -574,34 +575,28 @@ case class GraftDetailCommand(target: Either[String, Seq[String]])
     val t = new TxLogTable(sparkSession, root)
     require(t.exists, s"txlog table does not exist at $root")
     val v = t.currentVersion
-    val paths = t.scanPathsAt(v, org.apache.spark.sql.functions.lit(true))
-    def filesOf(p: String): Seq[java.io.File] = {
-      val f = new java.io.File(p)
-      if (f.isDirectory)
-        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
-          _.toSeq.filter(_.getName.endsWith(".parquet")))
-      else Seq(f)
-    }
-    val files = paths.flatMap(filesOf)
+    // file census through the table's own store FileSystem (any
+    // scheme); protocol = what the manifest's features actually
+    // require (DVs → 2, column mapping → 3, dropped-column
+    // tombstones → 4)
+    val files = t.detailFileBytes(v)
     val rows = t.statsSummaryAt(v).map(_._1)
-    // the protocol in force = what the snapshot's features require
-    val reader =
-      if (t.colMapAt(v).nonEmpty) 3
-      else if (t.dvDirsAt(v).nonEmpty) 2
-      else 1
-    Seq(Row(v, files.size.toLong, files.map(_.length()).sum,
-      rows.map(java.lang.Long.valueOf).orNull, reader))
+    Seq(Row(v, files.size.toLong, files.map(_._2).sum,
+      rows.map(java.lang.Long.valueOf).orNull, t.requiredReaderAt(v)))
   }
 }
 
-/** VACUUM txlog.`root` [FULL] [RETAIN n HOURS] — orphan sweep; FULL
-  * also collects dirs only pre-checkpoint/overwrite history
-  * references; RETAIN overrides the default 1-hour concurrent-writer
-  * age guard.
+/** VACUUM txlog.`root` [FULL] [RETAIN n HOURS] [DRY RUN] — orphan
+  * sweep; FULL also collects dirs only pre-checkpoint/overwrite
+  * history references; RETAIN overrides the default 1-hour
+  * concurrent-writer age guard; DRY RUN reports the exact removal
+  * list without touching storage (the operator's pre-flight — Delta's
+  * VACUUM ... DRY RUN contract).
   */
 case class GraftVacuumCommand(target: Either[String, Seq[String]],
     full: Boolean,
-    retainHours: Option[Long]) extends LeafRunnableCommand {
+    retainHours: Option[Long],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("removed", StringType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
@@ -609,7 +604,8 @@ case class GraftVacuumCommand(target: Either[String, Seq[String]],
         GraftSqlRewrite.resolveTarget(sparkSession, target))
       .vacuum(retainHistory = !full,
         minAgeMillis = retainHours.map(_ * 3600L * 1000L)
-          .getOrElse(3600L * 1000L))
+          .getOrElse(3600L * 1000L),
+        dryRun = dryRun)
       .map(Row(_))
 }
 

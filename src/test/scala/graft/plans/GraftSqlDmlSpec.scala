@@ -167,10 +167,20 @@ class GraftSqlDmlSpec extends SparkSpec {
     // VACUUM FULL collects the two pre-optimize append dirs
     // without RETAIN 0 the age guard protects the young dirs
     assert(GraftSql.sql(spark, s"VACUUM txlog.`$root` FULL").count() == 0)
+    // DRY RUN pre-flight: the exact removal list, storage untouched
+    val planned = GraftSql.sql(spark,
+      s"VACUUM txlog.`$root` FULL RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(planned.size == 2, s"planned=$planned")
+    assert(t.read().orderBy("k").collect().toSeq == before)
+    assert(t.readAt(1L).count() >= 1L,
+      "DRY RUN must leave historical dirs readable")
     val removed = GraftSql.sql(spark,
       s"VACUUM txlog.`$root` FULL RETAIN 0 HOURS")
       .collect().map(_.getString(0)).toSeq
-    assert(removed.size == 2, s"removed=$removed")
+    assert(removed == planned,
+      s"the real vacuum must remove exactly the DRY RUN list: " +
+        s"$removed vs $planned")
     assert(t.read().orderBy("k").collect().toSeq == before)
     // ZORDER arm requires numeric cluster columns and records stats
     GraftSql.sql(spark,
