@@ -1061,20 +1061,23 @@ final class TxLogTable(spark: SparkSession,
 
   /** Commit a dir the V2 writers already staged (the driver half of
     * [[TxLogBatchWrite]]): same optimistic loop and commit shape as
-    * [[append]]/[[overwrite]], with CHECK constraints enforced by one
-    * batch-sized validation read (the V1 path enforces inside its
-    * staging write; here the rows are already on disk) and additive
-    * schema evolution applied on append. Stats collect off the staged
-    * dir exactly as the V1 path's do.
+    * [[append]]/[[overwrite]]. CHECK constraints were enforced
+    * IN-TASK by the writers (fail-fast per row, single pass — the
+    * point the V1 staging job enforces at); the commit re-validates
+    * with one batch-sized read only when the live set MOVED since the
+    * writers bound theirs (a concurrent addConstraint — the same race
+    * guard [[append]] has). Stats collect off the staged dir exactly
+    * as the V1 path's do.
     */
   private[sources] def commitStagedV2(dirName: String,
       batchSchema: StructType, overwrite: Boolean,
       statsCols: Seq[String], bloomCols: Seq[String],
+      validatedConstraints: Map[String, String] = Map.empty,
       maxRetries: Int = 20): Long = {
     val stats = statsOpt(dirName, batchSchema, statsCols, bloomCols)
     commitLoop(maxRetries) { v =>
       val cs = constraintsAt(v)
-      if (cs.nonEmpty)
+      if (cs.nonEmpty && cs != validatedConstraints)
         enforce(readPhysical(Seq(stagedDirPath(dirName)), batchSchema,
           colMapAt(v)), cs).foreach(_ => ())
       val schema =

@@ -76,6 +76,34 @@ object TxLogV2 {
   private[sources] def asNullable(s: StructType): StructType =
     TxLogRelation.asNullable(s).asInstanceOf[StructType]
 
+  /** CHECK constraints compiled to BOUND catalyst predicates over the
+    * write schema — what the native V2 writers evaluate PER ROW inside
+    * the write task (fail-fast, single pass — the same point the V1
+    * staging job enforces at), instead of a second batch-sized
+    * validation read at commit. Resolution rides Spark's own analyzer
+    * (an empty frame + `expr`), so any SQL expression a constraint may
+    * hold resolves exactly as [[TxLogTable.enforce]] would; NULL
+    * passes (SQL CHECK semantics) via the coalesce-to-true wrap.
+    */
+  private[sources] def bindConstraints(spark: SparkSession,
+      schema: StructType, constraints: Map[String, String])
+      : Seq[(String, String,
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    if (constraints.isEmpty) return Nil
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    constraints.toSeq.map { case (name, sql) =>
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val analyzed = empty.filter(coalesce(expr(sql), lit(true)))
+        .queryExecution.analyzed
+      val f = analyzed.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Filter]
+      val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(f.condition, f.child.output)
+      (name, sql, bound)
+    }
+  }
+
   /** Logical→physical rename of a V1 filter tree (for parquet
     * row-group pushdown); None drops the filter from pushdown (it is
     * still evaluated exactly above the scan).
@@ -273,21 +301,29 @@ final class TxLogBatchWrite(spark: SparkSession, root: String,
   private val table = new TxLogTable(spark, root)
   private val dirName = java.util.UUID.randomUUID().toString
 
+  // the constraint set the WRITERS enforce in-task; the commit only
+  // falls back to a validation read if the set moved concurrently
+  // (the same addConstraint race guard the V1 append path has)
+  @volatile private var validated: Map[String, String] = Map.empty
+
   override def createBatchWriterFactory(
       pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     table.ensureExists(logicalSchema)
     table.mkStagedDir(dirName)
+    validated = table.constraintsAt(table.currentVersion)
     TxLogDataWriterFactory(table.stagedDirPath(dirName),
       v2bridge.stagedParquetWriters(spark,
-        table.physicalWriteSchema(logicalSchema)))
+        table.physicalWriteSchema(logicalSchema)),
+      TxLogV2.bindConstraints(spark,
+        TxLogV2.asNullable(logicalSchema), validated))
   }
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     table.ensureExists(logicalSchema)
     table.commitStagedV2(dirName, TxLogV2.asNullable(logicalSchema),
-      overwriteAll, statsCols, bloomCols)
+      overwriteAll, statsCols, bloomCols, validated)
     ()
   }
 
@@ -300,11 +336,13 @@ private[sources] final case class TxLogWriteDone(file: String, rows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] final case class TxLogDataWriterFactory(dir: String,
-    writers: v2bridge.StagedParquetWriters)
+    writers: v2bridge.StagedParquetWriters,
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new TxLogDataWriter(dir, writers, partitionId, taskId)
+    new TxLogDataWriter(dir, writers, partitionId, taskId, constraints)
 }
 
 /** One task attempt's writer: rows stream to a hidden in-progress
@@ -312,7 +350,9 @@ private[sources] final case class TxLogDataWriterFactory(dir: String,
   * partitions never open a file.
   */
 private final class TxLogDataWriter(dir: String,
-    writers: v2bridge.StagedParquetWriters, partitionId: Int, taskId: Long)
+    writers: v2bridge.StagedParquetWriters, partitionId: Int, taskId: Long,
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val finalPath = f"$dir/part-$partitionId%05d-$taskId.parquet"
@@ -321,6 +361,17 @@ private final class TxLogDataWriter(dir: String,
   private var rows = 0L
 
   override def write(r: InternalRow): Unit = {
+    // fail-fast per-row CHECK enforcement inside the write task —
+    // single pass, the same point the V1 staging job enforces at;
+    // only FALSE violates (the bound predicate coalesces NULL→true)
+    var i = 0
+    while (i < constraints.length) {
+      val (name, sql, bound) = constraints(i)
+      if (java.lang.Boolean.FALSE.equals(bound.eval(r)))
+        throw new IllegalStateException(
+          s"CHECK constraint '$name' violated: $sql")
+      i += 1
+    }
     if (writer == null) writer = writers.open(tmpPath, partitionId, taskId)
     writer.write(r)
     rows += 1
