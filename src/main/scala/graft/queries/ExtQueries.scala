@@ -137,6 +137,15 @@ object ExtQueries {
       // grouped manifest census: per-group exact values recomputed by
       // DuckDB from the raw rows (the engine folds them from per-file
       // stats of group-constant files, zero files opened)
+      // partitioned DDL + native ingest + census under one hash
+      ("q214_partitioned_census" ->
+        """SELECT user_id % 4 AS grp,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(MIN(event_id) AS BIGINT) AS min_event,
+          |  CAST(MAX(event_id) AS BIGINT) AS max_event,
+          |  CAST(MIN(value) AS DOUBLE) AS min_value,
+          |  CAST(MAX(value) AS DOUBLE) AS max_value
+          |FROM events GROUP BY 1""".stripMargin) +
       ("q213_txlog_grouped_census" ->
         """SELECT user_id % 4 AS grp,
           |  CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -833,6 +833,35 @@ object ExtTxLogQueries {
            |FROM txlog.`$root` GROUP BY grp""".stripMargin)
     },
 
+    // ── PARTITIONED BY end to end: CREATE TABLE … PARTITIONED BY
+    // (grp) records cluster-by metadata; ONE shuffled native ingest
+    // (writeTo.append — the V2 BATCH_WRITE path) reassembles the
+    // groups through the write's required distribution/ordering and
+    // splits staged files so each is grp-CONSTANT with default
+    // all-column stats; the grouped census then answers from the
+    // manifest and a point predicate prunes files. The user-visible
+    // partition workflow — DDL, ingest, census — under one hash,
+    // with none of hive partitioning's per-value directories.
+    "q214_partitioned_census" -> { (s, dir) =>
+      val cat = s"graftq214_${scala.util.Random.nextInt(1000000)}"
+      val root = scratchDir("graft_txlog_q214")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.TxLogCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.ev (grp BIGINT, event_id BIGINT, " +
+        s"user_id BIGINT, value DOUBLE) USING txlog PARTITIONED BY (grp)")
+      Tables.events(s, dir)
+        .select(pmod(col("user_id"), lit(4L)).as("grp"),
+          col("event_id"), col("user_id"), col("value"))
+        .repartition(8, col("event_id")) // deliberately shuffled ingest
+        .writeTo(s"$cat.ev").append()
+      s.sql(
+        s"""SELECT grp, count(*) AS n_rows,
+           |  min(event_id) AS min_event, max(event_id) AS max_event,
+           |  CAST(min(value) AS DOUBLE) AS min_value,
+           |  CAST(max(value) AS DOUBLE) AS max_value
+           |FROM $cat.ev GROUP BY grp""".stripMargin)
+    },
+
   )
 
   private[queries] val oracleBase: Map[String, String] = Map(

@@ -113,11 +113,35 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
       nativeWrite = true)
   }
 
+  /** `PARTITIONED BY (c, …)` on a txlog table is accepted as
+    * CLUSTER-BY metadata (identity transforms on top-level columns
+    * only): the table stays one directory tree — no hive-style
+    * per-value directories, none of their small-file/metastore
+    * explosion — but every NATIVE write clusters and splits its
+    * staged files so each file is CONSTANT in the partition columns,
+    * with per-file stats recorded. That is exactly the layout the
+    * grouped manifest census and file skipping consume, so
+    * `GROUP BY c` answers from the manifest and point predicates
+    * prune — the two things users actually partition for. Dynamic
+    * partition OVERWRITE is rejected loudly (per-partition
+    * replacement is not expressible dir-granularly; use
+    * truncate-overwrite or MERGE).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "txlog tables take no PARTITIONED BY (use sortCols/OPTIMIZE ZORDER)")
+    val clusterCols = partitions.toSeq.map { t =>
+      if (t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1) {
+        val c = t.references()(0).fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"PARTITIONED BY column '$c' is not in the table schema")
+        c
+      } else throw new UnsupportedOperationException(
+        s"txlog tables support PARTITIONED BY (identity columns) only " +
+          s"(got $t); bucket/date transforms are not supported — " +
+          "use sortCols/OPTIMIZE ZORDER for derived layouts")
+    }
     val provider = properties.get(TableCatalog.PROP_PROVIDER)
     require(provider == null || provider.equalsIgnoreCase("txlog"),
       s"catalog '$catalogName' stores txlog tables only, got USING $provider")
@@ -125,7 +149,9 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     if (isTableDir(d)) throw new TableAlreadyExistsException(ident)
     store.mkdirs(d.getParent)
     val t = new TxLogTable(spark, d.toString)
-    t.ensureExists(schema)
+    t.ensureExists(schema,
+      markers = if (clusterCols.isEmpty) Map.empty
+        else Map("clusterBy" -> clusterCols.mkString(",")))
     new TxLogV2Table(spark, d.toString, t.currentVersion, None,
       nativeWrite = true)
   }

@@ -251,12 +251,14 @@ final class TxLogTable(spark: SparkSession,
   /** Create-if-absent (S7 semantics): version 0 = empty overwrite.
     * Losing the creation race to a concurrent creator is success.
     */
-  def ensureExists(schema: StructType): Unit = {
+  def ensureExists(schema: StructType,
+      markers: Map[String, String] = Map.empty): Unit = {
     store.mkdirs(logDir)
     store.mkdirs(dataDir)
     if (currentVersion < 0) {
       tryCommit(0L, Manifest(0L, "overwrite", Nil, schema.json,
-        System.currentTimeMillis()))
+        System.currentTimeMillis(),
+        markers = if (markers.isEmpty) None else Some(markers)))
       ()
     }
   }

@@ -32,12 +32,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * injected optimizer rule, no planning-time job).
   *
   * Division of labor, by design:
-  *   - batch WRITES keep the V1 path: the table exposes
-  *     `V1_BATCH_WRITE` (catalog `INSERT INTO`/`INSERT OVERWRITE` run
-  *     through [[V1Write]]→[[InsertableRelation]]) but NOT
-  *     `BATCH_WRITE`, so `df.write.format("txlog").mode(...)` falls
-  *     back to [[TxLogSourceProvider.createRelation]] and ALL FOUR
-  *     SaveModes keep their existing commit semantics;
+  *   - batch WRITES split per-table ([[TxLogV2Table]] `nativeWrite`):
+  *     CATALOG-resolved tables expose `BATCH_WRITE` — `writeTo()` /
+  *     catalog INSERTs run the staged-commit [[TxLogBatchWrite]]
+  *     (per-row CHECK enforcement in-task, cluster-by file splitting
+  *     for PARTITIONED tables); PATH-based tables keep
+  *     `V1_BATCH_WRITE` + the CreatableRelationProvider fallback so
+  *     `df.write.format("txlog").mode(...).save(path)` keeps all four
+  *     SaveModes and additive schema evolution;
   *   - STREAMING keeps the V1 source/sink (no MICRO_BATCH_READ /
   *     STREAMING_WRITE capability → Spark falls back to the
   *     StreamSourceProvider/StreamSinkProvider seams unchanged);
@@ -252,8 +254,25 @@ final class TxLogNativeWriteBuilder(spark: SparkSession, root: String,
 
   @volatile private var overwriteAll = false
 
+  /** PARTITIONED BY columns recorded at CREATE TABLE (cluster-by
+    * metadata, see [[TxLogCatalog.createTable]]): native writes
+    * cluster rows on them and split staged files so every file is
+    * CONSTANT in these columns — the layout the grouped manifest
+    * census and file skipping consume.
+    */
+  private lazy val clusterCols: Seq[String] =
+    new TxLogTable(spark, root).marker("clusterBy")
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
   override def overwriteDynamicPartitions(): WriteBuilder = {
+    // on a PARTITIONED table Spark users expect only the touched
+    // partitions replaced — not expressible dir-granularly, so reject
+    // loudly instead of silently replacing the full snapshot
+    if (clusterCols.nonEmpty) throw new UnsupportedOperationException(
+      "dynamic partition overwrite is not supported on txlog tables " +
+        "PARTITIONED BY (…); use INSERT OVERWRITE / truncate for a full " +
+        "replace, or MERGE for per-key replacement")
     overwriteAll = true; this
   }
 
@@ -265,19 +284,32 @@ final class TxLogNativeWriteBuilder(spark: SparkSession, root: String,
     new org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
-        org.apache.spark.sql.connector.distributions.Distributions
-          .unspecified()
+        if (clusterCols.isEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+        else
+          // co-locate each partition value in ONE task (hash cluster):
+          // files-per-value stays 1 however parallel the ingest
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(clusterCols.map(c =>
+              Expressions.column(c)
+                : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray)
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        csv("sortCols").map(c => Expressions.sort(Expressions.column(c),
-          org.apache.spark.sql.connector.expressions.SortDirection
-            .ASCENDING)).toArray
+        (clusterCols ++ csv("sortCols")).distinct
+          .map(c => Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING)).toArray
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
         new TxLogBatchWrite(spark, root, info.schema(), overwriteAll,
-          csv("statsCols"), csv("bloomCols"))
+          (csv("statsCols") ++ clusterCols).distinct, csv("bloomCols"),
+          clusterCols)
       override def description(): String =
-        s"txlog native ${if (overwriteAll) "overwrite" else "append"} $root"
+        s"txlog native ${if (overwriteAll) "overwrite" else "append"} $root" +
+          (if (clusterCols.isEmpty) ""
+           else clusterCols.mkString(" clusterBy(", ",", ")"))
     }
 }
 
@@ -295,7 +327,8 @@ final class TxLogNativeWriteBuilder(spark: SparkSession, root: String,
   */
 final class TxLogBatchWrite(spark: SparkSession, root: String,
     logicalSchema: StructType, overwriteAll: Boolean,
-    statsCols: Seq[String], bloomCols: Seq[String])
+    statsCols: Seq[String], bloomCols: Seq[String],
+    clusterCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val table = new TxLogTable(spark, root)
@@ -306,24 +339,45 @@ final class TxLogBatchWrite(spark: SparkSession, root: String,
   // (the same addConstraint race guard the V1 append path has)
   @volatile private var validated: Map[String, String] = Map.empty
 
+  /** Effective stats columns: a PARTITIONED table with no explicit
+    * statsCols defaults to every skipping-eligible column (first 32,
+    * the public Delta default) — the grouped census and file skipping
+    * then work out of the box on the clustered layout, which is what
+    * the user partitioned FOR.
+    */
+  private val effStatsCols: Seq[String] =
+    if (clusterCols.isEmpty || statsCols.size > clusterCols.size) statsCols
+    else (statsCols ++ logicalSchema.fields.iterator
+      .filter(f => DataSkipping.supported(f.dataType)).map(_.name)
+      .take(32)).distinct
+
   override def createBatchWriterFactory(
       pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     table.ensureExists(logicalSchema)
     table.mkStagedDir(dirName)
     validated = table.constraintsAt(table.currentVersion)
+    // rows arrive clustered AND sorted on the cluster columns
+    // (requiredDistribution/Ordering), so group runs are contiguous:
+    // the writer rolls to a fresh file on every key change and each
+    // staged file comes out CONSTANT in the cluster columns
+    val keyFields = clusterCols.map { c =>
+      val i = logicalSchema.fieldIndex(c)
+      (i, logicalSchema.fields(i).dataType)
+    }
     TxLogDataWriterFactory(table.stagedDirPath(dirName),
       v2bridge.stagedParquetWriters(spark,
         table.physicalWriteSchema(logicalSchema)),
       TxLogV2.bindConstraints(spark,
-        TxLogV2.asNullable(logicalSchema), validated))
+        TxLogV2.asNullable(logicalSchema), validated),
+      keyFields)
   }
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     table.ensureExists(logicalSchema)
     table.commitStagedV2(dirName, TxLogV2.asNullable(logicalSchema),
-      overwriteAll, statsCols, bloomCols, validated)
+      overwriteAll, effStatsCols, bloomCols, validated)
     ()
   }
 
@@ -338,27 +392,49 @@ private[sources] final case class TxLogWriteDone(file: String, rows: Long)
 private[sources] final case class TxLogDataWriterFactory(dir: String,
     writers: v2bridge.StagedParquetWriters,
     constraints: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    clusterKeys: Seq[(Int, DataType)] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new TxLogDataWriter(dir, writers, partitionId, taskId, constraints)
+    new TxLogDataWriter(dir, writers, partitionId, taskId, constraints,
+      clusterKeys)
 }
 
-/** One task attempt's writer: rows stream to a hidden in-progress
-  * file; task commit renames it visible; abort deletes it. Empty
-  * partitions never open a file.
+/** One task attempt's writer: rows stream to hidden in-progress
+  * files; task commit renames them visible; abort deletes them.
+  * Empty partitions never open a file. With cluster keys the writer
+  * ROLLS to a fresh file on every key change (rows arrive clustered
+  * and sorted, so runs are contiguous and files-per-value stays one
+  * per task) — hive-style partition layout without per-value
+  * directories.
   */
 private final class TxLogDataWriter(dir: String,
     writers: v2bridge.StagedParquetWriters, partitionId: Int, taskId: Long,
     constraints: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    clusterKeys: Seq[(Int, DataType)] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
-  private val finalPath = f"$dir/part-$partitionId%05d-$taskId.parquet"
-  private val tmpPath = f"$dir/.inprogress-$partitionId%05d-$taskId.parquet"
   private var writer: v2bridge.StagedRowWriter = null
+  private var seq = 0
+  private var staged: List[(String, String)] = Nil // (tmp, final)
+  private var curKey: Seq[Any] = null
   private var rows = 0L
+
+  /** Cluster-key values of a row, COPIED out of the reused row
+    * buffer (UTF8String payloads are transient).
+    */
+  private def keyOf(r: InternalRow): Seq[Any] = clusterKeys.map {
+    case (i, dt) =>
+      r.get(i, dt) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case v => v
+      }
+  }
+
+  private def closeCurrent(): Unit =
+    if (writer != null) { writer.close(); writer = null }
 
   override def write(r: InternalRow): Unit = {
     // fail-fast per-row CHECK enforcement inside the write task —
@@ -372,29 +448,38 @@ private final class TxLogDataWriter(dir: String,
           s"CHECK constraint '$name' violated: $sql")
       i += 1
     }
-    if (writer == null) writer = writers.open(tmpPath, partitionId, taskId)
+    if (clusterKeys.nonEmpty) {
+      val k = keyOf(r)
+      if (writer != null && k != curKey) closeCurrent()
+      curKey = k
+    }
+    if (writer == null) {
+      val tmp = f"$dir/.inprogress-$partitionId%05d-$taskId-$seq.parquet"
+      val fin = f"$dir/part-$partitionId%05d-$taskId-$seq.parquet"
+      seq += 1
+      staged ::= (tmp, fin)
+      writer = writers.open(tmp, partitionId, taskId)
+    }
     writer.write(r)
     rows += 1
   }
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (writer != null) {
-      writer.close()
-      writer = null
-      require(writers.rename(tmpPath, finalPath),
-        s"staged-file publish failed: $tmpPath -> $finalPath")
+    closeCurrent()
+    staged.reverse.foreach { case (tmp, fin) =>
+      require(writers.rename(tmp, fin),
+        s"staged-file publish failed: $tmp -> $fin")
     }
-    TxLogWriteDone(finalPath, rows)
+    TxLogWriteDone(staged.map(_._2).mkString(","), rows)
   }
 
   override def abort(): Unit = {
-    if (writer != null) { writer.close(); writer = null }
-    writers.delete(tmpPath)
+    closeCurrent()
+    staged.foreach { case (tmp, _) => writers.delete(tmp) }
   }
 
-  override def close(): Unit =
-    if (writer != null) { writer.close(); writer = null }
+  override def close(): Unit = closeCurrent()
 }
 
 /** V2 pushdown for one snapshot scan. Predicates are pushed for

@@ -267,4 +267,54 @@ class TxLogCatalogSpec extends SparkSpec {
       "a violating native write must commit nothing")
     assert(spark.table("lakewc.db.c").count() === 1L)
   }
+
+  test("PARTITIONED BY = cluster-by metadata: file-constant layout, census, pruning") {
+    freshCatalog("lakep")
+    spark.sql("CREATE NAMESPACE lakep.db")
+    spark.sql("CREATE TABLE lakep.db.p (grp BIGINT, k BIGINT, v BIGINT) " +
+      "USING txlog PARTITIONED BY (grp)")
+    import spark.implicits._
+    // a deliberately SHUFFLED ingest: the write's required
+    // distribution/ordering must reassemble the groups
+    (0L until 300L).map(i => (i % 3L, i, i * 2L))
+      .toDF("grp", "k", "v").repartition(4, col("k"))
+      .writeTo("lakep.db.p").append()
+    val root = spark.conf.get("spark.sql.catalog.lakep.root")
+    val t = new TxLogTable(spark, s"$root/db/p")
+    // every staged file is CONSTANT in grp
+    val files = t.liveDataPaths(t.currentVersion)
+    files.foreach { f =>
+      val gs = spark.read.parquet(f).select("grp").distinct().collect()
+      assert(gs.length === 1, s"file $f mixes groups")
+    }
+    assert(files.size >= 3, s"expected >=1 file per group, got $files")
+    // GROUP BY the partition column answers from the manifest alone
+    val census = spark.sql(
+      "SELECT grp, count(*) AS n, min(k) AS mn, max(k) AS mx " +
+        "FROM lakep.db.p GROUP BY grp")
+    assert(census.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"), census.queryExecution.executedPlan)
+    assert(census.orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 100L), (1L, 100L), (2L, 100L)))
+    // a point predicate on the partition column prunes files
+    spark.sql("SELECT sum(v) FROM lakep.db.p WHERE grp = 1")
+      .collect()
+    val (scanned, live) = TxLogV2.lastScan
+    assert(scanned < live, s"grp predicate must prune: $scanned/$live")
+    // dynamic partition overwrite rejects loudly (not expressible
+    // dir-granularly; a silent full replace would be wrong semantics)
+    val e = intercept[Exception] {
+      Seq((1L, 9999L, 0L)).toDF("grp", "k", "v")
+        .writeTo("lakep.db.p").overwritePartitions()
+    }
+    assert(e.getMessage.contains("dynamic partition overwrite"),
+      e.getMessage)
+    // non-identity transforms reject at CREATE
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE lakep.db.b (k BIGINT, ts TIMESTAMP) " +
+        "USING txlog PARTITIONED BY (days(ts))")
+    }
+    assert(e2.getMessage.contains("identity columns"), e2.getMessage)
+  }
 }
