@@ -54,8 +54,9 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlRewrite.maintenance(sqlText).getOrElse(
-      GraftSqlRewrite(session, delegate.parsePlan(sqlText)))
+    GraftSqlRewrite.maintenance(sqlText,
+        Some(() => GraftSqlRewrite(session, delegate.parsePlan(sqlText))))
+      .getOrElse(GraftSqlRewrite(session, delegate.parsePlan(sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     GraftSqlRewrite(session, delegate.parseQuery(sqlText))
@@ -107,6 +108,9 @@ object GraftSqlRewrite {
     (s"""(?is)\\s*OPTIMIZE\\s+$Target""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""").r
+  private val ShowPartsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Target\\s*;?\\s*""".r
+
 
   private def targetOf(path: String, name: String): Either[String, Seq[String]] =
     if (path != null) Left(path) else Right(name.split("\\.").toSeq)
@@ -126,10 +130,19 @@ object GraftSqlRewrite {
           s"${parts.mkString(".")} does not resolve to a txlog table"))
   }
 
-  /** Parse a maintenance statement, or None to delegate to Spark. */
-  def maintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+  /** Parse a maintenance statement, or None to delegate to Spark.
+    * `fallback` lazily parses the ORIGINAL text with the underlying
+    * parser — needed only by statements Spark's own grammar ALSO
+    * speaks (SHOW PARTITIONS), where a non-txlog target must keep
+    * Spark's native behavior instead of failing resolution.
+    */
+  def maintenance(sqlText: String,
+      fallback: Option[() => LogicalPlan] = None)
+      : Option[LogicalPlan] = sqlText match {
     case HistoryRe(p, n) => Some(GraftHistoryCommand(targetOf(p, n)))
     case DetailRe(p, n) => Some(GraftDetailCommand(targetOf(p, n)))
+    case ShowPartsRe(p, n) =>
+      Some(GraftShowPartitionsCommand(targetOf(p, n), fallback))
     case VacuumRe(p, n, full, retain, dry) =>
       Some(GraftVacuumCommand(targetOf(p, n), full = full != null,
         retainHours = Option(retain).map(_.toLong),
@@ -184,7 +197,7 @@ object GraftSqlRewrite {
     * a txlog catalog table answers None — the statement then follows
     * Spark's normal path.
     */
-  private def catalogRoot(session: SparkSession,
+  private[plans] def catalogRoot(session: SparkSession,
       parts: Seq[String]): Option[String] = {
     val ident = parts match {
       case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
@@ -237,7 +250,7 @@ object GraftSqlRewrite {
     * multi-part catalog-qualified name, and a head that isn't a
     * TxLogCatalog answers None (Spark's normal path).
     */
-  private def v2CatalogRoot(session: SparkSession,
+  private[plans] def v2CatalogRoot(session: SparkSession,
       parts: Seq[String]): Option[String] =
     if (parts.length < 2) None
     else org.apache.spark.sql.graft.bridge
@@ -569,7 +582,9 @@ case class GraftDetailCommand(target: Either[String, Seq[String]])
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_rows", LongType, nullable = true)(),
     AttributeReference("min_reader", org.apache.spark.sql.types.IntegerType,
-      nullable = false)())
+      nullable = false)(),
+    AttributeReference("clustering", StringType, nullable = true)(),
+    AttributeReference("num_partitions", LongType, nullable = true)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val root = GraftSqlRewrite.resolveTarget(sparkSession, target)
     val t = new TxLogTable(sparkSession, root)
@@ -578,12 +593,85 @@ case class GraftDetailCommand(target: Either[String, Seq[String]])
     // file census through the table's own store FileSystem (any
     // scheme); protocol = what the manifest's features actually
     // require (DVs → 2, column mapping → 3, dropped-column
-    // tombstones → 4)
+    // tombstones → 4, file-granular live entries → 5)
     val files = t.detailFileBytes(v)
     val rows = t.statsSummaryAt(v).map(_._1)
+    // clustering metadata (PARTITIONED BY): the declared columns and,
+    // when the layout fully censuses, the exact partition-value count
+    // — all from the manifest, zero file opens
+    val cluster = t.marker("clusterBy")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+    val nParts: Option[Long] = cluster.flatMap { cols =>
+      t.censusSplitAt(v, cols, Nil, Nil, Nil) match {
+        case Some((groups, stragglers)) if stragglers.isEmpty =>
+          Some(groups.size.toLong)
+        case _ => None
+      }
+    }
     Seq(Row(v, files.size.toLong, files.map(_._2).sum,
-      rows.map(java.lang.Long.valueOf).orNull, t.requiredReaderAt(v)))
+      rows.map(java.lang.Long.valueOf).orNull, t.requiredReaderAt(v),
+      cluster.map(_.mkString(",")).orNull,
+      nParts.map(java.lang.Long.valueOf).orNull))
   }
+}
+
+/** SHOW PARTITIONS on a PARTITIONED BY txlog table — answered from
+  * the manifest census when every live file is partition-constant
+  * (the native-write layout): one metadata fold, ZERO file opens,
+  * hive-style `c=v[/c2=v2]` rows. Straggler files (a pre-partitioning
+  * append) fall back to a distinct scan of the partition columns —
+  * same rows, real read. Non-partitioned tables reject loudly
+  * (Spark's own SHOW PARTITIONS contract).
+  */
+case class GraftShowPartitionsCommand(target: Either[String, Seq[String]],
+    fallback: Option[() => LogicalPlan] = None)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    // Spark's own grammar speaks SHOW PARTITIONS too: a target that
+    // is NOT a txlog table keeps Spark's native behavior
+    val rootOpt = target match {
+      case Left(path) => Some(path)
+      case Right(parts) =>
+        GraftSqlRewrite.catalogRoot(sparkSession, parts)
+          .orElse(GraftSqlRewrite.v2CatalogRoot(sparkSession, parts))
+    }
+    val root = rootOpt.getOrElse {
+      fallback match {
+        case Some(parse) =>
+          return bridge.ofRows(sparkSession, parse()).collect().toSeq
+        case None => GraftSqlRewrite.resolveTarget(sparkSession, target)
+      }
+    }
+    val t = new TxLogTable(sparkSession, root)
+    require(t.exists, s"txlog table does not exist at $root")
+    val cols = t.marker("clusterBy")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"SHOW PARTITIONS is not allowed: table $root is not " +
+          "partitioned (create it with PARTITIONED BY)"))
+    val v = t.currentVersion
+    def hive(vals: Seq[String]): String =
+      cols.zip(vals).map { case (c, x) => s"$c=$x" }.mkString("/")
+    t.censusSplitAt(v, cols, Nil, Nil, Nil) match {
+      case Some((groups, stragglers)) if stragglers.isEmpty =>
+        // partition values print in their external stat spelling —
+        // the literal value for integral/string/decimal columns
+        groups.map(g => hive(g.key)).sorted.map(Row(_))
+      case _ =>
+        // stragglers: the census cannot prove the value set — run the
+        // real distinct scan (same rows, file reads proportional to
+        // the table)
+        val snap = t.readAt(v)
+        snap.select(cols.map(snap.col): _*).distinct().collect().toSeq
+          .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+          .map(vals => hive(vals)).sorted.map(Row(_))
+    }
+  }
+
 }
 
 /** VACUUM txlog.`root` [FULL] [RETAIN n HOURS] [DRY RUN] — orphan
@@ -644,6 +732,9 @@ case class GraftOptimizeCommand(target: Either[String, Seq[String]],
 object GraftSql {
   def sql(spark: SparkSession, text: String): org.apache.spark.sql.DataFrame =
     bridge.ofRows(spark,
-      GraftSqlRewrite.maintenance(text).getOrElse(
-        GraftSqlRewrite(spark, spark.sessionState.sqlParser.parsePlan(text))))
+      GraftSqlRewrite.maintenance(text,
+          Some(() => GraftSqlRewrite(spark,
+            spark.sessionState.sqlParser.parsePlan(text))))
+        .getOrElse(GraftSqlRewrite(spark,
+          spark.sessionState.sqlParser.parsePlan(text))))
 }

@@ -146,6 +146,36 @@ object ExtQueries {
           |  CAST(MIN(value) AS DOUBLE) AS min_value,
           |  CAST(MAX(value) AS DOUBLE) AS max_value
           |FROM events GROUP BY 1""".stripMargin) +
+      // REPLACE WHERE: DuckDB recomputes the partition swap (grp 1's
+      // values decimated ×10, every other partition untouched)
+      ("q216_replace_where" ->
+        """WITH base AS (
+          |  SELECT user_id % 4 AS grp, event_id,
+          |    CASE WHEN user_id % 4 = 1 THEN value * 10 ELSE value END
+          |      AS value
+          |  FROM events)
+          |SELECT grp,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(MIN(event_id) AS BIGINT) AS min_event,
+          |  CAST(MAX(event_id) AS BIGINT) AS max_event,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_value
+          |FROM base GROUP BY 1""".stripMargin) +
+      // hybrid census: the duplicated-union base replays the engine's
+      // four group-constant appends + the stats-less straggler append
+      // (event_id % 97 rows land twice)
+      ("q215_txlog_hybrid_census" ->
+        """WITH base AS (
+          |  SELECT user_id % 4 AS grp, event_id, value FROM events
+          |  UNION ALL
+          |  SELECT user_id % 4 AS grp, event_id, value FROM events
+          |  WHERE event_id % 97 = 0)
+          |SELECT grp,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(value) AS BIGINT) AS n_values,
+          |  CAST(MIN(event_id) AS BIGINT) AS min_event,
+          |  CAST(MAX(event_id) AS BIGINT) AS max_event
+          |FROM base GROUP BY 1""".stripMargin) +
       ("q213_txlog_grouped_census" ->
         """SELECT user_id % 4 AS grp,
           |  CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -842,6 +842,64 @@ object ExtTxLogQueries {
     // manifest and a point predicate prunes files. The user-visible
     // partition workflow — DDL, ingest, census — under one hash,
     // with none of hive partitioning's per-value directories.
+    // ── REPLACE WHERE: predicate-scoped overwrite on a PARTITIONED
+    // catalog table — native clustered ingest, then SQL `INSERT INTO
+    // … REPLACE WHERE grp = 1` swaps exactly that partition's files
+    // (file-granular, zero kept bytes rewritten — the Delta
+    // replaceWhere idiom through Spark's own OverwriteByExpression).
+    // The final rollup hashes against DuckDB recomputing the swap.
+    "q216_replace_where" -> { (s, dir) =>
+      val cat = s"graftq216_${scala.util.Random.nextInt(1000000)}"
+      val root = scratchDir("graft_txlog_q216")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.TxLogCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.ev (grp BIGINT, event_id BIGINT, " +
+        s"user_id BIGINT, value DOUBLE) USING txlog PARTITIONED BY (grp)")
+      val src = Tables.events(s, dir)
+        .select(pmod(col("user_id"), lit(4L)).as("grp"),
+          col("event_id"), col("user_id"), col("value"))
+      src.writeTo(s"$cat.ev").append()
+      src.createOrReplaceTempView("graft_q216_src")
+      s.sql(s"INSERT INTO $cat.ev REPLACE WHERE grp = 1 " +
+        "SELECT grp, event_id, user_id, value * 10 AS value " +
+        "FROM graft_q216_src WHERE grp = 1")
+      s.sql(
+        s"""SELECT grp, count(*) AS n_rows,
+           |  min(event_id) AS min_event, max(event_id) AS max_event,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           |    AS sum_value
+           |FROM $cat.ev GROUP BY grp""".stripMargin)
+    },
+
+    // ── HYBRID census: the same grouped census with a straggler —
+    // one stats-less unclustered append lands AFTER the four
+    // group-constant appends. The old all-or-nothing pushdown would
+    // degrade the whole GROUP BY to a full scan; the hybrid folds the
+    // constant files from the manifest and reads ONLY the straggler,
+    // merged by Spark's partial-aggregate machinery (count→sum,
+    // min/max→min/max above the scan). Values ride the hash against
+    // DuckDB recomputing the duplicated-union base; TxLogSourceSpec
+    // pins files-opened = stragglers-only.
+    "q215_txlog_hybrid_census" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q215")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("grp", pmod(col("user_id"), lit(4L)))
+      t.ensureExists(ev.schema)
+      (0L until 4L).foreach { g =>
+        t.append(ev.filter(col("grp") === g),
+          statsCols = Seq("grp", "event_id", "value"))
+      }
+      // the straggler: stats-less, bucket-mixed, single file
+      t.append(ev.filter(pmod(col("event_id"), lit(97L)) === 0)
+        .coalesce(1))
+      graft.plans.GraftSql.sql(s,
+        s"""SELECT grp, count(*) AS n_rows, count(value) AS n_values,
+           |  min(event_id) AS min_event, max(event_id) AS max_event
+           |FROM txlog.`$root` GROUP BY grp""".stripMargin)
+    },
+
     "q214_partitioned_census" -> { (s, dir) =>
       val cat = s"graftq214_${scala.util.Random.nextInt(1000000)}"
       val root = scratchDir("graft_txlog_q214")

@@ -78,8 +78,57 @@ object CommitOwner {
       s"scheme '$other' has no atomic put-if-absent primitive; " +
         "construct the TxLogTable with an ExternalCasCommitOwner over " +
         "the deployment's CAS registry (DynamoDB conditional put, etcd, " +
-        "or a commit service)")
+        "or a commit service), or set " +
+        s"$ConfKey=external-cas (+ $RegistryDirKey=<shared posix dir>) " +
+        "to inject one by conf — reads never need an owner")
   }
+
+  /** The conf seam object-store deployments configure instead of
+    * threading an owner through every construction site (the SQL /
+    * catalog / `format("txlog")` surfaces construct tables
+    * internally and could not otherwise receive one).
+    */
+  val ConfKey = "spark.graft.txlog.commitOwner"
+  val RegistryDirKey = "spark.graft.txlog.commitOwner.registryDir"
+
+  /** Owner constructed from session conf, for schemes [[forStore]]
+    * refuses: `spark.graft.txlog.commitOwner=external-cas` with
+    * `…commitOwner.registryDir=<dir>` builds an
+    * [[ExternalCasCommitOwner]] whose CAS registry is a
+    * [[FileCasRegistry]] over that (shared posix/NFS) directory —
+    * the sandbox stand-in for a DynamoDB/etcd coordinator; a real
+    * deployment swaps the registry by constructing the owner
+    * programmatically. None when the conf is unset. Unknown values
+    * throw (a typo must not silently degrade to read-only).
+    */
+  def configured(spark: org.apache.spark.sql.SparkSession,
+      fs: FileSystem): Option[CommitOwner] =
+    spark.conf.getOption(ConfKey).map {
+      case "external-cas" =>
+        val dir = spark.conf.getOption(RegistryDirKey).getOrElse(
+          throw new IllegalArgumentException(
+            s"$ConfKey=external-cas requires $RegistryDirKey=<shared dir> " +
+              "(the external CAS coordinator's location)"))
+        new ExternalCasCommitOwner(
+          new FileCasRegistry(java.nio.file.Paths.get(dir)),
+          new HadoopObjectStoreOps(fs))
+      case other => throw new IllegalArgumentException(
+        s"unknown $ConfKey '$other' (supported: external-cas)")
+    }
+
+  /** Full resolution order of the publish owner for a store: an
+    * explicitly constructed owner wins; else the scheme's native
+    * primitive; else the conf-injected CAS owner. None = no owner
+    * resolvable — fine for READS (snapshot reads need no commit
+    * primitive), loud at the first commit attempt.
+    */
+  def resolveOption(explicit: CommitOwner,
+      spark: org.apache.spark.sql.SparkSession,
+      fs: FileSystem): Option[CommitOwner] =
+    Option(explicit).orElse {
+      try Some(forStore(fs))
+      catch { case _: IllegalArgumentException => configured(spark, fs) }
+    }
 
   /** Convenience for specs asserting winner content. */
   def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)

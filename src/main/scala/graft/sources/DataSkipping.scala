@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, StartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -290,6 +290,7 @@ object DataSkipping {
         case (">", Seq(a, b)) => GreaterThan(a, b)
         case (">=", Seq(a, b)) => GreaterThanOrEqual(a, b)
         case ("in", a +: rest) if rest.nonEmpty => In(a, rest)
+        case ("not", Seq(a)) => Not(a)
         case ("isnull", Seq(a)) => IsNull(a)
         case ("isnotnull", Seq(a)) => IsNotNull(a)
         case ("startswith", Seq(a, b)) => StartsWith(a, b)
@@ -365,4 +366,101 @@ object DataSkipping {
     valueTest(attr, l, schema, fs)((k, mn, mx, v) =>
       cmp(k, mn, v) <= 0 && cmp(k, mx, v) >= 0) &&
       bloomMayContain(attr, l, schema, fs)
+
+  /** Does EVERY row of a file with stats `fs` provably satisfy `e`?
+    * NULL counts as NOT satisfying (SQL WHERE semantics), so value
+    * arms additionally require zero nulls. Conservative three-valued
+    * evaluation: unsupported nodes answer false. This is the
+    * replaceWhere verdict dual of [[mayMatch]] — a file is droppable
+    * iff `mustMatch(pred)`, keepable iff `!mayMatch(pred)`, and
+    * indeterminate (→ loud refusal) otherwise; conservatism on either
+    * side can only produce refusals, never silent wrong verdicts.
+    */
+  def mustMatch(e: Expression, schema: StructType, fs: FileStats): Boolean =
+    fs.rows == 0L || evalAll(normalize(e), schema, fs)
+
+  private def evalAll(e: Expression, schema: StructType,
+      fs: FileStats): Boolean = e match {
+    case And(l, r) => evalAll(l, schema, fs) && evalAll(r, schema, fs)
+    // every row satisfies (l OR r) if every row satisfies one side —
+    // conservative: a row-wise mix across sides answers false
+    case Or(l, r) => evalAll(l, schema, fs) || evalAll(r, schema, fs)
+
+    case EqualTo(a: Attribute, l: Literal) =>
+      allTest(a.name, l, schema, fs)((k, mn, mx, v) =>
+        cmp(k, mn, v) == 0 && cmp(k, mx, v) == 0)
+    case EqualTo(l: Literal, a: Attribute) =>
+      allTest(a.name, l, schema, fs)((k, mn, mx, v) =>
+        cmp(k, mn, v) == 0 && cmp(k, mx, v) == 0)
+    case EqualNullSafe(a: Attribute, l: Literal) if l.value == null =>
+      statsFor(a.name, schema, fs).exists(_.nulls == fs.rows)
+    case EqualNullSafe(l: Literal, a: Attribute) if l.value == null =>
+      statsFor(a.name, schema, fs).exists(_.nulls == fs.rows)
+    case EqualNullSafe(a: Attribute, l: Literal) =>
+      allTest(a.name, l, schema, fs)((k, mn, mx, v) =>
+        cmp(k, mn, v) == 0 && cmp(k, mx, v) == 0)
+    case EqualNullSafe(l: Literal, a: Attribute) =>
+      allTest(a.name, l, schema, fs)((k, mn, mx, v) =>
+        cmp(k, mn, v) == 0 && cmp(k, mx, v) == 0)
+
+    case LessThan(a: Attribute, l: Literal) =>
+      allTest(a.name, l, schema, fs)((k, _, mx, v) => cmp(k, mx, v) < 0)
+    case LessThan(l: Literal, a: Attribute) =>
+      allTest(a.name, l, schema, fs)((k, mn, _, v) => cmp(k, mn, v) > 0)
+    case LessThanOrEqual(a: Attribute, l: Literal) =>
+      allTest(a.name, l, schema, fs)((k, _, mx, v) => cmp(k, mx, v) <= 0)
+    case LessThanOrEqual(l: Literal, a: Attribute) =>
+      allTest(a.name, l, schema, fs)((k, mn, _, v) => cmp(k, mn, v) >= 0)
+    case GreaterThan(a: Attribute, l: Literal) =>
+      allTest(a.name, l, schema, fs)((k, mn, _, v) => cmp(k, mn, v) > 0)
+    case GreaterThan(l: Literal, a: Attribute) =>
+      allTest(a.name, l, schema, fs)((k, _, mx, v) => cmp(k, mx, v) < 0)
+    case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+      allTest(a.name, l, schema, fs)((k, mn, _, v) => cmp(k, mn, v) >= 0)
+    case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+      allTest(a.name, l, schema, fs)((k, _, mx, v) => cmp(k, mx, v) <= 0)
+
+    // a FILE-CONSTANT column whose constant is one of the literals
+    case In(a: Attribute, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => evalAll(EqualTo(a, v.asInstanceOf[Literal]),
+        schema, fs))
+
+    case IsNull(a: Attribute) =>
+      statsFor(a.name, schema, fs).exists(_.nulls == fs.rows)
+    case IsNotNull(a: Attribute) =>
+      statsFor(a.name, schema, fs).exists(_.nulls == 0L)
+
+    // min and max share the prefix ⇒ everything between them does
+    case StartsWith(a: Attribute, l: Literal) =>
+      allTest(a.name, l, schema, fs)((k, mn, mx, p) =>
+        k == KString && mn.startsWith(p) && mx.startsWith(p))
+
+    // NOT: no row may satisfy the inner predicate AND no referenced
+    // column may hold nulls (NOT(NULL) is NULL — not satisfied)
+    case Not(inner) =>
+      val refs = inner.collect { case a: Attribute => a.name }.distinct
+      refs.nonEmpty &&
+        refs.forall(n => statsFor(n, schema, fs).exists(_.nulls == 0L)) &&
+        !eval(inner, schema, fs)
+
+    case Literal(b: Boolean, BooleanType) => b
+
+    case _ => false
+  }
+
+  /** [[evalAll]]'s value-test template: provable only with stats
+    * present, BOTH bounds defined, and zero nulls.
+    */
+  private def allTest(attr: String, lit: Literal, schema: StructType,
+      fs: FileStats)(test: (Kind, String, String, String) => Boolean)
+      : Boolean =
+    resolve(attr, lit, schema, fs) match {
+      case None => false
+      case Some((r, k, v)) =>
+        r.nulls == 0L && ((r.min, r.max) match {
+          case (Some(mn), Some(mx)) => test(k, mn, mx, v)
+          case _ => false
+        })
+    }
 }

@@ -214,9 +214,15 @@ final class TxLogSourceProvider extends RelationProvider
     val startExclusive = {
       if (!ckStore.exists(anchorPath)) {
         ckStore.mkdirs(metaDir)
-        CommitOwner.forStore(ckStore.fs).putIfAbsent(ckStore.fs,
-          anchorPath, configured.toString.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
+        // same resolution order as table commits (native primitive,
+        // else the conf-injected CAS owner) — a checkpoint on an
+        // object store anchors through the same seam
+        CommitOwner.resolveOption(null, sqlContext.sparkSession,
+            ckStore.fs)
+          .getOrElse(CommitOwner.forStore(ckStore.fs))
+          .putIfAbsent(ckStore.fs, anchorPath,
+            configured.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
       }
       new String(ckStore.readAllBytes(anchorPath),
         java.nio.charset.StandardCharsets.UTF_8).trim.toLong

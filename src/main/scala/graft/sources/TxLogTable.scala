@@ -137,14 +137,57 @@ object TxLogTable {
     * shadows one — old files would then resurrect the dropped data
     * under the new column. Readers and writers are the same library
     * here, so the reader floor is the guard.
+    * Version 5 adds FILE-GRANULAR live entries (`add` items of the
+    * form "dir/part-…parquet", written by predicate-scoped overwrite
+    * — replaceWhere): pre-5 READS would still resolve them correctly
+    * (a path is a path to the parquet reader), but a pre-5 VACUUM
+    * reconciles at directory granularity and would delete a dir whose
+    * files are still live — a data-loss hazard, so the floor guards
+    * it.
     */
-  private[sources] val SupportedReaderVersion: Int = 4
+  private[sources] val SupportedReaderVersion: Int = 5
+
+  /** Test hook: per-file stat entries the last planning fold
+    * materialized on the DRIVER ([[statsSummaryAt]]/[[censusSplitAt]])
+    * — pins that the scale arms stay bounded by groups+stragglers,
+    * not file count.
+    */
+  @volatile private[graft] var lastPlanMaterialized: Int = -1
+
+  /** JVM-wide parsed-manifest cache. A published version file is
+    * IMMUTABLE — the commit protocol only ever creates new versions,
+    * never rewrites one — so `(root, version) → Manifest` is safe to
+    * share across table instances and sessions forever; the win is
+    * one metadata round-trip (getFileStatus + read) per manifest per
+    * JVM instead of per TxLogTable construction, which on object
+    * stores is the dominant cost of a snapshot plan. Bounded LRU
+    * (access-order) so a long-lived driver over many tables stays
+    * flat.
+    */
+  /** Row counts of stats-checkpoint parquet files — immutable once
+    * written, so cached forever: the scale-arm decision
+    * ("does this snapshot cross the distributed-planning threshold?")
+    * costs one footer-only count job per checkpoint per JVM instead
+    * of one per plan.
+    */
+  private val ckptCountCache: java.util.Map[String, Long] =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private val manifestCache: java.util.Map[(String, Long), Manifest] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), Manifest](
+        1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), Manifest]): Boolean =
+          size() > 8192
+      })
 
   private[sources] def requiredReader(m: Manifest): Int =
     Seq(1,
       if (m.dv.exists(_.nonEmpty)) 2 else 1,
       if (m.colMap.exists(_.nonEmpty)) 3 else 1,
-      if (m.droppedCols.exists(_.nonEmpty)) 4 else 1).max
+      if (m.droppedCols.exists(_.nonEmpty)) 4 else 1,
+      if (m.add.exists(_.contains('/'))) 5 else 1).max
 
   /** One row of a PARQUET stats checkpoint (`_log/ckpt-*.parquet`,
     * referenced by [[Manifest.statsFile]]) — the Delta
@@ -227,12 +270,22 @@ final class TxLogTable(spark: SparkSession,
   private val (store, rootPath) =
     TxStore.forSpec(root, spark.sessionState.newHadoopConf())
 
-  /** The atomic-publish owner: explicit when the caller supplied one
-    * (object-store deployments hand an [[ExternalCasCommitOwner]]),
-    * otherwise matched to the scheme's actual primitive.
+  /** The atomic-publish owner, resolved LAZILY and only demanded by
+    * COMMIT paths: explicit when the caller supplied one, else the
+    * scheme's native primitive ([[CommitOwner.forStore]]), else the
+    * conf-injected CAS owner ([[CommitOwner.configured]] — what the
+    * SQL/catalog/`format("txlog")` surfaces use on object stores,
+    * since they construct tables internally). None resolvable is NOT
+    * an error here: a pure read of an `s3a://` table needs no commit
+    * primitive at all — only the first commit attempt throws, with
+    * the conf advice.
     */
-  private val pub: CommitOwner =
-    Option(owner).getOrElse(CommitOwner.forStore(store.fs))
+  private lazy val pubOpt: Option[CommitOwner] =
+    CommitOwner.resolveOption(owner, spark, store.fs)
+
+  private def pub: CommitOwner = pubOpt.getOrElse(
+    // surface the scheme-specific advice forStore would give
+    CommitOwner.forStore(store.fs))
 
   private def logDir: Path = rootPath.resolve("_log")
   private def dataDir: Path = rootPath.resolve("data")
@@ -266,22 +319,30 @@ final class TxLogTable(spark: SparkSession,
   // ── snapshot reads ────────────────────────────────────────────────
 
   private def manifestAt(v: Long): Manifest = {
-    val p = manifestPath(v)
-    // read-repair: a CAS-owned store may hold a claimed version whose
-    // object copy didn't land (winner crash) — finish it before read
-    if (!store.exists(p)) pub.recover(store.fs, p)
-    require(store.exists(p), s"version $v does not exist in $root")
-    val m = Serialization.read[Manifest](
-      new String(store.readAllBytes(p), StandardCharsets.UTF_8))
-    // protocol guard: refuse loudly on a manifest requiring a feature
-    // this reader doesn't speak — silent mis-reads (ghost rows, wrong
-    // column identity) are the failure mode versioning exists to kill
+    val cached = TxLogTable.manifestCache.get((root, v))
+    val m = if (cached != null) cached else readManifest(v)
+    // protocol guard (cheap, per call — SupportedReaderVersion is a
+    // build constant, so guarding a cached manifest is identical)
     m.minReader.filter(_ > TxLogTable.SupportedReaderVersion).foreach { r =>
       throw new IllegalStateException(
         s"txlog table $root version $v requires reader protocol $r; " +
           s"this reader supports <= ${TxLogTable.SupportedReaderVersion}. " +
           "Upgrade the library to read this table.")
     }
+    m
+  }
+
+  private def readManifest(v: Long): Manifest = {
+    val p = manifestPath(v)
+    // read-repair: a CAS-owned store may hold a claimed version whose
+    // object copy didn't land (winner crash) — finish it before read.
+    // Owner-less reads (object store, no conf) have nothing to repair
+    // with; fall through to the loud version-missing require below.
+    if (!store.exists(p)) pubOpt.foreach(_.recover(store.fs, p))
+    require(store.exists(p), s"version $v does not exist in $root")
+    val m = Serialization.read[Manifest](
+      new String(store.readAllBytes(p), StandardCharsets.UTF_8))
+    TxLogTable.manifestCache.put((root, v), m)
     m
   }
 
@@ -829,18 +890,34 @@ final class TxLogTable(spark: SparkSession,
       chain.flatMap(_.statsFile).lastOption
         .map(name => pruneCkpt(name, schema, filterExpr))
     live.flatMap { d =>
-      val inDir = stats.collect {
-        case (k, fs) if k.startsWith(d + "/") => (k, fs)
+      // FILE-granular live entry (replaceWhere kept-file): prune by
+      // its own stats row; dir entries keep the per-dir walk below
+      if (d.contains("/")) stats.get(d) match {
+        case Some(fs) =>
+          if (DataSkipping.mayMatch(filterExpr, schema, fs))
+            Seq(dataDir.resolve(d).toString)
+          else Nil
+        case None => ckpt match {
+          case Some((covered, surviving))
+              if covered(d.takeWhile(_ != '/')) =>
+            if (surviving(d)) Seq(dataDir.resolve(d).toString) else Nil
+          case _ => Seq(dataDir.resolve(d).toString)
+        }
       }
-      if (inDir.nonEmpty) inDir.collect {
-        case (k, fs) if DataSkipping.mayMatch(filterExpr, schema, fs) =>
-          dataDir.resolve(k).toString
-      }.toSeq
-      else ckpt match {
-        case Some((covered, surviving)) if covered(d) =>
-          surviving.iterator.filter(_.startsWith(d + "/"))
-            .map(k => dataDir.resolve(k).toString).toSeq
-        case _ => Seq(dataDir.resolve(d).toString)
+      else {
+        val inDir = stats.collect {
+          case (k, fs) if k.startsWith(d + "/") => (k, fs)
+        }
+        if (inDir.nonEmpty) inDir.collect {
+          case (k, fs) if DataSkipping.mayMatch(filterExpr, schema, fs) =>
+            dataDir.resolve(k).toString
+        }.toSeq
+        else ckpt match {
+          case Some((covered, surviving)) if covered(d) =>
+            surviving.iterator.filter(_.startsWith(d + "/"))
+              .map(k => dataDir.resolve(k).toString).toSeq
+          case _ => Seq(dataDir.resolve(d).toString)
+        }
       }
     }
   }
@@ -901,21 +978,37 @@ final class TxLogTable(spark: SparkSession,
     * same refusal contract [[statsSummaryAt]] has always had.
     */
   private def liveFileStatsAt(version: Long)
-      : Option[(Seq[String], Map[String, FileStats])] = {
+      : Option[(Seq[String], Map[String, FileStats])] =
+    fileStatsSplitAt(version).flatMap { case (files, all, uncovered) =>
+      if (uncovered.nonEmpty) None else Some((files, all))
+    }
+
+  /** Like [[liveFileStatsAt]] but WITHOUT the all-or-nothing refusal:
+    * `(coveredFiles, stats, uncoveredFiles)` where uncovered files
+    * simply carry no skipping stats (a commit written without
+    * `statsCols`). The HYBRID census consumes this split — census the
+    * covered side, scan only the uncovered. None only when a live dir
+    * is missing on disk (the error path the real scan surfaces).
+    */
+  private[graft] def fileStatsSplitAt(version: Long)
+      : Option[(Seq[String], Map[String, FileStats], Seq[String])] = {
     val (chain, _) = manifestChainAt(version)
     val live = chain.flatMap(_.add)
-    if (live.isEmpty) return Some((Nil, Map.empty))
+    if (live.isEmpty) return Some((Nil, Map.empty, Nil))
     val inline: Map[String, FileStats] =
       chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
     val liveFiles: Seq[String] = live.flatMap { d =>
-      val dir = dataDir.resolve(d)
-      if (!store.isDir(dir)) return None
-      store.list(dir).filter(_.endsWith(".parquet")).map(f => s"$d/$f")
+      if (d.contains("/")) Seq(d) // file-granular entry IS the file
+      else {
+        val dir = dataDir.resolve(d)
+        if (!store.isDir(dir)) return None
+        store.list(dir).filter(_.endsWith(".parquet")).map(f => s"$d/$f")
+      }
     }
     val all: Map[String, FileStats] =
       if (liveFiles.forall(inline.contains)) inline
       else chain.flatMap(_.statsFile).lastOption match {
-        case None => return None
+        case None => inline
         case Some(name) =>
           import spark.implicits._
           val template = Seq.empty[TxLogTable.CkptStatRow].toDS()
@@ -925,9 +1018,13 @@ final class TxLogTable(spark: SparkSession,
             .collect().map(TxLogTable.fromCkptRow).toMap
           ckpt ++ inline
       }
-    if (!liveFiles.forall(all.contains)) None
-    else Some((liveFiles, all))
+    val (covered, uncovered) = liveFiles.partition(all.contains)
+    Some((covered, all, uncovered))
   }
+
+  /** Store path of a live part-file key ("dir/part-file"). */
+  private[sources] def dataFilePath(key: String): String =
+    dataDir.resolve(key).toString
 
   /** A file subset whose EXACT stats-known row count covers `n` — the
     * LIMIT-pushdown seam ([[TxLogBatchScan]]): an unordered LIMIT may
@@ -971,15 +1068,368 @@ final class TxLogTable(spark: SparkSession,
     }
   }
 
+  /** [[perFileStatsAt]] without the all-covered refusal: stats-bearing
+    * files (ranges under LOGICAL names) plus the uncovered files as
+    * plain store paths — the hybrid-census split. None only when a
+    * live dir is missing on disk.
+    */
+  private[graft] def perFileStatsSplitAt(version: Long)
+      : Option[(Seq[(String, Long, Map[String, ColRange])], Seq[String])] = {
+    val (chain, _) = manifestChainAt(version)
+    val revMap = colMapOf(chain).map(_.swap)
+    fileStatsSplitAt(version).map { case (files, all, uncovered) =>
+      (files.map { f =>
+        val fs = all(f)
+        (f, fs.rows,
+          fs.cols.map { case (c, r) => revMap.getOrElse(c, c) -> r })
+      }, uncovered.map(dataFilePath))
+    }
+  }
+
+  // ── distributed manifest planning (the million-file arm) ─────────
+
+  /** Live-file-count threshold above which snapshot-planning folds
+    * ([[statsSummaryAt]], the grouped census split) run as ONE Spark
+    * job over the checkpoint parquet instead of a driver
+    * materialization: at ~1M files the stat rows are GBs of driver
+    * heap and seconds per plan — the ceiling Delta/Iceberg remove by
+    * pruning distributed over their checkpoints, mirrored here. Below
+    * the threshold the driver fold is cheaper than a job round-trip.
+    */
+  private def planThreshold: Long =
+    spark.conf.getOption("spark.graft.txlog.distributedPlanThreshold")
+      .map(_.toLong).getOrElse(100000L)
+
+  /** The snapshot's per-file stat rows as a DATASET — checkpoint
+    * parquet rows (minus the ones the chain re-inlined) unioned with
+    * the inline rows, restricted to live entries (dir- or
+    * file-granular). The scale arms aggregate over THIS instead of
+    * collecting it.
+    */
+  private def fileStatsSource(chain: List[Manifest])
+      : org.apache.spark.sql.Dataset[TxLogTable.CkptStatRow] = {
+    import spark.implicits._
+    val live = chain.flatMap(_.add)
+    val inline: Map[String, FileStats] =
+      chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+    val inlineDs = inline.toSeq
+      .map { case (f, fs) => TxLogTable.toCkptRow(f, fs) }.toDS()
+    val base = chain.flatMap(_.statsFile).lastOption match {
+      case None => inlineDs
+      case Some(name) =>
+        val inlineKeys = inline.keySet
+        spark.read.schema(inlineDs.schema)
+          .parquet(ckptPath(name).toString)
+          .as[TxLogTable.CkptStatRow]
+          .filter(r => !inlineKeys.contains(r.file))
+          .unionByName(inlineDs)
+    }
+    val dirKeys = live.filterNot(_.contains("/")).toSet
+    val fileKeys = live.filter(_.contains("/")).toSet
+    base.filter(r => dirKeys.contains(r.file.takeWhile(_ != '/')) ||
+      fileKeys.contains(r.file))
+  }
+
+  /** Spark column decoding an external-format stat string into the
+    * comparable runtime value of `dt` (the inverse rides
+    * [[encodeStatValue]]): integral/date/timestamp externals are
+    * numeric strings, fp/decimal plain decimal strings, strings
+    * themselves (UTF8String compare = code-point order, matching
+    * [[DataSkipping.cmpCodePoints]]).
+    */
+  private def decodeStatCol(c: Column, dt: DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           DateType | TimestampType | TimestampNTZType => c.cast(LongType)
+      case FloatType | DoubleType => c.cast(DoubleType)
+      case d: DecimalType => c.cast(d)
+      case _ => c // string family
+    }
+  }
+
+  /** Typed job-result value → the external string encoding the
+    * manifest/driver folds speak.
+    */
+  private def encodeStatValue(v: Any): Option[String] = v match {
+    case null => None
+    case l: Long => Some(l.toString)
+    case d: Double => Some(d.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal.toPlainString)
+    case s: String => Some(s)
+    case o => Some(o.toString)
+  }
+
+  /** [[statsSummaryAt]]'s scale arm: the whole fold as ONE Spark
+    * aggregation over [[fileStatsSource]] — the driver materializes a
+    * single wide row, never the per-file census. Coverage semantics
+    * match the driver fold: a column folds only when EVERY live file
+    * carries its stats; the summary itself only serves when every
+    * live dir entry is stats-covered. NDV unions ride the native
+    * [[graft.plans.ThetaUnionAgg]] at the manifest sketches' lgK.
+    */
+  private def statsSummaryDistributed(chain: List[Manifest],
+      schema: StructType)
+      : Option[(Long, Map[String, ColRange], Map[String, Long])] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val live = chain.flatMap(_.add)
+    val cmap = colMapOf(chain)
+    val phys = physSchema(schema, cmap)
+    val revMap = cmap.map(_.swap)
+    val ds = fileStatsSource(chain)
+    val fields = phys.fields.toSeq
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n"), sum(col("rows")).as("_rows")) ++
+        fields.zipWithIndex.flatMap { case (f, i) =>
+          val hasStats = map_contains_key(col("nullCounts"), lit(f.name))
+          Seq(
+            sum(when(hasStats, lit(1L)).otherwise(lit(0L))).as(s"c$i"),
+            sum(when(hasStats, element_at(col("nullCounts"), lit(f.name)))
+              .otherwise(lit(0L))).as(s"u$i"),
+            min(decodeStatCol(element_at(col("mins"), lit(f.name)),
+              f.dataType)).as(s"mn$i"),
+            max(decodeStatCol(element_at(col("maxs"), lit(f.name)),
+              f.dataType)).as(s"mx$i"),
+            sum(when(map_contains_key(col("thetas"), lit(f.name)),
+              lit(1L)).otherwise(lit(0L))).as(s"tc$i"),
+            graft.ext.ThetaSketches.unionAgg(
+              unbase64(element_at(col("thetas"), lit(f.name))), 9)
+              .as(s"tu$i"))
+        }
+    val r = ds.agg(aggs.head, aggs.tail: _*).collect().head
+    TxLogTable.lastPlanMaterialized = 1
+    val n = r.getLong(r.fieldIndex("_n"))
+    if (n == 0L) return Some((0L, Map.empty, Map.empty))
+    // coverage of the LIVE SET itself: every dir entry must have at
+    // least one stat row and no dir may hold uncensused files — the
+    // distributed arm trusts commit-time stats completeness (statsOpt
+    // covers a staged dir's files all-or-nothing), so dir presence is
+    // the witness
+    val coveredDirs = ds.select(col("file")).as[String]
+      .map(_.takeWhile(_ != '/')).distinct().collect().toSet
+    if (!live.forall(e =>
+        if (e.contains("/")) true else coveredDirs.contains(e)))
+      return None
+    val rows = r.getLong(r.fieldIndex("_rows"))
+    val ranges = Map.newBuilder[String, ColRange]
+    val ndvs = Map.newBuilder[String, Long]
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (r.getLong(r.fieldIndex(s"c$i")) == n) {
+        val logical = revMap.getOrElse(f.name, f.name)
+        ranges += logical -> ColRange(
+          encodeStatValue(r.get(r.fieldIndex(s"mn$i"))),
+          encodeStatValue(r.get(r.fieldIndex(s"mx$i"))),
+          r.getLong(r.fieldIndex(s"u$i")))
+        if (r.getLong(r.fieldIndex(s"tc$i")) == n) {
+          val bytes = r.getAs[Array[Byte]](r.fieldIndex(s"tu$i"))
+          if (bytes != null && bytes.nonEmpty) {
+            import org.apache.datasketches.memory.Memory
+            import org.apache.datasketches.theta.CompactSketch
+            ndvs += logical -> math.round(
+              CompactSketch.heapify(Memory.wrap(bytes)).getEstimate)
+          }
+        }
+      }
+    }
+    Some((rows, ranges.result(), ndvs.result()))
+  }
+
+  /** One folded census group under LOGICAL names, externals encoded
+    * as the driver fold speaks them ([[censusSplitAt]]).
+    */
+  private[graft] case class CensusGroupRow(key: Seq[String], rows: Long,
+      counts: Map[String, Long], mins: Map[String, String],
+      maxs: Map[String, String])
+
+  /** The (hybrid) census SPLIT of a snapshot: group rows folded from
+    * every file that is constant in `groupCols` and stats-covered in
+    * the agg columns, plus the straggler paths a hybrid scan must
+    * actually read. Below [[planThreshold]] this is the driver fold
+    * over the per-file stats; above it, ONE Spark job over the
+    * checkpoint parquet with only (groups + stragglers) rows ever
+    * reaching the driver. None when the snapshot shape cannot census
+    * (missing dirs, or a straggler set so large a plain scan is the
+    * better plan).
+    */
+  private[graft] def censusSplitAt(version: Long, groupCols: Seq[String],
+      countCols: Seq[String], minCols: Seq[String], maxCols: Seq[String])
+      : Option[(Seq[CensusGroupRow], Seq[String])] = {
+    val (chain, _) = manifestChainAt(version)
+    if (statRowEstimate(chain) > planThreshold)
+      censusSplitDistributed(chain, groupCols, countCols,
+        minCols, maxCols)
+    else censusSplitDriver(version, chain, groupCols, countCols,
+      minCols, maxCols)
+  }
+
+  /** Upper bound on the chain's stat-row census (inline rows + the
+    * checkpoint's cached row count — a checkpoint may carry rows for
+    * since-dropped files, so this can only ERR TOWARD the distributed
+    * arm, which stays exact). The checkpoint count is one footer-only
+    * job per ckpt file per JVM ([[TxLogTable.ckptCountCache]]).
+    */
+  private def statRowEstimate(chain: List[Manifest]): Long = {
+    val inlineCount = chain.flatMap(_.stats.getOrElse(Map.empty)).size
+    val ckptCount = chain.flatMap(_.statsFile).lastOption.fold(0L) {
+      name =>
+        val key = ckptPath(name).toString
+        TxLogTable.ckptCountCache.computeIfAbsent(key,
+          _ => spark.read.parquet(key).count())
+    }
+    inlineCount + ckptCount
+  }
+
+  private def censusSplitDriver(version: Long, chain: List[Manifest],
+      groupCols: Seq[String], countCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String])
+      : Option[(Seq[CensusGroupRow], Seq[String])] = {
+    val (per, uncovered) = perFileStatsSplitAt(version) match {
+      case Some(x) => x
+      case None => return None
+    }
+    TxLogTable.lastPlanMaterialized = per.size
+    val needed = (countCols ++ minCols ++ maxCols).distinct
+    val (censusable, broken) = per.partition { case (_, _, cols) =>
+      groupCols.forall(g => cols.get(g).exists(r =>
+        r.nulls == 0L && r.min.isDefined && r.min == r.max)) &&
+        needed.forall(cols.contains)
+    }
+    val stragglers =
+      uncovered ++ broken.map { case (f, _, _) => dataFilePath(f) }
+    val (chain2, schema) = manifestChainAt(version)
+    val cmap = colMapOf(chain2)
+    val phys = physSchema(schema, cmap)
+    def dtOf(logical: String): DataType =
+      phys.fields(schema.fieldIndex(logical)).dataType
+    val groups = censusable
+      .map { case (_, rows, cols) =>
+        (groupCols.map(g => cols(g).min.get), rows, cols)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (key, files) =>
+        def fold(c: String, pick: ColRange => Option[String],
+            keepMax: Boolean): Option[String] =
+          files.flatMap { case (_, _, cols) => pick(cols(c)) }
+            .reduceOption { (a, b) =>
+              DataSkipping.cmpExternal(dtOf(c), a, b) match {
+                case Some(x) => if ((x >= 0) == keepMax) a else b
+                case None => a
+              }
+            }
+        CensusGroupRow(key,
+          files.iterator.map(_._2).sum,
+          countCols.map(c => c -> files.iterator.map {
+            case (_, rows, cols) => rows - cols(c).nulls
+          }.sum).toMap,
+          minCols.flatMap(c =>
+            fold(c, _.min, keepMax = false).map(c -> _)).toMap,
+          maxCols.flatMap(c =>
+            fold(c, _.max, keepMax = true).map(c -> _)).toMap)
+      }
+    Some((groups, stragglers))
+  }
+
+  /** The scale arm of [[censusSplitAt]]: group constancy, coverage,
+    * and the per-group fold all inside one Spark aggregation; the
+    * driver sees group rows and straggler names only.
+    */
+  private def censusSplitDistributed(chain: List[Manifest],
+      groupCols: Seq[String], countCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String])
+      : Option[(Seq[CensusGroupRow], Seq[String])] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val live = chain.flatMap(_.add)
+    val schema = DataType.fromJson(chain.last.schemaJson)
+      .asInstanceOf[StructType]
+    val cmap = colMapOf(chain)
+    val phys = physSchema(schema, cmap)
+    def physName(n: String): String = cmap.getOrElse(n, n)
+    def dtOf(logical: String): DataType =
+      phys.fields(schema.fieldIndex(logical)).dataType
+    val needed = (countCols ++ minCols ++ maxCols).distinct
+    val ds = fileStatsSource(chain)
+    val censusable: Column =
+      (groupCols.map { g =>
+        val p = physName(g)
+        map_contains_key(col("nullCounts"), lit(p)) &&
+          element_at(col("nullCounts"), lit(p)) === 0L &&
+          map_contains_key(col("mins"), lit(p)) &&
+          element_at(col("mins"), lit(p)) ===
+            element_at(col("maxs"), lit(p))
+      } ++ needed.map(c =>
+        map_contains_key(col("nullCounts"), lit(physName(c)))))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val tagged = ds.withColumn("_census", censusable)
+    // stragglers: bounded collect — past the threshold a plain scan
+    // beats shipping a straggler army through the hybrid
+    val stragglerCap = math.min(planThreshold, Int.MaxValue - 2L).toInt
+    val stragglerKeys = tagged.filter(!col("_census"))
+      .select(col("file")).as[String].limit(stragglerCap + 1)
+      .collect()
+    if (stragglerKeys.length > stragglerCap) return None
+    // dirs with no stat rows at all scan whole (same refusal shape as
+    // the driver arm's `uncovered`)
+    val coveredDirs = ds.select(col("file")).as[String]
+      .map(_.takeWhile(_ != '/')).distinct().collect().toSet
+    val uncoveredDirs = live.filterNot(e =>
+      e.contains("/") || coveredDirs.contains(e))
+    val keyCols = groupCols.zipWithIndex.map { case (g, i) =>
+      element_at(col("mins"), lit(physName(g))).as(s"k$i")
+    }
+    val aggs: Seq[Column] =
+      Seq(sum(col("rows")).as("_rows")) ++
+        countCols.zipWithIndex.map { case (c, i) =>
+          sum(col("rows") -
+            element_at(col("nullCounts"), lit(physName(c)))).as(s"n$i")
+        } ++
+        minCols.zipWithIndex.map { case (c, i) =>
+          min(decodeStatCol(element_at(col("mins"), lit(physName(c))),
+            dtOf(c))).as(s"mn$i")
+        } ++
+        maxCols.zipWithIndex.map { case (c, i) =>
+          max(decodeStatCol(element_at(col("maxs"), lit(physName(c))),
+            dtOf(c))).as(s"mx$i")
+        }
+    val grouped = tagged.filter(col("_census"))
+      .groupBy(keyCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    TxLogTable.lastPlanMaterialized = grouped.length + stragglerKeys.length
+    val groups = grouped.toSeq.map { r =>
+      CensusGroupRow(
+        groupCols.indices.map(i => r.getAs[String](s"k$i")),
+        r.getLong(r.fieldIndex("_rows")),
+        countCols.zipWithIndex.map { case (c, i) =>
+          c -> r.getLong(r.fieldIndex(s"n$i")) }.toMap,
+        minCols.zipWithIndex.flatMap { case (c, i) =>
+          encodeStatValue(r.get(r.fieldIndex(s"mn$i"))).map(c -> _)
+        }.toMap,
+        maxCols.zipWithIndex.flatMap { case (c, i) =>
+          encodeStatValue(r.get(r.fieldIndex(s"mx$i"))).map(c -> _)
+        }.toMap)
+    }
+    Some((groups,
+      stragglerKeys.toSeq.map(dataFilePath) ++
+        uncoveredDirs.map(d => dataDir.resolve(d).toString)))
+  }
+
   private[graft] def statsSummaryAt(version: Long)
       : Option[(Long, Map[String, ColRange], Map[String, Long])] = {
     val (chain, schema) = manifestChainAt(version)
     val live = chain.flatMap(_.add)
     if (live.isEmpty) return Some((0L, Map.empty, Map.empty))
+    // scale arm: past the threshold the fold runs as one Spark job
+    // over the checkpoint parquet — the driver materializes one row
+    if (statRowEstimate(chain) > planThreshold)
+      return statsSummaryDistributed(chain, schema)
     val (liveFiles, all) = liveFileStatsAt(version) match {
       case Some(x) => x
       case None => return None
     }
+    TxLogTable.lastPlanMaterialized = liveFiles.size
     val cmap = colMapOf(chain)
     val phys = physSchema(schema, cmap)
     val rows = liveFiles.iterator.map(all(_).rows).sum
@@ -1075,7 +1525,8 @@ final class TxLogTable(spark: SparkSession,
       batchSchema: StructType, overwrite: Boolean,
       statsCols: Seq[String], bloomCols: Seq[String],
       validatedConstraints: Map[String, String] = Map.empty,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty): Long = {
     val stats = statsOpt(dirName, batchSchema, statsCols, bloomCols)
     commitLoop(maxRetries) { v =>
       val cs = constraintsAt(v)
@@ -1087,7 +1538,8 @@ final class TxLogTable(spark: SparkSession,
         else evolveSchema(manifestChainAt(v)._2, batchSchema, colMapAt(v),
           droppedColsAt(v).toSeq)
       Some(Manifest(0L, if (overwrite) "overwrite" else "append",
-        Seq(dirName), schema.json, System.currentTimeMillis(), None, stats))
+        Seq(dirName), schema.json, System.currentTimeMillis(),
+        wrap(markers), stats))
     }
   }
 
@@ -1500,6 +1952,154 @@ final class TxLogTable(spark: SparkSession,
     }
   }
 
+  /** Predicate-scoped overwrite — the Delta `replaceWhere` idiom:
+    * atomically replace exactly the rows matching `condition` with
+    * `data`, FILE-granularly and without rewriting a single kept
+    * byte. Every live file must be DECIDABLE under the predicate from
+    * its skipping stats: dropped iff every row provably matches
+    * ([[DataSkipping.mustMatch]] — file-constant predicate columns,
+    * the clustered/PARTITIONED BY layout), kept iff no row can match
+    * ([[DataSkipping.mayMatch]] false); a straddling file refuses
+    * LOUDLY with MERGE/OPTIMIZE advice — file-granular replacement
+    * must never silently drop or keep rows it cannot prove. Kept
+    * files ride the new overwrite manifest as FILE-granular live
+    * entries (protocol v5) with their stats carried forward, so
+    * skipping and the census survive the swap; the whole dirs that
+    * survive intact keep dir granularity. Inserted rows must
+    * themselves satisfy `condition` (the Delta constraint-check
+    * default) — anything else would leak rows outside the replaced
+    * region. The replaced region's scale cost is METADATA: one
+    * manifest, no data movement.
+    */
+  def replaceWhere(data: DataFrame, condition: Column,
+      sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, maxRetries: Int = 20): Long = {
+    val cs0 = constraintsAt(currentVersion)
+    val staged = stageData(data, sortCols, checkConstraints = true)
+    requireStagedInRegion(staged, data.schema, condition)
+    val stats = statsOpt(staged, data.schema, statsCols, bloomCols)
+    commitLoop(maxRetries) { v =>
+      if (v >= 0 && constraintsAt(v) != cs0)
+        enforce(readPhysical(Seq(dataDir.resolve(staged).toString),
+          data.schema, colMapAt(v)), constraintsAt(v)).foreach(_ => ())
+      val schema =
+        if (v < 0) data.schema
+        else evolveSchema(manifestChainAt(v)._2, data.schema, colMapAt(v),
+          droppedColsAt(v).toSeq)
+      Some(replaceWhereManifest(v, staged, schema, condition, stats))
+    }
+  }
+
+  /** The native-V2 half of replaceWhere ([[TxLogBatchWrite]] with an
+    * overwrite predicate): the writers already staged `dirName`; the
+    * commit classifies the snapshot's files and publishes the swap.
+    */
+  private[sources] def commitStagedReplaceWhere(dirName: String,
+      batchSchema: StructType, condition: Column,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      validatedConstraints: Map[String, String] = Map.empty,
+      maxRetries: Int = 20): Long = {
+    requireStagedInRegion(dirName, batchSchema, condition)
+    val stats = statsOpt(dirName, batchSchema, statsCols, bloomCols)
+    commitLoop(maxRetries) { v =>
+      val cs = constraintsAt(v)
+      if (cs.nonEmpty && cs != validatedConstraints)
+        enforce(readPhysical(Seq(stagedDirPath(dirName)), batchSchema,
+          colMapAt(v)), cs).foreach(_ => ())
+      val schema =
+        if (v < 0) batchSchema
+        else evolveSchema(manifestChainAt(v)._2, batchSchema, colMapAt(v),
+          droppedColsAt(v).toSeq)
+      Some(replaceWhereManifest(v, dirName, schema, condition, stats))
+    }
+  }
+
+  /** Inserted rows must satisfy the replaceWhere predicate (rows
+    * where it is FALSE or NULL would land OUTSIDE the replaced
+    * region — silent corruption of the untouched files' semantics).
+    */
+  private def requireStagedInRegion(dirName: String,
+      batchSchema: StructType, condition: Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val stagedDf = readPhysical(Seq(dataDir.resolve(dirName).toString),
+      batchSchema, currentColMap)
+    require(stagedDf.filter(not(coalesce(condition, lit(false))))
+        .isEmpty,
+      "replaceWhere: the inserted batch contains rows NOT matching " +
+        s"the predicate $condition; inserted rows must satisfy the " +
+        "predicate they replace under (append them separately instead)")
+  }
+
+  /** One replaceWhere attempt at snapshot `v`: classify every live
+    * file (drop / keep / refuse), carry kept stats forward, publish
+    * kept entries + the staged dir as an overwrite.
+    */
+  private def replaceWhereManifest(v: Long, stagedDir: String,
+      schema: StructType, condition: Column,
+      stagedStats: Option[Map[String, FileStats]]): Manifest = {
+    require(v >= 0, s"replaceWhere needs an existing table at $root")
+    val (chain, schema0) = manifestChainAt(v)
+    require(dvDirsOf(chain).isEmpty,
+      "replaceWhere on a snapshot with live deletion vectors is not " +
+        "supported; OPTIMIZE (or checkpoint) folds them away first")
+    val cmap = colMapOf(chain)
+    val phys = physSchema(schema0, cmap)
+    val predExpr = toPhysicalExpr(
+      org.apache.spark.sql.graft.bridge.catalystExpression(condition), cmap)
+    val all: Map[String, FileStats] = fileStatsSplitAt(v) match {
+      case Some((_, m, uncovered)) =>
+        require(uncovered.isEmpty,
+          "replaceWhere needs skipping stats on every live file to " +
+            s"classify it (missing: ${uncovered.take(3).mkString(", ")}" +
+            s"${if (uncovered.size > 3) ", …" else ""}); recommit those " +
+            "files with statsCols, or use MERGE/DELETE")
+        m
+      case None => throw new IllegalStateException(
+        s"live data dirs missing under $root")
+    }
+    // kept-file stats that already live in a parquet checkpoint keep
+    // being served by it (the statsFile reference rides the new
+    // manifest) — only previously-INLINE stats re-inline, so a
+    // million-file replaceWhere never folds the checkpoint into JSON
+    val priorInline: Map[String, FileStats] =
+      chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+    val priorCkpt: Option[String] = chain.flatMap(_.statsFile).lastOption
+    val kept = Seq.newBuilder[String]
+    val keptStats = Map.newBuilder[String, FileStats]
+    chain.flatMap(_.add).foreach { e =>
+      val files: Seq[String] =
+        if (e.contains("/")) Seq(e)
+        else store.list(dataDir.resolve(e)).filter(_.endsWith(".parquet"))
+          .map(f => s"$e/$f")
+      val verdicts: Seq[(String, Boolean)] = files.map { f =>
+        val fs = all(f)
+        if (DataSkipping.mustMatch(predExpr, phys, fs)) (f, false)
+        else if (!DataSkipping.mayMatch(predExpr, phys, fs)) (f, true)
+        else throw new IllegalArgumentException(
+          s"replaceWhere predicate is not file-decidable for $f: its " +
+            "value range straddles the predicate. Cluster the table on " +
+            "the predicate columns (PARTITIONED BY / OPTIMIZE ZORDER) " +
+            "for file-granular replacement, or use MERGE/DELETE for " +
+            "row-level semantics")
+      }
+      def keepStats(f: String): Unit =
+        priorInline.get(f).foreach(fs => keptStats += f -> fs)
+      if (verdicts.nonEmpty && verdicts.forall(_._2) && !e.contains("/")) {
+        kept += e // the whole dir survives: keep dir granularity
+        verdicts.foreach { case (f, _) => keepStats(f) }
+      } else verdicts.foreach { case (f, keep) =>
+        if (keep) { kept += f; keepStats(f) }
+      }
+    }
+    val mergedStats = keptStats.result() ++ stagedStats.getOrElse(Map.empty)
+    Manifest(0L, "overwrite", kept.result() :+ stagedDir, schema.json,
+      System.currentTimeMillis(),
+      markers = Some(Map("replace_where" -> condition.toString)),
+      stats = if (mergedStats.isEmpty) None else Some(mergedStats),
+      statsFile = priorCkpt,
+      cdc = Some(Seq(stagedDir)))
+  }
+
   /** Transactional MERGE (S10/J2 semantics — latest-wins by
     * `precedence` per `key`): optimistic read-modify-write. Each
     * attempt computes [[Upsert.mergeByKey]] against the CURRENT
@@ -1818,14 +2418,15 @@ final class TxLogTable(spark: SparkSession,
     if (inline.isEmpty && prior.isEmpty) return None
     // restrict carried rows to files still under a live dir: a prior
     // checkpoint may cover dirs an overwrite since dropped
-    val liveDirs = chain.flatMap(_.add).toSet
+    val liveKeys = chain.flatMap(_.add).toSet
     val inlineDs = inline.toSeq
       .map { case (f, fs) => TxLogTable.toCkptRow(f, fs) }.toDS()
     val priorDs = prior.map(p => spark.read
       .schema(inlineDs.schema).parquet(ckptPath(p).toString)
       .as[TxLogTable.CkptStatRow])
     val all = (priorDs :+ inlineDs).reduce(_.unionByName(_))
-      .filter(r => liveDirs.contains(r.file.takeWhile(_ != '/')))
+      .filter(r => liveKeys.contains(r.file.takeWhile(_ != '/')) ||
+        liveKeys.contains(r.file))
     val name = s"ckpt-${UUID.randomUUID()}.parquet"
     all.write.parquet(ckptPath(name).toString)
     Some(name)
@@ -2243,9 +2844,14 @@ final class TxLogTable(spark: SparkSession,
     // retainHistory=false keeps the live set plus the change dirs of
     // the still-walked manifest chain (the feed window a reader can
     // still replay)
+    // live entries may be FILE-granular (replaceWhere); the sweep
+    // reconciles DIRS, so a dir stays referenced while ANY of its
+    // files does (conservative — dropped siblings go when the last
+    // reference to the dir does)
     val referenced: Set[String] =
       manifests.flatMap(m =>
-        m.add ++ m.cdc.getOrElse(Nil) ++ m.dv.getOrElse(Nil)).toSet
+        (m.add ++ m.cdc.getOrElse(Nil) ++ m.dv.getOrElse(Nil))
+          .map(_.takeWhile(_ != '/'))).toSet
     def sweep(dir: Path, doomed: List[String]): List[String] = {
       // DRY RUN: report what a real vacuum would remove, touch nothing
       if (!dryRun) doomed.foreach(d => store.deleteRecursive(dir.resolve(d)))

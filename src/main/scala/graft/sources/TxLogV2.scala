@@ -172,7 +172,9 @@ final class TxLogV2Table(spark: SparkSession, root: String,
     if (nativeWrite)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.OVERWRITE_DYNAMIC)
+        TableCapability.OVERWRITE_DYNAMIC,
+        TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.STREAMING_WRITE)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -250,9 +252,34 @@ final class TxLogWriteBuilder(root: String, info: LogicalWriteInfo)
   */
 final class TxLogNativeWriteBuilder(spark: SparkSession, root: String,
     info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate
-    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   @volatile private var overwriteAll = false
+  @volatile private var replaceCond: Option[Column] = None
+
+  /** `writeTo(t).overwrite(cond)` / SQL `INSERT INTO … REPLACE WHERE`:
+    * predicate-scoped replacement ([[TxLogTable.replaceWhere]] —
+    * file-granular, metadata-only swap). Every filter must translate
+    * EXACTLY (the commit classifies files by the predicate; silently
+    * dropping a leg would widen the replaced region), and
+    * AlwaysTrue() is a full truncate-overwrite, Spark's own contract.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue())) {
+      overwriteAll = true
+      return this
+    }
+    val cols = filters.toIndexedSeq.map { f =>
+      TxLogRelation.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"replaceWhere predicate $f is not translatable for txlog " +
+            "file-granular replacement; use MERGE/DELETE instead"))
+    }
+    replaceCond = Some(cols.reduce(_ && _))
+    this
+  }
 
   /** PARTITIONED BY columns recorded at CREATE TABLE (cluster-by
     * metadata, see [[TxLogCatalog.createTable]]): native writes
@@ -305,9 +332,22 @@ final class TxLogNativeWriteBuilder(spark: SparkSession, root: String,
           : org.apache.spark.sql.connector.write.BatchWrite =
         new TxLogBatchWrite(spark, root, info.schema(), overwriteAll,
           (csv("statsCols") ++ clusterCols).distinct, csv("bloomCols"),
-          clusterCols)
+          clusterCols, replaceCond)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        // Complete mode arrives as truncate(); streaming replaceWhere
+        // has no Spark surface — both reject loudly
+        if (overwriteAll || replaceCond.isDefined)
+          throw new UnsupportedOperationException(
+            "txlog streaming writes support Append output mode only")
+        new TxLogStreamingWrite(spark, root, info.schema(),
+          (csv("statsCols") ++ clusterCols).distinct, csv("bloomCols"),
+          clusterCols,
+          Option(info.options().get("checkpointEvery")).map(_.trim.toInt))
+      }
       override def description(): String =
-        s"txlog native ${if (overwriteAll) "overwrite" else "append"} $root" +
+        s"txlog native ${if (overwriteAll) "overwrite"
+          else if (replaceCond.isDefined) "replaceWhere" else "append"} $root" +
           (if (clusterCols.isEmpty) ""
            else clusterCols.mkString(" clusterBy(", ",", ")"))
     }
@@ -328,7 +368,8 @@ final class TxLogNativeWriteBuilder(spark: SparkSession, root: String,
 final class TxLogBatchWrite(spark: SparkSession, root: String,
     logicalSchema: StructType, overwriteAll: Boolean,
     statsCols: Seq[String], bloomCols: Seq[String],
-    clusterCols: Seq[String] = Nil)
+    clusterCols: Seq[String] = Nil,
+    replaceCond: Option[Column] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val table = new TxLogTable(spark, root)
@@ -376,14 +417,100 @@ final class TxLogBatchWrite(spark: SparkSession, root: String,
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     table.ensureExists(logicalSchema)
-    table.commitStagedV2(dirName, TxLogV2.asNullable(logicalSchema),
-      overwriteAll, effStatsCols, bloomCols, validated)
+    replaceCond match {
+      case Some(cond) =>
+        table.commitStagedReplaceWhere(dirName,
+          TxLogV2.asNullable(logicalSchema), cond, effStatsCols,
+          bloomCols, validated)
+      case None =>
+        table.commitStagedV2(dirName, TxLogV2.asNullable(logicalSchema),
+          overwriteAll, effStatsCols, bloomCols, validated)
+    }
     ()
   }
 
   override def abort(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     table.dropStagedDir(dirName)
+}
+
+/** Native STREAMING write of a catalog txlog table —
+  * `df.writeStream.toTable("cat.ns.t")` through `STREAMING_WRITE`:
+  * each micro-batch stages its files under `data/stream-<uuid>-<epoch>/`
+  * through the same task-commit-rename writers as the batch path, and
+  * the epoch commit is one optimistic manifest bid carrying the
+  * micro-batch id as a marker — EXACTLY-ONCE under replay (a batch
+  * re-delivered after a crash between commit and checkpoint advance
+  * is recognized by the marker and its staged dir dropped), parity
+  * with the V1 [[TxLogAppendSink]] contract. `checkpointEvery=N`
+  * folds the manifest chain as the stream ages, same as the V1 sink.
+  */
+final class TxLogStreamingWrite(spark: SparkSession, root: String,
+    logicalSchema: StructType, statsCols: Seq[String],
+    bloomCols: Seq[String], clusterCols: Seq[String],
+    checkpointEvery: Option[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val table = new TxLogTable(spark, root)
+  private val base = s"stream-${java.util.UUID.randomUUID()}"
+  private def dirFor(epochId: Long): String = s"$base-$epochId"
+  @volatile private var validated: Map[String, String] = Map.empty
+
+  override def createStreamingWriterFactory(
+      pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    table.ensureExists(logicalSchema)
+    validated = table.constraintsAt(table.currentVersion)
+    val keyFields = clusterCols.map { c =>
+      val i = logicalSchema.fieldIndex(c)
+      (i, logicalSchema.fields(i).dataType)
+    }
+    TxLogStreamingWriterFactory(table.stagedDirPath(base),
+      v2bridge.stagedParquetWriters(spark,
+        table.physicalWriteSchema(logicalSchema)),
+      TxLogV2.bindConstraints(spark,
+        TxLogV2.asNullable(logicalSchema), validated),
+      keyFields)
+  }
+
+  override def commit(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dir = dirFor(epochId)
+    val done = table.marker(TxLogStream.SinkBatchMarker)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+    if (epochId <= done) { // exact replay of a committed batch
+      table.dropStagedDir(dir)
+      return
+    }
+    table.ensureExists(logicalSchema)
+    table.mkStagedDir(dir) // an empty batch never opened a file
+    table.commitStagedV2(dir, TxLogV2.asNullable(logicalSchema),
+      overwrite = false, statsCols, bloomCols, validated,
+      markers = Map(TxLogStream.SinkBatchMarker -> epochId.toString))
+    checkpointEvery.foreach(n => table.maybeCheckpoint(n))
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    table.dropStagedDir(dirFor(epochId))
+}
+
+/** Routes each epoch's writers to its own staged dir (the epoch id is
+  * only known task-side).
+  */
+private[sources] final case class TxLogStreamingWriterFactory(
+    baseDirPath: String, writers: v2bridge.StagedParquetWriters,
+    constraints: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)],
+    clusterKeys: Seq[(Int, DataType)])
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TxLogDataWriter(s"$baseDirPath-$epochId", writers, partitionId,
+      taskId, constraints, clusterKeys)
 }
 
 private[sources] final case class TxLogWriteDone(file: String, rows: Long)
@@ -419,18 +546,57 @@ private final class TxLogDataWriter(dir: String,
   private var writer: v2bridge.StagedRowWriter = null
   private var seq = 0
   private var staged: List[(String, String)] = Nil // (tmp, final)
-  private var curKey: Seq[Any] = null
+  private val keysArr: Array[(Int, DataType)] = clusterKeys.toArray
+  private var curKey: Array[Any] = null
   private var rows = 0L
 
-  /** Cluster-key values of a row, COPIED out of the reused row
-    * buffer (UTF8String payloads are transient).
+  /** The CHECK conjunction compiled ONCE per writer through Spark's
+    * whole-expression codegen (`Predicate.create`, interpreted
+    * fallback built in) — executor-side lazy, so the factory ships
+    * only the serializable bound expressions and the per-row hot loop
+    * pays a generated-class call, not an interpreted Catalyst eval.
     */
-  private def keyOf(r: InternalRow): Seq[Any] = clusterKeys.map {
-    case (i, dt) =>
-      r.get(i, dt) match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-        case v => v
-      }
+  private lazy val compiled: Array[(String, String,
+      org.apache.spark.sql.catalyst.expressions.BasePredicate)] =
+    constraints.iterator.map { case (name, sql, bound) =>
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate
+        .create(bound)
+      p.initialize(partitionId)
+      (name, sql, p)
+    }.toArray
+
+  /** Row's cluster key equals the current run's key? Field-wise
+    * compare against the captured values — no per-row allocation
+    * (the old Seq-building compare allocated on EVERY row; a copy now
+    * happens only when the key actually rolls).
+    */
+  private def sameKey(r: InternalRow): Boolean = {
+    var j = 0
+    while (j < keysArr.length) {
+      val (i, dt) = keysArr(j)
+      val v: Any = if (r.isNullAt(i)) null else r.get(i, dt)
+      if (v != curKey(j)) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Capture the row's cluster-key values, COPYING out of the reused
+    * row buffer (UTF8String payloads are transient).
+    */
+  private def captureKey(r: InternalRow): Unit = {
+    if (curKey == null) curKey = new Array[Any](keysArr.length)
+    var j = 0
+    while (j < keysArr.length) {
+      val (i, dt) = keysArr(j)
+      curKey(j) =
+        if (r.isNullAt(i)) null
+        else r.get(i, dt) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+          case v => v
+        }
+      j += 1
+    }
   }
 
   private def closeCurrent(): Unit =
@@ -441,17 +607,16 @@ private final class TxLogDataWriter(dir: String,
     // single pass, the same point the V1 staging job enforces at;
     // only FALSE violates (the bound predicate coalesces NULL→true)
     var i = 0
-    while (i < constraints.length) {
-      val (name, sql, bound) = constraints(i)
-      if (java.lang.Boolean.FALSE.equals(bound.eval(r)))
+    while (i < compiled.length) {
+      val (name, sql, pred) = compiled(i)
+      if (!pred.eval(r))
         throw new IllegalStateException(
           s"CHECK constraint '$name' violated: $sql")
       i += 1
     }
-    if (clusterKeys.nonEmpty) {
-      val k = keyOf(r)
-      if (writer != null && k != curKey) closeCurrent()
-      curKey = k
+    if (keysArr.nonEmpty) {
+      if (curKey == null) captureKey(r)
+      else if (!sameKey(r)) { closeCurrent(); captureKey(r) }
     }
     if (writer == null) {
       val tmp = f"$dir/.inprogress-$partitionId%05d-$taskId-$seq.parquet"
@@ -538,6 +703,21 @@ final class TxLogScanBuilder(spark: SparkSession,
   // EXACT by the statsSummaryAt contract, so the pushdown is complete.
 
   private var pushedAgg: Option[(StructType, Seq[InternalRow])] = None
+  private var pushedHybrid: Option[TxLogScanBuilder.HybridCensus] = None
+
+  /** What the builder decided for an Aggregation: COMPLETE (every row
+    * of the result folds exactly from the manifest — Spark plans a
+    * LocalTableScan), HYBRID (census rows for the file-constant
+    * majority + a real scan of only the straggler files, merged by
+    * Spark's own partial-aggregate machinery), or declined (the
+    * normal scan runs).
+    */
+  private sealed trait Served
+  private final case class Complete(schema: StructType,
+      rows: Seq[InternalRow]) extends Served
+  private final case class Hybrid(c: TxLogScanBuilder.HybridCensus)
+      extends Served
+  private case object Declined extends Served
 
   private def minMaxOk(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -558,10 +738,34 @@ final class TxLogScanBuilder(spark: SparkSession,
     case _ => None
   }
 
-  private def serveAggregation(agg: Aggregation)
+  private def serveAggregation(agg: Aggregation): Served = {
+    if (table.dvDirsAt(version).nonEmpty) return Declined
+    if (agg.groupByExpressions.nonEmpty) {
+      censusFor(agg) match {
+        case Some(c) if c.stragglers.isEmpty => Complete(c.schema, c.rows)
+        case Some(c) => Hybrid(c)
+        case None => Declined
+      }
+    } else serveUngrouped(agg) match {
+      case Some((schema, rows)) => Complete(schema, rows)
+      case None => censusFor(agg) match {
+        // ungrouped census must have at least one censusable file: an
+        // all-straggler hybrid is just a worse plain scan, and an
+        // empty table needs the scan-side aggregate to emit its one
+        // global row (a pushed result may not be row-less ungrouped)
+        case Some(c) if c.rows.nonEmpty =>
+          if (c.stragglers.isEmpty) Complete(c.schema, c.rows) else Hybrid(c)
+        case _ => Declined
+      }
+    }
+  }
+
+  /** Ungrouped complete pushdown from the table-level summary
+    * ([[TxLogTable.statsSummaryAt]] — exact only when EVERY live file
+    * carries stats for the referenced columns).
+    */
+  private def serveUngrouped(agg: Aggregation)
       : Option[(StructType, Seq[InternalRow])] = {
-    if (table.dvDirsAt(version).nonEmpty) return None
-    if (agg.groupByExpressions.nonEmpty) return serveGrouped(agg)
     val schema = v2bridge.pushedAggSchema(agg, fullSchema) match {
       case Some(sc) => sc
       case None => return None
@@ -597,18 +801,21 @@ final class TxLogScanBuilder(spark: SparkSession,
         values.toArray[Any]))))
   }
 
-  /** GROUPED manifest census: `GROUP BY` over columns that are
-    * FILE-CONSTANT in every live file (per-file min == max, zero
-    * nulls — exactly what the range/z-order clustered layout
-    * produces, the engine's stand-in for hive partition values). Each
-    * file then belongs to exactly one group, so grouped
-    * count/count(col)/min/max fold EXACTLY from the per-file stats —
-    * one driver metadata walk, zero files opened, zero jobs. Any file
-    * breaking the constancy precondition (or missing stats) declines
-    * the pushdown and the real scan runs.
+  /** The manifest CENSUS of an aggregation, split per file: `GROUP
+    * BY` columns must be FILE-CONSTANT (per-file min == max, zero
+    * nulls — exactly what the clustered/partitioned layout produces,
+    * the engine's stand-in for hive partition values) and the agg
+    * columns stats-covered for a file to fold into census rows; every
+    * OTHER live file — a late unclustered append, a stats-less commit
+    * — becomes a STRAGGLER the hybrid scan actually reads. One driver
+    * metadata walk; the fold is exact by the skipping-stats contract.
+    * None when the aggregation shape itself is unservable (expression
+    * group key, non-decodable type, sum/distinct) or nothing at all
+    * is censusable.
     */
-  private def serveGrouped(agg: Aggregation)
-      : Option[(StructType, Seq[InternalRow])] = {
+  private def censusFor(agg: Aggregation)
+      : Option[TxLogScanBuilder.HybridCensus] = {
+    import TxLogScanBuilder.{AggSpec, CensusOp, ColCount, ColMax, ColMin, HybridCensus, StarCount}
     val groupFields: Seq[StructField] =
       agg.groupByExpressions.toSeq.map(e =>
         colOf(e).filter(f => minMaxOk(f.dataType)).getOrElse(return None))
@@ -617,89 +824,127 @@ final class TxLogScanBuilder(spark: SparkSession,
       case Some(sc) => sc
       case None => return None
     }
-    val per = table.perFileStatsAt(version).getOrElse(return None)
-    // every file must be constant in every group column
-    val keyed: Seq[(Seq[String], Long, Map[String, DataSkipping.ColRange])] =
-      per.map { case (_, rows, cols) =>
-        val key = groupFields.map { f =>
-          val r = cols.getOrElse(f.name, return None)
-          if (r.nulls != 0L) return None
-          val mn = r.min.getOrElse(return None)
-          val mx = r.max.getOrElse(return None)
-          if (mn != mx) return None
-          mn
-        }
-        (key, rows, cols)
-      }
-    val out = keyed.groupBy(_._1).toSeq.sortBy(_._1.mkString("\u0000"))
-      .map { case (key, files) =>
-        val gvals: Seq[Any] = groupFields.zip(key).map { case (f, v) =>
+    val aggSpecs: Seq[AggSpec] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => StarCount
+      case c: Count if !c.isDistinct =>
+        ColCount(colOf(c.column()).getOrElse(return None))
+      case m: Min =>
+        val f = colOf(m.column()).getOrElse(return None)
+        if (!minMaxOk(f.dataType)) return None
+        ColMin(f)
+      case m: Max =>
+        val f = colOf(m.column()).getOrElse(return None)
+        if (!minMaxOk(f.dataType)) return None
+        ColMax(f)
+      case _ => return None
+    }
+    val countCols = aggSpecs.collect { case ColCount(f) => f.name }.distinct
+    val minCols = aggSpecs.collect { case ColMin(f) => f.name }.distinct
+    val maxCols = aggSpecs.collect { case ColMax(f) => f.name }.distinct
+    // the split itself scales: a driver fold below the plan threshold,
+    // ONE Spark job over the checkpoint parquet above it — the driver
+    // only ever holds (groups + stragglers), never the file census
+    val (groups, stragglers) = table.censusSplitAt(version,
+      groupFields.map(_.name), countCols, minCols, maxCols) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (groups.isEmpty && stragglers.nonEmpty) return None
+    val rows: Seq[InternalRow] = groups
+      .sortBy(_.key.mkString("\u0000"))
+      .map { g =>
+        val gvals: Seq[Any] = groupFields.zip(g.key).map { case (f, v) =>
           v2bridge.statFromExternalString(v, f.name, f.dataType)
         }
-        val avals: Seq[Any] = agg.aggregateExpressions().toSeq.map {
-          case _: CountStar =>
-            java.lang.Long.valueOf(files.iterator.map(_._2).sum)
-          case c: Count if !c.isDistinct =>
-            val f = colOf(c.column()).getOrElse(return None)
-            java.lang.Long.valueOf(files.iterator.map { case (_, rows, cols) =>
-              rows - cols.getOrElse(f.name, return None).nulls
-            }.sum)
-          case m: Min =>
-            val f = colOf(m.column()).getOrElse(return None)
-            if (!minMaxOk(f.dataType)) return None
-            foldRange(files, f, _.min, keepMax = false)
-              .getOrElse(return None)
-          case m: Max =>
-            val f = colOf(m.column()).getOrElse(return None)
-            if (!minMaxOk(f.dataType)) return None
-            foldRange(files, f, _.max, keepMax = true)
-              .getOrElse(return None)
-          case _ => return None
+        val avals: Seq[Any] = aggSpecs.map {
+          case StarCount => java.lang.Long.valueOf(g.rows)
+          case ColCount(f) => java.lang.Long.valueOf(g.counts(f.name))
+          case ColMin(f) => g.mins.get(f.name)
+            .map(v => v2bridge.statFromExternalString(v, f.name,
+              f.dataType)).orNull
+          case ColMax(f) => g.maxs.get(f.name)
+            .map(v => v2bridge.statFromExternalString(v, f.name,
+              f.dataType)).orNull
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           (gvals ++ avals).toArray[Any]): InternalRow
       }
-    Some((schema, out))
+    // the straggler scan's source projection + the per-row mapping
+    // into the pushed-agg layout (group cols first, then agg cols —
+    // Spark's partial-aggregate machinery merges census + raw rows:
+    // Count→Sum, Min→Min, Max→Max above the scan)
+    val srcFields: Seq[StructField] =
+      (groupFields ++ aggSpecs.collect {
+        case ColCount(f) => f
+        case ColMin(f) => f
+        case ColMax(f) => f
+      }).foldLeft(Vector.empty[StructField])((acc, f) =>
+        if (acc.exists(_.name == f.name)) acc else acc :+ f)
+    def idxOf(f: StructField): Int = srcFields.indexWhere(_.name == f.name)
+    val ops: Seq[CensusOp] =
+      groupFields.map(f => CensusOp(0, idxOf(f))) ++
+        aggSpecs.map {
+          case StarCount => CensusOp(1, -1)
+          case ColCount(f) => CensusOp(2, idxOf(f))
+          case ColMin(f) => CensusOp(0, idxOf(f))
+          case ColMax(f) => CensusOp(0, idxOf(f))
+        }
+    Some(HybridCensus(schema, rows, stragglers,
+      StructType(srcFields), ops))
   }
 
-  /** Exact min/max fold over one group's files: None declines the
-    * pushdown (a file missing the column's stats — exactness over
-    * coverage); Some(null) is a legitimate SQL NULL (every file's
-    * values all null); an all-null FILE contributes nothing to the
-    * fold but does not decline it.
+  /** Exact min/max fold over one group's file ranges: null is a
+    * legitimate SQL NULL result (every file's values all null); an
+    * all-null FILE contributes nothing to the fold. Stats presence
+    * was already established by the censusable split.
     */
   private def foldRange(
-      files: Seq[(Seq[String], Long, Map[String, DataSkipping.ColRange])],
+      ranges: Seq[Map[String, DataSkipping.ColRange]],
       f: StructField,
       pick: DataSkipping.ColRange => Option[String],
-      keepMax: Boolean): Option[Any] = {
-    val ext = files.map { case (_, _, cols) =>
-      cols.get(f.name) match {
-        case None => return None
-        case Some(r) => pick(r)
+      keepMax: Boolean): Any = {
+    val best = ranges.flatMap(cols => pick(cols(f.name)))
+      .reduceOption { (a, b) =>
+        DataSkipping.cmpExternal(f.dataType, a, b) match {
+          case Some(c) => if ((c >= 0) == keepMax) a else b
+          case None => a
+        }
       }
-    }
-    val best = ext.flatten.reduceOption { (a, b) =>
-      DataSkipping.cmpExternal(f.dataType, a, b) match {
-        case Some(c) => if ((c >= 0) == keepMax) a else b
-        case None => a
-      }
-    }
-    Some(best
-      .map(v => v2bridge.statFromExternalString(v, f.name, f.dataType))
-      .orNull)
+    best.map(v => v2bridge.statFromExternalString(v, f.name, f.dataType))
+      .orNull
+  }
+
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // same Aggregation instance; the census walk (and the grouped arm's
+  // perFileStatsAt read) must run ONCE per query, not twice — memoize
+  // on instance identity (a miss just recomputes).
+  private var aggMemo: Option[(Aggregation, Served)] = None
+
+  private def servedAggregation(agg: Aggregation): Served = aggMemo match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = serveAggregation(agg)
+      aggMemo = Some((agg, r))
+      r
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    serveAggregation(agg).isDefined
+    servedAggregation(agg).isInstanceOf[Complete]
 
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    pushedAgg = serveAggregation(agg)
-    pushedAgg.isDefined
-  }
+  override def pushAggregation(agg: Aggregation): Boolean =
+    servedAggregation(agg) match {
+      case Complete(schema, rows) =>
+        pushedAgg = Some((schema, rows)); true
+      case Hybrid(c) =>
+        pushedHybrid = Some(c); true
+      case Declined => false
+    }
 
   override def build(): Scan = pushedAgg match {
     case Some((schema, rows)) => new TxLogAggScan(schema, rows.toArray)
+    case None if pushedHybrid.isDefined =>
+      new TxLogHybridCensusScan(spark, table, version, fullSchema,
+        pushedHybrid.get)
     case None =>
       if (table.dvDirsAt(version).isEmpty)
         new TxLogBatchScan(spark, table, version, fullSchema, required,
@@ -730,6 +975,32 @@ object TxLogScanBuilder {
     * broadcast threshold — the same "small enough to ship" judgment).
     */
   private[sources] val DefaultDvInlineBytes: Long = 16L * 1024 * 1024
+
+  /** One aggregate of a (hybrid) census, resolved to its source
+    * column.
+    */
+  private[sources] sealed trait AggSpec
+  private[sources] case object StarCount extends AggSpec
+  private[sources] final case class ColCount(f: StructField) extends AggSpec
+  private[sources] final case class ColMin(f: StructField) extends AggSpec
+  private[sources] final case class ColMax(f: StructField) extends AggSpec
+
+  /** Per-row mapping of a STRAGGLER row into the pushed-agg layout:
+    * kind 0 = passthrough of source column `srcIdx` (group keys and
+    * min/max inputs — a raw value IS a valid partial), kind 1 =
+    * count(*) contribution (constant 1), kind 2 = count(col)
+    * contribution (0/1 by null check on `srcIdx`).
+    */
+  private[sources] final case class CensusOp(kind: Int, srcIdx: Int)
+
+  /** A split census: pre-folded rows for the file-constant files,
+    * straggler file paths the scan must actually read, the
+    * stragglers' source projection, and the per-row ops mapping that
+    * projection into the pushed-agg layout.
+    */
+  private[sources] final case class HybridCensus(schema: StructType,
+      rows: Seq[InternalRow], stragglers: Seq[String],
+      srcSchema: StructType, ops: Seq[CensusOp])
 }
 
 /** The native Batch scan of a DV-free snapshot: the manifest decides
@@ -1123,4 +1394,130 @@ final class TxLogAggScan(schema: StructType, data: Array[InternalRow])
   override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] = data
   override def description(): String = "txlog manifest-stats aggregate"
+}
+
+/** The HYBRID census scan: a pushed (partial) aggregation whose
+  * result merges PRE-FOLDED census rows — one per group, folded
+  * exactly from the manifest stats of the file-constant files — with
+  * raw-shaped rows read from only the STRAGGLER files (a late
+  * unclustered append, a stats-less commit). Spark's own
+  * partial-aggregate machinery does the merge above the scan
+  * (Count→Sum, Min→Min, Max→Max), so one straggler no longer degrades
+  * a 100 TB census to a full scan: files opened = stragglers only.
+  */
+final class TxLogHybridCensusScan(spark: SparkSession, table: TxLogTable,
+    version: Long, logicalFull: StructType,
+    census: TxLogScanBuilder.HybridCensus) extends Scan with Batch {
+
+  private val cmap: Map[String, String] = table.colMapAt(version)
+  private def physName(n: String): String = cmap.getOrElse(n, n)
+  private def phys(sc: StructType): StructType =
+    if (cmap.isEmpty) sc
+    else StructType(sc.fields.map(f => f.copy(name = physName(f.name))))
+
+  override def readSchema(): StructType = census.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"txlog v$version ${table.root} hybrid census " +
+      s"(${census.rows.size} census rows, " +
+      s"${census.stragglers.size} straggler files)"
+
+  private lazy val planned
+      : (Array[InputPartition], PartitionReaderFactory) = {
+    val stragBatch = v2bridge.parquetScan(spark, census.stragglers,
+      phys(logicalFull), phys(census.srcSchema), Array.empty).toBatch
+    TxLogV2.lastScan = (census.stragglers.size,
+      if (TxLogV2.captureScans)
+        table.expandToFiles(table.scanPathsAt(version, lit(true))).size
+      else -1)
+    val parts: Array[InputPartition] =
+      (if (census.rows.isEmpty) Array.empty[InputPartition]
+       else Array[InputPartition](
+         TxLogCensusInput(census.rows.toArray))) ++
+        stragBatch.planInputPartitions().map(p =>
+          TxLogStragglerInput(p): InputPartition)
+    (parts, new TxLogCensusFactory(stragBatch.createReaderFactory(),
+      census.srcSchema, census.ops.toArray))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._1
+  override def createReaderFactory(): PartitionReaderFactory = planned._2
+}
+
+/** The census rows as one driver-built input partition (bounded by
+  * GROUP COUNT — the fold already collapsed files to groups).
+  */
+private[sources] final case class TxLogCensusInput(rows: Array[InternalRow])
+    extends InputPartition
+
+/** Marker wrapper routing straggler partitions to the mapping
+  * reader.
+  */
+private[sources] final case class TxLogStragglerInput(inner: InputPartition)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Row-based factory of the hybrid census: census partitions replay
+  * their pre-folded rows; straggler partitions read through Spark's
+  * parquet reader and map each raw row into the pushed-agg layout.
+  */
+private[sources] final class TxLogCensusFactory(
+    inner: PartitionReaderFactory, srcSchema: StructType,
+    ops: Array[TxLogScanBuilder.CensusOp]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case c: TxLogCensusInput => new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < c.rows.length }
+      override def get(): InternalRow = c.rows(i)
+      override def close(): Unit = ()
+    }
+    case TxLogStragglerInput(ip) =>
+      new TxLogCensusMapReader(inner.createReader(ip), srcSchema, ops)
+    case other => throw new IllegalStateException(
+      s"unexpected partition $other in hybrid census scan")
+  }
+}
+
+/** Maps one straggler row into the pushed-agg layout: group keys and
+  * min/max inputs pass through (a raw value IS a valid partial for
+  * Min/Max), count(*) contributes 1, count(col) contributes 0/1. The
+  * output row is reused per reader (the scan contract — consumers
+  * copy what they retain).
+  */
+private final class TxLogCensusMapReader(
+    inner: PartitionReader[InternalRow], srcSchema: StructType,
+    ops: Array[TxLogScanBuilder.CensusOp])
+    extends PartitionReader[InternalRow] {
+
+  private val out =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      ops.length)
+  private val dts: Array[DataType] =
+    ops.map(o => if (o.srcIdx >= 0) srcSchema.fields(o.srcIdx).dataType
+      else null)
+
+  override def next(): Boolean = inner.next()
+
+  override def get(): InternalRow = {
+    val r = inner.get()
+    var j = 0
+    while (j < ops.length) {
+      val o = ops(j)
+      val v: Any = o.kind match {
+        case 0 => if (r.isNullAt(o.srcIdx)) null else r.get(o.srcIdx, dts(j))
+        case 1 => java.lang.Long.valueOf(1L)
+        case 2 => java.lang.Long.valueOf(
+          if (r.isNullAt(o.srcIdx)) 0L else 1L)
+      }
+      out.update(j, v)
+      j += 1
+    }
+    out
+  }
+
+  override def close(): Unit = inner.close()
 }

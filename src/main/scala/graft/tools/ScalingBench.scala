@@ -46,7 +46,12 @@ object ScalingBench {
     "q95_ann_pq_recall_floor", "q100_ann_ivfadc_recall_floor",
     // round 14 (DSv2 migration): Spark-native runtime file pruning on
     // the V2 scan — the join-time scan-killer measured at scale
-    "q205_txlog_dynamic_pruning")
+    "q205_txlog_dynamic_pruning",
+    // round 16: the manifest-census family over the migrated store +
+    // native V2 writes (grouped census, partitioned DDL+ingest+census,
+    // hybrid straggler census, file-granular replaceWhere)
+    "q213_txlog_grouped_census", "q214_partitioned_census",
+    "q215_txlog_hybrid_census", "q216_replace_where")
 
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/sf1")

@@ -181,19 +181,56 @@ class TxLogSourceSpec extends SparkSpec {
     val byK = spark.read.format("txlog").load(root)
       .groupBy(col("k") <= 10L).agg(count(lit(1)))
     assert(byK.queryExecution.executedPlan.toString.contains("BatchScan"))
-    // decline arm: a later append that BREAKS group-constancy (mixed
-    // buckets in one file) turns the same census into a real scan
+    // HYBRID arm: a later append that BREAKS group-constancy (mixed
+    // buckets in one file) must NOT degrade the census to a full
+    // scan — the constant files still fold from the manifest and the
+    // scan opens ONLY the straggler file (partial agg pushdown:
+    // Spark merges census rows with the straggler's raw rows)
     import scala.jdk.CollectionConverters._
     t.append(spark.createDataFrame(
       Seq(Row(java.lang.Long.valueOf(0L), 7777L, 1L),
         Row(java.lang.Long.valueOf(2L), 8888L, 1L)).asJava, sch)
       .coalesce(1), statsCols = Seq("bucket", "k", "v"))
     val mixed = spark.read.format("txlog").load(root)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"),
+        max(col("k")).as("mx"))
     assert(mixed.queryExecution.executedPlan.toString.contains("BatchScan"),
-      "non-constant files must decline the grouped pushdown")
-    assert(mixed.orderBy("bucket").collect().map(_.getLong(1)).toSeq ===
-      Seq(41L, 40L, 41L))
+      "the hybrid census reads stragglers through a real batch scan")
+    assert(mixed.orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((41L, 7777L), (40L, 1039L), (41L, 8888L)))
+    // plan pin: files opened = stragglers only (1), out of the whole
+    // live set — the single mixed file, not a full rescan
+    assert(graft.sources.TxLogV2.lastScan._1 === 1,
+      s"hybrid census must scan ONLY the straggler: ${TxLogV2.lastScan}")
+    assert(graft.sources.TxLogV2.lastScan._2 >= 4,
+      s"live denominator should count all files: ${TxLogV2.lastScan}")
+  }
+
+  test("ungrouped census goes hybrid on a stats-less straggler append") {
+    val root = Files.createTempDirectory("txhyb").toString
+    val t = new TxLogTable(spark, root)
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    t.ensureExists(sch)
+    import scala.jdk.CollectionConverters._
+    t.append(spark.createDataFrame(
+      (0L until 50L).map(i => Row(i, i * 2L)).asJava, sch),
+      statsCols = Seq("k", "v"))
+    // stats-LESS append: the old complete pushdown declined outright
+    // and rescanned everything; the hybrid scans just this file
+    t.append(spark.createDataFrame(
+      Seq(Row(999L, java.lang.Long.valueOf(5L))).asJava, sch)
+      .coalesce(1))
+    val q = spark.read.format("txlog").load(root)
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+        max(col("k")).as("mx"), count(col("v")).as("nv"))
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((51L, 0L, 999L, 51L)))
+    assert(TxLogV2.lastScan._1 === 1,
+      s"ungrouped hybrid must scan only the straggler: ${TxLogV2.lastScan}")
   }
 
   test("time travel via versionAsOf and timestampAsOf options") {

@@ -132,6 +132,59 @@ class TxLogStreamSpec extends SparkSpec {
     assert(t.scanPathsAt(t.currentVersion, col("k") === 1L).size === 1)
   }
 
+  test("native V2 streaming write: toTable epoch commits, replay lands nothing") {
+    val cat = s"strlake${scala.util.Random.nextInt(1000000)}"
+    val catRoot = Files.createTempDirectory("txstrv2_cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[TxLogCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
+    spark.sql(s"CREATE TABLE $cat.sink (k BIGINT, v STRING, ts BIGINT) " +
+      "USING txlog")
+    val src = Files.createTempDirectory("txstrv2_src").toString
+    val ck = Files.createTempDirectory("txstrv2_ck").toString
+    df((1L, "a", 1L), (2L, "b", 1L)).coalesce(1).write.parquet(s"$src/f0")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        .writeStream.option("checkpointLocation", ck)
+        .option("statsCols", "k")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.sink")
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+    run()
+    val t = new TxLogTable(spark, s"$catRoot/sink")
+    assert(t.read().count() === 2L)
+    assert(t.marker(TxLogStream.SinkBatchMarker) === Some("0"))
+    // the NATIVE path staged the epoch dir (stream-<uuid>-<epoch>),
+    // not the V1 sink's stageData dir
+    assert(t.liveDataPaths(t.currentVersion).exists(_.contains("stream-")),
+      t.liveDataPaths(t.currentVersion).mkString(", "))
+    val v1 = t.currentVersion
+
+    // kill-and-resume on the same checkpoint with one new file:
+    // exactly ONE more commit — the drained epoch does not replay
+    df((3L, "c", 2L)).coalesce(1).write.parquet(s"$src/f1")
+    run()
+    assert(t.read().count() === 3L)
+    assert(t.currentVersion === v1 + 1)
+    assert(t.marker(TxLogStream.SinkBatchMarker) === Some("1"))
+    // a resumed run with NOTHING new commits nothing
+    run()
+    assert(t.currentVersion === v1 + 1)
+
+    // an explicit replay of an already-committed epoch through a
+    // FRESH StreamingWrite instance (the crash-between-commit-and-
+    // checkpoint shape) recognizes the marker and drops its staging
+    val sw = new TxLogStreamingWrite(spark, s"$catRoot/sink",
+      schema, Nil, Nil, Nil, None)
+    sw.commit(1L, Array.empty)
+    assert(t.currentVersion === v1 + 1)
+    assert(t.read().count() === 3L)
+    // stats option flowed through: point predicate prunes to one file
+    assert(t.scanPathsAt(t.currentVersion, col("k") === 3L).size === 1)
+  }
+
   test("maxVersionsPerBatch bounds catch-up batches; compaction invisible, restore emits its diff") {
     val root = Files.createTempDirectory("txcap").toString
     val t = new TxLogTable(spark, root)
