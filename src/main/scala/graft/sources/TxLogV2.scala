@@ -87,7 +87,7 @@ object TxLogV2 {
     * hold resolves exactly as [[TxLogTable.enforce]] would; NULL
     * passes (SQL CHECK semantics) via the coalesce-to-true wrap.
     */
-  private[sources] def bindConstraints(spark: SparkSession,
+  private[graft] def bindConstraints(spark: SparkSession,
       schema: StructType, constraints: Map[String, String])
       : Seq[(String, String,
         org.apache.spark.sql.catalyst.expressions.Expression)] = {
