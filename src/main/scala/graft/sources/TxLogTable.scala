@@ -119,7 +119,8 @@ object TxLogTable {
       constraints: Option[Map[String, String]] = None,
       copyFiles: Option[Seq[String]] = None,
       minReader: Option[Int] = None,
-      droppedCols: Option[Seq[String]] = None)
+      droppedCols: Option[Seq[String]] = None,
+      removed: Option[Seq[String]] = None)
 
   /** Protocol versioning (the Delta minReaderVersion idea): a manifest
     * whose correct interpretation REQUIRES a feature declares the
@@ -2065,6 +2066,7 @@ final class TxLogTable(spark: SparkSession,
       chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
     val priorCkpt: Option[String] = chain.flatMap(_.statsFile).lastOption
     val kept = Seq.newBuilder[String]
+    val dropped = Seq.newBuilder[String]
     val keptStats = Map.newBuilder[String, FileStats]
     chain.flatMap(_.add).foreach { e =>
       val files: Seq[String] =
@@ -2089,15 +2091,23 @@ final class TxLogTable(spark: SparkSession,
         verdicts.foreach { case (f, _) => keepStats(f) }
       } else verdicts.foreach { case (f, keep) =>
         if (keep) { kept += f; keepStats(f) }
+        else dropped += f
       }
     }
     val mergedStats = keptStats.result() ++ stagedStats.getOrElse(Map.empty)
+    // CDC contract: `removed` names the dropped files so [[changes]]
+    // emits a PRECISE delete+insert feed for this commit (the Delta
+    // replaceWhere CDF shape). `cdc` stays None on purpose — a reader
+    // that does not speak `removed` then falls back to the documented
+    // blind-overwrite refresh contract (the whole post-image as
+    // inserts), which is conservative-correct, never silently partial.
     Manifest(0L, "overwrite", kept.result() :+ stagedDir, schema.json,
       System.currentTimeMillis(),
       markers = Some(Map("replace_where" -> condition.toString)),
       stats = if (mergedStats.isEmpty) None else Some(mergedStats),
       statsFile = priorCkpt,
-      cdc = Some(Seq(stagedDir)))
+      removed = if (dropped.result().isEmpty) None
+        else Some(dropped.result()))
   }
 
   /** Transactional MERGE (S10/J2 semantics — latest-wins by
@@ -2644,6 +2654,18 @@ final class TxLogTable(spark: SparkSession,
     * Cost: a parquet read of the change dirs only — independent of
     * table size.
     */
+  /** Membership test for v's kept-vs-staged split in the
+    * replaceWhere feed: an add entry of version v that was already
+    * live at v-1 is a KEPT entry (not part of the change set). The
+    * v-1 live set is entry-granular; a file entry kept out of a
+    * previously whole dir counts as previously-live when its dir
+    * was.
+    */
+  private def chainAddsBefore(v: Long): String => Boolean = {
+    val prev = manifestChainAt(v - 1)._1.flatMap(_.add).toSet
+    e => prev.contains(e) || prev.contains(e.takeWhile(_ != '/'))
+  }
+
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(fromVersion <= toVersion,
@@ -2652,6 +2674,36 @@ final class TxLogTable(spark: SparkSession,
       if (!store.exists(manifestPath(v))) None
       else {
         val m = manifestAt(v)
+        // replaceWhere commits carry their dropped-file census
+        // (`removed`): the feed is the PRECISE delete+insert pair —
+        // every dropped file's rows as `delete` (all its rows matched
+        // the predicate by the commit's own verdict), the staged
+        // dir's rows as `insert`. Manifests without `removed` fall
+        // back to the refresh contract below (add = insert set).
+        val replaceWhere = m.markers.exists(_.contains("replace_where"))
+        if (replaceWhere && m.removed.exists(_.nonEmpty)) {
+          import org.apache.spark.sql.functions.lit
+          val schema = DataType.fromJson(m.schemaJson)
+            .asInstanceOf[StructType]
+          val cmap = m.colMap.getOrElse(Map.empty)
+          val staged = m.add.filterNot(
+            chainAddsBefore(v)).map(d => dataDir.resolve(d).toString)
+          val removedPaths = m.removed.get
+            .map(k => dataDir.resolve(k).toString)
+          (staged ++ removedPaths).foreach { p =>
+            require(store.exists(new Path(p)),
+              s"change files of version $v were vacuumed; " +
+                "feed from a later version")
+          }
+          val ins =
+            if (staged.isEmpty) None
+            else Some(readPhysical(staged, schema, cmap)
+              .withColumn("_change_type", lit("insert")))
+          val del = Some(readPhysical(removedPaths, schema, cmap)
+            .withColumn("_change_type", lit("delete")))
+          val both = (ins.toSeq ++ del.toSeq).reduce(_.unionByName(_))
+          Some(both.withColumn("_commit_version", lit(v)))
+        } else {
         val typed = m.cdc.isDefined
         val dirs = m.cdc.getOrElse(m.add)
         dirs.foreach { d =>
@@ -2677,6 +2729,7 @@ final class TxLogTable(spark: SparkSession,
               coalesce(col("_change_type"), lit("update_postimage")))
             else df.withColumn("_change_type", lit("insert"))
           Some(tagged.withColumn("_commit_version", lit(v)))
+        }
         }
       }
     }

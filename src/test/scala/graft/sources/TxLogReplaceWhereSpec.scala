@@ -107,6 +107,26 @@ class TxLogReplaceWhereSpec extends SparkSpec {
     assert(t.read().groupBy("grp").count().count() === 3L)
   }
 
+  test("CDC across replaceWhere: precise delete+insert feed") {
+    val (_, t) = groupedTable()
+    val vBefore = t.currentVersion
+    import scala.jdk.CollectionConverters._
+    t.replaceWhere(spark.createDataFrame(
+      Seq(Row(1L, 9991L, 7L), Row(1L, 9992L, 8L)).asJava, sch),
+      col("grp") === 1L, statsCols = Seq("grp", "k", "v"))
+    val feed = t.changes(vBefore, t.currentVersion)
+      .select("grp", "k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val (ins, del) = feed.partition(_._3 == "insert")
+    assert(ins.map(x => (x._1, x._2)).toSet === Set((1L, 9991L), (1L, 9992L)))
+    // EVERY replaced row surfaces as a delete — an incremental
+    // consumer's signed fold stays exact through the swap
+    assert(del.length === 20 && del.forall(_._1 == 1L), del.toSeq.take(5))
+    // the signed fold reproduces the snapshot delta: -20 + 2
+    assert(t.read().count() === 42L)
+    assert(feed.length === 22)
+  }
+
   test("catalog writeTo(...).overwrite and SQL REPLACE WHERE") {
     val cat = s"rwlake${scala.util.Random.nextInt(1000000)}"
     val root = Files.createTempDirectory("txrwcat").toString
