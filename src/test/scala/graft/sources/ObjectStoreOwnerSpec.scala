@@ -101,6 +101,45 @@ class ObjectStoreOwnerSpec extends SparkSpec {
     }
   }
 
+  test("streaming toTable over mocks3:// commits through the CAS owner") {
+    val root = mockRoot("stream")
+    val cat = s"mockstr${scala.util.Random.nextInt(1000000)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[TxLogCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val src = Files.createTempDirectory("mocks3_src").toString
+    val ck = Files.createTempDirectory("mocks3_ck").toString
+    import spark.implicits._
+    withCasConf {
+      spark.sql(s"CREATE TABLE $cat.sink (k BIGINT, tag STRING) USING txlog")
+      Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+        .coalesce(1).write.parquet(s"$src/f0")
+      def run(): Unit = {
+        val q = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("tag",
+              org.apache.spark.sql.types.StringType, nullable = true))))
+          .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.sink")
+        q.awaitTermination(120000)
+        q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+      }
+      run()
+      val t = new TxLogTable(spark, s"$root/sink")
+      assert(t.read().count() === 2L)
+      assert(t.marker(TxLogStream.SinkBatchMarker) === Some("0"))
+      // kill-and-resume on the mock store: nothing re-lands
+      run()
+      assert(t.read().count() === 2L)
+    }
+    // and the landed table reads with NO owner configured
+    assert(spark.sql(s"SELECT count(*) FROM $cat.sink")
+      .collect().head.getLong(0) === 2L)
+  }
+
   test("the persistent catalog lives on mocks3:// with the conf owner") {
     val root = mockRoot("cat")
     val cat = s"mocklake${scala.util.Random.nextInt(1000000)}"
