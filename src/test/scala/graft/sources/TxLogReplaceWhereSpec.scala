@@ -107,6 +107,24 @@ class TxLogReplaceWhereSpec extends SparkSpec {
     assert(t.read().groupBy("grp").count().count() === 3L)
   }
 
+  test("empty-batch replaceWhere is a file-granular DELETE WHERE") {
+    val (_, t) = groupedTable()
+    val vBefore = t.currentVersion
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    t.replaceWhere(empty, col("grp") === 0L,
+      statsCols = Seq("grp", "k", "v"))
+    assert(t.read().count() === 40L)
+    assert(t.read().filter(col("grp") === 0L).count() === 0L)
+    // the feed is pure deletes
+    val feed = t.changes(vBefore, t.currentVersion)
+      .select("grp", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.length === 20 && feed.forall(_ == ((0L, "delete"))))
+    // time travel still serves the pre-delete snapshot
+    assert(t.readAt(vBefore).count() === 60L)
+  }
+
   test("CDC across replaceWhere: precise delete+insert feed") {
     val (_, t) = groupedTable()
     val vBefore = t.currentVersion
