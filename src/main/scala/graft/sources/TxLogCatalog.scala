@@ -221,6 +221,9 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     val (log, rest) = store.list(d).partition(_ == "_log")
     (rest ++ log).foreach(c => store.deleteRecursive(new Path(d, c)))
     store.deleteIfExists(d)
+    // a re-CREATE at this root starts a new table lifetime; cached
+    // manifests of the dropped one must not serve it
+    TxLogTable.invalidateCachedRoot(d.toString)
     true
   }
 
@@ -233,6 +236,10 @@ class TxLogCatalog extends TableCatalog with SupportsNamespaces {
     store.mkdirs(to.getParent)
     require(store.fs.rename(from, to),
       s"rename $from -> $to failed on ${store.fs.getScheme}")
+    // both roots change lifetime: the old root may be re-created, and
+    // the new root must not inherit entries from a prior occupant
+    TxLogTable.invalidateCachedRoot(from.toString)
+    TxLogTable.invalidateCachedRoot(to.toString)
   }
 
   // ── namespaces (plain directories) ─────────────────────────────────

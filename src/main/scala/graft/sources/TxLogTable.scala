@@ -156,14 +156,28 @@ object TxLogTable {
   @volatile private[graft] var lastPlanMaterialized: Int = -1
 
   /** JVM-wide parsed-manifest cache. A published version file is
-    * IMMUTABLE — the commit protocol only ever creates new versions,
-    * never rewrites one — so `(root, version) → Manifest` is safe to
-    * share across table instances and sessions forever; the win is
-    * one metadata round-trip (getFileStatus + read) per manifest per
-    * JVM instead of per TxLogTable construction, which on object
-    * stores is the dominant cost of a snapshot plan. Bounded LRU
-    * (access-order) so a long-lived driver over many tables stays
-    * flat.
+    * IMMUTABLE within one table lifetime — the commit protocol only
+    * ever creates new versions, never rewrites one — so
+    * `(root, version) → Manifest` is safe to share across table
+    * instances and sessions; the win is one metadata round-trip
+    * (getFileStatus + read) per manifest per JVM instead of per
+    * TxLogTable construction, which on object stores is the dominant
+    * cost of a snapshot plan. Bounded LRU (access-order) so a
+    * long-lived driver over many tables stays flat.
+    *
+    * Version files are NOT immutable across table LIFETIMES: DROP
+    * TABLE deletes `_log` and a re-CREATE at the same root writes a
+    * fresh version 0 — a cached entry would then serve the dropped
+    * table's manifest (old schema, add entries naming deleted dirs).
+    * Two guards close that hole: (1) every lifecycle transition this
+    * JVM performs purges the root ([[invalidateCachedRoot]] — called
+    * by catalog DROP/RENAME and by [[ensureExists]] when it creates
+    * version 0); (2) each entry carries the manifest file's
+    * (modTime, length) store witness, and every TxLogTable INSTANCE
+    * validates its FIRST cache hit against a fresh getFileStatus —
+    * one extra metadata call per instance, so an out-of-band
+    * recreation by another process is detected at the next table
+    * handle instead of trusted forever.
     */
   /** Row counts of stats-checkpoint parquet files — immutable once
     * written, so cached forever: the scale-arm decision
@@ -174,14 +188,34 @@ object TxLogTable {
   private val ckptCountCache: java.util.Map[String, Long] =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
-  private val manifestCache: java.util.Map[(String, Long), Manifest] =
+  /** Cached manifest plus its store witness (file modTime, length). */
+  private[sources] final case class CachedManifest(m: Manifest,
+      modTime: Long, len: Long)
+
+  private val manifestCache: java.util.Map[(String, Long), CachedManifest] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), Manifest](
+      new java.util.LinkedHashMap[(String, Long), CachedManifest](
         1024, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long), Manifest]): Boolean =
+            e: java.util.Map.Entry[(String, Long), CachedManifest]): Boolean =
           size() > 8192
       })
+
+  /** Drop every cached manifest (and checkpoint row count) of `root` —
+    * the table-lifetime boundary: DROP TABLE / RENAME TABLE / a
+    * CREATE that writes version 0 all mean previously-cached entries
+    * for the root describe a DIFFERENT table. Matching is by the
+    * exact root string the handles were constructed with (the
+    * catalog always derives it the same way).
+    */
+  private[sources] def invalidateCachedRoot(root: String): Unit = {
+    manifestCache.synchronized {
+      val it = manifestCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == root) it.remove()
+    }
+    val ck = ckptCountCache.keySet().iterator()
+    while (ck.hasNext) if (ck.next().startsWith(root)) ck.remove()
+  }
 
   private[sources] def requiredReader(m: Manifest): Int =
     Seq(1,
@@ -310,6 +344,9 @@ final class TxLogTable(spark: SparkSession,
     store.mkdirs(logDir)
     store.mkdirs(dataDir)
     if (currentVersion < 0) {
+      // a fresh version 0 starts a NEW table lifetime at this root —
+      // cached manifests of any dropped predecessor must not survive
+      TxLogTable.invalidateCachedRoot(root)
       tryCommit(0L, Manifest(0L, "overwrite", Nil, schema.json,
         System.currentTimeMillis(),
         markers = if (markers.isEmpty) None else Some(markers)))
@@ -319,9 +356,32 @@ final class TxLogTable(spark: SparkSession,
 
   // ── snapshot reads ────────────────────────────────────────────────
 
+  /** First-cache-hit witness check for this instance ([[TxLogTable
+    * .invalidateCachedRoot]]'s out-of-band arm): validated lazily so
+    * a table whose manifests all read fresh pays nothing.
+    */
+  @volatile private var cacheValidated: Boolean = false
+
   private def manifestAt(v: Long): Manifest = {
-    val cached = TxLogTable.manifestCache.get((root, v))
-    val m = if (cached != null) cached else readManifest(v)
+    val cached0 = TxLogTable.manifestCache.get((root, v))
+    val cached =
+      if (cached0 == null || cacheValidated) cached0
+      else {
+        // one getFileStatus per INSTANCE: a recreated table's version
+        // file has a different (modTime, length) than the cached one,
+        // so a stale lifetime is detected at the next table handle
+        cacheValidated = true
+        val p = manifestPath(v)
+        val fresh =
+          try {
+            val st = store.fs.getFileStatus(p)
+            st.getModificationTime == cached0.modTime &&
+              st.getLen == cached0.len
+          } catch { case _: java.io.IOException => false }
+        if (fresh) cached0
+        else { TxLogTable.invalidateCachedRoot(root); null }
+      }
+    val m = if (cached != null) cached.m else readManifest(v)
     // protocol guard (cheap, per call — SupportedReaderVersion is a
     // build constant, so guarding a cached manifest is identical)
     m.minReader.filter(_ > TxLogTable.SupportedReaderVersion).foreach { r =>
@@ -341,9 +401,12 @@ final class TxLogTable(spark: SparkSession,
     // with; fall through to the loud version-missing require below.
     if (!store.exists(p)) pubOpt.foreach(_.recover(store.fs, p))
     require(store.exists(p), s"version $v does not exist in $root")
+    val st = store.fs.getFileStatus(p)
+    val bytes = store.readAllBytes(p)
     val m = Serialization.read[Manifest](
-      new String(store.readAllBytes(p), StandardCharsets.UTF_8))
-    TxLogTable.manifestCache.put((root, v), m)
+      new String(bytes, StandardCharsets.UTF_8))
+    TxLogTable.manifestCache.put((root, v),
+      TxLogTable.CachedManifest(m, st.getModificationTime, st.getLen))
     m
   }
 

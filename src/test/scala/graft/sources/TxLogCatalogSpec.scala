@@ -317,4 +317,50 @@ class TxLogCatalogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("identity columns"), e2.getMessage)
   }
+
+  test("DROP then re-CREATE at the same root never serves the dropped " +
+      "table's cached manifests") {
+    freshCatalog("lakeinv")
+    spark.sql("CREATE TABLE lakeinv.t (k BIGINT, tag STRING) USING txlog")
+    spark.sql("INSERT INTO lakeinv.t VALUES (1, 'old'), (2, 'old')")
+    // warm the JVM-wide manifest cache with the first lifetime
+    assert(spark.sql("SELECT * FROM lakeinv.t").count() === 2L)
+    spark.sql("DROP TABLE lakeinv.t")
+    // second lifetime at the SAME root: different schema, fresh v0/v1
+    spark.sql("CREATE TABLE lakeinv.t (k BIGINT, score DOUBLE) USING txlog")
+    spark.sql("INSERT INTO lakeinv.t VALUES (7, 0.5)")
+    val out = spark.sql("SELECT * FROM lakeinv.t").collect()
+    assert(out.length === 1 && out.head.getLong(0) === 7L)
+    assert(spark.sql("SELECT * FROM lakeinv.t").schema.fieldNames.toSeq ===
+      Seq("k", "score"))
+    // out-of-band recreation (another PROCESS drops and recreates, so
+    // no in-JVM purge runs): a NEW table handle detects the stale
+    // cache entry via the (modTime, length) store witness
+    val root = Files.createTempDirectory("txinv_oob").toString
+    val t1 = new TxLogTable(spark, root)
+    t1.ensureExists(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT"))
+    import spark.implicits._
+    t1.append(Seq(1L, 2L, 3L).toDF("k"))
+    assert(t1.read().count() === 3L) // warm cache for v0..v1
+    // simulate the foreign recreate by rewriting version 1's manifest
+    // file in place with version 0's (empty-table) content — different
+    // length, different modTime, same path
+    val hPath = (n: String) => new org.apache.hadoop.fs.Path(
+      s"$root/_log/$n")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val v0Bytes = {
+      val in = fs.open(hPath(f"${0L}%020d.json"))
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    Thread.sleep(5) // distinct modTime for the rewritten manifest
+    val out1 = fs.create(hPath(f"${1L}%020d.json"), true)
+    try out1.write(v0Bytes) finally out1.close()
+    // a FRESH handle must see the rewritten lifetime (empty), not the
+    // cached 3-row v1
+    val t2 = new TxLogTable(spark, root)
+    assert(t2.read().count() === 0L,
+      "stale cached manifest served after out-of-band recreation")
+  }
 }
