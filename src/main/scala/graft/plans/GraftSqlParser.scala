@@ -106,6 +106,7 @@ object GraftSqlRewrite {
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val OptimizeRe =
     (s"""(?is)\\s*OPTIMIZE\\s+$Target""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""").r
   private val ShowPartsRe =
@@ -147,12 +148,13 @@ object GraftSqlRewrite {
       Some(GraftVacuumCommand(targetOf(p, n), full = full != null,
         retainHours = Option(retain).map(_.toLong),
         dryRun = dry != null))
-    case OptimizeRe(p, n, zorder, files) =>
+    case OptimizeRe(p, n, where, zorder, files) =>
       val cols = Option(zorder).toSeq
         .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)
       Some(GraftOptimizeCommand(targetOf(p, n), cols,
-        Option(files).map(_.trim.toInt)))
+        Option(files).map(_.trim.toInt),
+        Option(where).map(_.trim).filter(_.nonEmpty)))
     case _ => None
   }
 
@@ -697,25 +699,44 @@ case class GraftVacuumCommand(target: Either[String, Seq[String]],
       .map(Row(_))
 }
 
-/** OPTIMIZE txlog.`root` [ZORDER BY (cols)] [INTO n FILES] — the
-  * compaction pass as a statement: plain → row-balanced [[
-  * TxLogTable.compact]]; ZORDER → [[TxLogTable.compactZOrdered]] with
-  * per-file stats on the cluster columns (what makes readWhere
-  * pruning bite afterwards). Default file count = the session's
-  * default parallelism.
+/** OPTIMIZE txlog.`root` [WHERE cond] [ZORDER BY (cols)]
+  * [INTO n FILES] — the compaction pass as a statement: plain →
+  * row-balanced [[TxLogTable.compact]]; ZORDER →
+  * [[TxLogTable.compactZOrdered]] with per-file stats on the cluster
+  * columns (what makes readWhere pruning bite afterwards); WHERE →
+  * INCREMENTAL [[TxLogTable.compactIncremental]] scoped to the files
+  * provably inside the predicate (file-constant columns — Delta's
+  * `OPTIMIZE … WHERE`), everything else carried forward verbatim.
+  * `spark.graft.txlog.optimize.minFileBytes` additionally restricts
+  * any OPTIMIZE to the small-file tail. Default file count = the
+  * session's default parallelism.
   */
 case class GraftOptimizeCommand(target: Either[String, Seq[String]],
     zorderCols: Seq[String],
-    numFiles: Option[Int]) extends GraftTxLogCommand {
+    numFiles: Option[Int],
+    where: Option[String] = None) extends GraftTxLogCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    require(where.isEmpty || zorderCols.isEmpty,
+      "OPTIMIZE ... WHERE cannot combine with ZORDER BY (scope the " +
+        "zorder pass with a full OPTIMIZE ZORDER, or compact " +
+        "incrementally without reclustering)")
     val t = new TxLogTable(sparkSession,
       GraftSqlRewrite.resolveTarget(sparkSession, target))
     val n = numFiles.getOrElse(
       sparkSession.sparkContext.defaultParallelism)
+    val minBytes = sparkSession.conf
+      .getOption("spark.graft.txlog.optimize.minFileBytes")
+      .map(_.toLong).getOrElse(Long.MaxValue)
     val v =
       if (zorderCols.nonEmpty)
         t.compactZOrdered(zorderCols, numFiles = n, statsCols = zorderCols)
-      else {
+      else if (where.isDefined || minBytes != Long.MaxValue) {
+        val rows = math.max(1L, t.read().count())
+        t.compactIncremental(
+          targetRowsPerFile = math.max(1L, (rows + n - 1) / n),
+          minFileBytes = minBytes,
+          where = where.map(org.apache.spark.sql.functions.expr))
+      } else {
         val rows = t.read().count()
         t.compact(targetRowsPerFile = math.max(1L, (rows + n - 1) / n))
       }

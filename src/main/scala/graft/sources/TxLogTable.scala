@@ -155,6 +155,13 @@ object TxLogTable {
     */
   @volatile private[graft] var lastPlanMaterialized: Int = -1
 
+  /** Test hook: number of live files the last file-granular DML
+    * commit actually REWROTE (touched set of [[classifyTouched]]) —
+    * pins that MERGE/UPDATE/DELETE cost scales with the delta, not
+    * the table. -1 until a DML commit runs.
+    */
+  @volatile private[graft] var lastDmlRewritten: Int = -1
+
   /** JVM-wide parsed-manifest cache. A published version file is
     * IMMUTABLE within one table lifetime — the commit protocol only
     * ever creates new versions, never rewrites one — so
@@ -1089,6 +1096,268 @@ final class TxLogTable(spark: SparkSession,
   /** Store path of a live part-file key ("dir/part-file"). */
   private[sources] def dataFilePath(key: String): String =
     dataDir.resolve(key).toString
+
+  // ── touched-file DML classification (file-granular copy-on-write) ──
+
+  /** Split of a snapshot's live set under a may-touch predicate: the
+    * entries a DML commit carries forward VERBATIM (protocol-v5
+    * file-granular where a dir splits, dir-granular where it survives
+    * whole) versus the store paths whose rows the rewrite must
+    * actually read. `keptStats` re-inlines ONLY previously-inline
+    * stats (checkpoint-served stats keep riding `keptCkpt`), so a
+    * million-file table never folds its checkpoint into manifest
+    * JSON on a DML commit.
+    */
+  private[sources] final case class TouchedSplit(kept: Seq[String],
+      keptStats: Map[String, FileStats], keptCkpt: Option[String],
+      touchedPaths: Seq[String]) {
+    def touchedCount: Int = touchedPaths.size
+  }
+
+  /** Classify every live file of the chain under `mayTouch` (a
+    * PHYSICAL-name predicate): a file rides as kept iff its skipping
+    * stats PROVE no row can satisfy the predicate and it is not in
+    * `forced`; files without stats are conservatively touched (their
+    * rewrite is exactly today's behavior — classification can only
+    * SHRINK the rewrite, never change its result). Granularity: a dir
+    * whose every file is kept rides as one dir entry; a split dir
+    * contributes file-granular entries (protocol v5).
+    *
+    * Scale shape: below [[planThreshold]] verdicts fold on the driver
+    * from the inline+checkpoint stats; above it, ONE Spark job over
+    * the checkpoint parquet collects only the TOUCHED file keys and a
+    * per-dir covered-file census — the driver never materializes the
+    * per-file stat rows. Both arms then reconcile each dir against a
+    * real `store.list`, so a file that somehow carries no stat row
+    * (external writer, older-format commit) forces its WHOLE dir into
+    * the rewrite instead of being silently kept — the witness is
+    * verified, not trusted.
+    */
+  private def classifyTouched(v: Long, mayTouch:
+      org.apache.spark.sql.catalyst.expressions.Expression,
+      forced: Set[String] = Set.empty): TouchedSplit = {
+    import spark.implicits._
+    val (chain, schema0) = manifestChainAt(v)
+    val cmap = colMapOf(chain)
+    val phys = physSchema(schema0, cmap)
+    val live = chain.flatMap(_.add)
+    val inline: Map[String, FileStats] =
+      chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+    val priorCkpt = chain.flatMap(_.statsFile).lastOption
+    val fileEntries = live.filter(_.contains("/")).toSet
+    // verdict provider: (touched keys among stats-covered files,
+    // per-dir covered-row counts, covered file-granular entries)
+    val (touchedCovered: Set[String], coveredPerDir: Map[String, Long],
+        coveredFileEntries: Set[String]) =
+      if (statRowEstimate(chain) > planThreshold) {
+        val ds = fileStatsSource(chain)
+        val fexpr = mayTouch
+        val fschema = phys
+        val fforced = forced
+        val touched = ds.filter { r =>
+          val (f, fs) = TxLogTable.fromCkptRow(r)
+          fforced.contains(f) ||
+            DataSkipping.mayMatch(fexpr, fschema, fs)
+        }.map(_.file).collect().toSet
+        val perDir = ds.map(_.file.takeWhile(_ != '/'))
+          .groupByKey(identity).count().collect().toMap
+        val coveredF =
+          if (fileEntries.isEmpty) Set.empty[String]
+          else ds.filter(r => fileEntries.contains(r.file))
+            .map(_.file).collect().toSet
+        TxLogTable.lastPlanMaterialized = touched.size + perDir.size
+        (touched, perDir, coveredF)
+      } else {
+        val all: Map[String, FileStats] = priorCkpt match {
+          case Some(name) if !liveFileKeysCoveredInline(chain, inline) =>
+            val template = Seq.empty[TxLogTable.CkptStatRow].toDS()
+            spark.read.schema(template.schema)
+              .parquet(ckptPath(name).toString)
+              .as[TxLogTable.CkptStatRow]
+              .collect().map(TxLogTable.fromCkptRow).toMap ++ inline
+          case _ => inline
+        }
+        TxLogTable.lastPlanMaterialized = all.size
+        val touched = all.iterator.collect {
+          case (f, fs) if forced.contains(f) ||
+              DataSkipping.mayMatch(mayTouch, phys, fs) => f
+        }.toSet
+        (touched,
+          all.keysIterator.map(_.takeWhile(_ != '/'))
+            .toSeq.groupBy(identity).map { case (d, fs) =>
+              d -> fs.size.toLong },
+          fileEntries.filter(all.contains))
+      }
+    val kept = Seq.newBuilder[String]
+    val keptStats = Map.newBuilder[String, FileStats]
+    val touchedPaths = Seq.newBuilder[String]
+    def keepStats(f: String): Unit =
+      inline.get(f).foreach(fs => keptStats += f -> fs)
+    live.foreach { e =>
+      if (e.contains("/")) {
+        // file-granular live entry: kept iff a stat row exists for it
+        // AND the verdict proves no touch; absent stats ⇒ touched
+        if (coveredFileEntries.contains(e) && !touchedCovered.contains(e)) {
+          kept += e; keepStats(e)
+        } else touchedPaths += dataFilePath(e)
+      } else {
+        val files = store.list(dataDir.resolve(e))
+          .filter(_.endsWith(".parquet")).map(f => s"$e/$f")
+        val coveredCount = coveredPerDir.getOrElse(e, 0L)
+        if (coveredCount < files.size) {
+          // some file carries no stat row: the whole dir rewrites —
+          // keeping an unprovable file would be a lost update
+          touchedPaths += dataDir.resolve(e).toString
+        } else {
+          val (touchedF, keptF) = files.partition(touchedCovered.contains)
+          if (touchedF.isEmpty) {
+            kept += e // whole dir survives: keep dir granularity
+            files.foreach(keepStats)
+          } else {
+            keptF.foreach { f => kept += f; keepStats(f) }
+            touchedF.foreach(f => touchedPaths += dataFilePath(f))
+          }
+        }
+      }
+    }
+    TouchedSplit(kept.result(), keptStats.result(), priorCkpt,
+      touchedPaths.result())
+  }
+
+  /** Whether every live file key has an INLINE stat row (then the
+    * checkpoint need not be consulted for verdicts).
+    */
+  private def liveFileKeysCoveredInline(chain: List[Manifest],
+      inline: Map[String, FileStats]): Boolean =
+    chain.flatMap(_.add).forall { e =>
+      if (e.contains("/")) inline.contains(e)
+      else store.list(dataDir.resolve(e)).filter(_.endsWith(".parquet"))
+        .forall(f => inline.contains(s"$e/$f"))
+    }
+
+  /** The deletion-vector dirs a file-granular DML commit must carry:
+    * the previous state when any of its (file, pos) keys still
+    * references a KEPT entry; None (= reset, under an overwrite head)
+    * when every referenced file was rewritten. One small parquet read
+    * of the sidecars, bounded by deleted-row count.
+    */
+  private def carriedDvFor(chain: List[Manifest],
+      kept: Seq[String]): Option[Seq[String]] = {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    val prev = dvDirsOf(chain)
+    if (prev.isEmpty || kept.isEmpty) return None
+    val (keptFiles, keptDirs) = kept.partition(_.contains("/"))
+    val byDir =
+      if (keptDirs.isEmpty) lit(false)
+      else substring_index(col("_dv_file"), "/", 1).isin(keptDirs: _*)
+    val byFile =
+      if (keptFiles.isEmpty) lit(false)
+      else col("_dv_file").isin(keptFiles: _*)
+    val anyRef = !spark.read.schema(dvReadSchema)
+      .parquet(prev.map(d => dataDir.resolve(d).toString): _*)
+      .filter(byDir || byFile).isEmpty
+    if (anyRef) Some(prev) else None
+  }
+
+  /** Skipping predicate (PHYSICAL names) a file must pass to possibly
+    * hold a SOURCE KEY of a merge: per key column, membership in the
+    * source's distinct value set (precise — ranges AND Blooms bite)
+    * up to `spark.graft.txlog.dmlKeyInListMax` distinct values, else
+    * the source's [min, max] range (coarse but still file-decisive on
+    * a clustered table). Multi-column keys test column-wise — a
+    * conservative superset of the true tuple match. `nullKeysMatch`
+    * adds the IS NULL arm for DML whose key semantics group nulls
+    * (the latest-wins merge window); the conditional MERGE joins by
+    * equality where nulls never match, so it omits it.
+    */
+  private def sourceKeyPredicate(source: DataFrame, key: Seq[String],
+      schema: StructType, cmap: Map[String, String],
+      nullKeysMatch: Boolean):
+      org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.functions.{col => fcol, count, lit,
+      max => fmax, min => fmin}
+    val phys = physSchema(schema, cmap)
+    def attrOf(k: String): AttributeReference = {
+      val p = cmap.getOrElse(k, k)
+      AttributeReference(p, phys(phys.fieldIndex(p)).dataType)()
+    }
+    val cap = spark.conf
+      .getOption("spark.graft.txlog.dmlKeyInListMax")
+      .map(_.toInt).getOrElse(100000)
+    val keyCols = key.map(fcol)
+    val distinctKeys =
+      source.select(keyCols: _*).distinct().limit(cap + 1).collect()
+    val colPreds: Seq[Expression] =
+      if (distinctKeys.length <= cap) {
+        key.zipWithIndex.map { case (k, i) =>
+          val vals = distinctKeys.iterator.map(_.get(i))
+            .filter(_ != null).toSeq.distinct
+          val hasNull = distinctKeys.exists(_.isNullAt(i))
+          val base: Expression =
+            if (vals.isEmpty) Literal(false)
+            else In(attrOf(k), vals.map(Literal(_)))
+          if (hasNull && nullKeysMatch) Or(base, IsNull(attrOf(k)))
+          else base
+        }
+      } else {
+        // range fallback: one bounded aggregate over the source
+        val aggs = key.flatMap(k => Seq(
+          fmin(fcol(k)).as(s"__mn_$k"), fmax(fcol(k)).as(s"__mx_$k"),
+          count(fcol(k)).as(s"__nn_$k"))) :+ count(lit(1)).as("__n")
+        val r = source.agg(aggs.head, aggs.tail: _*).collect().head
+        val total = r.getLong(r.fieldIndex("__n"))
+        key.map { k =>
+          val mn = r.get(r.fieldIndex(s"__mn_$k"))
+          val mx = r.get(r.fieldIndex(s"__mx_$k"))
+          val hasNull = r.getLong(r.fieldIndex(s"__nn_$k")) < total
+          val a = attrOf(k)
+          val base: Expression =
+            if (mn == null) Literal(false) // all-null key column
+            else And(GreaterThanOrEqual(a, Literal(mn)),
+              LessThanOrEqual(a, Literal(mx)))
+          if (hasNull && nullKeysMatch) Or(base, IsNull(a)) else base
+        }
+      }
+    colPreds.reduceOption(And).getOrElse(Literal(true))
+  }
+
+  /** Live files holding DUPLICATE-key groups of snapshot `v` — the
+    * latest-wins [[merge]] collapses those even when the batch never
+    * names their keys (window semantics: null keys group too), so
+    * they must join the rewrite regardless of the source-key verdict.
+    * One column-pruned key scan with map-side partial aggregation —
+    * keys and file tags shuffle, data columns never move; the collect
+    * is bounded by the number of dup-holding FILES, and on a
+    * merge-maintained (key-unique) table it is empty.
+    */
+  private def dupKeyFileCensus(v: Long, key: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions._
+    val (chain, schema) = manifestChainAt(v)
+    val live = chain.flatMap(_.add)
+    if (live.isEmpty) return Set.empty
+    val cmap = colMapOf(chain)
+    val keyPhys = key.map(k => cmap.getOrElse(k, k))
+    val paths = live.map(d => dataDir.resolve(d).toString)
+    val tagged = spark.read.schema(physSchema(schema, cmap))
+      .parquet(paths: _*)
+      .select((keyPhys.map(col) :+ TxLogTable.dvFileKey.as("__f") :+
+        col("_metadata.row_index").as("__p")): _*)
+    val dvs = dvDirsOf(chain)
+    val alive =
+      if (dvs.isEmpty) tagged
+      else {
+        val dv = spark.read.schema(dvReadSchema)
+          .parquet(dvs.map(d => dataDir.resolve(d).toString): _*)
+          .select(col("_dv_file").as("__f"), col("_dv_pos").as("__p"))
+        tagged.join(dv, Seq("__f", "__p"), "left_anti")
+      }
+    alive.groupBy(keyPhys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), collect_set(col("__f")).as("__fs"))
+      .filter(col("__n") > 1)
+      .select(explode(col("__fs")).as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+  }
 
   /** A file subset whose EXACT stats-known row count covers `n` — the
     * LIMIT-pushdown seam ([[TxLogBatchScan]]): an unordered LIMIT may
@@ -2103,9 +2372,6 @@ final class TxLogTable(spark: SparkSession,
       stagedStats: Option[Map[String, FileStats]]): Manifest = {
     require(v >= 0, s"replaceWhere needs an existing table at $root")
     val (chain, schema0) = manifestChainAt(v)
-    require(dvDirsOf(chain).isEmpty,
-      "replaceWhere on a snapshot with live deletion vectors is not " +
-        "supported; OPTIMIZE (or checkpoint) folds them away first")
     val cmap = colMapOf(chain)
     val phys = physSchema(schema0, cmap)
     val predExpr = toPhysicalExpr(
@@ -2164,11 +2430,18 @@ final class TxLogTable(spark: SparkSession,
     // that does not speak `removed` then falls back to the documented
     // blind-overwrite refresh contract (the whole post-image as
     // inserts), which is conservative-correct, never silently partial.
+    // deletion vectors: a dropped file's every PHYSICAL row matches
+    // the predicate, so dropping it drops its live rows correctly
+    // regardless of vectors; kept files must keep theirs — carry the
+    // state forward when any kept file is referenced (the CDC feed
+    // reads the removed census DV-applied, so already-deleted rows
+    // never resurface as deletes)
     Manifest(0L, "overwrite", kept.result() :+ stagedDir, schema.json,
       System.currentTimeMillis(),
       markers = Some(Map("replace_where" -> condition.toString)),
       stats = if (mergedStats.isEmpty) None else Some(mergedStats),
       statsFile = priorCkpt,
+      dv = carriedDvFor(chain, kept.result()),
       removed = if (dropped.result().isEmpty) None
         else Some(dropped.result()))
   }
@@ -2180,13 +2453,36 @@ final class TxLogTable(spark: SparkSession,
     * the attempt's staged dir (an orphan for vacuum) and recomputes on
     * the winner's state — no update can be lost, because a commit at
     * version v+1 always derives from a full read of version v.
+    *
+    * Cost: copy-on-write at FILE granularity. Live files are
+    * classified against the SOURCE KEYS through the manifest
+    * min/max + Bloom stats ([[sourceKeyPredicate]]): a file that
+    * provably holds no source key (and no duplicate-key group — the
+    * latest-wins window collapses those even unnamed, witnessed by
+    * [[dupKeyFileCensus]]'s key-projection scan) rides the new
+    * manifest verbatim with stats and deletion vectors carried
+    * forward; only may-match files join the merge and rewrite. A
+    * 0.1% delta into a clustered 100 TB table rewrites ~the delta's
+    * files plus one key-column scan — not the table. When NO file may
+    * match (all-new keys), the merge commits as a plain APPEND of the
+    * deduped batch.
     */
   def merge(updates: DataFrame, key: Seq[String], precedence: Seq[Column],
       sortCols: Seq[String] = Nil, maxRetries: Int = 20,
       markers: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil): Long =
     commitLoop(maxRetries) { v =>
-      val target = readAt(v)
+      val (chain, schema) = manifestChainAt(v)
+      val cmap = colMapOf(chain)
+      val keyPred = sourceKeyPredicate(updates, key, schema, cmap,
+        nullKeysMatch = true)
+      val dupFiles = dupKeyFileCensus(v, key)
+      val split = classifyTouched(v, keyPred, forced = dupFiles)
+      TxLogTable.lastDmlRewritten = split.touchedCount
+      val target =
+        if (split.touchedPaths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else readPathsAt(v, split.touchedPaths)
       val merged = Upsert.mergeByKey(target, updates, key, precedence)
       val staged = stageData(merged, sortCols, checkConstraints = true)
       // CDC: full change rows (pre/post images, typed) — read back
@@ -2196,9 +2492,22 @@ final class TxLogTable(spark: SparkSession,
         Seq(dataDir.resolve(staged).toString), merged.schema, currentColMap)
       val touched = updates.select(key.map(updates.col): _*).distinct()
       val cdcDir = stageCdc(target, stagedDf, touched, key)
-      Some(Manifest(0L, "overwrite", Seq(staged),
-        merged.schema.json, System.currentTimeMillis(), wrap(markers),
-        statsOpt(staged, merged.schema, statsCols), Some(Seq(cdcDir))))
+      val newStats = statsOpt(staged, merged.schema, statsCols)
+      if (split.touchedPaths.isEmpty && chain.flatMap(_.add).nonEmpty)
+        // pure-insert merge on a non-empty table: an append extends
+        // the live set without re-asserting it
+        Some(Manifest(0L, "append", Seq(staged), merged.schema.json,
+          System.currentTimeMillis(), wrap(markers), newStats,
+          Some(Seq(cdcDir))))
+      else {
+        val mergedStats =
+          split.keptStats ++ newStats.getOrElse(Map.empty)
+        Some(Manifest(0L, "overwrite", split.kept :+ staged,
+          merged.schema.json, System.currentTimeMillis(), wrap(markers),
+          if (mergedStats.isEmpty) None else Some(mergedStats),
+          Some(Seq(cdcDir)), split.keptCkpt,
+          carriedDvFor(chain, split.kept)))
+      }
     }
 
   /** Transactional row-level DELETE (the third core DML next to
@@ -2210,11 +2519,16 @@ final class TxLogTable(spark: SparkSession,
     * the q125/q126 view-maintenance tier) see row-level deletes
     * without snapshot diffing.
     *
-    * Cost: a snapshot rewrite (the [[compact]] bound). File-granular
-    * rewrite — carrying provably-untouched files over via the
-    * [[DataSkipping]] manifest ranges — needs file-level `add`
-    * entries; the manifest tracks dirs, so that refinement is left to
-    * a format revision.
+    * Cost: copy-on-write at FILE granularity — every live file whose
+    * skipping stats PROVE no row matches `condition` rides the new
+    * manifest verbatim ([[classifyTouched]]: dir-granular where a
+    * whole dir survives, protocol-v5 file entries where it splits),
+    * with its stats and any deletion vectors carried forward; only
+    * the may-match files are read and rewritten. A point delete on a
+    * clustered 100 TB table rewrites ~one file, not the table. Files
+    * without stats rewrite (today's bound); stats prove no match at
+    * all ⇒ a metadata-only no-op commit (marker parity with the
+    * match case).
     */
   def delete(condition: Column, sortCols: Seq[String] = Nil,
       maxRetries: Int = 20,
@@ -2223,15 +2537,35 @@ final class TxLogTable(spark: SparkSession,
       bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
     commitLoop(maxRetries) { v =>
-      val target = readAt(v)
+      val (chain, schema) = manifestChainAt(v)
       val cond = coalesce(condition, lit(false))
-      val staged = stageData(target.filter(!cond), sortCols)
-      val cdcDir = stageData(target.filter(cond)
-        .withColumn("_change_type", lit("delete")))
-      Some(Manifest(0L, "overwrite", Seq(staged), target.schema.json,
-        System.currentTimeMillis(), wrap(markers),
-        statsOpt(staged, target.schema, statsCols, bloomCols),
-        Some(Seq(cdcDir))))
+      val cmap = colMapOf(chain)
+      // classify on the RAW condition (the coalesce null-guard is row
+      // semantics — a null-evaluating row is a non-match either way —
+      // but it would hide the predicate from the stats evaluator)
+      val predExpr = toPhysicalExpr(
+        org.apache.spark.sql.graft.bridge.catalystExpression(condition),
+        cmap)
+      val split = classifyTouched(v, predExpr)
+      TxLogTable.lastDmlRewritten = split.touchedCount
+      if (split.touchedPaths.isEmpty)
+        // stats prove no row matches: metadata-only commit (marker
+        // parity), live set and deletion vectors unchanged
+        Some(Manifest(0L, "append", Nil, schema.json,
+          System.currentTimeMillis(), wrap(markers), None, Some(Nil)))
+      else {
+        val target = readPathsAt(v, split.touchedPaths)
+        val staged = stageData(target.filter(!cond), sortCols)
+        val cdcDir = stageData(target.filter(cond)
+          .withColumn("_change_type", lit("delete")))
+        val newStats = statsOpt(staged, schema, statsCols, bloomCols)
+        val merged = split.keptStats ++ newStats.getOrElse(Map.empty)
+        Some(Manifest(0L, "overwrite", split.kept :+ staged, schema.json,
+          System.currentTimeMillis(), wrap(markers),
+          if (merged.isEmpty) None else Some(merged),
+          Some(Seq(cdcDir)), split.keptCkpt,
+          carriedDvFor(chain, split.kept)))
+      }
     }
   }
 
@@ -2271,7 +2605,9 @@ final class TxLogTable(spark: SparkSession,
         // `condition` — a point delete on a stats-covered 100 TB table
         // tags ~one file, not the whole snapshot. Skipped files prove
         // no row matches, so they contribute nothing to the sidecar.
-        val mayMatch = scanPathsAt(v, cond)
+        // The RAW condition feeds the skipping evaluator (the coalesce
+        // null-guard would hide it); the row filter keeps the guard.
+        val mayMatch = scanPathsAt(v, condition)
         if (mayMatch.isEmpty)
           // stats prove no row matches: a no-op delete commit (marker
           // parity), inheriting the existing vectors unchanged
@@ -2315,6 +2651,94 @@ final class TxLogTable(spark: SparkSession,
     }
   }
 
+  /** Row-level UPDATE without rewriting data (merge-on-read, the DV
+    * dual of [[update]] exactly as [[deleteVectored]] is of
+    * [[delete]]): the matched rows' OLD versions are shadowed by a
+    * deletion-vector sidecar naming their (file, position) pairs, and
+    * their post-images land as a plain append — a 1-row update on a
+    * 100 TB table commits changed-rows-sized data, no file rewrite.
+    * Readers see the post-state immediately ([[applyDv]] drops the
+    * old versions, the appended dir supplies the new). Any
+    * overwrite-class commit (compact / merge / delete) later folds
+    * the vectors away.
+    *
+    * CDC: the sidecar doubles as the `update_preimage` change dir
+    * (its rows are the full pre-image plus `_dv_file`/`_dv_pos`/
+    * `_change_type` columns the CDC read ignores); the appended
+    * post-image dir rides untagged — the typed feed's
+    * `coalesce(_change_type, "update_postimage")` fallback tags it.
+    * Same optimistic loop, WHERE semantics (null = untouched), and
+    * stats-pruned matching scan as [[deleteVectored]].
+    */
+  def updateVectored(condition: Column, set: Map[String, Column],
+      maxRetries: Int = 20,
+      markers: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    commitLoop(maxRetries) { v =>
+      val (chain, schema) = manifestChainAt(v)
+      set.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"UPDATE assigns unknown column $c"))
+      val live = chain.flatMap(_.add)
+      val cond = coalesce(condition, lit(false))
+      val mayMatch =
+        if (live.isEmpty) Nil else scanPathsAt(v, condition)
+      if (mayMatch.isEmpty)
+        // provably no matching row: metadata-only commit (marker
+        // parity), vectors inherited unchanged
+        Some(Manifest(0L, "append", Nil, schema.json,
+          System.currentTimeMillis(), wrap(markers), None, Some(Nil)))
+      else {
+        val prevDv = dvDirsOf(chain)
+        val cmap = colMapOf(chain)
+        val taggedPhys = spark.read.schema(physSchema(schema, cmap))
+          .parquet(mayMatch: _*)
+          .withColumn("_dv_file", TxLogTable.dvFileKey)
+          .withColumn("_dv_pos", col("_metadata.row_index"))
+        val tagged =
+          if (cmap.isEmpty) taggedPhys
+          else taggedPhys.select(
+            (schema.fieldNames.map(n =>
+              col(cmap.getOrElse(n, n)).as(n)).toIndexedSeq :+
+              col("_dv_file") :+ col("_dv_pos")): _*)
+        val alive =
+          if (prevDv.isEmpty) tagged
+          else {
+            val dv = spark.read.schema(dvReadSchema)
+              .parquet(prevDv.map(d => dataDir.resolve(d).toString): _*)
+              .select(col("_dv_file").as("__pf"),
+                col("_dv_pos").as("__pp"))
+            tagged.join(dv, tagged("_dv_file") === dv("__pf") &&
+              tagged("_dv_pos") === dv("__pp"), "left_anti")
+          }
+        val hit = alive.filter(cond)
+        // sidecar = DV entries + full pre-images (the CDC pre leg)
+        val sidecar = stageData(
+          hit.withColumn("_change_type", lit("update_preimage"))
+            .hint("rebalance"))
+        // post-images: assignments applied, cast to the column's
+        // existing type (schema invariant under UPDATE), constraints
+        // enforced — new row versions must satisfy the live CHECKs
+        val post = hit.drop("_dv_file", "_dv_pos")
+        val applied = post.select(schema.fields.map { f =>
+          set.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        val postDir = stageData(applied.hint("rebalance"),
+          checkConstraints = true)
+        Some(Manifest(0L, "append", Seq(postDir), schema.json,
+          System.currentTimeMillis(), wrap(markers),
+          statsOpt(postDir, schema, statsCols, bloomCols),
+          Some(Seq(sidecar, postDir)), None,
+          Some(prevDv :+ sidecar)))
+      }
+    }
+  }
+
   /** Transactional row-level UPDATE: assign `set` expressions (over
     * the current row) wherever `condition` is TRUE, optimistic-commit
     * like [[delete]]. Assignments cast to the column's existing type
@@ -2330,8 +2754,8 @@ final class TxLogTable(spark: SparkSession,
     import org.apache.spark.sql.functions._
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     commitLoop(maxRetries) { v =>
-      val target = readAt(v)
-      set.keys.foreach(c => require(target.schema.fieldNames.contains(c),
+      val (chain, schema) = manifestChainAt(v)
+      set.keys.foreach(c => require(schema.fieldNames.contains(c),
         s"UPDATE assigns unknown column $c"))
       val cond = coalesce(condition, lit(false))
       def applied(df: DataFrame): DataFrame =
@@ -2342,17 +2766,36 @@ final class TxLogTable(spark: SparkSession,
             case None => col(f.name)
           }
         }.toSeq: _*)
-      val staged = stageData(applied(target), sortCols,
-        checkConstraints = true)
-      val cdcDir = stageData(
-        target.filter(cond)
-          .withColumn("_change_type", lit("update_preimage"))
-          .unionByName(applied(target.filter(cond))
-            .withColumn("_change_type", lit("update_postimage"))))
-      Some(Manifest(0L, "overwrite", Seq(staged), target.schema.json,
-        System.currentTimeMillis(), wrap(markers),
-        statsOpt(staged, target.schema, statsCols, bloomCols),
-        Some(Seq(cdcDir))))
+      // file-granular copy-on-write (same shape as [[delete]]): only
+      // files whose stats admit a matching row are read and rewritten.
+      // Classified on the RAW condition — the coalesce null-guard is
+      // row semantics, invisible to the stats evaluator.
+      val cmap = colMapOf(chain)
+      val predExpr = toPhysicalExpr(
+        org.apache.spark.sql.graft.bridge.catalystExpression(condition),
+        cmap)
+      val split = classifyTouched(v, predExpr)
+      TxLogTable.lastDmlRewritten = split.touchedCount
+      if (split.touchedPaths.isEmpty)
+        Some(Manifest(0L, "append", Nil, schema.json,
+          System.currentTimeMillis(), wrap(markers), None, Some(Nil)))
+      else {
+        val target = readPathsAt(v, split.touchedPaths)
+        val staged = stageData(applied(target), sortCols,
+          checkConstraints = true)
+        val cdcDir = stageData(
+          target.filter(cond)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(applied(target.filter(cond))
+              .withColumn("_change_type", lit("update_postimage"))))
+        val newStats = statsOpt(staged, schema, statsCols, bloomCols)
+        val merged = split.keptStats ++ newStats.getOrElse(Map.empty)
+        Some(Manifest(0L, "overwrite", split.kept :+ staged, schema.json,
+          System.currentTimeMillis(), wrap(markers),
+          if (merged.isEmpty) None else Some(merged),
+          Some(Seq(cdcDir)), split.keptCkpt,
+          carriedDvFor(chain, split.kept)))
+      }
     }
   }
 
@@ -2399,7 +2842,21 @@ final class TxLogTable(spark: SparkSession,
     require(dupKey.isEmpty,
       s"ambiguous MERGE: source has multiple rows for key ${dupKey.toSeq}")
     commitLoop(maxRetries) { v =>
-      val target = readAt(v)
+      val (chain, schema) = manifestChainAt(v)
+      val cmap = colMapOf(chain)
+      // file-granular copy-on-write: only files that may hold a
+      // SOURCE key join the full-outer merge (keys join by plain
+      // equality here — null keys never match, so no IS NULL arm);
+      // unmatched target rows in kept files pass through VERBATIM,
+      // exactly the clause semantics
+      val keyPred = sourceKeyPredicate(source, key, schema, cmap,
+        nullKeysMatch = false)
+      val split = classifyTouched(v, keyPred)
+      TxLogTable.lastDmlRewritten = split.touchedCount
+      val target =
+        if (split.touchedPaths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else readPathsAt(v, split.touchedPaths)
       val tgtCols = target.columns.toSeq
       val missing = tgtCols.filterNot(source.columns.contains)
       require(missing.isEmpty,
@@ -2439,9 +2896,20 @@ final class TxLogTable(spark: SparkSession,
       // `delete` pre-images (not as absence); touched = source keys
       val touched = source.select(key.map(source.col): _*).distinct()
       val cdcDir = stageCdc(target, stagedDf, touched, key)
-      Some(Manifest(0L, "overwrite", Seq(staged),
-        merged.schema.json, System.currentTimeMillis(), wrap(markers),
-        statsOpt(staged, merged.schema, statsCols), Some(Seq(cdcDir))))
+      val newStats = statsOpt(staged, merged.schema, statsCols)
+      if (split.touchedPaths.isEmpty && chain.flatMap(_.add).nonEmpty)
+        Some(Manifest(0L, "append", Seq(staged), merged.schema.json,
+          System.currentTimeMillis(), wrap(markers), newStats,
+          Some(Seq(cdcDir))))
+      else {
+        val mergedStats =
+          split.keptStats ++ newStats.getOrElse(Map.empty)
+        Some(Manifest(0L, "overwrite", split.kept :+ staged,
+          merged.schema.json, System.currentTimeMillis(), wrap(markers),
+          if (mergedStats.isEmpty) None else Some(mergedStats),
+          Some(Seq(cdcDir)), split.keptCkpt,
+          carriedDvFor(chain, split.kept)))
+      }
     }
   }
 
@@ -2627,6 +3095,94 @@ final class TxLogTable(spark: SparkSession,
     }
   }
 
+  /** Incremental small-files compaction (Delta's `OPTIMIZE …
+    * [WHERE]` + minFileSize semantics): bin-pack ONLY the live files
+    * that are (a) smaller than `minFileBytes` on disk and (b) —
+    * when `where` is given — provably INSIDE the predicate scope
+    * ([[DataSkipping.mustMatch]] over file-constant columns; a
+    * straddling or stats-less file is left alone, never an error).
+    * Every non-candidate rides the new manifest VERBATIM
+    * (dir-granular where whole, protocol-v5 file entries where a dir
+    * splits) with stats and deletion vectors carried forward —
+    * at 100 TB a maintenance pass costs the small-file tail it
+    * folds, not a table rewrite. Candidates read DV-applied, so
+    * their vectors fold away. Fewer than two candidates ⇒ no commit
+    * (returns the current version). Zero logical change
+    * (`cdc = Some(Nil)`).
+    */
+  def compactIncremental(targetRowsPerFile: Long,
+      minFileBytes: Long = Long.MaxValue,
+      where: Option[Column] = None,
+      sortCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      maxRetries: Int = 20): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    require(minFileBytes > 0, "minFileBytes must be positive")
+    commitLoop(maxRetries) { v =>
+      val (chain, schema) = manifestChainAt(v)
+      val live = chain.flatMap(_.add)
+      if (live.isEmpty) None
+      else {
+        val cmap = colMapOf(chain)
+        val phys = physSchema(schema, cmap)
+        val whereExpr = where.map(w => toPhysicalExpr(
+          org.apache.spark.sql.graft.bridge.catalystExpression(w), cmap))
+        val (all, uncovered: Set[String]) = fileStatsSplitAt(v) match {
+          case Some((_, m, unc)) => (m, unc.toSet)
+          case None => throw new IllegalStateException(
+            s"live data dirs missing under $root")
+        }
+        val kept = Seq.newBuilder[String]
+        val keptStats = Map.newBuilder[String, FileStats]
+        val candidates = Seq.newBuilder[String]
+        val inline: Map[String, FileStats] =
+          chain.flatMap(_.stats.getOrElse(Map.empty)).toMap
+        def keepStats(f: String): Unit =
+          inline.get(f).foreach(fs => keptStats += f -> fs)
+        live.foreach { e =>
+          val files: Seq[String] =
+            if (e.contains("/")) Seq(e)
+            else store.list(dataDir.resolve(e))
+              .filter(_.endsWith(".parquet")).map(f => s"$e/$f")
+          val verdicts = files.map { f =>
+            val inScope = whereExpr.forall(we =>
+              !uncovered.contains(f) &&
+                DataSkipping.mustMatch(we, phys, all(f)))
+            val small = minFileBytes == Long.MaxValue ||
+              store.parquetBytes(dataDir.resolve(f)) < minFileBytes
+            (f, inScope && small)
+          }
+          if (!verdicts.exists(_._2) && !e.contains("/")) {
+            kept += e
+            files.foreach(keepStats)
+          } else verdicts.foreach { case (f, isCand) =>
+            if (isCand) candidates += f
+            else { kept += f; keepStats(f) }
+          }
+        }
+        val cand = candidates.result()
+        TxLogTable.lastDmlRewritten = cand.size
+        if (cand.size < 2) None // nothing to bin — no-op, no commit
+        else {
+          val candPaths = cand.map(dataFilePath)
+          val snap = readPathsAt(v, candPaths)
+          val n = snap.count()
+          val nFiles = math.max(1L,
+            (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+          val staged = stageData(snap.coalesce(nFiles), sortCols)
+          val newStats = statsOpt(staged, schema, statsCols)
+          val merged = keptStats.result() ++ newStats.getOrElse(Map.empty)
+          val keptEntries = kept.result()
+          Some(Manifest(0L, "overwrite", keptEntries :+ staged,
+            schema.json, System.currentTimeMillis(), None,
+            if (merged.isEmpty) None else Some(merged),
+            Some(Nil), chain.flatMap(_.statsFile).lastOption,
+            carriedDvFor(chain, keptEntries)))
+        }
+      }
+    }
+  }
+
   /** Range-clustered compaction — the OPTIMIZE pass that makes data
     * skipping bite: ONE range shuffle of the snapshot on
     * `clusterCols` into `numFiles` files with DISJOINT value ranges,
@@ -2762,8 +3318,17 @@ final class TxLogTable(spark: SparkSession,
             if (staged.isEmpty) None
             else Some(readPhysical(staged, schema, cmap)
               .withColumn("_change_type", lit("insert")))
-          val del = Some(readPhysical(removedPaths, schema, cmap)
-            .withColumn("_change_type", lit("delete")))
+          // removed files read under the PRE-swap deletion vectors:
+          // a row a point delete had already removed must not
+          // resurface as a replaceWhere delete
+          val preDv = dvDirsOf(manifestChainAt(v - 1)._1)
+          val delBase = applyDv(
+            spark.read.schema(physSchema(schema, cmap))
+              .parquet(removedPaths: _*), preDv)
+          val del = Some(
+            (if (cmap.isEmpty) delBase
+             else delBase.toDF(schema.fieldNames: _*))
+              .withColumn("_change_type", lit("delete")))
           val both = (ins.toSeq ++ del.toSeq).reduce(_.unionByName(_))
           Some(both.withColumn("_commit_version", lit(v)))
         } else {
@@ -2834,13 +3399,21 @@ final class TxLogTable(spark: SparkSession,
     val (chain, schema) = manifestChainAt(version)
     val dirs = chain.flatMap(_.add)
     // a retainHistory=false vacuum may have collected dirs that only
-    // old snapshots referenced — fail loudly, not with a broken table
+    // old snapshots referenced — fail loudly, not with a broken table.
+    // Live entries may be FILE-granular (protocol v5, replaceWhere):
+    // those witness as files, not dirs.
     (dirs ++ dvDirsOf(chain)).foreach(d =>
-      require(store.isDir(dataDir.resolve(d)),
-        s"cannot restore to $version: data dir $d was vacuumed"))
+      require(
+        if (d.contains("/")) store.exists(dataDir.resolve(d))
+        else store.isDir(dataDir.resolve(d)),
+        s"cannot restore to $version: data ${if (d.contains("/")) "file"
+          else "dir"} $d was vacuumed"))
+    val dirSet = dirs.toSet
     val stats: Map[String, FileStats] =
       chain.flatMap(_.stats.getOrElse(Map.empty))
-        .filter { case (k, _) => dirs.exists(d => k.startsWith(d + "/")) }
+        .filter { case (k, _) =>
+          dirSet.contains(k) || dirSet.contains(k.takeWhile(_ != '/'))
+        }
         .toMap
     val targetDv = dvDirsOf(chain)
     commitLoop(maxRetries) { v =>
@@ -2884,8 +3457,18 @@ final class TxLogTable(spark: SparkSession,
               dvReadSchema)
           else spark.read.schema(dvReadSchema)
             .parquet(ds.map(d => dataDir.resolve(d).toString): _*)
-        all.filter(substring_index(col("_dv_file"), "/", 1)
-          .isin(shared: _*))
+        // shared entries may be dir- or FILE-granular: a dv key
+        // ("dir/part-file") belongs when its dir is a shared dir entry
+        // or the key itself is a shared file entry
+        val (sharedFiles, sharedDirs) = shared.partition(_.contains("/"))
+        val byDir =
+          if (sharedDirs.isEmpty) lit(false)
+          else substring_index(col("_dv_file"), "/", 1)
+            .isin(sharedDirs: _*)
+        val byFile =
+          if (sharedFiles.isEmpty) lit(false)
+          else col("_dv_file").isin(sharedFiles: _*)
+        all.filter(byDir || byFile)
       }
       def fetch(keys: DataFrame, tag: String): DataFrame =
         toTargetLogical(spark.read.schema(physSchema(schema, cmapT))
@@ -2952,22 +3535,6 @@ final class TxLogTable(spark: SparkSession,
     val v = currentVersion
     if (v < 0) return Nil
     val cutoff = System.currentTimeMillis() - minAgeMillis
-    val manifests: Seq[Manifest] =
-      if (retainHistory)
-        (0L to v).flatMap(i =>
-          if (store.exists(manifestPath(i))) Some(manifestAt(i)) else None)
-      else manifestChainAt(v)._1
-    // retainHistory=false keeps the live set plus the change dirs of
-    // the still-walked manifest chain (the feed window a reader can
-    // still replay)
-    // live entries may be FILE-granular (replaceWhere); the sweep
-    // reconciles DIRS, so a dir stays referenced while ANY of its
-    // files does (conservative — dropped siblings go when the last
-    // reference to the dir does)
-    val referenced: Set[String] =
-      manifests.flatMap(m =>
-        (m.add ++ m.cdc.getOrElse(Nil) ++ m.dv.getOrElse(Nil))
-          .map(_.takeWhile(_ != '/'))).toSet
     def sweep(dir: Path, doomed: List[String]): List[String] = {
       // DRY RUN: report what a real vacuum would remove, touch nothing
       if (!dryRun) doomed.foreach(d => store.deleteRecursive(dir.resolve(d)))
@@ -2977,13 +3544,67 @@ final class TxLogTable(spark: SparkSession,
     def agedPast(dir: Path, name: String): Boolean =
       try store.modTime(dir.resolve(name)) <= cutoff
       catch { case _: java.io.IOException => false } // vanished: skip
+    // retainHistory=false keeps the live set plus the change dirs of
+    // the still-walked manifest chain (the feed window a reader can
+    // still replay)
+    // live entries may be FILE-granular (replaceWhere); the sweep
+    // reconciles DIRS, so a dir stays referenced while ANY of its
+    // files does (conservative — dropped siblings go when the last
+    // reference to the dir does)
+    val (doomedUnaged: List[String], refCkpt: Set[String]) =
+      if (retainHistory && (v + 1) > planThreshold) {
+        // SCALE ARM: the full-history reference fold runs as ONE Spark
+        // job over the manifest JSON files — the driver never parses
+        // 100k manifests; it materializes only the DOOMED names (plus
+        // the checkpoint reference census, bounded by ckpt count)
+        import org.apache.spark.sql.functions.{array, coalesce => fcoal,
+          col, concat, explode_outer, substring_index}
+        import org.apache.spark.sql.types.{ArrayType, StringType,
+          StructField, StructType => SType}
+        import spark.implicits._
+        val mfSchema = SType(Seq(
+          StructField("add", ArrayType(StringType), nullable = true),
+          StructField("cdc", ArrayType(StringType), nullable = true),
+          StructField("dv", ArrayType(StringType), nullable = true),
+          StructField("statsFile", StringType, nullable = true)))
+        val mf = spark.read.schema(mfSchema)
+          .json(logDir.resolve("*.json").toString)
+        val empty = array()
+        val refs = mf.select(explode_outer(concat(
+            fcoal(col("add"), empty), fcoal(col("cdc"), empty),
+            fcoal(col("dv"), empty))).as("e"))
+          .where(col("e").isNotNull)
+          .select(substring_index(col("e"), "/", 1).as("name"))
+          .distinct()
+        val listDf = ls(dataDir).toDF("name")
+        val doomed = listDf.join(refs, Seq("name"), "left_anti")
+          .as[String].collect().toList
+        val ckpts = mf.select(col("statsFile"))
+          .where(col("statsFile").isNotNull)
+          .distinct().as[String].collect().toSet
+        TxLogTable.lastPlanMaterialized = doomed.size + ckpts.size
+        (doomed, ckpts)
+      } else {
+        val manifests: Seq[Manifest] =
+          if (retainHistory)
+            (0L to v).flatMap(i =>
+              if (store.exists(manifestPath(i))) Some(manifestAt(i))
+              else None)
+          else manifestChainAt(v)._1
+        val referenced: Set[String] =
+          manifests.flatMap(m =>
+            (m.add ++ m.cdc.getOrElse(Nil) ++ m.dv.getOrElse(Nil))
+              .map(_.takeWhile(_ != '/'))).toSet
+        TxLogTable.lastPlanMaterialized = manifests.size
+        (ls(dataDir).filterNot(referenced),
+          manifests.flatMap(_.statsFile).toSet)
+      }
     val doomedData = sweep(dataDir,
-      ls(dataDir).filterNot(referenced).filter(agedPast(dataDir, _)))
+      doomedUnaged.filter(agedPast(dataDir, _)))
     // stats-checkpoint GC: a ckpt parquet is garbage once no surviving
     // manifest references it (lost checkpoint races, or — with
     // retainHistory=false — checkpoints of no-longer-replayable
     // versions)
-    val refCkpt: Set[String] = manifests.flatMap(_.statsFile).toSet
     val doomedCkpt = sweep(logDir,
       ls(logDir).filter(n => n.startsWith("ckpt-") && !refCkpt(n) &&
         agedPast(logDir, n)))

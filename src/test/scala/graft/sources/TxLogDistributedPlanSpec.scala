@@ -115,4 +115,40 @@ class TxLogDistributedPlanSpec extends SparkSpec {
       "driver materialization bounded by groups + stragglers, got " +
         TxLogTable.lastPlanMaterialized)
   }
+
+  test("vacuum past the threshold folds history as one job, DRY RUN " +
+      "parity, driver bounded by doomed count") {
+    val (root, t, _) = manyFileTable()
+    // orphan two staged dirs (lost commit races) + two historical
+    // commits an overwrite supersedes
+    import scala.jdk.CollectionConverters._
+    t.stageData(spark.createDataFrame(
+      Seq(Row(9L, 1L, 1L): Row).asJava, sch))
+    t.stageData(spark.createDataFrame(
+      Seq(Row(9L, 2L, 2L): Row).asJava, sch))
+    // driver-arm DRY RUN is the reference
+    TxLogTable.lastPlanMaterialized = -1
+    val refDry = t.vacuum(retainHistory = true, minAgeMillis = 0L,
+      dryRun = true)
+    val driverWalk = TxLogTable.lastPlanMaterialized
+    assert(refDry.size === 2, refDry.mkString(", "))
+    // distributed arm: identical DRY RUN report, driver materializes
+    // doomed + ckpt references instead of every manifest
+    TxLogTable.lastPlanMaterialized = -1
+    val bigDry = withThreshold(1) {
+      t.vacuum(retainHistory = true, minAgeMillis = 0L, dryRun = true)
+    }
+    assert(bigDry === refDry)
+    assert(TxLogTable.lastPlanMaterialized <= refDry.size + 2,
+      s"driver bound: got ${TxLogTable.lastPlanMaterialized} " +
+        s"(driver arm walked $driverWalk manifests)")
+    // the real sweep through the distributed arm removes exactly those
+    val swept = withThreshold(1) {
+      t.vacuum(retainHistory = true, minAgeMillis = 0L)
+    }
+    assert(swept === refDry)
+    assert(t.read().count() === 1200L, "vacuum touched live data")
+    // and historical reads still replay (retainHistory kept the chain)
+    assert(t.readAt(t.currentVersion - 1).count() === 1200L)
+  }
 }

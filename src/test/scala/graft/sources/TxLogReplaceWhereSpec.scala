@@ -207,13 +207,39 @@ class TxLogReplaceWhereSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("skipping stats"), e3.getMessage)
 
-    // live deletion vectors: refuse (OPTIMIZE folds them first)
-    val (_, t4) = groupedTable()
-    t4.deleteVectored(col("k") === 5L)
-    val e4 = intercept[IllegalArgumentException] {
-      t4.replaceWhere(spark.createDataFrame(
-        Seq(Row(1L, 9L, 9L)).asJava, sch), col("grp") === 1L)
-    }
-    assert(e4.getMessage.contains("deletion vectors"), e4.getMessage)
+  }
+
+  test("replaceWhere over a DV-bearing snapshot: kept files keep " +
+      "their vectors, the feed stays precise") {
+    import scala.jdk.CollectionConverters._
+    val (_, t) = groupedTable()
+    // point-delete one row in the KEPT group (grp 0, k=5) and one in
+    // the REPLACED group (grp 1, k=105) — merge-on-read vectors
+    t.deleteVectored(col("k").isin(5L, 105L))
+    assert(t.read().count() === 58L)
+    val vBefore = t.currentVersion
+    t.replaceWhere(spark.createDataFrame(
+      Seq(Row(1L, 9991L, 7L)).asJava, sch), col("grp") === 1L,
+      statsCols = Seq("grp", "k", "v"))
+    // grp 1 swapped to one row; grp 0's DV still applies; grp 2 whole
+    val got = t.read().groupBy("grp").agg(count(lit(1)).as("n"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 19L), (1L, 1L), (2L, 20L)))
+    assert(t.read().filter(col("k") === 5L).count() === 0L)
+    // CDC: the 19 LIVE replaced rows (k=105 was already deleted) as
+    // deletes plus the one insert — never the DV-dead row
+    val feed = t.changes(vBefore, t.currentVersion)
+      .select("grp", "k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val (ins, del) = feed.partition(_._3 == "insert")
+    assert(ins.map(_._2).toSeq === Seq(9991L))
+    assert(del.length === 19 && del.forall(_._1 == 1L))
+    assert(!del.exists(_._2 == 105L),
+      "a DV-deleted row resurfaced in the replaceWhere feed")
+    // maintenance arms stay green over the mixed set
+    val doomed = t.vacuum(retainHistory = false, minAgeMillis = 0L)
+    assert(t.read().count() === 40L, s"vacuum broke live data: $doomed")
+    t.checkpoint()
+    assert(t.read().count() === 40L)
   }
 }
