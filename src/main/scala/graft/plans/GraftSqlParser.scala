@@ -422,7 +422,7 @@ object GraftSqlRewrite {
             s"unsupported WHEN NOT MATCHED action(s) $other — use INSERT *")
         }
         GraftMergeCommand(root, rewriteReads(session, srcPlan), keys,
-          matched, insert, insertCond)
+          matched, insert, insertCond, m.withSchemaEvolution)
 
       case u: UpdateTable if dmlTarget(session, u.table).isDefined =>
         val (root, alias) = dmlTarget(session, u.table).get
@@ -456,16 +456,21 @@ sealed trait GraftTxLogCommand extends LeafRunnableCommand {
     Seq(AttributeReference("version", LongType, nullable = false)())
 }
 
-/** MERGE INTO txlog.`root` routed to [[TxLogTable.mergeConditional]]. */
+/** MERGE [WITH SCHEMA EVOLUTION] INTO txlog.`root` routed to
+  * [[TxLogTable.mergeConditional]] — the evolution flag is Spark's
+  * own grammar, carried through verbatim.
+  */
 case class GraftMergeCommand(root: String, source: LogicalPlan,
     keys: Seq[String], matched: Seq[TxLogTable.MergeClause],
-    insert: Boolean, insertCond: Option[String])
+    insert: Boolean, insertCond: Option[String],
+    withSchemaEvolution: Boolean = false)
     extends GraftTxLogCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val t = new TxLogTable(sparkSession, root)
     val src = bridge.ofRows(sparkSession, source)
     val v = t.mergeConditional(src, keys, whenMatched = matched,
-      insertWhenNotMatched = insert, notMatchedCondition = insertCond)
+      insertWhenNotMatched = insert, notMatchedCondition = insertCond,
+      withSchemaEvolution = withSchemaEvolution)
     Seq(Row(v))
   }
 }
@@ -656,20 +661,28 @@ case class GraftShowPartitionsCommand(target: Either[String, Seq[String]],
         s"SHOW PARTITIONS is not allowed: table $root is not " +
           "partitioned (create it with PARTITIONED BY)"))
     val v = t.currentVersion
+    val schema = t.schemaAt(v)
+    val hiveNull = "__HIVE_DEFAULT_PARTITION__"
     def hive(vals: Seq[String]): String =
       cols.zip(vals).map { case (c, x) => s"$c=$x" }.mkString("/")
     t.censusSplitAt(v, cols, Nil, Nil, Nil) match {
       case Some((groups, stragglers)) if stragglers.isEmpty =>
-        // partition values print in their external stat spelling —
-        // the literal value for integral/string/decimal columns
-        groups.map(g => hive(g.key)).sorted.map(Row(_))
+        // decode the external stat spelling per column type: dates as
+        // date literals, timestamps as datetime literals (Spark/Hive
+        // SHOW PARTITIONS output, not the stat encoding)
+        groups.map(g => hive(cols.zip(g.key).map { case (c, x) =>
+          graft.sources.DataSkipping.externalToPartitionString(
+            schema(schema.fieldIndex(c)).dataType, x)
+        })).sorted.map(Row(_))
       case _ =>
         // stragglers: the census cannot prove the value set — run the
         // real distinct scan (same rows, file reads proportional to
-        // the table)
+        // the table); a NULL partition value prints the hive default
+        // token
         val snap = t.readAt(v)
         snap.select(cols.map(snap.col): _*).distinct().collect().toSeq
-          .map(r => cols.indices.map(i => String.valueOf(r.get(i))))
+          .map(r => cols.indices.map(i =>
+            if (r.isNullAt(i)) hiveNull else String.valueOf(r.get(i))))
           .map(vals => hive(vals)).sorted.map(Row(_))
     }
   }

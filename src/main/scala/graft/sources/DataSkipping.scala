@@ -179,6 +179,27 @@ object DataSkipping {
     case _ => None
   }
 
+  /** Human/Hive-facing spelling of an EXTERNAL stat string — the
+    * inverse presentation of [[encodeExternal]] for surfaces that
+    * print partition values (SHOW PARTITIONS): dates render as date
+    * literals (not epoch days), timestamps as UTC datetime literals
+    * (not micros), booleans as true/false; everything else is already
+    * its literal spelling.
+    */
+  def externalToPartitionString(dt: DataType, ext: String): String =
+    dt match {
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(ext.toLong).toString
+      case TimestampType | TimestampNTZType =>
+        val micros = ext.toLong
+        val secs = Math.floorDiv(micros, 1000000L)
+        val nanos = Math.floorMod(micros, 1000000L) * 1000L
+        java.time.LocalDateTime.ofEpochSecond(secs, nanos.toInt,
+          java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+      case BooleanType => if (ext == "1") "true" else "false"
+      case _ => ext
+    }
+
   /** Canonical string for a CATALYST literal (internal representation:
     * UTF8String, epoch-day Int, epoch-micros Long, Decimal).
     */

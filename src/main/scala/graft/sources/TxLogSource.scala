@@ -229,7 +229,8 @@ final class TxLogSourceProvider extends RelationProvider
     }
     new TxLogChangeSource(sqlContext.sparkSession, root, startExclusive,
       parameters.get("maxVersionsPerBatch").map(_.toLong),
-      parameters.getOrElse("onSchemaEvolution", "ignore"))
+      parameters.getOrElse("onSchemaEvolution", "ignore"),
+      parameters.get("maxBytesPerBatch").map(_.toLong))
   }
 
   override def createSink(sqlContext: SQLContext,

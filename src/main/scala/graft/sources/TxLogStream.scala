@@ -56,11 +56,18 @@ import org.apache.spark.sql.types.StructType
   */
 final class TxLogChangeSource(spark: SparkSession, root: String,
     startExclusive: Long, maxVersionsPerBatch: Option[Long] = None,
-    onSchemaEvolution: String = "ignore")
-    extends Source {
+    onSchemaEvolution: String = "ignore",
+    maxBytesPerBatch: Option[Long] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   require(Set("ignore", "fail", "evolved")(onSchemaEvolution),
     s"onSchemaEvolution must be ignore|fail|evolved, got $onSchemaEvolution")
+  require(maxBytesPerBatch.forall(_ > 0L),
+    "maxBytesPerBatch must be positive")
 
   private val table = new TxLogTable(spark, root)
 
@@ -69,7 +76,25 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
   // the last batch end this instance handed out (the V1
   // FileStreamSource maxFilesPerTrigger pattern) — after a restart the
   // first getBatch re-seeds it from the checkpointed start offset.
+  // `maxBytesPerBatch` additionally bounds the batch by the ON-DISK
+  // bytes of the admitted versions' change dirs (the Delta
+  // maxBytesPerTrigger idea) — a backfill over a few huge commits
+  // stays memory-shaped even when the version count is tiny. Both
+  // caps are soft floors-of-one: a single version always admits, so
+  // the stream can never wedge on one oversized commit. Composes with
+  // `Trigger.AvailableNow` (Spark's V1 AvailableNowSourceWrapper
+  // caps each batch at the source's own getOffset and terminates at
+  // the memoized end) — the production backfill shape: bounded
+  // batches, then stop.
   @volatile private var lastEnd: Long = startExclusive
+
+  /** On-disk bytes of one version's change payload (immutable once
+    * committed — cached), as [[getBatch]] would plan it.
+    */
+  private val verBytes = new java.util.concurrent.ConcurrentHashMap[
+    java.lang.Long, java.lang.Long]()
+  private def changeBytes(v: Long): Long =
+    verBytes.computeIfAbsent(v, _ => table.changePayloadBytes(v))
 
   // the mapping in force when this source instance fixed its schema —
   // what makes mid-stream RENAMES transparent below (physical names
@@ -86,9 +111,63 @@ final class TxLogChangeSource(spark: SparkSession, root: String,
     else base
   }
 
-  override def getOffset: Option[V1Offset] = {
+  /** Version ceiling memoized at `Trigger.AvailableNow` start: the
+    * query drains commits up to HERE in cap-bounded batches, then
+    * terminates (the FileStreamSource SupportsTriggerAvailableNow
+    * contract — implementing it directly keeps the engine from
+    * wrapping this source and freezing the FIRST capped offset as
+    * the terminal end, which would drop the backfill's tail).
+    */
+  @volatile private var availableEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(table.currentVersion)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Next batch end under the admission caps, from floor `from`
+    * (exclusive); -Long when nothing to admit.
+    */
+  private def cappedEnd(from: Long): Long = {
+    val cv = availableEnd.fold(table.currentVersion)(
+      e => math.min(e, table.currentVersion))
+    var capped = maxVersionsPerBatch.fold(cv)(m => math.min(cv, from + m))
+    maxBytesPerBatch.foreach { cap =>
+      // admit versions until the byte budget is spent; always at
+      // least one so progress is guaranteed
+      var end = from
+      var budget = cap
+      var done = false
+      while (!done && end < capped) {
+        val b = changeBytes(end + 1)
+        if (b <= budget || end == from) { end += 1; budget -= b }
+        else done = true
+      }
+      capped = end
+    }
+    capped
+  }
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    if (start != null) lastEnd = math.max(lastEnd, start.json.trim.toLong)
+    val from = math.max(lastEnd, startExclusive)
+    val capped = cappedEnd(from)
+    if (capped <= from) null else LongOffset(capped)
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
     val cv = table.currentVersion
-    val capped = maxVersionsPerBatch.fold(cv)(m => math.min(cv, lastEnd + m))
+    if (cv <= startExclusive) null else LongOffset(cv)
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val capped = cappedEnd(math.max(lastEnd, startExclusive))
     if (capped <= startExclusive) None else Some(LongOffset(capped))
   }
 

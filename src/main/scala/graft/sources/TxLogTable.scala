@@ -1535,16 +1535,25 @@ final class TxLogTable(spark: SparkSession,
     TxLogTable.lastPlanMaterialized = 1
     val n = r.getLong(r.fieldIndex("_n"))
     if (n == 0L) return Some((0L, Map.empty, Map.empty))
-    // coverage of the LIVE SET itself: every dir entry must have at
-    // least one stat row and no dir may hold uncensused files — the
-    // distributed arm trusts commit-time stats completeness (statsOpt
-    // covers a staged dir's files all-or-nothing), so dir presence is
-    // the witness
-    val coveredDirs = ds.select(col("file")).as[String]
-      .map(_.takeWhile(_ != '/')).distinct().collect().toSet
-    if (!live.forall(e =>
-        if (e.contains("/")) true else coveredDirs.contains(e)))
-      return None
+    // coverage of the LIVE SET itself, VERIFIED against the store
+    // (not trusted): per-dir stat-row counts must equal the dir's
+    // listed parquet census, and every FILE-granular entry needs its
+    // own row — a live file without a stat row (external writer,
+    // older-format commit) refuses here exactly as the driver arm
+    // does, instead of silently undercounting
+    val perDir = ds.map(_.file.takeWhile(_ != '/'))
+      .groupByKey(identity).count().collect().toMap
+    val fileEntries = live.filter(_.contains("/")).toSet
+    val coveredFiles: Set[String] =
+      if (fileEntries.isEmpty) Set.empty
+      else ds.filter(row => fileEntries.contains(row.file))
+        .map(_.file).collect().toSet
+    val covered = live.forall { e =>
+      if (e.contains("/")) coveredFiles.contains(e)
+      else perDir.getOrElse(e, 0L) ==
+        store.list(dataDir.resolve(e)).count(_.endsWith(".parquet"))
+    }
+    if (!covered) return None
     val rows = r.getLong(r.fieldIndex("_rows"))
     val ranges = Map.newBuilder[String, ColRange]
     val ndvs = Map.newBuilder[String, Long]
@@ -1703,12 +1712,38 @@ final class TxLogTable(spark: SparkSession,
       .select(col("file")).as[String].limit(stragglerCap + 1)
       .collect()
     if (stragglerKeys.length > stragglerCap) return None
-    // dirs with no stat rows at all scan whole (same refusal shape as
-    // the driver arm's `uncovered`)
-    val coveredDirs = ds.select(col("file")).as[String]
-      .map(_.takeWhile(_ != '/')).distinct().collect().toSet
-    val uncoveredDirs = live.filterNot(e =>
-      e.contains("/") || coveredDirs.contains(e))
+    // coverage VERIFIED against the store (the driver arm's
+    // `uncovered` contract): per-dir stat-row counts must equal the
+    // dir's listed parquet census — a dir with NO rows scans whole, a
+    // PARTIALLY covered dir contributes its uncensused files as
+    // stragglers, and a file-granular entry without its own row
+    // straggles too. Nothing is silently undercounted.
+    val perDir = ds.map(_.file.takeWhile(_ != '/'))
+      .groupByKey(identity).count().collect().toMap
+    val fileEntries = live.filter(_.contains("/")).toSet
+    val coveredFiles: Set[String] =
+      if (fileEntries.isEmpty) Set.empty
+      else ds.filter(row => fileEntries.contains(row.file))
+        .map(_.file).collect().toSet
+    val uncoveredDirs = Seq.newBuilder[String]
+    val uncoveredFiles = Seq.newBuilder[String]
+    live.foreach { e =>
+      if (e.contains("/")) {
+        if (!coveredFiles.contains(e)) uncoveredFiles += e
+      } else {
+        val listed = store.list(dataDir.resolve(e))
+          .filter(_.endsWith(".parquet")).map(f => s"$e/$f")
+        val rows = perDir.getOrElse(e, 0L)
+        if (rows == 0L && listed.nonEmpty) uncoveredDirs += e
+        else if (rows != listed.size) {
+          // partial coverage: only the uncensused files straggle
+          val present = ds
+            .filter(row => row.file.startsWith(e + "/"))
+            .map(_.file).collect().toSet
+          uncoveredFiles ++= listed.filterNot(present)
+        }
+      }
+    }
     val keyCols = groupCols.zipWithIndex.map { case (g, i) =>
       element_at(col("mins"), lit(physName(g))).as(s"k$i")
     }
@@ -1746,7 +1781,8 @@ final class TxLogTable(spark: SparkSession,
     }
     Some((groups,
       stragglerKeys.toSeq.map(dataFilePath) ++
-        uncoveredDirs.map(d => dataDir.resolve(d).toString)))
+        uncoveredFiles.result().map(dataFilePath) ++
+        uncoveredDirs.result().map(d => dataDir.resolve(d).toString)))
   }
 
   private[graft] def statsSummaryAt(version: Long)
@@ -1820,6 +1856,25 @@ final class TxLogTable(spark: SparkSession,
       else store.list(hp).filter(_.endsWith(".parquet"))
         .map(f => hp.resolve(f).toString)
     }
+
+  /** On-disk bytes of version `v`'s change payload — the dirs/files
+    * [[changes]] plans for `(v-1, v]` (CDC dirs when typed, added
+    * dirs otherwise, plus a replaceWhere's removed census). The CDC
+    * source's byte-based admission control
+    * ([[TxLogChangeSource]] `maxBytesPerBatch`) budgets on this; one
+    * store metadata walk per version, cacheable forever (immutable).
+    */
+  private[sources] def changePayloadBytes(v: Long): Long = {
+    if (!store.exists(manifestPath(v))) return 0L
+    val m = manifestAt(v)
+    val replaceWhere = m.markers.exists(_.contains("replace_where"))
+    val entries: Seq[String] =
+      if (replaceWhere && m.removed.exists(_.nonEmpty))
+        m.add.filterNot(chainAddsBefore(v)) ++ m.removed.get
+      else m.cdc.getOrElse(m.add)
+    entries.iterator
+      .map(d => store.parquetBytes(dataDir.resolve(d))).sum
+  }
 
   /** Store paths of the deletion-vector dirs live at `version`. */
   private[sources] def dvDirPaths(version: Long): Seq[String] =
@@ -2812,6 +2867,13 @@ final class TxLogTable(spark: SparkSession,
     *   - `source` must contain every target column (extra columns are
     *     visible to conditions but not written); an update/insert
     *     writes the source row's target-schema projection.
+    *   - `withSchemaEvolution` (Delta's `MERGE WITH SCHEMA
+    *     EVOLUTION` / autoMerge): source-only columns WIDEN the
+    *     target schema additively (same rules as evolved appends —
+    *     type conflicts and retired-physical shadows reject);
+    *     target-only columns the source lacks keep their target value
+    *     on UPDATE and null-fill on INSERT — the schema-drifting CDC
+    *     feed lands without pre-conforming.
     *   - Multiple source rows matching one target key make the MERGE
     *     ambiguous — rejected up front (the check is one bounded
     *     aggregate: first duplicated key or nothing).
@@ -2834,7 +2896,8 @@ final class TxLogTable(spark: SparkSession,
       notMatchedCondition: Option[String] = None,
       sortCols: Seq[String] = Nil, maxRetries: Int = 20,
       markers: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      withSchemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     import TxLogTable.{MatchedDelete, MatchedUpdate}
     val dupKey = source.groupBy(key.map(source.col): _*)
@@ -2853,14 +2916,30 @@ final class TxLogTable(spark: SparkSession,
         nullKeysMatch = false)
       val split = classifyTouched(v, keyPred)
       TxLogTable.lastDmlRewritten = split.touchedCount
-      val target =
+      // schema evolution: source-only columns widen the schema
+      // additively (the evolved-append rules); the target side pads
+      // them with typed nulls so both join sides speak evolved names
+      val evolved: StructType =
+        if (!withSchemaEvolution) schema
+        else evolveSchema(schema, source.schema, cmap,
+          droppedColsAt(v).toSeq)
+      val target0 =
         if (split.touchedPaths.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
         else readPathsAt(v, split.touchedPaths)
+      val target = evolved.fields.foldLeft(target0) { (df, f) =>
+        if (df.columns.exists(_.equalsIgnoreCase(f.name))) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
       val tgtCols = target.columns.toSeq
-      val missing = tgtCols.filterNot(source.columns.contains)
-      require(missing.isEmpty,
-        s"MERGE source lacks target columns: ${missing.mkString(", ")}")
+      if (!withSchemaEvolution) {
+        val missing = tgtCols.filterNot(source.columns.contains)
+        require(missing.isEmpty,
+          s"MERGE source lacks target columns: ${missing.mkString(", ")}" +
+            " (pass withSchemaEvolution=true to null-fill inserts)")
+      }
+      def srcHas(c: String): Boolean =
+        source.columns.exists(_.equalsIgnoreCase(c))
       // presence markers survive the full-outer join where every data
       // column (keys included) may be legitimately null on one side
       val t = target.withColumn("__t_present", lit(true)).alias("t")
@@ -2869,7 +2948,7 @@ final class TxLogTable(spark: SparkSession,
         .reduce(_ && _)
       val j = t.join(s, keyCond, "full_outer")
       def condOf(c: Option[String]): Column = c.map(expr).getOrElse(lit(true))
-      val KEEP = 0; val USE_SRC = 1; val DROP = 2
+      val KEEP = 0; val USE_SRC = 1; val DROP = 2; val INS = 3
       // first-clause-wins: build the else-chain from the last clause in
       val matchedAction = whenMatched.foldRight(lit(KEEP): Column) {
         case (MatchedUpdate(c), els) => when(condOf(c), USE_SRC).otherwise(els)
@@ -2877,7 +2956,7 @@ final class TxLogTable(spark: SparkSession,
       }
       val insertAction =
         if (!insertWhenNotMatched) lit(DROP)
-        else when(condOf(notMatchedCondition), USE_SRC).otherwise(DROP)
+        else when(condOf(notMatchedCondition), INS).otherwise(DROP)
       val action =
         when(col("t.__t_present").isNotNull && col("s.__s_present").isNull,
           KEEP)
@@ -2886,9 +2965,16 @@ final class TxLogTable(spark: SparkSession,
         .otherwise(matchedAction)
       val merged = j.withColumn("__action", action)
         .filter(col("__action") =!= DROP)
-        .select(tgtCols.map(c =>
-          when(col("__action") === USE_SRC, col(s"s.$c"))
-            .otherwise(col(s"t.$c")).as(c)): _*)
+        .select(tgtCols.map { c =>
+          // UPDATE writes source columns and keeps target-only ones;
+          // INSERT writes source columns and null-fills the rest
+          val upd = if (srcHas(c)) col(s"s.$c") else col(s"t.$c")
+          val ins = if (srcHas(c)) col(s"s.$c")
+            else lit(null).cast(evolved(evolved.fieldIndex(c)).dataType)
+          when(col("__action") === USE_SRC, upd)
+            .when(col("__action") === INS, ins)
+            .otherwise(col(s"t.$c")).as(c)
+        }: _*)
       val staged = stageData(merged, sortCols, checkConstraints = true)
       val stagedDf = readPhysical(
         Seq(dataDir.resolve(staged).toString), merged.schema, currentColMap)
@@ -3567,8 +3653,9 @@ final class TxLogTable(spark: SparkSession,
           StructField("cdc", ArrayType(StringType), nullable = true),
           StructField("dv", ArrayType(StringType), nullable = true),
           StructField("statsFile", StringType, nullable = true)))
-        val mf = spark.read.schema(mfSchema)
-          .json(logDir.resolve("*.json").toString)
+        val mfPaths = ls(logDir).filter(_.endsWith(".json"))
+          .map(n => logDir.resolve(n).toString)
+        val mf = spark.read.schema(mfSchema).json(mfPaths: _*)
         val empty = array()
         val refs = mf.select(explode_outer(concat(
             fcoal(col("add"), empty), fcoal(col("cdc"), empty),

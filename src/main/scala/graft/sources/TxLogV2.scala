@@ -343,7 +343,8 @@ final class TxLogNativeWriteBuilder(spark: SparkSession, root: String,
         new TxLogStreamingWrite(spark, root, info.schema(),
           (csv("statsCols") ++ clusterCols).distinct, csv("bloomCols"),
           clusterCols,
-          Option(info.options().get("checkpointEvery")).map(_.trim.toInt))
+          Option(info.options().get("checkpointEvery")).map(_.trim.toInt),
+          info.queryId())
       }
       override def description(): String =
         s"txlog native ${if (overwriteAll) "overwrite"
@@ -448,13 +449,28 @@ final class TxLogBatchWrite(spark: SparkSession, root: String,
 final class TxLogStreamingWrite(spark: SparkSession, root: String,
     logicalSchema: StructType, statsCols: Seq[String],
     bloomCols: Seq[String], clusterCols: Seq[String],
-    checkpointEvery: Option[Int])
+    checkpointEvery: Option[Int],
+    queryId: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val table = new TxLogTable(spark, root)
   private val base = s"stream-${java.util.UUID.randomUUID()}"
   private def dirFor(epochId: Long): String = s"$base-$epochId"
   @volatile private var validated: Map[String, String] = Map.empty
+
+  /** Replay-dedup marker SCOPED to the streaming query: Spark's
+    * `info.queryId()` is the STABLE query id (persisted in the
+    * checkpoint, verified against StreamExecution.createWrite —
+    * `id`, not `runId`), so a kill-and-resume from the same
+    * checkpoint still recognizes its replayed epoch, while a NEW
+    * query (fresh checkpoint) writing to a table that already
+    * carries another stream's marker starts from ITS OWN epoch 0
+    * instead of silently dropping early batches. The unscoped
+    * V1-sink key still rides each commit for observability.
+    */
+  private def scopedMarker: String =
+    if (queryId.isEmpty) TxLogStream.SinkBatchMarker
+    else s"${TxLogStream.SinkBatchMarker}:$queryId"
 
   override def createStreamingWriterFactory(
       pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -477,7 +493,7 @@ final class TxLogStreamingWrite(spark: SparkSession, root: String,
   override def commit(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val dir = dirFor(epochId)
-    val done = table.marker(TxLogStream.SinkBatchMarker)
+    val done = table.marker(scopedMarker)
       .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
     if (epochId <= done) { // exact replay of a committed batch
       table.dropStagedDir(dir)
@@ -487,7 +503,8 @@ final class TxLogStreamingWrite(spark: SparkSession, root: String,
     table.mkStagedDir(dir) // an empty batch never opened a file
     table.commitStagedV2(dir, TxLogV2.asNullable(logicalSchema),
       overwrite = false, statsCols, bloomCols, validated,
-      markers = Map(TxLogStream.SinkBatchMarker -> epochId.toString))
+      markers = Map(scopedMarker -> epochId.toString,
+        TxLogStream.SinkBatchMarker -> epochId.toString))
     checkpointEvery.foreach(n => table.maybeCheckpoint(n))
     ()
   }

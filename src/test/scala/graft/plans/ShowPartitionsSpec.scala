@@ -51,6 +51,25 @@ class ShowPartitionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not") &&
       e.getMessage.contains("partitioned"), e.getMessage)
+
+    // DATE partition values print as date LITERALS (Spark/Hive
+    // output), never the epoch-day stat encoding; a NULL partition in
+    // the straggler fallback prints the hive default token
+    spark.sql(s"CREATE TABLE $cat.dated (d DATE, k BIGINT) USING txlog " +
+      "PARTITIONED BY (d)")
+    Seq(("2024-03-01", 1L), ("2024-03-02", 2L))
+      .toDF("ds", "k").selectExpr("CAST(ds AS DATE) AS d", "k")
+      .writeTo(s"$cat.dated").append()
+    val dparts = GraftSql.sql(spark, s"SHOW PARTITIONS $cat.dated")
+      .collect().map(_.getString(0)).toSeq
+    assert(dparts === Seq("d=2024-03-01", "d=2024-03-02"), dparts)
+    new TxLogTable(spark, s"$root/dated")
+      .append(Seq((null: String, 9L)).toDF("ds", "k")
+        .selectExpr("CAST(ds AS DATE) AS d", "k").coalesce(1))
+    val dparts2 = GraftSql.sql(spark, s"SHOW PARTITIONS $cat.dated")
+      .collect().map(_.getString(0)).toSeq
+    assert(dparts2 === Seq("d=2024-03-01", "d=2024-03-02",
+      "d=__HIVE_DEFAULT_PARTITION__"), dparts2)
   }
 
   test("non-txlog targets keep Spark's native SHOW PARTITIONS") {

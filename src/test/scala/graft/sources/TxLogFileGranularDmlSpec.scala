@@ -318,6 +318,84 @@ class TxLogFileGranularDmlSpec extends SparkSpec {
     assert(t.readWhere(col("k") < 100L).count() === 20L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns widen, " +
+      "missing source columns keep/null-fill") {
+    val root = Files.createTempDirectory("txfgse").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(sch)
+    import scala.jdk.CollectionConverters._
+    t.append(spark.createDataFrame(
+      Seq(Row(1L, "a", 10L), Row(2L, "b", 20L)).asJava, sch),
+      statsCols = Seq("k"))
+    // schema-drifting upsert feed: no `v`, new `score`
+    val drift = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    val src = spark.createDataFrame(
+      Seq(Row(2L, "B", 0.5), Row(3L, "c", 0.9)).asJava, drift)
+    // without the flag: loud refusal (source lacks `v`)
+    val e = intercept[IllegalArgumentException] {
+      t.mergeConditional(src, Seq("k"),
+        whenMatched = Seq(TxLogTable.MatchedUpdate(None)))
+    }
+    assert(e.getMessage.contains("lacks target columns"), e.getMessage)
+    t.mergeConditional(src, Seq("k"),
+      whenMatched = Seq(TxLogTable.MatchedUpdate(None)),
+      withSchemaEvolution = true)
+    val out = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(t.read().schema.fieldNames.toSeq ===
+      Seq("k", "tag", "v", "score"))
+    assert(out === Seq(
+      (1L, "a", 10L, null),   // untouched, score reads null
+      (2L, "B", 20L, 0.5),    // updated: v KEPT (source lacks it)
+      (3L, "c", null, 0.9)))  // inserted: v null-filled
+    // SQL surface: Spark's own MERGE WITH SCHEMA EVOLUTION grammar
+    val drift2 = StructType(drift.fields :+
+      StructField("lang", StringType, nullable = true))
+    spark.createDataFrame(
+      Seq(Row(3L, "C", 1.0, "en"), Row(4L, "d", 0.1, "fr")).asJava,
+      drift2).createOrReplaceTempView("se_src")
+    graft.plans.GraftSql.sql(spark,
+      s"MERGE WITH SCHEMA EVOLUTION INTO txlog.`$root` AS t " +
+        "USING se_src AS s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+    val out2 = t.read().orderBy("k").collect()
+    assert(t.read().schema.fieldNames.toSeq ===
+      Seq("k", "tag", "v", "score", "lang"))
+    assert(out2.length === 4)
+    assert(out2(2).getString(1) === "C" && out2(2).getString(4) === "en")
+    assert(out2(3).getString(1) === "d" && out2(3).isNullAt(2))
+    // type conflict still rejects (evolution is additive, not coercive)
+    val bad = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val e2 = intercept[IllegalArgumentException] {
+      t.mergeConditional(spark.createDataFrame(
+        Seq(Row(1L, "boom")).asJava, bad), Seq("k"),
+        whenMatched = Seq(TxLogTable.MatchedUpdate(None)),
+        withSchemaEvolution = true)
+    }
+    assert(e2.getMessage.contains("cannot change type"), e2.getMessage)
+    // renamed-column interaction: a source column named like a
+    // RETIRED physical identity must reject, not shadow
+    t.renameColumn("tag", "label")
+    val shadow = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
+    val e3 = intercept[IllegalArgumentException] {
+      t.mergeConditional(spark.createDataFrame(
+        Seq(Row(1L, "ghost")).asJava, shadow), Seq("k"),
+        whenMatched = Seq(TxLogTable.MatchedUpdate(None)),
+        withSchemaEvolution = true)
+    }
+    assert(e3.getMessage.contains("physical identity"), e3.getMessage)
+  }
+
   test("files without stats rewrite conservatively (no silent keep)") {
     val root = Files.createTempDirectory("txfgns").toString
     val t = new TxLogTable(spark, root)

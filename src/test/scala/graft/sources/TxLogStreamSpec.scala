@@ -183,6 +183,24 @@ class TxLogStreamSpec extends SparkSpec {
     assert(t.read().count() === 3L)
     // stats option flowed through: point predicate prunes to one file
     assert(t.scanPathsAt(t.currentVersion, col("k") === 3L).size === 1)
+
+    // a NEW query (fresh checkpoint) writing to this table must land
+    // its epoch 0 even though the table carries a HIGHER marker from
+    // the first stream — the dedup marker is scoped per queryId, so
+    // another query's progress can never silently swallow early
+    // batches of this one
+    val src2 = Files.createTempDirectory("txstrv2_src2").toString
+    val ck2 = Files.createTempDirectory("txstrv2_ck2").toString
+    df((100L, "q2", 7L)).coalesce(1).write.parquet(s"$src2/g0")
+    val q2 = spark.readStream.schema(schema).parquet(src2 + "/*")
+      .writeStream.option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.sink")
+    q2.awaitTermination(120000)
+    q2.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    assert(t.read().filter(col("k") === 100L).count() === 1L,
+      "a fresh query's epoch 0 was swallowed by another stream's marker")
+    assert(t.read().count() === 4L)
   }
 
   test("maxVersionsPerBatch bounds catch-up batches; compaction invisible, restore emits its diff") {
@@ -214,6 +232,39 @@ class TxLogStreamSpec extends SparkSpec {
     assert(batches.map(_._2).sum === 13L,
       "4 inserts + restore churn (4 deletes + 4 re-inserts, cancelling) " +
         "+ 1 post-restore insert; compact emits nothing")
+  }
+
+  test("maxBytesPerBatch budgets backfill batches; AvailableNow " +
+      "drains bounded batches then terminates") {
+    val root = Files.createTempDirectory("txbytes").toString
+    val t = new TxLogTable(spark, root)
+    t.ensureExists(schema)
+    (1L to 6L).foreach(i => t.append(df((i, s"v$i", i)))) // v1..v6
+    // one version's payload is a few KB; a budget of ~1.5 versions
+    // forces roughly one-version batches — and AvailableNow must
+    // still drain ALL of them, then stop (the production backfill)
+    val oneVer = {
+      val p = new org.apache.hadoop.fs.Path(t.liveDataPaths(1L).head)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(p).getLength
+    }
+    val ck = Files.createTempDirectory("txbytes_ck").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("txlog")
+      .option("startingVersion", "earliest")
+      .option("maxBytesPerBatch", (oneVer * 3 / 2).toString).load(root)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batches.synchronized { batches += batch.count() }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    assert(batches.sum === 6L, s"backfill incomplete: $batches")
+    assert(batches.size >= 4,
+      s"byte budget must split the backfill into ~per-version " +
+        s"batches: $batches")
   }
 
   test("stream sink and concurrent batch writers interleave without lost updates") {
