@@ -146,14 +146,17 @@ object ExtQueries {
           |  CAST(MIN(value) AS DOUBLE) AS min_value,
           |  CAST(MAX(value) AS DOUBLE) AS max_value
           |FROM events GROUP BY 1""".stripMargin) +
-      // REPLACE WHERE: DuckDB recomputes the partition swap (grp 1's
-      // values decimated ×10, every other partition untouched)
+      // REPLACE WHERE over a DV-bearing snapshot: DuckDB recomputes
+      // the point deletes (kept partitions lose their %113 rows) and
+      // the swap (grp 1 fully re-seeded ×10, deletes irrelevant)
       ("q216_replace_where" ->
         """WITH base AS (
-          |  SELECT user_id % 4 AS grp, event_id,
-          |    CASE WHEN user_id % 4 = 1 THEN value * 10 ELSE value END
-          |      AS value
-          |  FROM events)
+          |  SELECT user_id % 4 AS grp, event_id, value * 10 AS value
+          |  FROM events WHERE user_id % 4 = 1
+          |  UNION ALL
+          |  SELECT user_id % 4 AS grp, event_id, value
+          |  FROM events WHERE user_id % 4 <> 1
+          |    AND (event_id % 113 <> 0 OR event_id IS NULL))
           |SELECT grp,
           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  CAST(MIN(event_id) AS BIGINT) AS min_event,

@@ -860,6 +860,11 @@ object ExtTxLogQueries {
           col("event_id"), col("user_id"), col("value"))
       src.writeTo(s"$cat.ev").append()
       src.createOrReplaceTempView("graft_q216_src")
+      // merge-on-read point deletes BEFORE the swap: the snapshot the
+      // replaceWhere classifies carries live deletion vectors — kept
+      // partitions keep their vectors, the replaced one re-seeds
+      new graft.sources.TxLogTable(s, s"$root/ev")
+        .deleteVectored(pmod(col("event_id"), lit(113L)) === 0L)
       s.sql(s"INSERT INTO $cat.ev REPLACE WHERE grp = 1 " +
         "SELECT grp, event_id, user_id, value * 10 AS value " +
         "FROM graft_q216_src WHERE grp = 1")
@@ -869,6 +874,114 @@ object ExtTxLogQueries {
            |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
            |    AS sum_value
            |FROM $cat.ev GROUP BY grp""".stripMargin)
+    },
+
+    // ── MERGE WITH SCHEMA EVOLUTION: a schema-drifting upsert feed
+    // (the normal CDC shape) lands WITHOUT pre-conforming — the
+    // source adds a `score` column (additive widening) and omits
+    // `max_event` (kept on update, null-filled on insert). DuckDB
+    // recomputes the full-outer fold.
+    "q217_merge_schema_evolution" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q217")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+      val tgt = ev.filter(pmod(col("user_id"), lit(7L)) === 0L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("event_id")).as("max_event"))
+      t.ensureExists(tgt.schema)
+      t.append(tgt, statsCols = Seq("user_id"))
+      val src = ev.filter(pmod(col("user_id"), lit(5L)) === 0L &&
+          pmod(col("event_id"), lit(2L)) === 0L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("value")).cast("double").as("score"))
+      t.mergeConditional(src, Seq("user_id"),
+        whenMatched = Seq(graft.sources.TxLogTable.MatchedUpdate(None)),
+        withSchemaEvolution = true)
+      t.read().select(col("user_id"), col("n_events"),
+        col("max_event"), col("score"))
+    },
+
+    // ── VECTORED UPDATE (merge-on-read): a point-ish UPDATE commits
+    // a deletion-vector sidecar + post-image append — no live file
+    // rewritten — and the read-side state must equal the rewrite
+    // semantics DuckDB recomputes.
+    "q218_update_vectored" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q218")
+      val t = new graft.sources.TxLogTable(s, root)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      t.ensureExists(li.schema)
+      t.append(li)
+      t.compactClustered(Seq("l_orderkey"), 8,
+        statsCols = Seq("l_orderkey"))
+      t.updateVectored(pmod(col("l_orderkey"), lit(97L)) === 0L,
+        Map("l_quantity" -> (col("l_quantity") * 2)))
+      t.read().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"),
+        sum(when(pmod(col("l_orderkey"), lit(97L)) === 0L, 1L)
+          .otherwise(0L)).as("n_touched"))
+    },
+
+    // ── INCREMENTAL OPTIMIZE (the Delta OPTIMIZE … WHERE idiom):
+    // group-constant commits, one group fragmented across two
+    // commits, then `OPTIMIZE … WHERE grp = 1` bins ONLY that
+    // group's files (mustMatch scope) — every other file rides the
+    // manifest verbatim, and the census afterwards is byte-exact.
+    "q219_incremental_optimize" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q219")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("grp", pmod(col("user_id"), lit(4L)))
+      t.ensureExists(ev.schema)
+      (0L until 4L).foreach { g =>
+        if (g == 1L) { // group 1 lands fragmented: two commits
+          t.append(ev.filter(col("grp") === g &&
+            pmod(col("event_id"), lit(2L)) === 0L),
+            statsCols = Seq("grp", "event_id", "value"))
+          t.append(ev.filter(col("grp") === g &&
+            pmod(col("event_id"), lit(2L)) === 1L),
+            statsCols = Seq("grp", "event_id", "value"))
+        } else t.append(ev.filter(col("grp") === g),
+          statsCols = Seq("grp", "event_id", "value"))
+      }
+      graft.plans.GraftSql.sql(s,
+        s"OPTIMIZE txlog.`$root` WHERE grp = 1 INTO 1 FILES").collect()
+      graft.plans.GraftSql.sql(s,
+        s"""SELECT grp, count(*) AS n_rows, count(value) AS n_values,
+           |  min(event_id) AS min_event, max(event_id) AS max_event
+           |FROM txlog.`$root` GROUP BY grp""".stripMargin)
+    },
+
+    // ── FILE-GRANULAR MERGE: a small delta lands on a clustered
+    // table — classification against manifest key ranges keeps the
+    // untouched files VERBATIM (TxLogFileGranularDmlSpec pins the
+    // rewrite counts; here the hash pins that the optimization never
+    // changes the result).
+    "q220_file_granular_merge" -> { (s, dir) =>
+      val root = scratchDir("graft_txlog_q220")
+      val t = new graft.sources.TxLogTable(s, root)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("rev", lit(0L))
+      t.ensureExists(ev.schema)
+      t.append(ev)
+      t.compactClustered(Seq("event_id"), 8,
+        statsCols = Seq("event_id"))
+      val delta = ev.filter(pmod(col("event_id"), lit(101L)) === 0L)
+        .withColumn("value", col("value") * 3)
+        .withColumn("rev", lit(1L))
+      t.merge(delta, Seq("event_id"), Seq(col("rev").desc),
+        statsCols = Seq("event_id"))
+      t.read().agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"),
+        sum(col("rev")).as("n_delta"))
     },
 
     // ── HYBRID census: the same grouped census with a straggler —
@@ -923,6 +1036,58 @@ object ExtTxLogQueries {
   )
 
   private[queries] val oracleBase: Map[String, String] = Map(
+
+    // the schema-evolved merge: full-outer fold — updated rows take
+    // the source's n/score and KEEP the target-only max_event;
+    // inserted rows null-fill it; untouched rows read score as null
+    "q217_merge_schema_evolution" ->
+      """WITH tgt AS (
+        |  SELECT user_id, COUNT(*) AS n, MAX(event_id) AS max_event
+        |  FROM events WHERE user_id % 7 = 0 GROUP BY 1),
+        |src AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(MAX(value) AS DOUBLE) AS score
+        |  FROM events WHERE user_id % 5 = 0 AND event_id % 2 = 0
+        |  GROUP BY 1)
+        |SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+        |  CAST(CASE WHEN s.user_id IS NOT NULL THEN s.n ELSE t.n END
+        |    AS BIGINT) AS n_events,
+        |  CAST(t.max_event AS BIGINT) AS max_event,
+        |  s.score AS score
+        |FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id"""
+        .stripMargin,
+
+    // vectored update = rewrite semantics: doubled quantity on the
+    // matched keys, everything else untouched
+    "q218_update_vectored" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN l_orderkey % 97 = 0
+        |    THEN l_quantity * 2 ELSE l_quantity END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CASE WHEN l_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_touched
+        |FROM lineitem""".stripMargin,
+
+    // incremental OPTIMIZE is physically invisible: the census equals
+    // the plain rollup (the appends partition events exactly)
+    "q219_incremental_optimize" ->
+      """SELECT user_id % 4 AS grp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(value) AS BIGINT) AS n_values,
+        |  CAST(MIN(event_id) AS BIGINT) AS min_event,
+        |  CAST(MAX(event_id) AS BIGINT) AS max_event
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // file-granular merge = latest-wins semantics: the delta's tripled
+    // values override exactly the %101 keys
+    "q220_file_granular_merge" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN event_id % 101 = 0
+        |    THEN value * 3 ELSE value END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_delta
+        |FROM events""".stripMargin,
 
     // the commit-log merge must reproduce the single-shot q05 state
     // exactly: DuckDB replays latest-wins over ALL events in one pass
