@@ -2521,17 +2521,28 @@ final class TxLogTable(spark: SparkSession,
     * files plus one key-column scan — not the table. When NO file may
     * match (all-new keys), the merge commits as a plain APPEND of the
     * deduped batch.
+    *
+    * `assumeKeyUnique = true` skips the duplicate-key census — the
+    * caller asserts the snapshot holds at most one row per key (true
+    * by construction for a table whose history is merges /
+    * insert-ignores / compactions), making the merge cost purely
+    * delta-proportional at 100 TB. With the assertion false and
+    * duplicates present in KEPT files, those groups would survive
+    * uncollapsed — that is the contract being opted out of.
     */
   def merge(updates: DataFrame, key: Seq[String], precedence: Seq[Column],
       sortCols: Seq[String] = Nil, maxRetries: Int = 20,
       markers: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil,
+      assumeKeyUnique: Boolean = false): Long =
     commitLoop(maxRetries) { v =>
       val (chain, schema) = manifestChainAt(v)
       val cmap = colMapOf(chain)
       val keyPred = sourceKeyPredicate(updates, key, schema, cmap,
         nullKeysMatch = true)
-      val dupFiles = dupKeyFileCensus(v, key)
+      val dupFiles =
+        if (assumeKeyUnique) Set.empty[String]
+        else dupKeyFileCensus(v, key)
       val split = classifyTouched(v, keyPred, forced = dupFiles)
       TxLogTable.lastDmlRewritten = split.touchedCount
       val target =

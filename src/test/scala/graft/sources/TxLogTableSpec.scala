@@ -447,13 +447,14 @@ class TxLogTableSpec extends SparkSpec {
     }
     assert(dirsAfter === dirsBefore + 1)
     // the rollback IS on the change feed (Delta RESTORE-with-CDF): the
-    // delete at v3 dropped k=1, the restore resurrects it. File-granular
-    // diff: v3's rewrite dir (k=2) deletes, v1+v2 dirs (k=1,2) insert —
-    // the k=2 delete+insert pair cancels additively, net +{k=1}.
+    // delete at v3 dropped k=1, the restore resurrects it. The
+    // file-granular delete kept v2's dir VERBATIM (its k=2 file is
+    // shared between both snapshots), so the restore diff is exactly
+    // the resurrected row — no cancelling churn.
     val ch = t.changes(3L, 4L)
       .select(col("k"), col("_change_type")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
-    assert(ch === Seq((1L, "insert"), (2L, "delete"), (2L, "insert")))
+    assert(ch === Seq((1L, "insert")))
     // stats travel with the restore: pruning still effective at v4
     assert(t.scanPathsAt(rv, col("k") === 1L).size === 1)
     assert(t.scanPathsAt(rv, lit(true)).size === 2)
