@@ -147,6 +147,16 @@ object HashedClassifier {
     try {
       val n = featurized.count().toDouble
       require(n > 0, "cannot fit on an empty frame")
+      // feature-presence census, ONCE (round-invariant: the featurized
+      // frame is fixed): only features that occur in the frame ever
+      // receive a gradient/L2 step — exactly the slots the old
+      // groupBy(feature) form emitted rows for. One tiny distinct job
+      // instead of re-deriving presence per round.
+      val present: Array[Int] = featurized
+        .select(explode(col("f")).as("feat")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val spark0 = featurized.sparkSession
+      import spark0.implicits._
       val w = new Array[Double](dim + 1)
       val accum = new Array[Double](dim + 1) // AdaGrad Σg² per slot
       def step(slot: Int, grad: Double): Unit = {
@@ -155,24 +165,41 @@ object HashedClassifier {
       }
       for (_ <- 0 until iters) {
         val model = TextModel(dim, w.clone(), withBigrams)
-        // residual r = σ(s) − y; each gram occurrence carries r/|grams|
-        // and the bias rides as sentinel feature id `dim` carrying r —
-        // ONE aggregation job per round, not a grad job + a bias job
-        // (job-scheduling overhead dominated training wall time on
-        // cached sample-sized frames)
-        val gradRows = featurized
+        // residual r = σ(s) − y; gram slot f accumulates r/|grams|, the
+        // bias slot `dim` accumulates r. One dense dim+1-slot double
+        // array per PARTITION (primitive loop, no explode rows), merged
+        // driver-side in partition-index order — replaces the previous
+        // explode(Σ|grams| rows) → groupBy(feature) → dim+1-row collect:
+        // same sums with one mapper-only job (no exchange at all; guide
+        // §2.3 "aggregate before you shuffle" taken to its limit).
+        // Driver state stays ≤ nPartitions × (dim+1) doubles — bounded
+        // by construction, same contract as the collect it replaces.
+        // Gradient values are identical up to double-summation order,
+        // which the groupBy form never pinned either (its partial-merge
+        // order was partition-dependent); two fits on the same frame
+        // remain bit-identical (HashedClassifierSpec's determinism pin).
+        val partials: Array[Array[Double]] = featurized
           .select(col("f"), (probability(col("f"), model) - col("y")).as("r"))
-          .select(explode(concat(col("f"), array(lit(dim)))).as("feat"),
-            col("r"), size(col("f")).as("nf"))
-          .select(col("feat"), when(col("feat") === dim, col("r"))
-            .otherwise(col("r") / col("nf")).as("g"))
-          .groupBy(col("feat")).agg(sum(col("g")).as("g"))
-          .collect() // ≤ dim+1 rows: feature ids live in [0, dim]
-        gradRows.foreach { row =>
-          val f = row.getInt(0)
-          val l2Term = if (f == dim) 0.0 else l2 * w(f)
-          step(f, row.getDouble(1) / n + l2Term)
+          .as[(Array[Int], Double)]
+          .mapPartitions { it =>
+            val acc = new Array[Double](dim + 1)
+            it.foreach { case (f, r) =>
+              if (f != null && f.length > 0) {
+                val inv = r / f.length
+                var i = 0
+                while (i < f.length) { acc(f(i)) += inv; i += 1 }
+              }
+              acc(dim) += r // bias sentinel: every row carries r
+            }
+            Iterator.single(acc)
+          }.collect()
+        val g = new Array[Double](dim + 1)
+        partials.foreach { p =>
+          var i = 0
+          while (i <= dim) { g(i) += p(i); i += 1 }
         }
+        present.foreach(f => step(f, g(f) / n + l2 * w(f)))
+        step(dim, g(dim) / n)
       }
       TextModel(dim, w, withBigrams)
     } finally featurized.unpersist()
