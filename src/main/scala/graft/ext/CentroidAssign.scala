@@ -43,6 +43,121 @@ object CentroidAssign {
       take))
   }
 
+  /** Element-wise per-cell means of a (cell, array<double>) frame as
+    * ONE mapper-only job: each partition folds its rows into a dense
+    * (sums, count) map over the bounded cell set, partials merge
+    * driver-side in partition order, mean = Σ/n. Replaces the Lloyd
+    * loops' `posexplode(vd) → groupBy(cell, d) → avg` shape, which
+    * materialized dim× the row count into a shuffle every round
+    * (guide §2.3 "aggregate before you shuffle"; the explode was the
+    * round's dominant volume). Mean values are identical up to double-
+    * summation order, which the shuffled avg() never pinned either —
+    * every consumer gates on recall/MSE, not centroid bytes
+    * (the [[trainCells]] scaladoc's contract). Cells absent from the
+    * frame are absent from the result (empty cells keep their previous
+    * centroid, as before). Driver state: ≤ nPartitions × nCells × dim
+    * doubles — bounded by the cell budget, same contract as the
+    * per-round collect it replaces.
+    */
+  def cellMeans(assigned: org.apache.spark.sql.DataFrame,
+      cellCol: String = "cell",
+      vdCol: String = "vd"): Array[(Int, Array[Double])] = {
+    import org.apache.spark.sql.functions.col
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val partials: Array[(Int, Array[Double], Long)] = assigned
+      .select(col(cellCol).cast("int"), col(vdCol))
+      .as[(Int, Array[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[Int, (Array[Double], Long)]
+        it.foreach { case (cell, v) =>
+          if (v != null) {
+            val e = acc.getOrElseUpdate(cell, (new Array[Double](v.length), 0L))
+            val s = e._1
+            var i = 0
+            val n = math.min(v.length, s.length)
+            while (i < n) { s(i) += v(i); i += 1 }
+            acc(cell) = (s, e._2 + 1)
+          }
+        }
+        acc.iterator.map { case (c, (s, n)) => (c, s, n) }
+      }.collect()
+    val merged = scala.collection.mutable.LinkedHashMap
+      .empty[Int, (Array[Double], Long)]
+    partials.foreach { case (c, s, n) =>
+      merged.get(c) match {
+        case None => merged(c) = (s, n)
+        case Some((t, m)) =>
+          var i = 0
+          val k = math.min(s.length, t.length)
+          while (i < k) { t(i) += s(i); i += 1 }
+          merged(c) = (t, m + n)
+      }
+    }
+    merged.iterator
+      .map { case (c, (s, n)) => (c, s.map(_ / n)) }
+      .toArray.sortBy(_._1)
+  }
+
+  /** [[cellMeans]] with ORDER-INDEPENDENT decimal accumulation — the
+    * dense mapper-only twin of `avg(x.cast(decimal(28,18)))` for the
+    * [[SemDedup]] Lloyd loop, whose determinism claim (centroids
+    * bit-identical across partitionings/runs) needs exact sums. Each
+    * term quantizes to scale 18 HALF_UP (Spark's double→decimal cast
+    * rule), sums are exact BigDecimal (associative/commutative), and
+    * the mean replays Average-over-decimal's arithmetic: divide at
+    * scale 22 HALF_UP (decimal(32,22) result type), then cast to
+    * double — value-identical to the shuffled decimal avg it replaces.
+    */
+  def cellMeansDecimal(assigned: org.apache.spark.sql.DataFrame,
+      cellCol: String = "cell",
+      vdCol: String = "vd"): Array[(Int, Array[Double])] = {
+    import org.apache.spark.sql.functions.col
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    def q(x: Double): JBD =
+      JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)
+    val partials: Array[(Int, Array[JBD], Long)] = assigned
+      .select(col(cellCol).cast("int"), col(vdCol))
+      .as[(Int, Array[Double])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[Int, (Array[JBD], Long)]
+        it.foreach { case (cell, v) =>
+          if (v != null) {
+            val e = acc.getOrElseUpdate(cell,
+              (Array.fill(v.length)(JBD.ZERO), 0L))
+            val s = e._1
+            var i = 0
+            val n = math.min(v.length, s.length)
+            while (i < n) { s(i) = s(i).add(q(v(i))); i += 1 }
+            acc(cell) = (s, e._2 + 1)
+          }
+        }
+        acc.iterator.map { case (c, (s, n)) => (c, s, n) }
+      }.collect()
+    val merged = scala.collection.mutable.LinkedHashMap
+      .empty[Int, (Array[JBD], Long)]
+    partials.foreach { case (c, s, n) =>
+      merged.get(c) match {
+        case None => merged(c) = (s, n)
+        case Some((t, m)) =>
+          var i = 0
+          val k = math.min(s.length, t.length)
+          while (i < k) { t(i) = t(i).add(s(i)); i += 1 }
+          merged(c) = (t, m + n)
+      }
+    }
+    merged.iterator
+      .map { case (c, (s, n)) =>
+        (c, s.map(_.divide(JBD.valueOf(n), 22, RoundingMode.HALF_UP)
+          .doubleValue))
+      }
+      .toArray.sortBy(_._1)
+  }
+
   /** The Lloyd recipe [[SimilaritySearch.ivfTopK]] pioneered,
     * extracted for NEW cell-index call sites (existing sites keep
     * their inline copies — their init order is oracle-pinned):
@@ -68,13 +183,8 @@ object CentroidAssign {
       val assigned = c.select(col(vdCol).as("vd"),
         element_at(nearestCells(col(vdCol), centroids, 1), 1)
           .getField("cell").as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("vd")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("d"), col("m"))))
-          .as("dm"))
-        .select(col("cell"), transform(col("dm"), _.getField("m")).as("v"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val means = cellMeans(assigned)
+        .map { case (i, v) => (i, v.toSeq: Seq[Double]) }
       if (means.nonEmpty) centroids = means
     }
     centroids

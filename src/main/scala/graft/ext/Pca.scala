@@ -64,8 +64,13 @@ object Pca {
     // dimensionality: one bounded aggregate (a single int to the driver)
     val dim = v0.agg(max(size(col("v")))).head().getInt(0)
     require(dim >= 1, "no non-null vectors to fit")
-    val v = v0.filter(size(col("v")) === dim &&
-      !exists(col("v"), _.isNull))
+    // the O(d²)-per-row moment loop below is the expensive stage; a
+    // small corpus arriving as one parquet split would run it on a
+    // single core (guide §2.5 input-parallelism shape). Widening is
+    // value-free: per-term quantized BigDecimal sums are exactly
+    // partition-order-independent (the determinism pin below).
+    val v = graft.core.Partitioning.forCompute(
+      v0.filter(size(col("v")) === dim && !exists(col("v"), _.isNull)))
 
     // one pass: [1 | x | upper-tri(x xᵀ)] summed per index. The
     // per-row product loop runs as primitive per-partition code (a
@@ -148,22 +153,34 @@ object Pca {
       idCol: String = "vec_id", vecCol: String = "embedding",
       outCol: String = "proj"): DataFrame = {
     require(k >= 1 && k <= model.dim, s"k=$k out of range 1..${model.dim}")
+    corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === model.dim &&
+        !exists(col(vecCol), _.isNull))
+      .select(col(idCol), centeredCol(col(vecCol), model).as("c"))
+      .select(col(idCol), projOfCentered(col("c"), model, k, whiten, eps)
+        .as(outCol))
+  }
+
+  /** x − mean as array<double> — the projection's shared first stage. */
+  private def centeredCol(vec: Column, model: Model): Column =
+    zip_with(transform(vec, _.cast("double")),
+      typedLit(model.mean.toSeq), (x, m) => x - m)
+
+  /** Top-k projection of an already-centered vector column — the exact
+    * expression [[project]] builds (same packed literal, same dot and
+    * scale arithmetic), exposed so [[violations]] can carry the original
+    * vector and its projection in ONE frame.
+    */
+  private def projOfCentered(c: Column, model: Model, k: Int,
+      whiten: Boolean, eps: Double): Column = {
     val packed: Seq[(Seq[Double], Double)] =
       (0 until k).map { j =>
         val s = if (whiten && model.eigenvalues(j) > eps)
           1.0 / math.sqrt(model.eigenvalues(j)) else 1.0
         (model.components(j).toSeq, s)
       }
-    val centered = zip_with(transform(col(vecCol), _.cast("double")),
-      typedLit(model.mean.toSeq), (x, m) => x - m)
-    corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === model.dim &&
-        !exists(col(vecCol), _.isNull))
-      .select(col(idCol), centered.as("c"))
-      .select(col(idCol),
-        transform(typedLit(packed), p =>
-          VectorFunctions.dotDouble(col("c"), p.getField("_1")) *
-            p.getField("_2")).as(outCol))
+    transform(typedLit(packed), p =>
+      VectorFunctions.dotDouble(c, p.getField("_1")) * p.getField("_2"))
   }
 
   /** Reconstruct from a full-rank, unwhitened projection: mean + Vᵀp.
@@ -172,16 +189,20 @@ object Pca {
     */
   def reconstruct(projected: DataFrame, model: Model,
       idCol: String = "vec_id", projCol: String = "proj",
-      outCol: String = "recon"): DataFrame = {
+      outCol: String = "recon"): DataFrame =
+    projected.select(col(idCol), reconCol(col(projCol), model).as(outCol))
+
+  /** mean + Vᵀp of a projection column — [[reconstruct]]'s expression,
+    * exposed for the fused reconstruction check in [[violations]].
+    */
+  private def reconCol(proj: Column, model: Model): Column = {
     val packedT: Seq[(Double, Seq[Double])] =
       (0 until model.dim).map { d =>
         (model.mean(d), model.components.map(_(d)).toSeq)
       }
-    projected.select(col(idCol),
-      transform(typedLit(packedT), m =>
-        m.getField("_1") +
-          VectorFunctions.dotDouble(col(projCol), m.getField("_2")))
-        .as(outCol))
+    transform(typedLit(packedT), m =>
+      m.getField("_1") +
+        VectorFunctions.dotDouble(proj, m.getField("_2")))
   }
 
   /** Zero-row invariant gate (q124): violations of
@@ -215,65 +236,76 @@ object Pca {
     }
     // Σλ; the projected-variance total below must conserve it
     val trace = m.totalVariance
-    val driverDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(driver.toSeq.map(Row.fromTuple), 1),
-      StructType(Seq(StructField("kind", StringType),
-        StructField("detail", StringType))))
 
-    // full-rank, unwhitened projection: var(projⱼ) must equal λⱼ
-    val proj = project(corpus, m, m.dim, whiten = false,
-      idCol = idCol, vecCol = vecCol).cache()
-    val perComp = proj
+    // ONE cached frame carrying the original vector and its full-rank
+    // unwhitened projection (projOfCentered = project()'s expression
+    // verbatim): feeds the per-component moment aggregate AND the
+    // reconstruction check. The previous shape re-scanned the corpus
+    // for the reconstruction leg and re-attached it with an equi-join
+    // (guide §2.4: a join whose only purpose is to re-pair rows the
+    // scan already had together is a removable exchange), and
+    // recomputed the perComp aggregate once per violation family
+    // (3×, uncached).
+    val proj = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === m.dim &&
+        !exists(col(vecCol), _.isNull))
+      .select(col(idCol),
+        transform(col(vecCol), _.cast("double")).as("x"),
+        centeredCol(col(vecCol), m).as("c"))
+      .select(col(idCol), col("x"),
+        projOfCentered(col("c"), m, m.dim, whiten = false, eps = 1e-12)
+          .as("proj"))
+      .cache()
+
+    // per-component moments: ONE aggregate, collected (≤ dim rows —
+    // driver-bounded by construction, the same contract as the model
+    // collect in fit()); the variance / whitened-variance / trace
+    // comparisons are scalar driver arithmetic on those dim rows,
+    // replacing three distributed legs over a recomputed aggregate.
+    // Arithmetic is unchanged: v = s2/cnt − (s1/cnt)² in double, the
+    // trace total as decimal(38,18) per-term HALF_UP quantization —
+    // the exact expressions the Spark legs evaluated.
+    val perComp: Array[(Int, Double)] = proj
       .select(posexplode(col("proj")).as(Seq("j", "x")))
       .groupBy("j")
       .agg(sum(col("x").cast("decimal(38,18)")).cast("double").as("s1"),
         sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double")
           .as("s2"),
         count(lit(1)).as("cnt"))
-      .select(col("j"),
-        (col("s2") / col("cnt") -
-          (col("s1") / col("cnt")) * (col("s1") / col("cnt"))).as("v"))
-    val varViol = perComp
-      .join(spark.createDataFrame(
-          m.eigenvalues.toSeq.zipWithIndex.map { case (l, j) => (j, l) })
-        .toDF("j", "lambda"), Seq("j"))
-      .filter(abs(col("v") - col("lambda")) > tol * scale)
-      .select(lit("variance_ne_lambda").as("kind"),
-        concat(lit("j="), col("j"), lit(" var="), col("v"),
-          lit(" lambda="), col("lambda")).as("detail"))
+      .collect()
+      .map { r =>
+        val (s1, s2, cnt) = (r.getDouble(1), r.getDouble(2), r.getLong(3))
+        r.getInt(0) -> (s2 / cnt - (s1 / cnt) * (s1 / cnt))
+      }
+      .sortBy(_._1)
+    for ((j, v) <- perComp) {
+      val lambda = m.eigenvalues(j)
+      if (math.abs(v - lambda) > tol * scale)
+        driver += (("variance_ne_lambda", s"j=$j var=$v lambda=$lambda"))
+      if (lambda > 1e-9 * scale && math.abs(v / lambda - 1.0) > 1e-5)
+        driver += (("whitened_variance_ne_one",
+          s"j=$j var_ratio=${v / lambda}"))
+    }
+    val tot = perComp
+      .map { case (_, v) =>
+        java.math.BigDecimal.valueOf(v)
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+      }
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+    if (math.abs(tot - trace) > tol * scale * m.dim)
+      driver += (("trace_not_conserved",
+        s"projected_total=$tot sum_lambda=$trace"))
 
-    // whitened variance = 1 on non-degenerate components: var(projⱼ/√λⱼ)
-    // = var(projⱼ)/λⱼ exactly (scaling is one multiply per value), so
-    // the law is checked from the SAME aggregate — no second projection
-    // pass; the wproj = proj·scale identity itself is spec-pinned
-    // (PcaSpec) where it costs sf0.001, not a second sf-sized scan.
-    val liveComps = m.eigenvalues.toSeq.zipWithIndex
-      .filter(_._1 > 1e-9 * scale).map { case (l, j) => (j, l) }
-    val whitenViol = perComp
-      .join(spark.createDataFrame(liveComps).toDF("j", "lambda"), Seq("j"))
-      .filter(abs(col("v") / col("lambda") - lit(1.0)) > 1e-5)
-      .select(lit("whitened_variance_ne_one").as("kind"),
-        concat(lit("j="), col("j"),
-          lit(" var_ratio="), col("v") / col("lambda")).as("detail"))
+    val driverDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(driver.toSeq.map(Row.fromTuple), 1),
+      StructType(Seq(StructField("kind", StringType),
+        StructField("detail", StringType))))
 
-    // Σλ accounting vs the projected total (trace conservation)
-    val totViol = perComp.agg(
-        sum(col("v").cast("decimal(38,18)")).cast("double").as("tot"))
-      .filter(abs(col("tot") - lit(trace)) > tol * scale * m.dim)
-      .select(lit("trace_not_conserved").as("kind"),
-        concat(lit("projected_total="), col("tot"),
-          lit(" sum_lambda="), lit(trace)).as("detail"))
-
-    // full-rank reconstruction: per-row max-|err|
-    val orig = corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === m.dim &&
-        !exists(col(vecCol), _.isNull))
-      .select(col(idCol).as("rid"),
-        transform(col(vecCol), _.cast("double")).as("x"))
-    val reconViol = reconstruct(proj, m, idCol = idCol)
-      .join(orig, col(idCol) === col("rid"))
+    // full-rank reconstruction: per-row max-|err| — recon and original
+    // ride the SAME cached row now, no join
+    val reconViol = proj
       .select(col(idCol),
-        aggregate(zip_with(col("recon"), col("x"),
+        aggregate(zip_with(reconCol(col("proj"), m), col("x"),
             (a, b) => abs(a - b)),
           lit(0.0), (acc, e) => greatest(acc, e)).as("err"))
       .filter(col("err") > 1e-6)
@@ -281,8 +313,7 @@ object Pca {
         concat(lit("id="), col(idCol), lit(" err="), col("err"))
           .as("detail"))
 
-    driverDf.unionByName(varViol).unionByName(whitenViol)
-      .unionByName(totViol).unionByName(reconViol)
+    driverDf.unionByName(reconViol)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

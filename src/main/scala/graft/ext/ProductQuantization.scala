@@ -100,18 +100,63 @@ object ProductQuantization {
     var model = PqModel(dim, m, k,
       Array.tabulate(m, k)((j, cc) =>
         seed(cc % seed.length).slice(j * subDim, (j + 1) * subDim).toArray))
+    // per-round means as ONE mapper-only dense aggregate (the
+    // CentroidAssign.cellMeans recipe, keyed by (subspace, code)): each
+    // partition folds its rows into m·k (subDim-sum, count) slots,
+    // partials merge driver-side — replacing the double-posexplode →
+    // groupBy(j, code, d) shuffle that materialized dim× the row count
+    // per round (guide §2.3). Mean values identical up to double-
+    // summation order (consumers gate on recall/MSE, not codebook
+    // bytes); empty cells keep their previous centroid, as before.
+    val spark0 = c.sparkSession
+    import spark0.implicits._
     for (_ <- 1 to iters) {
-      val means = c
-        .select(col("vd"), posexplode(codesFor(col("vd"), model)).as(Seq("j", "code")))
-        .select(col("j"), col("code"),
-          posexplode(slice(col("vd"), col("j") * subDim + 1, lit(subDim)))
-            .as(Seq("d", "x")))
-        .groupBy(col("j"), col("code"), col("d"))
-        .agg(avg(col("x")).as("mean"))
-        .collect()
+      val partials = c
+        .select(codesFor(col("vd"), model).as("codes"), col("vd"))
+        .as[(Array[Int], Array[Double])]
+        .mapPartitions { it =>
+          val sums = Array.ofDim[Double](m * k, subDim)
+          val cnts = new Array[Long](m * k)
+          it.foreach { case (codes, vd) =>
+            if (codes != null && vd != null) {
+              var j = 0
+              while (j < m && j < codes.length) {
+                val slot = j * k + codes(j)
+                val s = sums(slot)
+                var d = 0
+                val base = j * subDim
+                while (d < subDim && base + d < vd.length) {
+                  s(d) += vd(base + d); d += 1
+                }
+                cnts(slot) += 1
+                j += 1
+              }
+            }
+          }
+          Iterator.single((sums, cnts))
+        }.collect()
+      val sums = Array.ofDim[Double](m * k, subDim)
+      val cnts = new Array[Long](m * k)
+      partials.foreach { case (ps, pc) =>
+        var s = 0
+        while (s < m * k) {
+          var d = 0
+          while (d < subDim) { sums(s)(d) += ps(s)(d); d += 1 }
+          cnts(s) += pc(s)
+          s += 1
+        }
+      }
       val next = model.centroids.map(_.map(_.clone()))
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      var s = 0
+      while (s < m * k) {
+        if (cnts(s) > 0) {
+          val (j, code) = (s / k, s % k)
+          var d = 0
+          while (d < subDim) {
+            next(j)(code)(d) = sums(s)(d) / cnts(s); d += 1
+          }
+        }
+        s += 1
       }
       model = PqModel(dim, m, k, next)
     }
@@ -157,15 +202,19 @@ object ProductQuantization {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to iters) {
-      val means = c.select(
-          element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
-            .getField("cell").as("cell"),
-          col("vd"))
-        .select(col("cell"), posexplode(col("vd")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("m"))
-        .collect()
+      // one mapper-only dense aggregate per round (cellMeans) — see
+      // trainOnFrame's loop note; empty cells keep their previous value
+      val assigned = c.select(
+        element_at(CentroidAssign.nearestCells(col("vd"), coarse, 1), 1)
+          .getField("cell").as("cell"),
+        col("vd"))
       val next = coarse.map { case (i, v) => i -> v.toArray }.toMap
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      CentroidAssign.cellMeans(assigned).foreach { case (cell, mv) =>
+        val t = next(cell)
+        var d = 0
+        val n = math.min(mv.length, t.length)
+        while (d < n) { t(d) = mv(d); d += 1 }
+      }
       coarse = coarse.map { case (i, _) => (i, next(i).toSeq) }
     }
     coarse

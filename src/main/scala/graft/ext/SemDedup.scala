@@ -75,21 +75,19 @@ object SemDedup {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
     for (_ <- 1 to iters) {
-      val means = nv
-        .select(element_at(nearestCells(col("nv"), centroids, 1), 1)
-            .getField("cell").as("cell"),
-          posexplode(col("nv")).as(Seq("d", "x")))
-        // DECIMAL accumulator: a double avg() depends on partial-agg
-        // merge order, so centroids could drift by ULPs between runs
-        // and flip boundary-cell assignments — the determinism claim
-        // (and q60's exactly-reproducible recall) needs an
-        // order-independent sum
-        .groupBy("cell", "d")
-        .agg(avg(col("x").cast("decimal(28,18)")).cast("double").as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("d"), col("m"))))
-          .as("dm"))
-        .select(col("cell"), transform(col("dm"), _.getField("m")).as("v"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // DECIMAL accumulator (CentroidAssign.cellMeansDecimal): a double
+      // mean depends on partial-merge order, so centroids could drift
+      // by ULPs between runs and flip boundary-cell assignments — the
+      // determinism claim (and q60's exactly-reproducible recall)
+      // needs an order-independent sum. The dense mapper-only form
+      // replaces the previous posexplode → groupBy(cell, d) decimal
+      // avg with value-identical arithmetic (spec-probed equality).
+      val assigned = nv.select(
+        element_at(nearestCells(col("nv"), centroids, 1), 1)
+          .getField("cell").as("cell"),
+        col("nv").as("vd"))
+      val means = CentroidAssign.cellMeansDecimal(assigned)
+        .map { case (i, v) => (i, v.toSeq: Seq[Double]) }
       if (means.nonEmpty) centroids = means
     }
 

@@ -37,26 +37,25 @@ object SimilaritySearch {
     h.toDouble / Int.MaxValue // ~uniform in [-1, 1]
   }
 
-  /** LSH bucket id of a PRE-WIDENED (array<double>) vector column in
-    * table t: m sign bits packed to a long. Plane dots run through the
-    * native codegen dot product.
-    */
-  private def bucket(vecD: Column, t: Int, m: Int, dim: Int): Column = {
-    val bits = (0 until m).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeWeight(t, p, d))): _*)
-      val dp = VectorFunctions.dotDouble(vecD, plane)
-      when(dp > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
   /** (table, bucket) keys for all L tables, as an array for explode.
     * `vecD` must be a materialized array<double> column reference.
+    *
+    * One native expression ([[graft.plans.SignBucketsExpr]]) carrying
+    * the plane matrix as values — the previous per-(table, plane)
+    * column formulation expanded tables·bits·dim literal nodes
+    * (8 192 at the defaults) into the plan, paying analyzer/codegen
+    * time proportional to the hyperplane count on every index call.
+    * Planes, dot order, sign test and bit packing are unchanged, so
+    * buckets are bit-identical (the persisted-model contract above).
     */
-  def bucketKeys(vecD: Column, tables: Int, bits: Int, dim: Int): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("t"), bucket(vecD, t, bits, dim).as("bkt"))
-    }: _*)
+  def bucketKeys(vecD: Column, tables: Int, bits: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    val planes: IndexedSeq[IndexedSeq[Double]] =
+      for (t <- 0 until tables; p <- 0 until bits)
+        yield (0 until dim).map(d => planeWeight(t, p, d)): IndexedSeq[Double]
+    bridge.column(graft.plans.SignBucketsExpr(
+      bridge.expression(vecD), planes, tables, bits))
+  }
 
   /** (id, unit-normalized vector) projection: norms computed once per
     * row, so pairwise cosine degrades to a plain dot product (3× less
@@ -270,18 +269,14 @@ object SimilaritySearch {
     def nearestCells(vecD: Column, cents: Array[(Int, Seq[Double])], take: Int): Column =
       CentroidAssign.nearestCells(vecD, cents, take)
 
-    // Lloyd rounds: assign to nearest cell, recompute cell means
+    // Lloyd rounds: assign to nearest cell, recompute cell means — one
+    // mapper-only dense aggregate per round (CentroidAssign.cellMeans)
     for (_ <- 1 to iters) {
       val assigned = c.select(col("vd"),
         element_at(nearestCells(col("vd"), centroids, 1), 1)
           .getField("cell").as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("vd")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("d"), col("m"))))
-          .as("dm"))
-        .select(col("cell"), transform(col("dm"), _.getField("m")).as("v"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val means = CentroidAssign.cellMeans(assigned)
+        .map { case (i, v) => (i, v.toSeq: Seq[Double]) }
       if (means.nonEmpty) centroids = means
     }
 
