@@ -52,12 +52,22 @@ object NGramJaccard {
     val sh0 = Shingling.shingleFrame(docs, idCol, textCol, n)
       .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
       .cache()
-    val tok0 = sh0.select(col("id"), explode(col("sh")).as("s"))
+    // set size rides WITH each exploded token: with no maxDf filter the
+    // per-doc token count is exactly size(sh), so the former
+    // `tok.groupBy(id).count()` + re-join (one aggregation shuffle +
+    // one join per call — guide §2.4, a removable exchange) collapses
+    // into a free scan-stage column; the maxDf path still needs the
+    // post-filter census
+    val tok0 = sh0.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
     val tok =
       if (maxDf > 0) {
         val hot = tok0.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select(col("s"))
-        tok0.join(broadcast(hot), Seq("s"), "left_anti")
+        val filtered = tok0.join(broadcast(hot), Seq("s"), "left_anti")
+        val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("fsz"))
+        filtered.join(sizes, "id")
+          .select(col("id"), col("fsz").as("sz"), col("s"))
       } else tok0
 
     // global document frequency per shingle → rarest-first total order
@@ -65,8 +75,7 @@ object NGramJaccard {
     val ranked = tok.join(dfs, "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val prefix = ranked.join(sizes, "id")
+    val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("s"), col("rn"), col("sz"))
 
