@@ -2052,9 +2052,16 @@ final class TxLogTable(spark: SparkSession,
     val dupKeys = target.groupBy(key.map(target.col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .select(key.map(col): _*)
-    val keys = touched.unionByName(dupKeys).distinct()
-    val oldT = target.join(keys, key, "left_semi")
-    val newT = newDf.join(keys, key, "left_semi")
+    // materialize the three bounded frames each consumed by TWO
+    // branches of the classification DAG below: without it the single
+    // CDC write job recomputes the keys subtree (touched ∪ dup census)
+    // four times and re-scans the touched files / staged batch once
+    // per branch (guide §5 localCheckpoint: cut a reused subtree).
+    // All three are delta-sized — keys ≤ touched keys, oldT/newT ≤
+    // touched rows — the same bound the CDC dir itself carries.
+    val keys = touched.unionByName(dupKeys).distinct().localCheckpoint()
+    val oldT = target.join(keys, key, "left_semi").localCheckpoint()
+    val newT = newDf.join(keys, key, "left_semi").localCheckpoint()
     val oldKeys = oldT.select(key.map(oldT.col): _*).distinct()
     val newKeys = newT.select(key.map(newT.col): _*).distinct()
     // one pass per side: a left join against the OTHER side's key set
@@ -2530,12 +2537,20 @@ final class TxLogTable(spark: SparkSession,
     * duplicates present in KEPT files, those groups would survive
     * uncollapsed — that is the contract being opted out of.
     */
-  def merge(updates: DataFrame, key: Seq[String], precedence: Seq[Column],
+  def merge(updates0: DataFrame, key: Seq[String], precedence: Seq[Column],
       sortCols: Seq[String] = Nil, maxRetries: Int = 20,
       markers: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
-      assumeKeyUnique: Boolean = false): Long =
-    commitLoop(maxRetries) { v =>
+      assumeKeyUnique: Boolean = false): Long = {
+    // the batch feeds three consumers (key-predicate distinct, the
+    // latest-wins join, the CDC touched-key set) — materialize it once
+    // (MEMORY_AND_DISK) instead of re-executing an arbitrarily
+    // expensive upstream pipeline per consumer; also pins one
+    // consistent snapshot of a non-deterministic source across
+    // commit retries. Delta-sized by the merge contract; released on
+    // return.
+    val updates = updates0.persist()
+    try commitLoop(maxRetries) { v =>
       val (chain, schema) = manifestChainAt(v)
       val cmap = colMapOf(chain)
       val keyPred = sourceKeyPredicate(updates, key, schema, cmap,
@@ -2575,6 +2590,8 @@ final class TxLogTable(spark: SparkSession,
           carriedDvFor(chain, split.kept)))
       }
     }
+    finally { updates.unpersist(); () }
+  }
 
   /** Transactional row-level DELETE (the third core DML next to
     * [[merge]]/[[mergeConditional]]): drop every snapshot row where
@@ -2901,7 +2918,7 @@ final class TxLogTable(spark: SparkSession,
     * delete arm Postgres expresses as a separate DELETE statement
     * inside the same transaction.
     */
-  def mergeConditional(source: DataFrame, key: Seq[String],
+  def mergeConditional(source0: DataFrame, key: Seq[String],
       whenMatched: Seq[TxLogTable.MergeClause],
       insertWhenNotMatched: Boolean = true,
       notMatchedCondition: Option[String] = None,
@@ -2911,6 +2928,13 @@ final class TxLogTable(spark: SparkSession,
       withSchemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     import TxLogTable.{MatchedDelete, MatchedUpdate}
+    // four consumers of the batch (ambiguity gate, key-predicate
+    // distinct, the full-outer join, the CDC touched-key set) — one
+    // materialization instead of four executions of the upstream
+    // pipeline, plus one consistent snapshot across commit retries
+    // (the [[merge]] rationale); delta-sized, released on return
+    val source = source0.persist()
+    try {
     val dupKey = source.groupBy(key.map(source.col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
     require(dupKey.isEmpty,
@@ -3008,6 +3032,7 @@ final class TxLogTable(spark: SparkSession,
           carriedDvFor(chain, split.kept)))
       }
     }
+    } finally { source.unpersist(); () }
   }
 
   /** Transactional insert-ignore (S9/J1): same optimistic loop, rows of

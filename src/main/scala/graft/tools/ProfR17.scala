@@ -58,6 +58,43 @@ object ProfR17 {
         train, "text", "y", dim = 1 << 15, iters = 15))
       t("q101.full")(graft.SparkEntry.queries("q101_quality_classifier_floor")(s, dir).count())
     }
+    if (which("q119")) {
+      import graft.sources.TxLogTable
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val target = ord.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val src = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double").as("new_price"),
+          (max(when(col("l_returnflag") === "R", 1).otherwise(0)) === 1)
+            .as("has_return"))
+        .join(ord.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")), Seq("o_orderkey"))
+        .withColumn("o_totalprice", col("new_price"))
+      var i = 0
+      def once(): Unit = {
+        i += 1
+        val t = new TxLogTable(s,
+          graft.queries.QueryUtil.scratchDir(s"graft_prof_q119_$i"))
+        val t0 = System.nanoTime()
+        t.ensureExists(target.schema)
+        t.append(target)
+        val t1 = System.nanoTime()
+        t.mergeConditional(src, Seq("o_orderkey"),
+          whenMatched = Seq(
+            TxLogTable.MatchedDelete(Some("s.has_return")),
+            TxLogTable.MatchedUpdate(Some("s.new_price > t.o_totalprice"))),
+          notMatchedCondition = Some("NOT s.has_return"))
+        val t2 = System.nanoTime()
+        t.read().count()
+        val t3 = System.nanoTime()
+        println(f"[prof] q119.phases append=${(t1 - t0) / 1e9}%.2f " +
+          f"merge=${(t2 - t1) / 1e9}%.2f read=${(t3 - t2) / 1e9}%.2f")
+      }
+      once(); once()
+    }
     if (which.isEmpty || which("q74")) {
       val li = Tables.lineitem(s, dir).select(col("l_extendedprice"))
       t("q74.cutpoints")(graft.ext.Binning.cutpoints(li, "l_extendedprice", 10))
