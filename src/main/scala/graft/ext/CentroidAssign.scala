@@ -66,6 +66,11 @@ object CentroidAssign {
     val spark = assigned.sparkSession
     import spark.implicits._
     val partials: Array[(Int, Array[Double], Long)] = assigned
+      // a null vector yields a null cell (NearestCellsExpr is null-safe);
+      // decoding null into the non-nullable Int field would throw, where
+      // the replaced groupBy(cell) silently dropped the row — keep that
+      // drop-malformed-rows behavior explicitly
+      .filter(col(cellCol).isNotNull)
       .select(col(cellCol).cast("int"), col(vdCol))
       .as[(Int, Array[Double])]
       .mapPartitions { it =>
@@ -120,6 +125,8 @@ object CentroidAssign {
     def q(x: Double): JBD =
       JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)
     val partials: Array[(Int, Array[JBD], Long)] = assigned
+      // null cells dropped, matching the replaced groupBy — see cellMeans
+      .filter(col(cellCol).isNotNull)
       .select(col(cellCol).cast("int"), col(vdCol))
       .as[(Int, Array[Double])]
       .mapPartitions { it =>

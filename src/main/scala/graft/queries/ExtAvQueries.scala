@@ -83,8 +83,8 @@ object ExtAvQueries {
     // every frame's pixel recovery are all on the hash gate.
     "q85_mjpeg_frame_stats" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
@@ -168,8 +168,8 @@ object ExtAvQueries {
     // are all under the hash.
     "q90_video_frame_dedup" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
@@ -202,8 +202,8 @@ object ExtAvQueries {
     // syncsafe ID3 skip, or samples-per-frame breaks the hash.
     "q152_mp3_headers" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val vbits = if (id % 4 == 0) 2 else 3
@@ -234,8 +234,8 @@ object ExtAvQueries {
     // is hash-gated.
     "q161_flac_pcm_stats" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val n = (id % 200 + 50).toInt

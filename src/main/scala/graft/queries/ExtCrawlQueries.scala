@@ -38,8 +38,10 @@ object ExtCrawlQueries {
     // under the same hash gate as the plain path.
     "q154_warc_extract" -> { (s, dir) =>
       import s.implicits._
-      val files = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      // per-row codec CPU (gzip/chunked framing both ways) over a
+      // one-split table — spread before the map or it runs on one core
+      val files = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -225,8 +227,8 @@ object ExtCrawlQueries {
     // Invariant gate: all flags true, rows = documents.
     "q165_warc_cdx" -> { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val date = "2026-01-01T00:00:00Z"
@@ -274,8 +276,8 @@ object ExtCrawlQueries {
     // them — the publishable-artifact invariant.
     "q167_wet_wat" -> { (s, dir) =>
       import s.implicits._
-      val files = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      val files = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val k = (id % 4 + 1).toInt
@@ -363,8 +365,11 @@ object ExtCrawlQueries {
     // the hash gate.
     "q190_wiki_dump" -> { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      // bzip2 compress+decode per row over a one-split table: the whole
+      // tier serialized on one core (8→32-core scaling ratio ≈ 1.0 in
+      // the r17 driver scaling block) — repartition before the flatMap
+      graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
           val k = (id % 3 + 1).toInt

@@ -36,8 +36,8 @@ object ExtFormatsQueries {
     // octal escapes, indirect /Length, UTF-16BE titles).
     "q166_pdf_text" -> { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val nPages = (id % 4 + 1).toInt
@@ -67,8 +67,8 @@ object ExtFormatsQueries {
     // text length and every member must verify.
     "q175_zip_roundtrip" -> { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val k = (id % 4 + 1).toInt
@@ -94,8 +94,8 @@ object ExtFormatsQueries {
     // byte-exact, through the ZIP walk + WordprocessingML text rule.
     "q176_docx_text" -> { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val n = (id % 3 + 1).toInt
@@ -115,8 +115,8 @@ object ExtFormatsQueries {
     // row per cell; the oracle rebuilds the grid with range joins.
     "q177_xlsx_cells" -> { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"))
+      graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id")))
         .as[Long]
         .flatMap { id =>
           val k = (id % 3 + 1).toInt
@@ -140,8 +140,8 @@ object ExtFormatsQueries {
     // the hash gate.
     "q179_tar_walk" -> { (s, dir) =>
       import s.implicits._
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
+      graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val k = (id % 4 + 1).toInt

@@ -59,8 +59,8 @@ object ExtImageQueries {
     // hashes reuses the SimHash pigeonhole chunk join (spec-pinned).
     "q93_image_dhash" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
@@ -183,8 +183,8 @@ object ExtImageQueries {
     // five unfilter arms are on the verified path.)
     "q81_png_pixel_stats" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
@@ -214,8 +214,8 @@ object ExtImageQueries {
     // either direction — breaks it.
     "q84_jpeg_pixel_stats" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
@@ -250,8 +250,8 @@ object ExtImageQueries {
     // the hash in either direction.
     "q113_jpeg_progressive_stats" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
@@ -278,8 +278,8 @@ object ExtImageQueries {
     // EITHER direction breaks it.
     "q122_gif_pixel_stats" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
@@ -337,8 +337,8 @@ object ExtImageQueries {
     // breaks the hash.
     "q153_webp_pixel_stats" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
@@ -381,8 +381,8 @@ object ExtImageQueries {
     // ImageIO cross-check lives in TiffCodecSpec.
     "q164_tiff_pixel_stats" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"))
+      val media = graft.core.Partitioning.forCompute(Tables.documents(s, dir)
+          .select(col("doc_id"), col("source")))
         .as[(Long, String)]
         .map { case (id, source) =>
           val w = (id % 16 + 4).toInt
