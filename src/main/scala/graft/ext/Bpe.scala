@@ -162,7 +162,15 @@ object Bpe {
       batchMerges: Int = 1): Seq[(String, String)] = {
     require(nMerges >= 0)
     require(batchMerges >= 1, "batchMerges must be >= 1")
-    var syms = initialSymbols(words).localCheckpoint()
+    // LAZY checkpoints throughout the loop: each round's top-pair
+    // collect is the next action anyway, so it materializes the symbol
+    // table inside its own job — one job per round instead of two —
+    // and the LAST round's fold (consumed by nobody: the merge list is
+    // the result) never materializes at all. Plans stay flat (the
+    // checkpoint leaf is a LogicalRDD either way), which is what the
+    // checkpoint is here for (the nested merge-fold AQE pathology in
+    // the scaladoc).
+    var syms = initialSymbols(words).localCheckpoint(eager = false)
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var count = 0
@@ -181,7 +189,7 @@ object Bpe {
         merges ++= picked
         count += picked.size
         syms = syms.withColumn("syms", foldMerges(col("syms"), picked))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       rounds += 1
     }

@@ -82,22 +82,27 @@ object ConnectedComponents {
       edges.select(col("b").as("a"), col("a").as("b"))).distinct()
       .localCheckpoint()
 
-    var labels = undirected.select(col("a").as("vertex")).distinct()
-      .withColumn("component", col("vertex"))
-      .repartition(parts, col("vertex"))
-      .localCheckpoint()
-
     // Convergence check: labels are monotone non-increasing under
     // hash-min propagation, so the label sum strictly decreases until
-    // the fixpoint — one tiny aggregate per round instead of an
-    // anti-comparison join.
-    // decimal accumulation: exact and overflow-free for any graph size
-    // (a long sum can overflow under ANSI on billions of large ids)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
-        .collect().head.getDecimal(0)
+    // the fixpoint. The sum rides as an observe() metric INSIDE each
+    // round's checkpoint job (guide §1.2: one job per round carries
+    // both the rows and the convergence scalar) instead of a separate
+    // aggregate job over the checkpointed frame — job count per round
+    // halves, values unchanged (the decimal sum is exact and
+    // order-independent; a long sum could overflow under ANSI on
+    // billions of large ids).
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val name = s"graft_cc_sum_${java.util.UUID.randomUUID().toString.take(8)}"
+      val observed = df.observe(name,
+        sum(col("component").cast("decimal(38,0)")).as("label_sum"))
+      val ck = observed.localCheckpoint()
+      (ck, observed.queryExecution.observedMetrics(name).getDecimal(0))
+    }
 
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointWithSum(
+      undirected.select(col("a").as("vertex")).distinct()
+        .withColumn("component", col("vertex"))
+        .repartition(parts, col("vertex")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -106,11 +111,11 @@ object ConnectedComponents {
       val neighborLabels = undirected
         .join(labels.withColumnRenamed("vertex", "b"), "b")
         .select(col("a").as("vertex"), col("component"))
-      labels = labels.unionByName(neighborLabels)
-        .groupBy("vertex")
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      val s = labelSum(labels)
+      val (ck, s) = checkpointWithSum(
+        labels.unionByName(neighborLabels)
+          .groupBy("vertex")
+          .agg(min(col("component")).as("component")))
+      labels = ck
       converged = s == prevSum
       prevSum = s
     }
@@ -159,26 +164,29 @@ object ConnectedComponents {
     }
 
     // stable signature of the canonical (distinct) edge set: XOR of
-    // per-edge hashes — order-insensitive and overflow-free under ANSI
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
+    // per-edge hashes — order-insensitive and overflow-free under
+    // ANSI. Folded into each round's checkpoint job as observe()
+    // metrics (the hashMin recipe): one job per star round instead of
+    // checkpoint + separate aggregate.
+    def checkpointWithSig(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val name = s"graft_cc2_sig_${java.util.UUID.randomUUID().toString.take(8)}"
+      val observed = e.observe(name,
         count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
-        .collect().head
-      (r.getLong(0), r.getLong(1))
+      val ck = observed.localCheckpoint()
+      val r = observed.queryExecution.observedMetrics(name)
+      (ck, (r.getLong(0), r.getLong(1)))
     }
 
-    var edges = canon(pairs
-        .select(col(srcCol).cast("long").as("u"),
-          col(dstCol).cast("long").as("v")))
-      .localCheckpoint()
-    var sig = signature(edges)
+    var (edges, sig) = checkpointWithSig(canon(pairs
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val s = signature(edges)
+      val (ck, s) = checkpointWithSig(smallStar(largeStar(edges)))
+      edges = ck
       converged = s == sig
       sig = s
     }

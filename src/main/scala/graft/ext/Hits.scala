@@ -51,20 +51,30 @@ object Hits {
       .distinct().cache()
     val n = nodes.count() // eager, one driver scalar
 
-    // x·10¹² DIV Σx in exact integer arithmetic; the 1-row total is
-    // broadcast (scalar crossJoin), never collected to the driver.
-    // The raw frame feeds both the total and the projection —
-    // materialize it once. Nodes with no in-/out-edges stay ABSENT
-    // here (their score is exactly 0: they contribute nothing to the
-    // opposite pull), so the per-round nodes join is deferred to the
-    // single zero-fill at the output — two fewer shuffles per round.
+    // x·10¹² DIV Σx in exact integer arithmetic. The L1 total is an
+    // observe() metric folded INTO the pull's checkpoint job (guide
+    // §1.2: one materialization job carries both the rows and the
+    // scalar), replacing the broadcast-agg crossJoin that cost one
+    // extra broadcast-build job per half-round. The metric is an exact
+    // decimal sum (order-independent), read synchronously off the
+    // executed plan; the division then rides as a literal with the
+    // same DECIMAL(38,0) DIV semantics, so scores are bit-identical.
+    // Nodes with no in-/out-edges stay ABSENT here (their score is
+    // exactly 0: they contribute nothing to the opposite pull), so the
+    // per-round nodes join is deferred to the single zero-fill at the
+    // output — two fewer shuffles per round.
     def l1Normalize(rawLazy: DataFrame, valCol: String): DataFrame = {
-      val raw = rawLazy.localCheckpoint()
-      val tot = raw.agg(sum(col(valCol)).as("l1_total"))
-      raw.crossJoin(broadcast(tot))
-        .select(col("node"),
-          expr(s"CAST((CAST($valCol AS DECIMAL(38,0)) * $Scale) " +
-            "DIV CAST(l1_total AS DECIMAL(38,0)) AS BIGINT)").as(valCol))
+      val name = s"graft_hits_l1_${java.util.UUID.randomUUID().toString.take(8)}"
+      val observed = rawLazy.observe(name,
+        sum(col(valCol).cast("decimal(38,0)")).as("l1_total"))
+      val raw = observed.localCheckpoint()
+      val tot = observed.queryExecution.observedMetrics(name).getDecimal(0)
+      // empty pull (no edges): the projection below never evaluates, so
+      // any non-null divisor literal keeps the expression well-formed
+      val totLit = if (tot == null) "1" else tot.toBigInteger.toString
+      raw.select(col("node"),
+        expr(s"CAST((CAST($valCol AS DECIMAL(38,0)) * $Scale) " +
+          s"DIV CAST('$totLit' AS DECIMAL(38,0)) AS BIGINT)").as(valCol))
     }
 
     var hub = nodes.withColumn("hub_e12", lit(Scale / math.max(n, 1L)))

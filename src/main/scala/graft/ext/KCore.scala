@@ -43,10 +43,17 @@ object KCore {
     while (r < rounds) {
       r += 1
       val keep = degrees(e).filter(col("deg") >= k).select(col("v"))
+      // LAZY checkpoint: no per-round driver scalar is needed, so the
+      // rounds materialize inside the consuming job (one job for the
+      // whole peel instead of one per round) while each round's leaf
+      // stays a flat LogicalRDD — plan size and join planning (stats
+      // come from the origin plan either way) are unchanged, and each
+      // round's blocks still compute exactly once (the keep-side and
+      // both semi-join probes of round r+1 share round r's blocks).
       e = e
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     degrees(e)
   }

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration synchronous label propagation (Raghavan et al.
@@ -45,21 +44,33 @@ object LabelPropagation {
       .distinct().cache()
 
     var labels = nodes.withColumn("label", col("node"))
-    val byCount = Window.partitionBy("node")
-      .orderBy(col("c").desc, col("label").asc)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
+      // argmax(count, ties smallest label) as ONE hash aggregate:
+      // max(struct(c, ~label)) picks the largest count and, among
+      // ties, the largest ~label = the SMALLEST label (bitwise NOT is
+      // total and strictly decreasing on longs — no overflow corner,
+      // unlike negation at Long.MinValue). Replaces the row_number
+      // window, whose per-node sort needed a second full exchange +
+      // sort of the neighbor-label multiset; the second aggregate is
+      // map-side partial and node-keyed (guide §2.3/§2.4).
+      // LabelPropagationSpec pins equality against the window form.
       val picked = e
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(byCount))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), bitwise_not(col("label")).as("nl"))).as("m"))
+        .select(col("node"), bitwise_not(col("m.nl")).as("label"))
+      // intermediate rounds stay LAZY (plans are flat either way —
+      // the checkpoint leaf is a LogicalRDD, so round k+1's plan does
+      // not grow — and the blocks still materialize exactly once,
+      // inside the consuming job); only the final round is eager so
+      // the result is materialized before the caches are dropped.
       labels = nodes
         .join(picked.withColumnRenamed("label", "new_label"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("node")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = i == iters)
     }
     e.unpersist(); nodes.unpersist()
     labels

@@ -109,8 +109,13 @@ object WordPiece {
       batchMerges: Int = 1): Model = {
     require(nMerges >= 0)
     require(batchMerges >= 1, "batchMerges must be >= 1")
-    var syms = initialSymbols(words).localCheckpoint()
-    val alphabet = initialSymbols(words)
+    // LAZY checkpoints (the [[Bpe.trainFromWords]] recipe): each
+    // round's collect materializes the symbol table inside its own
+    // job, and the final fold (consumed by nobody) never runs. The
+    // alphabet census reads the checkpointed syms frame itself — same
+    // rows, and its collect is what materializes the initial table.
+    var syms = initialSymbols(words).localCheckpoint(eager = false)
+    val alphabet = syms
       .select(explode(col("syms")).as("sym"))
       .distinct().collect().map(_.getString(0)).toSet
     val merges = Seq.newBuilder[(String, String)]
@@ -129,7 +134,7 @@ object WordPiece {
         merges ++= picked
         count += picked.size
         syms = syms.withColumn("syms",
-          foldMerges(col("syms"), picked)).localCheckpoint()
+          foldMerges(col("syms"), picked)).localCheckpoint(eager = false)
       }
       rounds += 1
     }

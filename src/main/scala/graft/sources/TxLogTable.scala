@@ -2059,9 +2059,16 @@ final class TxLogTable(spark: SparkSession,
     // per branch (guide §5 localCheckpoint: cut a reused subtree).
     // All three are delta-sized — keys ≤ touched keys, oldT/newT ≤
     // touched rows — the same bound the CDC dir itself carries.
-    val keys = touched.unionByName(dupKeys).distinct().localCheckpoint()
-    val oldT = target.join(keys, key, "left_semi").localCheckpoint()
-    val newT = newDf.join(keys, key, "left_semi").localCheckpoint()
+    // LAZY (r17 verdict: the three eager jobs cost q118 ~15% at bench
+    // scale): the CDC write below is the only consumer, so the frames
+    // materialize inside that one job — persisted blocks still dedupe
+    // the two branches of each — without three extra job launches.
+    val keys = touched.unionByName(dupKeys).distinct()
+      .localCheckpoint(eager = false)
+    val oldT = target.join(keys, key, "left_semi")
+      .localCheckpoint(eager = false)
+    val newT = newDf.join(keys, key, "left_semi")
+      .localCheckpoint(eager = false)
     val oldKeys = oldT.select(key.map(oldT.col): _*).distinct()
     val newKeys = newT.select(key.map(newT.col): _*).distinct()
     // one pass per side: a left join against the OTHER side's key set
@@ -2548,8 +2555,12 @@ final class TxLogTable(spark: SparkSession,
     // expensive upstream pipeline per consumer; also pins one
     // consistent snapshot of a non-deterministic source across
     // commit retries. Delta-sized by the merge contract; released on
-    // return.
-    val updates = updates0.persist()
+    // return — unless the CALLER already cached it (persist returns
+    // the same Dataset), in which case unpersisting here would
+    // silently drop their cache (ADVICE r17).
+    val callerCached = updates0.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val updates = if (callerCached) updates0 else updates0.persist()
     try commitLoop(maxRetries) { v =>
       val (chain, schema) = manifestChainAt(v)
       val cmap = colMapOf(chain)
@@ -2590,7 +2601,7 @@ final class TxLogTable(spark: SparkSession,
           carriedDvFor(chain, split.kept)))
       }
     }
-    finally { updates.unpersist(); () }
+    finally { if (!callerCached) updates.unpersist(); () }
   }
 
   /** Transactional row-level DELETE (the third core DML next to
@@ -2932,8 +2943,11 @@ final class TxLogTable(spark: SparkSession,
     // distinct, the full-outer join, the CDC touched-key set) — one
     // materialization instead of four executions of the upstream
     // pipeline, plus one consistent snapshot across commit retries
-    // (the [[merge]] rationale); delta-sized, released on return
-    val source = source0.persist()
+    // (the [[merge]] rationale); delta-sized, released on return —
+    // unless the caller already cached it (see [[merge]])
+    val callerCached = source0.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val source = if (callerCached) source0 else source0.persist()
     try {
     val dupKey = source.groupBy(key.map(source.col): _*)
       .count().filter(col("count") > 1).limit(1).collect()
@@ -3032,7 +3046,7 @@ final class TxLogTable(spark: SparkSession,
           carriedDvFor(chain, split.kept)))
       }
     }
-    } finally { source.unpersist(); () }
+    } finally { if (!callerCached) source.unpersist(); () }
   }
 
   /** Transactional insert-ignore (S9/J1): same optimistic loop, rows of

@@ -45,6 +45,41 @@ class LabelPropagationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("max(struct(c, ~label)) argmax equals the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random-ish multigraph with parallel edges (weights) and ties
+    val edges = sym((0L until 500L).map(i =>
+      ((i * 7) % 23, 23 + (i * 13) % 19))).toDF("src", "dst")
+    val got = LabelPropagation.run(edges, "src", "dst", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // reference: the replaced window formulation, replayed literally
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    val byCount = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to 2) {
+      val picked = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byCount))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+      labels = nodes
+        .join(picked.withColumnRenamed("label", "new_label"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    val ref = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(got == ref)
+  }
+
   test("iters = 0 returns identity labels") {
     import spark.implicits._
     val edges = Seq((1L, 2L)).toDF("src", "dst")
