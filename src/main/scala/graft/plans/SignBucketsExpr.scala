@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -24,6 +25,13 @@ import org.apache.spark.sql.types._
   * [[NearestCellsExpr]] / the [[graft.ext.CentroidAssign]] value-
   * literal contract.
   *
+  * Codegen: [[doGenCode]] emits the same primitive loop into
+  * whole-stage codegen, with the plane matrix as a reference object
+  * (r17 verdict item — the fallback put an interpreted expression on
+  * the per-row hot path of every LSH index build). The interpreted
+  * [[eval]] remains the reference twin; SimilaritySearchSpec pins the
+  * two paths equal.
+  *
   * Bit-exactness (persisted-model contract — buckets must not move):
   * the dot accumulates in index order over the common prefix exactly
   * like [[DotProductExpr]], the sign test is `dp > 0`, and the bit sum
@@ -38,7 +46,7 @@ case class SignBucketsExpr(
     planes: IndexedSeq[IndexedSeq[Double]],
     tables: Int,
     bits: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(planes.length == tables * bits,
     s"planes must be tables*bits rows, got ${planes.length}")
@@ -88,6 +96,53 @@ case class SignBucketsExpr(
         bkt
       }
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the plane matrix rides as ONE reference object — never as
+    // generated source, so the compiled class is shape-constant and
+    // codegen-cache-hit across plane values (the value-literal rule)
+    val planesRef = ctx.addReferenceObj("graftSignPlanes", planeArr,
+      "double[][]")
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("sbOut")
+    val t = ctx.freshName("sbT")
+    val p = ctx.freshName("sbP")
+    val i = ctx.freshName("sbI")
+    val n = ctx.freshName("sbN")
+    val acc = ctx.freshName("sbAcc")
+    val bkt = ctx.freshName("sbBkt")
+    val plane = ctx.freshName("sbPlane")
+    val xn = ctx.freshName("sbXn")
+    val rowCls = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+    val arrCls = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    ev.copy(code = code"""
+      ${c.code}
+      Object[] $out = new Object[$tables];
+      if (${c.isNull}) {
+        for (int $t = 0; $t < $tables; $t++) {
+          $out[$t] = new $rowCls(new Object[] {
+            java.lang.Integer.valueOf($t), java.lang.Long.valueOf(0L) });
+        }
+      } else {
+        final int $xn = ${c.value}.numElements();
+        for (int $t = 0; $t < $tables; $t++) {
+          long $bkt = 0L;
+          for (int $p = 0; $p < $bits; $p++) {
+            final double[] $plane = $planesRef[$t * $bits + $p];
+            final int $n = java.lang.Math.min($xn, $plane.length);
+            double $acc = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $acc += ${c.value}.getDouble($i) * $plane[$i];
+            }
+            if ($acc > 0) $bkt += (1L << $p);
+          }
+          $out[$t] = new $rowCls(new Object[] {
+            java.lang.Integer.valueOf($t), java.lang.Long.valueOf($bkt) });
+        }
+      }
+      final $arrCls ${ev.value} = new $arrCls($out);
+    """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -33,6 +33,31 @@ class BinningSpec extends SparkSpec {
     counts.values.foreach(c => assert(c > 700 && c < 1300, s"bucket mass $c"))
   }
 
+  test("cutpoints bit-equal catalyst percentile on randomized dup-heavy data " +
+      "across numeric input types (ADVICE r17)") {
+    // heavy duplicates (mod 17), a constant run, negatives, and three
+    // input column types — each compared against the aggregate the
+    // sort-based path replaced, for several bin counts
+    val rnd = new scala.util.Random(18)
+    val doubles = (1 to 400).map(_ => (rnd.nextInt(17) - 5).toDouble) ++
+      Seq.fill(50)(3.0) ++ (1 to 100).map(_ => rnd.nextDouble() * 1e6 - 5e5)
+    val longs = (1 to 300).map(_ => rnd.nextInt(23).toLong - 11L)
+    val decimals = (1 to 250).map(_ =>
+      BigDecimal(rnd.nextInt(100000), 2) - BigDecimal("250.00"))
+    def check(df: org.apache.spark.sql.DataFrame, colName: String): Unit =
+      for (nBins <- Seq(2, 4, 7, 10)) {
+        val ps = (1 until nBins).map(i => i.toDouble / nBins)
+        val ref = df
+          .agg(expr(s"percentile($colName, array(${ps.mkString(",")}))"))
+          .head().getSeq[Double](0).toSeq
+        val got = Binning.cutpoints(df, colName, nBins)
+        assert(got == ref, s"$colName nBins=$nBins: $got != $ref")
+      }
+    check(doubles.toDF("v"), "v")
+    check(longs.toDF("v"), "v")
+    check(decimals.toDF("v"), "v")
+  }
+
   test("nBins must be at least 2") {
     intercept[IllegalArgumentException] {
       Binning.cutpoints(Seq(1.0).toDF("v"), "v", 1)
