@@ -141,26 +141,78 @@ object CentroidAssign {
     * [[SemDedup]] Lloyd loop, whose determinism claim (centroids
     * bit-identical across partitionings/runs) needs exact sums. Each
     * term quantizes to scale 18 HALF_UP (Spark's double→decimal cast
-    * rule), sums are exact BigDecimal (associative/commutative), and
-    * the mean replays Average-over-decimal's arithmetic: divide at
-    * scale 22 HALF_UP (decimal(32,22) result type), then cast to
-    * double — value-identical to the shuffled decimal avg it replaces.
+    * rule), sums are exact (associative/commutative), and the mean
+    * replays Average-over-decimal's arithmetic: divide at scale 22
+    * HALF_UP (decimal(32,22) result type), then cast to double —
+    * value-identical to the shuffled decimal avg it replaces.
+    *
+    * The accumulator is 128-BIT INTEGER (two longs per dimension) over
+    * the scale-18 unscaled values, not a BigDecimal.add chain: integer
+    * sums of the identical quantized terms are the same exact value in
+    * any order, the per-row cost drops from BigInteger allocation to
+    * two long adds, and the BigDecimal is reconstructed ONCE per
+    * (cell, dim) for the final division (r17 verdict #8). A term whose
+    * scale-18 unscaled value exceeds a long (|x| ≳ 9.22) spills to an
+    * exact BigDecimal side-sum — same value, just slower; vector
+    * components at that magnitude do not occur on the normalized
+    * SemDedup path.
     */
+  /** One cell's partial: per-dimension 128-bit integer sums of the
+    * scale-18 unscaled terms (hi/lo long pairs), an optional exact
+    * BigDecimal side-sum array (allocated only if a term ever
+    * overflows a long), and the row count.
+    */
+  private type DecPartial = (Int, Array[Long], Array[Long], Array[String], Long)
+
+  /** a += b over (hi, lo) 128-bit signed pairs at index i; b given as
+    * a signed 64-bit addend (sign-extended).
+    */
+  private def add128(hi: Array[Long], lo: Array[Long], i: Int, u: Long): Unit = {
+    val l = lo(i)
+    val nl = l + u
+    lo(i) = nl
+    // unsigned-add carry + the addend's sign extension into the high word
+    hi(i) += (u >> 63) + (((l & u) | ((l | u) & ~nl)) >>> 63)
+  }
+
+  private def merge128(aHi: Array[Long], aLo: Array[Long],
+      bHi: Array[Long], bLo: Array[Long]): Unit = {
+    var i = 0
+    val k = math.min(aHi.length, bHi.length)
+    while (i < k) {
+      val l = aLo(i)
+      val u = bLo(i)
+      val nl = l + u
+      aLo(i) = nl
+      aHi(i) += bHi(i) + (((l & u) | ((l | u) & ~nl)) >>> 63)
+      i += 1
+    }
+  }
+
+  private def mergeSide(a: Array[String], b: Array[String]): Array[String] = {
+    import java.math.{BigDecimal => JBD}
+    if (b == null) a
+    else if (a == null) b
+    else {
+      var i = 0
+      val k = math.min(a.length, b.length)
+      while (i < k) {
+        if (b(i) != null)
+          a(i) = if (a(i) == null) b(i)
+            else new JBD(a(i)).add(new JBD(b(i))).toPlainString
+        i += 1
+      }
+      a
+    }
+  }
+
   def cellMeansDecimal(assigned: org.apache.spark.sql.DataFrame,
       cellCol: String = "cell",
       vdCol: String = "vd"): Array[(Int, Array[Double])] = {
     import org.apache.spark.sql.functions.col
-    import java.math.{BigDecimal => JBD, RoundingMode}
+    import java.math.{BigDecimal => JBD, BigInteger, RoundingMode}
     val spark = assigned.sparkSession
     import spark.implicits._
-    def q(x: Double): JBD =
-      JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)
-    def mergeIntoD(t: Array[JBD], s: Array[JBD]): Array[JBD] = {
-      var i = 0
-      val k = math.min(s.length, t.length)
-      while (i < k) { t(i) = t(i).add(s(i)); i += 1 }
-      t
-    }
     val perPartition = assigned
       // null cells dropped, matching the replaced groupBy — see cellMeans
       .filter(col(cellCol).isNotNull)
@@ -168,43 +220,70 @@ object CentroidAssign {
       .as[(Int, Array[Double])]
       .mapPartitions { it =>
         val acc = scala.collection.mutable.LinkedHashMap
-          .empty[Int, (Array[JBD], Long)]
+          .empty[Int, (Array[Long], Array[Long], Array[String], Array[Long])]
         it.foreach { case (cell, v) =>
           if (v != null) {
             val e = acc.getOrElseUpdate(cell,
-              (Array.fill(v.length)(JBD.ZERO), 0L))
-            val s = e._1
+              (new Array[Long](v.length), new Array[Long](v.length),
+                null, Array(0L)))
+            var side = e._3
             var i = 0
-            val n = math.min(v.length, s.length)
-            while (i < n) { s(i) = s(i).add(q(v(i))); i += 1 }
-            acc(cell) = (s, e._2 + 1)
+            val n = math.min(v.length, e._1.length)
+            while (i < n) {
+              val q = JBD.valueOf(v(i)).setScale(18, RoundingMode.HALF_UP)
+              val unscaled = q.unscaledValue()
+              if (unscaled.bitLength() <= 63)
+                add128(e._1, e._2, i, unscaled.longValue())
+              else {
+                if (side == null) {
+                  side = new Array[String](e._1.length)
+                  acc(cell) = (e._1, e._2, side, e._4)
+                }
+                side(i) = if (side(i) == null) q.toPlainString
+                  else new JBD(side(i)).add(q).toPlainString
+              }
+              i += 1
+            }
+            e._4(0) += 1
           }
         }
-        acc.iterator.map { case (c, (s, n)) => (c, s, n) }
+        acc.iterator.map { case (c, (hi, lo, side, n)) =>
+          (c, hi, lo, side, n(0)): DecPartial
+        }
       }
+    def mergePartial(a: DecPartial, b: DecPartial): DecPartial = {
+      merge128(a._2, a._3, b._2, b._3)
+      (a._1, a._2, a._3, mergeSide(a._4, b._4), a._5 + b._5)
+    }
     val rdd = perPartition.rdd
-    // exact sums are order-independent, so the distributed by-cell
-    // reduce is value-identical to the driver merge here — the split
-    // exists purely to bound driver state (see cellMeans)
-    val partials: Array[(Int, Array[JBD], Long)] =
+    // exact integer sums are order-independent, so the distributed
+    // by-cell reduce is value-identical to the driver merge — the
+    // split exists purely to bound driver state (see cellMeans)
+    val partials: Array[DecPartial] =
       if (rdd.getNumPartitions <= MaxDirectPartials) perPartition.collect()
       else rdd
-        .map { case (c, s, n) => (c, (s, n)) }
-        .reduceByKey { (a, b) => (mergeIntoD(a._1, b._1), a._2 + b._2) }
-        .map { case (c, (s, n)) => (c, s, n) }
+        .map(p => (p._1, p))
+        .reduceByKey(mergePartial)
+        .map(_._2)
         .collect()
-    val merged = scala.collection.mutable.LinkedHashMap
-      .empty[Int, (Array[JBD], Long)]
-    partials.foreach { case (c, s, n) =>
-      merged.get(c) match {
-        case None => merged(c) = (s, n)
-        case Some((t, m)) => merged(c) = (mergeIntoD(t, s), m + n)
+    val merged = scala.collection.mutable.LinkedHashMap.empty[Int, DecPartial]
+    partials.foreach { p =>
+      merged.get(p._1) match {
+        case None => merged(p._1) = p
+        case Some(t) => merged(p._1) = mergePartial(t, p)
       }
     }
     merged.iterator
-      .map { case (c, (s, n)) =>
-        (c, s.map(_.divide(JBD.valueOf(n), 22, RoundingMode.HALF_UP)
-          .doubleValue))
+      .map { case (c, (_, hi, lo, side, n)) =>
+        val means = Array.tabulate(hi.length) { i =>
+          val int128 = BigInteger.valueOf(hi(i)).shiftLeft(64)
+            .add(new BigInteger(java.lang.Long.toUnsignedString(lo(i))))
+          val sum0 = new JBD(int128, 18)
+          val sum = if (side != null && side(i) != null)
+            sum0.add(new JBD(side(i))) else sum0
+          sum.divide(JBD.valueOf(n), 22, RoundingMode.HALF_UP).doubleValue
+        }
+        (c, means)
       }
       .toArray.sortBy(_._1)
   }

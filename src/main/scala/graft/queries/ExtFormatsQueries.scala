@@ -509,7 +509,12 @@ object ExtFormatsQueries {
         col("l_extendedprice").cast("decimal(12,2)").as("price"),
         col("l_shipdate").cast("date").as("ship_date"),
         col("l_shipdate").cast("timestamp").as("ship_ts"))
-      graft.sources.AvroTables.write(li.coalesce(4), out)
+      // forCompute, not coalesce(4): lineitem arrives as ONE parquet
+      // split, and coalesce can only shrink — the whole Avro encode ran
+      // as a single task (r18; file count is irrelevant to the gate,
+      // which aggregates the read-back)
+      graft.sources.AvroTables.write(
+        graft.core.Partitioning.forCompute(li), out)
       graft.sources.AvroTables.read(s, out)
         .groupBy(year(col("ship_date")).cast("long").as("ship_year"))
         .agg(

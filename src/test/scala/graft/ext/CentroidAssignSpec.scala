@@ -41,6 +41,42 @@ class CentroidAssignSpec extends SparkSpec {
     assert(withNull.map(_._2.toSeq).toSeq == without.map(_._2.toSeq).toSeq)
   }
 
+  test("cellMeansDecimal int128 accumulation bit-equals the BigDecimal " +
+      "reference on randomized data incl. negatives and overflow spills") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import spark.implicits._
+    val rnd = new scala.util.Random(181)
+    // mixed magnitudes; 1e19 components force the per-term long
+    // overflow spill (scale-18 unscaled > 2^63)
+    val rows = (0 until 400).map { i =>
+      val cell = i % 5
+      val v = Array(
+        rnd.nextDouble() * 2 - 1,
+        (rnd.nextInt(2000) - 1000) / 7.0,
+        if (i % 97 == 0) 1.23e19 else rnd.nextGaussian(),
+        0.0)
+      (cell, v.toSeq)
+    }
+    val got = CentroidAssign
+      .cellMeansDecimal(rows.toDF("cell", "vd").repartition(7))
+      .map { case (c, m) => c -> m.toSeq }.toMap
+    // reference: straight per-term quantize + BigDecimal chain sum
+    val expect = rows.groupBy(_._1).map { case (c, rs) =>
+      val dim = rs.head._2.length
+      val sums = Array.fill(dim)(JBD.ZERO)
+      rs.foreach { case (_, v) =>
+        v.indices.foreach { i =>
+          sums(i) = sums(i).add(
+            JBD.valueOf(v(i)).setScale(18, RoundingMode.HALF_UP))
+        }
+      }
+      c -> sums.map(_.divide(JBD.valueOf(rs.size.toLong), 22,
+        RoundingMode.HALF_UP).doubleValue).toSeq
+    }
+    assert(got.keySet == expect.keySet)
+    for ((c, m) <- expect) assert(got(c) == m, s"cell $c")
+  }
+
   test("cellMeans equals the posexplode/groupBy/avg formulation it replaced") {
     val df = frame(withNull = true)
     val dense = CentroidAssign.cellMeans(df).toMap
