@@ -46,10 +46,17 @@ object Hits {
       iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().cache()
-    val n = nodes.count() // eager, one driver scalar
+      .distinct()
+    val n = nodes0.count() // eager, one driver scalar
+    // graph-sized width for the node cache (the [[PageRank]] /
+    // [[ConnectedComponents]] parts rule): otherwise every stage over
+    // it pays spark.sql.shuffle.partitions tasks on a tiny frame
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (n / 2000000L).toInt + 1))
+    val nodes = nodes0.coalesce(parts).cache()
 
     // x·10¹² DIV Σx in exact integer arithmetic. The L1 total is an
     // observe() metric folded INTO the pull's checkpoint job (guide

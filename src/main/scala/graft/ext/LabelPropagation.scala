@@ -39,9 +39,16 @@ object LabelPropagation {
       iters: Int): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().cache()
+      .distinct()
+    // graph-sized width for the node cache (the [[PageRank]] parts
+    // rule); the count doubles as the cache materialization
+    val n = nodes0.count()
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (n / 2000000L).toInt + 1))
+    val nodes = nodes0.coalesce(parts).cache()
 
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {

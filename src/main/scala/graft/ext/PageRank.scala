@@ -57,11 +57,22 @@ object PageRank {
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().cache()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
-    val n = nodes.count() // eager, one driver scalar
+      .distinct()
+    val n = nodes0.count() // eager, one driver scalar
+    // graph-sized iteration width (the ConnectedComponents parts rule):
+    // the node frame caches at spark.sql.shuffle.partitions otherwise,
+    // and every per-round stage over it pays that task count even when
+    // the graph is tiny — coalesce (no shuffle) to ~2M nodes/partition,
+    // capped at the session parallelism; values are partition-invariant
+    // integer arithmetic, so this is purely a scheduling dial.
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (n / 2000000L).toInt + 1))
+    val nodes = nodes0.coalesce(parts).cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .coalesce(parts).cache()
     val base = (Scale / 100L) * (100L - dampingPct) / math.max(n, 1L)
 
     var ranks = nodes
@@ -113,13 +124,22 @@ object PageRank {
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
     val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
-    val flagged = nodes
+    val flagged0 = nodes
       .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .cache()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
-    val nSeeds = flagged.filter(col("is_seed") === 1L).count()
+    // one scalar job yields both counts; the node frame then caches at
+    // graph-sized width (see run()'s parts rationale)
+    val cnts = flagged0
+      .agg(count(lit(1)).as("n"), sum(col("is_seed")).as("s")).head()
+    val n = cnts.getLong(0)
+    val nSeeds = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
     require(nSeeds > 0, "no seed intersects the graph's node set")
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (n / 2000000L).toInt + 1))
+    val flagged = flagged0.coalesce(parts).cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .coalesce(parts).cache()
     val base = (Scale / 100L) * (100L - dampingPct) / nSeeds
 
     var ranks = flagged

@@ -17,7 +17,12 @@ object ProfR18 {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("PROF_REPS", "3").toInt
     val prefixes = args.headOption.map(_.split(",").toSeq).getOrElse(Nil)
-    val spark = SparkSession.builder()
+    // A/B knob: PROF_CONF="spark.x=v;spark.y=v" applied at session build
+    val extraConf: Seq[(String, String)] = sys.env.get("PROF_CONF")
+      .map(_.split(";").toSeq.filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) })
+      .getOrElse(Nil)
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,7 +31,9 @@ object ProfR18 {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)

@@ -199,15 +199,29 @@ class PlanQualitySpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"q60 lost its equi-join:\n$p")
   }
 
-  test("q84/q85/q86: media decode stays a pure per-partition map (no shuffle at all)") {
+  /** Decode-tier exchange rule (r18): the codec queries may carry AT
+    * MOST ONE round-robin compute-spread Exchange (Partitioning
+    * .forCompute over the one-split documents table — without it the
+    * whole tier's decode CPU serialized onto a single core); any KEYED
+    * exchange (hash/range/single-partition) is still a regression of
+    * the embarrassingly-parallel contract.
+    */
+  private def assertSpreadOnly(q: String, p: String): Unit = {
+    val all = "Exchange".r.findAllIn(p).size
+    val spread = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(all == spread, s"$q gained a KEYED shuffle:\n$p")
+    assert(spread <= 1, s"$q spread more than once:\n$p")
+  }
+
+  test("q84/q85/q86: media decode is a per-partition map (compute spread only)") {
     // the entire scale story of the codec queries: embarrassingly
-    // parallel decode must never gain an Exchange. q86 additionally
-    // fuses its two ops (resample → stats) as adjacent MapPartitions
-    // in ONE task pipeline.
+    // parallel decode — at most the one round-robin spread, never a
+    // keyed exchange. q86 additionally fuses its two ops (resample →
+    // stats) as adjacent MapPartitions in ONE task pipeline.
     for (q <- Seq("q84_jpeg_pixel_stats", "q85_mjpeg_frame_stats",
         "q86_pcm_resample")) {
       val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+      assertSpreadOnly(q, p)
       assert(p.contains("MapPartitions"), s"$q lost its batch stage:\n$p")
     }
     val p86 = plan("q86_pcm_resample")
@@ -217,8 +231,10 @@ class PlanQualitySpec extends SparkSpec {
 
   test("crawl-ingest tier stays scan-stage; frontier schedules in exactly one Exchange") {
     // WARC parse, content extraction, robots, sitemap, links, FLAC,
-    // charset: all per-row decode work — an Exchange anywhere is a
-    // regression of the embarrassingly-parallel ingest contract
+    // charset: all per-row decode work — a KEYED Exchange anywhere is
+    // a regression of the embarrassingly-parallel ingest contract
+    // (the single round-robin compute spread is the r18 fix, not a
+    // regression — see assertSpreadOnly)
     for (q <- Seq("q154_warc_extract", "q155_main_content",
         "q156_robots_check", "q157_url_frontier", "q158_sitemap_entries",
         "q160_link_extract", "q161_flac_pcm_stats", "q162_charset_decode",
@@ -226,8 +242,7 @@ class PlanQualitySpec extends SparkSpec {
         "q166_pdf_text", "q167_wet_wat", "q170_cdc_chunks",
         "q173_mp3_id3", "q174_exif_meta", "q175_zip_roundtrip",
         "q176_docx_text", "q177_xlsx_cells")) {
-      val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q gained a shuffle:\n$p")
+      assertSpreadOnly(q, plan(q))
     }
     // the politeness window is the frontier's ONE semantic shuffle
     val p159 = plan("q159_frontier_schedule")
