@@ -34,6 +34,14 @@ object Hits {
 
   val Scale = 1000000000000L // 10^12 fixed-point
 
+  /** Node-count bound for broadcasting a per-round score frame
+    * ((node, score_e12) rows, ~24 B each ⇒ ~25 MB at the bound)
+    * instead of checkpointing it — the operator KNOWS |nodes| exactly,
+    * so the broadcast-vs-materialize choice is a driver scalar, not a
+    * planner estimate. Scale-adaptive: big graphs keep the checkpoint.
+    */
+  val BroadcastableNodes = 1000000L
+
   /** (node, hub_e12, auth_e12) after `iters` full rounds (authority
     * update then hub update) over `edges(srcCol, dstCol)`. Node set =
     * every id appearing as src or dst. Parallel edges act as weights,
@@ -93,21 +101,28 @@ object Hits {
         .join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub_e12").cast("decimal(38,0)")).as("auth_e12"))
-      // l1Normalize materializes the pull result EVERY round (unlike
-      // PageRank's every-k cadence): each frame feeds both the L1
-      // total and the next pull, so a fully lazy chain re-executes
-      // prior rounds multiplicatively; the normalized score frame is
-      // ALSO checkpointed — node-count-sized, and the accurate post-
-      // checkpoint sizeInBytes is what lets the next pull broadcast it
-      // into the edge join instead of sort-merging 600k edges.
-      // Values are unaffected: integer arithmetic, spec-pinned
-      // partition invariance.
-      auth = l1Normalize(araw, "auth_e12").localCheckpoint()
+      // l1Normalize materializes the pull result EVERY round (its
+      // checkpoint job also carries the L1 metric): each frame feeds
+      // both the total and the next pull, so a fully lazy chain would
+      // re-execute prior rounds multiplicatively. The NORMALIZED score
+      // frame needs no second materialization when the node count —
+      // known exactly on the driver — is broadcastable: the projection
+      // over the checkpointed pull is trivial to recompute per
+      // consumer, and the explicit hint is what the extra checkpoint's
+      // sizeInBytes used to buy (the r17 lazy attempt regressed to a
+      // sort-merge of the edges precisely because the un-checkpointed
+      // plan lost the estimate). Above the bound the checkpoint
+      // returns. Values are unaffected either way: integer arithmetic,
+      // spec-pinned partition invariance.
+      def scoreFrame(norm: DataFrame): DataFrame =
+        if (n <= BroadcastableNodes) broadcast(norm)
+        else norm.localCheckpoint()
+      auth = scoreFrame(l1Normalize(araw, "auth_e12"))
       val hraw = e
         .join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth_e12").cast("decimal(38,0)")).as("hub_e12"))
-      hub = l1Normalize(hraw, "hub_e12").localCheckpoint()
+      hub = scoreFrame(l1Normalize(hraw, "hub_e12"))
     }
     // one zero-fill join against the node census at the very end
     val out = nodes

@@ -61,8 +61,13 @@ object LabelPropagation {
       // sort of the neighbor-label multiset; the second aggregate is
       // map-side partial and node-keyed (guide §2.3/§2.4).
       // LabelPropagationSpec pins equality against the window form.
+      // the label frame has EXACTLY n rows (a driver scalar), so the
+      // broadcast-vs-shuffle choice for the per-round joins needs no
+      // planner estimate (the [[Hits.BroadcastableNodes]] rationale)
+      def small(df: DataFrame): DataFrame =
+        if (n <= Hits.BroadcastableNodes) broadcast(df) else df
       val picked = e
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .join(small(labels).withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
@@ -74,7 +79,8 @@ object LabelPropagation {
       // inside the consuming job); only the final round is eager so
       // the result is materialized before the caches are dropped.
       labels = nodes
-        .join(picked.withColumnRenamed("label", "new_label"), Seq("node"), "left")
+        .join(small(picked).withColumnRenamed("label", "new_label"),
+          Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("node")).as("label"))
         .localCheckpoint(eager = i == iters)
